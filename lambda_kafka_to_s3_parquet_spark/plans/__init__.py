@@ -1,0 +1,49 @@
+"""Query plan registry.
+
+Every engine capability that is checkable against an ANSI-SQL oracle is
+registered here as a named :class:`QuerySpec` — a PySpark plan builder
+paired with the equivalent DuckDB SQL (or ``None`` for genuinely
+non-SQL-expressible operators, which get a rows-only check).
+
+The registry is what ``__spark_entry__.queries()`` / ``oracle_sql()``
+expose to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB-runnable ANSI SQL, column names matching fn
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    # Import side-effect modules that populate REGISTRY.
+    from . import relational, extensions, ingest, streaming_queries  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,707 @@
+"""Relational read-back query surface (SURVEY.md §2.8).
+
+The reference queries its landed parquet with the stock PySpark DataFrame
+API (check_parquet.py:22-32,94-98 — filters/projections/date handling/
+count). This module is that surface widened to the full relational operator
+set: scans with pushdown, joins (broadcast/sort-merge/semi/anti),
+aggregations (incl. distinct + rollup), windows (ranking/frames), sorts/
+top-k, set operations, and the scalar string/date/JSON/array function
+families — all Catalyst built-ins, zero Python in the hot path.
+
+Every query is paired with a DuckDB oracle. Conventions that make the
+value-hash comparison deterministic:
+
+* every computed column is aliased identically on both sides;
+* floating aggregates are ``round()``-ed (summation order differs between
+  engines in the last ulps);
+* computed integers are cast to BIGINT on both sides (DuckDB promotes
+  integer sums to HUGEINT, Spark to LONG);
+* timestamps are emitted as formatted strings, never raw;
+* every top-k has a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — scan → filter → groupBy multi-agg → sort (TPC-H Q1 shape).
+# Flagship: exercises parquet pushdown + partial aggregation + AQE coalesce.
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 2)                                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="filter + groupBy + 8 aggregates + sort",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — agg → deterministic top-k (sort + limit).
+# --------------------------------------------------------------------------
+@register(
+    "q02_topk_orders_by_revenue",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*)                                          AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="groupBy agg + top-k with total tie-break order",
+)
+def q02_topk_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — 3-way join (broadcast dim → fact) + filter + agg + top-k
+# (TPC-H Q3 shape). customer is broadcast: no shuffle on the fact side.
+# --------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d')                   AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="broadcast-hash join x2 + agg + top-k",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15 00:00:00"))
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — EXISTS semi-join + group count (TPC-H Q4 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q04_priority_semi_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="left-semi join + agg",
+)
+def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — 5-way star join through broadcast dims (TPC-H Q5 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q05_nation_revenue",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="multi-way star join, dims broadcast",
+)
+def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — tight filter → single-row agg (TPC-H Q6 shape). All predicates
+# push down to the parquet scan.
+# --------------------------------------------------------------------------
+@register(
+    "q06_revenue_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*)                                    AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="pushed-down range filters + global agg",
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — ranking window: top-3 customers by balance per nation.
+# --------------------------------------------------------------------------
+@register(
+    "q07_top_customers_per_nation",
+    oracle="""
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    WHERE rn <= 3
+    ORDER BY c_nationkey, rn
+    """,
+    doc="row_number ranking window, deterministic tie-break",
+)
+def q07_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — analytic window with a running frame (cumulative revenue).
+# --------------------------------------------------------------------------
+@register(
+    "q08_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="cumulative sum window frame",
+)
+def q08_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("run_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# q09 — distinct aggregation (the v2 handler's count/countDistinct metrics,
+# lambda_function_with_AWS_datawrangler.py:67-74, as a grouped query).
+# --------------------------------------------------------------------------
+@register(
+    "q09_distinct_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                     AS n_orders,
+           count(DISTINCT o_custkey)    AS n_customers,
+           round(sum(o_totalprice), 2)  AS total,
+           round(avg(o_totalprice), 2)  AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="count + countDistinct + sum/avg per group",
+)
+def q09_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — ROLLUP grouping sets.
+# --------------------------------------------------------------------------
+@register(
+    "q10_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*)                      AS n,
+           round(sum(l_quantity), 2)     AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    doc="rollup grouping sets with subtotal rows",
+)
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — set operations (INTERSECT / EXCEPT), tagged and unioned.
+# --------------------------------------------------------------------------
+@register(
+    "q11_setops",
+    oracle="""
+    SELECT 'both' AS src, n FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS n FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS src, n FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey AS n FROM supplier)
+    ORDER BY src, n
+    """,
+    doc="intersect + except + union all",
+)
+def q11_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    cust_only = c.exceptAll(s).withColumn("src", F.lit("cust_only"))
+    return both.unionByName(cust_only).select("src", "n").orderBy("src", "n")
+
+
+# --------------------------------------------------------------------------
+# q12 — join + CASE conditional aggregation (TPC-H Q12 shape).
+# --------------------------------------------------------------------------
+@register(
+    "q12_case_agg",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="conditional (CASE) aggregation over a join",
+)
+def q12_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — scalar string function family.
+# --------------------------------------------------------------------------
+@register(
+    "q13_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                              AS brand_u,
+           substr(p_name, 1, 8)                        AS name_pfx,
+           CAST(length(p_name) AS BIGINT)              AS name_len,
+           concat(p_brand, '#', p_type)                AS brand_type,
+           replace(p_type, ' ', '_')                   AS type_u,
+           regexp_extract(p_type, '([a-z]+)$', 1)      AS last_word
+    FROM part
+    WHERE p_name LIKE '%a%'
+    ORDER BY p_partkey
+    """,
+    doc="upper/substr/length/concat/replace/regexp_extract + LIKE",
+)
+def q13_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_name", 1, 8).alias("name_pfx"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+            F.regexp_replace("p_type", " ", "_").alias("type_u"),
+            F.regexp_extract("p_type", "([a-z]+)$", 1).alias("last_word"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — date bucketing (year/month extraction).
+# --------------------------------------------------------------------------
+@register(
+    "q14_date_buckets",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT)  AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           count(*)                           AS n_orders,
+           count(DISTINCT o_custkey)          AS n_customers
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY y, m
+    """,
+    doc="year/month extraction + grouped counts",
+)
+def q14_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .agg(F.count("*").alias("n_orders"), F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("y", "m")
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — JSON extraction from the events.props payload column.
+# --------------------------------------------------------------------------
+@register(
+    "q15_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                   AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="get_json_object / json_extract over a JSON string column",
+)
+def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(k), 2).alias("avg_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — array functions over the embedding vectors. Math is forced to
+# DOUBLE with explicit left-to-right folds so both engines agree bit-wise
+# before rounding.
+# --------------------------------------------------------------------------
+@register(
+    "q16_array_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT)                                  AS dim,
+           round(embedding[1]::DOUBLE, 6)                                  AS first_val,
+           round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                 x -> x * x), 'sum')), 6)                                  AS l2_norm,
+           round(list_aggregate(embedding::DOUBLE[], 'sum')
+                 / len(embedding), 6)                                      AS mean_val
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    doc="size/element_at/aggregate-fold over array<float>",
+)
+def q16_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    sum_sq = F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x)
+    total = F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(emb_d, 1), 6).alias("first_val"),
+        F.round(F.sqrt(sum_sq), 6).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# q17 — join against a derived aggregate (parts above their brand average).
+# --------------------------------------------------------------------------
+@register(
+    "q17_above_brand_avg",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand,
+           round(p.p_retailprice, 2) AS price,
+           round(b.brand_avg, 2)     AS brand_avg
+    FROM part p
+    JOIN (SELECT p_brand, avg(p_retailprice) AS brand_avg
+          FROM part GROUP BY p_brand) b
+      ON p.p_brand = b.p_brand
+    WHERE p.p_retailprice > b.brand_avg
+    ORDER BY p_partkey
+    """,
+    doc="self-join against derived per-group average",
+)
+def q17_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    b = p.groupBy("p_brand").agg(F.avg("p_retailprice").alias("brand_avg"))
+    return (
+        p.join(F.broadcast(b), "p_brand")
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("price"),
+            F.round("brand_avg", 2).alias("brand_avg"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — HAVING + join back to the dimension (large customers).
+# --------------------------------------------------------------------------
+@register(
+    "q18_big_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, g.cnt AS n_orders,
+           round(g.total, 2) AS total_spend
+    FROM customer c
+    JOIN (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS total
+          FROM orders GROUP BY o_custkey HAVING count(*) >= 13) g
+      ON c.c_custkey = g.o_custkey
+    ORDER BY c_custkey
+    """,
+    doc="grouped HAVING filter joined back to dimension",
+)
+def q18_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    g = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"), F.sum("o_totalprice").alias("total"))
+        .filter(F.col("cnt") >= 13)
+    )
+    return (
+        F.broadcast(c)
+        .join(g, c.c_custkey == g.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("cnt").alias("n_orders"),
+            F.round("total", 2).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — anti-join (customers with no open orders).
+# --------------------------------------------------------------------------
+@register(
+    "q19_customers_without_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+    doc="left-anti join",
+)
+def q19_customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — pivot via conditional aggregation (event-type matrix per user).
+# --------------------------------------------------------------------------
+@register(
+    "q20_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="pivot (conditional aggregation) per key",
+)
+def q20_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("bigint").alias(f"n_{t}")
+
+    return (
+        e.groupBy("user_id")
+        .agg(
+            cnt("click"),
+            cnt("view"),
+            cnt("purchase"),
+            cnt("signup"),
+            cnt("error"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )

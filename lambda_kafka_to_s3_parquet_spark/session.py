@@ -1,0 +1,132 @@
+"""SparkSession factory and table catalog.
+
+Engine-session bootstrap — the Spark-side equivalent of the reference's
+``initialize()`` (schema_registry_connect.py:54-123) and the session builder
+in its read-back script (check_parquet.py:22-29), generalized: one place
+that owns Spark configuration tuned for large-scale batch + streaming, and
+registers the landed parquet tables as temp views (catalog registration).
+
+Scale design notes (targets a 1000-executor cluster; tested on local[N]):
+
+* AQE is on (coalesce + skew-join): shuffle partition counts self-tune at
+  runtime, so ``spark.sql.shuffle.partitions`` is only an upper bound.
+* Session timezone is pinned to UTC so event-time semantics are
+  deterministic across drivers/executors regardless of host zone.
+* Arrow is enabled for all pandas interchange — every Python-side operator
+  in this engine is Arrow-batched (mapInPandas / pandas_udf).
+* Broadcast threshold is raised to 64 MiB: the dimension tables of a
+  TPC-H-style star schema (region/nation/supplier/part/customer at typical
+  ratios) stay broadcast-able far beyond sf1, eliminating shuffles on the
+  fact-table joins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver generates under /root/testdata/sf*/ (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cpu_count() -> int:
+    """Worker-thread count: $SPARK_GRAFT_CPUS, else host CPUs."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "lambda-kafka-to-s3-parquet-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    All knobs here are plan-level defaults; AQE re-plans at runtime. The
+    reference's physical tactics (schema memoization, columnar batching,
+    partition-pruned paths — SURVEY.md §4) are all subsumed by Catalyst
+    once the plan is declared through this session.
+    """
+    cpus = cpu_count()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") or max(2 * cpus, 32)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver table (mirrors check_parquet.py:94).
+
+    Handles nanosecond-precision parquet timestamps (events.ts is
+    TIMESTAMP(NANOS)), which Spark 4 only reads via the nanosAsLong legacy
+    conf: the long nanos column is converted back to a micros TimestampType
+    with integer division (double division would lose precision on ~1e18 ns
+    epoch values). Truncation matches DuckDB's NS → US cast semantics.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    for field, dtype in df.dtypes:
+        if field == "ts" and dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view; returns name → DataFrame.
+
+    Catalog-registration altitude of the reference's initialize()
+    (schema_registry_connect.py:54-123): resolve schemas once up front,
+    query many times.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
