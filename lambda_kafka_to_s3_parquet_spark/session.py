@@ -79,6 +79,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Driver fixtures store events.ts as TIMESTAMP(NANOS), which Spark 4
+        # only reads as a long via this legacy conf; load_table converts the
+        # nanos back to TimestampType. Set unconditionally so the first read
+        # never has to probe-and-retry (the aborted probe job polluted round-1
+        # bench logs).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.providerClass",
@@ -101,14 +107,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     epoch values). Truncation matches DuckDB's NS → US cast semantics.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-    for field, dtype in df.dtypes:
-        if field == "ts" and dtype == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Runtime-set (not only in get_spark's builder) because the driver runs
+    # queries through a vanilla SparkSession: without this conf the first
+    # events.parquet read fails on its TIMESTAMP(NANOS) column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # Scoped to the events table: its ts column is the only TIMESTAMP(NANOS)
+    # in the fixtures (FIXTURES.md §3). A bigint 'ts' in any other table is
+    # left untouched.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
