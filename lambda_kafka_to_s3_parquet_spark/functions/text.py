@@ -1,0 +1,118 @@
+"""Text-analysis column expressions (SURVEY.md §2.9).
+
+Everything here returns a :class:`pyspark.sql.Column` built purely from
+JVM-side builtins (``split``/``filter``/``transform``/``aggregate`` higher-
+order functions) so the hot path stays inside whole-stage codegen — no
+Python UDFs. These are the building blocks for the tokenization, quality
+scoring, language-ID, shingling, and fingerprinting operators registered in
+``plans/extensions.py``.
+
+Scale notes: every expression is per-row (narrow), so these ops add zero
+shuffles; the only shuffles in the downstream operators are their explicit
+``groupBy``/``join`` stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Token pattern shared with the DuckDB oracles (ASCII corpus; lower() first).
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+#: Tiny per-language stopword profiles for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and ASCII-only so the same literal lists can
+#: be embedded in the DuckDB oracle SQL.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "es": ("el", "la", "que", "los", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "les", "des", "et", "une", "dans", "pour", "ce", "pas", "sur"),
+}
+
+#: Stopword set for quality scoring (English-profile, matches oracle literal).
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased word tokens with empties removed: array<string>."""
+    raw = F.split(F.lower(col), TOKEN_SPLIT_RE)
+    return F.filter(raw, lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token array (MinHash/Jaccard input).
+
+    Empty when the document has fewer than ``n`` tokens.
+    """
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
+    return F.when(F.size(tok) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_count(tok: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    """Number of tokens (with multiplicity) found in ``words``."""
+    return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+
+def lang_scores(tok: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts for the language-ID heuristic."""
+    return {lang: stopword_count(tok, words) for lang, words in LANG_PROFILES.items()}
+
+
+def lang_guess(tok: Column) -> Column:
+    """argmax over LANG_PROFILES scores; ties break in profile order.
+
+    A stopword-profile classifier — the classic cheap language-ID heuristic
+    for large corpus triage. 'und' (undetermined) when nothing matches.
+    """
+    scores = lang_scores(tok)
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    # Build the when-chain in reverse so earlier profiles win ties.
+    for lang in reversed(langs):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are a-z after lower-casing (0 for empty)."""
+    low = F.lower(col)
+    n = F.length(low)
+    n_alpha = F.length(F.regexp_replace(low, "[^a-z]", ""))
+    return F.when(n > 0, n_alpha.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    Normalization = lower-case + collapse whitespace runs + trim, so
+    documents differing only in case/spacing collapse to one fingerprint.
+    md5 is used (not xxhash64) because the oracle engine computes the
+    identical digest.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(norm)
+
+
+def rolling_hash(col: Column | str, mod: int = 1_000_000_007, mult: int = 31) -> Column:
+    """Portable polynomial rolling hash of a string (engine-agnostic).
+
+    Folds ``acc*mult + ascii(char) (mod m)`` left-to-right — the textbook
+    Rabin-Karp construction, reproducible in any engine with a list-fold.
+    Used where a hash must agree across engines (oracle checks); prefer
+    ``xxhash64`` when only Spark computes it.
+    """
+    chars = F.split(col, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * mult + F.ascii(c)) % F.lit(mod),
+    )

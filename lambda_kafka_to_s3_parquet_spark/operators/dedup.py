@@ -1,0 +1,190 @@
+"""Deduplication operators (SURVEY.md §2.9): exact, CDC latest-version,
+MinHash-LSH near-dup, SimHash.
+
+Scale design (the part that matters at 100 TB):
+
+* **exact_dedup / latest_by_key** are one hash-shuffle on the dedup key —
+  the minimum possible. Survivor choice is deterministic (explicit order),
+  never "whichever row the scheduler saw first" (``dropDuplicates``' pick
+  is nondeterministic under parallelism, which breaks re-runs and oracles).
+* **near_dup_pairs (MinHash-LSH)** is strictly bucketed: candidates come
+  from ``groupBy(band, signature)`` — an equi-join on band hashes — never
+  an all-pairs cross join. Cost is O(N·K) hashing + one shuffle per stage;
+  the verification join only touches candidate pairs, which for a
+  near-dup-sparse corpus is ≪ N².
+* **simhash** reduces each document to one 64-bit value; near-dup candidacy
+  becomes a band-equality join on signature chunks, same bucketed shape.
+
+The reference's only dedup-adjacent logic is its per-batch distinct-count
+*metric* (lambda_function_with_AWS_datawrangler.py:71-72); these operators
+are the north-star extension of that into real data dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """Keep exactly one row per key, chosen by ``order_by`` (deterministic).
+
+    One shuffle on ``keys``. Adds ``n_copies`` = group size so callers can
+    report how much was deduplicated (the reference's distinct-vs-total
+    metric, per group).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    wc = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(wc))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def latest_by_key(df: DataFrame, keys: list[str], ts_col: str, tiebreak: str) -> DataFrame:
+    """CDC latest-version dedup: newest row per key (ts desc, tiebreak desc).
+
+    The standard compaction of a CDC change stream (SRC_KEY_VAL /
+    SRC_COMMIT_DT_UTC in the reference's golden schema) to current state.
+    """
+    return exact_dedup(df, keys, [F.desc(ts_col), F.desc(tiebreak)])
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_sig) MinHash-LSH banding table.
+
+    K = n_bands * rows_per_band minhash values per document: ``h_k(doc) =
+    min over shingles of xxhash64(k, shingle)``; each band's signature
+    hashes its ``rows_per_band`` consecutive minhashes. Documents sharing
+    any (band, band_sig) bucket are near-dup candidates. The default
+    (16 bands × 4 rows) puts the S-curve threshold around Jaccard ≈ 0.5
+    with ~0.9998 catch probability at J = 0.8.
+
+    Plan shape: explode shingles → single groupBy(id) computing all K mins
+    as independent aggregates (one shuffle) → per-row band hashing + one
+    explode. No cross joins anywhere.
+    """
+    n_hashes = n_bands * rows_per_band
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(tokens(text_col), shingle_n)).alias("shingle"),
+    )
+    mins = sh.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"h{k}")
+            for k in range(n_hashes)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select("_id", F.explode(bands).alias("bs")).select(
+        F.col("_id").alias(id_col), F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    1. band table (see :func:`minhash_signatures`);
+    2. candidate pairs = self-equi-join on (band, band_sig), id_a < id_b,
+       distinct — the bucketed step that avoids N²;
+    3. verification join back to shingle sets; exact Jaccard =
+       |A ∩ B| / |A ∪ B| via array_intersect/array_union;
+    4. keep pairs with jaccard >= threshold.
+
+    Output: (doc_a, doc_b, jaccard) — false-positive-free because of the
+    exact verification; false negatives bounded by the LSH S-curve.
+    """
+    sig = minhash_signatures(docs, id_col, text_col, n_bands, rows_per_band, shingle_n)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    shingle_sets = docs.select(
+        F.col(id_col).alias("_sid"), word_shingles(tokens(text_col), shingle_n).alias("sh")
+    )
+    xa, xb = shingle_sets.alias("xa"), shingle_sets.alias("xb")
+    inter = F.size(F.array_intersect(F.col("xa.sh"), F.col("xb.sh")))
+    union = F.size(F.array_union(F.col("xa.sh"), F.col("xb.sh")))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(xa, F.col("doc_a") == F.col("xa._sid"))
+        .join(xb, F.col("doc_b") == F.col("xb._sid"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash per document, fully JVM-side.
+
+    Classic Charikar construction: each token votes ±1 on every bit of its
+    xxhash64; output bit j is 1 iff the summed vote is positive. Plan:
+    explode tokens → one groupBy(id) computing 64 vote sums as independent
+    conditional aggregates (map-side partial aggregation makes the shuffle
+    carry 64 longs per doc, not the tokens) → per-row bit packing.
+    Documents with zero tokens produce no row (no signal to hash).
+    """
+    tokh = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    votes = tokh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    for j in range(64):
+        # bit 63 set == Long.MIN_VALUE in two's complement
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        term = F.when(F.col(f"v{j}") > 0, F.lit(bit_val).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures via popcount(XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

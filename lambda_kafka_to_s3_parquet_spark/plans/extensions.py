@@ -1,1 +1,452 @@
-"""Populated in later milestones."""
+"""LLM-data-pipeline extension operators (SURVEY.md §2.9, north star).
+
+The reference stops at landing CDC rows; a training-data pipeline at
+100 TB additionally needs deduplication, similarity search, text analysis,
+and multimodal handling as first-class operators. Each one is registered
+here with a DuckDB oracle where the semantics are SQL-expressible; the
+genuinely probabilistic/Python-side ones (LSH ANN, SimHash, stubbed media
+decode) get rows-only checks plus dedicated pytest semantics tests.
+
+Scale patterns used (and deliberately NOT used):
+
+* dedup/near-dup candidate generation is always bucketed (groupBy on a
+  key / band-hash equi-join) — never an unbounded cross join;
+* the only broadcast hints are on provably tiny sides (probe/query sets);
+* per-row text/vector math is JVM-side higher-order functions, Python only
+  in the Arrow-batched media-decode stub where a codec would live.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    alpha_ratio,
+    fingerprint,
+    lang_scores,
+    lang_guess,
+    tokens,
+    word_shingles,
+)
+from ..operators.dedup import exact_dedup, latest_by_key, near_dup_pairs, simhash_table
+from ..operators.multimodal import extract_features, media_frame
+from ..operators.similarity import near_dup_within_label, topk_bruteforce, topk_lsh
+from ..session import load_table
+from . import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# SQL fragment shared by every document-token oracle: mirrors
+# functions.text.tokens() (lower → split on non-alnum → drop empties).
+_SQL_TOKENS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+# Mirrors functions.text.word_shingles(tokens, 3): distinct 3-word shingles.
+_SQL_SHINGLES3 = (
+    "CASE WHEN len(tok) >= 3 THEN "
+    "list_distinct([array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok) - 1)]) "
+    "ELSE [] END"
+)
+
+
+# --------------------------------------------------------------------------
+# x01 — exact dedup with deterministic survivor (min doc_id per text).
+# One shuffle on the dedup key; n_copies carries the reference's
+# total-vs-distinct metric per group.
+# --------------------------------------------------------------------------
+@register(
+    "x01_exact_dedup_docs",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, n_copies
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+             count(*)    OVER (PARTITION BY text)                  AS n_copies
+      FROM documents)
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    doc="exact dedup (hash-groupBy on text), deterministic survivor",
+)
+def x01_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], [F.asc("doc_id")]).select(
+        "doc_id", "lang", "source", "n_chars", "n_copies"
+    )
+
+
+# --------------------------------------------------------------------------
+# x02 — CDC latest-version dedup: newest event per user (the reference's
+# SRC_KEY_VAL / SRC_COMMIT_DT_UTC compaction, on the events fixture).
+# --------------------------------------------------------------------------
+@register(
+    "x02_cdc_latest_event",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="CDC latest-row dedup: window + row_number over (key, ts desc)",
+)
+def x02_cdc_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return latest_by_key(e, ["user_id"], "ts", "event_id").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x03 — corpus token statistics: global top-50 tokens. explode + one
+# groupBy(token) shuffle with map-side partial counts.
+# --------------------------------------------------------------------------
+@register(
+    "x03_token_stats",
+    oracle=f"""
+    SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+    doc="token counting: explode + groupBy.count, top-50",
+)
+def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# x04 — per-document quality scoring: length/stopword/alpha ratios. Pure
+# per-row expressions, no shuffle at all.
+# --------------------------------------------------------------------------
+@register(
+    "x04_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT)                              AS n_tokens,
+           round(CASE WHEN len(tok) > 0
+                 THEN len(list_filter(tok, t -> list_contains({list(STOPWORDS)!r}, t)))::DOUBLE
+                      / len(tok) ELSE 0 END, 6)                  AS stopword_ratio,
+           round(CASE WHEN length(lower(text)) > 0
+                 THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                      / length(lower(text)) ELSE 0 END, 6)       AS alpha_ratio,
+           round(CASE WHEN len(tok) > 0
+                 THEN len(list_distinct(tok))::DOUBLE / len(tok) ELSE 0 END, 6)
+                                                                 AS distinct_ratio
+    FROM (SELECT doc_id, text, {_SQL_TOKENS} AS tok FROM documents)
+    ORDER BY doc_id
+    """,
+    doc="quality scoring: token/stopword/alpha/distinct ratios per doc",
+)
+def x04_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n_tok = F.size(tok)
+    stop_n = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
+    uniq_n = F.size(F.array_distinct(tok))
+    ratio = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(ratio(stop_n, n_tok), 6).alias("stopword_ratio"),
+        F.round(alpha_ratio("text"), 6).alias("alpha_ratio"),
+        F.round(ratio(uniq_n, n_tok), 6).alias("distinct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x05 — language-ID heuristic: stopword-profile argmax per document.
+# --------------------------------------------------------------------------
+def _sql_lang_case() -> str:
+    hits = {
+        lang: f"len(list_filter(tok, t -> list_contains({list(words)!r}, t)))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = "greatest({})".format(", ".join(hits.values()))
+    whens = " ".join(
+        f"WHEN {hits[lang]} > 0 AND {hits[lang]} = best THEN '{lang}'"
+        for lang in LANG_PROFILES
+    )
+    cols = ",\n           ".join(
+        f"CAST({expr} AS BIGINT) AS {lang}_hits" for lang, expr in hits.items()
+    )
+    return f"""
+    SELECT doc_id,
+           CASE {whens} ELSE 'und' END AS lang_guess,
+           {cols}
+    FROM (SELECT doc_id, tok, {best} AS best
+          FROM (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents))
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "x05_language_id",
+    oracle=_sql_lang_case(),
+    doc="language-ID: per-language stopword-profile hit counts + argmax",
+)
+def x05_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    scores = lang_scores(tok)
+    return d.select(
+        "doc_id",
+        lang_guess(tok).alias("lang_guess"),
+        *[scores[lang].cast("bigint").alias(f"{lang}_hits") for lang in LANG_PROFILES],
+    )
+
+
+# --------------------------------------------------------------------------
+# x06 — document fingerprinting: md5 of normalized text; group stats per
+# fingerprint (near-exact dup detection via normalization).
+# --------------------------------------------------------------------------
+@register(
+    "x06_fingerprint_groups",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           count(*)    AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM documents
+    GROUP BY 1
+    ORDER BY fp
+    """,
+    doc="document fingerprint (md5 of normalized text) + group stats",
+)
+def x06_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x07 — MinHash-LSH near-dup pairs, exact-Jaccard verified. The oracle
+# computes exact Jaccard over pairs sharing >= 1 shingle (feasible at
+# sf0.01 oracle scale); the Spark side uses banded LSH candidates — results
+# agree because verification filters both down to true >= threshold pairs.
+# --------------------------------------------------------------------------
+@register(
+    "x07_minhash_neardup",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM tok),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                 / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+    FROM cand
+    JOIN sh x ON x.doc_id = doc_a
+    JOIN sh y ON y.doc_id = doc_b
+    WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE
+          / len(list_distinct(x.sh || y.sh)), 6) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    doc="near-dup text dedup: MinHash-LSH banded candidates + exact verify",
+)
+def x07_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_pairs(d, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# x08 — SimHash signatures (64-bit) per document. xxhash64-based, so no
+# cross-engine oracle; rows-only check here, semantics pinned by
+# tests/test_extensions.py (identical text => identical signature, near
+# pairs at small hamming distance).
+# --------------------------------------------------------------------------
+@register(
+    "x08_simhash",
+    oracle=None,
+    doc="SimHash 64-bit document fingerprints (rows-only; pytest semantics)",
+)
+def x08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash_table(d)
+
+
+# --------------------------------------------------------------------------
+# x09 — n-gram Jaccard similarity over a bounded probe set (all pairs among
+# the first 40 docs). Demonstrates the exact pairwise kernel; production
+# scale uses x07's LSH bucketing to bound the pair count instead.
+# --------------------------------------------------------------------------
+@register(
+    "x09_ngram_jaccard_probe",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES3} AS sh
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents WHERE doc_id < 40)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    doc="exact n-gram Jaccard over a bounded probe set",
+)
+def x09_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = d.select("doc_id", word_shingles(tokens("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# x10 — exact embedding similarity top-k (brute force baseline): corpus
+# scanned once against a broadcast probe set, per-query top-k window.
+# --------------------------------------------------------------------------
+@register(
+    "x10_embedding_topk",
+    oracle="""
+    WITH s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+    SELECT query_id, cand_id, score, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+          FROM s)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    doc="embedding cosine top-k, exact (broadcast probe set, no NxN)",
+)
+def x10_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return topk_bruteforce(e, queries, k=10)
+
+
+# --------------------------------------------------------------------------
+# x11 — approximate ANN top-k via hyperplane LSH bucketing + exact rerank.
+# Approximate recall => no SQL oracle; rows-only here, recall floor pinned
+# in tests/test_extensions.py against x10.
+# --------------------------------------------------------------------------
+@register(
+    "x11_ann_lsh_topk",
+    oracle=None,
+    doc="LSH-bucketed approximate top-k (rows-only; recall pytest vs x10)",
+)
+def x11_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return topk_lsh(e, queries, k=10)
+
+
+# --------------------------------------------------------------------------
+# x12 — embedding near-dup pairs, blocked by the label column (the
+# IVF-cell / blocking pattern: pairs only within a bucket).
+# --------------------------------------------------------------------------
+@register(
+    "x12_embedding_neardup_blocked",
+    oracle="""
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="embedding-cosine near-dup, label-blocked pair generation",
+)
+def x12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return near_dup_within_label(e, threshold=0.5).select("label", "id_a", "id_b", "cos_sim")
+
+
+# --------------------------------------------------------------------------
+# x13 — multimodal media frame: binary payload + typed metadata; grouped
+# stats prove checksum/byte plumbing end-to-end against the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "x13_media_stats",
+    oracle="""
+    SELECT media_type,
+           count(*)                     AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           count(DISTINCT checksum)     AS n_distinct_payloads,
+           min(n_bytes)                 AS min_bytes,
+           max(n_bytes)                 AS max_bytes
+    FROM (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END       AS media_type,
+             octet_length(encode(text))::BIGINT     AS n_bytes,
+             sha256(text)                           AS checksum
+      FROM documents)
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+    doc="multimodal binary columns: payload bytes + checksum metadata stats",
+)
+def x13_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_frame(_t(spark, sf_dir, "documents"))
+    return (
+        m.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("checksum").alias("n_distinct_payloads"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# x14 — Arrow-batched media feature extraction (the stubbed decode stage).
+# Python boundary => no SQL oracle; deterministic fake features are pinned
+# exactly in tests/test_extensions.py.
+# --------------------------------------------------------------------------
+@register(
+    "x14_media_features",
+    oracle=None,
+    doc="mapInPandas media decode stub (rows-only; exact values in pytest)",
+)
+def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_frame(_t(spark, sf_dir, "documents"))
+    return extract_features(m)
