@@ -1,1 +1,84 @@
-"""Populated in later milestones."""
+"""Ingest/decode queries (SURVEY.md §2.1-§2.3, M1) over the golden fixture.
+
+These run the reference's core pipeline — Kafka event envelope → base64 →
+key cascade + Confluent-Avro value decode → columnar records — re-expressed
+as Spark stages (sources/kafka_replay.py + sources/avro_codec.py), against
+the reference's own golden input fixture. Avro bytes are not expressible in
+ANSI SQL, so these register as rows-only checks; the byte-exact golden
+assertions (decoded values == golden parquet content) live in
+tests/test_ingest.py.
+
+Reference parity: lambda_function.py:184-252 (handler flow),
+lambda_function_with_AWS_datawrangler.py:63-90 (batch metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import latest_by_key
+from ..sources.avro_codec import SchemaProvider, decode_stage
+from ..sources.kafka_replay import read_lambda_events
+from . import register
+
+#: The reference's golden input event (read-only fixture).
+GOLDEN_EVENT = "/root/reference/sample_kafka_event.json"
+GOLDEN_TOPIC = "lndcdcadsrtcrd_ratecard"
+
+
+def decoded_golden(spark: SparkSession) -> DataFrame:
+    """Replay + decode the golden event: the full M1 pipeline."""
+    kafka_shaped = read_lambda_events(spark, GOLDEN_EVENT)
+    return decode_stage(kafka_shaped, SchemaProvider(), GOLDEN_TOPIC)
+
+
+@register(
+    "i01_replay_decode",
+    oracle=None,
+    doc="Kafka envelope replay -> Confluent-Avro decode (golden fixture; "
+    "byte-exact asserts in tests/test_ingest.py)",
+)
+def i01_replay_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decoded_golden(spark)
+
+
+@register(
+    "i02_per_partition_counts",
+    oracle=None,
+    doc="per topic-partition record counts (lambda_function.py:202-203 as groupBy)",
+)
+def i02_per_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_lambda_events(spark, GOLDEN_EVENT)
+        .groupBy("topic", "partition")
+        .agg(F.count("*").alias("n_records"))
+        .orderBy("topic", "partition")
+    )
+
+
+@register(
+    "i03_batch_metrics",
+    oracle=None,
+    doc="batch write metrics: total + distinct SRC_KEY_VAL "
+    "(lambda_function_with_AWS_datawrangler.py:67-74 semantics)",
+)
+def i03_batch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decoded_golden(spark).agg(
+        F.count("*").alias("total_records"),
+        F.countDistinct("SRC_KEY_VAL").alias("distinct_records"),
+        F.count("_corrupt_record").alias("corrupt_records"),
+    )
+
+
+@register(
+    "i04_cdc_latest_ratecard",
+    oracle=None,
+    doc="CDC latest-version dedup on the golden CDC stream "
+    "(SRC_KEY_VAL / SRC_COMMIT_DT_UTC, offset tiebreak)",
+)
+def i04_cdc_latest_ratecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = decoded_golden(spark).filter(F.col("_corrupt_record").isNull())
+    return latest_by_key(d, ["SRC_KEY_VAL"], "SRC_COMMIT_DT_UTC", "offset").select(
+        "SRC_KEY_VAL", "RATE_CARD_ID", "SRC_CDC_OPER_NM", "SRC_COMMIT_DT_UTC", "n_copies"
+    )

@@ -1,0 +1,267 @@
+"""Confluent-wire-format Avro decode (SURVEY.md §2.2, M1).
+
+The reference's core competency: Kafka record values are
+``0x00 | 4-byte big-endian schema id | Avro binary body``
+(proven by the 5-byte skip in ``lambda_function.py:178``), with the body
+written against a schema fetched from a Confluent Schema Registry
+(``lambda_function.py:118-144``). Key bytes decode through a
+string→int→ascii cascade (``lambda_function.py:146-162``).
+
+Spark-first re-expression:
+
+* **envelope split** (magic/schema-id/body) is pure JVM column math —
+  ``substring`` on the binary column, no Python;
+* **body decode** would be ``pyspark.sql.avro.functions.from_avro`` on the
+  stripped body, but the spark-avro jar is not present in this
+  environment, so the decode runs as an Arrow-batched ``mapInPandas``
+  stage over a pure-Python Avro binary reader (implemented below from the
+  public Avro 1.x specification — varint/zigzag primitives, union index
+  prefixes). Batches stream through Arrow, so the Python boundary costs
+  one (de)serialization per record batch, not per record;
+* **schema provider** is a memoized registry lookup (the v2 handler's
+  global-cache tactic, ``lambda_function_with_AWS_datawrangler.py:93-123``)
+  resolved ONCE on the driver at plan-build time — executors never talk to
+  a registry (the v1 per-record HTTP fetch is the anti-pattern this
+  removes);
+* **error handling** is PERMISSIVE: undecodable bodies yield a null row
+  plus the raw bytes in ``_corrupt_record`` (Spark's corrupt-column
+  convention), never an exception — the reference instead silently
+  fell back between decoders (``lambda_function.py:175-182``).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DataType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# Avro binary primitives (public Avro 1.x spec: zigzag varints, length-
+# prefixed utf-8 strings, little-endian IEEE doubles).
+# ---------------------------------------------------------------------------
+
+
+def _read_varint_zigzag(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        acc |= (b[0] & 0x7F) << shift
+        if not (b[0] & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_string(buf: io.BytesIO) -> str:
+    n = _read_varint_zigzag(buf)
+    raw = buf.read(n)
+    if len(raw) != n:
+        raise EOFError("truncated string")
+    return raw.decode("utf-8")
+
+
+def _read_double(buf: io.BytesIO) -> float:
+    raw = buf.read(8)
+    if len(raw) != 8:
+        raise EOFError("truncated double")
+    return struct.unpack("<d", raw)[0]
+
+
+@dataclass(frozen=True)
+class AvroField:
+    """One record field: primitive type, optionally wrapped in [null, T]."""
+
+    name: str
+    type: str  # 'long' | 'string' | 'double'
+    nullable: bool  # True => union [null, T] with a zigzag branch index
+
+    def spark_type(self) -> DataType:
+        return {"long": LongType(), "string": StringType(), "double": DoubleType()}[self.type]
+
+
+def decode_avro_record(body: bytes, fields: tuple[AvroField, ...]) -> dict:
+    """Decode one Avro binary record body against a flat field list."""
+    buf = io.BytesIO(body)
+    row: dict = {}
+    for f in fields:
+        if f.nullable:
+            branch = _read_varint_zigzag(buf)
+            if branch == 0:
+                row[f.name] = None
+                continue
+        if f.type == "long":
+            row[f.name] = _read_varint_zigzag(buf)
+        elif f.type == "double":
+            row[f.name] = _read_double(buf)
+        else:
+            row[f.name] = _read_string(buf)
+    if buf.read(1):
+        raise ValueError("trailing bytes after record")
+    return row
+
+
+# ---------------------------------------------------------------------------
+# Schema registry (offline): topic -> (schema id, field list), memoized.
+# ---------------------------------------------------------------------------
+
+#: Schema of the `lndcdcadsrtcrd_ratecard-value` subject, id 391 — recovered
+#: from the reference's golden fixtures (FIXTURES.md §2): 14 nullable-union
+#: business fields followed by 5 non-null CDC metadata strings. Verified
+#: byte-exact against every record of sample_kafka_event.json.
+RATECARD_FIELDS: tuple[AvroField, ...] = tuple(
+    [AvroField(n, t, True) for n, t in [
+        ("RATE_CARD_ID", "long"),
+        ("LAST_MODIFIED_BY", "string"),
+        ("LAST_MODIFIED_DT", "string"),
+        ("RATE_CARD_TYPE_ID", "long"),
+        ("BASE_INVENTORY_TYPE_ID", "long"),
+        ("DIVISION_ID", "long"),
+        ("RATE_CARD_NM", "string"),
+        ("RATE_CARD_DESC", "string"),
+        ("RATE_CARD_COMMENT_TXT", "string"),
+        ("BASE_UNIT_LENGTH", "long"),
+        ("CRNCY_ID", "long"),
+        ("PRICING_RATING_ROLLOVER_IND", "long"),
+        ("EPSD_IMP_EST_FILE_TYP_ID", "long"),
+        ("CNCRNCY_VRSN", "long"),
+    ]]
+    + [AvroField(n, "string", False) for n in [
+        ("SRC_KEY_VAL"),
+        ("SRC_CDC_OPER_NM"),
+        ("SRC_COMMIT_DT_UTC"),
+        ("TRG_CRT_DT_PART_UTC"),
+        ("SRC_SCHEMA_NM"),
+    ]]
+)
+
+
+class SchemaProvider:
+    """Memoized topic -> Avro schema resolution (the v2 cache tactic).
+
+    Offline stand-in for a Confluent Schema Registry client: subjects are
+    named ``{topic}-value`` and resolved from a static catalog. The memo
+    dict mirrors the v2 handler's warm-container global; in this engine the
+    provider runs once on the driver and the resolved schema ships to
+    executors inside the serialized plan.
+    """
+
+    def __init__(self, catalog: dict[str, tuple[int, tuple[AvroField, ...]]] | None = None):
+        self._catalog = catalog or {"lndcdcadsrtcrd_ratecard": (391, RATECARD_FIELDS)}
+        self._memo: dict[str, tuple[int, tuple[AvroField, ...]]] = {}
+        self.lookups = 0  # instrumentation: proves memoization in tests
+
+    def schema_for(self, topic: str) -> tuple[int, tuple[AvroField, ...]]:
+        subject = f"{topic}-value"
+        if subject not in self._memo:
+            self.lookups += 1
+            self._memo[subject] = self._catalog[topic]
+        return self._memo[subject]
+
+
+# ---------------------------------------------------------------------------
+# Spark plan stages.
+# ---------------------------------------------------------------------------
+
+#: Pass-through Kafka metadata columns kept alongside decoded fields.
+_META_COLS = ("topic", "partition", "offset", "kafka_ts", "key_decoded")
+
+
+def confluent_schema_id(value: Column | str) -> Column:
+    """Big-endian int32 at bytes 2-5 of the Confluent envelope (JVM-side)."""
+    return F.conv(F.hex(F.expr("substring(value, 2, 4)")), 16, 10).cast("int")
+
+
+def confluent_body(value: Column | str = "value") -> Column:
+    """Avro body after the 5-byte Confluent header (JVM-side substring)."""
+    return F.expr("substring(value, 6, length(value) - 5)")
+
+
+def key_cascade(key: Column | str = "key") -> Column:
+    """The reference's key-decode cascade as one JVM expression.
+
+    utf-8 string first, integer string accepted as-is (the int branch of
+    the cascade collapses into the string form), null for absent keys —
+    semantics of lambda_function.py:146-162 without per-record Python.
+    """
+    return F.col(key).cast("string")
+
+
+def decoded_schema(fields: tuple[AvroField, ...]) -> StructType:
+    return StructType(
+        [
+            StructField("topic", StringType()),
+            StructField("partition", LongType()),
+            StructField("offset", LongType()),
+            StructField("kafka_ts", LongType()),
+            StructField("key_decoded", StringType()),
+        ]
+        + [StructField(f.name, f.spark_type()) for f in fields]
+        + [StructField("_corrupt_record", BinaryType())]
+    )
+
+
+def decode_stage(kafka_df: DataFrame, provider: SchemaProvider, topic: str) -> DataFrame:
+    """Kafka-shaped DataFrame -> decoded rows (PERMISSIVE).
+
+    Input needs ``topic/partition/offset/timestamp/key/value`` (the Kafka
+    source schema). The envelope is split JVM-side; only the Avro body
+    crosses into Python, in Arrow batches. Schema id mismatches and decode
+    failures land in ``_corrupt_record`` instead of raising.
+    """
+    expected_id, fields = provider.schema_for(topic)
+    out_schema = decoded_schema(fields)
+
+    prepared = kafka_df.filter(F.col("topic") == topic).select(
+        "topic",
+        F.col("partition").cast("long").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("timestamp").cast("long").alias("kafka_ts"),
+        key_cascade("key").alias("key_decoded"),
+        # no leading underscores: pandas itertuples would positional-rename them
+        confluent_schema_id("value").alias("sid"),
+        confluent_body("value").alias("body"),
+        F.col("value").alias("raw"),
+    )
+
+    field_names = [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                base = {
+                    "topic": rec.topic,
+                    "partition": rec.partition,
+                    "offset": rec.offset,
+                    "kafka_ts": rec.kafka_ts,
+                    "key_decoded": rec.key_decoded,
+                }
+                try:
+                    if rec.sid != expected_id:
+                        raise ValueError(f"unexpected schema id {rec.sid}")
+                    decoded = decode_avro_record(bytes(rec.body), fields)
+                    rows.append({**base, **decoded, "_corrupt_record": None})
+                except Exception:
+                    rows.append(
+                        {**base, **{n: None for n in field_names}, "_corrupt_record": bytes(rec.raw)}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return prepared.mapInPandas(run, schema=out_schema)

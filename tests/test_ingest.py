@@ -1,0 +1,152 @@
+"""Golden-fixture tests for the ingest/decode pipeline (SURVEY.md §5).
+
+Upgrades the reference's eyeball verification (check_parquet.py:96-98) to
+exact asserts: replaying sample_kafka_event.json through the Spark decode
+stages must reproduce the golden parquet's 16 rows and 19-column schema
+byte-for-byte (modulo the documented pandas NaN-promotion divergence on
+EPSD_IMP_EST_FILE_TYP_ID — SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_kafka_to_s3_parquet_spark.plans.ingest import (
+    GOLDEN_EVENT,
+    GOLDEN_TOPIC,
+    decoded_golden,
+)
+from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import (
+    RATECARD_FIELDS,
+    SchemaProvider,
+    decode_avro_record,
+    decode_stage,
+)
+from lambda_kafka_to_s3_parquet_spark.sources.kafka_replay import read_lambda_events
+
+GOLDEN_PARQUET = (
+    "/root/reference/lndcdcadsrtcrd_ratecard_1630613001.008183_local_test.parquet"
+)
+DATA_COLS = [f.name for f in RATECARD_FIELDS]
+
+
+@pytest.fixture(scope="module")
+def decoded(spark):
+    return decoded_golden(spark).collect()
+
+
+def test_envelope_replay_shape(spark):
+    df = read_lambda_events(spark, GOLDEN_EVENT)
+    rows = df.collect()
+    assert len(rows) == 16
+    assert {r["topic"] for r in rows} == {GOLDEN_TOPIC}
+    assert len({(r["topic"], r["partition"]) for r in rows}) == 6
+    assert dict(df.dtypes)["key"] == "binary"
+    assert dict(df.dtypes)["value"] == "binary"
+
+
+def test_key_cascade(spark):
+    keys = {
+        r["offset"]: r["key_decoded"]
+        for r in decoded_golden(spark).select("offset", "key_decoded", "partition").collect()
+    }
+    # fixture keys are utf-8 digit strings ("NA==" -> "4")
+    assert all(k.isdigit() for k in keys.values())
+
+
+def test_golden_schema_and_rowcount(spark, decoded):
+    assert len(decoded) == 16
+    got_cols = [c for c in decoded_golden(spark).columns if c in DATA_COLS]
+    want_cols = [
+        r[0]
+        for r in duckdb.sql(f"DESCRIBE SELECT * FROM '{GOLDEN_PARQUET}'").fetchall()
+    ]
+    assert got_cols == want_cols, "decoded columns must match golden parquet order"
+    assert all(r["_corrupt_record"] is None for r in decoded)
+
+
+def test_golden_values_exact(decoded):
+    golden = duckdb.sql(
+        f"SELECT * FROM '{GOLDEN_PARQUET}' ORDER BY SRC_KEY_VAL, CNCRNCY_VRSN"
+    ).df()
+    ours = sorted(decoded, key=lambda r: (r["SRC_KEY_VAL"], r["CNCRNCY_VRSN"]))
+    assert len(ours) == len(golden)
+    for i, row in enumerate(ours):
+        for col in DATA_COLS:
+            want = golden.iloc[i][col]
+            got = row[col]
+            if isinstance(want, float) and math.isnan(want):
+                # pandas wrote nullable ints as NaN-promoted float64; the
+                # engine keeps a true null LongType (documented divergence)
+                assert got is None, (i, col)
+            elif isinstance(want, float):
+                assert got == int(want), (i, col)  # float-promoted int column
+            else:
+                assert got == want, (i, col, got, want)
+
+
+def test_schema_id_is_391_for_all_records(spark):
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import confluent_schema_id
+
+    ids = (
+        read_lambda_events(spark, GOLDEN_EVENT)
+        .select(confluent_schema_id("value").alias("sid"))
+        .distinct()
+        .collect()
+    )
+    assert [r["sid"] for r in ids] == [391]
+
+
+def test_pure_decoder_roundtrip_first_record():
+    ev = json.load(open(GOLDEN_EVENT))
+    first = next(iter(ev["records"].values()))[0]
+    raw = base64.b64decode(first["value"])
+    assert raw[0] == 0
+    row = decode_avro_record(raw[5:], RATECARD_FIELDS)
+    assert row["RATE_CARD_ID"] == 4
+    assert row["SRC_CDC_OPER_NM"] == "INSERT"
+    assert row["SRC_SCHEMA_NM"] == "ADS_RTCRD"
+    assert row["EPSD_IMP_EST_FILE_TYP_ID"] is None
+
+
+def test_permissive_corrupt_record(spark):
+    """Truncated/garbage values must land in _corrupt_record, not raise."""
+    ev = read_lambda_events(spark, GOLDEN_EVENT)
+    corrupted = ev.withColumn(
+        "value",
+        F.when(F.col("offset") == 0, F.expr("substring(value, 1, 8)")).otherwise(
+            F.col("value")
+        ),
+    )
+    out = decode_stage(corrupted, SchemaProvider(), GOLDEN_TOPIC).collect()
+    assert len(out) == 16
+    bad = [r for r in out if r["_corrupt_record"] is not None]
+    good = [r for r in out if r["_corrupt_record"] is None]
+    assert len(bad) >= 1
+    assert all(r["RATE_CARD_ID"] is None for r in bad)
+    assert all(r["RATE_CARD_ID"] is not None for r in good)
+
+
+def test_wrong_schema_id_goes_corrupt(spark):
+    ev = read_lambda_events(spark, GOLDEN_EVENT)
+    # flip the schema-id bytes: decode must refuse rather than misparse
+    patched = ev.withColumn(
+        "value", F.expr("concat(substring(value,1,1), unhex('00000000'), substring(value,6,length(value)-5))")
+    )
+    out = decode_stage(patched, SchemaProvider(), GOLDEN_TOPIC).collect()
+    assert all(r["_corrupt_record"] is not None for r in out)
+
+
+def test_schema_provider_memoizes():
+    p = SchemaProvider()
+    for _ in range(5):
+        sid, fields = p.schema_for(GOLDEN_TOPIC)
+    assert p.lookups == 1
+    assert sid == 391
+    assert len(fields) == 19
