@@ -1,0 +1,101 @@
+"""Date-partitioned Parquet sink + batch write metrics (SURVEY.md §2.4, M2).
+
+The reference lands one file per invocation under
+``{base}/{topic}/{yyyy}/{MM}/{dd}/{HH}/`` (lambda_function.py:71-116,
+partition path at :76-77) and, in v2, embeds total/distinct record counts
+in the filename (lambda_function_with_AWS_datawrangler.py:63-90).
+
+Spark-first re-expression:
+
+* partition columns are real columns + ``partitionBy`` — Hive-style
+  ``topic=…/y=…/m=…/d=…/h=…`` layout, which upgrades the reference's bare
+  path convention to something Catalyst can PRUNE (read-back queries with
+  partition predicates scan only matching directories);
+* partitioning defaults to **event time** (the Kafka record timestamp the
+  reference carried but ignored — SURVEY §2.5); wall-clock mode matches
+  the reference's ``utcnow()`` behavior when explicitly requested;
+* write metrics use ``df.observe`` — collected by the SAME job that writes
+  (no second scan), the streaming-compatible replacement for the v2
+  handler's count/distinct pass. Distinct is ``approx_count_distinct``:
+  exact distinct inside observe would force a per-batch shuffle, and at
+  100 TB the HLL sketch (~1.6% err) is the correct scale/precision trade —
+  the exact number stays available as a query (i03_batch_metrics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+#: Hive-partition layout of the landed table.
+PARTITION_COLS = ("topic", "y", "m", "d", "h")
+
+
+def with_partition_columns(
+    df: DataFrame, ts_col: str | None = "kafka_ts", wall_clock: bool = False
+) -> DataFrame:
+    """Add y/m/d/h partition columns.
+
+    ``ts_col`` holds epoch millis (the Kafka record timestamp). With
+    ``wall_clock=True`` partitions come from ``current_timestamp()``
+    instead — the reference's utcnow() semantics (lambda_function.py:57).
+    """
+    ts = F.current_timestamp() if wall_clock else F.timestamp_millis(F.col(ts_col))
+    return (
+        df.withColumn("y", F.year(ts))
+        .withColumn("m", F.month(ts))
+        .withColumn("d", F.dayofmonth(ts))
+        .withColumn("h", F.hour(ts))
+    )
+
+
+@dataclass(frozen=True)
+class WriteMetrics:
+    total_records: int
+    approx_distinct_keys: int
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    key_col: str = "SRC_KEY_VAL",
+    mode: str = "append",
+) -> WriteMetrics:
+    """Land a decoded batch under the Hive-partitioned layout, observed.
+
+    One job: the observation rides the write (no second scan of the
+    batch). Returns the v2 handler's filename metrics as a struct.
+    """
+    obs = Observation("write_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.approx_count_distinct(key_col).alias("distinct_keys"),
+    )
+    observed.write.mode(mode).partitionBy(*PARTITION_COLS).parquet(path)
+    got = obs.get
+    return WriteMetrics(int(got["total"]), int(got["distinct_keys"]))
+
+
+def read_partition(
+    spark: SparkSession,
+    path: str,
+    topic: str | None = None,
+    y: int | None = None,
+    m: int | None = None,
+    d: int | None = None,
+    h: int | None = None,
+) -> DataFrame:
+    """Partition-pruned read-back (check_parquet.py:87-94 semantics).
+
+    Predicates on partition columns prune at planning time — the scan
+    touches only matching ``topic=…/y=…/…`` directories, the Spark upgrade
+    of the reference's hand-built path glob.
+    """
+    df = spark.read.parquet(path)
+    for col, val in (("topic", topic), ("y", y), ("m", m), ("d", d), ("h", h)):
+        if val is not None:
+            df = df.filter(F.col(col) == val)
+    return df

@@ -1,0 +1,87 @@
+"""Round-trip tests for the partitioned Parquet sink (SURVEY.md §2.4, M2):
+decode golden event → land Hive-partitioned → read back pruned, with the
+physical plan proving partition pruning actually happened."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_kafka_to_s3_parquet_spark.operators.sink import (
+    PARTITION_COLS,
+    read_partition,
+    with_partition_columns,
+    write_partitioned,
+)
+from lambda_kafka_to_s3_parquet_spark.plans.ingest import GOLDEN_TOPIC, decoded_golden
+
+
+@pytest.fixture(scope="module")
+def landed(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("landed") / "ratecard")
+    df = with_partition_columns(decoded_golden(spark))
+    metrics = write_partitioned(df, path)
+    return path, metrics
+
+
+def test_write_metrics_match_v2_semantics(spark, landed):
+    _, metrics = landed
+    assert metrics.total_records == 16
+    # golden batch has 8 distinct SRC_KEY_VALs; HLL is exact at this tiny n
+    assert metrics.approx_distinct_keys == decoded_golden(spark).select(
+        "SRC_KEY_VAL"
+    ).distinct().count()
+
+
+def test_hive_partition_layout(landed):
+    path, _ = landed
+    assert os.path.isdir(os.path.join(path, f"topic={GOLDEN_TOPIC}"))
+    # fixture kafka_ts = 1625877624954 -> 2021-07-10 00:40:24 UTC
+    assert os.path.isdir(
+        os.path.join(path, f"topic={GOLDEN_TOPIC}", "y=2021", "m=7", "d=10", "h=0")
+    )
+
+
+def test_roundtrip_values(spark, landed):
+    path, _ = landed
+    back = spark.read.parquet(path)
+    assert back.count() == 16
+    want = {r["SRC_KEY_VAL"] for r in decoded_golden(spark).collect()}
+    got = {r["SRC_KEY_VAL"] for r in back.collect()}
+    assert got == want
+    for c in PARTITION_COLS:
+        assert c in back.columns
+
+
+def test_partition_pruned_scan(spark, landed):
+    path, _ = landed
+    pruned = read_partition(spark, path, topic=GOLDEN_TOPIC, y=2021, m=7, d=10, h=0)
+    assert pruned.count() == 16
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition predicates must show up as PartitionFilters on the scan,
+    # NOT as post-scan data Filters
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "topic" in seg and "y" in seg and "h" in seg
+
+    empty = read_partition(spark, path, topic=GOLDEN_TOPIC, y=1999)
+    assert empty.count() == 0
+
+
+def test_wall_clock_partitioning(spark):
+    df = with_partition_columns(decoded_golden(spark), wall_clock=True)
+    row = df.select("y", "m", "d", "h").first()
+    import datetime
+
+    now = datetime.datetime.now(datetime.timezone.utc)
+    assert row["y"] == now.year
+
+
+def test_append_mode_accumulates(spark, landed, tmp_path):
+    path = str(tmp_path / "accum")
+    df = with_partition_columns(decoded_golden(spark))
+    write_partitioned(df, path)
+    write_partitioned(df, path)
+    assert spark.read.parquet(path).count() == 32
