@@ -1,1 +1,125 @@
-"""Populated in later milestones."""
+"""Event-time window aggregations (SURVEY.md §2.5 + §2.9, M5).
+
+The reference carries the Kafka record timestamp but partitions by wall
+clock (lambda_function.py:57,76 — SURVEY §2.5); the Spark-native upgrade
+is real event-time semantics: tumbling/sliding/session windows over the
+``events`` fixture. Registered in batch mode (identical window semantics,
+DuckDB-oracle-checkable); the streaming execution of the same operators —
+watermarks, checkpointing, exactly-once file sink — is exercised in
+tests/test_streaming.py via ``streaming/pipeline.py``.
+
+All three are one-shuffle plans: groupBy(window(...)) hashes on the window
+struct + key with map-side partial aggregation; session windows add the
+sessionization pass but remain a single exchange on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from . import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+# --------------------------------------------------------------------------
+# w01 — tumbling event-time window (1 hour) per event type.
+# --------------------------------------------------------------------------
+@register(
+    "w01_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S')          AS window_start,
+           event_type,
+           count(*)                               AS n,
+           round(sum(value), 2)                   AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="tumbling 1h event-time window x event_type",
+)
+def w01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# w02 — sliding window (1 hour length, 30 min slide): each event lands in
+# 2 overlapping windows. Oracle expands the overlap with an explicit
+# 2-offset unnest.
+# --------------------------------------------------------------------------
+@register(
+    "w02_sliding_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                      - k * INTERVAL '30 minutes',
+                    '%Y-%m-%d %H:%M:%S')          AS window_start,
+           count(*)                               AS n,
+           count(DISTINCT user_id)                AS n_users
+    FROM events, (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    doc="sliding window 1h/30min: overlap factor 2",
+)
+def w02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .select(F.date_format("w.start", _TS_FMT).alias("window_start"), "n", "n_users")
+    )
+
+
+# --------------------------------------------------------------------------
+# w03 — session windows (5 min inactivity gap) per user. Oracle is the
+# classic gaps-and-islands rewrite: a session break is a gap > 5 min from
+# the previous event of the same user; session id = running sum of breaks.
+# --------------------------------------------------------------------------
+@register(
+    "w03_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL '5 minutes' THEN 0 ELSE 1 END AS brk
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked)
+    SELECT user_id,
+           strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*)              AS n_events,
+           round(sum(value), 2)  AS sum_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+    doc="session_window (5 min gap) per user vs gaps-and-islands oracle",
+)
+def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -49,17 +49,14 @@ EVENT_ENVELOPE = StructType(
 )
 
 
-def read_lambda_events(spark: SparkSession, path: str) -> DataFrame:
-    """Replay Lambda Kafka event fixture(s) as a Kafka-source-shaped frame.
+def envelope_to_kafka(env: DataFrame) -> DataFrame:
+    """Parsed envelope rows (``records`` map column) -> Kafka-source shape.
 
-    Columns match ``spark.readStream.format("kafka")``: key/value binary,
-    topic string, partition int, offset long, timestamp (epoch millis as
-    long — callers convert), timestampType string.
+    Works identically on batch and streaming inputs — the transform is the
+    source-agnostic piece SURVEY §7/M3 calls for.
     """
-    raw = spark.read.text(path, wholetext=True)
-    env = raw.select(F.from_json("value", EVENT_ENVELOPE).alias("e"))
     rec = (
-        env.select(F.explode("e.records").alias("tp", "recs"))
+        env.select(F.explode("records").alias("tp", "recs"))
         .select(F.explode("recs").alias("r"))
         .select("r.*")
     )
@@ -72,3 +69,29 @@ def read_lambda_events(spark: SparkSession, path: str) -> DataFrame:
         "timestamp",
         "timestampType",
     )
+
+
+def read_lambda_events(spark: SparkSession, path: str) -> DataFrame:
+    """Replay Lambda Kafka event fixture(s) as a Kafka-source-shaped frame.
+
+    Columns match ``spark.readStream.format("kafka")``: key/value binary,
+    topic string, partition int, offset long, timestamp (epoch millis as
+    long — callers convert), timestampType string.
+    """
+    env = spark.read.schema(EVENT_ENVELOPE).option("multiLine", "true").json(path)
+    return envelope_to_kafka(env)
+
+
+def stream_lambda_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of :func:`read_lambda_events` (file source).
+
+    One fixture file = one Lambda invocation's batch; the file source's
+    ``maxFilesPerTrigger`` is the replay analog of the reference's Kafka
+    batch-size knob (``maxOffsetsPerTrigger`` against a real broker).
+    """
+    reader = spark.readStream.schema(EVENT_ENVELOPE).option("multiLine", "true")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return envelope_to_kafka(reader.json(path))

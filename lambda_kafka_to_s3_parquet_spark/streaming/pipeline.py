@@ -1,0 +1,119 @@
+"""Structured Streaming wrap of the ingest pipeline (SURVEY.md §2.5, M3).
+
+The reference's streaming semantics are implicit in its Lambda plumbing:
+micro-batches = event-source-mapping batch size, offsets = implicit commit
+on success (at-least-once — a retry after a successful S3 put duplicates
+the file), late data = none (wall-clock partitioning). This module makes
+them explicit and stronger:
+
+* **micro-batching**: file-source trigger knobs (``maxFilesPerTrigger`` /
+  ``Trigger.AvailableNow``) stand in for ``maxOffsetsPerTrigger`` against
+  a broker — the transform stack is source-agnostic, so swapping in
+  ``spark.readStream.format("kafka")`` changes ONE line;
+* **exactly-once**: checkpointed source offsets + the parquet sink's
+  commit log upgrade the reference's at-least-once behavior — a restart
+  reprocesses nothing (test-proven);
+* **event time**: windowed aggregations run on the Kafka record timestamp
+  with a watermark bounding state and late data, instead of ignoring it.
+
+The decode stage (Arrow-batched mapInPandas) and partitioned sink are the
+same objects the batch path uses — ``foreachBatch`` hands each micro-batch
+to the identical batch writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.sink import with_partition_columns, write_partitioned
+from ..sources.avro_codec import SchemaProvider, decode_stage
+from ..sources.kafka_replay import stream_lambda_events
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    checkpoint: str,
+    topic: str,
+    provider: SchemaProvider | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Envelope files -> decode -> partitioned parquet, exactly-once.
+
+    ``Trigger.AvailableNow``: drains everything currently available in
+    bounded micro-batches, then stops — the CI-friendly trigger that still
+    exercises real checkpoint/commit machinery. Long-running deployments
+    use the same code with a processing-time trigger.
+    """
+    kafka_shaped = stream_lambda_events(spark, input_dir, max_files_per_trigger)
+    decoded = decode_stage(kafka_shaped, provider or SchemaProvider(), topic)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands over a *batch* DataFrame: the observed
+        # partitioned writer is reused verbatim from the batch path.
+        if not batch_df.isEmpty():
+            write_partitioned(with_partition_columns(batch_df), output_path)
+
+    return (
+        decoded.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling window counts with a watermark (streaming-safe).
+
+    In append mode a window is emitted exactly once, when the watermark
+    passes its end — late events beyond the watermark are dropped and
+    state is bounded by (watermark / window) windows per key.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    events_dir: str,
+    events_schema: str,
+    checkpoint: str,
+    query_name: str = "windowed_counts",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """File-source streaming window aggregation into an in-memory sink.
+
+    Append output mode: only watermark-finalized windows appear in the
+    sink table — the semantics tests/test_streaming.py pins down.
+    """
+    reader = spark.readStream.schema(events_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = reader.parquet(events_dir)
+    agg = windowed_event_counts(events, watermark=watermark)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,104 @@
+"""Streaming semantics tests (SURVEY.md §2.5, M3): exactly-once ingest via
+checkpoint, watermark-gated append windows, micro-batch file triggers."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_kafka_to_s3_parquet_spark.plans.ingest import GOLDEN_EVENT, GOLDEN_TOPIC
+from lambda_kafka_to_s3_parquet_spark.session import load_table
+from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import (
+    run_ingest_stream,
+    run_windowed_stream,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _await(q):
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_ingest_stream_exactly_once(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (tmp_path / "in").mkdir()
+    shutil.copy(GOLDEN_EVENT, f"{inp}/event1.json")
+
+    _await(run_ingest_stream(spark, inp, out, ckpt, GOLDEN_TOPIC))
+    assert spark.read.parquet(out).count() == 16
+
+    # restart with the same checkpoint and no new input: nothing reprocessed
+    _await(run_ingest_stream(spark, inp, out, ckpt, GOLDEN_TOPIC))
+    assert spark.read.parquet(out).count() == 16
+
+    # a new file arrives: only it is processed on the next run
+    shutil.copy(GOLDEN_EVENT, f"{inp}/event2.json")
+    _await(run_ingest_stream(spark, inp, out, ckpt, GOLDEN_TOPIC))
+    back = spark.read.parquet(out)
+    assert back.count() == 32
+    assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+
+
+def test_micro_batch_trigger_batches_files(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (tmp_path / "in").mkdir()
+    for i in range(3):
+        shutil.copy(GOLDEN_EVENT, f"{inp}/event{i}.json")
+    q = run_ingest_stream(
+        spark, inp, out, ckpt, GOLDEN_TOPIC, max_files_per_trigger=1
+    )
+    _await(q)
+    # 3 files, 1 per trigger => 3 micro-batches, all landed exactly once
+    assert spark.read.parquet(out).count() == 48
+    assert q.lastProgress["batchId"] >= 2
+
+
+def test_windowed_stream_append_respects_watermark(spark, tmp_path):
+    events_dir, ckpt = str(tmp_path / "events"), str(tmp_path / "ckpt")
+    events = load_table(spark, SF, "events")
+    events.write.parquet(events_dir)
+
+    _await(
+        run_windowed_stream(
+            spark, events_dir, EVENTS_SCHEMA, ckpt, query_name="wm_test"
+        )
+    )
+    emitted = spark.table("wm_test").collect()
+    assert len(emitted) > 0
+
+    # batch ground truth for the same operator
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    max_ts = events.agg(F.max("ts")).first()[0]
+    for r in emitted:
+        key = (r["window_start"], r["event_type"])
+        assert batch[key] == (r["n"], r["sum_value"]), "emitted window must match batch result"
+        # append mode only finalizes windows the watermark has passed
+        assert r["window_end"] <= max_ts, "unfinalized window leaked into append output"
+
+    # every window strictly below the final watermark must have been emitted
+    import datetime
+
+    wm = max_ts - datetime.timedelta(minutes=10)
+    expected_final = {k for k in batch if k[0] < wm - datetime.timedelta(hours=1)}
+    emitted_keys = {(r["window_start"], r["event_type"]) for r in emitted}
+    assert expected_final <= emitted_keys
+
+
+def test_streaming_plan_is_stateful_with_watermark(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    load_table(spark, SF, "events").limit(10).write.parquet(events_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    agg = windowed_event_counts(stream)
+    assert agg.isStreaming
