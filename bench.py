@@ -21,16 +21,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from lambda_kafka_to_s3_parquet_spark import get_spark
 from lambda_kafka_to_s3_parquet_spark.plans import all_specs
 
-#: Headline set: one per operator family. Extended as milestones land.
+#: Headline set: at least one per operator family (relational scans/joins/
+#: windows/rollup/json/array, §2.9 dedup/similarity/text/multimodal,
+#: event-time windows, ingest decode) so regressions anywhere are visible.
 HEADLINE = [
+    # relational read-back surface
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_nation_revenue",
     "q06_revenue_forecast",
+    "q07_top_customers_per_nation",
     "q08_running_totals",
     "q09_distinct_agg",
+    "q10_rollup",
     "q15_json_extract",
     "q16_array_stats",
+    # LLM-pipeline extensions
+    "x01_exact_dedup_docs",
+    "x02_cdc_latest_event",
+    "x03_token_stats",
+    "x07_minhash_neardup",
+    "x08_simhash",
+    "x10_embedding_topk",
+    "x12_embedding_neardup_blocked",
+    "x13_media_stats",
+    # event-time windows
+    "w01_tumbling_window",
+    "w03_session_window",
+    # ingest decode (golden fixture replay; constant size)
+    "i01_replay_decode",
 ]
 
 

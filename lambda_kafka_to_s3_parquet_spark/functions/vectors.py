@@ -39,6 +39,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != 0, dot(a, b) / denom)
 
 
+def unit(a: Column) -> Column:
+    """L2-normalized copy of the vector (NULL for zero vectors).
+
+    Normalizing ONCE per vector on the narrow side of a pairwise-scoring
+    join turns each pair's cosine into a single dot-product fold instead
+    of three (dot + two norms) — the standard pre-normalization trick for
+    similarity search at scale.
+    """
+    n = l2_norm(a)
+    return F.when(n != 0, F.transform(a, lambda x: x / n))
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bit signature as a BIGINT.
 

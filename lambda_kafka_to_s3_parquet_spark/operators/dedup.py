@@ -66,8 +66,9 @@ def minhash_signatures(
     """(id, band, band_sig) MinHash-LSH banding table.
 
     K = n_bands * rows_per_band minhash values per document: ``h_k(doc) =
-    min over shingles of xxhash64(k, shingle)``; each band's signature
-    hashes its ``rows_per_band`` consecutive minhashes. Documents sharing
+    min over shingles of xxhash64(k, xxhash64(shingle))`` (one string hash
+    per shingle, K cheap long re-hashes); each band's signature hashes its
+    ``rows_per_band`` consecutive minhashes. Documents sharing
     any (band, band_sig) bucket are near-dup candidates. The default
     (16 bands × 4 rows) puts the S-curve threshold around Jaccard ≈ 0.5
     with ~0.9998 catch probability at J = 0.8.
@@ -81,9 +82,16 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(tokens(text_col), shingle_n)).alias("shingle"),
     )
+    # One string hash per shingle, then K seeded long-hashes over it:
+    # xxhash64(k, base) re-mixes a fixed-width long, far cheaper than
+    # hashing the shingle string K times but still (unlike an affine
+    # (a·h+b) mod p family, whose near-monotone permutations correlate the
+    # argmins across k and break band independence) a proper independent
+    # permutation per k.
+    sh = sh.select("_id", F.xxhash64("shingle").alias("hbase"))
     mins = sh.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"h{k}")
+            F.min(F.xxhash64(F.lit(k), F.col("hbase"))).alias(f"h{k}")
             for k in range(n_hashes)
         ]
     )
