@@ -72,6 +72,18 @@ def i03_batch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i05_batch_json",
+    oracle=None,
+    doc="JSON serialization of the decoded batch "
+    "(lambda_function.py:228 json.dumps -> to_json(struct(*)))",
+)
+def i05_batch_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = decoded_golden(spark)
+    payload = F.to_json(F.struct(*[c for c in d.columns if c != "_corrupt_record"]))
+    return d.select("offset", "partition", payload.alias("json"))
+
+
+@register(
     "i04_cdc_latest_ratecard",
     oracle=None,
     doc="CDC latest-version dedup on the golden CDC stream "

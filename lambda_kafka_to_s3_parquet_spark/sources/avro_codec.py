@@ -84,6 +84,18 @@ def _read_double(buf: io.BytesIO) -> float:
     return struct.unpack("<d", raw)[0]
 
 
+def _write_varint_zigzag(out: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+
 @dataclass(frozen=True)
 class AvroField:
     """One record field: primitive type, optionally wrapped in [null, T]."""
@@ -115,6 +127,40 @@ def decode_avro_record(body: bytes, fields: tuple[AvroField, ...]) -> dict:
     if buf.read(1):
         raise ValueError("trailing bytes after record")
     return row
+
+
+def encode_avro_record(row: dict, fields: tuple[AvroField, ...]) -> bytes:
+    """Inverse of :func:`decode_avro_record` (test-fixture synthesis).
+
+    Byte-exact round-trip: union branch indexes and varint encodings are
+    deterministic, so ``encode(decode(body)) == body`` for every golden
+    record (asserted in tests). Used to build multi-topic / corrupt
+    fixtures without shipping more binary blobs.
+    """
+    out = bytearray()
+    for f in fields:
+        v = row.get(f.name)
+        if f.nullable:
+            if v is None:
+                _write_varint_zigzag(out, 0)
+                continue
+            _write_varint_zigzag(out, 1)
+        elif v is None:
+            raise ValueError(f"field {f.name} is not nullable")
+        if f.type == "long":
+            _write_varint_zigzag(out, int(v))
+        elif f.type == "double":
+            out += struct.pack("<d", float(v))
+        else:
+            raw = str(v).encode("utf-8")
+            _write_varint_zigzag(out, len(raw))
+            out += raw
+    return bytes(out)
+
+
+def confluent_wrap(schema_id: int, body: bytes) -> bytes:
+    """Wire-format envelope: magic 0x00 + int32 BE schema id + Avro body."""
+    return b"\x00" + schema_id.to_bytes(4, "big") + body
 
 
 # ---------------------------------------------------------------------------
@@ -174,6 +220,9 @@ class SchemaProvider:
             self._memo[subject] = self._catalog[topic]
         return self._memo[subject]
 
+    def topics(self) -> tuple[str, ...]:
+        return tuple(self._catalog)
+
 
 # ---------------------------------------------------------------------------
 # Spark plan stages.
@@ -196,11 +245,23 @@ def confluent_body(value: Column | str = "value") -> Column:
 def key_cascade(key: Column | str = "key") -> Column:
     """The reference's key-decode cascade as one JVM expression.
 
-    utf-8 string first, integer string accepted as-is (the int branch of
-    the cascade collapses into the string form), null for absent keys —
-    semantics of lambda_function.py:146-162 without per-record Python.
+    Semantics of lambda_function.py:146-162 without per-record Python:
+    printable utf-8 wins (integer strings stay strings), a 4-byte
+    non-printable key decodes as a big-endian int32 (IntegerDeserializer
+    branch), anything else falls back to its hex form (the engine's
+    normalization of the reference's raw-ascii fallback — everything is a
+    string column, never a mixed str|int type).
     """
-    return F.col(key).cast("string")
+    k = F.col(key) if isinstance(key, str) else key
+    s = k.cast("string")
+    printable = s.rlike("^[\\x20-\\x7E]*$")
+    int4 = F.conv(F.hex(k), 16, 10)
+    return (
+        F.when(k.isNull(), F.lit(None).cast("string"))
+        .when(printable, s)
+        .when(F.length(k) == 4, int4)
+        .otherwise(F.hex(k))
+    )
 
 
 def decoded_schema(fields: tuple[AvroField, ...]) -> StructType:
@@ -265,3 +326,18 @@ def decode_stage(kafka_df: DataFrame, provider: SchemaProvider, topic: str) -> D
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return prepared.mapInPandas(run, schema=out_schema)
+
+
+def route_by_topic(
+    kafka_df: DataFrame, provider: SchemaProvider
+) -> dict[str, DataFrame]:
+    """Fan one multi-topic stream into per-topic decoded DataFrames.
+
+    The reference subscribes 11 CDC topics into one pipeline
+    (configure_lambda_triggeres.sh:13-27); with per-topic Avro schemas the
+    decoded frames have different columns, so routing = one filtered
+    decode per topic off the SAME source frame. Each decode stage prunes
+    to its topic's rows first (the filter sits on the shared scan), and
+    each output lands in its own partitioned dataset.
+    """
+    return {t: decode_stage(kafka_df, provider, t) for t in provider.topics()}

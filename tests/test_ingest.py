@@ -143,6 +143,97 @@ def test_wrong_schema_id_goes_corrupt(spark):
     assert all(r["_corrupt_record"] is not None for r in out)
 
 
+def test_encoder_decoder_roundtrip_byte_exact():
+    """encode(decode(body)) must reproduce every golden body byte-for-byte."""
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import encode_avro_record
+
+    ev = json.load(open(GOLDEN_EVENT))
+    for recs in ev["records"].values():
+        for rec in recs:
+            body = base64.b64decode(rec["value"])[5:]
+            row = decode_avro_record(body, RATECARD_FIELDS)
+            assert encode_avro_record(row, RATECARD_FIELDS) == body
+
+
+def test_key_cascade_branches(spark):
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import key_cascade
+
+    rows = [
+        (b"4",),                      # printable utf-8 digits -> "4"
+        (b"hello",),                  # printable utf-8 -> itself
+        (b"\x00\x00\x01\x87",),       # 4-byte BE int -> "391"
+        (b"\x00\x01",),               # non-printable, not 4 bytes -> hex
+        (None,),                      # absent key -> null
+    ]
+    df = spark.createDataFrame(rows, "key binary")
+    got = [r["k"] for r in df.select(key_cascade("key").alias("k")).collect()]
+    assert got == ["4", "hello", "391", "0001", None]
+
+
+def test_multi_topic_routing(spark, tmp_path):
+    """Two topics with different Avro schemas route into separate decoded
+    frames off one stream (configure_lambda_triggeres.sh:13-27 semantics)."""
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import (
+        AvroField,
+        SchemaProvider,
+        confluent_wrap,
+        encode_avro_record,
+        route_by_topic,
+    )
+
+    other_fields = (
+        AvroField("ORDER_ID", "long", True),
+        AvroField("AMOUNT", "double", True),
+        AvroField("SRC_KEY_VAL", "string", False),
+    )
+    provider = SchemaProvider(
+        {
+            GOLDEN_TOPIC: (391, RATECARD_FIELDS),
+            "orders_cdc": (77, other_fields),
+        }
+    )
+
+    golden = json.load(open(GOLDEN_EVENT))
+    synth = [
+        {"ORDER_ID": 1, "AMOUNT": 12.5, "SRC_KEY_VAL": "1"},
+        {"ORDER_ID": None, "AMOUNT": -3.25, "SRC_KEY_VAL": "2"},
+    ]
+    golden["records"]["orders_cdc-0"] = [
+        {
+            "topic": "orders_cdc",
+            "partition": 0,
+            "offset": i,
+            "timestamp": 1625877624954,
+            "timestampType": "CREATE_TIME",
+            "key": base64.b64encode(str(i).encode()).decode(),
+            "value": base64.b64encode(
+                confluent_wrap(77, encode_avro_record(row, other_fields))
+            ).decode(),
+        }
+        for i, row in enumerate(synth)
+    ]
+    fixture = tmp_path / "multi_topic_event.json"
+    fixture.write_text(json.dumps(golden))
+
+    ev = read_lambda_events(spark, str(fixture))
+    routed = route_by_topic(ev, provider)
+    assert set(routed) == {GOLDEN_TOPIC, "orders_cdc"}
+    assert routed[GOLDEN_TOPIC].count() == 16
+    orders = {r["SRC_KEY_VAL"]: r for r in routed["orders_cdc"].collect()}
+    assert orders["1"]["ORDER_ID"] == 1 and orders["1"]["AMOUNT"] == 12.5
+    assert orders["2"]["ORDER_ID"] is None and orders["2"]["AMOUNT"] == -3.25
+    assert all(r["_corrupt_record"] is None for r in orders.values())
+
+
+def test_batch_json_serialization(spark):
+    from lambda_kafka_to_s3_parquet_spark.plans.ingest import i05_batch_json
+
+    rows = i05_batch_json(spark, "")
+    first = json.loads(rows.first()["json"])
+    assert first["topic"] == GOLDEN_TOPIC
+    assert "RATE_CARD_ID" in first
+
+
 def test_schema_provider_memoizes():
     p = SchemaProvider()
     for _ in range(5):
