@@ -36,6 +36,8 @@ HEADLINE = [
     "q10_rollup",
     "q15_json_extract",
     "q16_array_stats",
+    "q21_percentiles",
+    "q22_cube",
     # LLM-pipeline extensions
     "x01_exact_dedup_docs",
     "x02_cdc_latest_event",

@@ -29,6 +29,7 @@ from ..functions.text import (
     fingerprint,
     lang_scores,
     lang_guess,
+    rolling_hash,
     tokens,
     word_shingles,
 )
@@ -277,6 +278,39 @@ def x06_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x07_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return near_dup_pairs(d, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# x15 — rolling-hash (Rabin-Karp) document fingerprints: a polynomial char
+# fold that any engine can reproduce (unlike xxhash64), proven here by the
+# DuckDB twin computing the identical fold. Grouped to expose collision
+# groups like x06.
+# --------------------------------------------------------------------------
+@register(
+    "x15_rolling_fingerprint",
+    oracle="""
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM (
+      SELECT doc_id,
+             list_reduce(
+               [CAST(0 AS BIGINT)] ||
+               list_transform(list_filter(regexp_split_to_array(text, ''),
+                                          c -> c <> ''),
+                              c -> CAST(ascii(c) AS BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      FROM documents)
+    GROUP BY fp
+    ORDER BY fp
+    """,
+    doc="Rabin-Karp rolling-hash fingerprint, engine-agnostic (oracle computes same fold)",
+)
+def x15_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", rolling_hash("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -679,6 +679,111 @@ def q19_customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # --------------------------------------------------------------------------
+# q21 — exact percentiles (continuous interpolation) per group.
+# --------------------------------------------------------------------------
+@register(
+    "q21_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+           round(max(l_extendedprice), 2)                 AS p100
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="exact interpolated percentiles per group",
+)
+def q21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    # One percentile(col, array(...)) aggregate: the exact-percentile buffer
+    # is built once per group instead of once per requested quantile (3x
+    # cheaper). Exact percentiles sort per group by design — at true 100 TB
+    # scale the operator of choice is approx_percentile (t-digest sketch,
+    # mergeable map-side); exact is kept here for the oracle comparison.
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.90)))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(pcts.alias("_p"), F.round(F.max("l_extendedprice"), 2).alias("p100"))
+        .select(
+            "l_returnflag",
+            # round(…, 6): interpolated values of 2-decimal prices have at
+            # most 4 decimal digits, so 6-decimal rounding sits on no
+            # half-ulp boundary (2-decimal rounding does: midpoints end .xx5)
+            F.round(F.element_at("_p", 1), 6).alias("p25"),
+            F.round(F.element_at("_p", 2), 6).alias("p50"),
+            F.round(F.element_at("_p", 3), 6).alias("p90"),
+            "p100",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — CUBE grouping sets (all 4 subtotal combinations).
+# --------------------------------------------------------------------------
+@register(
+    "q22_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    doc="CUBE grouping sets: every subtotal combination",
+)
+def q22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — date/interval arithmetic family (datediff, add_months, last_day,
+# weekday), exercised per-row on orders.
+# --------------------------------------------------------------------------
+@register(
+    "q23_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                          o_orderdate) AS BIGINT)                     AS days_since_epoch_start,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')       AS plus_3_months,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')  AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT)                 AS weekday
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="datediff/add_months/last_day/dayofweek arithmetic",
+)
+def q23_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("bigint").alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("weekday"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q20 — pivot via conditional aggregation (event-type matrix per user).
 # --------------------------------------------------------------------------
 @register(

@@ -65,6 +65,18 @@ def run_ingest_stream(
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup bounded by a watermark.
+
+    ``dropDuplicatesWithinWatermark``: state for a key is kept only until
+    the watermark passes its event time, so memory is bounded while
+    duplicates arriving within the watermark horizon (the realistic
+    at-least-once redelivery window) are suppressed — the streaming twin
+    of ``operators.dedup.exact_dedup``.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_event_counts(
     events: DataFrame,
     watermark: str = "10 minutes",

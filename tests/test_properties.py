@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the pure-Python Avro codec and
+text kernels — the pieces whose correctness the golden fixture only
+samples. Each property runs hundreds of generated cases per test."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import (
+    RATECARD_FIELDS,
+    AvroField,
+    confluent_wrap,
+    decode_avro_record,
+    encode_avro_record,
+)
+
+longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+texts = st.text(max_size=64)
+doubles = st.floats(allow_nan=False, allow_infinity=False, width=64)
+
+
+def _value_for(f: AvroField, draw):
+    base = {"long": longs, "string": texts, "double": doubles}[f.type]
+    return draw(st.none() | base) if f.nullable else draw(base)
+
+
+@st.composite
+def ratecard_rows(draw):
+    return {f.name: _value_for(f, draw) for f in RATECARD_FIELDS}
+
+
+@given(ratecard_rows())
+@settings(max_examples=300, deadline=None)
+def test_codec_roundtrip_ratecard(row):
+    body = encode_avro_record(row, RATECARD_FIELDS)
+    assert decode_avro_record(body, RATECARD_FIELDS) == row
+
+
+MIXED_FIELDS = (
+    AvroField("a", "long", False),
+    AvroField("b", "double", True),
+    AvroField("c", "string", False),
+    AvroField("d", "double", False),
+    AvroField("e", "long", True),
+)
+
+
+@st.composite
+def mixed_rows(draw):
+    return {f.name: _value_for(f, draw) for f in MIXED_FIELDS}
+
+
+@given(mixed_rows())
+@settings(max_examples=300, deadline=None)
+def test_codec_roundtrip_mixed_types(row):
+    body = encode_avro_record(row, MIXED_FIELDS)
+    assert decode_avro_record(body, MIXED_FIELDS) == row
+
+
+@given(mixed_rows(), st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=100, deadline=None)
+def test_confluent_envelope_roundtrip(row, schema_id):
+    wire = confluent_wrap(schema_id, encode_avro_record(row, MIXED_FIELDS))
+    assert wire[0] == 0
+    assert int.from_bytes(wire[1:5], "big") == schema_id
+    assert decode_avro_record(wire[5:], MIXED_FIELDS) == row
+
+
+@given(st.binary(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_decoder_never_overreads_garbage(raw):
+    """Garbage bytes must raise cleanly (EOF/Value), never hang or
+    silently succeed with trailing data unaccounted for."""
+    try:
+        row = decode_avro_record(raw, RATECARD_FIELDS)
+    except (EOFError, ValueError, UnicodeDecodeError):
+        return
+    # if it decoded, re-encoding must reproduce the input exactly
+    assert encode_avro_record(row, RATECARD_FIELDS) == raw

@@ -96,6 +96,38 @@ def test_windowed_stream_append_respects_watermark(spark, tmp_path):
     assert expected_final <= emitted_keys
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicates redelivered across micro-batches within the watermark
+    horizon are suppressed (streaming twin of exact_dedup)."""
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import dedup_stream
+
+    events_dir, ckpt = str(tmp_path / "events"), str(tmp_path / "ckpt")
+    ev = load_table(spark, SF, "events").limit(200).cache()
+    n_distinct = ev.count()
+    # two identical files = an at-least-once redelivery of the whole batch
+    ev.coalesce(1).write.parquet(f"{events_dir}/f1")
+    ev.coalesce(1).write.parquet(f"{events_dir}/f2")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{events_dir}/*")
+    )
+    q = (
+        dedup_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    out = spark.table("dedup_test")
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
 def test_streaming_plan_is_stateful_with_watermark(spark, tmp_path):
     events_dir = str(tmp_path / "events")
     load_table(spark, SF, "events").limit(10).write.parquet(events_dir)
