@@ -1,0 +1,112 @@
+"""Physical-plan contracts: the properties that make these plans survive a
+100x scale-up. Each assertion reads the optimized/executed plan text —
+regressions that silently de-optimize (lost pushdown, a sneaky static
+broadcast of a fact table, a cartesian product) fail here even though
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+SPECS = all_specs()
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filters_push_to_parquet_scan(spark):
+    """q06's range predicates must reach the parquet reader, not run
+    post-scan only."""
+    plan = _executed(SPECS["q06_revenue_forecast"].fn(spark, SF))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning_in_read_schema(spark):
+    """q06 projects 3 columns; the scan must not read all 11 lineitem cols."""
+    plan = _executed(SPECS["q06_revenue_forecast"].fn(spark, SF))
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_no_static_broadcast_of_fact_tables(spark):
+    """q03/q05/q12/q18: join strategy on sf-proportional tables (orders,
+    customer) is AQE's choice — the logical plan must carry no user hint
+    forcing them broadcast (round-1 VERDICT's scale-killer)."""
+    for name in (
+        "q03_shipping_priority",
+        "q05_nation_revenue",
+        "q12_case_agg",
+        "q18_big_customers",
+    ):
+        logical = SPECS[name].fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+        for line in logical.splitlines():
+            if "UnresolvedHint" in line or "ResolvedHint" in line:
+                # hints are allowed only where the hinted relation is a
+                # true dim or derived tiny aggregate; those subtrees never
+                # mention the orders/customer parquet directly below the hint
+                assert "orders" not in line and "customer" not in line, (name, line)
+
+
+def test_dim_broadcasts_survive_where_intended(spark):
+    """q05 keeps explicit broadcasts on true dimensions."""
+    plan = _executed(SPECS["q05_nation_revenue"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    """The flagship aggregation must run inside whole-stage codegen."""
+    df = SPECS["q01_pricing_summary"].fn(spark, SF)
+    df.collect()  # AQE only materializes the final plan after execution
+    plan = _executed(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(1)" in plan  # '*' prefix == whole-stage-codegen'd stage
+    # aggregation must combine map-side before the exchange
+    assert "partial_sum" in plan
+
+
+def test_aqe_enabled_in_session(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_no_cartesian_anywhere_in_registry(spark):
+    """No registered query may contain a shuffle cartesian product.
+    (Bounded broadcast nested loops over probe sets are acceptable; an
+    unbounded CartesianProduct is never the right plan at scale.)"""
+    for name, spec in SPECS.items():
+        plan = _executed(spec.fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_events_scan_prunes_props_when_unused(spark):
+    """Column pruning through load_table's ts conversion: a query not
+    touching props must not read it."""
+    e = load_table(spark, SF, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+    plan = _executed(e)
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "props" not in read_schema
+
+
+def test_minhash_single_shuffle_to_signatures(spark):
+    """MinHash signature derivation must aggregate in one exchange over the
+    doc id (map-side partial mins), not one shuffle per hash function."""
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, SF, "documents")
+    plan = _executed(minhash_signatures(docs))
+    # one exchange for the groupBy + one for the band explode's downstream
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
