@@ -52,6 +52,8 @@ HEADLINE = [
     "w03_session_window",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
+    # synthesized 20k-record Confluent batch through the full decode stage
+    "i06_decode_throughput",
 ]
 
 

@@ -99,3 +99,20 @@ def read_partition(
         if val is not None:
             df = df.filter(F.col(col) == val)
     return df
+
+
+def verify_landed(spark: SparkSession, path: str, sample_rows: int = 5) -> dict:
+    """Read-back verification of a landed dataset (check_parquet.py:53-100
+    upgraded from eyeball prints to returned data).
+
+    The reference printed schema/count/sample for a human to inspect; this
+    returns them so tests assert on them. One scan job for the count, one
+    bounded scan for the sample.
+    """
+    df = spark.read.parquet(path)
+    return {
+        "schema": df.schema.simpleString(),
+        "columns": df.columns,
+        "n_rows": df.count(),
+        "sample": [r.asDict() for r in df.limit(sample_rows).collect()],
+    }

@@ -129,10 +129,16 @@ def x02_cdc_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    # Two-level aggregation instead of countDistinct: the first groupBy
+    # reduces to distinct (token, doc) pairs with map-side combine, which
+    # spreads a skewed hot token across its documents before the final
+    # per-token shuffle — the standard distinct-under-skew shape.
     return (
         d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("c"))
         .groupBy("token")
-        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .agg(F.sum("c").cast("bigint").alias("n"), F.count("*").alias("n_docs"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(50)
     )

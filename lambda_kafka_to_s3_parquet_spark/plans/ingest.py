@@ -84,6 +84,62 @@ def i05_batch_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i06_decode_throughput",
+    oracle=None,
+    doc="Arrow-batched Avro decode over a synthesized 20k-record batch "
+    "(throughput proof vs the reference's >=11.1 rec/s envelope, BASELINE.md)",
+)
+def i06_decode_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode throughput at a real batch size.
+
+    The golden fixture is 16 records; this synthesizes a 20,000-record
+    Confluent-wire batch (our own spec-derived encoder, one golden row
+    template with varied keys) and runs the full JVM-envelope-split +
+    Arrow-batched-decode stage over it. Registered rows-only: the check
+    pins row count (= batch size) while the bench records wall time —
+    the reference's whole 900 s Lambda envelope processes 10k records.
+    """
+    import base64 as b64
+
+    from ..sources.avro_codec import RATECARD_FIELDS, confluent_wrap, encode_avro_record
+    from ..sources.kafka_replay import EVENT_RECORD
+
+    n = 20_000
+    template = decoded_golden(spark).filter(F.col("offset") == 0).collect()[0].asDict()
+    row = {f.name: template[f.name] for f in RATECARD_FIELDS}
+
+    def make(i: int) -> tuple:
+        r = dict(row, SRC_KEY_VAL=str(i % 997), CNCRNCY_VRSN=i)
+        wire = confluent_wrap(391, encode_avro_record(r, RATECARD_FIELDS))
+        return (
+            GOLDEN_TOPIC,
+            i % 8,
+            i,
+            1625877624954 + i,
+            "CREATE_TIME",
+            b64.b64encode(str(i).encode()).decode(),
+            b64.b64encode(wire).decode(),
+        )
+
+    batch = spark.createDataFrame([make(i) for i in range(n)], EVENT_RECORD)
+    kafka_shaped = batch.select(
+        F.unbase64("key").alias("key"),
+        F.unbase64("value").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+        "timestampType",
+    )
+    decoded = decode_stage(kafka_shaped, SchemaProvider(), GOLDEN_TOPIC)
+    return decoded.groupBy("topic").agg(
+        F.count("*").alias("n_decoded"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.countDistinct("SRC_KEY_VAL").alias("distinct_keys"),
+    )
+
+
+@register(
     "i04_cdc_latest_ratecard",
     oracle=None,
     doc="CDC latest-version dedup on the golden CDC stream "

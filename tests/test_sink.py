@@ -79,6 +79,26 @@ def test_wall_clock_partitioning(spark):
     assert row["y"] == now.year
 
 
+def test_verify_landed_readback(spark, landed):
+    from lambda_kafka_to_s3_parquet_spark.operators.sink import verify_landed
+
+    path, _ = landed
+    got = verify_landed(spark, path)
+    assert got["n_rows"] == 16
+    assert "RATE_CARD_ID" in got["columns"] and "topic" in got["columns"]
+    assert len(got["sample"]) == 5
+    assert "struct<" in got["schema"]
+
+
+def test_decode_throughput_query(spark):
+    from lambda_kafka_to_s3_parquet_spark.plans.ingest import i06_decode_throughput
+
+    row = i06_decode_throughput(spark, "").collect()[0]
+    assert row["n_decoded"] == 20_000
+    assert row["n_corrupt"] == 0
+    assert row["distinct_keys"] == 997
+
+
 def test_append_mode_accumulates(spark, landed, tmp_path):
     path = str(tmp_path / "accum")
     df = with_partition_columns(decoded_golden(spark))
