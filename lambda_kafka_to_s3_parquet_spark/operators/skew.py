@@ -1,0 +1,80 @@
+"""Skew mitigation + shuffle co-location operators (SURVEY.md §4).
+
+Two techniques every 100 TB join strategy needs in the toolbox beyond what
+AQE does automatically:
+
+* **salting** — when one side of a shuffle join has pathological hot keys
+  (a handful of keys holding most rows), hash partitioning sends each hot
+  key to ONE task. ``salted_join`` splits every hot key into ``n_salts``
+  synthetic sub-keys on the skewed side and replicates the matching rows
+  of the other side across those sub-keys, so a hot key fans out over
+  ``n_salts`` tasks. Results are provably identical to the plain join
+  (oracle-checked in the registry). AQE's skew-join handles many cases at
+  runtime; explicit salting is for when the skew is known and extreme
+  (AQE can only split what lands in one shuffle file).
+* **bucketed co-located joins** — pre-shuffling both tables into the same
+  bucket layout at WRITE time (``bucketBy`` on the join key) lets every
+  subsequent join on that key run with zero exchanges: tasks read
+  co-numbered buckets from both sides. This is the batch-layer answer to
+  "this join runs every hour on the same keys" — pay the shuffle once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/left join robust to hot keys on ``skewed``.
+
+    skewed side: each row gets a random-but-deterministic salt in
+    [0, n_salts) (hash of the full row's key + a row-local component —
+    here ``monotonically_increasing_id`` is avoided for determinism; the
+    salt derives from ``xxhash64`` of the key and a per-row ordinal column
+    if present, else a uniform spread via ``pmod(xxhash64(all columns))``).
+    other side: exploded ``n_salts`` times so every (key, salt) bucket
+    finds its match. Join output == plain join output, row-for-row.
+    """
+    salt_src = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    lhs = skewed.withColumn("_salt", salt_src.cast("int"))
+    rhs = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    out = lhs.join(rhs, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist a table pre-shuffled into ``n_buckets`` on the join key.
+
+    ``bucketBy`` + ``sortBy`` on the key: subsequent equi-joins between
+    tables bucketed identically on the same key execute with NO exchange
+    (and with sorted buckets, no sort either) — asserted in
+    tests/test_bucketing.py.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed catalog tables on their bucket key."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

@@ -784,6 +784,35 @@ def q23_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q24 — salted join: hot-key-proof shuffle join, provably identical output
+# to the plain join (the oracle IS the plain join). See operators/skew.py.
+# --------------------------------------------------------------------------
+@register(
+    "q24_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                    AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="salted shuffle join (skew mitigation) == plain join results",
+)
+def q24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    return (
+        salted_join(o, c, "custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
 # q20 — pivot via conditional aggregation (event-type matrix per user).
 # --------------------------------------------------------------------------
 @register(
