@@ -26,8 +26,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..session import load_table
+from ..session import load_table, register_tables
 from . import register
+
+#: Dialect-neutral SQL for q25: the SAME text runs on Spark (over
+#: register_tables' temp views) and on DuckDB (the oracle) — demonstrating
+#: the engine's SQL surface, not just the DataFrame API.
+_Q25_SQL = """
+    SELECT n.n_name,
+           count(*)                      AS n_customers,
+           round(sum(c.c_acctbal), 2)    AS total_balance,
+           round(avg(c.c_acctbal), 2)    AS avg_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 0
+    GROUP BY n.n_name
+    ORDER BY n_name
+"""
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -810,6 +825,20 @@ def q24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# q25 — the SQL API surface: identical SQL text through spark.sql (over
+# the registered catalog views) and through the DuckDB oracle.
+# --------------------------------------------------------------------------
+@register(
+    "q25_sql_surface",
+    oracle=_Q25_SQL,
+    doc="spark.sql over register_tables catalog views; oracle runs the same text",
+)
+def q25_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(_Q25_SQL)
 
 
 # --------------------------------------------------------------------------

@@ -91,9 +91,9 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
     approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # LSH with 16 planes / 4 bands on 64-dim gaussian data: far from exact,
-    # but must beat random chance (10/500 = 2%) by a wide margin.
-    assert recall >= 0.25, f"ANN recall collapsed: {recall}"
+    # 16 planes / 8 bands (2-bit bands) measured 0.94 recall on this
+    # corpus; 0.6 is the regression floor.
+    assert recall >= 0.6, f"ANN recall collapsed: {recall}"
     # precision-style property: every reported score must match the exact
     # cosine the brute-force pass computed for that pair.
     exact_scores = {(r["query_id"], r["cand_id"]): r["score"] for r in exact}
@@ -123,6 +123,20 @@ def test_media_checksum_matches_hashlib(spark):
 def test_decode_real_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_real_features("image", b"\x89PNG")
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """The 100 TB-scale variants (HLL distinct, t-digest percentile) must
+    track their exact counterparts within published error bounds."""
+    l = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    row = l.agg(
+        F.countDistinct("l_orderkey").alias("exact_d"),
+        F.approx_count_distinct("l_orderkey").alias("approx_d"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias("approx_p50"),
+    ).first()
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05  # HLL ~1.6% rsd
+    assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] < 0.01
 
 
 def test_no_cartesian_in_bucketed_ops(spark):
