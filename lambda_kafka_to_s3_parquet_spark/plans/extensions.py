@@ -35,7 +35,12 @@ from ..functions.text import (
 )
 from ..operators.dedup import exact_dedup, latest_by_key, near_dup_pairs, simhash_table
 from ..operators.multimodal import extract_features, media_frame
-from ..operators.similarity import near_dup_within_label, topk_bruteforce, topk_lsh
+from ..operators.similarity import (
+    near_dup_within_label,
+    topk_bruteforce,
+    topk_ivf,
+    topk_lsh,
+)
 from ..session import load_table
 from . import register
 
@@ -413,6 +418,22 @@ def x11_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return topk_lsh(e, queries, k=10)
+
+
+# --------------------------------------------------------------------------
+# x16 — IVF ANN: k-means inverted file + nprobe search + exact rerank
+# (the second canonical ANN scale path next to x11's LSH). Approximate
+# recall => rows-only; recall floor pinned in tests/test_extensions.py.
+# --------------------------------------------------------------------------
+@register(
+    "x16_ann_ivf_topk",
+    oracle=None,
+    doc="IVF (k-means cells, nprobe probe) approximate top-k (rows-only; recall pytest)",
+)
+def x16_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return topk_ivf(e, queries, k=10)
 
 
 # --------------------------------------------------------------------------

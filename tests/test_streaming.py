@@ -128,6 +128,74 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert out.select("event_id").distinct().count() == n_distinct
 
 
+def test_custom_stateful_running_profiles(spark, tmp_path):
+    """applyInPandasWithState: per-user totals must accumulate ACROSS
+    micro-batches (state survives batch boundaries)."""
+    from lambda_kafka_to_s3_parquet_spark.streaming.stateful import running_user_profiles
+
+    events_dir, ckpt = str(tmp_path / "events"), str(tmp_path / "ckpt")
+    ev = load_table(spark, SF, "events").limit(400).cache()
+    # split into two files = two micro-batches with maxFilesPerTrigger=1
+    a, b = ev.randomSplit([0.5, 0.5], seed=7)
+    a.coalesce(1).write.parquet(f"{events_dir}/f1")
+    b.coalesce(1).write.parquet(f"{events_dir}/f2")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{events_dir}/*")
+    )
+    q = (
+        running_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    out = spark.table("profiles").collect()
+    assert len(out) > 0
+    # the LAST emitted row per user must equal the batch ground truth,
+    # proving state accumulated across the two micro-batches
+    import pyspark.sql.functions as SF_
+
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(SF_.count("*").alias("n"), SF_.sum("value").alias("s"))
+        .collect()
+    }
+    last = {}
+    for r in out:  # memory sink appends in batch order; later rows overwrite
+        last[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+    assert last == want
+
+
+def test_stateful_timeout_eviction_branch():
+    """The idle-eviction branch emits a finalized row and removes state
+    (unit-tested directly: a processing-time timeout would keep an
+    AvailableNow drain alive for the whole idle period)."""
+    from lambda_kafka_to_s3_parquet_spark.streaming.stateful import make_profile_updater
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (7, 123.5, 100, 200)
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    out = list(make_profile_updater(timeout_ms=60_000)((42,), iter([]), st))
+    assert st.removed
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert bool(row["finalized"]) and row["n_events"] == 7 and row["total_value"] == 123.5
+
+
 def test_streaming_plan_is_stateful_with_watermark(spark, tmp_path):
     events_dir = str(tmp_path / "events")
     load_table(spark, SF, "events").limit(10).write.parquet(events_dir)
