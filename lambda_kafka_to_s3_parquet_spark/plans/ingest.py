@@ -93,43 +93,52 @@ def i06_decode_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode throughput at a real batch size.
 
     The golden fixture is 16 records; this synthesizes a 20,000-record
-    Confluent-wire batch (our own spec-derived encoder, one golden row
-    template with varied keys) and runs the full JVM-envelope-split +
-    Arrow-batched-decode stage over it. Registered rows-only: the check
-    pins row count (= batch size) while the bench records wall time —
-    the reference's whole 900 s Lambda envelope processes 10k records.
+    Confluent-wire batch EXECUTOR-SIDE (``spark.range`` fanned through an
+    Arrow-batched encode using the engine's own spec-derived writer — one
+    golden row template with varied keys) and runs the full
+    JVM-envelope-split + Arrow-batched-decode stage over it. Registered
+    rows-only: the check pins row count (= batch size) while the bench
+    records wall time — the reference's whole 900 s Lambda envelope
+    processes 10k records.
     """
-    import base64 as b64
+    from collections.abc import Iterator
+
+    import pandas as pd
 
     from ..sources.avro_codec import RATECARD_FIELDS, confluent_wrap, encode_avro_record
-    from ..sources.kafka_replay import EVENT_RECORD
 
     n = 20_000
     template = decoded_golden(spark).filter(F.col("offset") == 0).collect()[0].asDict()
     row = {f.name: template[f.name] for f in RATECARD_FIELDS}
 
-    def make(i: int) -> tuple:
-        r = dict(row, SRC_KEY_VAL=str(i % 997), CNCRNCY_VRSN=i)
-        wire = confluent_wrap(391, encode_avro_record(r, RATECARD_FIELDS))
-        return (
-            GOLDEN_TOPIC,
-            i % 8,
-            i,
-            1625877624954 + i,
-            "CREATE_TIME",
-            b64.b64encode(str(i).encode()).decode(),
-            b64.b64encode(wire).decode(),
-        )
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"]
+            yield pd.DataFrame(
+                {
+                    "key": [str(i).encode() for i in ids],
+                    "value": [
+                        confluent_wrap(
+                            391,
+                            encode_avro_record(
+                                dict(row, SRC_KEY_VAL=str(i % 997), CNCRNCY_VRSN=int(i)),
+                                RATECARD_FIELDS,
+                            ),
+                        )
+                        for i in ids
+                    ],
+                    "topic": GOLDEN_TOPIC,
+                    "partition": (ids % 8).astype("int32"),
+                    "offset": ids,
+                    "timestamp": 1625877624954 + ids,
+                    "timestampType": "CREATE_TIME",
+                }
+            )
 
-    batch = spark.createDataFrame([make(i) for i in range(n)], EVENT_RECORD)
-    kafka_shaped = batch.select(
-        F.unbase64("key").alias("key"),
-        F.unbase64("value").alias("value"),
-        "topic",
-        "partition",
-        "offset",
-        "timestamp",
-        "timestampType",
+    kafka_shaped = spark.range(n).mapInPandas(
+        synth,
+        schema="key binary, value binary, topic string, partition int, "
+        "offset long, timestamp long, timestampType string",
     )
     decoded = decode_stage(kafka_shaped, SchemaProvider(), GOLDEN_TOPIC)
     return decoded.groupBy("topic").agg(
