@@ -123,3 +123,117 @@ def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# w04 — the ACTUAL streaming ingest pipeline, driver-registered: envelope
+# file source -> checkpointed decode -> foreachBatch partitioned sink,
+# then a checkpoint-reuse restart (drains nothing — exactly-once, so the
+# partition counts stay at one fixture's worth) and a pruned read-back.
+# Rows-only: Avro bytes aren't SQL; byte-exact + restart asserts live in
+# tests/test_streaming.py.
+# --------------------------------------------------------------------------
+@register(
+    "w04_stream_ingest_roundtrip",
+    oracle=None,
+    doc="streaming ingest roundtrip: checkpointed decode -> partitioned sink, "
+    "restart reprocesses nothing, partition-pruned read-back",
+)
+def w04_stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.sink import read_partition
+    from ..streaming.pipeline import run_ingest_stream
+    from .ingest import GOLDEN_EVENT, GOLDEN_TOPIC
+
+    base = Path(tempfile.mkdtemp(prefix="w04_"))
+    (base / "in").mkdir()
+    shutil.copy(GOLDEN_EVENT, base / "in" / "event-0.json")
+    for _ in range(2):  # 2nd run reuses the checkpoint: drains nothing
+        q = run_ingest_stream(
+            spark, str(base / "in"), str(base / "out"), str(base / "ckpt"), GOLDEN_TOPIC
+        )
+        q.awaitTermination(120)
+    landed = read_partition(spark, str(base / "out"), topic=GOLDEN_TOPIC)
+    return (
+        landed.groupBy("topic", "y", "m", "d", "h")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("SRC_KEY_VAL").alias("n_keys"),
+        )
+        .orderBy("topic", "y", "m", "d", "h")
+    )
+
+
+# --------------------------------------------------------------------------
+# w05 — custom stateful streaming operator (applyInPandasWithState),
+# driver-registered: events replayed as 4 micro-batches, per-user profile
+# state accumulated ACROSS batches; each user's final emitted row must
+# equal the plain batch aggregate — which IS the DuckDB oracle, making the
+# stateful path one of the few streaming ops with a full value-hash check.
+# --------------------------------------------------------------------------
+@register(
+    "w05_stateful_user_profiles",
+    oracle="""
+    SELECT user_id,
+           count(*)                                 AS n_events,
+           round(sum(value), 2)                     AS total_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S')   AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S')   AS last_ts
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="custom stateful op: cross-micro-batch user profiles == batch aggregate",
+)
+def w05_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql.window import Window
+
+    from ..streaming.stateful import running_user_profiles
+
+    base = Path(tempfile.mkdtemp(prefix="w05_"))
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = base.name  # unique memory-sink table per invocation
+    q = (
+        running_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # n_events is strictly monotone per user across emissions, so the max
+    # row is the final accumulated state.
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            F.date_format(
+                F.timestamp_micros((F.col("first_us") / 1000).cast("long")), _TS_FMT
+            ).alias("first_ts"),
+            F.date_format(
+                F.timestamp_micros((F.col("last_us") / 1000).cast("long")), _TS_FMT
+            ).alias("last_ts"),
+        )
+    )
