@@ -101,6 +101,57 @@ def read_partition(
     return df
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    topic: str | None = None,
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Compact small files within each Hive partition (1 file/partition).
+
+    The reference lands ONE parquet file per Lambda invocation
+    (lambda_function.py:71-116) — at production rates that is thousands of
+    tiny files per hour-partition, the classic small-file problem that
+    throttles every later scan (task-per-file scheduling, NN/S3 listing).
+    The Spark-native maintenance pass:
+
+    * read the landed dataset (optionally pruned to one ``topic``),
+    * one shuffle keyed on the partition columns so each Hive partition's
+      rows land in a single task,
+    * rewrite with **dynamic partition overwrite** — only partitions
+      actually present in the read are replaced; everything else on the
+      sink is untouched (writer-level option, no global conf mutation).
+
+    ``max_records_per_file`` bounds file size for oversized partitions (at
+    100 TB you'd set it to ~target_bytes/avg_row_size so hot hours split
+    into N full-size files instead of one huge one). Returns the
+    per-partition file counts after compaction (1 file per partition
+    unless the bound split it).
+
+    Not concurrency-safe against in-flight readers of the same partitions
+    — at production scale this runs as a scheduled maintenance job on
+    closed (past-watermark) partitions only.
+    """
+    df = read_partition(spark, path, topic=topic)
+    writer = (
+        df.repartition(*[F.col(c) for c in PARTITION_COLS])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(*PARTITION_COLS).parquet(path)
+    return (
+        read_partition(spark, path, topic=topic)
+        .withColumn("_file", F.input_file_name())
+        .groupBy(*PARTITION_COLS)
+        .agg(
+            F.countDistinct("_file").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def verify_landed(spark: SparkSession, path: str, sample_rows: int = 5) -> dict:
     """Read-back verification of a landed dataset (check_parquet.py:53-100
     upgraded from eyeball prints to returned data).

@@ -149,6 +149,29 @@ def i06_decode_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i07_compact_small_files",
+    oracle=None,
+    doc="partition compaction: 3 appended small files -> 1 file/partition "
+    "via dynamic partition overwrite (the Lambda-per-invocation "
+    "small-file problem at scale)",
+)
+def i07_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.sink import (
+        compact_partitions,
+        with_partition_columns,
+        write_partitioned,
+    )
+
+    path = tempfile.mkdtemp(prefix="i07_") + "/sink"
+    d = with_partition_columns(decoded_golden(spark))
+    for _ in range(3):  # the reference's one-file-per-invocation pattern
+        write_partitioned(d, path)
+    return compact_partitions(spark, path, topic=GOLDEN_TOPIC)
+
+
+@register(
     "i04_cdc_latest_ratecard",
     oracle=None,
     doc="CDC latest-version dedup on the golden CDC stream "

@@ -99,6 +99,45 @@ def test_decode_throughput_query(spark):
     assert row["distinct_keys"] == 997
 
 
+def test_compact_partitions(spark, tmp_path):
+    from lambda_kafka_to_s3_parquet_spark.operators.sink import compact_partitions
+
+    path = str(tmp_path / "compact")
+    df = with_partition_columns(decoded_golden(spark))
+    other = df.withColumn("topic", F.lit("other_topic"))
+    for _ in range(3):
+        write_partitioned(df, path)
+    for _ in range(2):
+        write_partitioned(other, path)
+
+    def files_for(topic: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("topic") == topic)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    assert files_for(GOLDEN_TOPIC) >= 3
+    n_other_before = files_for("other_topic")
+
+    stats = compact_partitions(spark, path, topic=GOLDEN_TOPIC)
+    rows = stats.collect()
+    assert rows and all(r["n_files"] == 1 for r in rows)
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("topic") == GOLDEN_TOPIC).count() == 48
+    # dynamic overwrite: the other topic's partitions are untouched
+    assert back.filter(F.col("topic") == "other_topic").count() == 32
+    assert files_for("other_topic") == n_other_before
+
+    # the file-size bound splits an oversized partition into ceil(48/20)=3
+    stats2 = compact_partitions(
+        spark, path, topic=GOLDEN_TOPIC, max_records_per_file=20
+    )
+    assert all(r["n_files"] == 3 for r in stats2.collect())
+
+
 def test_append_mode_accumulates(spark, landed, tmp_path):
     path = str(tmp_path / "accum")
     df = with_partition_columns(decoded_golden(spark))
