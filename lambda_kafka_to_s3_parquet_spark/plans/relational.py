@@ -878,3 +878,194 @@ def q20_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q26 — LEFT OUTER join + null-conditional aggregation: customers per
+# nation incl. those with no orders. nation broadcasts (true dim); the
+# customer-orders outer join is AQE-decided.
+# --------------------------------------------------------------------------
+@register(
+    "q26_left_outer_customers",
+    oracle="""
+    SELECT n.n_name,
+           count(DISTINCT c.c_custkey)  AS n_customers,
+           count(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN c.c_custkey END)
+                                        AS n_without_orders,
+           count(o.o_orderkey)          AS n_orders
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="left-outer join: per-nation customer counts incl. order-less customers",
+)
+def q26_left_outer_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct(
+                F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
+            ).alias("n_without_orders"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — FULL OUTER join aligning two derived daily series; dates present
+# on only one side surface as coalesced zeros. Both sides pre-aggregate
+# before the join (shuffle carries ~2.5k rows, not the fact tables).
+# --------------------------------------------------------------------------
+@register(
+    "q27_full_outer_dates",
+    oracle="""
+    WITH od AS (SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1),
+         sd AS (SELECT l_shipdate  AS d, count(*) AS n_ships  FROM lineitem GROUP BY 1)
+    SELECT coalesce(od.d, sd.d)     AS d,
+           coalesce(od.n_orders, 0) AS n_orders,
+           coalesce(sd.n_ships, 0)  AS n_ships
+    FROM od FULL OUTER JOIN sd ON od.d = sd.d
+    """,
+    doc="full-outer join of two pre-aggregated daily series with coalesced gaps",
+)
+def q27_full_outer_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    sd = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("d"))
+        .agg(F.count("*").alias("n_ships"))
+    )
+    return od.join(sd, ["d"], "full_outer").select(
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — lag(): days since the customer's previous order. One shuffle on
+# o_custkey; integer day arithmetic, so no float tolerance needed.
+# --------------------------------------------------------------------------
+@register(
+    "q28_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(datediff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+    doc="lag window: per-customer gap days between consecutive orders",
+)
+def q28_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — ntile(): acctbal quartiles per nation. Deterministic because the
+# window order (acctbal, custkey) is a total order.
+# --------------------------------------------------------------------------
+@register(
+    "q29_ntile_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey, c_acctbal,
+             CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+      FROM customer)
+    SELECT c_nationkey, quartile,
+           count(*)                 AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM q
+    GROUP BY c_nationkey, quartile
+    ORDER BY c_nationkey, quartile
+    """,
+    doc="ntile(4) quartile bounds of customer balances per nation",
+)
+def q29_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_nationkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("c_nationkey", "quartile")
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst
+# rewrites them to semi/anti joins (same plans q04/q19 build explicitly).
+# --------------------------------------------------------------------------
+_Q30_SQL = """
+    SELECT p.p_brand, count(*) AS n_parts
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey
+                        AND l2.l_returnflag = 'R' AND l2.l_quantity >= 49)
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+"""
+
+
+@register(
+    "q30_exists_subqueries",
+    oracle=_Q30_SQL,
+    doc="correlated EXISTS + NOT EXISTS (Catalyst semi/anti rewrite), shared SQL text",
+)
+def q30_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(_Q30_SQL)
+
+
+# --------------------------------------------------------------------------
+# q31 — scalar subquery: global average computed once (single-row
+# broadcast), rounded identically on both engines so last-ulp summation
+# differences cannot flip membership (same guard as q17).
+# --------------------------------------------------------------------------
+_Q31_SQL = """
+    SELECT p_type, count(*) AS n
+    FROM part
+    WHERE p_retailprice > (SELECT round(avg(p_retailprice), 2) FROM part)
+    GROUP BY p_type
+    ORDER BY p_type
+"""
+
+
+@register(
+    "q31_scalar_subquery",
+    oracle=_Q31_SQL,
+    doc="scalar subquery threshold (rounded boundary), shared SQL text",
+)
+def q31_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("part",))
+    return spark.sql(_Q31_SQL)
