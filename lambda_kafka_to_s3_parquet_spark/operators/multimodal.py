@@ -132,3 +132,81 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             yield decode_stub_features(pdf)
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+#: Output schema of the (stubbed) resize stage.
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized", BinaryType()),
+        StructField("n_bytes_out", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Stubbed image/audio resize over the Arrow batch path.
+
+    A real implementation decodes the payload with a codec and re-encodes
+    at ``width``×``height`` (:func:`decode_real_features` marks that
+    boundary). The stub produces a deterministic stand-in — the payload
+    truncated/zero-padded to exactly ``width*height`` bytes — so the full
+    Spark contract (binary in/out through mapInPandas, bounded batches,
+    stable output size) is exercised and assertable.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(p[:target]).ljust(target, b"\0") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "resized": resized,
+                    "n_bytes_out": [len(r) for r in resized],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+#: Output schema of the (stubbed) frame-sampling stage (row fan-out).
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 256) -> DataFrame:
+    """Stubbed video frame sampling: one input row fans out to N frame rows.
+
+    A real implementation would demux the container and decode every k-th
+    frame; the stub slices the payload into ``frame_size``-byte chunks —
+    deterministic, so frame counts and byte totals are oracle-checkable
+    while the real plumbing (1→N row fan-out inside mapInPandas, binary
+    frames, bounded Arrow batches) is what actually runs. Rows with empty
+    payloads produce no frames.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(0, len(p), frame_size):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i // frame_size)
+                    out["frame"].append(bytes(p[i : i + frame_size]))
+            out["frame_bytes"] = [len(f) for f in out["frame"]]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

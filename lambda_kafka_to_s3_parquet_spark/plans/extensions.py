@@ -511,3 +511,82 @@ def x13_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_frame(_t(spark, sf_dir, "documents"))
     return extract_features(m)
+
+# --------------------------------------------------------------------------
+# x17 — video frame sampling: 1 row -> N frame rows inside mapInPandas.
+# The stub slices payloads into fixed 256-byte chunks, so per-media frame
+# counts and byte totals ARE SQL-expressible — a full oracle check of the
+# fan-out plumbing even though the "decode" is a stand-in. Every frame is
+# 256 bytes except the last, so min(frame_bytes) is the tail chunk.
+# --------------------------------------------------------------------------
+@register(
+    "x17_frame_sample",
+    oracle="""
+    SELECT doc_id                                                   AS media_id,
+           CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
+           octet_length(encode(text))::BIGINT                       AS total_frame_bytes,
+           CAST(octet_length(encode(text))
+                - 256 * (ceil(octet_length(encode(text)) / 256.0) - 1)
+                AS BIGINT)                                          AS last_frame_bytes
+    FROM documents
+    WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+    ORDER BY media_id
+    """,
+    doc="frame-sampling fan-out (video rows -> 256B frame chunks), oracle-checked",
+)
+def x17_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    m = media_frame(_t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "video"
+    )
+    return (
+        sample_frames(m, frame_size=256)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("frame_bytes").alias("total_frame_bytes"),
+            F.min("frame_bytes").alias("last_frame_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x18 — stubbed resize: binary in -> fixed-size binary out through the
+# Arrow batch path. Output size is the contract (truncate/pad to w*h), so
+# the byte-size invariants are oracle-checked; exact byte content is
+# pinned in tests/test_extensions.py.
+# --------------------------------------------------------------------------
+@register(
+    "x18_media_resize",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS media_type,
+           count(*)                         AS n_items,
+           CAST(min(256) AS BIGINT)         AS min_out,
+           CAST(max(256) AS BIGINT)         AS max_out,
+           CAST(sum(least(octet_length(encode(text)), 256)) AS BIGINT)
+                                            AS kept_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY media_type
+    """,
+    doc="resize stub (truncate/pad to 16x16 bytes) size invariants, oracle-checked",
+)
+def x18_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_media
+
+    m = media_frame(_t(spark, sf_dir, "documents"))
+    r = resize_media(m, width=16, height=16)
+    return (
+        r.join(m.select("media_id", "n_bytes"), "media_id")
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("n_bytes_out").alias("min_out"),
+            F.max("n_bytes_out").alias("max_out"),
+            F.sum(F.least(F.col("n_bytes"), F.lit(256))).alias("kept_bytes"),
+        )
+        .orderBy("media_type")
+    )

@@ -140,6 +140,35 @@ def test_decode_real_is_explicit_stub():
         decode_real_features("image", b"\x89PNG")
 
 
+def test_media_resize_exact_bytes(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 6)
+    media = media_frame(docs)
+    got = {r["media_id"]: r for r in resize_media(media, 4, 8).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        payload = r["text"].encode("utf-8")
+        row = got[r["doc_id"]]
+        assert row["n_bytes_out"] == 32 and len(row["resized"]) == 32
+        assert bytes(row["resized"]) == payload[:32].ljust(32, b"\0")
+
+
+def test_frame_sampling_reassembles_payload(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 6)
+    media = media_frame(docs)
+    frames: dict[int, dict[int, bytes]] = {}
+    for r in sample_frames(media, frame_size=64).collect():
+        frames.setdefault(r["media_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    for r in docs.select("doc_id", "text").collect():
+        payload = r["text"].encode("utf-8")
+        chunks = frames.get(r["doc_id"], {})
+        # frame indices are dense 0..n-1 and concatenation restores payload
+        assert sorted(chunks) == list(range(len(chunks)))
+        assert b"".join(chunks[i] for i in sorted(chunks)) == payload
+
+
 def test_approx_sketches_within_tolerance(spark):
     """The 100 TB-scale variants (HLL distinct, t-digest percentile) must
     track their exact counterparts within published error bounds."""
