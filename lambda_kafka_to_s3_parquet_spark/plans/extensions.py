@@ -590,3 +590,60 @@ def x18_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x19 — as-of join: each purchase event gets the user's most recent view
+# at-or-before it (point-in-time lookup). Spark side is the union-window
+# asof operator (one shuffle, no range explosion); DuckDB oracle is the
+# native ASOF LEFT JOIN — two independent formulations of the semantics.
+# --------------------------------------------------------------------------
+@register(
+    "x19_asof_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view')
+      WHERE rn = 1),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           v.event_id                             AS asof_event_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
+           round(v.value, 2)                      AS asof_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
+    """,
+    doc="as-of join (union-window, single shuffle) vs DuckDB native ASOF JOIN",
+)
+def x19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    dedup_w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, views, key="user_id", left_time="ts", right_time="ts",
+        right_cols=["ts", "event_id", "value"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.col("asof_event_id"),
+        F.date_format("asof_ts", fmt).alias("asof_ts"),
+        F.round("asof_value", 2).alias("asof_value"),
+    )
