@@ -38,6 +38,10 @@ HEADLINE = [
     "q16_array_stats",
     "q21_percentiles",
     "q22_cube",
+    "q26_left_outer_customers",
+    "q27_full_outer_dates",
+    "q28_order_gaps",
+    "q30_exists_subqueries",
     # LLM-pipeline extensions
     "x01_exact_dedup_docs",
     "x02_cdc_latest_event",
@@ -47,6 +51,8 @@ HEADLINE = [
     "x10_embedding_topk",
     "x12_embedding_neardup_blocked",
     "x13_media_stats",
+    "x17_frame_sample",
+    "x19_asof_join",
     # event-time windows
     "w01_tumbling_window",
     "w03_session_window",
