@@ -647,3 +647,54 @@ def x19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_ts", fmt).alias("asof_ts"),
         F.round("asof_value", 2).alias("asof_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# x20 — range (interval) join: clicks within 10 minutes AFTER each
+# purchase, per user. Spark side is the bucketed equi-join operator (time
+# buckets as join key, exact integer-microsecond filter on the ~2x
+# candidate set); oracle is DuckDB's plain inequality join. Left-outer
+# aggregation keeps purchases with zero follow-up clicks.
+# --------------------------------------------------------------------------
+@register(
+    "x20_interval_join",
+    oracle="""
+    SELECT p.event_id,
+           count(c.event_id)                                  AS n_clicks,
+           CAST(min(epoch_us(c.ts) - epoch_us(p.ts)) AS BIGINT) AS min_gap_us
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTES
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+    doc="bucketed interval join (10-min follow-up clicks) vs DuckDB theta join",
+)
+def x20_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranges import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = interval_join(
+        purchases, clicks, key="user_id", left_time="ts", right_time="ts",
+        min_delta_us=0, max_delta_us=600_000_000,
+    )
+    per_purchase = pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks"), F.min("gap_us").alias("min_gap_us")
+    )
+    return (
+        purchases.join(per_purchase, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            "min_gap_us",
+        )
+        .orderBy("event_id")
+    )
