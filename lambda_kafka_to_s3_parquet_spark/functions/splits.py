@@ -1,0 +1,50 @@
+"""Deterministic dataset splitting for training-data pipelines
+(SURVEY.md §2.9 family).
+
+``randomSplit`` is nondeterministic across runs/partitionings — useless
+for a reproducible train/val/test split of a 100 TB corpus. The stable
+alternative: hash a content (or id) column to a bucket in [0, n), then map
+bucket ranges to split labels. Properties that matter at scale:
+
+* **reproducible** — same row, same split, on any cluster size, any
+  partitioning, any engine that implements md5 (the oracle cross-checks
+  Spark vs DuckDB bucket-for-bucket);
+* **content-keyed** — hashing the text sends byte-identical duplicates to
+  the SAME split, so exact dupes can never straddle train/test (hash the
+  id instead when that's not wanted);
+* **narrow** — one expression per row, no shuffle, no sampling pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:
+    """Stable bucket in [0, n_buckets): first 8 md5 hex chars mod n.
+
+    md5 rather than xxhash64 because every engine implements it
+    identically (DuckDB twin: ``('0x' || substr(md5(x),1,8))::UBIGINT %
+    n``); 32 bits is plenty for split assignment.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def assign_split(
+    col: Column | str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    n_buckets: int = 100,
+) -> Column:
+    """Map a hash bucket to 'train' / 'val' / 'test' labels.
+
+    ``train_pct`` + ``val_pct`` buckets go to train/val, the remainder to
+    test. Percentages are exact bucket counts, not sampling expectations.
+    """
+    b = hash_bucket(col, n_buckets)
+    return (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )

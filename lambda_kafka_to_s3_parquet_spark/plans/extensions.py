@@ -698,3 +698,47 @@ def x20_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x21 — deterministic train/val/test split by content hash: reproducible
+# on any cluster/partitioning, duplicate texts can never straddle splits.
+# Spark and DuckDB compute the md5 bucket independently; matching split
+# populations prove bucket-for-bucket agreement.
+# --------------------------------------------------------------------------
+@register(
+    "x21_hash_split",
+    oracle="""
+    SELECT split,
+           count(*)                            AS n_docs,
+           CAST(sum(length(text)) AS BIGINT)   AS total_chars,
+           min(doc_id)                         AS min_doc,
+           max(doc_id)                         AS max_doc
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, text,
+                   ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 AS b
+            FROM documents))
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="deterministic md5-bucket train/val/test split (engine-independent)",
+)
+def x21_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.splits import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", assign_split("text"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )

@@ -140,6 +140,29 @@ def test_decode_real_is_explicit_stub():
         decode_real_features("image", b"\x89PNG")
 
 
+def test_hash_split_is_stable_and_dup_safe(spark):
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import assign_split
+
+    docs = load_table(spark, SF, "documents")
+    a = {r["doc_id"]: r["s"] for r in docs.select("doc_id", assign_split("text").alias("s")).collect()}
+    # partitioning-independent: same assignment after an 11-way reshuffle
+    b = {
+        r["doc_id"]: r["s"]
+        for r in docs.repartition(11).select("doc_id", assign_split("text").alias("s")).collect()
+    }
+    assert a == b
+    # duplicate texts can never straddle splits
+    dup = docs.limit(1).select(F.lit("same text").alias("text"))
+    two = dup.union(dup).select(assign_split("text").alias("s")).collect()
+    assert two[0]["s"] == two[1]["s"]
+    # all three splits populated with roughly the configured proportions
+    from collections import Counter
+
+    c = Counter(a.values())
+    n = sum(c.values())
+    assert 0.7 < c["train"] / n < 0.9 and c["val"] > 0 and c["test"] > 0
+
+
 def test_media_resize_exact_bytes(spark):
     from lambda_kafka_to_s3_parquet_spark.operators.multimodal import resize_media
 
