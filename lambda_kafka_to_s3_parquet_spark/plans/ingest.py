@@ -182,3 +182,78 @@ def i04_cdc_latest_ratecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_by_key(d, ["SRC_KEY_VAL"], "SRC_COMMIT_DT_UTC", "offset").select(
         "SRC_KEY_VAL", "RATE_CARD_ID", "SRC_CDC_OPER_NM", "SRC_COMMIT_DT_UTC", "n_copies"
     )
+
+
+@register(
+    "i08_multi_topic_routing",
+    oracle=None,
+    doc="multi-topic subscription routed into per-topic decodes with "
+    "different Avro schemas (configure_lambda_triggeres.sh:13-27 semantics)",
+)
+def i08_multi_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two topics, two Avro schemas, one source frame: route_by_topic fans
+    the shared scan into per-topic decode stages; the result reports each
+    topic's decoded record count and column width (schemas genuinely
+    differ), plus corruption counts (must be 0)."""
+    import base64 as b64
+    import json
+    import tempfile
+
+    from ..sources.avro_codec import (
+        RATECARD_FIELDS,
+        AvroField,
+        SchemaProvider,
+        confluent_wrap,
+        encode_avro_record,
+        route_by_topic,
+    )
+    from ..sources.kafka_replay import read_lambda_events
+
+    other_fields = (
+        AvroField("ORDER_ID", "long", True),
+        AvroField("AMOUNT", "double", True),
+        AvroField("SRC_KEY_VAL", "string", False),
+    )
+    provider = SchemaProvider(
+        {GOLDEN_TOPIC: (391, RATECARD_FIELDS), "orders_cdc": (77, other_fields)}
+    )
+    env = json.load(open(GOLDEN_EVENT))
+    env["records"]["orders_cdc-0"] = [
+        {
+            "topic": "orders_cdc",
+            "partition": 0,
+            "offset": i,
+            "timestamp": 1625877624954 + i,
+            "timestampType": "CREATE_TIME",
+            "key": b64.b64encode(str(i).encode()).decode(),
+            "value": b64.b64encode(
+                confluent_wrap(
+                    77,
+                    encode_avro_record(
+                        {"ORDER_ID": i, "AMOUNT": 0.5 + i, "SRC_KEY_VAL": str(i)},
+                        other_fields,
+                    ),
+                )
+            ).decode(),
+        }
+        for i in range(5)
+    ]
+    fixture = tempfile.mktemp(prefix="i08_", suffix=".json")
+    with open(fixture, "w") as f:
+        json.dump(env, f)
+
+    ev = read_lambda_events(spark, fixture)
+    routed = route_by_topic(ev, provider)
+    stats = [
+        df.agg(
+            F.lit(topic).alias("topic"),
+            F.count("*").alias("n_records"),
+            F.lit(len(df.columns)).alias("n_cols"),
+            F.count("_corrupt_record").alias("n_corrupt"),
+        )
+        for topic, df in sorted(routed.items())
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
