@@ -48,8 +48,16 @@ def interval_join(
     if width <= 0:
         raise ValueError("max_delta_us must exceed min_delta_us")
 
-    lt_us = F.unix_micros(F.col(left_time))
-    rt_us = F.unix_micros(F.col(right_time))
+    def micros(df: DataFrame, col: str) -> "F.Column":
+        # TIMESTAMP_NTZ (wall-clock) lacks unix_micros; timestampdiff from
+        # the epoch is the same integer, type-appropriate for either kind.
+        if dict(df.dtypes)[col] == "timestamp_ntz":
+            return F.expr(
+                f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+            )
+        return F.unix_micros(F.col(col))
+
+    lt_us = micros(left, left_time)
 
     renames = {
         c: f"{c}{suffix}" for c in right.columns if c in left.columns and c != key
@@ -58,7 +66,7 @@ def interval_join(
     for old, new in renames.items():
         r = r.withColumnRenamed(old, new)
     rt_col = renames.get(right_time, right_time)
-    rt_us = F.unix_micros(F.col(rt_col))
+    rt_us = micros(r, rt_col)
 
     lb = left.withColumn(
         "_bucket",
@@ -71,7 +79,7 @@ def interval_join(
     )
     rb = r.withColumn("_bucket", F.floor(rt_us / width).cast("long"))
 
-    gap = rt_us - F.unix_micros(F.col(left_time))
+    gap = rt_us - lt_us
     return (
         lb.join(rb, [key, "_bucket"])
         .filter((gap > min_delta_us) & (gap <= max_delta_us))

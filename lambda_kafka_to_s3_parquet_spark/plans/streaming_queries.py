@@ -202,7 +202,7 @@ def w05_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
 
     stream = (
-        spark.readStream.schema("user_id long, ts timestamp, value double")
+        spark.readStream.schema("user_id long, ts timestamp_ntz, value double")
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
@@ -230,10 +230,18 @@ def w05_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.round("total_value", 2).alias("total_value"),
             F.date_format(
-                F.timestamp_micros((F.col("first_us") / 1000).cast("long")), _TS_FMT
+                F.expr(
+                    "timestampadd(MICROSECOND, first_us div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+                _TS_FMT,
             ).alias("first_ts"),
             F.date_format(
-                F.timestamp_micros((F.col("last_us") / 1000).cast("long")), _TS_FMT
+                F.expr(
+                    "timestampadd(MICROSECOND, last_us div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+                _TS_FMT,
             ).alias("last_ts"),
         )
     )

@@ -102,9 +102,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Handles nanosecond-precision parquet timestamps (events.ts is
     TIMESTAMP(NANOS)), which Spark 4 only reads via the nanosAsLong legacy
-    conf: the long nanos column is converted back to a micros TimestampType
-    with integer division (double division would lose precision on ~1e18 ns
-    epoch values). Truncation matches DuckDB's NS → US cast semantics.
+    conf: the long nanos column is rebuilt as TIMESTAMP_NTZ by pure integer
+    arithmetic from the epoch (integer division — double division would
+    lose precision on ~1e18 ns values; truncation to micros matches
+    DuckDB's NS → US cast). NTZ rather than TIMESTAMP so windowing /
+    formatting render the stored wall-clock value regardless of the
+    session timezone — exactly how DuckDB reads the same file, keeping the
+    oracle comparison timezone-independent. Streaming operators that need
+    an instant (watermarks reject NTZ) cast at their own boundary.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Runtime-set (not only in get_spark's builder) because the driver runs
@@ -116,7 +121,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # in the fixtures (FIXTURES.md §3). A bigint 'ts' in any other table is
     # left untouched.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

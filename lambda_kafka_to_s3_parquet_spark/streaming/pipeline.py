@@ -74,7 +74,17 @@ def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "10 minute
     at-least-once redelivery window) are suppressed — the streaming twin
     of ``operators.dedup.exact_dedup``.
     """
+    events = _instant_ts(events)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def _instant_ts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Watermarks reject TIMESTAMP_NTZ; cast the wall-clock event time to an
+    instant at the streaming boundary. The engine session pins UTC
+    (session.get_spark), where the cast is the identity on the wall value."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
 
 
 def windowed_event_counts(
@@ -88,6 +98,7 @@ def windowed_event_counts(
     passes its end — late events beyond the watermark are dropped and
     state is bounded by (watermark / window) windows per key.
     """
+    events = _instant_ts(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_len).alias("w"), "event_type")

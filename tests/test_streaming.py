@@ -18,7 +18,7 @@ from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import (
 
 SF = "/root/testdata/sf0.001"
 EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
