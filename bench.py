@@ -53,6 +53,8 @@ HEADLINE = [
     "x13_media_stats",
     "x17_frame_sample",
     "x19_asof_join",
+    "x20_interval_join",
+    "x21_hash_split",
     # event-time windows
     "w01_tumbling_window",
     "w03_session_window",
