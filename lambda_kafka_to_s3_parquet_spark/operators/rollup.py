@@ -1,0 +1,80 @@
+"""Materialized time rollups (continuous aggregates) — SURVEY.md §2.9
+family: the hypertable-rollup pattern (TimescaleDB continuous aggregates,
+Druid ingestion rollup) re-expressed Spark-first.
+
+At 100 TB you do not re-scan raw events for every dashboard query: a
+scheduled job folds the raw stream into an hourly rollup table (orders of
+magnitude smaller), and coarser granularities (day, month) re-aggregate
+the rollup, never the raw data.
+
+The design contract is **mergeability**: the rollup stores only aggregates
+that compose associatively — count, sum, min, max (and HLL sketches for
+distincts). Averages are NEVER stored; they are derived (sum/count) at
+query time, because an avg of avgs is wrong under uneven bucket sizes.
+The pytest/oracle checks pin exactly that: daily answers derived from the
+hourly rollup must equal direct aggregation over raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Mergeable aggregate columns carried by every rollup level.
+_MERGEABLE = ("n_events", "sum_value", "min_value", "max_value")
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Fold raw events into the hour × event_type rollup (mergeable aggs).
+
+    One shuffle on (hour, event_type) with map-side partial aggregation;
+    the output is what a scheduled materialization job would append to the
+    rollup table, partitioned by date at scale.
+    """
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def materialize_hourly(events: DataFrame, path: str) -> None:
+    """Land the hourly rollup as a date-partitioned parquet table."""
+    (
+        hourly_rollup(events)
+        .withColumn("d", F.to_date("hour"))
+        .repartition("d")
+        .write.mode("overwrite")
+        .partitionBy("d")
+        .parquet(path)
+    )
+
+
+def reaggregate(rollup: DataFrame, granularity: str = "day") -> DataFrame:
+    """Coarser granularity FROM the rollup — raw data is never touched.
+
+    count/sum/min/max merge associatively across the finer buckets;
+    avg_value is derived from merged sum/count (never averaged averages).
+    """
+    return (
+        rollup.groupBy(
+            F.date_trunc(granularity, F.col("hour")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn(
+            "avg_value", F.col("sum_value") / F.col("n_events")
+        )
+    )

@@ -742,3 +742,56 @@ def x21_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# x22 — materialized rollup (continuous aggregate): raw events fold into
+# an hourly rollup table on disk; DAILY answers re-aggregate the rollup,
+# never the raw data. The oracle aggregates raw events directly, so a
+# match proves the mergeable-aggregate contract end-to-end (sums of sums,
+# min of mins, avg derived from merged sum/count — never avg of avgs).
+# --------------------------------------------------------------------------
+@register(
+    "x22_rollup_daily",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*)                        AS n_events,
+           round(sum(value), 2)            AS sum_value,
+           min(value)                      AS min_value,
+           max(value)                      AS max_value,
+           -- derived avg in INTEGER domain (1e-4 units): float division of
+           -- a 2-decimal sum can land exactly on a .5 rounding boundary,
+           -- where Spark (decimal HALF_UP) and DuckDB (binary) disagree
+           CAST(round(round(sum(value), 2) * 100) AS BIGINT) * 100
+               // count(*)                 AS avg_1e4
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    doc="daily stats from a materialized hourly rollup == direct aggregation",
+)
+def x22_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.rollup import materialize_hourly, reaggregate
+
+    e = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="x22_") + "/rollup"
+    materialize_hourly(e, path)
+    daily = reaggregate(spark.read.parquet(path), "day")
+    return (
+        daily.select(
+            F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+            "min_value",
+            "max_value",
+            F.expr(
+                "CAST(round(round(sum_value, 2) * 100) AS BIGINT) * 100"
+                " div n_events"
+            ).alias("avg_1e4"),
+        )
+        .orderBy("day", "event_type")
+    )

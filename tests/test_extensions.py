@@ -140,6 +140,53 @@ def test_decode_real_is_explicit_stub():
         decode_real_features("image", b"\x89PNG")
 
 
+def test_rollup_mergeability(spark, tmp_path):
+    """Daily/monthly answers derived from the materialized hourly rollup
+    must equal direct aggregation over raw events (the mergeable-aggregate
+    contract: sums of sums, min of mins, avg from merged sum/count)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.rollup import (
+        materialize_hourly,
+        reaggregate,
+    )
+
+    e = load_table(spark, SF, "events")
+    path = str(tmp_path / "rollup")
+    materialize_hourly(e, path)
+    hourly = spark.read.parquet(path)
+
+    for gran in ("day", "month"):
+        from_rollup = {
+            (r["bucket"], r["event_type"]): (
+                r["n_events"],
+                round(r["sum_value"], 6),
+                r["min_value"],
+                r["max_value"],
+                round(r["avg_value"], 6),
+            )
+            for r in reaggregate(hourly, gran).collect()
+        }
+        direct = {
+            (r["b"], r["event_type"]): (
+                r["n"],
+                round(r["s"], 6),
+                r["mn"],
+                r["mx"],
+                round(r["s"] / r["n"], 6),
+            )
+            for r in e.groupBy(
+                F.date_trunc(gran, F.col("ts")).alias("b"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("s"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        assert from_rollup == direct
+
+
 def test_hash_split_is_stable_and_dup_safe(spark):
     from lambda_kafka_to_s3_parquet_spark.functions.splits import assign_split
 
