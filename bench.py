@@ -55,6 +55,7 @@ HEADLINE = [
     "x19_asof_join",
     "x20_interval_join",
     "x21_hash_split",
+    "x22_rollup_daily",
     # event-time windows
     "w01_tumbling_window",
     "w03_session_window",

@@ -121,3 +121,34 @@ def rolling_hash(col: Column | str, mod: int = 1_000_000_007, mult: int = 31) ->
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * mult + F.ascii(c)) % F.lit(mod),
     )
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    """Raw whitespace tokenization (no lowercasing/stripping)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-style LLM token-count estimate, engine-replicable.
+
+    Real BPE needs a merges table; the standard estimation heuristic —
+    alphanumeric runs contribute ~1 subword per 4 characters (the
+    empirical English BPE average), every punctuation character is its
+    own token — tracks real tokenizer counts closely enough for corpus
+    budgeting, and is exact integer arithmetic both in Spark and in the
+    DuckDB oracle. Whitespace contributes nothing.
+    """
+    clean = F.filter(
+        F.transform(
+            F.split(col, r"\s+"),
+            lambda w: F.regexp_replace(w, "[^a-zA-Z0-9]", ""),
+        ),
+        lambda w: w != "",
+    )
+    word_tokens = F.aggregate(
+        clean,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("long"),
+    )
+    punct_tokens = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
+    return (word_tokens + punct_tokens).cast("long")

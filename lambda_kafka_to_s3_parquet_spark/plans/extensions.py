@@ -795,3 +795,39 @@ def x22_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x23 — LLM token budgeting: whitespace token counts + a BPE-style
+# subword estimate (~4 chars/token for alnum runs, 1 per punctuation
+# char) per document, corpus totals per split-relevant bucket. Pure
+# per-row integer arithmetic — identical formula in the DuckDB oracle.
+# --------------------------------------------------------------------------
+@register(
+    "x23_token_budget",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w != ''))
+                AS BIGINT)                                        AS n_ws_tokens,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                + coalesce(list_sum(list_transform(
+                    list_filter(list_transform(
+                      string_split_regex(text, '\s+'),
+                      w -> regexp_replace(w, '[^a-zA-Z0-9]', '', 'g')),
+                      w -> w != ''),
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                AS BIGINT)                                        AS est_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="whitespace + BPE-ish-regex token counting per document",
+)
+def x23_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_token_estimate, whitespace_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(whitespace_tokens("text")).cast("bigint").alias("n_ws_tokens"),
+        bpe_token_estimate("text").alias("est_bpe_tokens"),
+    ).orderBy("doc_id")
