@@ -64,6 +64,57 @@ def test_asof_tolerance_ages_out(spark):
     assert out["d"]["asof_price"] is None
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized equivalence with pandas merge_asof (backward, inclusive)
+    — the canonical as-of semantics — across keys, ties, and no-match
+    rows. Seeded trials instead of hypothesis: each case is a Spark job."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    for _ in range(3):
+        nl, nr = 300, 200
+        left = pd.DataFrame(
+            {
+                "k": rng.randint(0, 8, nl),
+                "t": pd.to_datetime(rng.randint(0, 10_000, nl), unit="s"),
+                "lid": np.arange(nl),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.randint(0, 8, nr),
+                "rt": pd.to_datetime(rng.randint(0, 10_000, nr), unit="s"),
+                "price": rng.rand(nr).round(6),
+            }
+        ).drop_duplicates(subset=["k", "rt"], keep="first")
+
+        expected = pd.merge_asof(
+            left.sort_values(["t", "lid"]),
+            right.sort_values("rt"),
+            left_on="t",
+            right_on="rt",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.price) else float(r.price))
+            for r in expected.itertuples()
+        }
+
+        got_df = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            "k",
+            "t",
+            "rt",
+            right_cols=["rt", "price"],
+        )
+        got = {int(r["lid"]): r["asof_price"] for r in got_df.collect()}
+        assert got == want
+
+
 def test_asof_single_exchange_plan(spark):
     """The operator must shuffle once on the key — union + one window,
     no join node, no range explosion."""
