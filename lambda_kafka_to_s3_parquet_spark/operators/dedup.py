@@ -196,3 +196,63 @@ def simhash_table(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures via popcount(XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Near-dup PAIRS are not enough to deduplicate a corpus — transitive
+    groups must collapse to one survivor (A~B, B~C => {A,B,C} is ONE
+    cluster even if A,C were never compared). Components give each node
+    the minimum reachable id as its cluster label.
+
+    Iteration: every node adopts ``min(own label, neighbors' labels)``
+    until a fixpoint — one shuffle (groupBy node) per round, converging in
+    O(graph diameter) rounds. Dup clusters are small and dense (diameter
+    ≤ ~3), so a handful of rounds suffice; ``localCheckpoint`` breaks the
+    growing lineage each round, and the convergence check doubles as the
+    materializing action. For web-scale graphs with long chains swap the
+    propagation step for the large-star/small-star contraction, which
+    converges in O(log n) rounds with the same per-round shape.
+
+    Returns (node, component) for every node with at least one edge.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh.withColumnRenamed("a", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("new_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -831,3 +831,60 @@ def x23_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(whitespace_tokens("text")).cast("bigint").alias("n_ws_tokens"),
         bpe_token_estimate("text").alias("est_bpe_tokens"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x24 — near-dup CLUSTERS: pairs alone can't dedup a corpus (A~B, B~C
+# must collapse to one cluster even when A,C were never compared).
+# Spark side: x07's LSH-verified pairs -> iterative min-label-propagation
+# connected components. Oracle: the same exact pair set + a RECURSIVE CTE
+# computing min reachable id — two independent CC algorithms.
+# --------------------------------------------------------------------------
+@register(
+    "x24_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM tok),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sh x ON x.doc_id = doc_a
+      JOIN sh y ON y.doc_id = doc_b
+      WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE
+            / len(list_distinct(x.sh || y.sh)), 6) >= 0.8),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+    comp AS (SELECT node AS doc_id, min(label) AS component
+             FROM reach GROUP BY node)
+    SELECT component,
+           count(*)      AS n_members,
+           min(doc_id)   AS min_doc,
+           max(doc_id)   AS max_doc
+    FROM comp
+    GROUP BY component
+    ORDER BY component
+    """,
+    doc="near-dup clusters: LSH pairs -> label-propagation CC vs recursive-CTE oracle",
+)
+def x24_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("min_doc"),
+            F.max("node").alias("max_doc"),
+        )
+        .orderBy("component")
+    )

@@ -140,6 +140,25 @@ def test_decode_real_is_explicit_stub():
         decode_real_features("image", b"\x89PNG")
 
 
+def test_connected_components_semantics(spark):
+    """Chains collapse transitively, disjoint groups stay apart, and the
+    component label is the minimum member id."""
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),   # 4-chain: diameter > 1 forces >1 round
+            (10, 11),                 # isolated pair
+            (20, 21), (21, 22), (20, 22),  # triangle
+        ],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_rollup_mergeability(spark, tmp_path):
     """Daily/monthly answers derived from the materialized hourly rollup
     must equal direct aggregation over raw events (the mergeable-aggregate
