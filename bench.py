@@ -56,6 +56,7 @@ HEADLINE = [
     "x20_interval_join",
     "x21_hash_split",
     "x22_rollup_daily",
+    "x25_decontaminate",
     # event-time windows
     "w01_tumbling_window",
     "w03_session_window",

@@ -888,3 +888,63 @@ def x24_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# --------------------------------------------------------------------------
+# x25 — benchmark decontamination: which TRAIN-split docs share word
+# n-grams with any TEST-split doc? (Exact dupes can't straddle the
+# content-hash split, but near-dupes can — exactly the leak this catches.)
+# Shape: explode shingles on both sides, equi-join on the shingle — a
+# key-partitioned shuffle join, never corpus × corpus. At 100 TB the same
+# plan holds with longer n-grams (13 is customary, making grams
+# near-unique) plus a document-frequency cap that drops stop-phrases
+# before the join (skew + noise control).
+# --------------------------------------------------------------------------
+@register(
+    "x25_decontaminate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id,
+                        {_SQL_TOKENS} AS tok,
+                        ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 AS b
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN b < 80 THEN 'train'
+                       WHEN b < 90 THEN 'val'
+                       ELSE 'test' END AS split,
+                  unnest({_SQL_SHINGLES3}) AS shingle
+           FROM tok)
+    SELECT t.doc_id                     AS train_doc,
+           count(DISTINCT t.shingle)    AS n_shared_shingles,
+           count(DISTINCT te.doc_id)    AS n_test_docs
+    FROM (SELECT * FROM sh WHERE split = 'train') t
+    JOIN (SELECT * FROM sh WHERE split = 'test') te
+      ON t.shingle = te.shingle
+    GROUP BY t.doc_id
+    ORDER BY train_doc
+    """,
+    doc="n-gram decontamination: train docs sharing shingles with the test split",
+)
+def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.splits import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        assign_split("text").alias("split"),
+        F.explode(word_shingles(tokens("text"), 3)).alias("shingle"),
+    )
+    train = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    test = sh.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    return (
+        train.join(test, "shingle")
+        .groupBy("train_doc")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("test_doc").alias("n_test_docs"),
+        )
+        .orderBy("train_doc")
+    )
