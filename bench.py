@@ -31,17 +31,15 @@ HEADLINE = [
     "q05_nation_revenue",
     "q06_revenue_forecast",
     "q07_top_customers_per_nation",
-    "q08_running_totals",
+    "q08_running_totals",  # incl. former q28 lag-gap in the same Window node
     "q09_distinct_agg",
-    "q10_rollup",
+    "q10_grouping_sets",  # ROLLUP + CUBE (former q10_rollup + q22_cube)
     "q15_json_extract",
     "q16_array_stats",
     "q21_percentiles",
-    "q22_cube",
     "q26_left_outer_customers",
     "q27_full_outer_dates",
-    "q28_order_gaps",
-    "q30_exists_subqueries",
+    "q30_subqueries",
     # LLM-pipeline extensions
     "x01_exact_dedup_docs",
     "x02_cdc_latest_event",
@@ -56,10 +54,13 @@ HEADLINE = [
     "x20_interval_join",
     "x21_hash_split",
     "x22_rollup_daily",
+    "x23_token_budget",
+    "x24_dup_clusters",
     "x25_decontaminate",
-    # event-time windows
+    # event-time windows + stateful streaming
     "w01_tumbling_window",
     "w03_session_window",
+    "w05_stateful_user_profiles",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
     # synthesized 20k-record Confluent batch through the full decode stage

@@ -22,6 +22,8 @@ are the north-star extension of that into real data dedup.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -160,30 +162,39 @@ def near_dup_pairs(
 
 
 def simhash_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
-    """(id, simhash) — 64-bit SimHash per document, fully JVM-side.
+    """(id, simhash) — SimHash per document, fully JVM-side.
 
     Classic Charikar construction: each token votes ±1 on every bit of its
-    xxhash64; output bit j is 1 iff the summed vote is positive. Plan:
-    explode tokens → one groupBy(id) computing 64 vote sums as independent
+    hash; output bit j is 1 iff the summed vote is positive. Plan: explode
+    tokens → one groupBy(id) computing ``bits`` vote sums as independent
     conditional aggregates (map-side partial aggregation makes the shuffle
-    carry 64 longs per doc, not the tokens) → per-row bit packing.
+    carry ``bits`` longs per doc, not the tokens) → per-row bit packing.
     Documents with zero tokens produce no row (no signal to hash).
+
+    Defaults are the production variant: 64 bits over ``xxhash64``. The
+    oracle-checked registry entry (x08) passes ``bits=30,
+    token_hash=rolling_hash`` — the same construction over the portable
+    Rabin-Karp hash, reproducible in any engine.
     """
     tokh = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", token_hash(F.col("t")))
     votes = tokh.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{j}")
-            for j in range(64)
+            for j in range(bits)
         ]
     )
     sig = None
-    for j in range(64):
+    for j in range(bits):
         # bit 63 set == Long.MIN_VALUE in two's complement
         bit_val = (1 << j) if j < 63 else -(1 << 63)
         term = F.when(F.col(f"v{j}") > 0, F.lit(bit_val).cast("bigint")).otherwise(

@@ -43,7 +43,19 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 
 def all_specs() -> dict[str, QuerySpec]:
+    """Registry in driver-exposure order: oracle-checkable queries first.
+
+    The driver verifies a bounded window of registered queries (round 2:
+    exactly the first 50), so exposure order is part of the contract:
+    every query with a DuckDB oracle registers ahead of the rows-only
+    ones (Avro/streaming side-effect pipelines, approximate-recall ANN),
+    guaranteeing the strong row+schema+value-hash checks land on every
+    oracle-bearing operator before any slot is spent on a weaker check.
+    Within each class, module registration order is preserved.
+    """
     # Import side-effect modules that populate REGISTRY.
     from . import relational, extensions, ingest, streaming_queries  # noqa: F401
 
-    return REGISTRY
+    ordered = {n: s for n, s in REGISTRY.items() if s.oracle is not None}
+    ordered.update({n: s for n, s in REGISTRY.items() if s.oracle is None})
+    return ordered

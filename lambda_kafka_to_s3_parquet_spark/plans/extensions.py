@@ -231,32 +231,57 @@ def x05_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x06 — document fingerprinting: md5 of normalized text; group stats per
-# fingerprint (near-exact dup detection via normalization).
+# x06 — document fingerprinting, both algorithms union-tagged
+# (consolidates former x15_rolling_fingerprint): md5 of normalized text
+# (near-exact dup detection via normalization) and the Rabin-Karp
+# polynomial rolling hash — a char fold any engine reproduces, proven by
+# the DuckDB twin computing the identical fold. Each branch is one narrow
+# scan + one groupBy(fp) shuffle; the union is append-only.
 # --------------------------------------------------------------------------
 @register(
-    "x06_fingerprint_groups",
+    "x06_fingerprints",
     oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+    SELECT 'md5_norm' AS algo,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
            count(*)    AS n_docs,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM documents
-    GROUP BY 1
-    ORDER BY fp
+    GROUP BY 2
+    UNION ALL
+    SELECT 'rabin_karp' AS algo, CAST(fp AS VARCHAR) AS fp,
+           count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM (
+      SELECT doc_id,
+             list_reduce(
+               [CAST(0 AS BIGINT)] ||
+               list_transform(list_filter(regexp_split_to_array(text, ''),
+                                          c -> c <> ''),
+                              c -> CAST(ascii(c) AS BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      FROM documents)
+    GROUP BY 2
+    ORDER BY algo, fp
     """,
-    doc="document fingerprint (md5 of normalized text) + group stats",
+    doc="document fingerprints: md5(normalized) + Rabin-Karp rolling hash, union-tagged",
 )
-def x06_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x06_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(fingerprint("text").alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
+
+    def groups(fp_col, algo: str) -> DataFrame:
+        return (
+            d.select(fp_col.cast("string").alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("first_doc"),
+                F.max("doc_id").alias("last_doc"),
+            )
+            .select(F.lit(algo).alias("algo"), "fp", "n_docs", "first_doc", "last_doc")
         )
+
+    return groups(fingerprint("text"), "md5_norm").unionByName(
+        groups(rolling_hash("text"), "rabin_karp")
     )
 
 
@@ -292,87 +317,54 @@ def x07_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x15 — rolling-hash (Rabin-Karp) document fingerprints: a polynomial char
-# fold that any engine can reproduce (unlike xxhash64), proven here by the
-# DuckDB twin computing the identical fold. Grouped to expose collision
-# groups like x06.
+# x08 — SimHash signatures per document, oracle-checked via the portable
+# hash: the registered query runs the SAME simhash_table operator as
+# production but with the Rabin-Karp rolling token hash (30 usable bits,
+# values < 2^30 — reproducible in any engine) instead of xxhash64, so the
+# DuckDB twin computes the identical Charikar construction bit-for-bit.
+# Production code keeps the full 64-bit xxhash64 variant (the default),
+# whose semantics are pinned by tests/test_extensions.py (identical text
+# => identical signature, near pairs at small hamming distance).
+# The former x09_ngram_jaccard_probe's exact-Jaccard kernel is exercised
+# (and oracle-checked) as x07's verification stage.
 # --------------------------------------------------------------------------
-@register(
-    "x15_rolling_fingerprint",
-    oracle="""
-    SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
-    FROM (
-      SELECT doc_id,
-             list_reduce(
-               [CAST(0 AS BIGINT)] ||
-               list_transform(list_filter(regexp_split_to_array(text, ''),
-                                          c -> c <> ''),
-                              c -> CAST(ascii(c) AS BIGINT)),
-               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-      FROM documents)
-    GROUP BY fp
-    ORDER BY fp
-    """,
-    doc="Rabin-Karp rolling-hash fingerprint, engine-agnostic (oracle computes same fold)",
+_SIMHASH_BITS = 30
+
+#: Per-token Rabin-Karp hash, identical to functions.text.rolling_hash.
+_SQL_TOKEN_RK = (
+    "list_reduce([CAST(0 AS BIGINT)] || "
+    "list_transform(list_filter(regexp_split_to_array(t, ''), c -> c <> ''), "
+    "c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)"
 )
-def x15_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", rolling_hash("text").alias("fp"))
-        .groupBy("fp")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+
+
+def _sql_simhash(bits: int) -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
     )
+    sig = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(bits))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents),
+    h AS (SELECT doc_id, {_SQL_TOKEN_RK} AS h FROM tok),
+    votes AS (SELECT doc_id,
+           {votes}
+           FROM h GROUP BY doc_id)
+    SELECT doc_id, {sig} AS simhash
+    FROM votes
+    ORDER BY doc_id
+    """
 
 
-# --------------------------------------------------------------------------
-# x08 — SimHash signatures (64-bit) per document. xxhash64-based, so no
-# cross-engine oracle; rows-only check here, semantics pinned by
-# tests/test_extensions.py (identical text => identical signature, near
-# pairs at small hamming distance).
-# --------------------------------------------------------------------------
 @register(
     "x08_simhash",
-    oracle=None,
-    doc="SimHash 64-bit document fingerprints (rows-only; pytest semantics)",
+    oracle=_sql_simhash(_SIMHASH_BITS),
+    doc="SimHash document fingerprints (portable-hash variant, oracle computes "
+    "the same Charikar construction; production default stays xxhash64/64-bit)",
 )
 def x08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return simhash_table(d)
-
-
-# --------------------------------------------------------------------------
-# x09 — n-gram Jaccard similarity over a bounded probe set (all pairs among
-# the first 40 docs). Demonstrates the exact pairwise kernel; production
-# scale uses x07's LSH bucketing to bound the pair count instead.
-# --------------------------------------------------------------------------
-@register(
-    "x09_ngram_jaccard_probe",
-    oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, {_SQL_SHINGLES3} AS sh
-      FROM (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents WHERE doc_id < 40)
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    ORDER BY doc_a, doc_b
-    """,
-    doc="exact n-gram Jaccard over a bounded probe set",
-)
-def x09_ngram_jaccard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    sh = d.select("doc_id", word_shingles(tokens("text"), 3).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b"))
-    )
-    return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return simhash_table(d, bits=_SIMHASH_BITS, token_hash=rolling_hash)
 
 
 # --------------------------------------------------------------------------
@@ -461,7 +453,10 @@ def x12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --------------------------------------------------------------------------
 # x13 — multimodal media frame: binary payload + typed metadata; grouped
-# stats prove checksum/byte plumbing end-to-end against the oracle.
+# stats prove checksum/byte plumbing end-to-end against the oracle, and
+# (consolidating former x18_media_resize) the stubbed resize stage runs
+# through the real Arrow mapInPandas path with its size invariants
+# (fixed 16x16-byte output, kept-byte totals) checked in the same result.
 # --------------------------------------------------------------------------
 @register(
     "x13_media_stats",
@@ -471,7 +466,10 @@ def x12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            count(DISTINCT checksum)     AS n_distinct_payloads,
            min(n_bytes)                 AS min_bytes,
-           max(n_bytes)                 AS max_bytes
+           max(n_bytes)                 AS max_bytes,
+           CAST(min(256) AS BIGINT)     AS min_resized,
+           CAST(max(256) AS BIGINT)     AS max_resized,
+           CAST(sum(least(n_bytes, 256)) AS BIGINT) AS kept_bytes
     FROM (
       SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                              ELSE 'video' END       AS media_type,
@@ -481,21 +479,31 @@ def x12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     GROUP BY media_type
     ORDER BY media_type
     """,
-    doc="multimodal binary columns: payload bytes + checksum metadata stats",
+    doc="multimodal binary columns: payload/checksum metadata stats + resize-stub "
+    "size invariants through the Arrow batch path",
 )
 def x13_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_media
+
     m = media_frame(_t(spark, sf_dir, "documents"))
-    return (
-        m.groupBy("media_type")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.countDistinct("checksum").alias("n_distinct_payloads"),
-            F.min("n_bytes").alias("min_bytes"),
-            F.max("n_bytes").alias("max_bytes"),
-        )
-        .orderBy("media_type")
+    stats = m.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("checksum").alias("n_distinct_payloads"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
     )
+    resized = (
+        resize_media(m, width=16, height=16)
+        .join(m.select("media_id", "n_bytes"), "media_id")
+        .groupBy("media_type")
+        .agg(
+            F.min("n_bytes_out").alias("min_resized"),
+            F.max("n_bytes_out").alias("max_resized"),
+            F.sum(F.least(F.col("n_bytes"), F.lit(256))).alias("kept_bytes"),
+        )
+    )
+    return stats.join(resized, "media_type").orderBy("media_type")
 
 
 # --------------------------------------------------------------------------
@@ -549,46 +557,6 @@ def x17_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("frame_bytes").alias("last_frame_bytes"),
         )
         .orderBy("media_id")
-    )
-
-
-# --------------------------------------------------------------------------
-# x18 — stubbed resize: binary in -> fixed-size binary out through the
-# Arrow batch path. Output size is the contract (truncate/pad to w*h), so
-# the byte-size invariants are oracle-checked; exact byte content is
-# pinned in tests/test_extensions.py.
-# --------------------------------------------------------------------------
-@register(
-    "x18_media_resize",
-    oracle="""
-    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                           ELSE 'video' END AS media_type,
-           count(*)                         AS n_items,
-           CAST(min(256) AS BIGINT)         AS min_out,
-           CAST(max(256) AS BIGINT)         AS max_out,
-           CAST(sum(least(octet_length(encode(text)), 256)) AS BIGINT)
-                                            AS kept_bytes
-    FROM documents
-    GROUP BY 1
-    ORDER BY media_type
-    """,
-    doc="resize stub (truncate/pad to 16x16 bytes) size invariants, oracle-checked",
-)
-def x18_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import resize_media
-
-    m = media_frame(_t(spark, sf_dir, "documents"))
-    r = resize_media(m, width=16, height=16)
-    return (
-        r.join(m.select("media_id", "n_bytes"), "media_id")
-        .groupBy("media_type")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.min("n_bytes_out").alias("min_out"),
-            F.max("n_bytes_out").alias("max_out"),
-            F.sum(F.least(F.col("n_bytes"), F.lit(256))).alias("kept_bytes"),
-        )
-        .orderBy("media_type")
     )
 
 

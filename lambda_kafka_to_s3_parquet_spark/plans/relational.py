@@ -309,7 +309,12 @@ def q07_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q08 — analytic window with a running frame (cumulative revenue).
+# q08 — analytic windows over one pass: cumulative revenue (running frame)
+# + lag() gap days since the customer's previous order. Both window
+# expressions share partition (o_custkey) and order (o_orderdate,
+# o_orderkey), so Catalyst evaluates them in a SINGLE Window node — one
+# shuffle + one sort for what used to be two registered full-table scans
+# (consolidates former q28_order_gaps).
 # --------------------------------------------------------------------------
 @register(
     "q08_running_totals",
@@ -318,24 +323,28 @@ def q07_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            round(sum(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
+           CAST(datediff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
     FROM orders
     ORDER BY o_custkey, o_orderkey
     """,
-    doc="cumulative sum window frame",
+    doc="cumulative-sum frame + lag gap in one Window node",
 )
 def q08_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("run_total"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(wo))
+        .cast("bigint")
+        .alias("days_since_prev"),
     )  # no trailing global sort — it would re-shuffle the whole table for nothing
 
 
@@ -372,34 +381,60 @@ def q09_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q10 — ROLLUP grouping sets.
+# q10 — grouping sets, both flavors in one result: ROLLUP over lineitem
+# (hierarchical subtotals) UNION ALL CUBE over orders (every subtotal
+# combination), tagged by src (consolidates former q22_cube). Each branch
+# is a single grouping-sets aggregate; the union is append-only (no extra
+# shuffle beyond the two aggregations).
 # --------------------------------------------------------------------------
 @register(
-    "q10_rollup",
+    "q10_grouping_sets",
     oracle="""
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
+    SELECT 'rollup_lineitem' AS src,
+           coalesce(l_returnflag, 'ALL') AS k1,
+           coalesce(l_linestatus, 'ALL') AS k2,
            count(*)                      AS n,
-           round(sum(l_quantity), 2)     AS sum_qty
+           round(sum(l_quantity), 2)     AS agg_val
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY returnflag, linestatus
+    UNION ALL
+    SELECT 'cube_orders' AS src,
+           coalesce(o_orderstatus, 'ALL')   AS k1,
+           coalesce(o_orderpriority, 'ALL') AS k2,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 2)      AS agg_val
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY src, k1, k2
     """,
-    doc="rollup grouping sets with subtotal rows",
+    doc="ROLLUP (lineitem) + CUBE (orders) grouping sets, union-tagged",
 )
-def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    o = _t(spark, sf_dir, "orders")
+    roll = (
         l.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("agg_val"))
         .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.lit("rollup_lineitem").alias("src"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("k1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("k2"),
             "n",
-            "sum_qty",
+            "agg_val",
         )
-        .orderBy("returnflag", "linestatus")
     )
+    cub = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("agg_val"))
+        .select(
+            F.lit("cube_orders").alias("src"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
+            "n",
+            "agg_val",
+        )
+    )
+    return roll.unionByName(cub).orderBy("src", "k1", "k2")
 
 
 # --------------------------------------------------------------------------
@@ -502,29 +537,49 @@ def q13_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q14 — date bucketing (year/month extraction).
+# q14 — date function family in one aggregate: year/month bucketing plus
+# per-row datediff/add_months/last_day/dayofweek arithmetic folded into
+# the monthly groups (consolidates former q23_date_arith). Within a
+# (year, month) group add_months/last_day are constant, so min() recovers
+# the per-row value while keeping one narrow scan + one shuffle.
 # --------------------------------------------------------------------------
 @register(
-    "q14_date_buckets",
+    "q14_date_functions",
     oracle="""
     SELECT CAST(year(o_orderdate) AS BIGINT)  AS y,
            CAST(month(o_orderdate) AS BIGINT) AS m,
            count(*)                           AS n_orders,
-           count(DISTINCT o_custkey)          AS n_customers
+           count(DISTINCT o_custkey)          AS n_customers,
+           CAST(max(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                              o_orderdate)) AS BIGINT)               AS max_days_since,
+           min(strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m'))    AS plus_3_months,
+           min(strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')) AS month_end,
+           count(DISTINCT dayofweek(o_orderdate))                    AS n_weekdays
     FROM orders
     GROUP BY 1, 2
     ORDER BY y, m
     """,
-    doc="year/month extraction + grouped counts",
+    doc="year/month buckets + datediff/add_months/last_day/dayofweek in-group",
 )
-def q14_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy(
             F.year("o_orderdate").cast("bigint").alias("y"),
             F.month("o_orderdate").cast("bigint").alias("m"),
         )
-        .agg(F.count("*").alias("n_orders"), F.countDistinct("o_custkey").alias("n_customers"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.max(F.datediff("o_orderdate", F.lit("1995-01-01")))
+            .cast("bigint")
+            .alias("max_days_since"),
+            F.min(F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM")).alias(
+                "plus_3_months"
+            ),
+            F.min(F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd")).alias("month_end"),
+            F.countDistinct(F.dayofweek("o_orderdate")).alias("n_weekdays"),
+        )
         .orderBy("y", "m")
     )
 
@@ -736,69 +791,6 @@ def q21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q22 — CUBE grouping sets (all 4 subtotal combinations).
-# --------------------------------------------------------------------------
-@register(
-    "q22_cube",
-    oracle="""
-    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
-           coalesce(o_orderpriority, 'ALL') AS priority,
-           count(*)                         AS n,
-           round(sum(o_totalprice), 2)      AS total
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY status, priority
-    """,
-    doc="CUBE grouping sets: every subtotal combination",
-)
-def q22_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "n",
-            "total",
-        )
-        .orderBy("status", "priority")
-    )
-
-
-# --------------------------------------------------------------------------
-# q23 — date/interval arithmetic family (datediff, add_months, last_day,
-# weekday), exercised per-row on orders.
-# --------------------------------------------------------------------------
-@register(
-    "q23_date_arith",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
-                          o_orderdate) AS BIGINT)                     AS days_since_epoch_start,
-           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')       AS plus_3_months,
-           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')  AS month_end,
-           CAST(dayofweek(o_orderdate) + 1 AS BIGINT)                 AS weekday
-    FROM orders
-    WHERE o_orderkey % 10 = 0
-    ORDER BY o_orderkey
-    """,
-    doc="datediff/add_months/last_day/dayofweek arithmetic",
-)
-def q23_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    return o.select(
-        "o_orderkey",
-        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("bigint").alias(
-            "days_since_epoch_start"
-        ),
-        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3_months"),
-        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
-        F.dayofweek("o_orderdate").cast("bigint").alias("weekday"),
-    )
-
-
-# --------------------------------------------------------------------------
 # q24 — salted join: hot-key-proof shuffle join, provably identical output
 # to the plain join (the oracle IS the plain join). See operators/skew.py.
 # --------------------------------------------------------------------------
@@ -956,34 +948,6 @@ def q27_full_outer_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q28 — lag(): days since the customer's previous order. One shuffle on
-# o_custkey; integer day arithmetic, so no float tolerance needed.
-# --------------------------------------------------------------------------
-@register(
-    "q28_order_gaps",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(datediff('day',
-                lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                       ORDER BY o_orderdate, o_orderkey),
-                o_orderdate) AS BIGINT) AS days_since_prev
-    FROM orders
-    """,
-    doc="lag window: per-customer gap days between consecutive orders",
-)
-def q28_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    prev = F.lag("o_orderdate").over(w)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
-    )
-
-
-# --------------------------------------------------------------------------
 # q29 — ntile(): acctbal quartiles per nation. Deterministic because the
 # window order (acctbal, custkey) is a total order.
 # --------------------------------------------------------------------------
@@ -1021,11 +985,18 @@ def q29_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q30 — correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst
-# rewrites them to semi/anti joins (same plans q04/q19 build explicitly).
+# q30 — subquery surface in one SQL text (consolidates former
+# q31_scalar_subquery): correlated EXISTS / NOT EXISTS (Catalyst rewrites
+# to semi/anti joins — same plans q04/q19 build explicitly) plus an
+# uncorrelated scalar subquery (global average computed once, single-row
+# broadcast). The scalar boundary is rounded identically on both engines
+# so last-ulp summation differences cannot flip membership (q17's guard).
 # --------------------------------------------------------------------------
 _Q30_SQL = """
-    SELECT p.p_brand, count(*) AS n_parts
+    SELECT p.p_brand, count(*) AS n_parts,
+           CAST(sum(CASE WHEN p.p_retailprice >
+                         (SELECT round(avg(p_retailprice), 2) FROM part)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
     FROM part p
     WHERE EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
@@ -1038,34 +1009,10 @@ _Q30_SQL = """
 
 
 @register(
-    "q30_exists_subqueries",
+    "q30_subqueries",
     oracle=_Q30_SQL,
-    doc="correlated EXISTS + NOT EXISTS (Catalyst semi/anti rewrite), shared SQL text",
+    doc="correlated EXISTS/NOT EXISTS (semi/anti rewrite) + scalar subquery, shared SQL text",
 )
-def q30_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("part", "lineitem"))
     return spark.sql(_Q30_SQL)
-
-
-# --------------------------------------------------------------------------
-# q31 — scalar subquery: global average computed once (single-row
-# broadcast), rounded identically on both engines so last-ulp summation
-# differences cannot flip membership (same guard as q17).
-# --------------------------------------------------------------------------
-_Q31_SQL = """
-    SELECT p_type, count(*) AS n
-    FROM part
-    WHERE p_retailprice > (SELECT round(avg(p_retailprice), 2) FROM part)
-    GROUP BY p_type
-    ORDER BY p_type
-"""
-
-
-@register(
-    "q31_scalar_subquery",
-    oracle=_Q31_SQL,
-    doc="scalar subquery threshold (rounded boundary), shared SQL text",
-)
-def q31_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_tables(spark, sf_dir, ("part",))
-    return spark.sql(_Q31_SQL)
