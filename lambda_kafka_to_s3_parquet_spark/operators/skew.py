@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def salt_column(n_salts: int) -> "F.Column":
+    """Per-row salt in [0, n_salts): xxhash64 of the row's physical
+    position (``monotonically_increasing_id`` = partition id << 33 +
+    in-partition ordinal). Independent of row CONTENT, so a hot key whose
+    rows are byte-identical duplicates still fans out over all salt
+    buckets (a content hash would collapse them into one — the round-2
+    skew bug). The salt value itself varies with physical partitioning
+    across runs; the join OUTPUT is identical regardless of salt
+    assignment, which is the determinism that matters.
+    """
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int")
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -34,16 +47,21 @@ def salted_join(
 ) -> DataFrame:
     """Inner/left join robust to hot keys on ``skewed``.
 
-    skewed side: each row gets a random-but-deterministic salt in
-    [0, n_salts) (hash of the full row's key + a row-local component —
-    here ``monotonically_increasing_id`` is avoided for determinism; the
-    salt derives from ``xxhash64`` of the key and a per-row ordinal column
-    if present, else a uniform spread via ``pmod(xxhash64(all columns))``).
-    other side: exploded ``n_salts`` times so every (key, salt) bucket
-    finds its match. Join output == plain join output, row-for-row.
+    skewed side: each row gets a position-derived salt in [0, n_salts)
+    (:func:`salt_column`); other side: exploded ``n_salts`` times so every
+    (key, salt) bucket finds its match. Join output == plain join output,
+    row-for-row.
+
+    Only ``inner`` and ``left`` are salt-safe: with right/full-outer the
+    explode would emit every unmatched ``other`` row once per salt —
+    silently duplicated results — so anything else raises.
     """
-    salt_src = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
-    lhs = skewed.withColumn("_salt", salt_src.cast("int"))
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): the "
+            "exploded side would duplicate unmatched rows under right/full joins"
+        )
+    lhs = skewed.withColumn("_salt", salt_column(n_salts))
     rhs = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )

@@ -28,16 +28,35 @@ def test_salted_join_equals_plain_join(spark):
 
 def test_salted_join_spreads_hot_key(spark):
     """A pathological hot key must land in multiple salt buckets."""
+    from lambda_kafka_to_s3_parquet_spark.operators.skew import salt_column
+
     hot = spark.range(10_000).select(F.lit(7).alias("k"), F.col("id").alias("payload"))
-    n_buckets = (
-        hot.withColumn(
-            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(8))
-        )
-        .select("_salt")
-        .distinct()
-        .count()
-    )
+    n_buckets = hot.withColumn("_salt", salt_column(8)).select("_salt").distinct().count()
     assert n_buckets == 8
+
+
+def test_salted_join_spreads_duplicate_row_hot_key(spark):
+    """Byte-identical duplicate rows of a hot key must STILL fan out (a
+    content-derived salt collapses them into one bucket — the skew bug this
+    guards against) and the join result must match the plain join."""
+    from lambda_kafka_to_s3_parquet_spark.operators.skew import salt_column
+
+    dup = spark.range(10_000).select(
+        F.lit(7).alias("k"), F.lit("same-payload").alias("payload")
+    )
+    n_buckets = dup.withColumn("_salt", salt_column(8)).select("_salt").distinct().count()
+    assert n_buckets == 8
+
+    dim = spark.range(3).select(F.lit(7).alias("k"), F.col("id").alias("dim_val"))
+    out = salted_join(dup, dim, "k", n_salts=8)
+    assert out.count() == 10_000 * 3
+    assert out.groupBy("dim_val").count().count() == 3
+
+
+def test_salted_join_rejects_unsafe_how(spark):
+    df = spark.range(4).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(df, df, "k", how="full_outer")
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
