@@ -187,21 +187,22 @@ def i04_cdc_latest_ratecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "i08_multi_topic_routing",
     oracle=None,
-    doc="multi-topic subscription routed into per-topic decodes with "
-    "different Avro schemas (configure_lambda_triggeres.sh:13-27 semantics)",
+    doc="full 12-subject catalog routed into per-topic decodes (golden "
+    "ratecard + the 11 CDC topics of configure_lambda_triggeres.sh:13-23), "
+    "each with its own Avro schema",
 )
 def i08_multi_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two topics, two Avro schemas, one source frame: route_by_topic fans
-    the shared scan into per-topic decode stages; the result reports each
-    topic's decoded record count and column width (schemas genuinely
-    differ), plus corruption counts (must be 0)."""
+    """The reference's whole subscription in one source frame: the golden
+    ratecard event plus synthesized batches for each of the 11 trigger-
+    script CDC topics, fanned by route_by_topic into per-topic decode
+    stages off the shared scan. The result reports each topic's decoded
+    record count and column width (schemas genuinely differ per entity),
+    plus corruption counts (must be 0)."""
     import base64 as b64
     import json
     import tempfile
 
     from ..sources.avro_codec import (
-        RATECARD_FIELDS,
-        AvroField,
         SchemaProvider,
         confluent_wrap,
         encode_avro_record,
@@ -209,35 +210,46 @@ def i08_multi_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources.kafka_replay import read_lambda_events
 
-    other_fields = (
-        AvroField("ORDER_ID", "long", True),
-        AvroField("AMOUNT", "double", True),
-        AvroField("SRC_KEY_VAL", "string", False),
-    )
-    provider = SchemaProvider(
-        {GOLDEN_TOPIC: (391, RATECARD_FIELDS), "orders_cdc": (77, other_fields)}
-    )
+    provider = SchemaProvider()  # full default catalog: ratecard + 11 CDC
     env = json.load(open(GOLDEN_EVENT))
-    env["records"]["orders_cdc-0"] = [
-        {
-            "topic": "orders_cdc",
-            "partition": 0,
-            "offset": i,
-            "timestamp": 1625877624954 + i,
-            "timestampType": "CREATE_TIME",
-            "key": b64.b64encode(str(i).encode()).decode(),
-            "value": b64.b64encode(
-                confluent_wrap(
-                    77,
-                    encode_avro_record(
-                        {"ORDER_ID": i, "AMOUNT": 0.5 + i, "SRC_KEY_VAL": str(i)},
-                        other_fields,
-                    ),
-                )
-            ).decode(),
-        }
-        for i in range(5)
-    ]
+    for topic in provider.topics():
+        if topic == GOLDEN_TOPIC:
+            continue  # golden event already carries the ratecard records
+        sid, fields = provider.schema_for(topic)
+        entity = topic.split("_", 1)[1].upper()
+        env["records"][f"{topic}-0"] = [
+            {
+                "topic": topic,
+                "partition": 0,
+                "offset": i,
+                "timestamp": 1625877624954 + i,
+                "timestampType": "CREATE_TIME",
+                "key": b64.b64encode(str(i).encode()).decode(),
+                "value": b64.b64encode(
+                    confluent_wrap(
+                        sid,
+                        encode_avro_record(
+                            {
+                                f"{entity}_ID": i,
+                                f"{entity}_NM": f"{entity}-{i}",
+                                "START_DT": "2021-01-01 00:00:00",
+                                "END_DT": "2021-12-31 23:59:59",
+                                "LAST_MODIFIED_BY": "loader",
+                                "LAST_MODIFIED_DT": "2021-07-09 00:00:00",
+                                "CNCRNCY_VRSN": i,
+                                "SRC_KEY_VAL": str(i),
+                                "SRC_CDC_OPER_NM": "INSERT",
+                                "SRC_COMMIT_DT_UTC": "2021-07-09 00:00:00",
+                                "TRG_CRT_DT_PART_UTC": "2021-07-09",
+                                "SRC_SCHEMA_NM": entity.split("_")[0],
+                            },
+                            fields,
+                        ),
+                    )
+                ).decode(),
+            }
+            for i in range(3)
+        ]
     fixture = tempfile.mktemp(prefix="i08_", suffix=".json")
     with open(fixture, "w") as f:
         json.dump(env, f)

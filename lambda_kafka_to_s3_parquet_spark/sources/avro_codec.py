@@ -171,6 +171,19 @@ def confluent_wrap(schema_id: int, body: bytes) -> bytes:
 #: from the reference's golden fixtures (FIXTURES.md §2): 14 nullable-union
 #: business fields followed by 5 non-null CDC metadata strings. Verified
 #: byte-exact against every record of sample_kafka_event.json.
+#: The 5 non-null CDC metadata strings every landed row carries (tail of
+#: the golden ratecard schema; shared by every CDC subject in the catalog).
+CDC_METADATA_FIELDS: tuple[AvroField, ...] = tuple(
+    AvroField(n, "string", False)
+    for n in (
+        "SRC_KEY_VAL",
+        "SRC_CDC_OPER_NM",
+        "SRC_COMMIT_DT_UTC",
+        "TRG_CRT_DT_PART_UTC",
+        "SRC_SCHEMA_NM",
+    )
+)
+
 RATECARD_FIELDS: tuple[AvroField, ...] = tuple(
     [AvroField(n, t, True) for n, t in [
         ("RATE_CARD_ID", "long"),
@@ -188,28 +201,71 @@ RATECARD_FIELDS: tuple[AvroField, ...] = tuple(
         ("EPSD_IMP_EST_FILE_TYP_ID", "long"),
         ("CNCRNCY_VRSN", "long"),
     ]]
-    + [AvroField(n, "string", False) for n in [
-        ("SRC_KEY_VAL"),
-        ("SRC_CDC_OPER_NM"),
-        ("SRC_COMMIT_DT_UTC"),
-        ("TRG_CRT_DT_PART_UTC"),
-        ("SRC_SCHEMA_NM"),
-    ]]
+    + list(CDC_METADATA_FIELDS)
 )
+
+#: The 11 CDC topics the reference registers as Lambda event sources
+#: (configure_lambda_triggeres.sh:13-23): the flight hierarchy + calendar
+#: entities of two source schemas plus flightdates.
+CDC_TOPICS: tuple[str, ...] = (
+    "lndcdcadsprpsl_flightyear",
+    "lndcdcadsprpsl_flightquarter",
+    "lndcdcadsprpsl_flightmonth",
+    "lndcdcadsprpsl_flightweek",
+    "lndcdcadsprpsl_flightday",
+    "lndcdcadsrtcrd_flightquarter",
+    "lndcdcadsprpsl_flightrange",
+    "lndcdcadsrtcrd_flightrange",
+    "lndcdcadsrtcrd_flight",
+    "lndcdcadsprpsl_flight",
+    "lndcdcncstcs_flightdates",
+)
+
+
+def flat_cdc_fields(topic: str) -> tuple[AvroField, ...]:
+    """Synthesized flat CDC value schema for one of the 11 catalog topics.
+
+    Only the ratecard subject ships golden data to recover a schema from;
+    the other subjects are modeled with the same shape every flat CDC row
+    in this pipeline follows — nullable business fields (entity id/name +
+    validity range + bookkeeping) then the 5 non-null CDC metadata strings
+    (FIXTURES.md; lambda_function.py:215-226 assumes exactly such flat
+    homogeneous rows).
+    """
+    entity = topic.split("_", 1)[1].upper()
+    return (
+        AvroField(f"{entity}_ID", "long", True),
+        AvroField(f"{entity}_NM", "string", True),
+        AvroField("START_DT", "string", True),
+        AvroField("END_DT", "string", True),
+        AvroField("LAST_MODIFIED_BY", "string", True),
+        AvroField("LAST_MODIFIED_DT", "string", True),
+        AvroField("CNCRNCY_VRSN", "long", True),
+    ) + CDC_METADATA_FIELDS
+
+
+#: Full default catalog: golden ratecard subject (id 391, recovered schema)
+#: + the 11 trigger-script topics with synthesized ids/schemas.
+DEFAULT_CATALOG: dict[str, tuple[int, tuple[AvroField, ...]]] = {
+    "lndcdcadsrtcrd_ratecard": (391, RATECARD_FIELDS),
+    **{t: (400 + i, flat_cdc_fields(t)) for i, t in enumerate(CDC_TOPICS)},
+}
 
 
 class SchemaProvider:
     """Memoized topic -> Avro schema resolution (the v2 cache tactic).
 
     Offline stand-in for a Confluent Schema Registry client: subjects are
-    named ``{topic}-value`` and resolved from a static catalog. The memo
-    dict mirrors the v2 handler's warm-container global; in this engine the
-    provider runs once on the driver and the resolved schema ships to
-    executors inside the serialized plan.
+    named ``{topic}-value`` and resolved from a static catalog (default:
+    the reference's full 12-subject catalog — golden ratecard + the 11
+    trigger-script CDC topics). The memo dict mirrors the v2 handler's
+    warm-container global; in this engine the provider runs once on the
+    driver and the resolved schema ships to executors inside the
+    serialized plan.
     """
 
     def __init__(self, catalog: dict[str, tuple[int, tuple[AvroField, ...]]] | None = None):
-        self._catalog = catalog or {"lndcdcadsrtcrd_ratecard": (391, RATECARD_FIELDS)}
+        self._catalog = catalog or DEFAULT_CATALOG
         self._memo: dict[str, tuple[int, tuple[AvroField, ...]]] = {}
         self.lookups = 0  # instrumentation: proves memoization in tests
 
@@ -232,14 +288,20 @@ class SchemaProvider:
 _META_COLS = ("topic", "partition", "offset", "kafka_ts", "key_decoded")
 
 
-def confluent_schema_id(value: Column | str) -> Column:
+def _as_col(value: Column | str) -> Column:
+    return F.col(value) if isinstance(value, str) else value
+
+
+def confluent_schema_id(value: Column | str = "value") -> Column:
     """Big-endian int32 at bytes 2-5 of the Confluent envelope (JVM-side)."""
-    return F.conv(F.hex(F.expr("substring(value, 2, 4)")), 16, 10).cast("int")
+    v = _as_col(value)
+    return F.conv(F.hex(F.substring(v, 2, 4)), 16, 10).cast("int")
 
 
 def confluent_body(value: Column | str = "value") -> Column:
     """Avro body after the 5-byte Confluent header (JVM-side substring)."""
-    return F.expr("substring(value, 6, length(value) - 5)")
+    v = _as_col(value)
+    return F.substring(v, F.lit(6), F.length(v) - 5)
 
 
 def key_cascade(key: Column | str = "key") -> Column:
@@ -247,19 +309,21 @@ def key_cascade(key: Column | str = "key") -> Column:
 
     Semantics of lambda_function.py:146-162 without per-record Python:
     printable utf-8 wins (integer strings stay strings), a 4-byte
-    non-printable key decodes as a big-endian int32 (IntegerDeserializer
-    branch), anything else falls back to its hex form (the engine's
-    normalization of the reference's raw-ascii fallback — everything is a
-    string column, never a mixed str|int type).
+    non-printable key decodes as a big-endian SIGNED int32 (the
+    IntegerDeserializer branch is signed: a key with the high bit set is
+    e.g. '-1', not '4294967295'), anything else falls back to its hex
+    form (the engine's normalization of the reference's raw-ascii
+    fallback — everything is a string column, never a mixed str|int type).
     """
-    k = F.col(key) if isinstance(key, str) else key
+    k = _as_col(key)
     s = k.cast("string")
     printable = s.rlike("^[\\x20-\\x7E]*$")
-    int4 = F.conv(F.hex(k), 16, 10)
+    uint4 = F.conv(F.hex(k), 16, 10).cast("bigint")
+    int4 = F.when(uint4 >= F.lit(1 << 31), uint4 - F.lit(1 << 32)).otherwise(uint4)
     return (
         F.when(k.isNull(), F.lit(None).cast("string"))
         .when(printable, s)
-        .when(F.length(k) == 4, int4)
+        .when(F.length(k) == 4, int4.cast("string"))
         .otherwise(F.hex(k))
     )
 
@@ -278,14 +342,70 @@ def decoded_schema(fields: tuple[AvroField, ...]) -> StructType:
     )
 
 
-def decode_stage(kafka_df: DataFrame, provider: SchemaProvider, topic: str) -> DataFrame:
+def avro_json_schema(fields: tuple[AvroField, ...], name: str = "Record") -> str:
+    """Avro JSON schema for a flat field list (feeds JVM ``from_avro``).
+
+    Nullable fields are the reference schema's ``["null", T]`` unions
+    (union-index prefix bytes in the wire data) with a null default.
+    """
+    import json
+
+    return json.dumps(
+        {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": f.name, "type": ["null", f.type], "default": None}
+                if f.nullable
+                else {"name": f.name, "type": f.type}
+                for f in fields
+            ],
+        }
+    )
+
+
+def jvm_from_avro_available(spark) -> bool:
+    """True when the spark-avro module's JVM classes are on the classpath.
+
+    ``pyspark.sql.avro.functions.from_avro`` always imports (it is a thin
+    py4j wrapper); what may be missing is the external spark-avro jar, so
+    the probe asks the Spark-side classloader for the expression class
+    itself. Resolved once per decode-stage build on the driver.
+    """
+    try:
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.spark.sql.avro.AvroDataToCatalyst", True, True
+        )
+        return True
+    except Exception:
+        return False
+
+
+def decode_stage(
+    kafka_df: DataFrame,
+    provider: SchemaProvider,
+    topic: str,
+    use_jvm: bool | None = None,
+) -> DataFrame:
     """Kafka-shaped DataFrame -> decoded rows (PERMISSIVE).
 
     Input needs ``topic/partition/offset/timestamp/key/value`` (the Kafka
-    source schema). The envelope is split JVM-side; only the Avro body
-    crosses into Python, in Arrow batches. Schema id mismatches and decode
-    failures land in ``_corrupt_record`` instead of raising.
+    source schema). The envelope is split JVM-side. The Avro body decode
+    dispatches on jar availability (``use_jvm=None`` probes once at plan
+    build):
+
+    * **JVM fast path** — ``pyspark.sql.avro.functions.from_avro`` over
+      the stripped body: whole plan stays in the JVM, no Python boundary.
+    * **Arrow fallback** — ``mapInPandas`` over the spec-derived Python
+      reader (this container lacks the spark-avro jar, so this is the
+      active path here; the throughput ceiling the JVM path removes).
+
+    Both paths produce the identical ``decoded_schema`` contract: schema
+    id mismatches and decode failures land in ``_corrupt_record`` instead
+    of raising.
     """
+    if use_jvm is None:
+        use_jvm = jvm_from_avro_available(kafka_df.sparkSession)
     expected_id, fields = provider.schema_for(topic)
     out_schema = decoded_schema(fields)
 
@@ -300,6 +420,27 @@ def decode_stage(kafka_df: DataFrame, provider: SchemaProvider, topic: str) -> D
         confluent_body("value").alias("body"),
         F.col("value").alias("raw"),
     )
+
+    if use_jvm:
+        from pyspark.sql.avro.functions import from_avro
+
+        rec = from_avro(F.col("body"), avro_json_schema(fields), {"mode": "PERMISSIVE"})
+        decoded = prepared.withColumn("rec", rec)
+        # PERMISSIVE from_avro nulls the whole struct on decode failure; a
+        # wrong schema id is corrupt even if the bytes happen to parse.
+        ok = (F.col("sid") == F.lit(expected_id)) & F.col("rec").isNotNull()
+        return decoded.select(
+            "topic",
+            "partition",
+            "offset",
+            "kafka_ts",
+            "key_decoded",
+            *[
+                F.when(ok, F.col(f"rec.{f.name}")).alias(f.name)
+                for f in fields
+            ],
+            F.when(~ok, F.col("raw")).alias("_corrupt_record"),
+        )
 
     field_names = [f.name for f in fields]
 

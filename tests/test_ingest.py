@@ -162,12 +162,14 @@ def test_key_cascade_branches(spark):
         (b"4",),                      # printable utf-8 digits -> "4"
         (b"hello",),                  # printable utf-8 -> itself
         (b"\x00\x00\x01\x87",),       # 4-byte BE int -> "391"
+        (b"\xff\xff\xff\xff",),       # 4-byte BE SIGNED int -> "-1", not 2^32-1
+        (b"\xff\xff\xfe\x00",),       # high bit set -> "-512"
         (b"\x00\x01",),               # non-printable, not 4 bytes -> hex
         (None,),                      # absent key -> null
     ]
     df = spark.createDataFrame(rows, "key binary")
     got = [r["k"] for r in df.select(key_cascade("key").alias("k")).collect()]
-    assert got == ["4", "hello", "391", "0001", None]
+    assert got == ["4", "hello", "391", "-1", "-512", "0001", None]
 
 
 def test_multi_topic_routing(spark, tmp_path):
@@ -241,3 +243,54 @@ def test_schema_provider_memoizes():
     assert p.lookups == 1
     assert sid == 391
     assert len(fields) == 19
+
+
+def test_jvm_from_avro_dispatch(spark):
+    """The decode stage dispatches on spark-avro jar availability; the Avro
+    JSON schema derives from RATECARD_FIELDS in order; when the JVM path is
+    available both paths must agree on the golden fixture byte-for-byte."""
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import (
+        avro_json_schema,
+        jvm_from_avro_available,
+    )
+
+    sch = json.loads(avro_json_schema(RATECARD_FIELDS))
+    assert sch["type"] == "record"
+    assert [f["name"] for f in sch["fields"]] == [f.name for f in RATECARD_FIELDS]
+    assert sch["fields"][0]["type"] == ["null", "long"]  # nullable union
+    assert sch["fields"][-1]["type"] == "string"  # non-null CDC metadata
+
+    kafka = read_lambda_events(spark, GOLDEN_EVENT)
+    py_rows = sorted(
+        decode_stage(kafka, SchemaProvider(), GOLDEN_TOPIC, use_jvm=False).collect(),
+        key=lambda r: (r["partition"], r["offset"]),
+    )
+    assert len(py_rows) == 16
+
+    if jvm_from_avro_available(spark):
+        jvm_rows = sorted(
+            decode_stage(kafka, SchemaProvider(), GOLDEN_TOPIC, use_jvm=True).collect(),
+            key=lambda r: (r["partition"], r["offset"]),
+        )
+        assert py_rows == jvm_rows
+    else:
+        # this container lacks the spark-avro jar: the default dispatch must
+        # fall back to the Arrow path and still decode the golden batch
+        assert decode_stage(kafka, SchemaProvider(), GOLDEN_TOPIC).count() == 16
+
+
+def test_full_catalog_routing(spark):
+    """The default catalog must model the reference's whole subscription:
+    golden ratecard + the 11 trigger-script CDC topics, all decoding with
+    0 corrupt records and genuinely different schema widths."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import CDC_TOPICS
+
+    assert len(CDC_TOPICS) == 11
+    rows = all_specs()["i08_multi_topic_routing"].fn(spark, "").collect()
+    assert len(rows) == 12
+    assert all(r["n_corrupt"] == 0 for r in rows)
+    assert sum(r["n_records"] for r in rows) == 16 + 11 * 3
+    widths = {r["topic"]: r["n_cols"] for r in rows}
+    # ratecard keeps the recovered 19-field golden schema (+5 meta +1 corrupt)
+    assert widths["lndcdcadsrtcrd_ratecard"] > widths["lndcdcadsprpsl_flightyear"]
