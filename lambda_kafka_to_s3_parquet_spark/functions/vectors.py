@@ -58,11 +58,18 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     vectors at angle θ share a given bit with probability 1 - θ/π — the
     SimHash/ANN bucketing primitive. ``planes`` are driver-side constants
     (deterministic seed), embedded as array literals so the signature is
-    computed entirely JVM-side.
+    computed entirely JVM-side. Up to 64 planes fit the BIGINT signature;
+    plane 63 contributes Long.MIN_VALUE (two's complement — ``1 << 63``
+    would overflow LongType under ANSI mode).
     """
+    if len(planes) > 64:
+        raise ValueError(f"at most 64 planes fit a 64-bit signature (got {len(planes)})")
     sig = F.lit(0).cast("bigint")
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(dot(vec, p) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sig = sig + (bit * F.lit(1 << j).cast("bigint"))
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        bit = F.when(dot(vec, p) >= 0, F.lit(bit_val).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = sig.bitwiseOR(bit)
     return sig

@@ -54,6 +54,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    kms_key_arn: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -94,7 +95,42 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # SSE-KMS parity knob (reference: USE_KMS + KMS key ARN env params).
+    kms = kms_key_arn or os.environ.get("SPARK_GRAFT_KMS_KEY_ARN")
+    if kms:
+        configure_encryption(spark, kms_key_arn=kms)
     return spark
+
+
+def configure_encryption(
+    spark: SparkSession,
+    kms_key_arn: str | None = None,
+    algorithm: str | None = None,
+) -> dict[str, str]:
+    """Server-side-encryption knob for s3a-landed output (SURVEY.md §2.6).
+
+    The reference encrypts uploads with SSE-KMS when USE_KMS is set
+    (lambda_function.py:96-105 passes ServerSideEncryption='aws:kms' +
+    SSEKMSKeyId to put_object; check_parquet.py:37-51 registers the same
+    key on the read path via fs.s3a.server-side-encryption* Hadoop conf).
+    Spark's equivalent is exactly those Hadoop confs on the session —
+    set once, applied by the s3a committer to every write and read.
+
+    With ``kms_key_arn`` the algorithm defaults to SSE-KMS; pass
+    ``algorithm='AES256'`` (and no key) for SSE-S3. Returns the conf dict
+    it applied (empty when encryption is off) so callers/tests can assert
+    what landed.
+    """
+    conf: dict[str, str] = {}
+    if kms_key_arn:
+        conf["fs.s3a.server-side-encryption-algorithm"] = algorithm or "SSE-KMS"
+        conf["fs.s3a.server-side-encryption.key"] = kms_key_arn
+    elif algorithm:
+        conf["fs.s3a.server-side-encryption-algorithm"] = algorithm
+    hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hadoop_conf.set(k, v)
+    return conf
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -286,3 +286,22 @@ def test_no_cartesian_in_bucketed_ops(spark):
     # nested loop (broadcast probe set), never a shuffle cartesian.
     plan = topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_hyperplane_signature_64_planes(spark):
+    """Plane 63 must pack as Long.MIN_VALUE (1 << 63 overflows LongType);
+    more than 64 planes must be rejected."""
+    import numpy as np
+
+    from lambda_kafka_to_s3_parquet_spark.functions.vectors import hyperplane_signature
+
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((64, 4)).tolist()
+    # force bit 63 set for vec [1,0,0,0]: plane 63 has positive first coord
+    planes[63] = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame([([1.0, 0.0, 0.0, 0.0],)], "vec array<double>")
+    sig = df.select(hyperplane_signature(F.col("vec"), planes).alias("s")).first()["s"]
+    assert sig < 0, "bit 63 must land in the sign bit, not overflow"
+
+    with pytest.raises(ValueError, match="64"):
+        hyperplane_signature(F.col("vec"), [[1.0]] * 65)

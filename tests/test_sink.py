@@ -144,3 +144,27 @@ def test_append_mode_accumulates(spark, landed, tmp_path):
     write_partitioned(df, path)
     write_partitioned(df, path)
     assert spark.read.parquet(path).count() == 32
+
+
+def test_sse_kms_encryption_confs_land(spark):
+    """The SSE-KMS knob must land the reference's fs.s3a encryption confs
+    (lambda_function.py:96-105 / check_parquet.py:37-51 parity) on the
+    session's Hadoop configuration."""
+    from lambda_kafka_to_s3_parquet_spark.session import configure_encryption
+
+    arn = "arn:aws:kms:us-east-1:000000000000:key/test-key"
+    applied = configure_encryption(spark, kms_key_arn=arn)
+    assert applied == {
+        "fs.s3a.server-side-encryption-algorithm": "SSE-KMS",
+        "fs.s3a.server-side-encryption.key": arn,
+    }
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("fs.s3a.server-side-encryption-algorithm") == "SSE-KMS"
+    assert hc.get("fs.s3a.server-side-encryption.key") == arn
+
+    # SSE-S3 variant: algorithm only, no key
+    assert configure_encryption(spark, algorithm="AES256") == {
+        "fs.s3a.server-side-encryption-algorithm": "AES256"
+    }
+    # off = no-op
+    assert configure_encryption(spark) == {}
