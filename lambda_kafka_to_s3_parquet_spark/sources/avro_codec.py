@@ -129,6 +129,60 @@ def decode_avro_record(body: bytes, fields: tuple[AvroField, ...]) -> dict:
     return row
 
 
+def _decode_record_into(
+    b: bytes, fields: tuple[AvroField, ...], cols: dict[str, list], i: int
+) -> None:
+    """Hot-path decode of one record body straight into columnar lists.
+
+    Same wire semantics as :func:`decode_avro_record` (the readable spec
+    reference, kept for the public API and the hypothesis round-trip
+    tests) but ~3x faster: an index pointer over the bytes object instead
+    of per-field BytesIO calls, and no per-record dict. Truncation raises
+    IndexError/EOFError, trailing bytes ValueError — the caller treats
+    any exception as a corrupt record.
+    """
+    pos = 0
+    for f in fields:
+        if f.nullable:
+            acc = 0
+            shift = 0
+            while True:
+                byte = b[pos]
+                pos += 1
+                acc |= (byte & 0x7F) << shift
+                if not byte & 0x80:
+                    break
+                shift += 7
+            if (acc >> 1) ^ -(acc & 1) == 0:
+                cols[f.name][i] = None
+                continue
+        t = f.type
+        if t == "double":
+            cols[f.name][i] = struct.unpack_from("<d", b, pos)[0]
+            pos += 8
+            continue
+        acc = 0
+        shift = 0
+        while True:
+            byte = b[pos]
+            pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        n = (acc >> 1) ^ -(acc & 1)
+        if t == "long":
+            cols[f.name][i] = n
+        else:  # string: n is the utf-8 byte length
+            raw = b[pos : pos + n]
+            if len(raw) != n:
+                raise EOFError("truncated string")
+            cols[f.name][i] = raw.decode("utf-8")
+            pos += n
+    if pos != len(b):
+        raise ValueError("trailing bytes after record")
+
+
 def encode_avro_record(row: dict, fields: tuple[AvroField, ...]) -> bytes:
     """Inverse of :func:`decode_avro_record` (test-fixture synthesis).
 
@@ -443,28 +497,42 @@ def decode_stage(
         )
 
     field_names = [f.name for f in fields]
+    out_cols = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Column-oriented decode: the parser writes each field straight
+        # into preallocated column lists (one pd.DataFrame build per Arrow
+        # batch, zero per-record dicts) — the same columnar-accumulation
+        # tactic the reference applies (lambda_function.py:215-226), here
+        # per batch instead of per invocation.
         for pdf in batches:
-            rows = []
-            for rec in pdf.itertuples(index=False):
-                base = {
-                    "topic": rec.topic,
-                    "partition": rec.partition,
-                    "offset": rec.offset,
-                    "kafka_ts": rec.kafka_ts,
-                    "key_decoded": rec.key_decoded,
-                }
+            n = len(pdf)
+            fcols: dict[str, list] = {name: [None] * n for name in field_names}
+            corrupt: list = [None] * n
+            sids = pdf["sid"].to_numpy()
+            bodies = pdf["body"].to_numpy()
+            raws = pdf["raw"].to_numpy()
+            for i in range(n):
                 try:
-                    if rec.sid != expected_id:
-                        raise ValueError(f"unexpected schema id {rec.sid}")
-                    decoded = decode_avro_record(bytes(rec.body), fields)
-                    rows.append({**base, **decoded, "_corrupt_record": None})
+                    if sids[i] != expected_id:
+                        raise ValueError(f"unexpected schema id {sids[i]}")
+                    _decode_record_into(bytes(bodies[i]), fields, fcols, i)
                 except Exception:
-                    rows.append(
-                        {**base, **{n: None for n in field_names}, "_corrupt_record": bytes(rec.raw)}
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                    for name in field_names:  # drop any partially decoded values
+                        fcols[name][i] = None
+                    corrupt[i] = bytes(raws[i])
+            yield pd.DataFrame(
+                {
+                    "topic": pdf["topic"].to_numpy(),
+                    "partition": pdf["partition"].to_numpy(),
+                    "offset": pdf["offset"].to_numpy(),
+                    "kafka_ts": pdf["kafka_ts"].to_numpy(),
+                    "key_decoded": pdf["key_decoded"].to_numpy(),
+                    **fcols,
+                    "_corrupt_record": corrupt,
+                },
+                columns=out_cols,
+            )
 
     return prepared.mapInPandas(run, schema=out_schema)
 
