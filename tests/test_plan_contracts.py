@@ -110,3 +110,28 @@ def test_minhash_single_shuffle_to_signatures(spark):
     plan = _executed(minhash_signatures(docs))
     # one exchange for the groupBy + one for the band explode's downstream
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
+def test_registry_exposes_oracle_queries_first(spark):
+    """Driver-window contract: the driver verifies a bounded prefix of the
+    registry (50 queries in round 2), so every oracle-checked spec must
+    register ahead of every rows-only one, and the oracle set must fill
+    the 50-slot window exactly — adding a 51st oracle query requires
+    consolidating another, or it silently loses driver verification."""
+    names = list(SPECS)
+    oracle_flags = [SPECS[n].oracle is not None for n in names]
+    n_oracle = sum(oracle_flags)
+    assert n_oracle == 50, f"oracle-checked query count drifted: {n_oracle}"
+    assert all(oracle_flags[:n_oracle]), "a rows-only spec precedes an oracle spec"
+    assert not any(oracle_flags[n_oracle:]), "an oracle spec fell past the window"
+
+
+def test_q08_single_window_node(spark):
+    """The consolidated running-total + lag query must evaluate both window
+    expressions in ONE Window node over one shuffle (shared partition/order),
+    not one per expression."""
+    df = SPECS["q08_running_totals"].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()
+    plan = _executed(df)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1

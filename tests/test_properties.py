@@ -78,3 +78,17 @@ def test_decoder_never_overreads_garbage(raw):
         return
     # if it decoded, re-encoding must reproduce the input exactly
     assert encode_avro_record(row, RATECARD_FIELDS) == raw
+
+
+@given(ratecard_rows())
+@settings(max_examples=300, deadline=None)
+def test_columnar_decoder_matches_spec_decoder(row):
+    """The hot-path index-pointer decoder must agree with the readable
+    BytesIO spec decoder on every encodable row."""
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import _decode_record_into
+
+    body = encode_avro_record(row, RATECARD_FIELDS)
+    cols = {f.name: [None] for f in RATECARD_FIELDS}
+    _decode_record_into(body, RATECARD_FIELDS, cols, 0)
+    got = {name: vals[0] for name, vals in cols.items()}
+    assert got == decode_avro_record(body, RATECARD_FIELDS)
