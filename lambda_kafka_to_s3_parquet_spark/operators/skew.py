@@ -25,17 +25,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def salt_column(n_salts: int) -> "F.Column":
-    """Per-row salt in [0, n_salts): xxhash64 of the row's physical
-    position (``monotonically_increasing_id`` = partition id << 33 +
-    in-partition ordinal). Independent of row CONTENT, so a hot key whose
-    rows are byte-identical duplicates still fans out over all salt
-    buckets (a content hash would collapse them into one — the round-2
-    skew bug). The salt value itself varies with physical partitioning
-    across runs; the join OUTPUT is identical regardless of salt
-    assignment, which is the determinism that matters.
+def salt_column(n_salts: int, ordinal_col: str | None = None) -> "F.Column":
+    """Per-row salt in [0, n_salts), independent of the join key's VALUE so
+    a hot key whose rows are byte-identical duplicates still fans out over
+    all salt buckets (a full-row content hash collapses them into one —
+    the round-2 skew bug).
+
+    With ``ordinal_col`` (any unique row id column — the right choice
+    whenever one exists) the salt is ``xxhash64(ordinal)``: fully
+    deterministic, stable under task retries. Without one it falls back to
+    the row's physical position (``monotonically_increasing_id``): the
+    join OUTPUT is identical for any salt assignment, but a lost map task
+    recomputed after a partial shuffle fetch could in principle re-salt
+    rows differently (the SPARK-23207 nondeterministic-partitioning
+    hazard), so prefer passing an ordinal at scale.
     """
-    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int")
+    src = F.col(ordinal_col) if ordinal_col else F.monotonically_increasing_id()
+    return F.pmod(F.xxhash64(src), F.lit(n_salts)).cast("int")
 
 
 def salted_join(
@@ -44,13 +50,14 @@ def salted_join(
     key: str,
     n_salts: int = 8,
     how: str = "inner",
+    ordinal_col: str | None = None,
 ) -> DataFrame:
     """Inner/left join robust to hot keys on ``skewed``.
 
-    skewed side: each row gets a position-derived salt in [0, n_salts)
-    (:func:`salt_column`); other side: exploded ``n_salts`` times so every
-    (key, salt) bucket finds its match. Join output == plain join output,
-    row-for-row.
+    skewed side: each row gets a salt in [0, n_salts) (:func:`salt_column`
+    — pass ``ordinal_col`` for retry-deterministic salting); other side:
+    exploded ``n_salts`` times so every (key, salt) bucket finds its
+    match. Join output == plain join output, row-for-row.
 
     Only ``inner`` and ``left`` are salt-safe: with right/full-outer the
     explode would emit every unmatched ``other`` row once per salt —
@@ -61,7 +68,7 @@ def salted_join(
             f"salted_join supports how='inner'|'left' (got {how!r}): the "
             "exploded side would duplicate unmatched rows under right/full joins"
         )
-    lhs = skewed.withColumn("_salt", salt_column(n_salts))
+    lhs = skewed.withColumn("_salt", salt_column(n_salts, ordinal_col))
     rhs = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )

@@ -486,24 +486,40 @@ def x13_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import resize_media
 
     m = media_frame(_t(spark, sf_dir, "documents"))
+    # kept_bytes depends only on the media frame, so it rides the stats
+    # aggregate; the resize output carries media_type itself — no join
+    # back to the payload-bearing frame needed.
     stats = m.groupBy("media_type").agg(
         F.count("*").alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
         F.countDistinct("checksum").alias("n_distinct_payloads"),
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"),
+        F.sum(F.least(F.col("n_bytes"), F.lit(256))).alias("kept_bytes"),
     )
     resized = (
         resize_media(m, width=16, height=16)
-        .join(m.select("media_id", "n_bytes"), "media_id")
         .groupBy("media_type")
         .agg(
             F.min("n_bytes_out").alias("min_resized"),
             F.max("n_bytes_out").alias("max_resized"),
-            F.sum(F.least(F.col("n_bytes"), F.lit(256))).alias("kept_bytes"),
         )
     )
-    return stats.join(resized, "media_type").orderBy("media_type")
+    return (
+        stats.join(resized, "media_type")
+        .select(
+            "media_type",
+            "n_items",
+            "total_bytes",
+            "n_distinct_payloads",
+            "min_bytes",
+            "max_bytes",
+            "min_resized",
+            "max_resized",
+            "kept_bytes",
+        )
+        .orderBy("media_type")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -252,7 +252,9 @@ def i08_multi_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "SRC_CDC_OPER_NM": "INSERT",
                                 "SRC_COMMIT_DT_UTC": "2021-07-09 00:00:00",
                                 "TRG_CRT_DT_PART_UTC": "2021-07-09",
-                                "SRC_SCHEMA_NM": entity.split("_")[0],
+                                # source schema = the topic's lnd-prefix, not
+                                # the entity (two source schemas share entities)
+                                "SRC_SCHEMA_NM": topic.split("_", 1)[0].upper(),
                             },
                             fields,
                         ),

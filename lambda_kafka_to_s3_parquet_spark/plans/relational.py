@@ -812,7 +812,8 @@ def q24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
     c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
     return (
-        salted_join(o, c, "custkey", n_salts=8)
+        # o_orderkey is unique per row: retry-deterministic salt derivation
+        salted_join(o, c, "custkey", n_salts=8, ordinal_col="o_orderkey")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("c_mktsegment")

@@ -179,8 +179,10 @@ def _decode_record_into(
                 raise EOFError("truncated string")
             cols[f.name][i] = raw.decode("utf-8")
             pos += n
-    if pos != len(b):
-        raise ValueError("trailing bytes after record")
+    # Trailing bytes are tolerated, matching JVM from_avro: a writer that
+    # appended new fields still decodes through the reader's older schema
+    # (the strict spec reference decode_avro_record keeps the check for
+    # the byte-exact round-trip tests).
 
 
 def encode_avro_record(row: dict, fields: tuple[AvroField, ...]) -> bytes:
@@ -482,7 +484,14 @@ def decode_stage(
         decoded = prepared.withColumn("rec", rec)
         # PERMISSIVE from_avro nulls the whole struct on decode failure; a
         # wrong schema id is corrupt even if the bytes happen to parse.
+        # ~ok over a NULL sid (tombstone value) is NULL, so corruption is
+        # tested null-safely and a tombstone's corrupt marker coalesces to
+        # empty bytes — never an invisible NULL that counters would miss.
         ok = (F.col("sid") == F.lit(expected_id)) & F.col("rec").isNotNull()
+        corrupt = F.when(
+            ~F.coalesce(ok, F.lit(False)),
+            F.coalesce(F.col("raw"), F.lit(b"")),
+        )
         return decoded.select(
             "topic",
             "partition",
@@ -490,10 +499,10 @@ def decode_stage(
             "kafka_ts",
             "key_decoded",
             *[
-                F.when(ok, F.col(f"rec.{f.name}")).alias(f.name)
+                F.when(F.coalesce(ok, F.lit(False)), F.col(f"rec.{f.name}")).alias(f.name)
                 for f in fields
             ],
-            F.when(~ok, F.col("raw")).alias("_corrupt_record"),
+            corrupt.alias("_corrupt_record"),
         )
 
     field_names = [f.name for f in fields]
@@ -520,7 +529,9 @@ def decode_stage(
                 except Exception:
                     for name in field_names:  # drop any partially decoded values
                         fcols[name][i] = None
-                    corrupt[i] = bytes(raws[i])
+                    # tombstone (null value): empty-bytes marker, so corrupt
+                    # counters still see it instead of crashing on bytes(None)
+                    corrupt[i] = bytes(raws[i]) if raws[i] is not None else b""
             yield pd.DataFrame(
                 {
                     "topic": pdf["topic"].to_numpy(),

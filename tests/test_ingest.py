@@ -294,3 +294,21 @@ def test_full_catalog_routing(spark):
     widths = {r["topic"]: r["n_cols"] for r in rows}
     # ratecard keeps the recovered 19-field golden schema (+5 meta +1 corrupt)
     assert widths["lndcdcadsrtcrd_ratecard"] > widths["lndcdcadsprpsl_flightyear"]
+
+
+def test_tombstone_value_goes_corrupt_not_crash(spark):
+    """A CDC delete marker (key present, value NULL) must land as a corrupt
+    record with an empty-bytes marker — visible to corruption counters —
+    instead of crashing the decode task."""
+    ev = read_lambda_events(spark, GOLDEN_EVENT)
+    with_tombstone = ev.withColumn(
+        "value",
+        F.when(F.col("offset") == 0, F.lit(None).cast("binary")).otherwise(F.col("value")),
+    )
+    out = decode_stage(with_tombstone, SchemaProvider(), GOLDEN_TOPIC).collect()
+    assert len(out) == 16
+    n_tombstones = ev.filter(F.col("offset") == 0).count()  # offset restarts per partition
+    bad = [r for r in out if r["_corrupt_record"] is not None]
+    assert len(bad) == n_tombstones > 0
+    assert all(bytes(r["_corrupt_record"]) == b"" for r in bad)
+    assert all(r["RATE_CARD_ID"] is None for r in bad)
