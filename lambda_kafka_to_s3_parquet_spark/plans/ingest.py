@@ -146,7 +146,11 @@ def i06_decode_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    kafka_shaped = spark.range(n).mapInPandas(
+    # 8 synth partitions mirror the 8 synthetic Kafka partitions (ids % 8):
+    # a 20k-record batch doesn't amortize 32 Python-worker spin-ups, and at
+    # production scale the decode parallelism comes from the Kafka source's
+    # own partitioning, not from an oversplit range.
+    kafka_shaped = spark.range(n, numPartitions=8).mapInPandas(
         synth,
         schema="key binary, value binary, topic string, partition int, "
         "offset long, timestamp long, timestampType string",
