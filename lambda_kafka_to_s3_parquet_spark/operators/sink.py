@@ -29,26 +29,43 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-#: Hive-partition layout of the landed table.
+#: Hive-partition layout of the landed table (hourly granularity).
 PARTITION_COLS = ("topic", "y", "m", "d", "h")
 
 
+def partition_cols(granularity: str = "hour") -> tuple[str, ...]:
+    """Partition column set for a granularity (SURVEY §2.6 knob): the
+    reference's v1 handler partitions hourly (lambda_function.py:76), v2
+    daily (lambda_function_with_AWS_datawrangler.py:77)."""
+    if granularity == "hour":
+        return PARTITION_COLS
+    if granularity == "day":
+        return PARTITION_COLS[:-1]
+    raise ValueError(f"granularity must be 'hour' or 'day' (got {granularity!r})")
+
+
 def with_partition_columns(
-    df: DataFrame, ts_col: str | None = "kafka_ts", wall_clock: bool = False
+    df: DataFrame,
+    ts_col: str | None = "kafka_ts",
+    wall_clock: bool = False,
+    granularity: str = "hour",
 ) -> DataFrame:
-    """Add y/m/d/h partition columns.
+    """Add y/m/d[/h] partition columns.
 
     ``ts_col`` holds epoch millis (the Kafka record timestamp). With
     ``wall_clock=True`` partitions come from ``current_timestamp()``
     instead — the reference's utcnow() semantics (lambda_function.py:57).
+    ``granularity='day'`` reproduces the v2 handler's daily layout.
     """
     ts = F.current_timestamp() if wall_clock else F.timestamp_millis(F.col(ts_col))
-    return (
+    out = (
         df.withColumn("y", F.year(ts))
         .withColumn("m", F.month(ts))
         .withColumn("d", F.dayofmonth(ts))
-        .withColumn("h", F.hour(ts))
     )
+    if partition_cols(granularity)[-1] == "h":
+        out = out.withColumn("h", F.hour(ts))
+    return out
 
 
 @dataclass(frozen=True)
@@ -62,6 +79,7 @@ def write_partitioned(
     path: str,
     key_col: str = "SRC_KEY_VAL",
     mode: str = "append",
+    granularity: str = "hour",
 ) -> WriteMetrics:
     """Land a decoded batch under the Hive-partitioned layout, observed.
 
@@ -74,7 +92,7 @@ def write_partitioned(
         F.count(F.lit(1)).alias("total"),
         F.approx_count_distinct(key_col).alias("distinct_keys"),
     )
-    observed.write.mode(mode).partitionBy(*PARTITION_COLS).parquet(path)
+    observed.write.mode(mode).partitionBy(*partition_cols(granularity)).parquet(path)
     got = obs.get
     return WriteMetrics(int(got["total"]), int(got["distinct_keys"]))
 
@@ -106,6 +124,7 @@ def compact_partitions(
     path: str,
     topic: str | None = None,
     max_records_per_file: int | None = None,
+    granularity: str = "hour",
 ) -> DataFrame:
     """Compact small files within each Hive partition (1 file/partition).
 
@@ -132,19 +151,20 @@ def compact_partitions(
     — at production scale this runs as a scheduled maintenance job on
     closed (past-watermark) partitions only.
     """
+    cols = partition_cols(granularity)
     df = read_partition(spark, path, topic=topic)
     writer = (
-        df.repartition(*[F.col(c) for c in PARTITION_COLS])
+        df.repartition(*[F.col(c) for c in cols])
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
     )
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-    writer.partitionBy(*PARTITION_COLS).parquet(path)
+    writer.partitionBy(*cols).parquet(path)
     return (
         read_partition(spark, path, topic=topic)
         .withColumn("_file", F.input_file_name())
-        .groupBy(*PARTITION_COLS)
+        .groupBy(*cols)
         .agg(
             F.countDistinct("_file").alias("n_files"),
             F.count(F.lit(1)).alias("n_rows"),

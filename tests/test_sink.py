@@ -168,3 +168,35 @@ def test_sse_kms_encryption_confs_land(spark):
     }
     # off = no-op
     assert configure_encryption(spark) == {}
+
+
+def test_daily_partition_granularity(spark, tmp_path):
+    """granularity='day' must reproduce the v2 handler's daily layout
+    (topic/y/m/d, no hour directory) and still prune on day."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators.sink import (
+        partition_cols,
+        read_partition,
+        with_partition_columns,
+        write_partitioned,
+    )
+    from lambda_kafka_to_s3_parquet_spark.plans.ingest import decoded_golden
+
+    assert partition_cols("day") == ("topic", "y", "m", "d")
+    with pytest.raises(ValueError):
+        partition_cols("minute")
+
+    path = str(tmp_path / "daily")
+    d = with_partition_columns(decoded_golden(spark), granularity="day")
+    assert "h" not in d.columns
+    m = write_partitioned(d, path, granularity="day")
+    assert m.total_records == 16
+
+    walked = {root for root, _, files in os.walk(path) if files}
+    assert not any("/h=" in w for w in walked)
+    assert any("/d=" in w for w in walked)
+
+    days = [r["d"] for r in d.select("d").distinct().collect()]
+    pruned = read_partition(spark, path, d=days[0])
+    assert pruned.count() == d.filter(F.col("d") == days[0]).count() > 0
