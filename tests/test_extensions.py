@@ -305,3 +305,72 @@ def test_hyperplane_signature_64_planes(spark):
 
     with pytest.raises(ValueError, match="64"):
         hyperplane_signature(F.col("vec"), [[1.0]] * 65)
+
+
+def _union_find_components(edge_list):
+    """Pure-Python ground truth: set of frozenset components."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    by_root = {}
+    for n in parent:
+        by_root.setdefault(find(n), set()).add(n)
+    return {frozenset(v) for v in by_root.values()}
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Both CC variants must match a union-find ground truth — on a long
+    path (the worst case for propagation), a triangle, an isolated pair,
+    and a seeded random graph. Propagation must FAIL LOUDLY (not return a
+    partial answer) when the diameter exceeds its round budget."""
+    import random
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def comp_sets(df):
+        by_comp = {}
+        for r in df.collect():
+            by_comp.setdefault(r["component"], set()).add(r["node"])
+        return {frozenset(v) for v in by_comp.values()}
+
+    # path 0-1-...-60 (diameter 60) + triangle + isolated pair
+    edge_list = [(i, i + 1) for i in range(60)] + [
+        (100, 101), (101, 102), (102, 100), (200, 201),
+    ]
+    truth = _union_find_components(edge_list)
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    star = connected_components_star(edges)
+    assert comp_sets(star) == truth
+    # star converges in O(log n) rounds, far under the default budget;
+    # propagation needs 60 rounds — more than the default 25, so it must
+    # raise rather than silently emit partial labels
+    assert comp_sets(connected_components(edges, max_iter=70)) == truth
+    with pytest.raises(RuntimeError, match="star"):
+        connected_components(edges).collect()
+    # the path must collapse to one component rooted at its minimum
+    star_map = {r["node"]: r["component"] for r in star.collect()}
+    assert all(star_map[i] == 0 for i in range(61))
+
+    rng = random.Random(42)
+    rand_edges = [
+        (a, b)
+        for a, b in ((rng.randrange(300), rng.randrange(300)) for _ in range(150))
+        if a != b
+    ]
+    edges2 = spark.createDataFrame(rand_edges, ["src", "dst"])
+    truth2 = _union_find_components(rand_edges)
+    assert comp_sets(connected_components_star(edges2)) == truth2
+    assert comp_sets(connected_components(edges2)) == truth2
