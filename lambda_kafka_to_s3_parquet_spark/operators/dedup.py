@@ -161,6 +161,37 @@ def near_dup_pairs(
     )
 
 
+def near_dup_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate corpus dedup: keep one survivor per
+    near-dup CLUSTER (the minimum id), drop the rest, pass untouched
+    documents through.
+
+    Composition of the verified building blocks: :func:`near_dup_pairs`
+    (banded LSH candidates + exact-Jaccard filter) →
+    :func:`connected_components` (pairs alone under-dedup transitive
+    groups) → one left-anti join dropping every non-minimum cluster
+    member. Documents that appear in no pair survive automatically (they
+    are never in the loser set), so the join is the only extra shuffle on
+    the full corpus.
+    """
+    pairs = near_dup_pairs(
+        docs, id_col, text_col, threshold, n_bands, rows_per_band, shingle_n
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash_table(
     docs: DataFrame,
     id_col: str = "doc_id",

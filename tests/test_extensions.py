@@ -374,3 +374,16 @@ def test_star_cc_matches_label_propagation(spark):
     truth2 = _union_find_components(rand_edges)
     assert comp_sets(connected_components_star(edges2)) == truth2
     assert comp_sets(connected_components(edges2)) == truth2
+
+
+def test_near_dup_dedup_end_to_end(spark, docs_df):
+    """Corpus-level near-dup dedup: transitive near-dup groups collapse to
+    their minimum id; untouched documents pass through unchanged."""
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import near_dup_dedup
+
+    # docs_df: 0 == 1 (exact dup), 2 near-dup of 0 (jaccard in [0.5, 1)),
+    # 3 distinct, 4 empty
+    survivors = {r["doc_id"] for r in near_dup_dedup(docs_df, threshold=0.5).collect()}
+    assert 0 in survivors, "cluster minimum survives"
+    assert 1 not in survivors and 2 not in survivors, "cluster members drop"
+    assert {3, 4} <= survivors, "untouched docs pass through"
