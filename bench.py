@@ -81,14 +81,22 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").count()
 
+    # Two executions per query, min taken: single-shot numbers on a shared
+    # host swing several x with neighbor load; the min is the reproducible
+    # cost of the plan. Recorded in the JSON so rounds compare like-for-like.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in specs:
             continue
-        df = specs[name].fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(runs_per_query):
+            df = specs[name].fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -97,6 +105,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": runs_per_query,
+        "agg": "min",
     }))
     spark.stop()
 

@@ -387,3 +387,37 @@ def test_near_dup_dedup_end_to_end(spark, docs_df):
     assert 0 in survivors, "cluster minimum survives"
     assert 1 not in survivors and 2 not in survivors, "cluster members drop"
     assert {3, 4} <= survivors, "untouched docs pass through"
+
+
+def test_curate_corpus_pipeline(spark):
+    """The one-call curation pipeline must apply every stage: quality gate
+    drops short/low-alpha docs, near-dups collapse to one survivor, splits
+    are deterministic, and token budgets are populated."""
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import assign_split
+    from lambda_kafka_to_s3_parquet_spark.operators.curate import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches the "
+        "birds fly south for winter and the river runs quietly past the old mill"
+    )
+    rows = [
+        (0, base),
+        (1, base),                     # exact dup of 0 -> dropped
+        (2, "too short"),              # quality gate: < 5 tokens
+        (3, "1234 5678 !!! ### $$$ %%% ^^^ &&&"),  # quality gate: low alpha
+        (4, "a completely different well formed document about distributed "
+            "query engines and their adaptive shuffle planning behavior"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate_corpus(docs).collect()
+    survivors = {r["doc_id"] for r in out}
+    assert survivors == {0, 4}
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_ws_tokens"] == len(base.split())
+    assert by_id[0]["est_bpe_tokens"] > 0
+    # split matches the standalone deterministic assignment
+    want = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", assign_split("text").alias("s")).collect()
+    }
+    assert all(r["split"] == want[r["doc_id"]] for r in out)
