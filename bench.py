@@ -54,9 +54,9 @@ HEADLINE = [
     "x20_interval_join",
     "x21_hash_split",
     "x22_rollup_daily",
-    "x23_token_budget",
     "x24_dup_clusters",
     "x25_decontaminate",
+    "x26_boilerplate_lines",
     # event-time windows + stateful streaming
     "w01_tumbling_window",
     "w03_session_window",

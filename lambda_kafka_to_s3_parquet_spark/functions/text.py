@@ -44,21 +44,41 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def word_shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a token array (MinHash/Jaccard input).
+def word_ngrams(tok: Column, n: int = 3) -> Column:
+    """All n-word grams of a token array, WITH multiplicity: array<string>.
 
     Built by zipping the token array with its shifted selves (n-1 zip_with
     passes) instead of per-index ``slice`` calls — ~3× faster in the
-    interpreted higher-order-function path, same output set. The shifted
+    interpreted higher-order-function path, same output. The shifted
     arrays are shorter, so zip_with null-pads the tail; ``concat``
     propagates those nulls and the filter drops them, leaving exactly
-    size-n+1 shingles (empty when the document has fewer than n tokens).
+    size-n+1 grams (empty when the document has fewer than n tokens).
+    Multiplicity is preserved so repetition metrics (Gopher-style
+    duplicate-n-gram fractions) can compare total vs distinct counts.
     """
     acc = tok
     for step in range(1, n):
         shifted = F.slice(tok, step + 1, F.size(tok))
         acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(F.filter(acc, lambda s: s.isNotNull()))
+    return F.filter(acc, lambda s: s.isNotNull())
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token array (MinHash/Jaccard input)."""
+    return F.array_distinct(word_ngrams(tok, n))
+
+
+def dup_ngram_frac(tok: Column, n: int) -> Column:
+    """Fraction of n-grams that are repeats of an earlier n-gram (0..1).
+
+    ``(total - distinct) / total`` — the Gopher/RefinedWeb repetition
+    signal: natural text scores near 0, templated/looping text near 1.
+    0 when the document has fewer than n tokens.
+    """
+    grams = word_ngrams(tok, n)
+    total = F.size(grams)
+    dup = total - F.size(F.array_distinct(grams))
+    return F.when(total > 0, dup.cast("double") / total).otherwise(F.lit(0.0))
 
 
 def stopword_count(tok: Column, words: tuple[str, ...] = STOPWORDS) -> Column:

@@ -378,3 +378,53 @@ def connected_components_star(
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Inter-document boilerplate removal: drop lines shared by many docs.
+
+    The CCNet/RefinedWeb line-level dedup pass: a line whose trimmed form
+    appears in >= ``min_docs`` DISTINCT documents is boilerplate (headers,
+    nav bars, cookie banners, license blocks) and is removed from every
+    document; surviving lines are reassembled in original order. Returns
+    one row per input document: ``id_col``, ``n_lines`` (original),
+    ``n_removed``, and ``cleaned`` (the rebuilt text, '' when every line
+    was boilerplate). Empty/whitespace-only lines are never removal
+    candidates (they carry formatting, not content).
+
+    Scale shape, in shuffle counts: (1) explode lines (narrow) →
+    two-level groupBy for the distinct-doc count — ``(line, doc)`` first,
+    so one hot line (an ubiquitous banner) spreads across its documents
+    before the per-line reduce, the standard distinct-under-skew shape —
+    then (2) a left equi-join of all lines against the flagged set (AQE
+    broadcasts it when the boilerplate vocabulary is small), and (3) one
+    groupBy(doc) to reassemble; per-group state is bounded by document
+    size. No step is all-pairs and nothing touches the driver.
+    """
+    lines = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    ).withColumn("nl", F.trim("line"))
+    boiler = (
+        lines.filter(F.col("nl") != "")
+        .groupBy("nl", id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("nl")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") >= min_docs)
+        .select("nl", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(boiler, "nl", "left")
+    kept_line = F.when(F.col("_boiler").isNull(), F.struct("pos", "line"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("_boiler"), 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_line)), lambda s: s["line"]),
+            "\n",
+        ).alias("cleaned"),
+    )

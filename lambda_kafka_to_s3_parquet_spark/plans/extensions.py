@@ -150,12 +150,16 @@ def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x04 — per-document quality scoring: length/stopword/alpha ratios. Pure
-# per-row expressions, no shuffle at all.
+# x04 — per-document quality profile in ONE narrow pass: length/stopword/
+# alpha/distinct ratios, Gopher-style duplicate-n-gram repetition
+# fractions, and LLM token budgets (whitespace + BPE-style estimate,
+# consolidating former x23_token_budget). Pure per-row expressions, no
+# shuffle at all — at 100 TB this is the cheapest possible shape: every
+# quality/budget signal computed in the same scan.
 # --------------------------------------------------------------------------
 @register(
     "x04_text_quality",
-    oracle=f"""
+    oracle=rf"""
     SELECT doc_id,
            CAST(len(tok) AS BIGINT)                              AS n_tokens,
            round(CASE WHEN len(tok) > 0
@@ -166,13 +170,35 @@ def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / length(lower(text)) ELSE 0 END, 6)       AS alpha_ratio,
            round(CASE WHEN len(tok) > 0
                  THEN len(list_distinct(tok))::DOUBLE / len(tok) ELSE 0 END, 6)
-                                                                 AS distinct_ratio
-    FROM (SELECT doc_id, text, {_SQL_TOKENS} AS tok FROM documents)
+                                                                 AS distinct_ratio,
+           round(CASE WHEN len(g2) > 0
+                 THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+                 ELSE 0 END, 6)                                  AS dup_2gram_frac,
+           round(CASE WHEN len(g3) > 0
+                 THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+                 ELSE 0 END, 6)                                  AS dup_3gram_frac,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w != ''))
+                AS BIGINT)                                       AS n_ws_tokens,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                + coalesce(list_sum(list_transform(
+                    list_filter(list_transform(
+                      string_split_regex(text, '\s+'),
+                      w -> regexp_replace(w, '[^a-zA-Z0-9]', '', 'g')),
+                      w -> w != ''),
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                AS BIGINT)                                       AS est_bpe_tokens
+    FROM (SELECT doc_id, text, tok,
+                 [array_to_string(tok[i:i+1], ' ') for i in range(1, len(tok))]     AS g2,
+                 [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok) - 1)] AS g3
+          FROM (SELECT doc_id, text, {_SQL_TOKENS} AS tok FROM documents))
     ORDER BY doc_id
     """,
-    doc="quality scoring: token/stopword/alpha/distinct ratios per doc",
+    doc="quality profile: stopword/alpha/distinct + dup-n-gram repetition "
+        "+ whitespace/BPE token budgets, one narrow scan",
 )
 def x04_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_token_estimate, dup_ngram_frac, whitespace_tokens
+
     d = _t(spark, sf_dir, "documents")
     tok = tokens("text")
     n_tok = F.size(tok)
@@ -185,6 +211,10 @@ def x04_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio(stop_n, n_tok), 6).alias("stopword_ratio"),
         F.round(alpha_ratio("text"), 6).alias("alpha_ratio"),
         F.round(ratio(uniq_n, n_tok), 6).alias("distinct_ratio"),
+        F.round(dup_ngram_frac(tok, 2), 6).alias("dup_2gram_frac"),
+        F.round(dup_ngram_frac(tok, 3), 6).alias("dup_3gram_frac"),
+        F.size(whitespace_tokens("text")).cast("bigint").alias("n_ws_tokens"),
+        bpe_token_estimate("text").alias("est_bpe_tokens"),
     )
 
 
@@ -782,42 +812,6 @@ def x22_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x23 — LLM token budgeting: whitespace token counts + a BPE-style
-# subword estimate (~4 chars/token for alnum runs, 1 per punctuation
-# char) per document, corpus totals per split-relevant bucket. Pure
-# per-row integer arithmetic — identical formula in the DuckDB oracle.
-# --------------------------------------------------------------------------
-@register(
-    "x23_token_budget",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w != ''))
-                AS BIGINT)                                        AS n_ws_tokens,
-           CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
-                + coalesce(list_sum(list_transform(
-                    list_filter(list_transform(
-                      string_split_regex(text, '\s+'),
-                      w -> regexp_replace(w, '[^a-zA-Z0-9]', '', 'g')),
-                      w -> w != ''),
-                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-                AS BIGINT)                                        AS est_bpe_tokens
-    FROM documents
-    ORDER BY doc_id
-    """,
-    doc="whitespace + BPE-ish-regex token counting per document",
-)
-def x23_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import bpe_token_estimate, whitespace_tokens
-
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(whitespace_tokens("text")).cast("bigint").alias("n_ws_tokens"),
-        bpe_token_estimate("text").alias("est_bpe_tokens"),
-    ).orderBy("doc_id")
-
-
-# --------------------------------------------------------------------------
 # x24 — near-dup CLUSTERS: pairs alone can't dedup a corpus (A~B, B~C
 # must collapse to one cluster even when A,C were never compared).
 # Spark side: x07's LSH-verified pairs -> iterative min-label-propagation
@@ -931,4 +925,57 @@ def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("test_doc").alias("n_test_docs"),
         )
         .orderBy("train_doc")
+    )
+
+
+# --------------------------------------------------------------------------
+# x26 — inter-document boilerplate line removal (CCNet/RefinedWeb line
+# dedup): lines whose trimmed form appears in >= k DISTINCT documents are
+# boilerplate and dropped from every doc; survivors reassemble in order.
+# The parquet fixture is single-line word-soup, so the query derives a
+# multi-line corpus first (3-token segments joined by \n — deterministic
+# and engine-reproducible) and runs the real operator on it; the oracle
+# recomputes segment flags + ordered string_agg independently. cleaned_md5
+# proves byte-exact reassembly including removal order.
+# --------------------------------------------------------------------------
+@register(
+    "x26_boilerplate_lines",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents),
+    seg AS (SELECT doc_id,
+                   unnest([array_to_string(tok[i*3+1:i*3+3], ' ')
+                           for i in range(0, CAST(ceil(len(tok)/3.0) AS INT))]) AS line,
+                   unnest(generate_series(1, CAST(ceil(len(tok)/3.0) AS INT)))  AS pos
+            FROM tok),
+    boiler AS (SELECT line FROM seg GROUP BY line
+               HAVING count(DISTINCT doc_id) >= 3)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT)                                  AS n_lines,
+           CAST(count(*) FILTER (WHERE b.line IS NOT NULL) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(s.line, chr(10) ORDER BY s.pos)
+                        FILTER (WHERE b.line IS NULL), ''))          AS cleaned_md5
+    FROM seg s LEFT JOIN boiler b ON s.line = b.line
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="inter-doc boilerplate line dedup: flag lines in >=k docs, rebuild docs",
+)
+def x26_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    tok = tokens("text")
+    n_seg = F.ceil(F.size(tok) / F.lit(3.0)).cast("int")
+    segs = F.when(
+        F.size(tok) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(F.slice(tok, i * 3 + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc2 = d.select("doc_id", F.array_join(segs, "\n").alias("text"))
+    return (
+        remove_boilerplate_lines(doc2, min_docs=3)
+        .select("doc_id", "n_lines", "n_removed", F.md5("cleaned").alias("cleaned_md5"))
+        .orderBy("doc_id")
     )

@@ -421,3 +421,56 @@ def test_curate_corpus_pipeline(spark):
         for r in docs.select("doc_id", assign_split("text").alias("s")).collect()
     }
     assert all(r["split"] == want[r["doc_id"]] for r in out)
+
+
+def test_remove_boilerplate_lines(spark):
+    """CCNet-style inter-doc line dedup: lines in >= min_docs distinct
+    documents vanish from every doc; survivors keep original order; empty
+    lines are never removal candidates; an all-boilerplate doc rebuilds
+    to ''. Trimming: ' banner ' and 'banner' are the same line."""
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import remove_boilerplate_lines
+
+    rows = [
+        (1, "banner\nunique to one\n\ntail one"),
+        (2, " banner \nanother body line\ntail two"),
+        (3, "banner"),                       # all-boilerplate -> cleaned == ''
+        (4, "solo\nsolo\nsolo"),             # intra-doc repeats: 1 distinct doc, kept
+        (5, "\n\n"),                         # only empty lines, all kept
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(docs, min_docs=2).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 1
+    assert out[1]["cleaned"] == "unique to one\n\ntail one"
+    assert out[2]["n_removed"] == 1
+    assert out[2]["cleaned"] == "another body line\ntail two"
+    assert out[3]["cleaned"] == "" and out[3]["n_removed"] == 1
+    # duplicate lines within a single doc are not boilerplate
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned"] == "solo\nsolo\nsolo"
+    # empty lines survive even though every doc "shares" them
+    assert out[5]["n_removed"] == 0 and out[5]["n_lines"] == 3
+    assert out[5]["cleaned"] == "\n\n"
+
+
+def test_dup_ngram_frac(spark):
+    """Gopher repetition signal: looping text scores high, varied text 0,
+    short docs (fewer than n tokens) score 0 by definition."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.functions.text import dup_ngram_frac, tokens
+
+    rows = [(1, "spam spam spam spam spam"), (2, "all words here are different"), (3, "one")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    tok = tokens("text")
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            dup_ngram_frac(tok, 2).alias("d2"),
+            dup_ngram_frac(tok, 3).alias("d3"),
+        ).collect()
+    }
+    assert out[1]["d2"] == 0.75  # 4 bigrams, 1 distinct
+    assert out[2]["d2"] == 0.0 and out[2]["d3"] == 0.0
+    assert out[3]["d2"] == 0.0 and out[3]["d3"] == 0.0
