@@ -48,3 +48,32 @@ def assign_split(
         .when(b < train_pct + val_pct, "val")
         .otherwise("test")
     )
+
+
+def stratified_sample(
+    df,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "text",
+    default_rate: float = 0.0,
+    n_buckets: int = 10_000,
+):
+    """Deterministic per-stratum downsampling (quality-tiered corpus mix).
+
+    ``df.sample`` draws differently on every run/partitioning — useless
+    for a reproducible data recipe ("keep 100% of high-quality docs, 10%
+    of medium, 1% of low"). This keeps a row iff its content-hash bucket
+    falls under the stratum's rate threshold: same row, same verdict, on
+    any cluster, any engine. Rates quantize to 1/n_buckets. Per-row
+    narrow filter — no shuffle, no sampling pass, rides the scan.
+
+    Reuses :func:`hash_bucket`, so sampling composes consistently with
+    split assignment (a kept duplicate stays with its split).
+    """
+    b = hash_bucket(key_col, n_buckets)
+    thresh = F.lit(int(default_rate * n_buckets))
+    for stratum, rate in rates.items():
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * n_buckets))
+        ).otherwise(thresh)
+    return df.filter(b < thresh)

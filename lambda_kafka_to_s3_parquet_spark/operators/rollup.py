@@ -24,25 +24,32 @@ from pyspark.sql import functions as F
 _MERGEABLE = ("n_events", "sum_value", "min_value", "max_value")
 
 
-def hourly_rollup(events: DataFrame) -> DataFrame:
+def hourly_rollup(events: DataFrame, distinct_col: str | None = None) -> DataFrame:
     """Fold raw events into the hour × event_type rollup (mergeable aggs).
 
     One shuffle on (hour, event_type) with map-side partial aggregation;
     the output is what a scheduled materialization job would append to the
     rollup table, partitioned by date at scale.
+
+    ``distinct_col`` opts in the mergeable-distinct column: an HLL sketch
+    (``hll_sketch_agg``, Apache DataSketches binary) stored per bucket.
+    Exact distinct counts do NOT compose across buckets — storing them
+    would repeat the avg-of-avgs mistake — but sketches union losslessly,
+    so a year of hourly sketches re-aggregates to daily/monthly distincts
+    without ever touching raw data. ~KB per bucket at any cardinality.
     """
-    return (
-        events.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-    )
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("distinct_hll"))
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(*aggs)
 
 
 def materialize_hourly(events: DataFrame, path: str) -> None:
@@ -61,20 +68,25 @@ def reaggregate(rollup: DataFrame, granularity: str = "day") -> DataFrame:
     """Coarser granularity FROM the rollup — raw data is never touched.
 
     count/sum/min/max merge associatively across the finer buckets;
-    avg_value is derived from merged sum/count (never averaged averages).
+    avg_value is derived from merged sum/count (never averaged averages);
+    a ``distinct_hll`` column (when present) merges via ``hll_union_agg``
+    and surfaces as ``approx_distinct`` — union of sketches over buckets
+    is byte-identical to sketching the raw data directly.
     """
-    return (
-        rollup.groupBy(
-            F.date_trunc(granularity, F.col("hour")).alias("bucket"),
-            "event_type",
+    aggs = [
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ]
+    if "distinct_hll" in rollup.columns:
+        aggs.append(F.hll_union_agg("distinct_hll").alias("distinct_hll"))
+    out = rollup.groupBy(
+        F.date_trunc(granularity, F.col("hour")).alias("bucket"),
+        "event_type",
+    ).agg(*aggs)
+    if "distinct_hll" in out.columns:
+        out = out.withColumn(
+            "approx_distinct", F.hll_sketch_estimate("distinct_hll")
         )
-        .agg(
-            F.sum("n_events").cast("bigint").alias("n_events"),
-            F.sum("sum_value").alias("sum_value"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-        )
-        .withColumn(
-            "avg_value", F.col("sum_value") / F.col("n_events")
-        )
-    )
+    return out.withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
