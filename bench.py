@@ -37,8 +37,7 @@ HEADLINE = [
     "q15_json_extract",
     "q16_array_stats",
     "q21_percentiles",
-    "q26_left_outer_customers",
-    "q27_full_outer_dates",
+    "q26_outer_joins",
     "q30_subqueries",
     # LLM-pipeline extensions
     "x01_exact_dedup_docs",
@@ -52,11 +51,12 @@ HEADLINE = [
     "x17_frame_sample",
     "x19_asof_join",
     "x20_interval_join",
-    "x21_hash_split",
+    "x21_split_and_pack",
     "x22_rollup_daily",
     "x24_dup_clusters",
     "x25_decontaminate",
     "x26_boilerplate_lines",
+    "x27_pii_redact",
     # event-time windows + stateful streaming
     "w01_tumbling_window",
     "w03_session_window",

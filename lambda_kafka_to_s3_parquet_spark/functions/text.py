@@ -172,3 +172,36 @@ def bpe_token_estimate(col: Column | str) -> Column:
     )
     punct_tokens = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
     return (word_tokens + punct_tokens).cast("long")
+
+
+#: PII patterns, ordered. Each regex is written in the dialect-portable
+#: subset shared by Java regex (Spark) and RE2 (DuckDB): character
+#: classes, non-capturing groups, bounded repetition, \b, \d — no
+#: lookarounds, no backreferences — so the DuckDB oracle can apply the
+#: IDENTICAL pattern text and the redacted output is byte-comparable.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (email/phone/ipv4), JVM regexp_count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder token.
+
+    Patterns apply in :data:`PII_PATTERNS` order (email before phone
+    before IP — the formats are disjoint, so order only matters for
+    pathological overlaps). Pure chained ``regexp_replace``: per-row,
+    narrow, codegen'd — the right shape for a 100 TB scrub pass where
+    this rides the same scan as every other per-document signal.
+    """
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pat, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, placeholder)
+    return out

@@ -1,0 +1,83 @@
+"""Sequence packing for LLM training-data prep (SURVEY.md §2.9 family).
+
+Training pipelines concatenate documents in a deterministic order and cut
+the stream into fixed-length context windows ("packs"). Assigning each
+document to the pack where it STARTS requires the exclusive prefix sum of
+token counts over the whole corpus — the textbook distributed-scan
+problem. A single global ``Window.orderBy(...)`` computes it on ONE task
+over ALL rows, which is exactly the shape that dies at 100 TB, so this
+operator uses the classic two-level scan instead:
+
+1. rows bucket by ``floor(order_key / bucket_size)`` — deterministic
+   arithmetic, not ``repartitionByRange`` (whose sampled boundaries would
+   make pack ids differ run-to-run);
+2. within-bucket running sums via a window PARTITIONED by bucket — every
+   bucket scans in parallel;
+3. per-bucket totals (a groupBy producing #buckets rows) get an exclusive
+   running sum via a window over that TINY aggregate — the only serial
+   step touches thousands of rows, not billions — and broadcast-join back.
+
+``prefix = bucket_offset + within_bucket_cumsum - weight`` is then exact,
+global, and reproducible on any cluster size or partitioning. The same
+two-level scan is how file-offset assignment and deterministic global row
+numbering are done at scale; ``pack_id = prefix div pack_len`` is just one
+consumer of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    bucket_size: int = 100_000,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Exclusive prefix sum of ``weight_col`` in ``order_col`` order.
+
+    ``order_col`` must be a numeric total-order key (dense-ish ids keep
+    buckets balanced; gaps only make some buckets smaller). Adds
+    ``out_col`` = sum of weights of all STRICTLY EARLIER rows. Two
+    shuffles (bucket window + tiny aggregate), no global single-task scan.
+    """
+    b = F.floor(F.col(order_col) / F.lit(bucket_size)).alias("_bucket")
+    bucketed = df.withColumn("_bucket", b)
+    w_in = Window.partitionBy("_bucket").orderBy(order_col)
+    cum = bucketed.withColumn("_cum", F.sum(weight_col).over(w_in))
+    totals = bucketed.groupBy("_bucket").agg(F.sum(weight_col).alias("_btot"))
+    w_b = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bucket", F.coalesce(F.sum("_btot").over(w_b), F.lit(0)).alias("_boff")
+    )
+    return (
+        cum.join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, (F.col("_boff") + F.col("_cum") - F.col(weight_col)))
+        .drop("_bucket", "_cum", "_boff")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    pack_len: int,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Assign each row to the fixed-size pack where its tokens start.
+
+    Concat-then-chunk semantics: documents are laid out in ``order_col``
+    order and the stream is cut every ``pack_len`` tokens; a document
+    belongs to the pack containing its first token (long documents simply
+    continue into the next window, as training loaders do). Adds
+    ``pack_id`` (bigint). Deterministic on any partitioning — the pack
+    layout of a 100 TB corpus is reproducible bit-for-bit.
+    """
+    out = with_global_prefix_sum(df, order_col, weight_col, bucket_size)
+    return out.withColumn(
+        "pack_id", F.floor(F.col("prefix_sum") / F.lit(pack_len)).cast("bigint")
+    ).drop("prefix_sum")

@@ -721,13 +721,18 @@ def x20_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # populations prove bucket-for-bucket agreement.
 # --------------------------------------------------------------------------
 @register(
-    "x21_hash_split",
-    oracle="""
-    SELECT split,
-           count(*)                            AS n_docs,
-           CAST(sum(length(text)) AS BIGINT)   AS total_chars,
-           min(doc_id)                         AS min_doc,
-           max(doc_id)                         AS max_doc
+    "x21_split_and_pack",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text,
+                      CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                           w -> w != '')) AS BIGINT) AS tok
+               FROM documents)
+    SELECT 'split' AS src,
+           split   AS bucket,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_units,
+           min(doc_id)                       AS min_doc,
+           max(doc_id)                       AS max_doc
     FROM (
       SELECT doc_id, text,
              CASE WHEN b < 80 THEN 'train'
@@ -737,25 +742,72 @@ def x20_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 AS b
             FROM documents))
     GROUP BY split
-    ORDER BY split
+    UNION ALL
+    SELECT 'pack' AS src,
+           lpad(CAST(pack_id AS VARCHAR), 6, '0') AS bucket,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(tok) AS BIGINT)  AS total_units,
+           min(doc_id)               AS min_doc,
+           max(doc_id)               AS max_doc
+    FROM (SELECT doc_id, tok,
+                 CAST(floor((sum(tok) OVER (ORDER BY doc_id) - tok) / 2048.0)
+                      AS BIGINT) AS pack_id
+          FROM t)
+    GROUP BY pack_id
+    ORDER BY src, bucket
     """,
-    doc="deterministic md5-bucket train/val/test split (engine-independent)",
+    doc="corpus organization, union-tagged: md5-bucket train/val/test split "
+    "(former x21_hash_split) + fixed-2048-token sequence packing via the "
+    "two-level distributed prefix sum (operators/packing.py) — the oracle "
+    "recomputes packs with a plain global window, proving the scalable scan "
+    "exactly matches the single-task formulation",
 )
-def x21_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x21_split_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.splits import assign_split
+    from ..functions.text import whitespace_tokens
+    from ..operators.packing import pack_sequences
 
     d = _t(spark, sf_dir, "documents")
-    return (
+    splits = (
         d.withColumn("split", assign_split("text"))
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("total_units"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )
-        .orderBy("split")
+        .select(
+            F.lit("split").alias("src"),
+            F.col("split").alias("bucket"),
+            "n_docs",
+            "total_units",
+            "min_doc",
+            "max_doc",
+        )
     )
+    toks = d.select(
+        "doc_id", F.size(whitespace_tokens("text")).cast("bigint").alias("tok")
+    )
+    packs = (
+        pack_sequences(toks, "doc_id", "tok", pack_len=2048, bucket_size=100)
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("total_units"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.lit("pack").alias("src"),
+            F.lpad(F.col("pack_id").cast("string"), 6, "0").alias("bucket"),
+            "n_docs",
+            "total_units",
+            "min_doc",
+            "max_doc",
+        )
+    )
+    return splits.unionByName(packs).orderBy("src", "bucket")
 
 
 # --------------------------------------------------------------------------
@@ -977,5 +1029,94 @@ def x26_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         remove_boilerplate_lines(doc2, min_docs=3)
         .select("doc_id", "n_lines", "n_removed", F.md5("cleaned").alias("cleaned_md5"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x27 — PII scrubbing: typed redaction (email/phone/IPv4 -> placeholder
+# tokens) + per-kind counts. The word-soup fixture contains no PII, so the
+# query first injects deterministic synthetic PII derived from doc_id
+# (email on even ids, phone on ids % 3, an IP always) and then runs the
+# real scrub; the oracle rebuilds the identical corpus and applies the
+# IDENTICAL pattern text (PII_PATTERNS is written in the Java-regex/RE2
+# shared dialect). redacted_md5 proves byte-exact replacement. Chained
+# regexp_replace is per-row and codegen'd — at 100 TB the scrub rides the
+# same scan as every other per-document signal, zero extra shuffles.
+# --------------------------------------------------------------------------
+def _x27_oracle() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    return f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+             || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{pats["email"]}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{pats["phone"]}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{pats["ipv4"]}')) AS BIGINT)  AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{pats["email"]}', '<EMAIL>', 'g'),
+               '{pats["phone"]}', '<PHONE>', 'g'),
+               '{pats["ipv4"]}', '<IP>', 'g'))                           AS redacted_md5
+    FROM pii
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "x27_pii_redact",
+    oracle=_x27_oracle(),
+    doc="typed PII redaction (email/phone/IP) + counts, byte-exact vs oracle",
+)
+def x27_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        ((did * 7) % 256).cast("string"),
+        F.lit("."),
+        ((did * 13) % 256).cast("string"),
+    )
+    c = pii_counts(F.col("t"))
+    return (
+        d.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            c["email"].cast("bigint").alias("n_emails"),
+            c["phone"].cast("bigint").alias("n_phones"),
+            c["ipv4"].cast("bigint").alias("n_ips"),
+            F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+        )
         .orderBy("doc_id")
     )

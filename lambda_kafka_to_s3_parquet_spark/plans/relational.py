@@ -874,63 +874,64 @@ def q20_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q26 — LEFT OUTER join + null-conditional aggregation: customers per
-# nation incl. those with no orders. nation broadcasts (true dim); the
-# customer-orders outer join is AQE-decided.
+# q26 — outer joins, union-tagged (consolidates former q26 + q27 into one
+# registry slot). LEFT OUTER: customers per nation incl. those with no
+# orders — nation broadcasts (true dim), the customer-orders outer join is
+# AQE-decided. FULL OUTER: two derived daily series aligned by date, gaps
+# coalesced to zero — both sides pre-aggregate before the join so the
+# shuffle carries ~2.5k rows, not the fact tables.
 # --------------------------------------------------------------------------
 @register(
-    "q26_left_outer_customers",
+    "q26_outer_joins",
     oracle="""
-    SELECT n.n_name,
-           count(DISTINCT c.c_custkey)  AS n_customers,
-           count(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN c.c_custkey END)
-                                        AS n_without_orders,
-           count(o.o_orderkey)          AS n_orders
+    SELECT 'left_outer_customers' AS src,
+           n.n_name AS k,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT)  AS n1,
+           CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                    THEN c.c_custkey END) AS BIGINT) AS n2,
+           CAST(count(o.o_orderkey) AS BIGINT)          AS n3
     FROM nation n
     JOIN customer c ON c.c_nationkey = n.n_nationkey
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY n.n_name
-    ORDER BY n.n_name
+    UNION ALL
+    SELECT 'full_outer_dates' AS src,
+           CAST(coalesce(od.d, sd.d) AS VARCHAR)        AS k,
+           CAST(coalesce(od.n_orders, 0) AS BIGINT)     AS n1,
+           CAST(coalesce(sd.n_ships, 0) AS BIGINT)      AS n2,
+           CAST(NULL AS BIGINT)                         AS n3
+    FROM (SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1) od
+    FULL OUTER JOIN
+         (SELECT l_shipdate  AS d, count(*) AS n_ships  FROM lineitem GROUP BY 1) sd
+      ON od.d = sd.d
+    ORDER BY src, k
     """,
-    doc="left-outer join: per-nation customer counts incl. order-less customers",
+    doc="left-outer (order-less customers per nation) + full-outer "
+    "(pre-aggregated daily series, coalesced gaps), union-tagged",
 )
-def q26_left_outer_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q26_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
+    left = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("n_name")
         .agg(
-            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("c_custkey").alias("n1"),
             F.countDistinct(
                 F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
-            ).alias("n_without_orders"),
-            F.count("o_orderkey").alias("n_orders"),
+            ).alias("n2"),
+            F.count("o_orderkey").alias("n3"),
         )
-        .orderBy("n_name")
+        .select(
+            F.lit("left_outer_customers").alias("src"),
+            F.col("n_name").alias("k"),
+            "n1",
+            "n2",
+            "n3",
+        )
     )
-
-
-# --------------------------------------------------------------------------
-# q27 — FULL OUTER join aligning two derived daily series; dates present
-# on only one side surface as coalesced zeros. Both sides pre-aggregate
-# before the join (shuffle carries ~2.5k rows, not the fact tables).
-# --------------------------------------------------------------------------
-@register(
-    "q27_full_outer_dates",
-    oracle="""
-    WITH od AS (SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1),
-         sd AS (SELECT l_shipdate  AS d, count(*) AS n_ships  FROM lineitem GROUP BY 1)
-    SELECT coalesce(od.d, sd.d)     AS d,
-           coalesce(od.n_orders, 0) AS n_orders,
-           coalesce(sd.n_ships, 0)  AS n_ships
-    FROM od FULL OUTER JOIN sd ON od.d = sd.d
-    """,
-    doc="full-outer join of two pre-aggregated daily series with coalesced gaps",
-)
-def q27_full_outer_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").alias("d"))
@@ -941,11 +942,14 @@ def q27_full_outer_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_shipdate").alias("d"))
         .agg(F.count("*").alias("n_ships"))
     )
-    return od.join(sd, ["d"], "full_outer").select(
-        "d",
-        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-        F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+    full = od.join(sd, ["d"], "full_outer").select(
+        F.lit("full_outer_dates").alias("src"),
+        F.col("d").cast("string").alias("k"),
+        F.coalesce("n_orders", F.lit(0)).alias("n1"),
+        F.coalesce("n_ships", F.lit(0)).alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
     )
+    return left.unionByName(full).orderBy("src", "k")
 
 
 # --------------------------------------------------------------------------

@@ -474,3 +474,123 @@ def test_dup_ngram_frac(spark):
     assert out[1]["d2"] == 0.75  # 4 bigrams, 1 distinct
     assert out[2]["d2"] == 0.0 and out[2]["d3"] == 0.0
     assert out[3]["d2"] == 0.0 and out[3]["d3"] == 0.0
+
+
+def test_redact_pii(spark):
+    """Typed redaction: each PII kind maps to its placeholder; counts per
+    kind; text without PII passes through untouched; multiple matches of
+    one kind all redact."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org call 555-123-4567 from 10.0.0.1"),
+        (2, "no pii here at all"),
+        (3, "ips 192.168.1.1 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    c = pii_counts(F.col("t"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            c["email"].alias("e"),
+            c["phone"].alias("p"),
+            c["ipv4"].alias("i"),
+            redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert out[1]["e"] == 2 and out[1]["p"] == 1 and out[1]["i"] == 1
+    assert out[1]["red"] == "mail <EMAIL> and <EMAIL> call <PHONE> from <IP>"
+    assert out[2]["red"] == "no pii here at all"
+    assert out[3]["i"] == 2 and out[3]["red"] == "ips <IP> <IP>"
+
+
+def test_prefix_sum_and_packing(spark):
+    """Two-level distributed prefix sum == single global window, on any
+    partitioning; pack assignment is concat-then-chunk (doc joins the pack
+    where its first token lands)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.packing import (
+        pack_sequences,
+        with_global_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(0, 500, 3)]  # sparse ids
+    expect, run = {}, 0
+    for i, w in rows:
+        expect[i] = run
+        run += w
+
+    for n_parts in (1, 7):
+        df = spark.createDataFrame(rows, ["id", "w"]).repartition(n_parts)
+        out = with_global_prefix_sum(df, "id", "w", bucket_size=40)
+        got = {r["id"]: r["prefix_sum"] for r in out.collect()}
+        assert got == expect, f"mismatch at {n_parts} partitions"
+
+    packed = pack_sequences(
+        spark.createDataFrame(rows, ["id", "w"]), "id", "w", pack_len=100, bucket_size=40
+    )
+    got_packs = {r["id"]: r["pack_id"] for r in packed.collect()}
+    assert got_packs == {i: expect[i] // 100 for i, _ in rows}
+    # zero-weight rows keep a well-defined pack (the current stream position)
+    assert all(p >= 0 for p in got_packs.values())
+
+
+def test_rollup_hll_distinct_merges(spark):
+    """Mergeable-distinct contract: the union of per-hour HLL sketches
+    re-aggregated to daily must give the SAME estimate as sketching the
+    raw day directly (HLL union is lossless), and the estimate must be
+    within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.rollup import (
+        hourly_rollup,
+        reaggregate,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    daily = reaggregate(hourly_rollup(events, distinct_col="user_id"), "day")
+    direct = events.groupBy(
+        F.date_trunc("day", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_direct"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    joined = daily.join(direct, ["bucket", "event_type"]).collect()
+    assert joined
+    for r in joined:
+        assert r["approx_distinct"] == r["approx_direct"], r
+        assert abs(r["approx_distinct"] - r["exact"]) <= max(1, 0.05 * r["exact"]), r
+
+
+def test_stratified_sample(spark):
+    """Hash-threshold sampling: deterministic across runs/partitionings,
+    per-stratum rates honored within binomial tolerance, unlisted strata
+    get the default rate (0 = dropped)."""
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import stratified_sample
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    rates = {"en": 1.0, "de": 0.3}
+    s1 = stratified_sample(docs, "lang", rates).groupBy("lang").count().collect()
+    s2 = (
+        stratified_sample(docs.repartition(13), "lang", rates)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert {(r["lang"], r["count"]) for r in s1} == {(r["lang"], r["count"]) for r in s2}
+    got = {r["lang"]: r["count"] for r in s1}
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert got["en"] == totals["en"]  # rate 1.0 keeps everything
+    assert 0.15 * totals["de"] < got.get("de", 0) < 0.45 * totals["de"]
+    assert set(got) <= {"en", "de"}  # default rate 0 drops other strata

@@ -135,3 +135,28 @@ def test_q08_single_window_node(spark):
     plan = _executed(df)
     assert plan.count("Window") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_prefix_sum_has_no_full_data_global_window(spark):
+    """The packing prefix sum must window PARTITION BY bucket over the
+    data; the only unpartitioned window sits directly above the per-bucket
+    Aggregate (one row per bucket), never above the input rows."""
+    from lambda_kafka_to_s3_parquet_spark.operators.packing import (
+        with_global_prefix_sum,
+    )
+
+    df = load_table(spark, SF, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("w")
+    )
+    out = with_global_prefix_sum(df, "doc_id", "w", bucket_size=100)
+    lines = _optimized(out).splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "windowspecdefinition" in ln]
+    assert len(win_idx) == 2, lines
+    # cumsum window prints THREE bracket groups — exprs, partition spec
+    # (_bucket), ordering; the unpartitioned one prints two (no partition)
+    partitioned = [i for i in win_idx if lines[i].count("], [") == 2]
+    assert len(partitioned) == 1, lines
+    # the other (unpartitioned) window's direct child must be the bucket
+    # Aggregate — a global scan over #buckets rows, not over the relation
+    (unpart,) = [i for i in win_idx if i not in partitioned]
+    assert "Aggregate" in lines[unpart + 1], lines
