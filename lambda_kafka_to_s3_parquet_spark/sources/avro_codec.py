@@ -320,8 +320,13 @@ class SchemaProvider:
     serialized plan.
     """
 
-    def __init__(self, catalog: dict[str, tuple[int, tuple[AvroField, ...]]] | None = None):
+    def __init__(
+        self,
+        catalog: dict[str, tuple[int, tuple[AvroField, ...]]] | None = None,
+        history: dict[str, dict[int, tuple[AvroField, ...]]] | None = None,
+    ):
         self._catalog = catalog or DEFAULT_CATALOG
+        self._history = history or {}
         self._memo: dict[str, tuple[int, tuple[AvroField, ...]]] = {}
         self.lookups = 0  # instrumentation: proves memoization in tests
 
@@ -331,6 +336,19 @@ class SchemaProvider:
             self.lookups += 1
             self._memo[subject] = self._catalog[topic]
         return self._memo[subject]
+
+    def versions_for(self, topic: str) -> dict[int, tuple[AvroField, ...]]:
+        """All known writer versions: {schema_id: fields}, latest included.
+
+        A Confluent subject accumulates versions; a replayed batch mixes
+        records written under any of them (each record carries its own
+        schema id). ``history`` registers the older versions. Evolution
+        must be additive: every historical version's field names are a
+        subset of the latest version's (validated by the decode stage) —
+        a record written before a column existed decodes with NULL there.
+        """
+        latest_id, latest_fields = self.schema_for(topic)
+        return {**self._history.get(topic, {}), latest_id: latest_fields}
 
     def topics(self) -> tuple[str, ...]:
         return tuple(self._catalog)
@@ -459,10 +477,28 @@ def decode_stage(
     Both paths produce the identical ``decoded_schema`` contract: schema
     id mismatches and decode failures land in ``_corrupt_record`` instead
     of raising.
+
+    **Schema evolution**: each record decodes under ITS OWN writer schema
+    (the id in its envelope), looked up in ``provider.versions_for`` —
+    one replayed batch may mix versions (the reference's first-record
+    column inference, lambda_function.py:215-226, would KeyError on such
+    a batch). The output schema is always the LATEST version; fields a
+    record's writer version predates surface as NULL. Only additive
+    evolution is supported — a historical version carrying a field the
+    latest lacks fails at plan build, not silently at runtime.
     """
     if use_jvm is None:
         use_jvm = jvm_from_avro_available(kafka_df.sparkSession)
     expected_id, fields = provider.schema_for(topic)
+    versions = provider.versions_for(topic)
+    latest_names = {f.name for f in fields}
+    for vid, vf in versions.items():
+        extra = {f.name for f in vf} - latest_names
+        if extra:
+            raise ValueError(
+                f"non-additive schema history for {topic}: version {vid} has "
+                f"fields {sorted(extra)} missing from latest {expected_id}"
+            )
     out_schema = decoded_schema(fields)
 
     prepared = kafka_df.filter(F.col("topic") == topic).select(
@@ -480,14 +516,37 @@ def decode_stage(
     if use_jvm:
         from pyspark.sql.avro.functions import from_avro
 
-        rec = from_avro(F.col("body"), avro_json_schema(fields), {"mode": "PERMISSIVE"})
-        decoded = prepared.withColumn("rec", rec)
+        # One from_avro per known writer version, each gated to only its
+        # version's bytes (Avro bodies are untagged — ungated, an old body
+        # could "successfully" misparse under the new schema). For the
+        # common single-version topic this degenerates to the plain plan.
+        decoded = prepared
+        for vid, vf in versions.items():
+            rec = from_avro(
+                F.when(F.col("sid") == F.lit(vid), F.col("body")),
+                avro_json_schema(vf),
+                {"mode": "PERMISSIVE"},
+            )
+            decoded = decoded.withColumn(f"rec_{vid}", rec)
         # PERMISSIVE from_avro nulls the whole struct on decode failure; a
-        # wrong schema id is corrupt even if the bytes happen to parse.
-        # ~ok over a NULL sid (tombstone value) is NULL, so corruption is
-        # tested null-safely and a tombstone's corrupt marker coalesces to
-        # empty bytes — never an invisible NULL that counters would miss.
-        ok = (F.col("sid") == F.lit(expected_id)) & F.col("rec").isNotNull()
+        # schema id outside the catalog is corrupt even if the bytes happen
+        # to parse. ~ok over a NULL sid (tombstone value) is NULL, so
+        # corruption is tested null-safely and a tombstone's corrupt marker
+        # coalesces to empty bytes — never an invisible NULL.
+        ok = F.lit(False)
+        for vid in versions:
+            ok = ok | (
+                (F.col("sid") == F.lit(vid)) & F.col(f"rec_{vid}").isNotNull()
+            )
+
+        def field_value(name: str) -> Column:
+            carriers = [
+                F.col(f"rec_{vid}.{name}")
+                for vid, vf in versions.items()
+                if any(f.name == name for f in vf)
+            ]
+            return carriers[0] if len(carriers) == 1 else F.coalesce(*carriers)
+
         corrupt = F.when(
             ~F.coalesce(ok, F.lit(False)),
             F.coalesce(F.col("raw"), F.lit(b"")),
@@ -499,7 +558,7 @@ def decode_stage(
             "kafka_ts",
             "key_decoded",
             *[
-                F.when(F.coalesce(ok, F.lit(False)), F.col(f"rec.{f.name}")).alias(f.name)
+                F.when(F.coalesce(ok, F.lit(False)), field_value(f.name)).alias(f.name)
                 for f in fields
             ],
             corrupt.alias("_corrupt_record"),
@@ -523,9 +582,10 @@ def decode_stage(
             raws = pdf["raw"].to_numpy()
             for i in range(n):
                 try:
-                    if sids[i] != expected_id:
-                        raise ValueError(f"unexpected schema id {sids[i]}")
-                    _decode_record_into(bytes(bodies[i]), fields, fcols, i)
+                    writer_fields = versions.get(sids[i])
+                    if writer_fields is None:
+                        raise ValueError(f"unknown schema id {sids[i]}")
+                    _decode_record_into(bytes(bodies[i]), writer_fields, fcols, i)
                 except Exception:
                     for name in field_names:  # drop any partially decoded values
                         fcols[name][i] = None

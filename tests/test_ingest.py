@@ -312,3 +312,68 @@ def test_tombstone_value_goes_corrupt_not_crash(spark):
     assert len(bad) == n_tombstones > 0
     assert all(bytes(r["_corrupt_record"]) == b"" for r in bad)
     assert all(r["RATE_CARD_ID"] is None for r in bad)
+
+
+def test_schema_evolution_mixed_writer_versions(spark, tmp_path):
+    """One batch mixing writer-schema versions: each record decodes under
+    its own envelope schema id; rows written before a column existed get
+    NULL there; an id outside the catalog is corrupt; a historical version
+    with a field the latest lacks fails at plan build (non-additive)."""
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import (
+        AvroField,
+        confluent_wrap,
+        encode_avro_record,
+    )
+
+    v2 = RATECARD_FIELDS
+    v1 = RATECARD_FIELDS[:-2]  # before the last two columns were added
+    provider = SchemaProvider(history={GOLDEN_TOPIC: {390: v1}})
+
+    golden = json.load(open(GOLDEN_EVENT))
+    first = next(iter(golden["records"].values()))[0]
+    body = base64.b64decode(first["value"])[5:]
+    row = decode_avro_record(body, v2)
+    old_row = {f.name: row[f.name] for f in v1}
+
+    def rec(offset, sid, fields, r):
+        return {
+            "topic": GOLDEN_TOPIC,
+            "partition": 9,
+            "offset": offset,
+            "timestamp": 1625877624954,
+            "timestampType": "CREATE_TIME",
+            "key": base64.b64encode(b"k").decode(),
+            "value": base64.b64encode(
+                confluent_wrap(sid, encode_avro_record(r, fields))
+            ).decode(),
+        }
+
+    golden["records"] = {
+        f"{GOLDEN_TOPIC}-9": [
+            rec(0, 391, v2, row),      # current version
+            rec(1, 390, v1, old_row),  # historical version
+            rec(2, 999, v1, old_row),  # unknown id -> corrupt
+        ]
+    }
+    fixture = tmp_path / "evolution_event.json"
+    fixture.write_text(json.dumps(golden))
+
+    out = {
+        r["offset"]: r
+        for r in decode_stage(
+            read_lambda_events(spark, str(fixture)), provider, GOLDEN_TOPIC
+        ).collect()
+    }
+    new_cols = [f.name for f in v2[-2:]]
+    assert out[0]["_corrupt_record"] is None
+    assert all(out[0][c] is not None for c in new_cols)
+    assert out[1]["_corrupt_record"] is None
+    assert out[1]["RATE_CARD_ID"] == row["RATE_CARD_ID"]
+    assert all(out[1][c] is None for c in new_cols)  # predates the columns
+    assert out[2]["_corrupt_record"] is not None
+
+    with pytest.raises(ValueError, match="non-additive"):
+        bad = SchemaProvider(
+            history={GOLDEN_TOPIC: {390: v1 + (AvroField("GONE", "string", True),)}}
+        )
+        decode_stage(read_lambda_events(spark, str(fixture)), bad, GOLDEN_TOPIC)
