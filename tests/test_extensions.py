@@ -594,3 +594,37 @@ def test_stratified_sample(spark):
     assert got["en"] == totals["en"]  # rate 1.0 keeps everything
     assert 0.15 * totals["de"] < got.get("de", 0) < 0.45 * totals["de"]
     assert set(got) <= {"en", "de"}  # default rate 0 drops other strata
+
+
+def test_curate_corpus_full_options(spark):
+    """All optional stages engaged: boilerplate lines vanish before
+    hashing (so two docs differing only by a banner ARE near-dups), PII
+    redacts, repetitive docs drop at the gate, survivors get pack ids."""
+    from lambda_kafka_to_s3_parquet_spark.operators.curate import curate_corpus
+
+    body = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "the birds fly south for winter and the river runs past the old mill"
+    )
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    rows = [
+        (0, f"{banner}\n{body}\nwrite to me at spam@example.com now"),
+        (1, f"{banner}\n{body}\nwrite to me at spam@example.com now"),  # near-dup of 0
+        (2, f"{banner}\nspam spam spam spam spam spam spam spam spam"),  # repetitive
+        (3, f"{banner}\na different well formed document about adaptive query "
+            "execution and shuffle planning in distributed engines"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate_corpus(
+        docs,
+        drop_boilerplate_in=3,
+        scrub_pii=True,
+        max_dup_3gram_frac=0.5,
+        pack_len=50,
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {0, 3}          # 1 deduped away, 2 gated (repetition)
+    assert banner not in by_id[3]["text"]
+    assert "<EMAIL>" in by_id[0]["text"] and "spam@" not in by_id[0]["text"]
+    assert by_id[0]["pack_id"] == 0
+    assert all(r["pack_id"] >= 0 for r in out)
