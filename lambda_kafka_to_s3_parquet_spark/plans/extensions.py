@@ -985,21 +985,28 @@ def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup): lines whose trimmed form appears in >= k DISTINCT documents are
 # boilerplate and dropped from every doc; survivors reassemble in order.
 # The parquet fixture is single-line word-soup, so the query derives a
-# multi-line corpus first (3-token segments joined by \n — deterministic
-# and engine-reproducible) and runs the real operator on it; the oracle
-# recomputes segment flags + ordered string_agg independently. cleaned_md5
-# proves byte-exact reassembly including removal order.
+# multi-line corpus first — a newline after every 3rd token via ONE
+# codegen'd regexp_replace (an earlier transform+slice higher-order
+# formulation produced identical bytes ~10x slower, and the operator's
+# plan evaluates the derivation twice) — and runs the real operator on
+# it; the oracle recomputes segment flags + ordered string_agg
+# independently. cleaned_md5 proves byte-exact reassembly including
+# removal order.
 # --------------------------------------------------------------------------
 @register(
     "x26_boilerplate_lines",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents),
+    oracle=rf"""
+    WITH seg0 AS (SELECT doc_id,
+                         string_split(regexp_replace(
+                             array_to_string({_SQL_TOKENS}, ' '),
+                             '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+                             chr(10)) AS ls
+                  FROM documents),
     seg AS (SELECT doc_id,
-                   unnest([array_to_string(tok[i*3+1:i*3+3], ' ')
-                           for i in range(0, CAST(ceil(len(tok)/3.0) AS INT))]) AS line,
-                   unnest(generate_series(1, CAST(ceil(len(tok)/3.0) AS INT)))  AS pos
-            FROM tok),
-    boiler AS (SELECT line FROM seg GROUP BY line
+                   unnest(ls)                            AS line,
+                   unnest(generate_series(1, len(ls)))   AS pos
+            FROM seg0),
+    boiler AS (SELECT line FROM seg WHERE trim(line) <> '' GROUP BY line
                HAVING count(DISTINCT doc_id) >= 3)
     SELECT s.doc_id,
            CAST(count(*) AS BIGINT)                                  AS n_lines,
@@ -1016,16 +1023,12 @@ def x26_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import remove_boilerplate_lines
 
     d = _t(spark, sf_dir, "documents")
-    tok = tokens("text")
-    n_seg = F.ceil(F.size(tok) / F.lit(3.0)).cast("int")
-    segs = F.when(
-        F.size(tok) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_seg - 1),
-            lambda i: F.array_join(F.slice(tok, i * 3 + 1, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    doc2 = d.select("doc_id", F.array_join(segs, "\n").alias("text"))
+    doc2 = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.array_join(tokens("text"), " "), r"(\S+ \S+ \S+) ", "$1\n"
+        ).alias("text"),
+    )
     return (
         remove_boilerplate_lines(doc2, min_docs=3)
         .select("doc_id", "n_lines", "n_removed", F.md5("cleaned").alias("cleaned_md5"))
