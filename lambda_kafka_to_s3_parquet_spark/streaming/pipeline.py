@@ -140,3 +140,42 @@ def run_windowed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join: same key, event times within ``within``.
+
+    Both sides are unbounded, so matching needs buffered state; without
+    bounds that state grows forever. Two constraints make it droppable
+    (Spark refuses a stream-stream join that lacks them):
+
+    * a **watermark on both inputs** — how late either side may arrive;
+    * a **time-range join condition** — how far apart matching events may
+      be. State for an event is freed once the other side's watermark
+      passes its time plus ``within``.
+
+    Left columns keep their names; right columns get a ``r_`` prefix
+    (the self-join case would otherwise collide). At 100 TB the state
+    store holds only (watermark + within) of data per side — the
+    micro-batch analog of the bucketed interval join in
+    ``operators/ranges.py``.
+    """
+    lt, rt = ts_col, f"r_{ts_col}"
+    lw = _instant_ts(left, ts_col).withWatermark(ts_col, watermark)
+    rw = _instant_ts(right, ts_col)
+    rw = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns]).withWatermark(
+        rt, watermark
+    )
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {within}"))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -202,3 +202,53 @@ def test_streaming_plan_is_stateful_with_watermark(spark, tmp_path):
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
     agg = windowed_event_counts(stream)
     assert agg.isStreaming
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join (watermarked both sides + time-range
+    condition) over AvailableNow must produce exactly the rows the
+    equivalent batch join produces."""
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import join_streams
+
+    left_dir, right_dir, ckpt = (
+        str(tmp_path / "l"),
+        str(tmp_path / "r"),
+        str(tmp_path / "ck"),
+    )
+    ev = load_table(spark, SF, "events").limit(400).cache()
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(left_dir)
+    ev.filter(F.col("event_id") % 3 == 0).write.parquet(right_dir)
+
+    def stream(d):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+
+    joined = join_streams(stream(left_dir), stream(right_dir), "user_id", "5 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.table("ss_join").select("event_id", "r_event_id").collect()
+
+    l = ev.filter(F.col("event_id") % 2 == 0).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = ev.filter(F.col("event_id") % 3 == 0).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = r.select([F.col(c).alias(f"r_{c}") for c in r.columns])
+    want = l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 5 minutes"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 5 minutes")),
+    ).select("event_id", "r_event_id").collect()
+
+    assert len(want) > 0, "fixture produced no joinable pairs"
+    assert sorted((x["event_id"], x["r_event_id"]) for x in got) == sorted(
+        (x["event_id"], x["r_event_id"]) for x in want
+    )
