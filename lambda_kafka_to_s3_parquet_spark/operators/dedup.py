@@ -405,6 +405,12 @@ def remove_boilerplate_lines(
     broadcasts it when the boilerplate vocabulary is small), and (3) one
     groupBy(doc) to reassemble; per-group state is bounded by document
     size. No step is all-pairs and nothing touches the driver.
+
+    The plan reads ``docs`` twice (boilerplate census + reassembly). When
+    the input is an expensive derived expression rather than a stored
+    table, materialize it first (persist/localCheckpoint or land the line
+    table) — at corpus scale the census output is reused by later
+    curation passes anyway.
     """
     lines = docs.select(
         id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")

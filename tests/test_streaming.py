@@ -252,3 +252,27 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert sorted((x["event_id"], x["r_event_id"]) for x in got) == sorted(
         (x["event_id"], x["r_event_id"]) for x in want
     )
+
+
+def test_stream_stream_join_uses_symmetric_hash_join(spark, tmp_path):
+    """The stream-stream join must plan as StreamingSymmetricHashJoin —
+    the stateful operator whose buffers the watermarks bound — not fall
+    back to a static join shape."""
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import join_streams
+
+    d = str(tmp_path / "ev")
+    load_table(spark, SF, "events").limit(10).write.parquet(d)
+
+    def stream():
+        return spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+
+    joined = join_streams(stream(), stream(), "user_id", "5 minutes")
+    assert joined.isStreaming
+    # batch execution of a streaming plan is refused, so inspect the
+    # analyzed logical plan (watermarks + join condition land there)
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "Join Inner" in plan
+    # both sides carry event-time watermarks into the join
+    assert plan.count("EventTimeWatermark") == 2, plan
+    # and the join condition carries the state-bounding time range
+    assert "r_ts" in plan and ">=" in plan and "<=" in plan
