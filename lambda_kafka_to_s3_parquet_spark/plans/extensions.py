@@ -1128,3 +1128,114 @@ def x27_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x28 — the END-TO-END corpus curation chain (operators/curate.py), driver-
+# checked: boilerplate line removal FIRST (so banners can't distort quality
+# scores or MinHash signatures), then the quality gate, then MinHash-LSH
+# near-dup dedup (pairs -> connected components -> min-id survivor), then
+# deterministic split assignment + token budgets — each stage is
+# individually green (x26, x04, x07/x24, x25/x21), and this query proves
+# the COMPOSITION and the stage ORDER: the oracle recomputes the whole
+# chain (recursive-CTE components included) over the same derived
+# multi-line corpus, and text_md5 pins the bytes each stage saw. At 100 TB
+# the chain is exactly the sum of its verified parts: narrow per-row gates
+# ride the scan, and the shuffles are boilerplate's line census, the
+# banded LSH equi-joins, and one left-anti survivor join.
+# --------------------------------------------------------------------------
+@register(
+    "x28_curation_chain",
+    oracle=rf"""
+    WITH RECURSIVE
+    seg0 AS (SELECT doc_id,
+                    string_split(regexp_replace(
+                        array_to_string({_SQL_TOKENS}, ' '),
+                        '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+                        chr(10)) AS ls
+             FROM documents),
+    seg AS (SELECT doc_id,
+                   unnest(ls)                          AS line,
+                   unnest(generate_series(1, len(ls))) AS pos
+            FROM seg0),
+    boiler AS (SELECT line FROM seg WHERE trim(line) <> '' GROUP BY line
+               HAVING count(DISTINCT doc_id) >= 3),
+    cleaned AS (SELECT s.doc_id,
+                       coalesce(string_agg(s.line, chr(10) ORDER BY s.pos)
+                                FILTER (WHERE b.line IS NULL), '') AS text
+                FROM seg s LEFT JOIN boiler b ON s.line = b.line
+                GROUP BY s.doc_id),
+    gated AS (SELECT doc_id, text, tok FROM
+                (SELECT doc_id, text, {_SQL_TOKENS} AS tok FROM cleaned)
+              WHERE len(tok) >= 5
+                AND (CASE WHEN length(lower(text)) > 0
+                     THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                          / length(lower(text)) ELSE 0 END) >= 0.5),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES3} AS sh FROM gated),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+    pairs AS (SELECT doc_a, doc_b FROM cand
+              JOIN sh x ON x.doc_id = doc_a
+              JOIN sh y ON y.doc_id = doc_b
+              WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE
+                    / len(list_distinct(x.sh || y.sh)), 6) >= 0.8),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    survivors AS (SELECT g.doc_id, g.text,
+                         ('0x' || substr(md5(g.text), 1, 8))::UBIGINT % 100 AS b
+                  FROM gated g LEFT JOIN comp ON g.doc_id = comp.node
+                  WHERE comp.node IS NULL OR comp.component = g.doc_id)
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END                                   AS split,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w != ''))
+                AS BIGINT)                                        AS n_ws_tokens,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                + coalesce(list_sum(list_transform(
+                    list_filter(list_transform(
+                      string_split_regex(text, '\s+'),
+                      w -> regexp_replace(w, '[^a-zA-Z0-9]', '', 'g')),
+                      w -> w != ''),
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
+                AS BIGINT)                                        AS est_bpe_tokens,
+           md5(text)                                              AS text_md5
+    FROM survivors
+    ORDER BY doc_id
+    """,
+    doc="end-to-end curation chain: boilerplate removal -> quality gate -> "
+    "near-dup dedup -> split + token budgets, whole-pipeline oracle",
+)
+def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    # Same derived multi-line corpus as x26 (the parquet fixture is
+    # single-line word soup; a newline after every 3rd token gives the
+    # line-dedup stage real lines to work on).
+    doc2 = d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.array_join(tokens("text"), " "), r"(\S+ \S+ \S+) ", "$1\n"
+        ).alias("text"),
+    )
+    out = curate_corpus(
+        doc2,
+        min_tokens=5,
+        min_alpha_ratio=0.5,
+        dedup_threshold=0.8,
+        drop_boilerplate_in=3,
+    )
+    return out.select(
+        "doc_id",
+        "split",
+        "n_ws_tokens",
+        "est_bpe_tokens",
+        F.md5("text").alias("text_md5"),
+    ).orderBy("doc_id")

@@ -29,22 +29,6 @@ from pyspark.sql.window import Window
 from ..session import load_table, register_tables
 from . import register
 
-#: Dialect-neutral SQL for q25: the SAME text runs on Spark (over
-#: register_tables' temp views) and on DuckDB (the oracle) — demonstrating
-#: the engine's SQL surface, not just the DataFrame API.
-_Q25_SQL = """
-    SELECT n.n_name,
-           count(*)                      AS n_customers,
-           round(sum(c.c_acctbal), 2)    AS total_balance,
-           round(avg(c.c_acctbal), 2)    AS avg_balance
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE c.c_acctbal > 0
-    GROUP BY n.n_name
-    ORDER BY n_name
-"""
-
-
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -93,37 +77,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q02 — agg → deterministic top-k (sort + limit).
-# --------------------------------------------------------------------------
-@register(
-    "q02_topk_orders_by_revenue",
-    oracle="""
-    SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           count(*)                                          AS n_lines
-    FROM lineitem
-    GROUP BY l_orderkey
-    ORDER BY revenue DESC, l_orderkey
-    LIMIT 10
-    """,
-    doc="groupBy agg + top-k with total tie-break order",
-)
-def q02_topk_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_orderkey")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count("*").alias("n_lines"),
-        )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
-    )
-
-
-# --------------------------------------------------------------------------
 # q03 — 3-way join (broadcast dim → fact) + filter + agg + top-k
-# (TPC-H Q3 shape). customer is broadcast: no shuffle on the fact side.
+# (TPC-H Q3 shape; the agg→sort→limit top-k shape of former
+# q02_topk_orders_by_revenue is a strict subplan of this query, so q02's
+# registry slot was consolidated here in round 4). customer is broadcast:
+# no shuffle on the fact side.
 # --------------------------------------------------------------------------
 @register(
     "q03_shipping_priority",
@@ -274,38 +232,77 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q07 — ranking window: top-3 customers by balance per nation.
+# q07 — ranking windows over customer, union-tagged (consolidates former
+# q29_ntile_quartiles in round 4): top-3 customers by balance per nation
+# (row_number, desc) + ntile(4) quartile bounds per nation (asc). Both
+# branches are one Window pass partitioned by c_nationkey; the union is
+# append-only. Shared schema: k = custkey | quartile, n = rank | count,
+# v1/v2 = balance | (lo, hi).
 # --------------------------------------------------------------------------
 @register(
     "q07_top_customers_per_nation",
     oracle="""
-    SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
-           CAST(rn AS BIGINT) AS rn
+    SELECT 'top3' AS src, c_nationkey, CAST(c_custkey AS BIGINT) AS k,
+           CAST(rn AS BIGINT)  AS n,
+           round(c_acctbal, 2) AS v1, round(c_acctbal, 2) AS v2
     FROM (
       SELECT c_custkey, c_nationkey, c_acctbal,
              row_number() OVER (PARTITION BY c_nationkey
                                 ORDER BY c_acctbal DESC, c_custkey) AS rn
       FROM customer)
     WHERE rn <= 3
-    ORDER BY c_nationkey, rn
+    UNION ALL
+    SELECT 'quartile' AS src, c_nationkey, CAST(quartile AS BIGINT) AS k,
+           count(*)                 AS n,
+           round(min(c_acctbal), 2) AS v1,
+           round(max(c_acctbal), 2) AS v2
+    FROM (
+      SELECT c_nationkey, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer)
+    GROUP BY c_nationkey, quartile
+    ORDER BY src, c_nationkey, k
     """,
-    doc="row_number ranking window, deterministic tie-break",
+    doc="ranking windows: row_number top-3 per nation + ntile(4) quartile "
+    "bounds, union-tagged, deterministic tie-breaks",
 )
 def q07_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return (
-        c.withColumn("rn", F.row_number().over(w))
+    w_top = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    top3 = (
+        c.withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= 3)
         .select(
-            "c_custkey",
+            F.lit("top3").alias("src"),
             "c_nationkey",
-            F.round("c_acctbal", 2).alias("acctbal"),
-            F.col("rn").cast("bigint").alias("rn"),
+            F.col("c_custkey").cast("bigint").alias("k"),
+            F.col("rn").cast("bigint").alias("n"),
+            F.round("c_acctbal", 2).alias("v1"),
+            F.round("c_acctbal", 2).alias("v2"),
         )
-        # No trailing global sort: the oracle hash is order-insensitive and
-        # output order is not semantic here (unlike top-k limits).
     )
+    w_q = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    quartiles = (
+        c.select("c_nationkey", "c_acctbal", F.ntile(4).over(w_q).alias("quartile"))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("v1"),
+            F.round(F.max("c_acctbal"), 2).alias("v2"),
+        )
+        .select(
+            F.lit("quartile").alias("src"),
+            "c_nationkey",
+            F.col("quartile").cast("bigint").alias("k"),
+            "n",
+            "v1",
+            "v2",
+        )
+    )
+    # No trailing global sort: the oracle hash is order-insensitive and
+    # output order is not semantic here (unlike top-k limits).
+    return top3.unionByName(quartiles)
 
 
 # --------------------------------------------------------------------------
@@ -820,18 +817,10 @@ def q24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# q25 — the SQL API surface: identical SQL text through spark.sql (over
-# the registered catalog views) and through the DuckDB oracle.
-# --------------------------------------------------------------------------
-@register(
-    "q25_sql_surface",
-    oracle=_Q25_SQL,
-    doc="spark.sql over register_tables catalog views; oracle runs the same text",
-)
-def q25_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_tables(spark, sf_dir, ("customer", "nation"))
-    return spark.sql(_Q25_SQL)
+# (former q25_sql_surface — shared-SQL-text-through-spark.sql — was
+# consolidated into q30_subqueries in round 4: q30 runs its oracle text
+# verbatim through spark.sql over register_tables' catalog views, proving
+# the same SQL-API surface on a strictly harder query.)
 
 
 # --------------------------------------------------------------------------
@@ -953,49 +942,15 @@ def q26_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q29 — ntile(): acctbal quartiles per nation. Deterministic because the
-# window order (acctbal, custkey) is a total order.
-# --------------------------------------------------------------------------
-@register(
-    "q29_ntile_quartiles",
-    oracle="""
-    WITH q AS (
-      SELECT c_nationkey, c_acctbal,
-             CAST(ntile(4) OVER (PARTITION BY c_nationkey
-                                 ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
-      FROM customer)
-    SELECT c_nationkey, quartile,
-           count(*)                 AS n,
-           round(min(c_acctbal), 2) AS lo,
-           round(max(c_acctbal), 2) AS hi
-    FROM q
-    GROUP BY c_nationkey, quartile
-    ORDER BY c_nationkey, quartile
-    """,
-    doc="ntile(4) quartile bounds of customer balances per nation",
-)
-def q29_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return (
-        c.select("c_nationkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("c_nationkey", "quartile")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.min("c_acctbal"), 2).alias("lo"),
-            F.round(F.max("c_acctbal"), 2).alias("hi"),
-        )
-        .orderBy("c_nationkey", "quartile")
-    )
-
-
-# --------------------------------------------------------------------------
 # q30 — subquery surface in one SQL text (consolidates former
-# q31_scalar_subquery): correlated EXISTS / NOT EXISTS (Catalyst rewrites
-# to semi/anti joins — same plans q04/q19 build explicitly) plus an
-# uncorrelated scalar subquery (global average computed once, single-row
-# broadcast). The scalar boundary is rounded identically on both engines
-# so last-ulp summation differences cannot flip membership (q17's guard).
+# q31_scalar_subquery, and — round 4 — former q25_sql_surface: the oracle
+# text runs verbatim through spark.sql over register_tables' catalog
+# views, so this query also proves the SQL-API surface): correlated
+# EXISTS / NOT EXISTS (Catalyst rewrites to semi/anti joins — same plans
+# q04/q19 build explicitly) plus an uncorrelated scalar subquery (global
+# average computed once, single-row broadcast). The scalar boundary is
+# rounded identically on both engines so last-ulp summation differences
+# cannot flip membership (q17's guard).
 # --------------------------------------------------------------------------
 _Q30_SQL = """
     SELECT p.p_brand, count(*) AS n_parts,
@@ -1016,7 +971,8 @@ _Q30_SQL = """
 @register(
     "q30_subqueries",
     oracle=_Q30_SQL,
-    doc="correlated EXISTS/NOT EXISTS (semi/anti rewrite) + scalar subquery, shared SQL text",
+    doc="correlated EXISTS/NOT EXISTS (semi/anti rewrite) + scalar subquery; "
+    "oracle text runs verbatim through spark.sql (the SQL-API surface)",
 )
 def q30_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("part", "lineitem"))
