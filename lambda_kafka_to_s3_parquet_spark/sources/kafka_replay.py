@@ -18,16 +18,20 @@ for replay, irrelevant for production (which uses the real source).
 
 from __future__ import annotations
 
+from collections.abc import Iterable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     MapType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 #: Schema of one record inside the Lambda event envelope.
@@ -95,3 +99,135 @@ def stream_lambda_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return envelope_to_kafka(reader.json(path))
+
+
+# --------------------------------------------------------------------------
+# The REAL Kafka connector (production path).
+# --------------------------------------------------------------------------
+
+#: The reference's production subscription: the 11 CDC topics its trigger
+#: script registers one Lambda event-source mapping each for
+#: (configure_lambda_triggeres.sh:13-23). The Spark engine subscribes to
+#: all of them with ONE source and routes by the ``topic`` column
+#: (avro_codec.route_by_topic) instead of running 11 pipelines.
+REFERENCE_TOPICS: tuple[str, ...] = (
+    "lndcdcadsprpsl_flightyear",
+    "lndcdcadsprpsl_flightquarter",
+    "lndcdcadsprpsl_flightmonth",
+    "lndcdcadsprpsl_flightweek",
+    "lndcdcadsprpsl_flightday",
+    "lndcdcadsrtcrd_flightquarter",
+    "lndcdcadsprpsl_flightrange",
+    "lndcdcadsrtcrd_flightrange",
+    "lndcdcadsrtcrd_flight",
+    "lndcdcadsprpsl_flight",
+    "lndcdcncstcs_flightdates",
+)
+
+#: Fixed output schema of ``spark.readStream.format("kafka")`` (Spark's
+#: Kafka source contract; SURVEY §1.1). ``normalize_kafka_source`` maps it
+#: onto the engine's canonical ingest shape.
+KAFKA_SOURCE_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+
+def kafka_source_options(
+    bootstrap_servers: str | Iterable[str],
+    topics: Iterable[str] = REFERENCE_TOPICS,
+    max_offsets_per_trigger: int = 10_000,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """Kafka source options with the reference deployment's knobs mapped.
+
+    * brokers — the trigger script's 3-broker bootstrap list
+      (configure_lambda_triggeres.sh:9-11) becomes
+      ``kafka.bootstrap.servers`` (comma-joined when given as a list);
+    * topics — one ``subscribe`` list replaces the per-topic event-source
+      mappings (default: the 11-topic production catalog);
+    * batch size — the Lambda mapping's ``--batch-size`` (500 in the
+      trigger script, 10000 in the "10k" deployment, README.md:18-21)
+      becomes ``maxOffsetsPerTrigger``: both bound how many records one
+      micro-batch may contain;
+    * ``failOnDataLoss=false`` mirrors the reference's tolerance of
+      retention-expired offsets (it simply never sees them).
+
+    Returned as a plain dict so tests can assert the mapping without a
+    broker or the spark-sql-kafka jar on the classpath.
+    """
+    servers = (
+        bootstrap_servers
+        if isinstance(bootstrap_servers, str)
+        else ",".join(bootstrap_servers)
+    )
+    return {
+        "kafka.bootstrap.servers": servers,
+        "subscribe": ",".join(topics),
+        "maxOffsetsPerTrigger": str(int(max_offsets_per_trigger)),
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(bool(fail_on_data_loss)).lower(),
+    }
+
+
+def normalize_kafka_source(df: DataFrame) -> DataFrame:
+    """Real-Kafka-source frame -> the engine's canonical ingest shape.
+
+    The canonical shape is what :func:`read_lambda_events` emits (and what
+    ``decode_stage`` consumes): the real source differs only in
+    ``timestamp`` (TimestampType instant vs the Lambda envelope's epoch
+    millis, sample_kafka_event.json:10) and ``timestampType`` (int enum vs
+    name) — both converted here losslessly, everything else passes
+    through byte-identical.
+    """
+    ts_type = (
+        F.when(F.col("timestampType") == 1, F.lit("CREATE_TIME"))
+        .when(F.col("timestampType") == 2, F.lit("LOG_APPEND_TIME"))
+        .otherwise(F.lit("NO_TIMESTAMP_TYPE"))
+    )
+    return df.select(
+        "key",
+        "value",
+        "topic",
+        "partition",
+        "offset",
+        F.unix_millis("timestamp").alias("timestamp"),
+        ts_type.alias("timestampType"),
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str | Iterable[str],
+    topics: Iterable[str] = REFERENCE_TOPICS,
+    max_offsets_per_trigger: int = 10_000,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """The production ingest source: ``readStream.format("kafka")``.
+
+    Returns the canonical ingest frame (``normalize_kafka_source``
+    applied), so ``decode_stage``/``route_by_topic`` and the whole sink
+    stack run on it unchanged — swapping replay for broker really is this
+    one call. Requires the spark-sql-kafka connector jar on the classpath
+    (absent in this container; the construction is covered by an
+    options-level unit test plus a skip-with-reason plan test).
+    """
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers,
+        topics,
+        max_offsets_per_trigger,
+        starting_offsets,
+        fail_on_data_loss,
+    ).items():
+        reader = reader.option(k, v)
+    return normalize_kafka_source(reader.load())

@@ -267,16 +267,38 @@ def test_jvm_from_avro_dispatch(spark):
     )
     assert len(py_rows) == 16
 
-    if jvm_from_avro_available(spark):
-        jvm_rows = sorted(
-            decode_stage(kafka, SchemaProvider(), GOLDEN_TOPIC, use_jvm=True).collect(),
-            key=lambda r: (r["partition"], r["offset"]),
+    # whatever the environment, the default dispatch must decode the batch
+    assert decode_stage(kafka, SchemaProvider(), GOLDEN_TOPIC).count() == 16
+
+
+def test_jvm_from_avro_path_byte_exact(spark):
+    """The JVM ``from_avro`` fast path must produce the identical golden
+    rows as the Arrow fallback. The spark-avro MODULE jar is not bundled
+    with the pyspark wheel and this container has no network to resolve
+    ``org.apache.spark:spark-avro`` via spark.jars.packages, so where the
+    classpath probe fails this skips WITH REASON — the fast path's
+    coverage gap stays visible in every test run instead of silently
+    collapsing into the fallback branch. On any cluster with spark-avro
+    installed (every managed Spark distribution) this runs for real."""
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import (
+        jvm_from_avro_available,
+    )
+
+    if not jvm_from_avro_available(spark):
+        pytest.skip(
+            "spark-avro module jar absent and unfetchable offline: JVM "
+            "from_avro path exercised only on jar-equipped clusters "
+            "(dispatch + gating logic covered by test_jvm_from_avro_dispatch)"
         )
-        assert py_rows == jvm_rows
-    else:
-        # this container lacks the spark-avro jar: the default dispatch must
-        # fall back to the Arrow path and still decode the golden batch
-        assert decode_stage(kafka, SchemaProvider(), GOLDEN_TOPIC).count() == 16
+    kafka = read_lambda_events(spark, GOLDEN_EVENT)
+    key = lambda r: (r["partition"], r["offset"])  # noqa: E731
+    jvm_rows = sorted(
+        decode_stage(kafka, SchemaProvider(), GOLDEN_TOPIC, use_jvm=True).collect(), key=key
+    )
+    py_rows = sorted(
+        decode_stage(kafka, SchemaProvider(), GOLDEN_TOPIC, use_jvm=False).collect(), key=key
+    )
+    assert jvm_rows == py_rows
 
 
 def test_full_catalog_routing(spark):
@@ -377,3 +399,96 @@ def test_schema_evolution_mixed_writer_versions(spark, tmp_path):
             history={GOLDEN_TOPIC: {390: v1 + (AvroField("GONE", "string", True),)}}
         )
         decode_stage(read_lambda_events(spark, str(fixture)), bad, GOLDEN_TOPIC)
+
+
+# --------------------------------------------------------------------------
+# Real Kafka connector builder (production path; no broker in CI).
+# --------------------------------------------------------------------------
+
+
+def test_kafka_source_options_reference_mapping():
+    """The builder maps the reference deployment's knobs onto the Kafka
+    source options: 3-broker bootstrap list, 11-topic subscribe list
+    (configure_lambda_triggeres.sh:9-23), batch size -> maxOffsetsPerTrigger
+    (README.md:18-21)."""
+    from lambda_kafka_to_s3_parquet_spark.sources.kafka_replay import (
+        REFERENCE_TOPICS,
+        kafka_source_options,
+    )
+
+    brokers = ["b1:9093", "b2:9093", "b3:9093"]
+    opts = kafka_source_options(brokers, max_offsets_per_trigger=500)
+    assert opts["kafka.bootstrap.servers"] == "b1:9093,b2:9093,b3:9093"
+    assert opts["subscribe"].split(",") == list(REFERENCE_TOPICS)
+    assert len(REFERENCE_TOPICS) == 11  # the trigger script's full list
+    assert opts["maxOffsetsPerTrigger"] == "500"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    # single-string broker form passes through unchanged
+    assert kafka_source_options("k:9093")["kafka.bootstrap.servers"] == "k:9093"
+
+
+def test_kafka_source_builds_unresolved_plan_or_skips(spark):
+    """With the spark-sql-kafka jar present the builder must produce a
+    streaming frame in the engine's canonical ingest shape; without it
+    (this container) the construction fails at load() -- skip WITH REASON
+    so the coverage gap stays visible in test output."""
+    from lambda_kafka_to_s3_parquet_spark.sources.kafka_replay import kafka_source
+
+    try:
+        df = kafka_source(spark, "localhost:9092", max_offsets_per_trigger=500)
+    except Exception as e:  # DATA_SOURCE_NOT_FOUND / missing class
+        msg = str(e)
+        assert "kafka" in msg.lower(), msg
+        pytest.skip(f"spark-sql-kafka connector jar not on classpath: {msg[:120]}")
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp", "timestampType",
+    ]
+
+
+def test_normalize_kafka_source_feeds_decode_stage(spark):
+    """A frame with the REAL Kafka source's exact schema (binary key/value,
+    TimestampType timestamp, int timestampType), once normalized, must be
+    schema-identical to the replay twin and decode byte-exactly through
+    decode_stage."""
+    import datetime
+
+    from lambda_kafka_to_s3_parquet_spark.sources.kafka_replay import (
+        KAFKA_SOURCE_SCHEMA,
+        normalize_kafka_source,
+    )
+
+    ev = json.load(open(GOLDEN_EVENT))
+    recs = next(iter(ev["records"].values()))
+    r = recs[0]
+    row = (
+        base64.b64decode(r["key"]),
+        base64.b64decode(r["value"]),
+        r["topic"],
+        r["partition"],
+        r["offset"],
+        datetime.datetime.fromtimestamp(r["timestamp"] / 1000, datetime.timezone.utc),
+        1,  # CREATE_TIME
+    )
+    real = spark.createDataFrame([row], KAFKA_SOURCE_SCHEMA)
+    norm = normalize_kafka_source(real)
+
+    twin = read_lambda_events(spark, GOLDEN_EVENT)
+    # canonical shape: same names and types (nullability flags differ only
+    # because literals are provably non-null — irrelevant downstream)
+    assert [(f.name, f.dataType) for f in norm.schema.fields] == [
+        (f.name, f.dataType) for f in twin.schema.fields
+    ]
+
+    out = decode_stage(norm, SchemaProvider(), GOLDEN_TOPIC).collect()
+    assert len(out) == 1
+    got = out[0]
+    assert got["_corrupt_record"] is None
+    assert got["kafka_ts"] == r["timestamp"]  # epoch millis preserved
+    ref = (
+        decode_stage(twin, SchemaProvider(), GOLDEN_TOPIC)
+        .filter((F.col("offset") == r["offset"]) & (F.col("partition") == r["partition"]))
+        .collect()[0]
+    )
+    assert got.asDict() == ref.asDict()
