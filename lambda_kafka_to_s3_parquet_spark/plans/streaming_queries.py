@@ -245,3 +245,131 @@ def w05_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_ts"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# w06 — streaming exact dedup, driver-registered: every event replayed
+# TWICE (the at-least-once redelivery twin) across 4 micro-batches;
+# dropDuplicatesWithinWatermark must restore exactly the original corpus.
+# Rows-only by registry design (outside the oracle window); the per-type
+# aggregate of the deduped stream equals the plain batch aggregate, which
+# tests/test_streaming.py pins exactly.
+# --------------------------------------------------------------------------
+@register(
+    "w06_stream_dedup",
+    oracle=None,
+    doc="streaming dedup under duplicated replay: "
+    "dropDuplicatesWithinWatermark == original corpus aggregate",
+)
+def w06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from ..streaming.pipeline import dedup_stream
+
+    base = Path(tempfile.mkdtemp(prefix="w06_"))
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    # union = the redelivery: each record arrives twice, in 2 random files
+    ev.unionByName(ev).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp_ntz, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    # The replay is bounded and files arrive in arbitrary event-time order,
+    # so the horizon must cover the fixture's whole span for a complete
+    # dedup; in production the horizon is the broker's real redelivery
+    # window (minutes), which bounds state the same way.
+    deduped = dedup_stream(stream, ["event_id"], watermark="30 days")
+    name = base.name
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# w07 — stream-stream inner join, driver-registered: clicks and purchases
+# replayed as two independent file streams, joined per user within a
+# ±10-minute event-time range (watermarked both sides => droppable state).
+# Rows-only by registry design; equality with the batch join is pinned in
+# tests/test_streaming.py::test_stream_stream_join_matches_batch.
+# --------------------------------------------------------------------------
+@register(
+    "w07_stream_stream_join",
+    oracle=None,
+    doc="stream-stream join (watermarked, time-range bounded): "
+    "click->purchase attribution within 10 minutes",
+)
+def w07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from ..streaming.pipeline import join_streams
+
+    base = Path(tempfile.mkdtemp(prefix="w07_"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    for side in ("click", "purchase"):
+        ev.filter(F.col("event_type") == side).repartition(2).write.parquet(
+            str(base / side)
+        )
+
+    def side_stream(side: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(base / side))
+        )
+
+    # Bounded replay: the horizon covers the fixture span (see w06); the
+    # ±10-minute join bound is what keeps production state droppable.
+    joined = join_streams(
+        side_stream("click"),
+        side_stream("purchase"),
+        key="user_id",
+        within="10 minutes",
+        watermark="30 days",
+    )
+    name = base.name
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).agg(
+        F.count("*").alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value") + F.col("r_value")), 2).alias("joined_value"),
+    )

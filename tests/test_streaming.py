@@ -276,3 +276,45 @@ def test_stream_stream_join_uses_symmetric_hash_join(spark, tmp_path):
     assert plan.count("EventTimeWatermark") == 2, plan
     # and the join condition carries the state-bounding time range
     assert "r_ts" in plan and ">=" in plan and "<=" in plan
+
+
+def test_w06_registered_stream_dedup_equals_batch(spark):
+    """The registered w06 query (duplicated replay -> streaming dedup) must
+    reproduce the plain batch per-type aggregate of the ORIGINAL corpus."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    got = {r["event_type"]: r for r in all_specs()["w06_stream_dedup"].fn(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    want = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t].asDict() == want[t].asDict(), t
+
+
+def test_w07_registered_stream_join_equals_batch(spark):
+    """The registered w07 query (two file streams, watermarked time-range
+    join) must count exactly the batch click->purchase matches."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    row = all_specs()["w07_stream_stream_join"].fn(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("cts"))
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("pts"))
+    n_batch = (
+        c.join(p, "user_id")
+        .filter(F.expr("abs(timestampdiff(SECOND, cts, pts)) <= 600"))
+        .count()
+    )
+    assert row["n_matches"] == n_batch
+    assert row["n_matches"] > 0
