@@ -30,13 +30,20 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_nation_revenue",
     "q06_revenue_forecast",
+    # round 4: q07 consolidates former q29 (adds the ntile-quartile branch);
+    # its timing is not comparable to rounds <= 3.
     "q07_top_customers_per_nation",
     "q08_running_totals",  # incl. former q28 lag-gap in the same Window node
     "q09_distinct_agg",
     "q10_grouping_sets",  # ROLLUP + CUBE (former q10_rollup + q22_cube)
     "q15_json_extract",
     "q16_array_stats",
+    # q21 round-3 "regression" (1.41 -> 2.09 s) did not reproduce: 5
+    # isolated runs at sf0.1 steady-state at 1.39-1.52 s (= round 2), so it
+    # was shared-host load on both of round 3's two runs. runs_per_query
+    # now defaults to 3 to make min() robust against exactly that.
     "q21_percentiles",
+    "q24_salted_join",  # round 4: salted-join timing tracked per-round
     "q26_outer_joins",
     "q30_subqueries",
     # LLM-pipeline extensions
@@ -57,8 +64,10 @@ HEADLINE = [
     "x25_decontaminate",
     "x26_boilerplate_lines",
     "x27_pii_redact",
+    "x28_curation_chain",  # round 4: end-to-end curation pipeline
     # event-time windows + stateful streaming
     "w01_tumbling_window",
+    "w02_sliding_window",  # round 4: overlap-factor-2 window tracked per-round
     "w03_session_window",
     "w05_stateful_user_profiles",
     # ingest decode (golden fixture replay; constant size)
@@ -81,10 +90,12 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").count()
 
-    # Two executions per query, min taken: single-shot numbers on a shared
-    # host swing several x with neighbor load; the min is the reproducible
-    # cost of the plan. Recorded in the JSON so rounds compare like-for-like.
-    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Three executions per query, min taken: single-shot numbers on a shared
+    # host swing several x with neighbor load (round 3's q21 "regression"
+    # was two co-loaded runs), so the min needs >= 3 samples to be the
+    # reproducible cost of the plan. Recorded in the JSON so rounds compare
+    # like-for-like.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in specs:
