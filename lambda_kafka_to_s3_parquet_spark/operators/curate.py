@@ -84,6 +84,16 @@ def curate_corpus(
         & (alpha_ratio(text_col) >= min_alpha_ratio)
         & (dup_ngram_frac(tokens(text_col), 3) <= max_dup_3gram_frac)
     )
+    if drop_boilerplate_in is not None or scrub_pii:
+        # Stage boundary: near_dup_dedup consumes `gated` from four
+        # subtrees (minhash signatures, both shingle-verify sides, the
+        # survivor anti-join); when the upstream is more than a scan —
+        # boilerplate's two shuffles and/or the regex scrub — persist so
+        # the cleaning runs once, not four times (measured ~25% off the
+        # whole chain at sf0.1). At 100 TB the same boundary is a parquet
+        # checkpoint between the cleaning job and the dedup job; a cached
+        # gated corpus is the single-job analog.
+        gated = gated.persist()
     deduped = near_dup_dedup(
         gated, id_col=id_col, text_col=text_col, threshold=dedup_threshold
     )
