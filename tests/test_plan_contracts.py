@@ -160,3 +160,26 @@ def test_prefix_sum_has_no_full_data_global_window(spark):
     # Aggregate — a global scan over #buckets rows, not over the relation
     (unpart,) = [i for i in win_idx if i not in partitioned]
     assert "Aggregate" in lines[unpart + 1], lines
+
+def test_q07_top3_branch_uses_window_group_limit(spark):
+    """The rank<=3 filter must push a PARTIAL WindowGroupLimit below the
+    exchange (map-side top-3 per nation), so the shuffle carries at most
+    3 rows per nation per input partition — the property that keeps the
+    ranking branch scale-safe on a 100x customer table."""
+    df = SPECS["q07_top_customers_per_nation"].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()
+    plan = _executed(df)
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1, plan[:2000]
+    assert "Partial" in plan[plan.rfind("WindowGroupLimit"):].splitlines()[0] or \
+        plan.count("WindowGroupLimit") == 2, "partial (map-side) WindowGroupLimit missing"
+
+
+def test_x28_chain_persists_cleaning_boundary(spark):
+    """The curation chain must reuse the cleaned corpus through the cache
+    (InMemoryTableScan), not recompute boilerplate removal for each of
+    near_dup_dedup's four consumers."""
+    df = SPECS["x28_curation_chain"].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()
+    plan = _executed(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
