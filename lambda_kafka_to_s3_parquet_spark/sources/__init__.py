@@ -14,7 +14,11 @@ from .avro_codec import (  # noqa: F401
     route_by_topic,
 )
 from .kafka_replay import (  # noqa: F401
+    REFERENCE_TOPICS,
     envelope_to_kafka,
+    kafka_source,
+    kafka_source_options,
+    normalize_kafka_source,
     read_lambda_events,
     stream_lambda_events,
 )
