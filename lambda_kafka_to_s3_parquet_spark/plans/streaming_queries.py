@@ -373,3 +373,49 @@ def w07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum(F.col("value") + F.col("r_value")), 2).alias("joined_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# w08 — continuously-maintained rollup (the streaming continuous
+# aggregate): events replayed as micro-batches, each folded into the
+# stored hourly rollup by mergeable-aggregate partial merge + dynamic
+# partition overwrite of only the affected dates; the result is the DAILY
+# reaggregation derived from the maintained table, never from raw events.
+# Rows-only by registry design; equality with direct aggregation is pinned
+# in tests/test_streaming.py.
+# --------------------------------------------------------------------------
+@register(
+    "w08_incremental_rollup",
+    oracle=None,
+    doc="streaming continuous aggregate: per-batch rollup merge "
+    "(dynamic partition overwrite) -> daily reaggregate from the rollup",
+)
+def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.rollup import reaggregate, run_rollup_stream
+
+    base = Path(tempfile.mkdtemp(prefix="w08_"))
+    src, rollup, ckpt = str(base / "src"), str(base / "rollup"), str(base / "ckpt")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    q = run_rollup_stream(
+        spark,
+        src,
+        "event_id long, ts timestamp_ntz, event_type string, value double",
+        rollup,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    daily = reaggregate(spark.read.parquet(rollup), "day")
+    return daily.select(
+        F.date_format("bucket", _TS_FMT).alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        F.round("avg_value", 2).alias("avg_value"),
+    ).orderBy("day", "event_type")

@@ -318,3 +318,46 @@ def test_w07_registered_stream_join_equals_batch(spark):
     )
     assert row["n_matches"] == n_batch
     assert row["n_matches"] > 0
+
+
+def test_incremental_rollup_equals_batch_rollup(spark, tmp_path):
+    """Streaming per-batch merges into the stored hourly rollup must end
+    byte-equal to a one-shot rollup of all events, restarts must merge
+    nothing twice, and the daily reaggregate from the maintained table
+    must equal direct daily aggregation over raw events."""
+    from lambda_kafka_to_s3_parquet_spark.operators.rollup import (
+        hourly_rollup,
+        reaggregate,
+        run_rollup_stream,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "event_type", "value")
+    src, rollup, ckpt = str(tmp_path / "src"), str(tmp_path / "ro"), str(tmp_path / "ck")
+    ev.repartition(4).write.parquet(src)
+    schema = "event_id long, ts timestamp_ntz, event_type string, value double"
+
+    for _ in range(2):  # second run reuses the checkpoint: merges nothing
+        q = run_rollup_stream(spark, src, schema, rollup, ckpt)
+        q.awaitTermination(120)
+
+    def canon(df):
+        return sorted(
+            (str(r["hour"]), r["event_type"], r["n_events"],
+             round(r["sum_value"], 6), round(r["min_value"], 6), round(r["max_value"], 6))
+            for r in df.collect()
+        )
+
+    maintained = spark.read.parquet(rollup).drop("d")
+    assert canon(maintained) == canon(hourly_rollup(ev))
+
+    daily = reaggregate(spark.read.parquet(rollup), "day")
+    direct = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("s"),
+    )
+    got = {(str(r["bucket"]), r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+           for r in daily.collect()}
+    want = {(str(r["bucket"]), r["event_type"]): (r["n_events"], r["s"]) for r in direct.collect()}
+    assert got == want
