@@ -1239,3 +1239,50 @@ def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_bpe_tokens",
         F.md5("text").alias("text_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x29 — the sketch operators the 100 TB plans actually use, quantified
+# against their exact twins in one query: q21 documents approx_percentile
+# (t-digest-style, mergeable, map-side combinable) as the scale path for
+# exact `percentile`, and x22 stores HLL sketches for mergeable distincts;
+# this query computes BOTH exact and approx per group and returns the
+# relative errors, so the accuracy contract is measured, not asserted in
+# prose. Rows-only (a sketch's value is engine-specific; DuckDB's
+# approx_quantile uses a different sketch) — the error BOUNDS are pinned
+# in tests/test_extensions.py. Exact branches exist only for the
+# comparison; at 100 TB only the approx branch runs: one pass, bounded
+# memory per group, partial aggregation map-side.
+# --------------------------------------------------------------------------
+@register(
+    "x29_sketch_accuracy",
+    oracle=None,
+    doc="approx_percentile + approx_count_distinct vs exact twins: "
+    "per-group relative errors (bounds pinned in pytest)",
+)
+def x29_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    exact = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+        F.countDistinct("l_orderkey").alias("nd_exact"),
+    )
+    approx = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias("p50_approx"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("nd_approx"),
+    )
+    rel = lambda a, b: F.round(F.abs(a - b) / b, 6)  # noqa: E731
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("p50_exact", 2).alias("p50_exact"),
+            F.round("p50_approx", 2).alias("p50_approx"),
+            rel(F.col("p50_approx"), F.col("p50_exact")).alias("p50_rel_err"),
+            "nd_exact",
+            "nd_approx",
+            rel(F.col("nd_approx").cast("double"), F.col("nd_exact").cast("double")).alias(
+                "nd_rel_err"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -628,3 +628,17 @@ def test_curate_corpus_full_options(spark):
     assert "<EMAIL>" in by_id[0]["text"] and "spam@" not in by_id[0]["text"]
     assert by_id[0]["pack_id"] == 0
     assert all(r["pack_id"] >= 0 for r in out)
+
+
+def test_sketch_accuracy_bounds(spark, sf_dir):
+    """The approx sketches must track their exact twins within the
+    documented bounds: percentile_approx at accuracy=10000 lands within
+    1% of the exact median here, approx_count_distinct at rsd=0.02 within
+    ~3 standard deviations (6%)."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    rows = all_specs()["x29_sketch_accuracy"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3  # A / N / R
+    for r in rows:
+        assert r["p50_rel_err"] <= 0.01, r
+        assert r["nd_rel_err"] <= 0.06, r
