@@ -282,10 +282,11 @@ def test_no_cartesian_in_bucketed_ops(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
-    # brute-force top-k: the corpus x probe join must be a broadcast
-    # nested loop (broadcast probe set), never a shuffle cartesian.
+    # brute-force top-k: per-partition GEMM partial top-k — one corpus
+    # scan, no join at all before the k-bounded global merge.
     plan = topk_bruteforce(emb, emb.filter(F.col("vec_id") < 5))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # the scoring stage is mapInPandas, not a join
 
 
 def test_hyperplane_signature_64_planes(spark):
