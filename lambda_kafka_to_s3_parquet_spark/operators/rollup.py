@@ -140,6 +140,40 @@ def merge_rollup_batch(spark: SparkSession, batch: DataFrame, path: str) -> None
     )
 
 
+def _marker_fs(spark: SparkSession, marker: str):
+    """Hadoop FileSystem + Path for the high-water-mark file — resolved
+    through the JVM so the marker works on any supported scheme (local,
+    hdfs, s3a) exactly like the rollup table itself, not just local disk."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(marker)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _read_last_batch_id(spark: SparkSession, marker: str) -> int:
+    try:
+        fs, path = _marker_fs(spark, marker)
+        if not fs.exists(path):
+            return -1
+        stream = fs.open(path)
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        return int(json.loads(raw.decode("utf-8"))["batch_id"])
+    except Exception:
+        return -1
+
+
+def _write_last_batch_id(spark: SparkSession, marker: str, batch_id: int) -> None:
+    fs, path = _marker_fs(spark, marker)
+    stream = fs.create(path, True)  # overwrite
+    try:
+        stream.write(json.dumps({"batch_id": batch_id}).encode("utf-8"))
+    finally:
+        stream.close()
+
+
 def run_rollup_stream(
     spark: SparkSession,
     events_dir: str,
@@ -153,26 +187,20 @@ def run_rollup_stream(
     ``foreachBatch`` hands each micro-batch to :func:`merge_rollup_batch`.
     The merge is NOT naturally idempotent (re-merging a batch would double
     its counts), and foreachBatch is at-least-once on retry, so a tiny
-    batch-id high-water mark next to the rollup table skips already-merged
-    batches — the standard exactly-once recipe for non-idempotent
-    foreachBatch sinks (single maintenance writer per rollup table, which
-    a scheduled materialization job satisfies by construction).
+    batch-id high-water mark next to the rollup table (written through the
+    Hadoop FileSystem API, so it lives wherever the table lives — local,
+    hdfs, or s3a) skips already-merged batches — the standard exactly-once
+    recipe for non-idempotent foreachBatch sinks (single maintenance
+    writer per rollup table, which a scheduled materialization job
+    satisfies by construction).
     """
     marker = os.path.join(rollup_path, "_last_merged_batch.json")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        last = -1
-        try:
-            with open(marker) as f:
-                last = json.load(f)["batch_id"]
-        except (OSError, ValueError, KeyError):
-            pass
-        if batch_id <= last or batch_df.isEmpty():
+        if batch_id <= _read_last_batch_id(spark, marker) or batch_df.isEmpty():
             return
         merge_rollup_batch(spark, batch_df, rollup_path)
-        os.makedirs(rollup_path, exist_ok=True)
-        with open(marker, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
+        _write_last_batch_id(spark, marker, batch_id)
 
     reader = spark.readStream.schema(events_schema)
     if max_files_per_trigger is not None:
