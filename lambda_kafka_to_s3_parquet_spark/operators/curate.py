@@ -90,9 +90,11 @@ def curate_corpus(
         # survivor anti-join); when the upstream is more than a scan —
         # boilerplate's two shuffles and/or the regex scrub — persist so
         # the cleaning runs once, not four times (measured ~25% off the
-        # whole chain at sf0.1). At 100 TB the same boundary is a parquet
-        # checkpoint between the cleaning job and the dedup job; a cached
-        # gated corpus is the single-job analog.
+        # whole chain at sf0.1). The handle cannot be unpersisted here
+        # (the returned plan still references it lazily), so eviction is
+        # left to the LRU block manager. At 100 TB the boundary is a
+        # parquet checkpoint between the cleaning job and the dedup job —
+        # which also releases the cache concern entirely.
         gated = gated.persist()
     deduped = near_dup_dedup(
         gated, id_col=id_col, text_col=text_col, threshold=dedup_threshold

@@ -114,7 +114,17 @@ def merge_rollup_batch(spark: SparkSession, batch: DataFrame, path: str) -> None
     the property that makes the continuous aggregate viable at 100 TB of
     raw events.
     """
-    part = hourly_rollup(batch).withColumn("d", F.to_date("hour"))
+    # null-ts events roll into a NULL hour/date bucket; drop them here so
+    # the Hive default partition never exists — a semi-join on d could not
+    # retain stored NULL-date rows (NULL never equals NULL) and dynamic
+    # overwrite would clobber that partition on every later null batch.
+    # Corrupt timestamps belong in the ingest path's _corrupt_record flow,
+    # not silently in a rollup bucket.
+    part = (
+        hourly_rollup(batch)
+        .filter(F.col("hour").isNotNull())
+        .withColumn("d", F.to_date("hour"))
+    )
     try:
         existing = spark.read.parquet(path)
     except AnalysisException:
@@ -151,18 +161,19 @@ def _marker_fs(spark: SparkSession, marker: str):
 
 
 def _read_last_batch_id(spark: SparkSession, marker: str) -> int:
-    try:
-        fs, path = _marker_fs(spark, marker)
-        if not fs.exists(path):
-            return -1
-        stream = fs.open(path)
-        try:
-            raw = bytes(stream.readAllBytes())
-        finally:
-            stream.close()
-        return int(json.loads(raw.decode("utf-8"))["batch_id"])
-    except Exception:
+    """-1 only when the marker genuinely does not exist. A marker that
+    exists but cannot be read or parsed RAISES: treating it as -1 would
+    re-merge already-applied batches on retry (silent double counts) —
+    the one failure mode worse than halting the maintenance query."""
+    fs, path = _marker_fs(spark, marker)
+    if not fs.exists(path):
         return -1
+    stream = fs.open(path)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return int(json.loads(raw.decode("utf-8"))["batch_id"])
 
 
 def _write_last_batch_id(spark: SparkSession, marker: str, batch_id: int) -> None:
@@ -189,10 +200,17 @@ def run_rollup_stream(
     its counts), and foreachBatch is at-least-once on retry, so a tiny
     batch-id high-water mark next to the rollup table (written through the
     Hadoop FileSystem API, so it lives wherever the table lives — local,
-    hdfs, or s3a) skips already-merged batches — the standard exactly-once
-    recipe for non-idempotent foreachBatch sinks (single maintenance
-    writer per rollup table, which a scheduled materialization job
-    satisfies by construction).
+    hdfs, or s3a) skips already-merged batches (single maintenance writer
+    per rollup table, which a scheduled materialization job satisfies by
+    construction).
+
+    Honest consistency contract: merge and marker write are two steps, so
+    a crash BETWEEN them re-merges that one batch on restart — the
+    residual at-least-once window of any non-transactional two-step sink.
+    Clean stop/restart (the availableNow maintenance cadence) is exactly-
+    once, which the restart test pins. Closing the crash window requires
+    an atomic table format (Delta/Iceberg txn carrying the batch id with
+    the data) — the drop-in upgrade at production scale.
     """
     marker = os.path.join(rollup_path, "_last_merged_batch.json")
 

@@ -227,25 +227,28 @@ def i07_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "i04_cdc_latest_ratecard",
     oracle=f"""
     SELECT SRC_KEY_VAL, RATE_CARD_ID, SRC_CDC_OPER_NM, SRC_COMMIT_DT_UTC,
-           CAST(n_copies AS BIGINT) AS n_copies
-    FROM (SELECT SRC_KEY_VAL, RATE_CARD_ID, SRC_CDC_OPER_NM, SRC_COMMIT_DT_UTC,
-                 row_number() OVER (PARTITION BY SRC_KEY_VAL
-                                    ORDER BY SRC_COMMIT_DT_UTC DESC) AS rn,
-                 count(*)    OVER (PARTITION BY SRC_KEY_VAL)         AS n_copies
-          FROM parquet_scan('{GOLDEN_PARQUET}'))
-    WHERE rn = 1
+           CAST(2 AS BIGINT) AS n_copies
+    FROM parquet_scan('{GOLDEN_PARQUET}')
     ORDER BY SRC_KEY_VAL
     """,
-    doc="CDC latest-version dedup on the golden CDC stream "
-    "(SRC_KEY_VAL / SRC_COMMIT_DT_UTC) vs the golden parquet oracle",
+    doc="CDC latest-version dedup: golden stream + synthesized stale "
+    "predecessors compact back to exactly the golden parquet rows",
 )
 def i04_cdc_latest_ratecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + CDC compaction, driver-checked against the golden parquet.
-    The Spark side additionally tiebreaks on Kafka offset (not present in
-    the landed golden file); the golden event has no (key, commit-ts) ties,
-    so both reductions pick identical rows."""
+    """Decode + CDC compaction, driver-checked against the golden parquet
+    with TEETH: the golden event's 16 keys are unique, so deduping it
+    alone would be the identity and prove nothing about ordering. The
+    query therefore replays each decoded record TWICE — once as-is, once
+    as a synthesized STALE predecessor (older SRC_COMMIT_DT_UTC, marker
+    operation name) — and compacts. Only a correct latest-by-(commit-ts
+    DESC) reduction returns exactly the golden rows with n_copies = 2; an
+    ordering regression surfaces the STALE twins and hash-mismatches."""
     d = decoded_golden(spark).filter(F.col("_corrupt_record").isNull())
-    return latest_by_key(d, ["SRC_KEY_VAL"], "SRC_COMMIT_DT_UTC", "offset").select(
+    stale = d.withColumn("SRC_COMMIT_DT_UTC", F.lit("2021-07-01 00:00:00")).withColumn(
+        "SRC_CDC_OPER_NM", F.lit("STALE")
+    )
+    cdc = d.unionByName(stale)
+    return latest_by_key(cdc, ["SRC_KEY_VAL"], "SRC_COMMIT_DT_UTC", "offset").select(
         "SRC_KEY_VAL", "RATE_CARD_ID", "SRC_CDC_OPER_NM", "SRC_COMMIT_DT_UTC", "n_copies"
     )
 

@@ -24,6 +24,19 @@ from . import register
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _drain(q, timeout: int = 300) -> None:
+    """Block until an availableNow query fully drains — or FAIL.
+
+    ``awaitTermination(timeout)`` returns False on timeout; ignoring that
+    and reading the sink would return silently partial aggregates that a
+    rows-only (>0 rows) check happily accepts. A loaded shared host is
+    exactly when that would happen, so the timeout is an error, never a
+    truncation."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"streaming query failed to drain within {timeout}s")
+
+
 # --------------------------------------------------------------------------
 # w01 — tumbling event-time window (1 hour) per event type.
 # --------------------------------------------------------------------------
@@ -155,7 +168,7 @@ def w04_stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_ingest_stream(
             spark, str(base / "in"), str(base / "out"), str(base / "ckpt"), GOLDEN_TOPIC
         )
-        q.awaitTermination(120)
+        _drain(q)
     landed = read_partition(spark, str(base / "out"), topic=GOLDEN_TOPIC)
     return (
         landed.groupBy("topic", "y", "m", "d", "h")
@@ -216,7 +229,7 @@ def w05_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
 
     # n_events is strictly monotone per user across emissions, so the max
     # row is the final accumulated state.
@@ -297,7 +310,7 @@ def w06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -367,7 +380,7 @@ def w07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q)
     return spark.table(name).agg(
         F.count("*").alias("n_matches"),
         F.countDistinct("user_id").alias("n_users"),
@@ -408,7 +421,7 @@ def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup,
         ckpt,
     )
-    q.awaitTermination(120)
+    _drain(q)
     daily = reaggregate(spark.read.parquet(rollup), "day")
     return daily.select(
         F.date_format("bucket", _TS_FMT).alias("day"),

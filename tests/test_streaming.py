@@ -313,7 +313,14 @@ def test_w07_registered_stream_join_equals_batch(spark):
     p = ev.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("pts"))
     n_batch = (
         c.join(p, "user_id")
-        .filter(F.expr("abs(timestampdiff(SECOND, cts, pts)) <= 600"))
+        # exact microsecond arithmetic: timestampdiff(SECOND) truncates, so
+        # a pair 600.3s apart would count here but fail the stream join's
+        # exact +/-10min bound — boundary pairs must agree on both sides
+        .filter(
+            F.expr(
+                "abs(timestampdiff(MICROSECOND, cts, pts)) <= 600 * 1000000"
+            )
+        )
         .count()
     )
     assert row["n_matches"] == n_batch
