@@ -643,3 +643,15 @@ def test_sketch_accuracy_bounds(spark, sf_dir):
     for r in rows:
         assert r["p50_rel_err"] <= 0.01, r
         assert r["nd_rel_err"] <= 0.06, r
+
+
+def test_topk_bruteforce_empty_and_null_probes(spark, sf_dir):
+    """An empty (or all-NULL-vector) probe set must yield an empty result
+    with the contract schema — never a driver-side stack error."""
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    none = emb.filter(F.col("vec_id") < 0)  # matches nothing
+    out = topk_bruteforce(emb, none, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "cand_id", "score", "rank"]
