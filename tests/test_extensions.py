@@ -655,3 +655,21 @@ def test_topk_bruteforce_empty_and_null_probes(spark, sf_dir):
     out = topk_bruteforce(emb, none, k=5)
     assert out.count() == 0
     assert out.columns == ["query_id", "cand_id", "score", "rank"]
+
+
+def test_topk_bruteforce_partition_invariant(spark, sf_dir):
+    """The two-level plan (per-partition GEMM partial top-k -> global
+    merge) must return identical results for ANY corpus partitioning —
+    the property that proves the local cut can never drop a global
+    winner."""
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    one = canon(topk_bruteforce(emb.repartition(1), queries, k=7))
+    many = canon(topk_bruteforce(emb.repartition(16), queries, k=7))
+    assert one == many and len(one) == 3 * 7
