@@ -1286,3 +1286,40 @@ def x29_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# x30 — deterministic corpus mixing (quality/language-tiered stratified
+# sampling): keep 100% of en, half of de/fr, a quarter of es, drop zh —
+# the reproducible "data recipe" step every training-mix pipeline ends
+# with. Row verdicts are content-hash thresholds (md5 buckets), so the
+# same row gets the same verdict on any cluster/partitioning — unlike
+# df.sample. Registered rows-only (past the oracle window);
+# tests/test_extensions.py recomputes the identical md5 arithmetic in
+# DuckDB and pins exact per-stratum kept counts, and the partitioning-
+# invariance property is pinned separately. Narrow per-row filter: rides
+# the scan, no shuffle before the count aggregation.
+# --------------------------------------------------------------------------
+X30_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25}
+
+
+@register(
+    "x30_stratified_mix",
+    oracle=None,
+    doc="deterministic stratified corpus mix (hash-threshold per-language "
+    "rates); exact counts pinned vs a DuckDB md5 twin in pytest",
+)
+def x30_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.splits import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(d, "lang", X30_RATES, key_col="text")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )

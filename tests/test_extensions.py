@@ -673,3 +673,36 @@ def test_topk_bruteforce_partition_invariant(spark, sf_dir):
     one = canon(topk_bruteforce(emb.repartition(1), queries, k=7))
     many = canon(topk_bruteforce(emb.repartition(16), queries, k=7))
     assert one == many and len(one) == 3 * 7
+
+
+def test_stratified_mix_matches_duckdb_md5_twin(spark, sf_dir):
+    """The registered x30 mix must equal a DuckDB twin computing the
+    identical md5 hash-threshold arithmetic — an oracle in all but
+    registry position (the 50-slot window is full)."""
+    import os
+
+    import duckdb
+
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+    from lambda_kafka_to_s3_parquet_spark.plans.extensions import X30_RATES
+
+    got = {
+        r["lang"]: (r["n_kept"], r["first_doc"], r["last_doc"])
+        for r in all_specs()["x30_stratified_mix"].fn(spark, sf_dir).collect()
+    }
+    thresh = " ".join(
+        f"WHEN lang = '{s}' THEN {int(r * 10_000)}" for s, r in X30_RATES.items()
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.sql(f"""
+            SELECT lang, count(*), min(doc_id), max(doc_id)
+            FROM parquet_scan('{os.path.join(sf_dir, "documents.parquet")}')
+            WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 10000
+                  < (CASE {thresh} ELSE 0 END)
+            GROUP BY lang ORDER BY lang
+        """).fetchall()
+    }
+    assert got == want
+    assert got and all(n > 0 for n, _, _ in got.values())
+    assert "zh" not in got  # default rate 0 drops the unlisted stratum
