@@ -23,10 +23,32 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.utils import AnalysisException
 
-#: Mergeable aggregate columns carried by every rollup level.
-_MERGEABLE = ("n_events", "sum_value", "min_value", "max_value")
+#: THE mergeable-aggregate spec — the one place the rollup schema contract
+#: lives. Each column name maps to (build, merge):
+#:   * build(raw events)     -> the per-bucket partial  (hourly_rollup)
+#:   * merge(partial column) -> the associative re-merge (reaggregate and
+#:     merge_rollup_batch both derive their agg lists from here, so the
+#:     build and merge paths cannot drift apart).
+_AGG_SPEC: dict = {
+    "n_events": (lambda: F.count("*"), lambda c: F.sum(c).cast("bigint")),
+    "sum_value": (lambda: F.sum("value"), F.sum),
+    "min_value": (lambda: F.min("value"), F.min),
+    "max_value": (lambda: F.max("value"), F.max),
+}
+
+#: The opt-in mergeable-distinct column (DataSketches HLL binary); built
+#: with ``hll_sketch_agg`` and merged with ``hll_union_agg`` wherever it
+#: is present in a rollup frame.
+_HLL_COL = "distinct_hll"
+
+
+def _merge_aggs(cols) -> list:
+    """Merge-side agg list derived from _AGG_SPEC for the columns present."""
+    aggs = [merge(name).alias(name) for name, (_, merge) in _AGG_SPEC.items()]
+    if _HLL_COL in cols:
+        aggs.append(F.hll_union_agg(_HLL_COL).alias(_HLL_COL))
+    return aggs
 
 
 def hourly_rollup(events: DataFrame, distinct_col: str | None = None) -> DataFrame:
@@ -43,14 +65,9 @@ def hourly_rollup(events: DataFrame, distinct_col: str | None = None) -> DataFra
     so a year of hourly sketches re-aggregates to daily/monthly distincts
     without ever touching raw data. ~KB per bucket at any cardinality.
     """
-    aggs = [
-        F.count("*").alias("n_events"),
-        F.sum("value").alias("sum_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-    ]
+    aggs = [build().alias(name) for name, (build, _) in _AGG_SPEC.items()]
     if distinct_col is not None:
-        aggs.append(F.hll_sketch_agg(distinct_col).alias("distinct_hll"))
+        aggs.append(F.hll_sketch_agg(distinct_col).alias(_HLL_COL))
     return events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         "event_type",
@@ -78,21 +95,13 @@ def reaggregate(rollup: DataFrame, granularity: str = "day") -> DataFrame:
     and surfaces as ``approx_distinct`` — union of sketches over buckets
     is byte-identical to sketching the raw data directly.
     """
-    aggs = [
-        F.sum("n_events").cast("bigint").alias("n_events"),
-        F.sum("sum_value").alias("sum_value"),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
-    ]
-    if "distinct_hll" in rollup.columns:
-        aggs.append(F.hll_union_agg("distinct_hll").alias("distinct_hll"))
     out = rollup.groupBy(
         F.date_trunc(granularity, F.col("hour")).alias("bucket"),
         "event_type",
-    ).agg(*aggs)
-    if "distinct_hll" in out.columns:
+    ).agg(*_merge_aggs(rollup.columns))
+    if _HLL_COL in out.columns:
         out = out.withColumn(
-            "approx_distinct", F.hll_sketch_estimate("distinct_hll")
+            "approx_distinct", F.hll_sketch_estimate(_HLL_COL)
         )
     return out.withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
 
@@ -102,17 +111,35 @@ def reaggregate(rollup: DataFrame, granularity: str = "day") -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def merge_rollup_batch(spark: SparkSession, batch: DataFrame, path: str) -> None:
+def merge_rollup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    distinct_col: str | None = None,
+) -> None:
     """Fold one micro-batch of raw events into the stored hourly rollup.
 
     Mergeability does all the work: the batch's partial hourly aggregate
     unions with the STORED buckets of the affected dates only (a semi-join
     on ``d`` — no driver-side partition listing) and re-merges with the
-    same associative aggregates; dynamic partition overwrite then rewrites
-    only the date partitions present in that output. Cost per batch is
-    proportional to the batch's time span, never to the rollup's history —
-    the property that makes the continuous aggregate viable at 100 TB of
-    raw events.
+    same associative aggregates (derived from ``_AGG_SPEC``, plus
+    ``hll_union_agg`` when the sketch column is present — so the
+    continuously-maintained table keeps mergeable distincts too); dynamic
+    partition overwrite then rewrites only the date partitions present in
+    that output. Cost per batch is proportional to the batch's time span,
+    never to the rollup's history — the property that makes the continuous
+    aggregate viable at 100 TB of raw events.
+
+    Committer contract: the merged frame lazily READS ``path`` and the
+    same job dynamic-partition-overwrites ``path``. With the default V1
+    staging FileOutputCommitter the read completes against the old files
+    before the rename-commit swaps partitions, which is what the tests
+    pin. Direct-write committers (e.g. the S3A magic committer) or a
+    failure mid-commitJob can leave partitions partially replaced, and the
+    documented retry would then double-count the partitions that already
+    committed — on such storage, stage the merged output to a temp prefix
+    and swap, or use an atomic table format (Delta/Iceberg), the same
+    upgrade path :func:`run_rollup_stream` names for its marker.
     """
     # null-ts events roll into a NULL hour/date bucket; drop them here so
     # the Hive default partition never exists — a semi-join on d could not
@@ -121,26 +148,33 @@ def merge_rollup_batch(spark: SparkSession, batch: DataFrame, path: str) -> None
     # Corrupt timestamps belong in the ingest path's _corrupt_record flow,
     # not silently in a rollup bucket.
     part = (
-        hourly_rollup(batch)
+        hourly_rollup(batch, distinct_col=distinct_col)
         .filter(F.col("hour").isNotNull())
         .withColumn("d", F.to_date("hour"))
     )
-    try:
-        existing = spark.read.parquet(path)
-    except AnalysisException:
-        part.write.partitionBy("d").parquet(path)
+    # Bootstrap ONLY when the table is genuinely absent or empty, checked
+    # explicitly through the FileSystem API — an AnalysisException from the
+    # read must surface (schema corruption, permission, bad footer), never
+    # be silently reinterpreted as "first materialization".
+    if _is_absent_or_empty(spark, path):
+        # overwrite, not errorIfExists: the directory may exist-but-empty
+        # (e.g. a crashed bootstrap left the bare dir or a stray marker).
+        part.write.mode("overwrite").partitionBy("d").parquet(path)
         return
+    existing = spark.read.parquet(path)
+    if (_HLL_COL in existing.columns) != (_HLL_COL in part.columns):
+        raise ValueError(
+            f"rollup at {path} and this stream disagree on the '{_HLL_COL}' "
+            "column: pass the same distinct_col the table was built with "
+            "(a silent unionByName failure here would halt maintenance with "
+            "a schema error mid-batch instead of at plan time)"
+        )
     affected = part.select("d").distinct()
     touched = existing.join(affected, "d", "left_semi")
     merged = (
         touched.unionByName(part)
         .groupBy("hour", "event_type", "d")
-        .agg(
-            F.sum("n_events").cast("bigint").alias("n_events"),
-            F.sum("sum_value").alias("sum_value"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-        )
+        .agg(*_merge_aggs(part.columns))
     )
     (
         merged.write.mode("overwrite")
@@ -148,6 +182,22 @@ def merge_rollup_batch(spark: SparkSession, batch: DataFrame, path: str) -> None
         .partitionBy("d")
         .parquet(path)
     )
+
+
+def _is_absent_or_empty(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` does not exist or holds no data files.
+
+    Hidden/underscore entries (``_last_merged_batch.json``, ``_SUCCESS``,
+    ``.crc``) don't count as data — Spark's parquet reader ignores them
+    too, so this matches exactly the set of files a read would load.
+    """
+    fs, p = _marker_fs(spark, path)
+    if not fs.exists(p):
+        return True
+    for status in fs.listStatus(p):
+        if not status.getPath().getName().startswith(("_", ".")):
+            return False
+    return True
 
 
 def _marker_fs(spark: SparkSession, marker: str):
@@ -160,11 +210,21 @@ def _marker_fs(spark: SparkSession, marker: str):
     return fs, path
 
 
-def _read_last_batch_id(spark: SparkSession, marker: str) -> int:
+def _read_last_batch_id(spark: SparkSession, marker: str, checkpoint: str) -> int:
     """-1 only when the marker genuinely does not exist. A marker that
     exists but cannot be read or parsed RAISES: treating it as -1 would
     re-merge already-applied batches on retry (silent double counts) —
-    the one failure mode worse than halting the maintenance query."""
+    the one failure mode worse than halting the maintenance query.
+
+    Batch ids are scoped to the streaming CHECKPOINT, so the marker
+    records which checkpoint issued them and this read fails fast when it
+    does not match. Without the guard, deleting/relocating the checkpoint
+    while the rollup table and marker persist restarts batch ids at 0:
+    batches <= the stale high-water mark would be silently skipped (data
+    loss) and later ones re-merged (double counts). Divergence is an
+    operator decision — wipe the marker WITH the table, or restore the
+    paired checkpoint — never a silent guess.
+    """
     fs, path = _marker_fs(spark, marker)
     if not fs.exists(path):
         return -1
@@ -173,14 +233,28 @@ def _read_last_batch_id(spark: SparkSession, marker: str) -> int:
         raw = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    return int(json.loads(raw.decode("utf-8"))["batch_id"])
+    state = json.loads(raw.decode("utf-8"))
+    if state.get("checkpoint") != checkpoint:
+        raise ValueError(
+            f"rollup high-water mark {marker} was written by checkpoint "
+            f"{state.get('checkpoint')!r} but this stream runs from "
+            f"{checkpoint!r}; batch ids are not comparable across "
+            "checkpoints (risk: silent skips AND double-merges). Restore "
+            "the original checkpoint, or rebuild the rollup table and "
+            "marker together."
+        )
+    return int(state["batch_id"])
 
 
-def _write_last_batch_id(spark: SparkSession, marker: str, batch_id: int) -> None:
+def _write_last_batch_id(
+    spark: SparkSession, marker: str, batch_id: int, checkpoint: str
+) -> None:
     fs, path = _marker_fs(spark, marker)
     stream = fs.create(path, True)  # overwrite
     try:
-        stream.write(json.dumps({"batch_id": batch_id}).encode("utf-8"))
+        stream.write(
+            json.dumps({"batch_id": batch_id, "checkpoint": checkpoint}).encode("utf-8")
+        )
     finally:
         stream.close()
 
@@ -192,6 +266,7 @@ def run_rollup_stream(
     rollup_path: str,
     checkpoint: str,
     max_files_per_trigger: int | None = 1,
+    distinct_col: str | None = None,
 ) -> StreamingQuery:
     """Continuously maintain the hourly rollup from an event stream.
 
@@ -202,7 +277,14 @@ def run_rollup_stream(
     Hadoop FileSystem API, so it lives wherever the table lives — local,
     hdfs, or s3a) skips already-merged batches (single maintenance writer
     per rollup table, which a scheduled materialization job satisfies by
-    construction).
+    construction). The marker also records WHICH checkpoint issued the
+    batch ids and the stream fails fast on mismatch — see
+    :func:`_read_last_batch_id`.
+
+    ``distinct_col`` opts the maintained table into the mergeable HLL
+    distinct column exactly like :func:`hourly_rollup` — each batch's
+    sketch partial unions into the stored buckets, so "daily unique X
+    from the continuously-maintained table" never touches raw events.
 
     Honest consistency contract: merge and marker write are two steps, so
     a crash BETWEEN them re-merges that one batch on restart — the
@@ -215,10 +297,10 @@ def run_rollup_stream(
     marker = os.path.join(rollup_path, "_last_merged_batch.json")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_last_batch_id(spark, marker) or batch_df.isEmpty():
+        if batch_id <= _read_last_batch_id(spark, marker, checkpoint) or batch_df.isEmpty():
             return
-        merge_rollup_batch(spark, batch_df, rollup_path)
-        _write_last_batch_id(spark, marker, batch_id)
+        merge_rollup_batch(spark, batch_df, rollup_path, distinct_col=distinct_col)
+        _write_last_batch_id(spark, marker, batch_id, checkpoint)
 
     reader = spark.readStream.schema(events_schema)
     if max_files_per_trigger is not None:

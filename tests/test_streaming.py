@@ -368,3 +368,88 @@ def test_incremental_rollup_equals_batch_rollup(spark, tmp_path):
            for r in daily.collect()}
     want = {(str(r["bucket"]), r["event_type"]): (r["n_events"], r["s"]) for r in direct.collect()}
     assert got == want
+
+
+def test_incremental_rollup_carries_hll_distincts(spark, tmp_path):
+    """The streaming-maintained rollup must carry the mergeable HLL
+    distinct column: after multi-batch replay + a checkpoint-reuse restart
+    (merges nothing twice), `approx_distinct` from the maintained table
+    must equal direct `approx_count_distinct` over raw events — the
+    canonical "daily unique users from the continuous aggregate" question
+    answered without touching raw data."""
+    from lambda_kafka_to_s3_parquet_spark.operators.rollup import (
+        reaggregate,
+        run_rollup_stream,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "event_type", "value")
+    src, rollup, ckpt = str(tmp_path / "src"), str(tmp_path / "ro"), str(tmp_path / "ck")
+    ev.repartition(4).write.parquet(src)
+    schema = "event_id long, ts timestamp_ntz, event_type string, value double"
+
+    for _ in range(2):  # second run reuses the checkpoint: merges nothing
+        q = run_rollup_stream(
+            spark, src, schema, rollup, ckpt, distinct_col="event_id"
+        )
+        q.awaitTermination(120)
+
+    daily = reaggregate(spark.read.parquet(rollup), "day")
+    got = {
+        (str(r["bucket"]), r["event_type"]): r["approx_distinct"]
+        for r in daily.collect()
+    }
+    want = {
+        (str(r["bucket"]), r["event_type"]): r["d"]
+        for r in ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(F.approx_count_distinct("event_id", 0.01).alias("d"))
+        .collect()
+    }
+    assert set(got) == set(want) and got
+    # Spark's approx_count_distinct and the DataSketches HLL column are
+    # different sketches; at this fixture's per-bucket cardinality both
+    # are in (or near) their exact regimes, so a tight relative bound
+    # pins the merge path without welding the test to one implementation.
+    for k in want:
+        assert abs(got[k] - want[k]) <= max(1, 0.02 * want[k]), k
+
+
+def test_rollup_marker_rejects_foreign_checkpoint(spark, tmp_path):
+    """Batch ids are checkpoint-scoped: rerunning the maintenance stream
+    from a DIFFERENT checkpoint against the same rollup table + marker
+    must fail fast (silent skips/double-merges are the alternative)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.rollup import run_rollup_stream
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "event_type", "value")
+    src, rollup = str(tmp_path / "src"), str(tmp_path / "ro")
+    ev.repartition(2).write.parquet(src)
+    schema = "event_id long, ts timestamp_ntz, event_type string, value double"
+
+    q = run_rollup_stream(spark, src, schema, rollup, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    q2 = run_rollup_stream(spark, src, schema, rollup, str(tmp_path / "ck2"))
+    # the ValueError from land() surfaces through the streaming engine's
+    # wrapper; match on the message, not the (wrapper) type
+    with pytest.raises(Exception, match="not comparable across"):
+        q2.awaitTermination(120)
+
+
+def test_rollup_bootstrap_into_empty_dir_and_hll_mismatch(spark, tmp_path):
+    """An existing-but-empty rollup dir (stray marker only) must bootstrap
+    cleanly, and a stored table without the sketch column must refuse a
+    sketch-bearing merge with a clear error instead of a unionByName
+    failure mid-batch."""
+    from lambda_kafka_to_s3_parquet_spark.operators.rollup import merge_rollup_batch
+
+    ev = load_table(spark, SF, "events").select("event_id", "ts", "event_type", "value")
+    rollup = tmp_path / "ro"
+    rollup.mkdir()
+    (rollup / "_stray.json").write_text("{}")  # underscore files aren't data
+
+    merge_rollup_batch(spark, ev, str(rollup))  # bootstraps, no sketch
+    assert spark.read.parquet(str(rollup)).count() > 0
+
+    with pytest.raises(ValueError, match="distinct_hll"):
+        merge_rollup_batch(spark, ev, str(rollup), distinct_col="event_id")
