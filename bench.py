@@ -2,10 +2,25 @@
 
 Prints ONE JSON line:
 ``{"metric": "total_headline_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}``
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "queries_small": {...}, "sf_small": 0.01, "scale_ratio": {...}}``
 
 Queries are executed with the ``noop`` sink so timing covers the full
 distributed plan (scan → shuffle → agg) without driver-side collect cost.
+
+Scale slope (round 5): the same headline set also runs at a 10× smaller
+scale factor in the same invocation, and ``scale_ratio`` records
+t(sf)/t(sf_small) per query — turning the per-operator "rides the scan" /
+"cost ∝ batch" claims into measured slopes. Reading the ratios:
+
+* each timing carries a fixed per-query floor (plan build, task launch,
+  JVM round-trips — ~0.05–0.15 s on this host), so cheap queries sit well
+  below the data ratio even when perfectly linear;
+* ratio ≈ data ratio (10) → scan/shuffle-bound and linear; noticeably
+  ABOVE it → superlinear — a scale smell worth a plan audit;
+* i01/i06 replay constant-size golden/synthesized fixtures and the w0x
+  streaming queries pay constant micro-batch machinery — their ratios
+  hover near 1 by design and say nothing about data scaling.
 """
 
 from __future__ import annotations
@@ -36,7 +51,8 @@ HEADLINE = [
     "q08_running_totals",  # incl. former q28 lag-gap in the same Window node
     "q09_distinct_agg",
     "q10_grouping_sets",  # ROLLUP + CUBE (former q10_rollup + q22_cube)
-    "q15_json_extract",
+    # round 5: q16 consolidates former q15_json_extract (adds the JSON
+    # branch); its timing is not comparable to rounds <= 4.
     "q16_array_stats",
     # q21 round-3 "regression" (1.41 -> 2.09 s) did not reproduce: 5
     # isolated runs at sf0.1 steady-state at 1.39-1.52 s (= round 2), so it
@@ -65,22 +81,66 @@ HEADLINE = [
     "x26_boilerplate_lines",
     "x27_pii_redact",
     "x28_curation_chain",  # round 4: end-to-end curation pipeline
+    # deterministic stratified corpus mix (round 5: oracle-checked)
+    "x30_stratified_mix",
     # event-time windows + stateful streaming
     "w01_tumbling_window",
     "w02_sliding_window",  # round 4: overlap-factor-2 window tracked per-round
     "w03_session_window",
     "w05_stateful_user_profiles",
+    # round 5: the full stateful streaming surface, now oracle-checked —
+    # each runs a real checkpointed streaming query (file-source replay),
+    # so these carry constant micro-batch machinery on top of data cost.
+    # Adding them widens the headline total vs rounds <= 4.
+    "w06_stream_dedup",
+    "w07_stream_stream_join",
+    "w08_incremental_rollup",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
     # synthesized 20k-record Confluent batch through the full decode stage
     "i06_decode_throughput",
+    # round 5: same batch with TWO writer versions mixed — i09 minus i06
+    # is the measured price of the per-record schema-version dispatch
+    "i09_decode_throughput_mixed",
 ]
+
+
+def _sf_of(sf_dir: str) -> float | None:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else None
+
+
+def _time_set(spark, specs, sf_dir: str, runs_per_query: int) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        best = None
+        for _ in range(runs_per_query):
+            # round 5: the clock starts BEFORE the plan builder runs.
+            # Streaming queries (w04-w08) execute eagerly inside fn() and
+            # localize their (small) result — timing only the noop write
+            # would measure nothing for them. For batch queries this adds
+            # the ~10-40 ms plan build vs rounds <= 4; noted for
+            # round-over-round comparability.
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        # Queries that persist an internal stage boundary (x28's cleaning
+        # cache) would otherwise accumulate executor memory across the
+        # 3-runs × 2-scale-factors of a bench invocation; each timed run
+        # rebuilds its plan anyway, so dropping blocks between queries
+        # costs nothing and keeps runs independent.
+        spark.catalog.clearCache()
+    return timings
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
+    sf_small_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
 
     spark = get_spark(app_name="lk2sp-bench")
     specs = all_specs()
@@ -96,29 +156,33 @@ def main() -> None:
     # reproducible cost of the plan. Recorded in the JSON so rounds compare
     # like-for-like.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in specs:
-            continue
-        best = None
-        for _ in range(runs_per_query):
-            df = specs[name].fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # Small scale factor first: it doubles as codegen warmup for the big
+    # pass, the same way round <= 4 used the lineitem count alone.
+    small: dict[str, float] = {}
+    if os.path.isdir(sf_small_dir) and sf_small_dir != sf_dir:
+        small = _time_set(spark, specs, sf_small_dir, runs_per_query)
+    timings = _time_set(spark, specs, sf_dir, runs_per_query)
+
+    ratios = {
+        n: round(timings[n] / small[n], 1) for n in timings if small.get(n)
+    }
+    out = {
         "metric": "total_headline_sec",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": sf,
+        "sf": _sf_of(sf_dir),
         "runs_per_query": runs_per_query,
         "agg": "min",
-    }))
+    }
+    if small:
+        out |= {
+            "queries_small": small,
+            "sf_small": _sf_of(sf_small_dir),
+            "scale_ratio": ratios,
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1294,20 +1294,34 @@ def x29_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the reproducible "data recipe" step every training-mix pipeline ends
 # with. Row verdicts are content-hash thresholds (md5 buckets), so the
 # same row gets the same verdict on any cluster/partitioning — unlike
-# df.sample. Registered rows-only (past the oracle window);
-# tests/test_extensions.py recomputes the identical md5 arithmetic in
-# DuckDB and pins exact per-stratum kept counts, and the partitioning-
-# invariance property is pinned separately. Narrow per-row filter: rides
-# the scan, no shuffle before the count aggregation.
+# df.sample. Oracle-checked since round 5 (a consolidation freed the
+# window slot): the oracle recomputes the identical md5 hash-threshold
+# arithmetic in DuckDB, pinning exact per-stratum kept counts; the
+# partitioning-invariance property is pinned separately in pytest. Narrow
+# per-row filter: rides the scan, no shuffle before the count aggregation.
 # --------------------------------------------------------------------------
 X30_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25}
+
+_X30_THRESH = " ".join(
+    f"WHEN lang = '{s}' THEN {int(r * 10_000)}" for s, r in X30_RATES.items()
+)
 
 
 @register(
     "x30_stratified_mix",
-    oracle=None,
+    oracle=f"""
+    SELECT lang,
+           count(*)    AS n_kept,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM documents
+    WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 10000
+          < (CASE {_X30_THRESH} ELSE 0 END)
+    GROUP BY lang
+    ORDER BY lang
+    """,
     doc="deterministic stratified corpus mix (hash-threshold per-language "
-    "rates); exact counts pinned vs a DuckDB md5 twin in pytest",
+    "rates); oracle recomputes the exact md5 arithmetic in DuckDB",
 )
 def x30_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.splits import stratified_sample

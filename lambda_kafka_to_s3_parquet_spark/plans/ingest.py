@@ -201,6 +201,88 @@ def i06_decode_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "i09_decode_throughput_mixed",
+    oracle=None,
+    doc="i06 with TWO writer-schema versions mixed per batch: prices the "
+    "per-record version dispatch (avro_codec per-batch id grouping) vs "
+    "the single-writer fast path; benched alongside i06",
+)
+def i09_decode_throughput_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-writer decode throughput (schema-evolution cost probe).
+
+    Identical batch shape to :func:`i06_decode_throughput` (20k records,
+    8 partitions) but records alternate between the latest ratecard
+    writer (id 391, 19 fields) and a historical version written before
+    the last two columns existed (id 390, 17 fields) — so every Arrow
+    batch exercises the per-record writer-version dispatch
+    (avro_codec.py: per-batch grouping by envelope schema id) instead of
+    the single-writer fast path. Registered rows-only: the check pins the
+    half/half row split (evolved columns NULL exactly on v1 rows) while
+    bench.py records wall time next to i06 — the dispatch's measured
+    price, not an assumed one.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.avro_codec import RATECARD_FIELDS, confluent_wrap, encode_avro_record
+
+    n = 20_000
+    v2 = RATECARD_FIELDS
+    v1 = RATECARD_FIELDS[:-2]  # before the last two columns were added
+    provider = SchemaProvider(history={GOLDEN_TOPIC: {390: v1}})
+
+    template = decoded_golden(spark).filter(F.col("offset") == 0).collect()[0].asDict()
+    row = {f.name: template[f.name] for f in v2}
+
+    # Same concatenative-prefix trick as i06; v1 shares the prefix and the
+    # varying fields, only its constant suffix is shorter (fields 15..16).
+    pre = encode_avro_record(row, RATECARD_FIELDS[:13])
+    suf_v2 = encode_avro_record(row, RATECARD_FIELDS[15:])
+    suf_v1 = encode_avro_record(row, RATECARD_FIELDS[15:17])
+    var_fields = RATECARD_FIELDS[13:15]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"]
+            values = []
+            for i in ids:
+                body = pre + encode_avro_record(
+                    {"CNCRNCY_VRSN": int(i), "SRC_KEY_VAL": str(i % 997)},
+                    var_fields,
+                )
+                if i % 2:  # odd ids: the historical writer
+                    values.append(confluent_wrap(390, body + suf_v1))
+                else:
+                    values.append(confluent_wrap(391, body + suf_v2))
+            yield pd.DataFrame(
+                {
+                    "key": [str(i).encode() for i in ids],
+                    "value": values,
+                    "topic": GOLDEN_TOPIC,
+                    "partition": (ids % 8).astype("int32"),
+                    "offset": ids,
+                    "timestamp": 1625877624954 + ids,
+                    "timestampType": "CREATE_TIME",
+                }
+            )
+
+    kafka_shaped = spark.range(n, numPartitions=8).mapInPandas(
+        synth,
+        schema="key binary, value binary, topic string, partition int, "
+        "offset long, timestamp long, timestampType string",
+    )
+    decoded = decode_stage(kafka_shaped, provider, GOLDEN_TOPIC)
+    evolved = RATECARD_FIELDS[-1].name  # exists only in v2-written rows
+    return decoded.groupBy("topic").agg(
+        F.count("*").alias("n_decoded"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(F.col(evolved).isNull().cast("bigint")).alias("n_v1_rows"),
+        F.sum(F.col(evolved).isNotNull().cast("bigint")).alias("n_v2_rows"),
+    )
+
+
+@register(
     "i07_compact_small_files",
     oracle=None,
     doc="partition compaction: 3 appended small files -> 1 file/partition "
@@ -321,22 +403,36 @@ def i08_multi_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for i in range(3)
         ]
-    fixture = tempfile.mktemp(prefix="i08_", suffix=".json")
-    with open(fixture, "w") as f:
+    # NamedTemporaryFile(delete=False), not the deprecated/race-prone
+    # mktemp: the file must outlive the with-block (Spark reads it
+    # lazily below) but the NAME is allocated atomically with the fd.
+    with tempfile.NamedTemporaryFile(
+        "w", prefix="i08_", suffix=".json", delete=False
+    ) as f:
+        fixture = f.name
         json.dump(env, f)
 
     ev = read_lambda_events(spark, fixture)
-    routed = route_by_topic(ev, provider)
-    stats = [
-        df.agg(
-            F.lit(topic).alias("topic"),
-            F.count("*").alias("n_records"),
-            F.lit(len(df.columns)).alias("n_cols"),
-            F.count("_corrupt_record").alias("n_corrupt"),
-        )
-        for topic, df in sorted(routed.items())
-    ]
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out
+    try:
+        routed = route_by_topic(ev, provider)
+        stats = [
+            df.agg(
+                F.lit(topic).alias("topic"),
+                F.count("*").alias("n_records"),
+                F.lit(len(df.columns)).alias("n_cols"),
+                F.count("_corrupt_record").alias("n_corrupt"),
+            )
+            for topic, df in sorted(routed.items())
+        ]
+        out = stats[0]
+        for s in stats[1:]:
+            out = out.unionByName(s)
+        # localize (12 rows) so the fixture file and the route_by_topic
+        # source cache can be released before the caller collects
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        os.unlink(fixture)
+        # route_by_topic persisted the shared source (== ev: persist()
+        # returns self); release it now that the result is localized
+        ev.unpersist()

@@ -435,238 +435,284 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q11 — set operations (INTERSECT / EXCEPT), tagged and unioned.
-# --------------------------------------------------------------------------
-@register(
-    "q11_setops",
-    oracle="""
-    SELECT 'both' AS src, n FROM (
-      SELECT DISTINCT c_nationkey AS n FROM customer
-      INTERSECT
-      SELECT DISTINCT s_nationkey AS n FROM supplier)
-    UNION ALL
-    SELECT 'cust_only' AS src, n FROM (
-      SELECT DISTINCT c_nationkey AS n FROM customer
-      EXCEPT
-      SELECT DISTINCT s_nationkey AS n FROM supplier)
-    ORDER BY src, n
-    """,
-    doc="intersect + except + union all",
-)
-def q11_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
-    both = c.intersect(s).withColumn("src", F.lit("both"))
-    cust_only = c.exceptAll(s).withColumn("src", F.lit("cust_only"))
-    return both.unionByName(cust_only).select("src", "n").orderBy("src", "n")
-
-
-# --------------------------------------------------------------------------
-# q12 — join + CASE conditional aggregation (TPC-H Q12 shape).
+# q12 — set operations + conditional aggregation, union-tagged
+# (consolidates former q11_setops in round 5). Branches:
+#   * 'both' / 'cust_only' — INTERSECT / EXCEPT over nation keys (k=NULL,
+#     n1 carries the key, n2=NULL);
+#   * 'case' — TPC-H Q12-shape join + CASE conditional aggregation
+#     (k=returnflag, n1/n2 = high/low line counts).
 # --------------------------------------------------------------------------
 @register(
     "q12_case_agg",
     oracle="""
-    SELECT l.l_returnflag,
+    SELECT 'both' AS src, CAST(NULL AS VARCHAR) AS k,
+           CAST(n AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2 FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS n FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS src, CAST(NULL AS VARCHAR) AS k,
+           CAST(n AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2 FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey AS n FROM supplier)
+    UNION ALL
+    SELECT 'case' AS src, l.l_returnflag AS k,
            CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
            CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n2
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l.l_returnflag
-    ORDER BY l.l_returnflag
+    ORDER BY src, k, n1
     """,
-    doc="conditional (CASE) aggregation over a join",
+    doc="INTERSECT/EXCEPT set ops + conditional (CASE) aggregation over a "
+    "join, union-tagged",
 )
 def q12_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_b = F.lit(None).cast("bigint")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
+
+    def setop_branch(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("src"),
+            null_s.alias("k"),
+            F.col("n").cast("bigint").alias("n1"),
+            null_b.alias("n2"),
+        )
+
+    both = setop_branch(c.intersect(s), "both")
+    cust_only = setop_branch(c.exceptAll(s), "cust_only")
+
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
     )
     o = _t(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
+    case = (
         l.join(o, l.l_orderkey == o.o_orderkey)  # strategy left to AQE; orders is fact-scale
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("n2"),
         )
-        .orderBy("l_returnflag")
-    )
-
-
-# --------------------------------------------------------------------------
-# q13 — scalar string function family.
-# --------------------------------------------------------------------------
-@register(
-    "q13_string_funcs",
-    oracle="""
-    SELECT p_partkey,
-           upper(p_brand)                              AS brand_u,
-           substr(p_name, 1, 8)                        AS name_pfx,
-           CAST(length(p_name) AS BIGINT)              AS name_len,
-           concat(p_brand, '#', p_type)                AS brand_type,
-           replace(p_type, ' ', '_')                   AS type_u,
-           regexp_extract(p_type, '([a-z]+)$', 1)      AS last_word
-    FROM part
-    WHERE p_name LIKE '%a%'
-    ORDER BY p_partkey
-    """,
-    doc="upper/substr/length/concat/replace/regexp_extract + LIKE",
-)
-def q13_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    return (
-        p.filter(F.col("p_name").like("%a%"))
         .select(
-            "p_partkey",
-            F.upper("p_brand").alias("brand_u"),
-            F.substring("p_name", 1, 8).alias("name_pfx"),
-            F.length("p_name").cast("bigint").alias("name_len"),
-            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
-            F.regexp_replace("p_type", " ", "_").alias("type_u"),
-            F.regexp_extract("p_type", "([a-z]+)$", 1).alias("last_word"),
+            F.lit("case").alias("src"), F.col("l_returnflag").alias("k"), "n1", "n2"
         )
     )
+    return both.unionByName(cust_only).unionByName(case)
 
 
 # --------------------------------------------------------------------------
-# q14 — date function family in one aggregate: year/month bucketing plus
-# per-row datediff/add_months/last_day/dayofweek arithmetic folded into
-# the monthly groups (consolidates former q23_date_arith). Within a
-# (year, month) group add_months/last_day are constant, so min() recovers
-# the per-row value while keeping one narrow scan + one shuffle.
+# q14 — scalar function families, union-tagged (consolidates former
+# q13_string_funcs in round 5; q14 itself already absorbed q23_date_arith
+# in round 3). Two independent branches over different tables:
+#   * 'date'   — year/month bucketing over orders with per-row datediff/
+#     add_months/last_day/dayofweek arithmetic folded into the monthly
+#     groups (within a (year, month) group add_months/last_day are
+#     constant, so min() recovers the per-row value — one narrow scan +
+#     one shuffle);
+#   * 'string' — per-row upper/substr/length/concat/replace/
+#     regexp_extract + LIKE over part (narrow, rides the scan, no
+#     shuffle).
+# Shared schema: k1/k2 = (y, m) | (p_partkey, name_len); n1..n4 carry the
+# date branch's counts; s1..s5 carry the string branch's derived strings
+# (s1/s2 double as the date branch's plus_3_months/month_end). The union
+# is append-only — branch results cannot interact.
 # --------------------------------------------------------------------------
 @register(
     "q14_date_functions",
     oracle="""
-    SELECT CAST(year(o_orderdate) AS BIGINT)  AS y,
-           CAST(month(o_orderdate) AS BIGINT) AS m,
-           count(*)                           AS n_orders,
-           count(DISTINCT o_custkey)          AS n_customers,
+    SELECT 'date' AS src,
+           CAST(year(o_orderdate) AS BIGINT)  AS k1,
+           CAST(month(o_orderdate) AS BIGINT) AS k2,
+           count(*)                           AS n1,
+           count(DISTINCT o_custkey)          AS n2,
            CAST(max(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
-                              o_orderdate)) AS BIGINT)               AS max_days_since,
-           min(strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m'))    AS plus_3_months,
-           min(strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')) AS month_end,
-           count(DISTINCT dayofweek(o_orderdate))                    AS n_weekdays
+                              o_orderdate)) AS BIGINT)               AS n3,
+           count(DISTINCT dayofweek(o_orderdate))                    AS n4,
+           min(strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m'))    AS s1,
+           min(strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')) AS s2,
+           CAST(NULL AS VARCHAR) AS s3,
+           CAST(NULL AS VARCHAR) AS s4,
+           CAST(NULL AS VARCHAR) AS s5
     FROM orders
-    GROUP BY 1, 2
-    ORDER BY y, m
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'string' AS src,
+           p_partkey                                   AS k1,
+           CAST(length(p_name) AS BIGINT)              AS k2,
+           CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+           upper(p_brand)                              AS s1,
+           substr(p_name, 1, 8)                        AS s2,
+           concat(p_brand, '#', p_type)                AS s3,
+           replace(p_type, ' ', '_')                   AS s4,
+           regexp_extract(p_type, '([a-z]+)$', 1)      AS s5
+    FROM part
+    WHERE p_name LIKE '%a%'
+    ORDER BY src, k1, k2
     """,
-    doc="year/month buckets + datediff/add_months/last_day/dayofweek in-group",
+    doc="date buckets (datediff/add_months/last_day/dayofweek in-group) + "
+    "string scalar family (upper/substr/length/concat/replace/regexp_extract "
+    "+ LIKE), union-tagged",
 )
 def q14_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    return (
+    null_b = F.lit(None).cast("bigint")
+    null_s = F.lit(None).cast("string")
+    dates = (
         o.groupBy(
-            F.year("o_orderdate").cast("bigint").alias("y"),
-            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.year("o_orderdate").cast("bigint").alias("k1"),
+            F.month("o_orderdate").cast("bigint").alias("k2"),
         )
         .agg(
-            F.count("*").alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n1"),
+            F.countDistinct("o_custkey").alias("n2"),
             F.max(F.datediff("o_orderdate", F.lit("1995-01-01")))
             .cast("bigint")
-            .alias("max_days_since"),
-            F.min(F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM")).alias(
-                "plus_3_months"
-            ),
-            F.min(F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd")).alias("month_end"),
-            F.countDistinct(F.dayofweek("o_orderdate")).alias("n_weekdays"),
+            .alias("n3"),
+            F.countDistinct(F.dayofweek("o_orderdate")).alias("n4"),
+            F.min(F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM")).alias("s1"),
+            F.min(F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd")).alias("s2"),
         )
-        .orderBy("y", "m")
-    )
-
-
-# --------------------------------------------------------------------------
-# q15 — JSON extraction from the events.props payload column.
-# --------------------------------------------------------------------------
-@register(
-    "q15_json_extract",
-    oracle="""
-    SELECT event_type,
-           count(*)                                                   AS n,
-           round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
-           CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-    doc="get_json_object / json_extract over a JSON string column",
-)
-def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg(k), 2).alias("avg_k"),
-            F.max(k).cast("bigint").alias("max_k"),
+        .select(
+            F.lit("date").alias("src"),
+            "k1", "k2", "n1", "n2", "n3", "n4", "s1", "s2",
+            null_s.alias("s3"), null_s.alias("s4"), null_s.alias("s5"),
         )
-        .orderBy("event_type")
     )
+    p = _t(spark, sf_dir, "part")
+    strings = p.filter(F.col("p_name").like("%a%")).select(
+        F.lit("string").alias("src"),
+        F.col("p_partkey").alias("k1"),
+        F.length("p_name").cast("bigint").alias("k2"),
+        null_b.alias("n1"), null_b.alias("n2"),
+        null_b.alias("n3"), null_b.alias("n4"),
+        F.upper("p_brand").alias("s1"),
+        F.substring("p_name", 1, 8).alias("s2"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("s3"),
+        F.regexp_replace("p_type", " ", "_").alias("s4"),
+        F.regexp_extract("p_type", "([a-z]+)$", 1).alias("s5"),
+    )
+    return dates.unionByName(strings)
 
 
 # --------------------------------------------------------------------------
-# q16 — array functions over the embedding vectors. Math is forced to
-# DOUBLE with explicit left-to-right folds so both engines agree bit-wise
-# before rounding.
+# q16 — semi-structured column functions, union-tagged (consolidates
+# former q15_json_extract in round 5). Branches:
+#   * 'json'  — get_json_object over the events.props JSON payload,
+#     aggregated per event_type (k=event_type, n=count, v1=avg, v2=max);
+#   * 'array' — per-row array functions over the embedding vectors
+#     (k=vec_id as string, n=dim, v1=first_val, v2=l2_norm, v3=mean).
+# Array math is forced to DOUBLE with explicit left-to-right folds so
+# both engines agree bit-wise before rounding.
 # --------------------------------------------------------------------------
 @register(
     "q16_array_stats",
     oracle="""
-    SELECT vec_id,
-           CAST(len(embedding) AS BIGINT)                                  AS dim,
-           round(embedding[1]::DOUBLE, 6)                                  AS first_val,
+    SELECT 'json' AS src, event_type AS k,
+           count(*)                                                   AS n,
+           round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS v1,
+           CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS DOUBLE)                                            AS v2,
+           CAST(NULL AS DOUBLE)                                       AS v3
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'array' AS src, CAST(vec_id AS VARCHAR) AS k,
+           CAST(len(embedding) AS BIGINT)                                  AS n,
+           round(embedding[1]::DOUBLE, 6)                                  AS v1,
            round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
-                 x -> x * x), 'sum')), 6)                                  AS l2_norm,
+                 x -> x * x), 'sum')), 6)                                  AS v2,
            round(list_aggregate(embedding::DOUBLE[], 'sum')
-                 / len(embedding), 6)                                      AS mean_val
+                 / len(embedding), 6)                                      AS v3
     FROM embeddings
-    ORDER BY vec_id
+    ORDER BY src, k
     """,
-    doc="size/element_at/aggregate-fold over array<float>",
+    doc="JSON extraction per event_type + size/element_at/aggregate-fold "
+    "over array<float>, union-tagged",
 )
 def q16_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "events")
+    kx = F.get_json_object("props", "$.k").cast("bigint")
+    json_branch = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(kx), 2).alias("v1"),
+            F.max(kx).cast("double").alias("v2"),
+        )
+        .select(
+            F.lit("json").alias("src"),
+            F.col("event_type").alias("k"),
+            "n", "v1", "v2",
+            F.lit(None).cast("double").alias("v3"),
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings")
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
     sum_sq = F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x)
     total = F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x)
-    return e.select(
-        "vec_id",
-        F.size("embedding").cast("bigint").alias("dim"),
-        F.round(F.element_at(emb_d, 1), 6).alias("first_val"),
-        F.round(F.sqrt(sum_sq), 6).alias("l2_norm"),
-        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+    array_branch = emb.select(
+        F.lit("array").alias("src"),
+        F.col("vec_id").cast("string").alias("k"),
+        F.size("embedding").cast("bigint").alias("n"),
+        F.round(F.element_at(emb_d, 1), 6).alias("v1"),
+        F.round(F.sqrt(sum_sq), 6).alias("v2"),
+        F.round(total / F.size("embedding"), 6).alias("v3"),
     )
+    return json_branch.unionByName(array_branch)
 
 
 # --------------------------------------------------------------------------
-# q17 — join against a derived aggregate (parts above their brand average).
+# q18 — derived-aggregate joins, union-tagged (consolidates former
+# q17_above_brand_avg in round 5). Two join-back-to-a-derived-aggregate
+# shapes:
+#   * 'brand_avg' — parts above their brand's average price: the per-brand
+#     aggregate is tiny (one row per brand) and explicitly broadcast;
+#   * 'big_cust'  — HAVING-filtered per-customer order aggregate joined
+#     back to the customer dimension (sf-proportional sides: AQE decides).
+# Shared schema: k = p_partkey | c_custkey, name = p_brand | c_name,
+# n = NULL | n_orders, v1 = price | total_spend, v2 = brand_avg | NULL.
 # --------------------------------------------------------------------------
 @register(
-    "q17_above_brand_avg",
+    "q18_big_customers",
     oracle="""
-    SELECT p.p_partkey, p.p_brand,
-           round(p.p_retailprice, 2) AS price,
-           round(b.brand_avg, 2)     AS brand_avg
+    SELECT 'brand_avg' AS src,
+           p.p_partkey AS k, p.p_brand AS name,
+           CAST(NULL AS BIGINT)      AS n,
+           round(p.p_retailprice, 2) AS v1,
+           round(b.brand_avg, 2)     AS v2
     FROM part p
     JOIN (SELECT p_brand, avg(p_retailprice) AS brand_avg
           FROM part GROUP BY p_brand) b
       ON p.p_brand = b.p_brand
     WHERE p.p_retailprice > round(b.brand_avg, 2)
-    ORDER BY p_partkey
+    UNION ALL
+    SELECT 'big_cust' AS src,
+           c.c_custkey AS k, c.c_name AS name,
+           g.cnt                  AS n,
+           round(g.total, 2)      AS v1,
+           CAST(NULL AS DOUBLE)   AS v2
+    FROM customer c
+    JOIN (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS total
+          FROM orders GROUP BY o_custkey HAVING count(*) >= 13) g
+      ON c.c_custkey = g.o_custkey
+    ORDER BY src, k
     """,
-    doc="self-join against derived per-group average",
+    doc="derived-aggregate joins: broadcast per-brand average filter + "
+    "HAVING aggregate joined back to dimension, union-tagged",
 )
-def q17_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     b = p.groupBy("p_brand").agg(F.avg("p_retailprice").alias("brand_avg"))
-    return (
+    above = (
         # b is a tiny derived aggregate (one row per brand) — always
         # broadcast-safe regardless of sf.
         p.join(F.broadcast(b), "p_brand")
@@ -675,32 +721,14 @@ def q17_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (summation order), which could flip borderline rows.
         .filter(F.col("p_retailprice") > F.round("brand_avg", 2))
         .select(
-            "p_partkey",
-            "p_brand",
-            F.round("p_retailprice", 2).alias("price"),
-            F.round("brand_avg", 2).alias("brand_avg"),
+            F.lit("brand_avg").alias("src"),
+            F.col("p_partkey").alias("k"),
+            F.col("p_brand").alias("name"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.round("p_retailprice", 2).alias("v1"),
+            F.round("brand_avg", 2).alias("v2"),
         )
-        .orderBy("p_partkey")
     )
-
-
-# --------------------------------------------------------------------------
-# q18 — HAVING + join back to the dimension (large customers).
-# --------------------------------------------------------------------------
-@register(
-    "q18_big_customers",
-    oracle="""
-    SELECT c.c_custkey, c.c_name, g.cnt AS n_orders,
-           round(g.total, 2) AS total_spend
-    FROM customer c
-    JOIN (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS total
-          FROM orders GROUP BY o_custkey HAVING count(*) >= 13) g
-      ON c.c_custkey = g.o_custkey
-    ORDER BY c_custkey
-    """,
-    doc="grouped HAVING filter joined back to dimension",
-)
-def q18_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     g = (
@@ -708,16 +736,18 @@ def q18_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.sum("o_totalprice").alias("total"))
         .filter(F.col("cnt") >= 13)
     )
-    return (
+    big = (
         c.join(g, c.c_custkey == g.o_custkey)  # customer is sf-proportional: AQE decides
         .select(
-            "c_custkey",
-            "c_name",
-            F.col("cnt").alias("n_orders"),
-            F.round("total", 2).alias("total_spend"),
+            F.lit("big_cust").alias("src"),
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("name"),
+            F.col("cnt").alias("n"),
+            F.round("total", 2).alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
         )
-        .orderBy("c_custkey")
     )
+    return above.unionByName(big)
 
 
 # --------------------------------------------------------------------------

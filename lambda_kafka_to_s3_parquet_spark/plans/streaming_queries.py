@@ -24,6 +24,29 @@ from . import register
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def _localized(
+    spark: SparkSession, df: DataFrame, scratch, view: str | None = None
+) -> DataFrame:
+    """Materialize a small result, then free its backing scratch state.
+
+    The registered streaming queries build throwaway scratch (source
+    parquet copies, checkpoints, memory-sink tables) that the returned
+    frame references lazily — and the driver collects AFTER the fn
+    returns, so the scratch can't simply be deleted on the way out.
+    Localizing the (always small: grouped/aggregated) result to driver
+    rows first lets every temp dir and memory-sink view be dropped here
+    instead of leaking across repeated bench/driver invocations.
+    """
+    import shutil
+
+    rows = df.collect()
+    out = spark.createDataFrame(rows, df.schema)
+    if view is not None:
+        spark.catalog.dropTempView(view)
+    shutil.rmtree(str(scratch), ignore_errors=True)
+    return out
+
+
 def _drain(q, timeout: int = 300) -> None:
     """Block until an availableNow query fully drains — or FAIL.
 
@@ -170,7 +193,7 @@ def w04_stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _drain(q)
     landed = read_partition(spark, str(base / "out"), topic=GOLDEN_TOPIC)
-    return (
+    out = (
         landed.groupBy("topic", "y", "m", "d", "h")
         .agg(
             F.count("*").alias("n_rows"),
@@ -178,6 +201,7 @@ def w04_stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic", "y", "m", "d", "h")
     )
+    return _localized(spark, out, base)
 
 
 # --------------------------------------------------------------------------
@@ -234,7 +258,7 @@ def w05_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_events is strictly monotone per user across emissions, so the max
     # row is the final accumulated state.
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
+    out = (
         spark.table(name)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -258,19 +282,29 @@ def w05_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_ts"),
         )
     )
+    return _localized(spark, out, base, view=name)
 
 
 # --------------------------------------------------------------------------
 # w06 — streaming exact dedup, driver-registered: every event replayed
 # TWICE (the at-least-once redelivery twin) across 4 micro-batches;
 # dropDuplicatesWithinWatermark must restore exactly the original corpus.
-# Rows-only by registry design (outside the oracle window); the per-type
-# aggregate of the deduped stream equals the plain batch aggregate, which
-# tests/test_streaming.py pins exactly.
+# Oracle-checked since round 5 (a consolidation freed the window slot):
+# the per-type aggregate of the deduped stream must hash-equal the plain
+# batch aggregate over `events` — if the stream dropped a real record or
+# let a duplicate through, count/distinct/sum all move.
 # --------------------------------------------------------------------------
 @register(
     "w06_stream_dedup",
-    oracle=None,
+    oracle="""
+    SELECT event_type,
+           count(*)                 AS n_events,
+           count(DISTINCT event_id) AS n_distinct,
+           round(sum(value), 2)     AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     doc="streaming dedup under duplicated replay: "
     "dropDuplicatesWithinWatermark == original corpus aggregate",
 )
@@ -311,7 +345,7 @@ def w06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    return (
+    out = (
         spark.table(name)
         .groupBy("event_type")
         .agg(
@@ -321,18 +355,30 @@ def w06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    return _localized(spark, out, base, view=name)
 
 
 # --------------------------------------------------------------------------
 # w07 — stream-stream inner join, driver-registered: clicks and purchases
 # replayed as two independent file streams, joined per user within a
 # ±10-minute event-time range (watermarked both sides => droppable state).
-# Rows-only by registry design; equality with the batch join is pinned in
-# tests/test_streaming.py::test_stream_stream_join_matches_batch.
+# Oracle-checked since round 5: match count, matched-user count, and the
+# summed joined value must hash-equal the equivalent batch time-range
+# join — the interval bound is exact microsecond arithmetic on BOTH
+# engines, so boundary pairs cannot flip membership.
 # --------------------------------------------------------------------------
 @register(
     "w07_stream_stream_join",
-    oracle=None,
+    oracle="""
+    SELECT count(*)                          AS n_matches,
+           count(DISTINCT c.user_id)         AS n_users,
+           round(sum(c.value + p.value), 2)  AS joined_value
+    FROM (SELECT * FROM events WHERE event_type = 'click')    c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts - INTERVAL 10 MINUTE
+     AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
     doc="stream-stream join (watermarked, time-range bounded): "
     "click->purchase attribution within 10 minutes",
 )
@@ -381,11 +427,12 @@ def w07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain(q)
-    return spark.table(name).agg(
+    out = spark.table(name).agg(
         F.count("*").alias("n_matches"),
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum(F.col("value") + F.col("r_value")), 2).alias("joined_value"),
     )
+    return _localized(spark, out, base, view=name)
 
 
 # --------------------------------------------------------------------------
@@ -394,14 +441,33 @@ def w07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stored hourly rollup by mergeable-aggregate partial merge + dynamic
 # partition overwrite of only the affected dates; the result is the DAILY
 # reaggregation derived from the maintained table, never from raw events.
-# Rows-only by registry design; equality with direct aggregation is pinned
-# in tests/test_streaming.py.
+# Oracle-checked since round 5, INCLUDING the mergeable-distinct column:
+# at the driver's sf0.01 the per-bucket cardinality (<= 86) keeps the
+# DataSketches HLL sketch in its exact (coupon) regime — union across
+# hourly buckets and micro-batch partials included — so `approx_distinct`
+# hash-equals the oracle's exact count(DISTINCT event_id), pinning the
+# whole streaming sketch-merge path byte-for-byte. Estimation-mode
+# accuracy at larger cardinalities is measured separately (x29).
 # --------------------------------------------------------------------------
 @register(
     "w08_incremental_rollup",
-    oracle=None,
+    oracle="""
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S')     AS day,
+           event_type,
+           count(*)                          AS n_events,
+           round(sum(value), 2)              AS sum_value,
+           round(min(value), 2)              AS min_value,
+           round(max(value), 2)              AS max_value,
+           round(round(sum(value), 2) / count(*), 2) AS avg_value,
+           count(DISTINCT event_id)          AS approx_distinct
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
     doc="streaming continuous aggregate: per-batch rollup merge "
-    "(dynamic partition overwrite) -> daily reaggregate from the rollup",
+    "(dynamic partition overwrite) -> daily reaggregate + HLL distincts "
+    "from the maintained table",
 )
 def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -420,15 +486,22 @@ def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, ts timestamp_ntz, event_type string, value double",
         rollup,
         ckpt,
+        distinct_col="event_id",
     )
     _drain(q)
     daily = reaggregate(spark.read.parquet(rollup), "day")
-    return daily.select(
+    out = daily.select(
         F.date_format("bucket", _TS_FMT).alias("day"),
         "event_type",
         "n_events",
         F.round("sum_value", 2).alias("sum_value"),
         F.round("min_value", 2).alias("min_value"),
         F.round("max_value", 2).alias("max_value"),
-        F.round("avg_value", 2).alias("avg_value"),
+        # avg derived from the ROUNDED sum: both engines then divide the
+        # bit-identical double by the same count, so the 2-decimal round
+        # cannot flip on last-ulp summation-order differences (it did,
+        # at 45.885, when each engine rounded its own unrounded sum).
+        F.round(F.round("sum_value", 2) / F.col("n_events"), 2).alias("avg_value"),
+        "approx_distinct",
     ).orderBy("day", "event_type")
+    return _localized(spark, out, base)

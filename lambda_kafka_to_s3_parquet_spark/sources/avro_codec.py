@@ -619,5 +619,19 @@ def route_by_topic(
     decode per topic off the SAME source frame. Each decode stage prunes
     to its topic's rows first (the filter sits on the shared scan), and
     each output lands in its own partitioned dataset.
+
+    Materialization boundary: every per-topic decode consumes the same
+    source, so without one the source is re-scanned once per topic (12×
+    for the reference's full catalog). Batch frames are persisted here —
+    the fan-out then reads one cached scan (the same reasoning as the
+    cleaning boundary in ``operators/curate.py``; the handle stays with
+    the returned lazy frames, so eviction is the LRU block manager's, and
+    at production scale the boundary is a parquet/foreachBatch checkpoint
+    between ingest and routing, which retires the cache concern).
+    Streaming frames can't be persisted — there the boundary is the
+    foreachBatch micro-batch df, which IS a batch frame and takes the
+    same path.
     """
+    if not kafka_df.isStreaming:
+        kafka_df = kafka_df.persist()
     return {t: decode_stage(kafka_df, provider, t) for t in provider.topics()}

@@ -675,6 +675,23 @@ def test_topk_bruteforce_partition_invariant(spark, sf_dir):
     assert one == many and len(one) == 3 * 7
 
 
+def test_topk_bruteforce_drops_ragged_vectors(spark, sf_dir):
+    """A corpus vector whose dimension differs from the probes' is dropped
+    like a null vector (the pre-GEMM join plan nulled its score out) —
+    never a np.stack ValueError failing the whole task."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 2)
+    ragged = emb.unionByName(
+        emb.limit(1).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.slice("embedding", 1, 3).alias("embedding"),
+        )
+    )
+    clean = sorted(map(tuple, topk_bruteforce(emb, queries, k=5).collect()))
+    got = sorted(map(tuple, topk_bruteforce(ragged, queries, k=5).collect()))
+    assert got == clean  # the ragged row influenced nothing
+
+
 def test_stratified_mix_matches_duckdb_md5_twin(spark, sf_dir):
     """The registered x30 mix must equal a DuckDB twin computing the
     identical md5 hash-threshold arithmetic — an oracle in all but

@@ -225,6 +225,33 @@ def test_multi_topic_routing(spark, tmp_path):
     assert orders["1"]["ORDER_ID"] == 1 and orders["1"]["AMOUNT"] == 12.5
     assert orders["2"]["ORDER_ID"] is None and orders["2"]["AMOUNT"] == -3.25
     assert all(r["_corrupt_record"] is None for r in orders.values())
+    ev.unpersist()
+
+
+def test_route_by_topic_reads_source_once(spark, tmp_path):
+    """The multi-topic fan-out must consume ONE cached scan of the shared
+    source, not re-read it per topic: every routed frame's plan reads the
+    materialization boundary (InMemoryTableScan/Relation) route_by_topic
+    persisted — the same boundary contract as the curation chain's
+    cleaning cache (test_x28_chain_persists_cleaning_boundary)."""
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import (
+        SchemaProvider,
+        route_by_topic,
+    )
+
+    provider = SchemaProvider({GOLDEN_TOPIC: (391, RATECARD_FIELDS)})
+    ev = read_lambda_events(spark, GOLDEN_EVENT)
+    routed = route_by_topic(ev, provider)
+    try:
+        for topic, df in routed.items():
+            df.write.mode("overwrite").format("noop").save()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+                topic,
+                plan[:2000],
+            )
+    finally:
+        ev.unpersist()
 
 
 def test_batch_json_serialization(spark):
@@ -492,3 +519,16 @@ def test_normalize_kafka_source_feeds_decode_stage(spark):
         .collect()[0]
     )
     assert got.asDict() == ref.asDict()
+
+
+def test_i09_mixed_writer_throughput_batch_splits_half(spark):
+    """The i09 throughput probe must decode the full 20k batch with the
+    evolved columns NULL on exactly the v1-written half — proving the
+    per-record version dispatch ran (not a single-writer fast path that
+    would corrupt or drop the odd records)."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    row = all_specs()["i09_decode_throughput_mixed"].fn(spark, "").collect()[0]
+    assert row["n_decoded"] == 20_000
+    assert row["n_corrupt"] == 0
+    assert row["n_v1_rows"] == 10_000 and row["n_v2_rows"] == 10_000
