@@ -105,6 +105,20 @@ HEADLINE = [
 ]
 
 
+#: Checkpointed streaming replays (w05-w08) execute a full multi-micro-
+#: batch query per invocation: their cost is dominated by fixed machinery
+#: (scratch copy, checkpoint commits, state-store files), stable run-to-
+#: run relative to its ~5-10 s magnitude, so min-of-3 would triple bench
+#: wall time to shave noise that is a rounding error at this scale. They
+#: run once; the batch queries keep the min-of-N protocol.
+SINGLE_RUN = {
+    "w05_stateful_user_profiles",
+    "w06_stream_dedup",
+    "w07_stream_stream_join",
+    "w08_incremental_rollup",
+}
+
+
 def _sf_of(sf_dir: str) -> float | None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else None
@@ -116,7 +130,7 @@ def _time_set(spark, specs, sf_dir: str, runs_per_query: int) -> dict[str, float
         if name not in specs:
             continue
         best = None
-        for _ in range(runs_per_query):
+        for _ in range(1 if name in SINGLE_RUN else runs_per_query):
             # round 5: the clock starts BEFORE the plan builder runs.
             # Streaming queries (w04-w08) execute eagerly inside fn() and
             # localize their (small) result — timing only the noop write

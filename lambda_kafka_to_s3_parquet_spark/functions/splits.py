@@ -77,3 +77,36 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(int(rate * n_buckets))
         ).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def deterministic_shuffle(
+    df,
+    key_col: str = "text",
+    seed: int = 0,
+    n_partitions: int | None = None,
+):
+    """Reproducible global shuffle for training-data ordering.
+
+    Training runs need the corpus in a *random but reproducible* order —
+    the epoch-0 data order is part of the experiment. ``orderBy(rand())``
+    draws differently per run/partitioning; this instead sorts by a
+    content hash salted with the seed, so the permutation is a pure
+    function of (row content, seed): same order on any cluster size, any
+    engine (the DuckDB twin recomputes the identical md5 ordering).
+
+    Scale shape: ``repartitionByRange`` on the hash + ``sortWithin
+    Partitions`` — a range shuffle plus per-partition sorts, the same
+    plan a global ``orderBy`` lowers to, with NO single-partition stage.
+    Different seeds give statistically independent permutations (md5
+    avalanche), which is how multi-epoch orders are drawn.
+
+    Returns the input columns plus ``_shuffle_key`` (hex md5); downstream
+    writers drop it or keep it as the provenance of the order.
+    """
+    key = F.md5(F.concat_ws("\x1f", F.col(key_col), F.lit(str(seed))))
+    out = df.withColumn("_shuffle_key", key)
+    if n_partitions:
+        out = out.repartitionByRange(n_partitions, "_shuffle_key")
+    else:
+        out = out.repartitionByRange("_shuffle_key")
+    return out.sortWithinPartitions("_shuffle_key")

@@ -1,0 +1,149 @@
+"""Keyword retrieval over the document corpus (SURVEY.md §2.9 family):
+BM25 scoring and corpus-wide n-gram census.
+
+Why this lives in the engine: every large-scale curation pipeline ends up
+needing lexical search over its corpus — "find the documents that mention
+these terms" for decontamination audits, targeted sampling, and eval-set
+construction — and at 100 TB that must be a distributed scoring plan, not
+an external index round-trip.
+
+Scale design:
+
+* **Shared tokenizer**: both operators ride :func:`..functions.text.tokens`
+  (the same codegen'd kernel x03-x05 and the shingle-based dedup family
+  use), so the lexical contract is single-sourced across the engine and
+  its DuckDB oracles.
+* **Filter-before-shuffle**: BM25 only aggregates postings for the query
+  terms, so the shuffled stream is ``|docs containing a query term|``
+  rows, not the full posting list. Document length/count statistics are
+  tiny aggregates (one row, |terms| rows) and broadcast.
+* **No driver round-trips**: corpus size N and average doc length join in
+  as a broadcast 1-row aggregate (a bounded broadcast-nested-loop, the
+  same shape the probe-set joins use), never a ``.collect()``.
+* **Distributed top-k**: every final ranking is ``orderBy().limit(k)`` —
+  Spark's TakeOrderedAndProject (per-partition partial top-k + tiny
+  driver merge) — so no full result set ever funnels through a
+  single-partition sort or window.
+
+The reference engine has no search surface (its scope ends at landing
+parquet — README.md:18-21); this extends the corpus-analysis family
+(x03-x05) the same way the dedup/similarity operators do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens, word_ngrams
+
+
+def postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One (doc_id, term) row per token occurrence — the shared narrow pass."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact BM25 top-k documents for a bag of query terms.
+
+    Robertson/Sparck-Jones BM25 with the standard non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Score per doc = sum over query
+    terms of ``idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Plan: tokenize once → per-doc lengths (one groupBy over all tokens —
+    the unavoidable corpus statistic) → postings filtered to the query
+    terms BEFORE their groupBy, so tf/df aggregation shuffles only
+    matching rows → df and the 1-row (N, avgdl) statistic broadcast back
+    onto the filtered postings → sum per doc, distributed top-k over the
+    scored set. Ties break on doc_id ascending for determinism.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = postings(docs, id_col, text_col)
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # 1-row corpus statistic: broadcast-joined, never collected
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    terms = [t.lower() for t in query_terms]
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))  # 1 row: bounded broadcast nested loop
+        .join(doclen, "doc_id")
+        .withColumn("_c", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_c"), 6).alias("score"), F.count("*").alias("n_terms_hit"))
+    )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a per-
+    # partition partial top-k plus a tiny driver merge — so no single-
+    # partition sort over the full scored set ever happens; the rank
+    # window then numbers only the k survivors.
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score", "n_terms_hit")
+    )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact corpus-wide top-k most frequent word n-grams.
+
+    The "what is my corpus full of?" census behind boilerplate discovery
+    and contamination triage. N-grams come from the same JVM-side
+    :func:`..functions.text.word_ngrams` kernel the repetition signals
+    use (WITH multiplicity), exploded, then counted with the two-phase
+    aggregate (map-side partial_count before the one exchange). The final
+    ordering is TakeOrderedAndProject over the aggregated n-gram
+    dictionary — never a single-partition sort of it. At 100 TB that
+    dictionary is the thing to cap, and the standard cap (a minimum-
+    frequency HAVING after the aggregate, or a count-min pre-pass)
+    composes in front; the exact census stays the oracle twin.
+
+    Ties break lexicographically on the n-gram for determinism.
+    """
+    if n < 1:
+        raise ValueError("n-gram size must be >= 1")
+    tok = tokens(F.col(text_col))
+    w = Window.orderBy(F.desc("freq"), F.asc("gram"))
+    return (
+        docs.select(F.explode(word_ngrams(tok, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("gram"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "gram", "freq")
+    )

@@ -1337,3 +1337,145 @@ def x30_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# x31 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540): k-means cells + within-cell greedy cosine pruning.
+# Threshold 0.35 reuses x12's calibration (≈4σ above the isotropic-
+# gaussian null spread), pruning a real ~15% of the fixture corpus.
+# Rows-only by design (MLlib's k-means is engine-specific, so cell
+# boundaries have no SQL twin); the pruning pass itself IS exactly
+# verified in pytest by replaying the same greedy rule in numpy over the
+# engine's own cell assignment (tests/test_similarity.py).
+# --------------------------------------------------------------------------
+@register(
+    "x31_semantic_dedup",
+    oracle=None,
+    doc="SemDeDup: k-means cells + greedy within-cell cosine pruning; "
+    "per-cell kept/dropped census (pytest replays the greedy rule in numpy)",
+)
+def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    flags = semantic_dedup(emb, threshold=0.35, n_cells=16)
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+# --------------------------------------------------------------------------
+# x32 — BM25 keyword retrieval. Rows-only in the driver window (all 50
+# oracle slots are spent); the exact DuckDB BM25 twin — same tokenizer,
+# same idf/tf math — pins values in tests/test_retrieval.py.
+# --------------------------------------------------------------------------
+X32_QUERY_TERMS = ["query", "window", "merge", "vector"]
+
+
+@register(
+    "x32_bm25_search",
+    oracle=None,
+    doc="exact BM25 top-10 documents for a fixed query-term bag; DuckDB "
+    "twin with identical tokenizer+scoring pins values in pytest",
+)
+def x32_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), X32_QUERY_TERMS, k=10)
+
+
+# --------------------------------------------------------------------------
+# x33 — corpus n-gram census (heavy hitters). Rows-only in the driver
+# window; exact DuckDB twin in tests/test_retrieval.py.
+# --------------------------------------------------------------------------
+@register(
+    "x33_heavy_hitters",
+    oracle=None,
+    doc="exact top-20 most frequent word bigrams corpus-wide (two-phase "
+    "count + distributed top-k); DuckDB twin pins values in pytest",
+)
+def x33_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+# --------------------------------------------------------------------------
+# x34 — clustered data layout: the write-side half of scan performance.
+# Lands events twice (range-clustered on ts vs hash-scattered), probes
+# both with the same 1-day range predicate, and reports how many files
+# each layout forced the scan to touch. Values are environmental (file
+# counts), so rows-only; the strict clustered < scattered inequality is
+# pinned in tests/test_sink.py.
+# --------------------------------------------------------------------------
+@register(
+    "x34_clustered_layout",
+    oracle=None,
+    doc="range-clustered vs scattered parquet layout: files touched by "
+    "the same time-range probe (file-skipping evidence)",
+)
+def x34_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.sink import files_touched, write_clustered
+
+    base = Path(tempfile.mkdtemp(prefix="x34_"))
+    try:
+        events = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        probe = (F.col("ts") >= lo) & (F.col("ts") < mid)
+
+        n_files = 8
+        write_clustered(events, str(base / "clustered"), ["ts"], n_files=n_files)
+        # the scattered twin: same data, same file count, hash order
+        events.repartition(n_files).write.parquet(str(base / "scattered"))
+
+        rows = []
+        for layout in ("clustered", "scattered"):
+            scan = spark.read.parquet(str(base / layout)).filter(probe)
+            rows.append(
+                (
+                    layout,
+                    files_touched(spark.read.parquet(str(base / layout))),
+                    files_touched(scan),
+                    scan.count(),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "layout string, total_files bigint, files_touched bigint, n_rows bigint"
+        )
+    finally:
+        shutil.rmtree(str(base), ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# x35 — deterministic global shuffle (training-data ordering). Rows-only
+# in the driver window; the DuckDB twin recomputes the identical salted
+# md5 ordering in tests/test_splits.py, and partitioning-invariance is
+# pinned there too.
+# --------------------------------------------------------------------------
+@register(
+    "x35_deterministic_shuffle",
+    oracle=None,
+    doc="seeded content-hash global shuffle: first 20 docs of the epoch-0 "
+    "order; DuckDB twin recomputes the salted md5 ordering in pytest",
+)
+def x35_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.splits import deterministic_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    shuffled = deterministic_shuffle(d, key_col="text", seed=0, n_partitions=8)
+    return (
+        shuffled.select("doc_id", "_shuffle_key")
+        .orderBy("_shuffle_key", "doc_id")
+        .limit(20)
+    )

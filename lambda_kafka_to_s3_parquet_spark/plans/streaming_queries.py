@@ -15,6 +15,8 @@ sessionization pass but remain a single exchange on user_id.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,6 +60,30 @@ def _drain(q, timeout: int = 300) -> None:
     if not q.awaitTermination(timeout):
         q.stop()
         raise TimeoutError(f"streaming query failed to drain within {timeout}s")
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` to the streaming run.
+
+    Stateful streaming operators pin their state-store partition count
+    from this conf at the FIRST micro-batch and keep it for the life of
+    the checkpoint — it is a state-sizing knob, not a batch-parallelism
+    knob, and inheriting the batch session's value is wrong in both
+    directions: at 100 TB you size it UP (state volume / executor heap),
+    while these bounded fixture replays pay ~4× micro-batch overhead for
+    32-partition state stores holding a few thousand rows (measured:
+    w05 13.8 s -> 5.0 s, w06 6.5 s -> 3.2 s at sf0.1 with 8). AQE does
+    not apply inside streaming micro-batches, so the conf is the only
+    lever. Restored on exit so batch plans in the same session keep the
+    session's parallelism.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 # --------------------------------------------------------------------------
@@ -187,11 +213,12 @@ def w04_stream_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Path(tempfile.mkdtemp(prefix="w04_"))
     (base / "in").mkdir()
     shutil.copy(GOLDEN_EVENT, base / "in" / "event-0.json")
-    for _ in range(2):  # 2nd run reuses the checkpoint: drains nothing
-        q = run_ingest_stream(
-            spark, str(base / "in"), str(base / "out"), str(base / "ckpt"), GOLDEN_TOPIC
-        )
-        _drain(q)
+    with _state_partitions(spark):
+        for _ in range(2):  # 2nd run reuses the checkpoint: drains nothing
+            q = run_ingest_stream(
+                spark, str(base / "in"), str(base / "out"), str(base / "ckpt"), GOLDEN_TOPIC
+            )
+            _drain(q)
     landed = read_partition(spark, str(base / "out"), topic=GOLDEN_TOPIC)
     out = (
         landed.groupBy("topic", "y", "m", "d", "h")
@@ -238,22 +265,23 @@ def w05_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
 
-    stream = (
-        spark.readStream.schema("user_id long, ts timestamp_ntz, value double")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
     name = base.name  # unique memory-sink table per invocation
-    q = (
-        running_user_profiles(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _state_partitions(spark):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp_ntz, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            running_user_profiles(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
 
     # n_events is strictly monotone per user across emissions, so the max
     # row is the final accumulated state.
@@ -322,29 +350,30 @@ def w06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union = the redelivery: each record arrives twice, in 2 random files
     ev.unionByName(ev).repartition(4).write.parquet(src)
 
-    stream = (
-        spark.readStream.schema(
-            "event_id long, user_id long, event_type string, "
-            "ts timestamp_ntz, value double"
-        )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    # The replay is bounded and files arrive in arbitrary event-time order,
-    # so the horizon must cover the fixture's whole span for a complete
-    # dedup; in production the horizon is the broker's real redelivery
-    # window (minutes), which bounds state the same way.
-    deduped = dedup_stream(stream, ["event_id"], watermark="30 days")
     name = base.name
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _state_partitions(spark):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, "
+                "ts timestamp_ntz, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        # The replay is bounded and files arrive in arbitrary event-time
+        # order, so the horizon must cover the fixture's whole span for a
+        # complete dedup; in production the horizon is the broker's real
+        # redelivery window (minutes), which bounds state the same way.
+        deduped = dedup_stream(stream, ["event_id"], watermark="30 days")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     out = (
         spark.table(name)
         .groupBy("event_type")
@@ -408,25 +437,27 @@ def w07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(str(base / side))
         )
 
-    # Bounded replay: the horizon covers the fixture span (see w06); the
-    # ±10-minute join bound is what keeps production state droppable.
-    joined = join_streams(
-        side_stream("click"),
-        side_stream("purchase"),
-        key="user_id",
-        within="10 minutes",
-        watermark="30 days",
-    )
     name = base.name
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", str(base / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _state_partitions(spark):
+        # Bounded replay: the horizon covers the fixture span (see w06);
+        # the ±10-minute join bound is what keeps production state
+        # droppable.
+        joined = join_streams(
+            side_stream("click"),
+            side_stream("purchase"),
+            key="user_id",
+            within="10 minutes",
+            watermark="30 days",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(base / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     out = spark.table(name).agg(
         F.count("*").alias("n_matches"),
         F.countDistinct("user_id").alias("n_users"),
@@ -480,15 +511,16 @@ def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
 
-    q = run_rollup_stream(
-        spark,
-        src,
-        "event_id long, ts timestamp_ntz, event_type string, value double",
-        rollup,
-        ckpt,
-        distinct_col="event_id",
-    )
-    _drain(q)
+    with _state_partitions(spark):
+        q = run_rollup_stream(
+            spark,
+            src,
+            "event_id long, ts timestamp_ntz, event_type string, value double",
+            rollup,
+            ckpt,
+            distinct_col="event_id",
+        )
+        _drain(q)
     daily = reaggregate(spark.read.parquet(rollup), "day")
     out = daily.select(
         F.date_format("bucket", _TS_FMT).alias("day"),

@@ -5,6 +5,7 @@ dedup family on synthetic micro-fixtures."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -723,3 +724,112 @@ def test_stratified_mix_matches_duckdb_md5_twin(spark, sf_dir):
     assert got == want
     assert got and all(n > 0 for n, _, _ in got.values())
     assert "zh" not in got  # default rate 0 drops the unlisted stratum
+
+
+# ---------------------------------------------------------------------------
+# x31 semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_matches_numpy_greedy_replay(spark, sf_dir):
+    """The engine's kept/dropped verdicts must equal an independent numpy
+    replay of the greedy rule (ids ascending; keep iff max cosine to the
+    already-kept set < threshold) over the engine's own cell assignment —
+    exact verification of the pruning pass, robust to MLlib's
+    engine-specific cell boundaries."""
+    import numpy as np
+
+    from lambda_kafka_to_s3_parquet_spark.operators.similarity import semantic_dedup
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    threshold = 0.35
+    emb = load_table(spark, sf_dir, "embeddings")
+    flags = semantic_dedup(emb, threshold=threshold, n_cells=16).collect()
+    vecs = {}
+    for r in emb.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(v)
+        if n:
+            vecs[r["vec_id"]] = v / n
+
+    by_cell: dict[int, list] = {}
+    for r in flags:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert sum(len(v) for v in by_cell.values()) == len(vecs)
+
+    for rows in by_cell.values():
+        kept: list = []
+        for r in sorted(rows, key=lambda r: r["id"]):
+            v = vecs[r["id"]]
+            expect = not kept or float(np.max(np.stack(kept) @ v)) < threshold
+            assert r["kept"] == expect, (r["id"], r["cell"])
+            if expect:
+                kept.append(v)
+
+
+def test_semantic_dedup_prunes_and_registered_summary_consistent(spark, sf_dir):
+    """The registered x31 census must be non-vacuous (something is dropped
+    at the fixture scale) and internally consistent."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    rows = all_specs()["x31_semantic_dedup"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(0 < r["n_kept"] <= r["n_vecs"] for r in rows)
+    assert sum(r["n_vecs"] for r in rows) > sum(r["n_kept"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# x35 deterministic shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_shuffle_matches_duckdb_salted_md5_order(spark, sf_dir):
+    """The registered x35 epoch-0 prefix must equal DuckDB recomputing the
+    identical salted-md5 ordering — an oracle in all but registry
+    position."""
+    import duckdb
+
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    got = [
+        (r["doc_id"], r["_shuffle_key"])
+        for r in all_specs()["x35_deterministic_shuffle"].fn(spark, sf_dir).collect()
+    ]
+    want = duckdb.sql(f"""
+        SELECT doc_id, md5(text || chr(31) || '0') AS k
+        FROM parquet_scan('{os.path.join(sf_dir, "documents.parquet")}')
+        ORDER BY k, doc_id LIMIT 20
+    """).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_deterministic_shuffle_is_globally_sorted_without_final_sort(spark, sf_dir):
+    """collect() returns rows in partition-major order; after
+    repartitionByRange + sortWithinPartitions that sequence must ALREADY
+    be globally ordered by the shuffle key — proving the plan needs no
+    single-partition stage — and identical across partition counts
+    (cluster-size invariance)."""
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import deterministic_shuffle
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    orders = []
+    for n_parts in (3, 8):
+        rows = deterministic_shuffle(d, "text", seed=1, n_partitions=n_parts).select(
+            "doc_id", "_shuffle_key"
+        ).collect()
+        keys = [r["_shuffle_key"] for r in rows]
+        assert keys == sorted(keys)
+        orders.append([r["doc_id"] for r in rows])
+    assert orders[0] == orders[1]
+
+
+def test_deterministic_shuffle_seeds_give_different_orders(spark, sf_dir):
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import deterministic_shuffle
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    o0 = [r["doc_id"] for r in deterministic_shuffle(d, "text", seed=0).collect()]
+    o1 = [r["doc_id"] for r in deterministic_shuffle(d, "text", seed=1).collect()]
+    assert sorted(o0) == sorted(o1)
+    assert o0 != o1

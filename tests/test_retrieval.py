@@ -1,0 +1,126 @@
+"""BM25 retrieval + n-gram census: exact DuckDB twins (oracle in all but
+registry position — the 50-slot driver window is full) and edge cases."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from lambda_kafka_to_s3_parquet_spark.operators.retrieval import bm25_topk, heavy_hitters
+from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+from lambda_kafka_to_s3_parquet_spark.plans.extensions import X32_QUERY_TERMS
+from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+_TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def test_bm25_matches_duckdb_twin(spark, sf_dir):
+    """The registered x32 BM25 ranking must equal a DuckDB twin running the
+    identical tokenizer and Robertson idf/tf math; ranks and doc ids are
+    exact, scores agree to the shared 6-decimal rounding (1e-6 tolerance
+    covers the one cross-engine float-sum-order ulp)."""
+    got = all_specs()["x32_bm25_search"].fn(spark, sf_dir).collect()
+    terms = ", ".join(f"'{t}'" for t in X32_QUERY_TERMS)
+    want = duckdb.sql(f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOK}) AS term
+            FROM parquet_scan('{_docs_path(sf_dir)}')
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM tok
+            WHERE term IN ({terms}) GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT row_number() OVER (ORDER BY sum(contrib) DESC, doc_id) AS rank,
+               doc_id,
+               round(sum(contrib), 6) AS score,
+               count(*) AS n_terms_hit
+        FROM (
+            SELECT tf.doc_id, ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   AS contrib
+            FROM tf JOIN df USING (term) CROSS JOIN stats JOIN dl USING (doc_id)
+        )
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 10
+    """).fetchall()
+    assert len(got) == len(want) == 10
+    for g, (rank, doc_id, score, hits) in zip(got, want):
+        assert (g["rank"], g["doc_id"], g["n_terms_hit"]) == (rank, doc_id, hits)
+        assert abs(g["score"] - score) < 1e-6
+    # non-vacuous: multi-term matches exist and scores strictly ordered
+    assert any(g["n_terms_hit"] > 1 for g in got)
+    scores = [g["score"] for g in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_rejects_empty_query(spark, sf_dir):
+    with pytest.raises(ValueError):
+        bm25_topk(load_table(spark, sf_dir, "documents"), [])
+
+
+def test_bm25_unmatched_terms_are_no_hits(spark, sf_dir):
+    """Terms absent from the corpus contribute nothing and produce an
+    empty ranking rather than an error."""
+    docs = load_table(spark, sf_dir, "documents")
+    assert bm25_topk(docs, ["zzzzqqqqxxxx"], k=5).count() == 0
+
+
+def test_heavy_hitters_matches_duckdb_twin(spark, sf_dir):
+    got = [
+        (r["rank"], r["gram"], r["freq"])
+        for r in all_specs()["x33_heavy_hitters"].fn(spark, sf_dir).collect()
+    ]
+    want = duckdb.sql(f"""
+        WITH tok AS (
+            SELECT {_TOK} AS tok FROM parquet_scan('{_docs_path(sf_dir)}')
+        ),
+        grams AS (
+            SELECT unnest([tok[i] || ' ' || tok[i + 1] for i in range(1, len(tok))]) AS gram
+            FROM tok WHERE len(tok) >= 2
+        )
+        SELECT row_number() OVER (ORDER BY count(*) DESC, gram) AS rank,
+               gram, count(*) AS freq
+        FROM grams GROUP BY gram
+        ORDER BY freq DESC, gram
+        LIMIT 20
+    """).fetchall()
+    assert got == [tuple(w) for w in want]
+    assert len(got) == 20 and got[0][2] >= got[-1][2] > 0
+
+
+def test_heavy_hitters_unigrams_match_duckdb(spark, sf_dir):
+    """n=1 degenerates to plain term frequency — same twin, no gram glue."""
+    got = [
+        (r["gram"], r["freq"])
+        for r in heavy_hitters(load_table(spark, sf_dir, "documents"), n=1, k=5).collect()
+    ]
+    want = duckdb.sql(f"""
+        SELECT term, count(*) AS freq FROM (
+            SELECT unnest({_TOK}) AS term FROM parquet_scan('{_docs_path(sf_dir)}')
+        ) GROUP BY term ORDER BY freq DESC, term LIMIT 5
+    """).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_heavy_hitters_rejects_bad_n(spark, sf_dir):
+    with pytest.raises(ValueError):
+        heavy_hitters(load_table(spark, sf_dir, "documents"), n=0)
+
+
+def test_bm25_topk_plan_is_distributed_topk(spark, sf_dir):
+    """The final ranking must lower to TakeOrderedAndProject (per-partition
+    partial top-k), never a single-partition global sort of the scored
+    set."""
+    df = bm25_topk(load_table(spark, sf_dir, "documents"), X32_QUERY_TERMS, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

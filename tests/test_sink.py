@@ -200,3 +200,46 @@ def test_daily_partition_granularity(spark, tmp_path):
     days = [r["d"] for r in d.select("d").distinct().collect()]
     pruned = read_partition(spark, path, d=days[0])
     assert pruned.count() == d.filter(F.col("d") == days[0]).count() > 0
+
+
+def test_clustered_layout_touches_fewer_files_than_scattered(spark, sf_dir):
+    """The write-side layout claim, measured: the same half-range time
+    probe must draw rows from strictly fewer files of the range-clustered
+    layout than of the hash-scattered twin (which spreads every time range
+    across all files), with identical query results."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    rows = {r["layout"]: r for r in all_specs()["x34_clustered_layout"].fn(spark, sf_dir).collect()}
+    clu, sca = rows["clustered"], rows["scattered"]
+    assert clu["n_rows"] == sca["n_rows"] > 0
+    assert clu["total_files"] == sca["total_files"]
+    assert sca["files_touched"] == sca["total_files"]  # scattered: no skipping
+    assert clu["files_touched"] < sca["files_touched"]  # clustering skips
+    # ~half the range should touch ~half the files, not just one fewer
+    assert clu["files_touched"] <= (clu["total_files"] * 3) // 4
+
+
+def test_write_clustered_sorts_within_files(spark, tmp_path):
+    """Each clustered file must be internally sorted on the cluster column
+    (tight row-group min/max is the point of the layout)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.sink import write_clustered
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "clu")
+    write_clustered(events.select("event_id", "ts"), path, ["ts"], n_files=4)
+    got = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"), "ts")
+        .collect()
+    )
+    by_file: dict[str, list] = {}
+    for r in got:
+        by_file.setdefault(r["f"], []).append(r["ts"])
+    assert len(by_file) >= 2
+    for ts_list in by_file.values():
+        assert ts_list == sorted(ts_list)  # parquet preserves write order
+    # disjoint ranges: files ordered by min must not overlap
+    spans = sorted((min(v), max(v)) for v in by_file.values())
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
