@@ -95,6 +95,10 @@ HEADLINE = [
     "w06_stream_dedup",
     "w07_stream_stream_join",
     "w08_incremental_rollup",
+    # round 5: incremental near-dup dedup vs the signature store (real
+    # checkpointed stream over a perturbed-twin replay; single-run like
+    # the other streaming entries)
+    "w09_incremental_neardup",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
     # synthesized 20k-record Confluent batch through the full decode stage
@@ -113,6 +117,7 @@ HEADLINE = [
 #: run once; the batch queries keep the min-of-N protocol.
 SINGLE_RUN = {
     "w05_stateful_user_profiles",
+    "w09_incremental_neardup",
     "w06_stream_dedup",
     "w07_stream_stream_join",
     "w08_incremental_rollup",

@@ -79,6 +79,22 @@ def minhash_signatures(
     as independent aggregates (one shuffle) → per-row band hashing + one
     explode. No cross joins anywhere.
     """
+    vecs = minhash_vectors(docs, id_col, text_col, n_bands, rows_per_band, shingle_n)
+    return sig_bands(vecs, id_col, n_bands, rows_per_band)
+
+
+def minhash_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sigs) MinHash signature vectors — K = n_bands·rows_per_band
+    longs per document, the fixed-width sketch the banding table and the
+    incremental-dedup signature store both derive from (~8K bytes/doc,
+    corpus-size-independent)."""
     n_hashes = n_bands * rows_per_band
     sh = docs.select(
         F.col(id_col).alias("_id"),
@@ -97,19 +113,49 @@ def minhash_signatures(
             for k in range(n_hashes)
         ]
     )
+    return mins.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{k}") for k in range(n_hashes)]).alias("sigs"),
+    )
+
+
+def sig_bands(
+    vecs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banding table (id, band, band_sig) from signature vectors: each
+    band hashes its ``rows_per_band`` consecutive minhashes."""
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    *[
+                        F.element_at("sigs", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("band_sig"),
             )
             for b in range(n_bands)
         ]
     )
-    return mins.select("_id", F.explode(bands).alias("bs")).select(
-        F.col("_id").alias(id_col), F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    return vecs.select(id_col, F.explode(bands).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
+
+
+def sig_agreement(a, b):
+    """Fraction of agreeing minhash positions — the unbiased MinHash
+    estimator of Jaccard similarity, evaluated JVM-side (zip_with +
+    filter + size). The verification measure wherever the original
+    shingle sets are no longer available (the incremental signature
+    store), trading the batch path's exact-Jaccard verify for
+    fixed-width state."""
+    return (
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v)).cast("double")
+        / F.size(a)
     )
 
 
@@ -433,4 +479,158 @@ def remove_boilerplate_lines(
             F.transform(F.array_sort(F.collect_list(kept_line)), lambda s: s["line"]),
             "\n",
         ).alias("cleaned"),
+    )
+
+
+def greedy_neardup_survivors(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Dropped-node set of the greedy first-id-wins rule over verified
+    near-dup PAIRS: scanning ids ascending, a node is DROPPED iff it is
+    similar (has an edge) to an already-KEPT smaller node.
+
+    This is SemDeDup's survivor rule on a similarity graph — subtly
+    different from the connected-components min-id rule
+    (:func:`near_dup_dedup`): on a chain A–B–C (A,C dissimilar), CC keeps
+    only A, greedy keeps A and C (B's drop removes the link). Greedy is
+    the rule that stays consistent under INCREMENTAL arrival, because it
+    never needs edges between two dropped nodes.
+
+    Components are computed first so each greedy walk sees only its own
+    (small, dense) cluster's edges inside one Arrow batch; the walk is
+    O(edges) per component and components are bounded by the near-dup
+    cluster size, never the corpus.
+
+    Returns one ``dropped`` column (the losers); nodes with no edge never
+    appear and thus always survive.
+    """
+    id_t = pairs.schema[a_col].dataType.simpleString()
+    comp = connected_components(pairs, src=a_col, dst=b_col)
+    edges_with_comp = (
+        pairs.join(comp.withColumnRenamed("node", a_col), a_col)
+        .select("component", a_col, b_col)
+    )
+
+    def walk(pdf):
+        import pandas as pd
+
+        adj: dict = {}
+        for a, b in zip(pdf[a_col], pdf[b_col]):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept: set = set()
+        dropped = []
+        for node in sorted(adj):
+            if adj[node] & kept:
+                dropped.append(node)
+            else:
+                kept.add(node)
+        return pd.DataFrame({"dropped": dropped})
+
+    return (
+        edges_with_comp.groupBy("component")
+        .applyInPandas(walk, f"dropped {id_t}")
+    )
+
+
+def incremental_neardup(
+    batch_docs: DataFrame,
+    store_sigs: DataFrame | None,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One batch of first-arrival-wins incremental near-dup dedup.
+
+    The continuous-ingestion form of corpus dedup: documents arrive in
+    batches forever, and each batch must be deduplicated against
+    EVERYTHING kept so far without ever re-reading prior text. State is
+    the signature store — ``(id, sigs)`` MinHash vectors of every prior
+    survivor, K·8 bytes per doc, corpus-text-independent — and the
+    verification measure is :func:`sig_agreement` (the unbiased MinHash
+    Jaccard estimate), since original shingle sets are gone. A document
+    is dropped iff it is est-similar to a prior survivor, or (within the
+    batch) to an already-kept smaller id (:func:`greedy_neardup_survivors`
+    — the rule that stays consistent as batches accumulate: replaying a
+    corpus in id-ordered batches of ANY size yields the same survivor
+    set, pinned in tests).
+
+    Scale shape per batch: signature build is the one groupBy(id) shuffle;
+    history candidates come from an equi-join of the batch's band table
+    against the store's (never batch × store); agreement verification
+    touches candidate pairs only. Recomputing the store's band table
+    rides its scan (16 xxhash64/row); at 100 TB the store is instead
+    persisted WITH its band table, partitioned/bucketed by (band,
+    band_sig), so each batch's candidate join prunes to matching buckets
+    and the per-batch cost is ∝ batch, not ∝ store.
+
+    Returns the surviving batch rows with their ``sigs`` column appended —
+    the caller lands the rows and appends ``(id, sigs)`` to the store.
+    """
+    all_vecs = minhash_vectors(
+        batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n
+    )
+    vecs, bands_b = all_vecs, sig_bands(all_vecs, id_col, n_bands, rows_per_band)
+
+    survivors = batch_docs
+    if store_sigs is not None:
+        bands_s = sig_bands(store_sigs, id_col, n_bands, rows_per_band).select(
+            F.col(id_col).alias("_hist_id"), "band", "band_sig"
+        )
+        cand_hist = (
+            bands_b.join(bands_s, ["band", "band_sig"])
+            .select(id_col, "_hist_id")
+            .distinct()
+        )
+        hist_dropped = (
+            cand_hist.join(vecs, id_col)
+            .join(
+                store_sigs.select(
+                    F.col(id_col).alias("_hist_id"), F.col("sigs").alias("_hist_sigs")
+                ),
+                "_hist_id",
+            )
+            .filter(sig_agreement(F.col("sigs"), F.col("_hist_sigs")) >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        survivors = survivors.join(hist_dropped, id_col, "left_anti")
+        vecs = vecs.join(hist_dropped, id_col, "left_anti")
+        bands_b = bands_b.join(hist_dropped, id_col, "left_anti")
+
+    a, b = bands_b.alias("a"), bands_b.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("doc_a"), F.col("sigs").alias("_sa"))
+    vb = vecs.select(F.col(id_col).alias("doc_b"), F.col("sigs").alias("_sb"))
+    pairs = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .filter(sig_agreement(F.col("_sa"), F.col("_sb")) >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    batch_dropped = greedy_neardup_survivors(pairs).withColumnRenamed("dropped", id_col)
+
+    # Drops are applied to batch_docs by anti-join on the dropped id sets
+    # (history above, in-batch here); sigs then attach by LEFT join so a
+    # document too short to shingle — which has no signature row and can
+    # never collide with anything — survives with NULL sigs (the store
+    # writer skips those rows; the batch path gives the same doc a free
+    # pass for the same reason).
+    return (
+        survivors.join(batch_dropped, id_col, "left_anti")
+        .join(all_vecs, id_col, "left")
     )

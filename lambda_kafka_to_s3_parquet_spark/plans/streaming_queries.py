@@ -537,3 +537,71 @@ def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_distinct",
     ).orderBy("day", "event_type")
     return _localized(spark, out, base)
+
+
+# --------------------------------------------------------------------------
+# w09 — incremental streaming near-dup dedup: the corpus arrives in
+# micro-batches forever and each batch dedups against the signature
+# store of all prior survivors (first arrival wins, greedy within
+# batch) without ever re-reading prior text. Batch 1 replays the
+# documents corpus; batch 2 replays a perturbed twin of every document
+# (one appended token — near-dup, NOT byte-equal, est-Jaccard ≈ 0.95).
+# The maintained output must therefore equal batch 1's own greedy dedup:
+# every twin is suppressed by signature-store history alone. Rows-only
+# (MinHash greedy survivors aren't SQL); the stream == one-shot
+# equivalence, batch-split invariance, first-arrival-wins, and restart
+# idempotence are pinned in tests/test_streaming.py.
+# --------------------------------------------------------------------------
+@register(
+    "w09_incremental_neardup",
+    oracle=None,
+    doc="incremental streaming near-dup dedup against a MinHash signature "
+    "store: per-lang survivor census after a perturbed-twin replay "
+    "(history must suppress every twin)",
+)
+def w09_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from ..streaming.pipeline import run_neardup_stream
+
+    base = Path(tempfile.mkdtemp(prefix="w09_"))
+    src = base / "src"
+    src.mkdir()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    twins = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzreplaymarker"))
+    )
+    for i, b in enumerate((docs, twins)):
+        staged = base / f"stage{i}"
+        b.coalesce(1).write.parquet(str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{i}.parquet"
+        os.rename(staged / part, dst)
+        # deterministic arrival order: the file source orders by mtime
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+    with _state_partitions(spark):
+        q = run_neardup_stream(
+            spark,
+            str(src),
+            "doc_id long, text string, lang string",
+            str(base / "out"),
+            str(base / "store"),
+            str(base / "ckpt"),
+            threshold=0.7,
+        )
+        _drain(q)
+    landed = spark.read.parquet(str(base / "out"))
+    out = (
+        landed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.sum((F.col("doc_id") >= 1_000_000).cast("long")).alias("n_twin_leaks"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )
+    return _localized(spark, out, base)

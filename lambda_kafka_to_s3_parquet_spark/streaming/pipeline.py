@@ -179,3 +179,67 @@ def join_streams(
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def run_neardup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    output_path: str,
+    store_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Continuous near-dup corpus dedup: file-source batches -> survivors.
+
+    The streaming form of :func:`..operators.dedup.incremental_neardup`:
+    every micro-batch is deduplicated against the signature store of all
+    prior survivors (first arrival wins) and against itself (greedy by
+    id), survivors land at ``output_path`` and their ``(id, sigs)``
+    vectors append to the store. State never contains document text —
+    only fixed-width MinHash vectors — so the store grows at K·8
+    bytes/survivor regardless of document size.
+
+    Exactly-once caveat (same boundary as the rollup merge's two-step
+    commit): the survivor land and the store append are two writes; a
+    crash between them replays the batch whose survivors then collide
+    with... nothing (the store append is what's missing), landing them
+    twice. A transactional table format (Delta/Iceberg) closes the
+    window by making land+append one commit; on plain parquet, run
+    compaction (exact_dedup on id) over ``output_path`` after a crashed
+    batch, or accept at-least-once landing.
+    """
+    from ..operators.dedup import incremental_neardup
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:
+            store = None  # first batch: no survivors yet
+        surv = incremental_neardup(
+            batch_df, store, threshold, id_col=id_col, text_col=text_col
+        )
+        # two actions below (land + store append): persist so the
+        # candidate joins + greedy walk run once, not twice
+        surv = surv.persist()
+        try:
+            surv.drop("sigs").write.mode("append").parquet(output_path)
+            surv.filter(F.col("sigs").isNotNull()).select(id_col, "sigs").write.mode(
+                "append"
+            ).parquet(store_path)
+        finally:
+            surv.unpersist()
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

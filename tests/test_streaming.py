@@ -453,3 +453,126 @@ def test_rollup_bootstrap_into_empty_dir_and_hll_mismatch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="distinct_hll"):
         merge_rollup_batch(spark, ev, str(rollup), distinct_col="event_id")
+
+
+# ---------------------------------------------------------------------------
+# incremental streaming near-dup dedup (w09)
+# ---------------------------------------------------------------------------
+
+
+def _stage_batches(base, frames):
+    """Write each frame as one file into base/src with deterministic
+    arrival order (the file source orders by mtime)."""
+    import os
+
+    src = base / "src"
+    src.mkdir()
+    for i, b in enumerate(frames):
+        staged = base / f"stage{i}"
+        b.coalesce(1).write.parquet(str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{i}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+    return str(src)
+
+
+def _run_neardup(spark, tmp_path, frames, schema="doc_id long, text string, lang string"):
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import run_neardup_stream
+
+    src = _stage_batches(tmp_path, frames)
+    q = run_neardup_stream(
+        spark,
+        src,
+        schema,
+        str(tmp_path / "out"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        threshold=0.7,
+    )
+    assert q.awaitTermination(300)
+    return spark.read.parquet(str(tmp_path / "out"))
+
+
+def test_incremental_neardup_batch_split_invariance(spark, sf_dir, tmp_path):
+    """Replaying the corpus in 1 batch or 3 id-ordered batches must yield
+    the SAME survivor set as the one-shot greedy twin — the property that
+    makes the operator's semantics a function of the corpus + arrival
+    order, not of micro-batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import incremental_neardup
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    want = sorted(
+        r["doc_id"] for r in incremental_neardup(docs, None, 0.7).collect()
+    )
+    assert 0 < len(want) < docs.count()  # non-vacuous: something pruned
+
+    thirds = [
+        docs.filter((F.col("doc_id") % 500 >= lo) & (F.col("doc_id") % 500 < hi))
+        for lo, hi in ((0, 150), (150, 300), (300, 500))
+    ]
+    landed = _run_neardup(spark, tmp_path, thirds)
+    got = sorted(r["doc_id"] for r in landed.collect())
+    assert got == want
+
+
+def test_incremental_neardup_first_arrival_wins_and_restart(spark, sf_dir, tmp_path):
+    """A perturbed twin of every document arrives in batch 2: history
+    (signature store only, no text) must suppress every twin. A restart
+    on the same checkpoint reprocesses nothing."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import run_neardup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    twins = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzmarker"))
+    )
+    landed = _run_neardup(spark, tmp_path, [docs, twins])
+    n_first = landed.count()
+    assert landed.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    assert 0 < n_first < 500
+
+    q = run_neardup_stream(
+        spark,
+        str(tmp_path / "src"),
+        "doc_id long, text string, lang string",
+        str(tmp_path / "out"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        threshold=0.7,
+    )
+    assert q.awaitTermination(300)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_first
+    # store holds exactly one fixed-width signature row per survivor
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == n_first
+    assert store.schema.simpleString() == "struct<doc_id:bigint,sigs:array<bigint>>"
+
+
+def test_incremental_neardup_short_docs_survive(spark, tmp_path):
+    """Documents too short to shingle (< 3 tokens) can never collide —
+    they must pass through with NULL sigs and stay out of the store."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "tiny", "en"), (2, "also small", "en"), (3, "a b", "en")],
+        "doc_id long, text string, lang string",
+    )
+    landed = _run_neardup(spark, tmp_path, [docs])
+    assert landed.count() == 3
+    assert spark.read.parquet(str(tmp_path / "store")).count() == 0
+
+
+def test_w09_registered_summary(spark, sf_dir):
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    rows = all_specs()["w09_incremental_neardup"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_twin_leaks"] == 0 for r in rows)
+    assert all(r["last_doc"] < 1_000_000 for r in rows)
+    assert sum(r["n_survivors"] for r in rows) > 0
