@@ -99,6 +99,9 @@ HEADLINE = [
     # checkpointed stream over a perturbed-twin replay; single-run like
     # the other streaming entries)
     "w09_incremental_neardup",
+    # round 5: streaming CDC upsert (bucket-partitioned current-state
+    # maintenance; single-run like the other streaming entries)
+    "w10_cdc_current_state",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
     # synthesized 20k-record Confluent batch through the full decode stage
@@ -118,6 +121,7 @@ HEADLINE = [
 SINGLE_RUN = {
     "w05_stateful_user_profiles",
     "w09_incremental_neardup",
+    "w10_cdc_current_state",
     "w06_stream_dedup",
     "w07_stream_stream_join",
     "w08_incremental_rollup",

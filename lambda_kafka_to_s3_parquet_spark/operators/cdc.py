@@ -1,0 +1,134 @@
+"""Streaming CDC upsert: continuously-maintained current-state table.
+
+The reference's topics are CDC change streams (lndcdc* — README.md:20,
+configure_lambda_triggeres.sh:13-23) and it lands RAW change rows; every
+downstream consumer then wants "current state per key", which the batch
+path answers with :func:`..operators.dedup.latest_by_key` (x02/i04). This
+module maintains that answer CONTINUOUSLY — the MERGE/upsert half of a
+lakehouse, expressed with stock Spark:
+
+* the current-state table is partitioned by ``bucket = pmod(xxhash64(key),
+  n_buckets)`` — a stable hash of the key, so a batch only ever touches
+  the buckets its keys fall in;
+* per micro-batch: compact the batch to latest-per-key, semi-join the
+  stored table on the affected buckets (partition-pruned read), re-run
+  latest-per-key over stored ∪ batch — correct under ANY arrival order
+  because max-by-(ts, tiebreak) is associative and commutative, unlike
+  the near-dup store's first-arrival semantics — and dynamic-partition-
+  overwrite only those buckets;
+* cost per batch ∝ batch keys × bucket width, never table history. At
+  100 TB, ``n_buckets`` is sized so a bucket ≈ a few GB (the same
+  knob as Delta/Iceberg file-level clustering on merge keys).
+
+Exactly-once: the merge is not idempotent under replay only in the sense
+that re-merging is WASTED work (latest-of-latest is unchanged) — but the
+batch-id high-water mark is still kept (shared with the rollup's marker
+machinery, checkpoint-identity guard included) so restarts skip applied
+batches instead of re-reading table buckets per replayed batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .dedup import latest_by_key
+
+# Shared maintenance plumbing (FS-API marker + emptiness probe): one
+# implementation for every continuously-maintained table in the engine.
+from .rollup import (  # noqa: F401  (re-exported for cdc tests)
+    _is_absent_or_empty,
+    _read_last_batch_id,
+    _write_last_batch_id,
+)
+
+
+def merge_cdc_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: str,
+    n_buckets: int = 16,
+) -> None:
+    """Upsert one micro-batch of CDC rows into the current-state table.
+
+    Commutative merge: compacting the batch first (latest per key within
+    the batch) bounds the union at |stored affected| + |batch keys| rows,
+    and re-running the same deterministic latest-per-key over the union
+    gives the global latest regardless of how changes were split across
+    batches. Same committer contract as the rollup merge (read-then-
+    dynamic-overwrite of the same path: V1 staging committer, or stage+
+    swap / transactional format on direct-write storage).
+    """
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+    part = (
+        latest_by_key(batch, keys, ts_col, tiebreak)
+        .drop("n_copies")
+        .withColumn("bucket", bucket)
+    )
+    if _is_absent_or_empty(spark, path):
+        part.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        return
+    existing = spark.read.parquet(path)
+    affected = part.select("bucket").distinct()
+    touched = existing.join(affected, "bucket", "left_semi")
+    merged = latest_by_key(touched.unionByName(part), keys, ts_col, tiebreak).drop(
+        "n_copies"
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def run_cdc_merge_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: str,
+    n_buckets: int = 16,
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Continuously maintain the CDC current-state table from a stream.
+
+    ``foreachBatch`` → :func:`merge_cdc_batch`, with the same batch-id
+    high-water mark + checkpoint-identity guard as the rollup stream
+    (single maintenance writer per table). The result at any quiesce
+    point equals ``latest_by_key`` over every change row ever streamed —
+    pinned against x02's batch answer in tests, including out-of-order
+    arrival and checkpoint restart.
+    """
+    marker = os.path.join(table_path, "_last_merged_batch.json")
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _read_last_batch_id(spark, marker, checkpoint) or batch_df.isEmpty():
+            return
+        merge_cdc_batch(spark, batch_df, table_path, keys, ts_col, tiebreak, n_buckets)
+        _write_last_batch_id(spark, marker, batch_id, checkpoint)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_current_state(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained table, without its physical bucket column."""
+    return spark.read.parquet(path).drop("bucket")

@@ -310,8 +310,17 @@ def connected_components(
 
     Returns (node, component) for every node with at least one edge.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Materialize the edge list ONCE: every propagation round joins
+    # against it, and without this boundary each round would re-execute
+    # the whole upstream pipeline that produced the edges (for near-dup
+    # graphs: shingle -> minhash -> banded join -> verify — measured 8.7 s
+    # for a 256-edge graph at sf0.1, ~1.1 s with the checkpoint).
+    # localCheckpoint, like the per-round label checkpoints, also keeps
+    # the lineage from growing.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -507,6 +516,11 @@ def greedy_neardup_survivors(
     appear and thus always survive.
     """
     id_t = pairs.schema[a_col].dataType.simpleString()
+    # Both the component computation and the per-component edge grouping
+    # consume the pair set; materialize it once so the candidate+verify
+    # pipeline that produced it doesn't run twice (measured 4.6 s -> ~1 s
+    # for a 256-edge graph at sf0.1).
+    pairs = pairs.localCheckpoint()
     comp = connected_components(pairs, src=a_col, dst=b_col)
     edges_with_comp = (
         pairs.join(comp.withColumnRenamed("node", a_col), a_col)
@@ -572,9 +586,16 @@ def incremental_neardup(
     Returns the surviving batch rows with their ``sigs`` column appended —
     the caller lands the rows and appends ``(id, sigs)`` to the store.
     """
+    # The signature build (shingle explode -> 64-aggregate groupBy) is the
+    # expensive stage and every downstream step references it — the band
+    # self-join twice, the agreement verifies, the survivor join. Without
+    # a materialization boundary it would re-execute once per reference
+    # inside the batch plan; localCheckpoint runs it exactly once per
+    # batch (the same boundary reasoning as curate_corpus's cleaning
+    # persist and connected_components' edge checkpoint).
     all_vecs = minhash_vectors(
         batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n
-    )
+    ).localCheckpoint()
     vecs, bands_b = all_vecs, sig_bands(all_vecs, id_col, n_bands, rows_per_band)
 
     survivors = batch_docs
@@ -598,6 +619,9 @@ def incremental_neardup(
             .filter(sig_agreement(F.col("sigs"), F.col("_hist_sigs")) >= threshold)
             .select(id_col)
             .distinct()
+            # three anti-joins below consume this small id set; without
+            # the boundary each would re-run the store scan + band join
+            .localCheckpoint()
         )
         survivors = survivors.join(hist_dropped, id_col, "left_anti")
         vecs = vecs.join(hist_dropped, id_col, "left_anti")

@@ -605,3 +605,59 @@ def w09_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
     return _localized(spark, out, base)
+
+
+# --------------------------------------------------------------------------
+# w10 — streaming CDC upsert: the events change stream replayed as
+# micro-batches continuously maintains the bucket-partitioned
+# current-state table (latest row per user), i.e. the MERGE half of a
+# lakehouse over the reference's CDC topics. The returned frame is the
+# maintained table itself, compacted — it must equal x02's batch
+# latest_by_key answer exactly (pinned in tests across out-of-order
+# arrival and checkpoint restart). Rows-only (the x02 oracle already
+# driver-checks the identical semantics on the batch path).
+# --------------------------------------------------------------------------
+@register(
+    "w10_cdc_current_state",
+    oracle=None,
+    doc="streaming CDC upsert: bucket-partitioned current-state table "
+    "maintained per micro-batch == batch latest-per-key (x02)",
+)
+def w10_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.cdc import read_current_state, run_cdc_merge_stream
+
+    base = Path(tempfile.mkdtemp(prefix="w10_"))
+    src, table, ckpt = str(base / "src"), str(base / "table"), str(base / "ckpt")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    with _state_partitions(spark):
+        q = run_cdc_merge_stream(
+            spark,
+            src,
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp_ntz, value double",
+            table,
+            ckpt,
+            keys=["user_id"],
+            ts_col="ts",
+            tiebreak="event_id",
+        )
+        _drain(q)
+    out = (
+        read_current_state(spark, table)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+    return _localized(spark, out, base)

@@ -576,3 +576,105 @@ def test_w09_registered_summary(spark, sf_dir):
     assert all(r["n_twin_leaks"] == 0 for r in rows)
     assert all(r["last_doc"] < 1_000_000 for r in rows)
     assert sum(r["n_survivors"] for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC upsert / current-state maintenance (w10)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_merge_stream_equals_batch_latest(spark, sf_dir, tmp_path):
+    """After any multi-batch replay of the change stream — including
+    arrival order that does NOT follow event time — the maintained table
+    must equal the batch latest-per-key answer, and a checkpoint restart
+    must merge nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        read_current_state,
+        run_cdc_merge_stream,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import latest_by_key
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    # 3 batches split by event_id mod — each batch spans the whole time
+    # range, so per-user latest rows arrive in arbitrary batch positions
+    frames = [ev.filter(F.col("event_id") % 3 == k) for k in (2, 0, 1)]
+    src = _stage_batches(tmp_path, frames)
+    table, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    args = dict(keys=["user_id"], ts_col="ts", tiebreak="event_id")
+    q = run_cdc_merge_stream(spark, src, schema, table, ckpt, **args)
+    assert q.awaitTermination(300)
+
+    got = sorted(
+        map(tuple, read_current_state(spark, table).select(*ev.columns).collect())
+    )
+    want = sorted(
+        map(tuple, latest_by_key(ev, ["user_id"], "ts", "event_id").drop("n_copies").collect())
+    )
+    assert got == want and len(got) > 0
+
+    # restart: high-water mark skips every replayed batch; state unchanged
+    mtime_before = os.path.getmtime(os.path.join(table, "_last_merged_batch.json"))
+    q2 = run_cdc_merge_stream(spark, src, schema, table, ckpt, **args)
+    assert q2.awaitTermination(300)
+    got2 = sorted(
+        map(tuple, read_current_state(spark, table).select(*ev.columns).collect())
+    )
+    assert got2 == got
+    assert os.path.getmtime(os.path.join(table, "_last_merged_batch.json")) == mtime_before
+
+
+def test_cdc_merge_foreign_checkpoint_rejected(spark, sf_dir, tmp_path):
+    """Reusing a maintained table with a DIFFERENT checkpoint must fail
+    fast (batch ids are not comparable across checkpoints) — same guard
+    as the rollup marker."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import run_cdc_merge_stream
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).limit(50)
+    src = _stage_batches(tmp_path, [ev])
+    table = str(tmp_path / "table")
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    args = dict(keys=["user_id"], ts_col="ts", tiebreak="event_id")
+    q = run_cdc_merge_stream(spark, src, schema, table, str(tmp_path / "ckpt"), **args)
+    assert q.awaitTermination(300)
+
+    q2 = run_cdc_merge_stream(
+        spark, src, schema, table, str(tmp_path / "other_ckpt"), **args
+    )
+    with _pytest.raises(Exception) as exc:
+        q2.awaitTermination(300)
+    assert "checkpoint" in str(exc.value)
+
+
+def test_w10_registered_equals_x02(spark, sf_dir):
+    """The registered streaming current-state answer must row-for-row
+    equal the oracle-checked batch CDC query (x02)."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    specs = all_specs()
+    got = [tuple(r) for r in specs["w10_cdc_current_state"].fn(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in specs["x02_cdc_latest_event"].fn(spark, sf_dir).orderBy("user_id").collect()
+    ]
+    assert got == want and len(got) > 0
