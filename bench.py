@@ -84,8 +84,9 @@ HEADLINE = [
     # deterministic stratified corpus mix (round 5: oracle-checked)
     "x30_stratified_mix",
     # event-time windows + stateful streaming
+    # round 5: w01 consolidates former w02_sliding_window (union-tagged
+    # sliding branch); its timing is not comparable to rounds <= 4.
     "w01_tumbling_window",
-    "w02_sliding_window",  # round 4: overlap-factor-2 window tracked per-round
     "w03_session_window",
     "w05_stateful_user_profiles",
     # round 5: the full stateful streaming surface, now oracle-checked —

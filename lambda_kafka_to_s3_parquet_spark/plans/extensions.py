@@ -1371,18 +1371,47 @@ def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x32 — BM25 keyword retrieval. Rows-only in the driver window (all 50
-# oracle slots are spent); the exact DuckDB BM25 twin — same tokenizer,
-# same idf/tf math — pins values in tests/test_retrieval.py.
+# x32 — BM25 keyword retrieval. Oracle-checked since the round-5
+# q19->q04 consolidation freed a window slot: the DuckDB twin recomputes
+# the identical tokenizer (shared _SQL_TOKENS contract) and Robertson
+# idf/tf math, so ranks/doc ids/scores pin exactly (scores share the
+# 6-decimal round; the sum is over <= 4 idf terms, well inside double
+# exactness for the hash to agree).
 # --------------------------------------------------------------------------
 X32_QUERY_TERMS = ["query", "window", "merge", "vector"]
+
+_X32_TERMS_SQL = ", ".join(f"'{t}'" for t in X32_QUERY_TERMS)
 
 
 @register(
     "x32_bm25_search",
-    oracle=None,
-    doc="exact BM25 top-10 documents for a fixed query-term bag; DuckDB "
-    "twin with identical tokenizer+scoring pins values in pytest",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ({_X32_TERMS_SQL}) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT row_number() OVER (ORDER BY sum(contrib) DESC, doc_id) AS rank,
+           doc_id,
+           round(sum(contrib), 6) AS score,
+           count(*) AS n_terms_hit
+    FROM (
+        SELECT tf.doc_id, ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               AS contrib
+        FROM tf JOIN df USING (term) CROSS JOIN stats JOIN dl USING (doc_id)
+    )
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    doc="exact BM25 top-10 documents for a fixed query-term bag; oracle "
+    "recomputes identical tokenizer + Robertson idf/tf math in DuckDB",
 )
 def x32_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk
@@ -1391,14 +1420,29 @@ def x32_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x33 — corpus n-gram census (heavy hitters). Rows-only in the driver
-# window; exact DuckDB twin in tests/test_retrieval.py.
+# x33 — corpus n-gram census (heavy hitters). Oracle-checked since the
+# round-5 q12->q09 consolidation freed a window slot: the DuckDB twin
+# rebuilds the bigrams with a 1-based list comprehension over the shared
+# tokenizer and pins the exact top-20 (count desc, gram asc tie-break).
 # --------------------------------------------------------------------------
 @register(
     "x33_heavy_hitters",
-    oracle=None,
+    oracle=f"""
+    WITH tok AS (
+        SELECT {_SQL_TOKENS} AS tok FROM documents
+    ),
+    grams AS (
+        SELECT unnest([tok[i] || ' ' || tok[i + 1] for i in range(1, len(tok))]) AS gram
+        FROM tok WHERE len(tok) >= 2
+    )
+    SELECT row_number() OVER (ORDER BY count(*) DESC, gram) AS rank,
+           gram, count(*) AS freq
+    FROM grams GROUP BY gram
+    ORDER BY freq DESC, gram
+    LIMIT 20
+    """,
     doc="exact top-20 most frequent word bigrams corpus-wide (two-phase "
-    "count + distributed top-k); DuckDB twin pins values in pytest",
+    "count + distributed top-k); oracle rebuilds the census in DuckDB",
 )
 def x33_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import heavy_hitters
@@ -1458,16 +1502,22 @@ def x34_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x35 — deterministic global shuffle (training-data ordering). Rows-only
-# in the driver window; the DuckDB twin recomputes the identical salted
-# md5 ordering in tests/test_splits.py, and partitioning-invariance is
-# pinned there too.
+# x35 — deterministic global shuffle (training-data ordering).
+# Oracle-checked since the round-5 w02->w01 consolidation freed a window
+# slot: the oracle recomputes the identical salted-md5 ordering (text ||
+# chr(31) || seed) in DuckDB; partition-count invariance and seed
+# independence stay pinned in pytest.
 # --------------------------------------------------------------------------
 @register(
     "x35_deterministic_shuffle",
-    oracle=None,
+    oracle="""
+    SELECT doc_id, md5(text || chr(31) || '0') AS _shuffle_key
+    FROM documents
+    ORDER BY _shuffle_key, doc_id
+    LIMIT 20
+    """,
     doc="seeded content-hash global shuffle: first 20 docs of the epoch-0 "
-    "order; DuckDB twin recomputes the salted md5 ordering in pytest",
+    "order; oracle recomputes the salted md5 ordering in DuckDB",
 )
 def x35_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.splits import deterministic_shuffle

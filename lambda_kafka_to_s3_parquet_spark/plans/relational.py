@@ -126,21 +126,35 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q04 — EXISTS semi-join + group count (TPC-H Q4 shape).
+# q04 — semi + anti join, union-tagged (consolidates former
+# q19_customers_without_open_orders in round 5 to free a driver-window
+# slot for x32). Branches:
+#   * 'semi' — EXISTS semi-join + group count (TPC-H Q4 shape): key=NULL,
+#     label=o_orderpriority, n=order count;
+#   * 'anti' — NOT EXISTS anti-join (customers with no open orders):
+#     key=c_custkey, label=name:segment, n=NULL.
 # --------------------------------------------------------------------------
 @register(
     "q04_priority_semi_join",
     oracle="""
-    SELECT o_orderpriority, count(*) AS order_count
+    SELECT 'semi' AS src, CAST(NULL AS BIGINT) AS key,
+           o_orderpriority AS label, CAST(count(*) AS BIGINT) AS n
     FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
       AND EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
     GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
+    UNION ALL
+    SELECT 'anti' AS src, c_custkey AS key,
+           c_name || ':' || c_mktsegment AS label, CAST(NULL AS BIGINT) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+    ORDER BY src, key, label
     """,
-    doc="left-semi join + agg",
+    doc="left-semi join + agg / left-anti join, union-tagged",
 )
 def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
@@ -148,12 +162,29 @@ def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
     )
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
-    return (
+    semi = (
         o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("semi").alias("src"),
+            F.lit(None).cast("bigint").alias("key"),
+            F.col("o_orderpriority").alias("label"),
+            F.col("n").cast("bigint").alias("n"),
+        )
     )
+    c = _t(spark, sf_dir, "customer")
+    oo = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    anti = (
+        c.join(oo, c.c_custkey == oo.o_custkey, "left_anti")
+        .select(
+            F.lit("anti").alias("src"),
+            F.col("c_custkey").alias("key"),
+            F.concat_ws(":", "c_name", "c_mktsegment").alias("label"),
+            F.lit(None).cast("bigint").alias("n"),
+        )
+    )
+    return semi.unionByName(anti).orderBy("src", "key", "label")
 
 
 # --------------------------------------------------------------------------
@@ -346,35 +377,108 @@ def q08_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q09 — distinct aggregation (the v2 handler's count/countDistinct metrics,
-# lambda_function_with_AWS_datawrangler.py:67-74, as a grouped query).
+# q09 — aggregation families, union-tagged (consolidates former
+# q12_case_agg — which itself had absorbed q11_setops — in round 5 to
+# free a driver-window slot for x33). Branches over (src, k, n1, n2,
+# v1, v2):
+#   * 'distinct'  — the v2 handler's count/countDistinct metrics
+#     (lambda_function_with_AWS_datawrangler.py:67-74) as a grouped query:
+#     k=o_orderstatus, n1=n_orders, n2=n_customers, v1=total, v2=avg;
+#   * 'both' / 'cust_only' — INTERSECT / EXCEPT over nation keys (n1
+#     carries the key);
+#   * 'case' — TPC-H Q12-shape join + CASE conditional aggregation
+#     (k=returnflag, n1/n2 = high/low line counts).
 # --------------------------------------------------------------------------
 @register(
     "q09_distinct_agg",
     oracle="""
-    SELECT o_orderstatus,
-           count(*)                     AS n_orders,
-           count(DISTINCT o_custkey)    AS n_customers,
-           round(sum(o_totalprice), 2)  AS total,
-           round(avg(o_totalprice), 2)  AS avg_price
+    SELECT 'distinct' AS src, o_orderstatus AS k,
+           CAST(count(*) AS BIGINT)                  AS n1,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n2,
+           round(sum(o_totalprice), 2)               AS v1,
+           round(avg(o_totalprice), 2)               AS v2
     FROM orders
     GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
+    UNION ALL
+    SELECT 'both' AS src, CAST(NULL AS VARCHAR) AS k,
+           CAST(n AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2 FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS n FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS src, CAST(NULL AS VARCHAR) AS k,
+           CAST(n AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2 FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey AS n FROM supplier)
+    UNION ALL
+    SELECT 'case' AS src, l.l_returnflag AS k,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY src, k, n1
     """,
-    doc="count + countDistinct + sum/avg per group",
+    doc="count/countDistinct/sum/avg per group + INTERSECT/EXCEPT set ops "
+    "+ conditional (CASE) aggregation over a join, union-tagged",
 )
 def q09_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_b = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
     o = _t(spark, sf_dir, "orders")
-    return (
+    distinct = (
         o.groupBy("o_orderstatus")
         .agg(
-            F.count("*").alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.count("*").cast("bigint").alias("n1"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n2"),
+            F.round(F.sum("o_totalprice"), 2).alias("v1"),
+            F.round(F.avg("o_totalprice"), 2).alias("v2"),
         )
-        .orderBy("o_orderstatus")
+        .select(
+            F.lit("distinct").alias("src"), F.col("o_orderstatus").alias("k"),
+            "n1", "n2", "v1", "v2",
+        )
     )
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
+    sup = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
+
+    def setop_branch(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("src"), null_s.alias("k"),
+            F.col("n").cast("bigint").alias("n1"), null_b.alias("n2"),
+            null_d.alias("v1"), null_d.alias("v2"),
+        )
+
+    both = setop_branch(c.intersect(sup), "both")
+    cust_only = setop_branch(c.exceptAll(sup), "cust_only")
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    case = (
+        l.join(o, l.l_orderkey == o.o_orderkey)  # strategy left to AQE; orders is fact-scale
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("n2"),
+        )
+        .select(
+            F.lit("case").alias("src"), F.col("l_returnflag").alias("k"),
+            "n1", "n2", null_d.alias("v1"), null_d.alias("v2"),
+        )
+    )
+    return distinct.unionByName(both).unionByName(cust_only).unionByName(case)
 
 
 # --------------------------------------------------------------------------
@@ -432,80 +536,6 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return roll.unionByName(cub).orderBy("src", "k1", "k2")
-
-
-# --------------------------------------------------------------------------
-# q12 — set operations + conditional aggregation, union-tagged
-# (consolidates former q11_setops in round 5). Branches:
-#   * 'both' / 'cust_only' — INTERSECT / EXCEPT over nation keys (k=NULL,
-#     n1 carries the key, n2=NULL);
-#   * 'case' — TPC-H Q12-shape join + CASE conditional aggregation
-#     (k=returnflag, n1/n2 = high/low line counts).
-# --------------------------------------------------------------------------
-@register(
-    "q12_case_agg",
-    oracle="""
-    SELECT 'both' AS src, CAST(NULL AS VARCHAR) AS k,
-           CAST(n AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2 FROM (
-      SELECT DISTINCT c_nationkey AS n FROM customer
-      INTERSECT
-      SELECT DISTINCT s_nationkey AS n FROM supplier)
-    UNION ALL
-    SELECT 'cust_only' AS src, CAST(NULL AS VARCHAR) AS k,
-           CAST(n AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2 FROM (
-      SELECT DISTINCT c_nationkey AS n FROM customer
-      EXCEPT
-      SELECT DISTINCT s_nationkey AS n FROM supplier)
-    UNION ALL
-    SELECT 'case' AS src, l.l_returnflag AS k,
-           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n2
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY l.l_returnflag
-    ORDER BY src, k, n1
-    """,
-    doc="INTERSECT/EXCEPT set ops + conditional (CASE) aggregation over a "
-    "join, union-tagged",
-)
-def q12_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    null_s = F.lit(None).cast("string")
-    null_b = F.lit(None).cast("bigint")
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
-
-    def setop_branch(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
-            F.lit(tag).alias("src"),
-            null_s.alias("k"),
-            F.col("n").cast("bigint").alias("n1"),
-            null_b.alias("n2"),
-        )
-
-    both = setop_branch(c.intersect(s), "both")
-    cust_only = setop_branch(c.exceptAll(s), "cust_only")
-
-    l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
-    )
-    o = _t(spark, sf_dir, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    case = (
-        l.join(o, l.l_orderkey == o.o_orderkey)  # strategy left to AQE; orders is fact-scale
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("n1"),
-            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("n2"),
-        )
-        .select(
-            F.lit("case").alias("src"), F.col("l_returnflag").alias("k"), "n1", "n2"
-        )
-    )
-    return both.unionByName(cust_only).unionByName(case)
 
 
 # --------------------------------------------------------------------------
@@ -748,31 +778,6 @@ def q18_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return above.unionByName(big)
-
-
-# --------------------------------------------------------------------------
-# q19 — anti-join (customers with no open orders).
-# --------------------------------------------------------------------------
-@register(
-    "q19_customers_without_open_orders",
-    oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderstatus = 'O')
-    ORDER BY c_custkey
-    """,
-    doc="left-anti join",
-)
-def q19_customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
-    )
 
 
 # --------------------------------------------------------------------------

@@ -87,62 +87,68 @@ def _state_partitions(spark: SparkSession, n: int = 8):
 
 
 # --------------------------------------------------------------------------
-# w01 — tumbling event-time window (1 hour) per event type.
+# w01 — tumbling + sliding event-time windows, union-tagged (consolidates
+# former w02_sliding_window in round 5 to free a driver-window slot for
+# x35). Branches over (src, window_start, event_type, n, metric):
+#   * 'tumbling' — 1 hour per event type; metric = rounded sum(value);
+#   * 'sliding'  — 1 hour length / 30 min slide (each event lands in 2
+#     overlapping windows; the oracle expands the overlap with an
+#     explicit 2-offset unnest); event_type = NULL, metric = distinct
+#     users as double (shared column type across branches).
 # --------------------------------------------------------------------------
 @register(
     "w01_tumbling_window",
     oracle="""
-    SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+    SELECT 'tumbling' AS src,
+           strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
                     '%Y-%m-%d %H:%M:%S')          AS window_start,
            event_type,
            count(*)                               AS n,
-           round(sum(value), 2)                   AS sum_value
+           round(sum(value), 2)                   AS metric
     FROM events
-    GROUP BY 1, 2
-    ORDER BY window_start, event_type
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS src,
+           strftime(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                      - k * INTERVAL '30 minutes',
+                    '%Y-%m-%d %H:%M:%S')          AS window_start,
+           CAST(NULL AS VARCHAR)                  AS event_type,
+           count(*)                               AS n,
+           CAST(count(DISTINCT user_id) AS DOUBLE) AS metric
+    FROM events, (SELECT unnest([0, 1]) AS k)
+    GROUP BY 2
+    ORDER BY src, window_start, event_type
     """,
-    doc="tumbling 1h event-time window x event_type",
+    doc="tumbling 1h x event_type + sliding 1h/30min windows, union-tagged",
 )
 def w01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    return (
+    tumbling = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("metric"))
         .select(
+            F.lit("tumbling").alias("src"),
             F.date_format("w.start", _TS_FMT).alias("window_start"),
             "event_type",
             "n",
-            "sum_value",
+            "metric",
         )
     )
-
-
-# --------------------------------------------------------------------------
-# w02 — sliding window (1 hour length, 30 min slide): each event lands in
-# 2 overlapping windows. Oracle expands the overlap with an explicit
-# 2-offset unnest.
-# --------------------------------------------------------------------------
-@register(
-    "w02_sliding_window",
-    oracle="""
-    SELECT strftime(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
-                      - k * INTERVAL '30 minutes',
-                    '%Y-%m-%d %H:%M:%S')          AS window_start,
-           count(*)                               AS n,
-           count(DISTINCT user_id)                AS n_users
-    FROM events, (SELECT unnest([0, 1]) AS k)
-    GROUP BY 1
-    ORDER BY window_start
-    """,
-    doc="sliding window 1h/30min: overlap factor 2",
-)
-def w02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
+    sliding = (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
-        .select(F.date_format("w.start", _TS_FMT).alias("window_start"), "n", "n_users")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").cast("double").alias("metric"),
+        )
+        .select(
+            F.lit("sliding").alias("src"),
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n",
+            "metric",
+        )
     )
+    return tumbling.unionByName(sliding).orderBy("src", "window_start", "event_type")
 
 
 # --------------------------------------------------------------------------

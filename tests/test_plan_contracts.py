@@ -49,7 +49,7 @@ def test_no_static_broadcast_of_fact_tables(spark):
     for name in (
         "q03_shipping_priority",
         "q05_nation_revenue",
-        "q12_case_agg",
+        "q09_distinct_agg",
         "q18_big_customers",
     ):
         logical = SPECS[name].fn(spark, SF)._jdf.queryExecution().analyzed().toString()
