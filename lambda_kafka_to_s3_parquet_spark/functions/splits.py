@@ -84,6 +84,7 @@ def deterministic_shuffle(
     key_col: str = "text",
     seed: int = 0,
     n_partitions: int | None = None,
+    tiebreak_col: str = "doc_id",
 ):
     """Reproducible global shuffle for training-data ordering.
 
@@ -92,21 +93,36 @@ def deterministic_shuffle(
     draws differently per run/partitioning; this instead sorts by a
     content hash salted with the seed, so the permutation is a pure
     function of (row content, seed): same order on any cluster size, any
-    engine (the DuckDB twin recomputes the identical md5 ordering).
+    engine (the DuckDB twin recomputes the identical md5 ordering,
+    ``md5(coalesce(key, '') || chr(31) || seed)``).
 
-    Scale shape: ``repartitionByRange`` on the hash + ``sortWithin
-    Partitions`` — a range shuffle plus per-partition sorts, the same
-    plan a global ``orderBy`` lowers to, with NO single-partition stage.
-    Different seeds give statistically independent permutations (md5
-    avalanche), which is how multi-epoch orders are drawn.
+    ``tiebreak_col`` makes the order total: exact-duplicate texts (which
+    exist by design in any pre-dedup corpus) hash to the SAME key, and
+    without a deterministic tiebreak their relative order would be
+    task-scheduling luck — exactly the nondeterminism this function
+    exists to remove. NULL keys hash like empty strings rather than
+    poisoning the sort with engine-specific NULL placement.
+
+    Scale shape: ``repartitionByRange`` on (hash, tiebreak) + ``sort
+    WithinPartitions`` — a range shuffle plus per-partition sorts, the
+    same plan a global ``orderBy`` lowers to, with NO single-partition
+    stage (tied keys may straddle a range boundary, so the tiebreak is
+    part of the range key too). Different seeds give statistically
+    independent permutations (md5 avalanche), which is how multi-epoch
+    orders are drawn.
 
     Returns the input columns plus ``_shuffle_key`` (hex md5); downstream
     writers drop it or keep it as the provenance of the order.
     """
-    key = F.md5(F.concat_ws("\x1f", F.col(key_col), F.lit(str(seed))))
+    key = F.md5(
+        F.concat_ws(
+            "\x1f", F.coalesce(F.col(key_col), F.lit("")), F.lit(str(seed))
+        )
+    )
     out = df.withColumn("_shuffle_key", key)
+    sort_cols = ["_shuffle_key", tiebreak_col]
     if n_partitions:
-        out = out.repartitionByRange(n_partitions, "_shuffle_key")
+        out = out.repartitionByRange(n_partitions, *sort_cols)
     else:
-        out = out.repartitionByRange("_shuffle_key")
-    return out.sortWithinPartitions("_shuffle_key")
+        out = out.repartitionByRange(*sort_cols)
+    return out.sortWithinPartitions(*sort_cols)

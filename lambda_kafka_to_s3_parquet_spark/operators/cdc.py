@@ -41,7 +41,7 @@ from .dedup import latest_by_key
 # implementation for every continuously-maintained table in the engine.
 from .rollup import (  # noqa: F401  (re-exported for cdc tests)
     _is_absent_or_empty,
-    _read_last_batch_id,
+    _read_marker_state,
     _write_last_batch_id,
 )
 
@@ -112,10 +112,25 @@ def run_cdc_merge_stream(
     marker = os.path.join(table_path, "_last_merged_batch.json")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_last_batch_id(spark, marker, checkpoint) or batch_df.isEmpty():
+        state = _read_marker_state(spark, marker, checkpoint)
+        # Bucket-count drift guard: the stored rows sit in pmod(hash, N)
+        # partitions for the N the table was built with; merging with a
+        # different N would semi-join the wrong buckets and leave stale
+        # twins of every updated key (two "current" rows per key,
+        # forever). Resizing is a rebuild, not a knob flip — fail fast.
+        if state is not None and state.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"current-state table {table_path} was built with "
+                f"n_buckets={state.get('n_buckets')} but this stream runs "
+                f"n_buckets={n_buckets}; bucket assignment is part of the "
+                "table layout — rebuild the table to resize"
+            )
+        if (state is not None and batch_id <= int(state["batch_id"])) or batch_df.isEmpty():
             return
         merge_cdc_batch(spark, batch_df, table_path, keys, ts_col, tiebreak, n_buckets)
-        _write_last_batch_id(spark, marker, batch_id, checkpoint)
+        _write_last_batch_id(
+            spark, marker, batch_id, checkpoint, extra={"n_buckets": n_buckets}
+        )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -600,6 +600,23 @@ def incremental_neardup(
 
     survivors = batch_docs
     if store_sigs is not None:
+        # Parameter-drift guard: a store built with a different K =
+        # n_bands*rows_per_band would not error — element_at past the end
+        # yields NULL band sigs and zip_with null-pads sig_agreement, so
+        # near-dups of stored survivors would silently sail through with
+        # estimates capped at ~0.5. Fail fast instead (bounded 1-row
+        # probe of the store), mirroring the rollup's schema-mismatch
+        # guard.
+        expected_k = n_bands * rows_per_band
+        probe = store_sigs.select(F.size("sigs").alias("k")).first()
+        if probe is not None and probe["k"] != expected_k:
+            raise ValueError(
+                f"signature store carries {probe['k']}-hash vectors but this "
+                f"stream runs n_bands={n_bands} x rows_per_band="
+                f"{rows_per_band} (K={expected_k}); estimates across "
+                "mismatched widths are silently wrong — rebuild the store "
+                "or match the parameters it was built with"
+            )
         bands_s = sig_bands(store_sigs, id_col, n_bands, rows_per_band).select(
             F.col(id_col).alias("_hist_id"), "band", "band_sig"
         )

@@ -62,27 +62,43 @@ def bm25_topk(
     ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Score per doc = sum over query
     terms of ``idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
 
-    Plan: tokenize once → per-doc lengths (one groupBy over all tokens —
-    the unavoidable corpus statistic) → postings filtered to the query
-    terms BEFORE their groupBy, so tf/df aggregation shuffles only
-    matching rows → df and the 1-row (N, avgdl) statistic broadcast back
-    onto the filtered postings → sum per doc, distributed top-k over the
-    scored set. Ties break on doc_id ascending for determinism.
+    Plan: per-doc lengths as a narrow ``size(tokens(text))`` expression
+    (no explode, rides the scan) → one exploded pass filtered to the
+    query terms BEFORE its groupBy, so tf/df aggregation shuffles only
+    matching rows (tf checkpointed once for its two consumers) → df and
+    the 1-row (N, avgdl) statistic broadcast back onto the filtered
+    postings → sum per doc, distributed top-k over the scored set. Ties
+    break on doc_id ascending for determinism.
     """
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
-    toks = postings(docs, id_col, text_col)
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    # 1-row corpus statistic: broadcast-joined, never collected
+    # Per-doc length WITHOUT the explode: size(tokens(text)) is a narrow
+    # per-row expression that rides the scan — the full posting list is
+    # never materialized just to count it. The corpus statistic (1 row)
+    # derives from that same narrow pass.
+    # dl > 0 keeps the statistic identical to the exploded formulation
+    # (a doc with no tokens produced no posting rows, so it never counted
+    # toward N or avgdl — and it can't score anyway)
+    doclen = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens(F.col(text_col))).alias("dl")
+    ).filter(F.col("dl") > 0)
     stats = doclen.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
     terms = [t.lower() for t in query_terms]
+    # The exploded pass runs ONCE, filtered to query terms before its
+    # shuffle; tf is then checkpointed because both df_ and the scoring
+    # join consume it — without the boundary the tokenize+explode would
+    # re-execute per consumer (the same re-execution class fixed in
+    # connected_components). tf is small by construction: docs containing
+    # a query term x terms.
     tf = (
-        toks.filter(F.col("term").isin(terms))
+        postings(docs, id_col, text_col)
+        .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
 

@@ -210,24 +210,29 @@ def _marker_fs(spark: SparkSession, marker: str):
     return fs, path
 
 
-def _read_last_batch_id(spark: SparkSession, marker: str, checkpoint: str) -> int:
-    """-1 only when the marker genuinely does not exist. A marker that
-    exists but cannot be read or parsed RAISES: treating it as -1 would
-    re-merge already-applied batches on retry (silent double counts) —
-    the one failure mode worse than halting the maintenance query.
+def _read_marker_state(spark: SparkSession, marker: str, checkpoint: str) -> dict | None:
+    """The high-water-mark state dict, or None only when the marker
+    genuinely does not exist. A marker that exists but cannot be read or
+    parsed RAISES: treating it as absent would re-merge already-applied
+    batches on retry (silent double counts) — the one failure mode worse
+    than halting the maintenance query.
 
     Batch ids are scoped to the streaming CHECKPOINT, so the marker
     records which checkpoint issued them and this read fails fast when it
     does not match. Without the guard, deleting/relocating the checkpoint
-    while the rollup table and marker persist restarts batch ids at 0:
-    batches <= the stale high-water mark would be silently skipped (data
-    loss) and later ones re-merged (double counts). Divergence is an
-    operator decision — wipe the marker WITH the table, or restore the
+    while the maintained table and marker persist restarts batch ids at
+    0: batches <= the stale high-water mark would be silently skipped
+    (data loss) and later ones re-merged (double counts). Divergence is
+    an operator decision — wipe the marker WITH the table, or restore the
     paired checkpoint — never a silent guess.
+
+    Shared by every continuously-maintained table in the engine (rollup,
+    CDC current state); table-specific parameters recorded at write time
+    (e.g. the CDC bucket count) ride the same dict.
     """
     fs, path = _marker_fs(spark, marker)
     if not fs.exists(path):
-        return -1
+        return None
     stream = fs.open(path)
     try:
         raw = bytes(stream.readAllBytes())
@@ -236,24 +241,35 @@ def _read_last_batch_id(spark: SparkSession, marker: str, checkpoint: str) -> in
     state = json.loads(raw.decode("utf-8"))
     if state.get("checkpoint") != checkpoint:
         raise ValueError(
-            f"rollup high-water mark {marker} was written by checkpoint "
+            f"high-water mark {marker} was written by checkpoint "
             f"{state.get('checkpoint')!r} but this stream runs from "
             f"{checkpoint!r}; batch ids are not comparable across "
             "checkpoints (risk: silent skips AND double-merges). Restore "
-            "the original checkpoint, or rebuild the rollup table and "
+            "the original checkpoint, or rebuild the maintained table and "
             "marker together."
         )
-    return int(state["batch_id"])
+    return state
+
+
+def _read_last_batch_id(spark: SparkSession, marker: str, checkpoint: str) -> int:
+    state = _read_marker_state(spark, marker, checkpoint)
+    return -1 if state is None else int(state["batch_id"])
 
 
 def _write_last_batch_id(
-    spark: SparkSession, marker: str, batch_id: int, checkpoint: str
+    spark: SparkSession,
+    marker: str,
+    batch_id: int,
+    checkpoint: str,
+    extra: dict | None = None,
 ) -> None:
     fs, path = _marker_fs(spark, marker)
     stream = fs.create(path, True)  # overwrite
     try:
         stream.write(
-            json.dumps({"batch_id": batch_id, "checkpoint": checkpoint}).encode("utf-8")
+            json.dumps(
+                {"batch_id": batch_id, "checkpoint": checkpoint, **(extra or {})}
+            ).encode("utf-8")
         )
     finally:
         stream.close()

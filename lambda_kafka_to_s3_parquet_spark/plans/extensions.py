@@ -1511,7 +1511,7 @@ def x34_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x35_deterministic_shuffle",
     oracle="""
-    SELECT doc_id, md5(text || chr(31) || '0') AS _shuffle_key
+    SELECT doc_id, md5(coalesce(text, '') || chr(31) || '0') AS _shuffle_key
     FROM documents
     ORDER BY _shuffle_key, doc_id
     LIMIT 20

@@ -433,6 +433,6 @@ def i08_multi_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         os.unlink(fixture)
-        # route_by_topic persisted the shared source (== ev: persist()
-        # returns self); release it now that the result is localized
-        ev.unpersist()
+        # route_by_topic's localCheckpoint boundary frees itself when the
+        # routed frames go out of scope — nothing to release here beyond
+        # the fixture file

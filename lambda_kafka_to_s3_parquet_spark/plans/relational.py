@@ -478,7 +478,12 @@ def q09_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1", "n2", null_d.alias("v1"), null_d.alias("v2"),
         )
     )
-    return distinct.unionByName(both).unionByName(cust_only).unionByName(case)
+    return (
+        distinct.unionByName(both)
+        .unionByName(cust_only)
+        .unionByName(case)
+        .orderBy("src", "k", "n1")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -622,16 +622,19 @@ def route_by_topic(
 
     Materialization boundary: every per-topic decode consumes the same
     source, so without one the source is re-scanned once per topic (12×
-    for the reference's full catalog). Batch frames are persisted here —
-    the fan-out then reads one cached scan (the same reasoning as the
-    cleaning boundary in ``operators/curate.py``; the handle stays with
-    the returned lazy frames, so eviction is the LRU block manager's, and
-    at production scale the boundary is a parquet/foreachBatch checkpoint
-    between ingest and routing, which retires the cache concern).
-    Streaming frames can't be persisted — there the boundary is the
-    foreachBatch micro-batch df, which IS a batch frame and takes the
-    same path.
+    for the reference's full catalog). Batch frames are localCheckpointed
+    here — the fan-out then reads one materialized scan, and the blocks
+    are released by the ContextCleaner when the returned frames are
+    garbage-collected, so callers own nothing (``persist()`` would leak
+    by default: the handle outlives any caller that doesn't know to
+    unpersist — the same reasoning as the cleaning boundary in
+    ``operators/curate.py``, which manages its own unpersist). At
+    production scale the boundary is a parquet/foreachBatch checkpoint
+    between ingest and routing, which retires the memory concern.
+    Streaming frames can't be materialized this way — there the boundary
+    is the foreachBatch micro-batch df, which IS a batch frame and takes
+    the same path.
     """
     if not kafka_df.isStreaming:
-        kafka_df = kafka_df.persist()
+        kafka_df = kafka_df.localCheckpoint()
     return {t: decode_stage(kafka_df, provider, t) for t in provider.topics()}

@@ -212,14 +212,22 @@ def run_neardup_stream(
     batch, or accept at-least-once landing.
     """
     from ..operators.dedup import incremental_neardup
+    from ..operators.rollup import _is_absent_or_empty
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            store = spark.read.parquet(store_path)
-        except Exception:
-            store = None  # first batch: no survivors yet
+        # Bootstrap ONLY when the store is genuinely absent/empty, probed
+        # through the FileSystem API — a read error (corrupt footer,
+        # permissions, transient storage failure) must surface, never be
+        # silently treated as "no history": that would dedup the batch
+        # only against itself and permanently land near-dups of every
+        # prior survivor (same reasoning as the rollup bootstrap).
+        store = (
+            None
+            if _is_absent_or_empty(spark, store_path)
+            else spark.read.parquet(store_path)
+        )
         surv = incremental_neardup(
             batch_df, store, threshold, id_col=id_col, text_col=text_col
         )

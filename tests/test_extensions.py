@@ -796,7 +796,7 @@ def test_deterministic_shuffle_matches_duckdb_salted_md5_order(spark, sf_dir):
         for r in all_specs()["x35_deterministic_shuffle"].fn(spark, sf_dir).collect()
     ]
     want = duckdb.sql(f"""
-        SELECT doc_id, md5(text || chr(31) || '0') AS k
+        SELECT doc_id, md5(coalesce(text, '') || chr(31) || '0') AS k
         FROM parquet_scan('{os.path.join(sf_dir, "documents.parquet")}')
         ORDER BY k, doc_id LIMIT 20
     """).fetchall()
@@ -833,3 +833,19 @@ def test_deterministic_shuffle_seeds_give_different_orders(spark, sf_dir):
     o1 = [r["doc_id"] for r in deterministic_shuffle(d, "text", seed=1).collect()]
     assert sorted(o0) == sorted(o1)
     assert o0 != o1
+
+
+def test_deterministic_shuffle_duplicate_texts_use_tiebreak(spark):
+    """Exact-duplicate texts hash to the same key; the tiebreak column
+    must make their order total (and NULL text must hash, not poison the
+    sort)."""
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [(i, "identical words here") for i in range(10)] + [(10, None)],
+        "doc_id long, text string",
+    )
+    rows = deterministic_shuffle(df, "text", seed=3, n_partitions=4).collect()
+    dup_order = [r["doc_id"] for r in rows if r["doc_id"] < 10]
+    assert dup_order == list(range(10))
+    assert sum(1 for r in rows if r["doc_id"] == 10) == 1  # NULL text kept

@@ -242,16 +242,13 @@ def test_route_by_topic_reads_source_once(spark, tmp_path):
     provider = SchemaProvider({GOLDEN_TOPIC: (391, RATECARD_FIELDS)})
     ev = read_lambda_events(spark, GOLDEN_EVENT)
     routed = route_by_topic(ev, provider)
-    try:
-        for topic, df in routed.items():
-            df.write.mode("overwrite").format("noop").save()
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
-                topic,
-                plan[:2000],
-            )
-    finally:
-        ev.unpersist()
+    for topic, df in routed.items():
+        df.write.mode("overwrite").format("noop").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the localCheckpoint boundary shows as a materialized-RDD scan
+        # (and the json fixture scan disappears from the per-topic plans)
+        assert "ExistingRDD" in plan or "Scan RDD" in plan, (topic, plan[:2000])
+        assert "FileScan json" not in plan, (topic, plan[:2000])
 
 
 def test_batch_json_serialization(spark):

@@ -678,3 +678,55 @@ def test_w10_registered_equals_x02(spark, sf_dir):
         for r in specs["x02_cdc_latest_event"].fn(spark, sf_dir).orderBy("user_id").collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_cdc_merge_bucket_resize_rejected(spark, sf_dir, tmp_path):
+    """Re-running the maintenance stream with a different n_buckets must
+    fail fast: bucket assignment is part of the stored layout, and a
+    silent mismatch would leave stale twins of updated keys."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import run_cdc_merge_stream
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).limit(50)
+    src = _stage_batches(tmp_path, [ev])
+    table, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    args = dict(keys=["user_id"], ts_col="ts", tiebreak="event_id")
+    q = run_cdc_merge_stream(spark, src, schema, table, ckpt, n_buckets=16, **args)
+    assert q.awaitTermination(300)
+
+    # same checkpoint, resized buckets: must raise, not silently corrupt.
+    # a fresh source file forces a new (unskippable) batch id.
+    extra = ev.withColumn("event_id", F.col("event_id") + 10_000)
+    extra.coalesce(1).write.mode("append").parquet(src)
+    q2 = run_cdc_merge_stream(spark, src, schema, table, ckpt, n_buckets=8, **args)
+    with _pytest.raises(Exception) as exc:
+        q2.awaitTermination(300)
+    assert "n_buckets" in str(exc.value)
+
+
+def test_incremental_neardup_store_width_mismatch_rejected(spark, sf_dir):
+    """A signature store built with a different K must be rejected, not
+    silently produce capped similarity estimates."""
+    import pytest as _pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_vectors,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    narrow_store = minhash_vectors(docs, n_bands=8, rows_per_band=4)  # K=32
+    with _pytest.raises(ValueError) as exc:
+        incremental_neardup(docs, narrow_store, 0.7)  # default K=64
+    assert "signature store" in str(exc.value)
