@@ -83,6 +83,8 @@ HEADLINE = [
     "x28_curation_chain",  # round 4: end-to-end curation pipeline
     # deterministic stratified corpus mix (round 5: oracle-checked)
     "x30_stratified_mix",
+    # one-pass per-column profile (round 5)
+    "x36_data_profile",
     # event-time windows + stateful streaming
     # round 5: w01 consolidates former w02_sliding_window (union-tagged
     # sliding branch); its timing is not comparable to rounds <= 4.

@@ -1529,3 +1529,21 @@ def x35_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_shuffle_key", "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# x36 — one-pass data profile of the events table. Rows-only (distinct
+# counts are HLL sketches, engine-specific); the exact statistics
+# (rows/nulls/min/max/mean) are pinned against a DuckDB twin in
+# tests/test_extensions.py, with the sketch checked to its rsd bound.
+# --------------------------------------------------------------------------
+@register(
+    "x36_data_profile",
+    oracle=None,
+    doc="per-column profile (rows/nulls/approx-distinct/min/max/mean) in "
+    "ONE aggregate pass; exact stats pinned vs DuckDB in pytest",
+)
+def x36_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile
+
+    return profile(_t(spark, sf_dir, "events")).orderBy("column")

@@ -849,3 +849,58 @@ def test_deterministic_shuffle_duplicate_texts_use_tiebreak(spark):
     dup_order = [r["doc_id"] for r in rows if r["doc_id"] < 10]
     assert dup_order == list(range(10))
     assert sum(1 for r in rows if r["doc_id"] == 10) == 1  # NULL text kept
+
+
+def test_data_profile_matches_duckdb_exact_stats(spark, sf_dir):
+    """x36's exact statistics (rows, nulls, min/max, mean) must match
+    DuckDB; the HLL distinct must fall within its rsd bound of the exact
+    cardinality. One aggregate pass is asserted via the plan (a single
+    partial_count marker set, no second scan node)."""
+    import duckdb
+
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    got = {r["column"]: r for r in all_specs()["x36_data_profile"].fn(spark, sf_dir).collect()}
+    path = os.path.join(sf_dir, "events.parquet")
+    for col in ("event_id", "user_id", "event_type", "value"):
+        want_rows, want_nulls, want_nd = duckdb.sql(
+            f"SELECT count(*), count(*) - count({col}), count(DISTINCT {col}) "
+            f"FROM parquet_scan('{path}')"
+        ).fetchone()
+        g = got[col]
+        assert g["n_rows"] == want_rows
+        assert g["n_nulls"] == want_nulls
+        assert abs(g["approx_distinct"] - want_nd) <= max(2, 0.15 * want_nd), col
+    # numeric min/max/mean in value's own type, not lexicographic
+    want_min, want_max, want_mean = duckdb.sql(
+        f"SELECT min(value), max(value), round(avg(value), 6) FROM parquet_scan('{path}')"
+    ).fetchone()
+    g = got["value"]
+    assert float(g["min_str"]) == want_min and float(g["max_str"]) == want_max
+    assert abs(g["mean"] - want_mean) < 1e-6
+    assert got["event_type"]["mean"] is None  # non-numeric: no mean
+
+
+def test_data_profile_counts_synthesized_nulls(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c"), (None, None)], "k long, s string"
+    )
+    got = {r["column"]: r for r in profile(df).collect()}
+    assert got["k"]["n_nulls"] == 2 and got["s"]["n_nulls"] == 2
+    assert got["k"]["n_rows"] == 4
+    assert got["k"]["min_str"] == "1" and got["k"]["max_str"] == "2"
+    assert got["k"]["mean"] == 1.5
+
+
+def test_data_profile_is_single_pass(spark, sf_dir):
+    """All statistics must come from ONE aggregate over one scan."""
+    from lambda_kafka_to_s3_parquet_spark.operators.profile import profile
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    df = profile(load_table(spark, sf_dir, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") >= 1
+    # one aggregate chain: exactly one exchange feeds the final agg
+    assert plan.count("Exchange") == 1, plan[:3000]

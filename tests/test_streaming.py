@@ -730,3 +730,39 @@ def test_incremental_neardup_store_width_mismatch_rejected(spark, sf_dir):
     with _pytest.raises(ValueError) as exc:
         incremental_neardup(docs, narrow_store, 0.7)  # default K=64
     assert "signature store" in str(exc.value)
+
+
+def test_incremental_neardup_chain_corpus_invariance(spark, tmp_path):
+    """Chains of near-dups (doc i mutates doc i-1) are where greedy and
+    CC semantics diverge and where split-points bite hardest: every
+    split of the chain corpus into id-ordered batches must reproduce the
+    one-shot greedy survivor set exactly."""
+    import random
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import incremental_neardup
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(50)]
+    words = [rng.choice(vocab) for _ in range(40)]
+    docs = []
+    for i in range(60):
+        if i % 10 == 0:  # fresh document starts a new chain
+            words = [rng.choice(vocab) for _ in range(40)]
+        else:  # mutate one word: adjacent docs are near-dups
+            words = list(words)
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((i, " ".join(words), "en"))
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+
+    want = sorted(r["doc_id"] for r in incremental_neardup(df, None, 0.7).collect())
+    assert 0 < len(want) < 60  # chains actually collapse
+
+    from pyspark.sql import functions as F
+
+    batches = [
+        df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in ((0, 17), (17, 41), (41, 60))
+    ]
+    landed = _run_neardup(spark, tmp_path, batches)
+    got = sorted(r["doc_id"] for r in landed.collect())
+    assert got == want
