@@ -227,3 +227,32 @@ def files_touched(df: DataFrame) -> int:
     measurable half of the layout claim; tests assert clustered layouts
     touch a strict subset where unclustered layouts touch them all."""
     return df.select(F.input_file_name().alias("f")).distinct().count()
+
+
+def interleave_bits(a, b, bits: int = 21):
+    """Z-order (Morton) key: interleave the low ``bits`` of two
+    non-negative ints, entirely in codegen'd JVM bit ops.
+
+    Lexicographic clustering on (x, y) only skips files for probes on x;
+    sorting by the interleaved key gives every file a small rectangle of
+    (x, y) space, so range probes on EITHER column skip files — the
+    Z-ORDER layout Delta's OPTIMIZE and Iceberg's sort orders offer,
+    expressed as one DataFrame expression feeding
+    :func:`write_clustered`.
+
+    Callers bucketize raw values into [0, 2^bits) first (epoch seconds
+    divided to minutes/hours, ids modulo a bucket count): interleaving
+    preserves locality of the BUCKETS, and 2×21 bits keep the key inside
+    a positive long. Negative inputs are a contract violation (sign bits
+    would shuffle to the top of the key and destroy locality).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("bigint"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return key

@@ -1451,51 +1451,75 @@ def x33_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x34 — clustered data layout: the write-side half of scan performance.
-# Lands events twice (range-clustered on ts vs hash-scattered), probes
-# both with the same 1-day range predicate, and reports how many files
-# each layout forced the scan to touch. Values are environmental (file
-# counts), so rows-only; the strict clustered < scattered inequality is
-# pinned in tests/test_sink.py.
+# x34 — data layout vs scan cost: the write-side half of performance.
+# Lands events three ways — hash-scattered (baseline), range-clustered
+# on ts (lexicographic), and Z-ORDERED on interleaved (time-bucket,
+# hashed-user-bucket) — then probes each layout with a time-range AND a
+# user-set predicate, reporting how many files every (layout, probe)
+# pair forced the scan to touch. The point the numbers make: range
+# clustering only skips on its leading column; the Morton layout gives
+# every file a rectangle of (time, user) space, so BOTH probes skip —
+# Delta OPTIMIZE ZORDER / Iceberg sort-order behavior from stock Spark.
+# Values are environmental (file counts), so rows-only; the strict
+# inequalities are pinned in tests/test_sink.py.
 # --------------------------------------------------------------------------
 @register(
     "x34_clustered_layout",
     oracle=None,
-    doc="range-clustered vs scattered parquet layout: files touched by "
-    "the same time-range probe (file-skipping evidence)",
+    doc="scattered vs range-clustered vs Z-ordered parquet layout: files "
+    "touched by time-range and user-set probes (file-skipping evidence)",
 )
 def x34_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
     from pathlib import Path
 
-    from ..operators.sink import files_touched, write_clustered
+    from ..operators.sink import files_touched, interleave_bits, write_clustered
 
     base = Path(tempfile.mkdtemp(prefix="x34_"))
     try:
         events = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
         lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-        mid = lo + (hi - lo) / 2
-        probe = (F.col("ts") >= lo) & (F.col("ts") < mid)
-
-        n_files = 8
-        write_clustered(events, str(base / "clustered"), ["ts"], n_files=n_files)
-        # the scattered twin: same data, same file count, hash order
-        events.repartition(n_files).write.parquet(str(base / "scattered"))
-
-        rows = []
-        for layout in ("clustered", "scattered"):
-            scan = spark.read.parquet(str(base / layout)).filter(probe)
-            rows.append(
-                (
-                    layout,
-                    files_touched(spark.read.parquet(str(base / layout))),
-                    files_touched(scan),
-                    scan.count(),
-                )
+        span = max((hi - lo).total_seconds(), 1.0)
+        # bucketize both dimensions into [0, 1024): time by span slice,
+        # users by hash (raw ids span only ~150 values — hashing spreads
+        # them across the bucket space so a "quarter of users" probe is a
+        # quarter of the y-range, not a corner)
+        tbucket = (
+            (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.lit(lo).cast("timestamp"))
             )
+            / F.lit(span / 1024)
+        ).cast("bigint")
+        ubucket = F.pmod(F.xxhash64("user_id"), F.lit(1024))
+
+        n_files = 16
+        events.repartition(n_files).write.parquet(str(base / "scattered"))
+        write_clustered(events, str(base / "range_ts"), ["ts"], n_files=n_files)
+        write_clustered(
+            events.withColumn("zkey", interleave_bits(tbucket, ubucket, bits=10)),
+            str(base / "zorder"),
+            ["zkey"],
+            n_files=n_files,
+        )
+
+        quarter = lo + (hi - lo) / 4
+        probes = {
+            "ts_quarter": (F.col("ts") >= lo) & (F.col("ts") < quarter),
+            "user_quarter": F.pmod(F.xxhash64("user_id"), F.lit(1024)) < 256,
+        }
+        rows = []
+        for layout in ("scattered", "range_ts", "zorder"):
+            df = spark.read.parquet(str(base / layout))
+            total = files_touched(df)
+            for pname, pred in probes.items():
+                scan = df.filter(pred)
+                rows.append((layout, pname, total, files_touched(scan), scan.count()))
         return spark.createDataFrame(
-            rows, "layout string, total_files bigint, files_touched bigint, n_rows bigint"
+            rows,
+            "layout string, probe string, total_files bigint, "
+            "files_touched bigint, n_rows bigint",
         )
     finally:
         shutil.rmtree(str(base), ignore_errors=True)

@@ -203,20 +203,29 @@ def test_daily_partition_granularity(spark, tmp_path):
 
 
 def test_clustered_layout_touches_fewer_files_than_scattered(spark, sf_dir):
-    """The write-side layout claim, measured: the same half-range time
-    probe must draw rows from strictly fewer files of the range-clustered
-    layout than of the hash-scattered twin (which spreads every time range
-    across all files), with identical query results."""
+    """The write-side layout claims, measured per (layout, probe):
+    scattered skips nothing; range clustering skips only on its leading
+    column; the Z-order layout skips on BOTH the time and user probes."""
     from lambda_kafka_to_s3_parquet_spark.plans import all_specs
 
-    rows = {r["layout"]: r for r in all_specs()["x34_clustered_layout"].fn(spark, sf_dir).collect()}
-    clu, sca = rows["clustered"], rows["scattered"]
-    assert clu["n_rows"] == sca["n_rows"] > 0
-    assert clu["total_files"] == sca["total_files"]
-    assert sca["files_touched"] == sca["total_files"]  # scattered: no skipping
-    assert clu["files_touched"] < sca["files_touched"]  # clustering skips
-    # ~half the range should touch ~half the files, not just one fewer
-    assert clu["files_touched"] <= (clu["total_files"] * 3) // 4
+    rows = {
+        (r["layout"], r["probe"]): r
+        for r in all_specs()["x34_clustered_layout"].fn(spark, sf_dir).collect()
+    }
+    total = rows[("scattered", "ts_quarter")]["total_files"]
+    assert all(r["total_files"] == total for r in rows.values())
+    for probe in ("ts_quarter", "user_quarter"):
+        # identical answers across layouts
+        ns = {r["n_rows"] for (lay, p), r in rows.items() if p == probe}
+        assert len(ns) == 1 and ns.pop() > 0
+        # the scattered baseline reads everything
+        assert rows[("scattered", probe)]["files_touched"] == total
+    # range clustering: skips on ts, helpless on the other dimension
+    assert rows[("range_ts", "ts_quarter")]["files_touched"] <= (total * 3) // 4
+    assert rows[("range_ts", "user_quarter")]["files_touched"] == total
+    # z-order: both probes skip
+    assert rows[("zorder", "ts_quarter")]["files_touched"] <= (total * 3) // 4
+    assert rows[("zorder", "user_quarter")]["files_touched"] <= (total * 3) // 4
 
 
 def test_write_clustered_sorts_within_files(spark, tmp_path):
