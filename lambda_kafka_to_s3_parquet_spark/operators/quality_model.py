@@ -1,0 +1,105 @@
+"""Model-based quality filtering (SURVEY.md §2.9 family).
+
+The classifier-filtering stage of the public large-corpus recipes
+(GPT-3's Common-Crawl filter, LLaMA/CCNet's fastText step): take a
+trusted reference corpus as weak positives, the raw crawl as negatives,
+train a cheap linear model over per-document signals, keep documents the
+model scores reference-like. This module expresses that stage with
+MLlib so training AND scoring are distributed Spark jobs:
+
+* features are the engine's existing JVM-side text signals
+  (``functions/text.py`` — token counts, stopword fraction, alpha ratio,
+  repetition, per-language profile hits) assembled into a vector; no
+  Python in the hot path, no tokenizer duplication;
+* the model is MLlib ``LogisticRegression`` — one distributed L-BFGS
+  fit whose cost is a handful of passes over the feature frame; scoring
+  is a narrow per-row transform that rides any scan;
+* at 100 TB you train on a sample (the model has ~10 parameters) and
+  score everything — scoring is the cheap half, exactly why the linear
+  probe is the industry default for this stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_PROFILES,
+    alpha_ratio,
+    dup_ngram_frac,
+    stopword_count,
+    token_count,
+    tokens,
+)
+
+#: Feature column names, in assembly order (the model's coefficients are
+#: reported against these names).
+FEATURES = (
+    "n_tokens",
+    "alpha_frac",
+    "mean_word_len",
+    "dup2_frac",
+    *(f"hits_{lang}" for lang in LANG_PROFILES),
+)
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document signal columns (all codegen'd JVM expressions)."""
+    tok = tokens(F.col(text_col))
+    out = docs.withColumn("n_tokens", token_count(F.col(text_col)).cast("double"))
+    out = out.withColumn("alpha_frac", alpha_ratio(F.col(text_col)))
+    out = out.withColumn(
+        "mean_word_len",
+        F.when(
+            F.size(tok) > 0,
+            (F.length(F.concat_ws("", tok)) / F.size(tok)).cast("double"),
+        ).otherwise(0.0),
+    )
+    out = out.withColumn("dup2_frac", dup_ngram_frac(tok, 2))
+    for lang, words in LANG_PROFILES.items():
+        out = out.withColumn(
+            f"hits_{lang}",
+            F.when(
+                F.size(tok) > 0, stopword_count(tok, words) / F.size(tok)
+            ).otherwise(0.0),
+        )
+    return out
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    label_col: str = "label",
+    seed: int = 42,
+):
+    """Fit the linear quality probe; returns ``(model, train_auc)``.
+
+    ``labeled`` must already carry the feature columns
+    (:func:`quality_features`) and a 0/1 ``label_col``. Deterministic
+    given the data (fixed seed, L-BFGS on a convex loss).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=list(FEATURES), outputCol="features")
+    train = assembler.transform(labeled).select("features", F.col(label_col).alias("label"))
+    lr = LogisticRegression(maxIter=50, regParam=0.01, standardization=True)
+    model = lr.fit(train)
+    auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(
+        model.transform(train)
+    )
+    return model, float(auc)
+
+
+def score_quality(docs_with_features: DataFrame, model) -> DataFrame:
+    """Append ``quality_prob`` (P(reference-like)) to every document —
+    a narrow transform; the feature vector never leaves the JVM."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembler = VectorAssembler(inputCols=list(FEATURES), outputCol="features")
+    scored = model.transform(assembler.transform(docs_with_features))
+    return scored.withColumn(
+        "quality_prob", F.round(vector_to_array("probability")[1], 6)
+    ).drop("features", "rawPrediction", "probability", "prediction")

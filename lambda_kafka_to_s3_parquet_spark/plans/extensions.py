@@ -1571,3 +1571,66 @@ def x36_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile
 
     return profile(_t(spark, sf_dir, "events")).orderBy("column")
+
+
+# --------------------------------------------------------------------------
+# x37 — model-based quality filter: the classifier-filtering stage of
+# the public large-corpus recipes (trusted-corpus weak positives vs
+# junk negatives, linear probe over engine text signals, score
+# everything). Positives are the real documents; negatives are
+# deterministic degradations of the same documents — looping-template
+# corruption (first words repeated) and symbol-noise corruption — the
+# two junk shapes the Gopher/CCNet heuristics target. The probe must
+# rediscover the boundary from the signals (repetition fraction, alpha
+# ratio, ...) alone. Rows-only (L-BFGS coefficients are engine-specific
+# floats); the AUC floor, score sanity, and cohort separation are
+# pinned in tests/test_extensions.py.
+# --------------------------------------------------------------------------
+@register(
+    "x37_quality_model",
+    oracle=None,
+    doc="MLlib linear quality probe: real docs vs deterministic junk "
+    "degradations; distributed train + narrow scoring; per-cohort mean "
+    "score + train AUC",
+)
+def x37_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_model import (
+        quality_features,
+        score_quality,
+        train_quality_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    first_words = F.slice(F.split(F.col("text"), " "), 1, 4)
+    looped = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.flatten(F.array_repeat(first_words, 25))
+        ).alias("text"),
+    )
+    noisy = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), "[aeiou]", "#").alias("text"),
+    )
+    cohort = (
+        F.when(F.col("doc_id") >= 2_000_000, "junk_noise")
+        .when(F.col("doc_id") >= 1_000_000, "junk_loop")
+        .otherwise("reference")
+    )
+    corpus = quality_features(
+        docs.unionByName(looped).unionByName(noisy)
+    ).withColumn("cohort", cohort)
+    labeled = corpus.withColumn(
+        "label", (F.col("cohort") == "reference").cast("double")
+    )
+    model, auc = train_quality_model(labeled)
+    scored = score_quality(labeled, model)
+    return (
+        scored.groupBy("cohort")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality_prob"), 4).alias("mean_prob"),
+        )
+        .withColumn("train_auc", F.round(F.lit(auc), 4))
+        .orderBy("cohort")
+    )

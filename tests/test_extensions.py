@@ -904,3 +904,41 @@ def test_data_profile_is_single_pass(spark, sf_dir):
     assert plan.count("FileScan parquet") + plan.count("Scan parquet") >= 1
     # one aggregate chain: exactly one exchange feeds the final agg
     assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_quality_model_separates_reference_corpus(spark, sf_dir):
+    """The linear probe must rediscover the reference-vs-junk boundary
+    from the engine's text signals alone: train AUC >= 0.95, scores in
+    [0, 1], and the reference cohort scores far above both junk
+    cohorts."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    rows = {
+        r["cohort"]: r
+        for r in all_specs()["x37_quality_model"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"reference", "junk_loop", "junk_noise"}
+    assert rows["reference"]["train_auc"] >= 0.95
+    assert all(0.0 <= r["mean_prob"] <= 1.0 for r in rows.values())
+    assert rows["reference"]["mean_prob"] > rows["junk_loop"]["mean_prob"] + 0.3
+    assert rows["reference"]["mean_prob"] > rows["junk_noise"]["mean_prob"] + 0.3
+
+
+def test_quality_scoring_is_narrow_transform(spark, sf_dir):
+    """Scoring must add no shuffle: the scored plan over a parquet scan
+    contains zero Exchanges."""
+    from lambda_kafka_to_s3_parquet_spark.operators.quality_model import (
+        quality_features,
+        score_quality,
+        train_quality_model,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = quality_features(load_table(spark, sf_dir, "documents"))
+    labeled = docs.withColumn("label", (F.col("lang") == "en").cast("double"))
+    model, _ = train_quality_model(labeled)
+    scored = score_quality(docs, model)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
