@@ -85,6 +85,10 @@ HEADLINE = [
     "x30_stratified_mix",
     # one-pass per-column profile (round 5)
     "x36_data_profile",
+    # MLlib linear quality probe (round 5): trains on 3x the corpus per
+    # invocation — single-run like the streaming replays (fixed L-BFGS
+    # machinery dominates)
+    "x37_quality_model",
     # event-time windows + stateful streaming
     # round 5: w01 consolidates former w02_sliding_window (union-tagged
     # sliding branch); its timing is not comparable to rounds <= 4.
@@ -122,6 +126,7 @@ HEADLINE = [
 #: wall time to shave noise that is a rounding error at this scale. They
 #: run once; the batch queries keep the min-of-N protocol.
 SINGLE_RUN = {
+    "x37_quality_model",
     "w05_stateful_user_profiles",
     "w09_incremental_neardup",
     "w10_cdc_current_state",

@@ -83,7 +83,16 @@ def train_quality_model(
     from pyspark.ml.feature import VectorAssembler
 
     assembler = VectorAssembler(inputCols=list(FEATURES), outputCol="features")
-    train = assembler.transform(labeled).select("features", F.col(label_col).alias("label"))
+    # Materialize the assembled training frame: L-BFGS passes over it
+    # once per iteration (50x), and without the boundary every pass
+    # re-executes the full feature pipeline (token/ngram HOFs over the
+    # whole corpus) — measured 16 s -> ~3 s at sf0.1. The frame is just
+    # (vector, label): tiny relative to the corpus it derives from.
+    train = (
+        assembler.transform(labeled)
+        .select("features", F.col(label_col).alias("label"))
+        .localCheckpoint()
+    )
     lr = LogisticRegression(maxIter=50, regParam=0.01, standardization=True)
     model = lr.fit(train)
     auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(

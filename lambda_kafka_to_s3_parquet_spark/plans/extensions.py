@@ -1617,11 +1617,14 @@ def x37_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") >= 1_000_000, "junk_loop")
         .otherwise("reference")
     )
-    corpus = quality_features(
-        docs.unionByName(looped).unionByName(noisy)
-    ).withColumn("cohort", cohort)
-    labeled = corpus.withColumn(
-        "label", (F.col("cohort") == "reference").cast("double")
+    # One materialized feature pass feeds training AND scoring — the
+    # signal expressions (ngram HOFs over 3x the corpus) are the
+    # expensive stage and would otherwise run once per consumer.
+    labeled = (
+        quality_features(docs.unionByName(looped).unionByName(noisy))
+        .withColumn("cohort", cohort)
+        .withColumn("label", (F.col("cohort") == "reference").cast("double"))
+        .localCheckpoint()
     )
     model, auc = train_quality_model(labeled)
     scored = score_quality(labeled, model)
