@@ -67,6 +67,35 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def _rank_auc(scored: DataFrame, label_col: str = "label") -> float:
+    """Area under the ROC curve as the tie-averaged Mann-Whitney rank
+    statistic: AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), with
+    tied scores taking their average rank. Runs as one window + one
+    aggregate over the (small, sampled-by-design) training frame; the
+    unpartitioned window is bounded by the same sampling contract that
+    bounds the fit itself."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql.window import Window
+
+    p = F.round(vector_to_array("probability")[1], 9)
+    ranked = scored.select(
+        p.alias("p"), F.col(label_col).cast("double").alias("y")
+    ).withColumn("rk", F.rank().over(Window.orderBy("p"))).withColumn(
+        "ties", F.count("*").over(Window.partitionBy("p"))
+    )
+    row = ranked.agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("rk") + (F.col("ties") - 1) / 2.0)).alias(
+            "rpos"
+        ),
+        F.sum(F.col("y")).alias("npos"),
+        F.count("*").alias("n"),
+    ).first()
+    npos, nneg = float(row["npos"]), float(row["n"] - row["npos"])
+    if npos == 0 or nneg == 0:
+        raise ValueError("AUC undefined: training labels are single-class")
+    return float((row["rpos"] - npos * (npos + 1) / 2.0) / (npos * nneg))
+
+
 def train_quality_model(
     labeled: DataFrame,
     label_col: str = "label",
@@ -79,7 +108,6 @@ def train_quality_model(
     given the data (fixed seed, L-BFGS on a convex loss).
     """
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
 
     assembler = VectorAssembler(inputCols=list(FEATURES), outputCol="features")
@@ -94,11 +122,31 @@ def train_quality_model(
         .localCheckpoint()
     )
     lr = LogisticRegression(maxIter=50, regParam=0.01, standardization=True)
-    model = lr.fit(train)
-    auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(
-        model.transform(train)
-    )
-    return model, float(auc)
+    fitted = lr.fit(train)
+    # Strip the training summary by a save/load round-trip (loaded models
+    # carry none; the model file is a few hundred bytes). A freshly
+    # fitted Spark 4.1 model drags its summary -> its SparkSession -> the
+    # session's non-serializable ObservationManager into every task
+    # closure that serializes the model's scoring UDF — and once ANY
+    # df.observe() has run in the session (this engine's partitioned sink
+    # metrics do), every transform/summary/evaluator job on the unstripped
+    # model dies with "Task not serializable" (reproduced minimally;
+    # count() survives only because column pruning drops the UDF). AUC is
+    # then the Mann-Whitney rank statistic over the stripped model's
+    # scores, in plain DataFrame ops — no MLlib evaluator needed.
+    import shutil
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    td = tempfile.mkdtemp(prefix="lk2sp_lr_")
+    try:
+        fitted.write().overwrite().save(td + "/m")
+        model = LogisticRegressionModel.load(td + "/m")
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    auc = _rank_auc(model.transform(train))
+    return model, auc
 
 
 def score_quality(docs_with_features: DataFrame, model) -> DataFrame:
