@@ -119,7 +119,7 @@ HEADLINE = [
 ]
 
 
-#: Checkpointed streaming replays (w05-w08) execute a full multi-micro-
+#: Checkpointed streaming replays (w05-w10) execute a full multi-micro-
 #: batch query per invocation: their cost is dominated by fixed machinery
 #: (scratch copy, checkpoint commits, state-store files), stable run-to-
 #: run relative to its ~5-10 s magnitude, so min-of-3 would triple bench
@@ -149,7 +149,7 @@ def _time_set(spark, specs, sf_dir: str, runs_per_query: int) -> dict[str, float
         best = None
         for _ in range(1 if name in SINGLE_RUN else runs_per_query):
             # round 5: the clock starts BEFORE the plan builder runs.
-            # Streaming queries (w04-w08) execute eagerly inside fn() and
+            # Streaming queries (w04-w10) execute eagerly inside fn() and
             # localize their (small) result — timing only the noop write
             # would measure nothing for them. For batch queries this adds
             # the ~10-40 ms plan build vs rounds <= 4; noted for

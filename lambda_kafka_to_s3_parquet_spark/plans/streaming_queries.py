@@ -667,3 +667,75 @@ def w10_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
     return _localized(spark, out, base)
+
+
+# --------------------------------------------------------------------------
+# w11 — stream enrichment from the maintained CDC state (the engine's
+# end-to-end CDC story in one query): the FIRST half of the events
+# stream builds the current-state table via the w10 merge; the SECOND
+# half then streams through a per-batch left join against that table,
+# every event enriched with its user's state (or NULL dims for users
+# never seen). Rows-only; the == batch-left-join equivalence is pinned
+# in tests/test_streaming.py.
+# --------------------------------------------------------------------------
+@register(
+    "w11_stream_enrichment",
+    oracle=None,
+    doc="per-batch dimension lookup from the continuously-maintained CDC "
+    "current-state table: second-half events enriched with first-half "
+    "user state; per-type match census",
+)
+def w11_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.cdc import run_cdc_merge_stream
+    from ..streaming.pipeline import enrich_stream
+
+    base = Path(tempfile.mkdtemp(prefix="w11_"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    first, second = ev.filter(F.col("event_id") < mid), ev.filter(F.col("event_id") >= mid)
+    first.repartition(2).write.parquet(str(base / "dim_src"))
+    second.repartition(2).write.parquet(str(base / "ev_src"))
+
+    with _state_partitions(spark):
+        q = run_cdc_merge_stream(
+            spark,
+            str(base / "dim_src"),
+            schema,
+            str(base / "state"),
+            str(base / "dim_ckpt"),
+            keys=["user_id"],
+            ts_col="ts",
+            tiebreak="event_id",
+        )
+        _drain(q)
+        q2 = enrich_stream(
+            spark,
+            str(base / "ev_src"),
+            schema,
+            str(base / "state"),
+            str(base / "out"),
+            str(base / "ev_ckpt"),
+            key="user_id",
+        )
+        _drain(q2)
+    enriched = spark.read.parquet(str(base / "out"))
+    out = (
+        enriched.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("dim_event_id").isNotNull().cast("long")).alias("n_enriched"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("dim_value"), 2).alias("dim_value_sum"),
+        )
+        .orderBy("event_type")
+    )
+    return _localized(spark, out, base)

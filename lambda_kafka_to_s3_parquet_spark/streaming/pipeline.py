@@ -251,3 +251,53 @@ def run_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    state_table: str,
+    output_path: str,
+    checkpoint: str,
+    key: str,
+    state_prefix: str = "dim_",
+) -> StreamingQuery:
+    """Per-batch dimension lookup: enrich a stream from the maintained
+    CDC current-state table.
+
+    The slowly-changing-dimension pattern that closes the engine's CDC
+    loop: :func:`..operators.cdc.run_cdc_merge_stream` keeps the
+    current-state table fresh; this query LEFT-joins every micro-batch
+    against that table (re-read per batch, so each batch sees the state
+    as of its own processing time — the semantics a broadcast/static
+    join would freeze at stream start). State columns land under
+    ``state_prefix`` so enrichment never collides with event columns;
+    unmatched keys pass through with NULL dims (no event is dropped by
+    a missing dimension row).
+
+    At 100 TB the per-batch state read is the bucket-pruned scan the
+    current-state layout was built for (the join keys' buckets only,
+    when AQE turns the join's build side into a dynamic filter) and the
+    join broadcasts whichever side is small — both left to the planner.
+    """
+    from ..operators.cdc import read_current_state
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state = read_current_state(spark, state_table)
+        dims = state.select(
+            F.col(key), *[F.col(c).alias(f"{state_prefix}{c}") for c in state.columns if c != key]
+        )
+        batch_df.join(dims, key, "left").write.mode("append").parquet(output_path)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -766,3 +766,73 @@ def test_incremental_neardup_chain_corpus_invariance(spark, tmp_path):
     landed = _run_neardup(spark, tmp_path, batches)
     got = sorted(r["doc_id"] for r in landed.collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# stream enrichment from maintained CDC state (w11)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_enrichment_equals_batch_left_join(spark, sf_dir, tmp_path):
+    """Enriching the second-half stream from the state table built over
+    the first half must equal the batch left join against batch
+    latest-per-key — row for row, including NULL dims for unseen
+    users."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import run_cdc_merge_stream
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import latest_by_key
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import enrich_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    _stage_batches(tmp_path, [first])
+    (tmp_path / "ev_src").mkdir()
+    import os
+
+    staged = tmp_path / "stage_ev"
+    second.coalesce(1).write.parquet(str(staged))
+    part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+    os.rename(staged / part, tmp_path / "ev_src" / "b0.parquet")
+
+    q = run_cdc_merge_stream(
+        spark, str(tmp_path / "src"), schema, str(tmp_path / "state"),
+        str(tmp_path / "dim_ckpt"), keys=["user_id"], ts_col="ts", tiebreak="event_id",
+    )
+    assert q.awaitTermination(300)
+    q2 = enrich_stream(
+        spark, str(tmp_path / "ev_src"), schema, str(tmp_path / "state"),
+        str(tmp_path / "out"), str(tmp_path / "ev_ckpt"), key="user_id",
+    )
+    assert q2.awaitTermination(300)
+
+    got = sorted(
+        (r["event_id"], r["dim_event_id"], r["dim_value"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    state = latest_by_key(first, ["user_id"], "ts", "event_id").select(
+        "user_id",
+        F.col("event_id").alias("dim_event_id"),
+        F.col("value").alias("dim_value"),
+    )
+    want = sorted(
+        (r["event_id"], r["dim_event_id"], r["dim_value"])
+        for r in second.join(state, "user_id", "left").collect()
+    )
+    assert got == want and len(got) == second.count()
+
+
+def test_w11_registered_summary(spark, sf_dir):
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    rows = all_specs()["w11_stream_enrichment"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(0 < r["n_enriched"] <= r["n_events"] for r in rows)
