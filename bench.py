@@ -109,6 +109,8 @@ HEADLINE = [
     # round 5: streaming CDC upsert (bucket-partitioned current-state
     # maintenance; single-run like the other streaming entries)
     "w10_cdc_current_state",
+    # round 5: per-batch stream enrichment from the maintained CDC state
+    "w11_stream_enrichment",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
     # synthesized 20k-record Confluent batch through the full decode stage
@@ -130,6 +132,7 @@ SINGLE_RUN = {
     "w05_stateful_user_profiles",
     "w09_incremental_neardup",
     "w10_cdc_current_state",
+    "w11_stream_enrichment",
     "w06_stream_dedup",
     "w07_stream_stream_join",
     "w08_incremental_rollup",

@@ -21,8 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: dtypes whose mean/stddev are meaningful
-_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+#: dtypes whose mean is meaningful — exact names plus the decimal(p,s)
+#: family; a prefix match on "int" would also catch interval types, whose
+#: avg() fails analysis
+_NUMERIC_TYPES = frozenset(
+    {"int", "bigint", "smallint", "tinyint", "double", "float"}
+)
 
 
 def profile(df: DataFrame, rsd: float = 0.05) -> DataFrame:
@@ -37,7 +41,7 @@ def profile(df: DataFrame, rsd: float = 0.05) -> DataFrame:
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in df.columns:
-        is_num = dtypes[c].startswith(_NUMERIC_PREFIXES)
+        is_num = dtypes[c] in _NUMERIC_TYPES or dtypes[c].startswith("decimal")
         aggs += [
             F.count(c).alias(f"{c}__nn"),
             F.approx_count_distinct(c, rsd).alias(f"{c}__nd"),

@@ -47,8 +47,16 @@ FEATURES = (
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document signal columns (all codegen'd JVM expressions)."""
     tok = tokens(F.col(text_col))
-    out = docs.withColumn("n_tokens", token_count(F.col(text_col)).cast("double"))
-    out = out.withColumn("alpha_frac", alpha_ratio(F.col(text_col)))
+    # coalesce like every other signal: size(NULL) is NULL in Spark 3+,
+    # and VectorAssembler's handleInvalid='error' would abort the whole
+    # train/score job on one NULL-text document instead of scoring it
+    out = docs.withColumn(
+        "n_tokens",
+        F.coalesce(token_count(F.col(text_col)).cast("double"), F.lit(0.0)),
+    )
+    out = out.withColumn(
+        "alpha_frac", F.coalesce(alpha_ratio(F.col(text_col)), F.lit(0.0))
+    )
     out = out.withColumn(
         "mean_word_len",
         F.when(
@@ -56,7 +64,9 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.length(F.concat_ws("", tok)) / F.size(tok)).cast("double"),
         ).otherwise(0.0),
     )
-    out = out.withColumn("dup2_frac", dup_ngram_frac(tok, 2))
+    out = out.withColumn(
+        "dup2_frac", F.coalesce(dup_ngram_frac(tok, 2), F.lit(0.0))
+    )
     for lang, words in LANG_PROFILES.items():
         out = out.withColumn(
             f"hits_{lang}",

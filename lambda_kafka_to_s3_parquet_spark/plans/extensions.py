@@ -1485,13 +1485,20 @@ def x34_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         # users by hash (raw ids span only ~150 values — hashing spreads
         # them across the bucket space so a "quarter of users" probe is a
         # quarter of the y-range, not a corner)
-        tbucket = (
+        # least(.., 1023): unix_timestamp truncates to whole seconds while
+        # span keeps the fractional part, so the max-ts row can compute
+        # bucket 1024 — outside interleave_bits' [0, 2^bits) contract,
+        # where the low-bits read would wrap it into bucket 0
+        tbucket = F.least(
             (
-                F.unix_timestamp(F.col("ts").cast("timestamp"))
-                - F.unix_timestamp(F.lit(lo).cast("timestamp"))
-            )
-            / F.lit(span / 1024)
-        ).cast("bigint")
+                (
+                    F.unix_timestamp(F.col("ts").cast("timestamp"))
+                    - F.unix_timestamp(F.lit(lo).cast("timestamp"))
+                )
+                / F.lit(span / 1024)
+            ).cast("bigint"),
+            F.lit(1023),
+        )
         ubucket = F.pmod(F.xxhash64("user_id"), F.lit(1024))
 
         n_files = 16
@@ -1507,7 +1514,9 @@ def x34_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         quarter = lo + (hi - lo) / 4
         probes = {
             "ts_quarter": (F.col("ts") >= lo) & (F.col("ts") < quarter),
-            "user_quarter": F.pmod(F.xxhash64("user_id"), F.lit(1024)) < 256,
+            # the SAME ubucket expression the layout was built from — the
+            # probe is only evidence because the coupling is structural
+            "user_quarter": ubucket < 256,
         }
         rows = []
         for layout in ("scattered", "range_ts", "zorder"):

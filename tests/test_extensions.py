@@ -942,3 +942,49 @@ def test_quality_scoring_is_narrow_transform(spark, sf_dir):
     scored = score_quality(docs, model)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_quality_features_tolerate_null_text(spark):
+    """One NULL-text document must score as junk, not abort the whole
+    train/score job (VectorAssembler's handleInvalid='error' kills the
+    pipeline on any NULL feature)."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.quality_model import (
+        quality_features,
+        score_quality,
+        train_quality_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "some reasonable words " * 10, 1.0) for i in range(10)]
+        + [(10 + i, "x x x x x " * 20, 0.0) for i in range(10)]
+        + [(99, None, 0.0)],
+        "doc_id long, text string, label double",
+    )
+    feats = quality_features(docs)
+    model, auc = train_quality_model(feats)
+    scored = score_quality(feats, model)
+    assert scored.count() == 21
+    null_row = scored.filter(F.col("doc_id") == 99).first()
+    assert 0.0 <= null_row["quality_prob"] <= 1.0
+    assert auc > 0.9
+
+
+def test_profile_tolerates_interval_and_decimal_columns(spark):
+    """profile() must report every dtype instead of failing analysis:
+    intervals get mean=NULL (they are not 'int*'), decimals get a real
+    mean."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.profile import profile
+
+    df = spark.range(5).select(
+        "id",
+        F.expr("INTERVAL '1' DAY").alias("gap"),
+        F.col("id").cast("decimal(10,2)").alias("dec"),
+    )
+    got = {r["column"]: r for r in profile(df).collect()}
+    assert got["gap"]["mean"] is None
+    assert abs(got["dec"]["mean"] - 2.0) < 1e-9
+    assert got["id"]["mean"] == 2.0
