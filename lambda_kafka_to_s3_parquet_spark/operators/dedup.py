@@ -334,21 +334,21 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        # Carry the OLD label through the propagation join so the
+        # convergence check below is a narrow filter over the checkpointed
+        # round output — not a second (node)-keyed shuffle join per round.
         new = (
             labels.join(neigh.withColumnRenamed("a", "node"), "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("new_label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        changed = new.filter(F.col("new_label") != F.col("old_label")).count()
         labels = new.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
@@ -397,6 +397,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    prev_count = g.count()
     for _ in range(max_iter):
         # large-star over the symmetric adjacency
         sym = g.union(g.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -423,8 +424,13 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        converged = new_g.exceptAll(g).isEmpty() and g.exceptAll(new_g).isEmpty()
-        g = new_g
+        # Both edge sets are .distinct(), so set equality is "same size
+        # and one direction empty" — half the set-op cost of checking
+        # except() both ways, and the count is a narrow scan of the
+        # checkpoint. Python-side prev count avoids recounting g.
+        new_count = new_g.count()
+        converged = new_count == prev_count and new_g.exceptAll(g).isEmpty()
+        g, prev_count = new_g, new_count
         if converged:
             break
     return (
