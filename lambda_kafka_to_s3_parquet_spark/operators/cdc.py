@@ -41,6 +41,7 @@ from .dedup import latest_by_key
 # implementation for every continuously-maintained table in the engine.
 from .rollup import (  # noqa: F401  (re-exported for cdc tests)
     _is_absent_or_empty,
+    _marker_fs,
     _read_marker_state,
     _write_last_batch_id,
 )
@@ -144,6 +145,84 @@ def run_cdc_merge_stream(
     )
 
 
-def read_current_state(spark: SparkSession, path: str) -> DataFrame:
-    """The maintained table, without its physical bucket column."""
-    return spark.read.parquet(path).drop("bucket")
+def read_current_state(
+    spark: SparkSession,
+    path: str,
+    op_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("d", "delete"),
+) -> DataFrame:
+    """The maintained table, without its physical bucket column.
+
+    When the change rows carry an operation column (Debezium-style
+    ``c/u/d``; a Kafka compacted-topic tombstone decodes to the same
+    shape — i03 surfaces null-value records exactly so callers can tag
+    them as deletes), pass ``op_col``: a key whose LATEST change is a
+    delete is absent from the result.
+
+    Tombstones are filtered HERE, at read time — the merge deliberately
+    keeps the latest change row per key even when it is a delete. Dropping
+    tombstones at merge time would lose the ordering evidence: an
+    out-of-order older upsert arriving in a later batch would re-run
+    latest-per-key against nothing and silently resurrect the deleted key.
+    Stored tombstones make the merge order-independent for deletes exactly
+    as it is for upserts; :func:`purge_tombstones` reclaims the space once
+    a retention watermark makes late arrivals impossible.
+    """
+    state = spark.read.parquet(path).drop("bucket")
+    if op_col is not None:
+        state = state.filter(~F.col(op_col).isin(*delete_ops))
+    return state
+
+
+def purge_tombstones(
+    spark: SparkSession,
+    path: str,
+    op_col: str,
+    ts_col: str,
+    older_than: str,
+    delete_ops: tuple[str, ...] = ("d", "delete"),
+) -> int:
+    """Drop tombstone rows older than a retention watermark; returns the
+    number purged.
+
+    A stored tombstone only exists to out-vote change rows that arrive
+    AFTER it but are timestamped BEFORE it (see
+    :func:`read_current_state`). Once the pipeline's lateness bound
+    guarantees no change older than ``older_than`` can still arrive —
+    the same reasoning as a streaming watermark, and the same contract
+    as Kafka compaction's ``delete.retention.ms`` — tombstones below it
+    are dead weight and this compaction rewrites exactly the buckets
+    holding one (dynamic partition overwrite; untouched buckets keep
+    their files). Run it from the single maintenance writer at a quiesce
+    point, like any other merge step.
+    """
+    existing = spark.read.parquet(path)
+    expired = F.col(op_col).isin(*delete_ops) & (F.col(ts_col) < F.lit(older_than))
+    # One int per affected bucket — bounded by n_buckets, driver-safe.
+    affected_ids = [
+        r["bucket"] for r in existing.filter(expired).select("bucket").distinct().collect()
+    ]
+    if not affected_ids:
+        return 0
+    touched = existing.filter(F.col("bucket").isin(affected_ids))
+    n_purged = touched.filter(expired).count()
+    survivors = touched.filter(~expired)
+    surviving_ids = {
+        r["bucket"] for r in survivors.select("bucket").distinct().collect()
+    }
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    # Dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a bucket whose every row expired produces none and would keep
+    # its old file forever. Drop those bucket dirs through the FS API.
+    fs, _ = _marker_fs(spark, path)
+    for b in set(affected_ids) - surviving_ids:
+        fs.delete(
+            spark._jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"bucket={b}")),
+            True,
+        )
+    return n_purged

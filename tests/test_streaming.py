@@ -634,6 +634,113 @@ def test_cdc_merge_stream_equals_batch_latest(spark, sf_dir, tmp_path):
     assert os.path.getmtime(os.path.join(table, "_last_merged_batch.json")) == mtime_before
 
 
+def test_cdc_tombstones_delete_at_read_and_resist_out_of_order(spark, tmp_path):
+    """Delete semantics over a 3-batch out-of-order replay:
+
+    * a key whose latest change is a delete is absent from the read view;
+    * an OLDER upsert arriving in a LATER batch than the delete does NOT
+      resurrect the key (the stored tombstone out-votes it);
+    * a NEWER upsert after a delete does resurrect it;
+    * the raw table still holds the winning tombstone row.
+    """
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        read_current_state,
+        run_cdc_merge_stream,
+    )
+
+    cols = ["k", "ts", "op", "v"]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, ts timestamp, op string, v double")
+
+    t = [f"2024-01-01 00:0{i}:00" for i in range(6)]
+    import datetime as _dt
+
+    def ts(s):
+        return _dt.datetime.fromisoformat(s)
+
+    frames = [
+        # b1: inserts for k1/k2; k3's DELETE arrives before its insert
+        frame([(1, ts(t[1]), "c", 1.0), (2, ts(t[1]), "c", 2.0), (3, ts(t[3]), "d", None)]),
+        # b2: k1 deleted; k3's older insert arrives late -> must stay dead
+        frame([(1, ts(t[2]), "d", None), (3, ts(t[1]), "c", 3.0)]),
+        # b3: k2 updated; k1 re-inserted AFTER its delete -> resurrects
+        frame([(2, ts(t[3]), "u", 4.0), (1, ts(t[4]), "c", 5.0)]),
+    ]
+    src = _stage_batches(tmp_path, frames)
+    table, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    q = run_cdc_merge_stream(
+        spark,
+        src,
+        "k long, ts timestamp, op string, v double",
+        table,
+        ckpt,
+        keys=["k"],
+        ts_col="ts",
+        tiebreak="ts",
+    )
+    assert q.awaitTermination(300)
+
+    live = {
+        r["k"]: (r["op"], r["v"])
+        for r in read_current_state(spark, table, op_col="op").collect()
+    }
+    assert live == {1: ("c", 5.0), 2: ("u", 4.0)}  # k3 dead despite late insert
+
+    raw = {r["k"]: r["op"] for r in read_current_state(spark, table).select(*cols).collect()}
+    assert raw == {1: "c", 2: "u", 3: "d"}  # tombstone retained in storage
+
+
+def test_cdc_purge_tombstones_respects_retention_watermark(spark, tmp_path):
+    """Purge removes only tombstones older than the watermark, rewrites
+    only their buckets, and leaves the read view unchanged."""
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        purge_tombstones,
+        read_current_state,
+        run_cdc_merge_stream,
+    )
+
+    import datetime as _dt
+
+    def ts(s):
+        return _dt.datetime.fromisoformat(s)
+
+    rows = [
+        (1, ts("2024-01-01 00:00:00"), "c", 1.0),   # live upsert, OLD ts
+        (2, ts("2024-01-01 00:00:00"), "d", None),  # expired tombstone
+        (3, ts("2024-01-03 00:00:00"), "d", None),  # young tombstone, kept
+    ]
+    frames = [spark.createDataFrame(rows, "k long, ts timestamp, op string, v double")]
+    src = _stage_batches(tmp_path, frames)
+    table = str(tmp_path / "table")
+    q = run_cdc_merge_stream(
+        spark,
+        src,
+        "k long, ts timestamp, op string, v double",
+        table,
+        str(tmp_path / "ckpt"),
+        keys=["k"],
+        ts_col="ts",
+        tiebreak="ts",
+    )
+    assert q.awaitTermination(300)
+
+    before = sorted(
+        map(tuple, read_current_state(spark, table, op_col="op").collect())
+    )
+    assert purge_tombstones(spark, table, "op", "ts", "2024-01-02 00:00:00") == 1
+    raw = {r["k"]: r["op"] for r in read_current_state(spark, table).collect()}
+    # expired tombstone gone; young tombstone and the equally-old live
+    # upsert (not a delete -> never purge-eligible) both survive
+    assert raw == {1: "c", 3: "d"}
+    after = sorted(
+        map(tuple, read_current_state(spark, table, op_col="op").collect())
+    )
+    assert after == before
+    # idempotent once clean
+    assert purge_tombstones(spark, table, "op", "ts", "2024-01-02 00:00:00") == 0
+
+
 def test_cdc_merge_foreign_checkpoint_rejected(spark, sf_dir, tmp_path):
     """Reusing a maintained table with a DIFFERENT checkpoint must fail
     fast (batch ids are not comparable across checkpoints) — same guard
