@@ -42,8 +42,11 @@ from lambda_kafka_to_s3_parquet_spark.plans import all_specs
 HEADLINE = [
     # relational read-back surface
     "q01_pricing_summary",
+    # round 5 (late): q03 consolidates former q05_nation_revenue (adds the
+    # 5-way star-join branch); its timing is not comparable to earlier
+    # rounds. Same for q04 (absorbs q18's derived-aggregate joins) and
+    # q16 (absorbs q14's date/string scalar families).
     "q03_shipping_priority",
-    "q05_nation_revenue",
     "q06_revenue_forecast",
     # round 4: q07 consolidates former q29 (adds the ntile-quartile branch);
     # its timing is not comparable to rounds <= 3.
@@ -92,6 +95,11 @@ HEADLINE = [
     "x30_stratified_mix",
     # one-pass per-column profile (round 5)
     "x36_data_profile",
+    # round 5 (late): token-window chunking, URL/domain cap, unigram-LM
+    # cross-entropy scoring — all oracle-checked
+    "x38_doc_chunking",
+    "x39_domain_cap",
+    "x40_lm_perplexity",
     # MLlib linear quality probe (round 5): trains on 3x the corpus per
     # invocation — single-run like the streaming replays (fixed L-BFGS
     # machinery dominates)

@@ -1646,3 +1646,194 @@ def x37_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("train_auc", F.round(F.lit(auc), 4))
         .orderBy("cohort")
     )
+
+
+# --------------------------------------------------------------------------
+# x38 — token-window document chunking with overlap (chunk=16, stride=12):
+# the inverse of x21's packing, and the standard prep for context-bounded
+# training / retrieval indexing. Pure codegen'd in-row expressions
+# (sequence → transform/slice → posexplode), zero shuffles before the
+# per-doc census. Oracle rebuilds every window with DuckDB list_slice and
+# pins the exact chunk boundaries via an order-aware md5 over the chunk
+# texts.
+# --------------------------------------------------------------------------
+@register(
+    "x38_doc_chunking",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents),
+    nz AS (SELECT doc_id, tok FROM tok WHERE len(tok) > 0),
+    st AS (SELECT doc_id, len(tok) AS n_doc_tokens, tok,
+                  unnest(range(0, len(tok), 12)) AS s
+           FROM nz),
+    ch AS (SELECT doc_id, n_doc_tokens,
+                  CAST(s // 12 AS BIGINT)        AS chunk_id,
+                  list_slice(tok, s + 1, s + 16) AS ctoks
+           FROM st)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)          AS n_chunks,
+           max(n_doc_tokens)                 AS n_doc_tokens,
+           CAST(sum(len(ctoks)) AS BIGINT)   AS total_chunk_tokens,
+           md5(string_agg(array_to_string(ctoks, ' '), '|' ORDER BY chunk_id))
+                                             AS chunks_md5
+    FROM ch GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="sliding token-window chunking (16-token windows, stride 12); "
+    "per-doc census pins exact chunk boundaries via ordered md5",
+)
+def x38_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("chunk_id", "chunk_text"))
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("n_doc_tokens").alias("n_doc_tokens"),
+            F.sum("n_chunk_tokens").alias("total_chunk_tokens"),
+            F.md5(
+                F.concat_ws("|", F.transform(ordered, lambda r: r.chunk_text))
+            ).alias("chunks_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x39 — URL blocklist + per-domain cap (RefinedWeb/C4-style domain
+# balancing). The documents fixture has no URL column, so both engines
+# derive the same deterministic URL from (source, lang, doc_id) — the
+# machinery under test is host extraction (JVM parse_url vs regexp),
+# the broadcast ANTI join against the blocklist, and the one-shuffle
+# windowed cap (WindowGroupLimit keeps the shuffle at O(domains x cap)).
+# --------------------------------------------------------------------------
+@register(
+    "x39_domain_cap",
+    oracle="""
+    WITH u AS (SELECT doc_id, lang, source, n_chars,
+                      'https://' || source || '.corpus.net/' || lang || '/'
+                        || doc_id AS url
+               FROM documents),
+    h AS (SELECT *, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u),
+    allowed AS (SELECT * FROM h
+                WHERE host NOT IN ('src2.corpus.net', 'src15.corpus.net')),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY host
+                             ORDER BY n_chars DESC, doc_id) AS rn
+               FROM allowed)
+    SELECT host,
+           CAST(count(*) AS BIGINT)                        AS n_total,
+           CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT)  AS n_dropped,
+           round(avg(n_chars) FILTER (rn <= 15), 2)        AS avg_kept_chars,
+           min(doc_id) FILTER (rn <= 15)                   AS min_kept_doc,
+           max(doc_id) FILTER (rn <= 15)                   AS max_kept_doc
+    FROM ranked GROUP BY host ORDER BY host
+    """,
+    doc="URL host extraction + broadcast blocklist anti-join + "
+    "windowed per-domain cap (15 best-by-length docs per host)",
+)
+def x39_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.webfilter import cap_per_domain, filter_blocklist
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), "source", F.lit(".corpus.net/"), "lang",
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ),
+    )
+    blocklist = spark.createDataFrame(
+        [("src2.corpus.net",), ("src15.corpus.net",)], "host string"
+    )
+    allowed = filter_blocklist(d, blocklist)
+    capped = cap_per_domain(
+        allowed, domain_col="host", max_per_domain=15,
+        order_by=[F.col("n_chars").desc()],
+    )
+    totals = allowed.groupBy("host").agg(F.count("*").alias("n_total"))
+    census = capped.groupBy("host").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("n_chars"), 2).alias("avg_kept_chars"),
+        F.min("doc_id").alias("min_kept_doc"),
+        F.max("doc_id").alias("max_kept_doc"),
+    )
+    return (
+        totals.join(census, "host", "left")
+        .select(
+            "host",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            "avg_kept_chars",
+            "min_kept_doc",
+            "max_kept_doc",
+        )
+        .orderBy("host")
+    )
+
+
+# --------------------------------------------------------------------------
+# x40 — unigram-LM cross-entropy scoring (CCNet/Gopher perplexity-filter
+# shape with exactly-reproducible arithmetic): build Laplace-smoothed
+# token statistics on the TRAIN split (same md5 split arithmetic as
+# x21/x30), broadcast them, score every document in one pass, census per
+# (lang, split). ln/avg agree across engines at round-6 because both run
+# the identical smoothing formula over integer counts.
+# --------------------------------------------------------------------------
+@register(
+    "x40_lm_perplexity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, text, {_SQL_TOKENS} AS tok FROM documents),
+    sp AS (SELECT *, CASE
+             WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
+             WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+           FROM tok),
+    lm AS (SELECT token, count(*) AS c
+           FROM (SELECT unnest(tok) AS token FROM sp WHERE split = 'train')
+           GROUP BY token),
+    tot AS (SELECT sum(c)::DOUBLE + count(*)::DOUBLE AS denom FROM lm),
+    dt AS (SELECT doc_id, lang, split, unnest(tok) AS token FROM sp),
+    sc AS (SELECT dt.doc_id, dt.lang, dt.split,
+                  CASE WHEN lm.c IS NULL THEN 1 ELSE 0 END AS oov,
+                  -ln((coalesce(lm.c, 0) + 1) / tot.denom)  AS nll
+           FROM dt LEFT JOIN lm USING (token), tot),
+    doc AS (SELECT doc_id, lang, split,
+                   count(*) AS n_tokens,
+                   sum(oov) AS n_oov,
+                   sum(nll) / count(*) AS ce
+            FROM sc GROUP BY doc_id, lang, split)
+    SELECT lang, split,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_oov) AS BIGINT) AS total_oov,
+           round(avg(ce), 6)         AS avg_ce,
+           round(min(ce), 6)         AS min_ce,
+           round(max(ce), 6)         AS max_ce
+    FROM doc GROUP BY lang, split ORDER BY lang, split
+    """,
+    doc="Laplace-smoothed unigram LM built on the train split, "
+    "broadcast-scored cross-entropy per doc, census per (lang, split)",
+)
+def x40_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.splits import assign_split
+    from ..operators.lm import cross_entropy_score, unigram_counts
+
+    d = _t(spark, sf_dir, "documents").withColumn("split", assign_split("text"))
+    lm = unigram_counts(d.filter(F.col("split") == "train"))
+    scored = cross_entropy_score(d, lm)
+    return (
+        scored.join(d.select("doc_id", "lang", "split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_oov").alias("total_oov"),
+            F.round(F.avg("ce"), 6).alias("avg_ce"),
+            F.round(F.min("ce"), 6).alias("min_ce"),
+            F.round(F.max("ce"), 6).alias("max_ce"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -86,27 +86,44 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q03_shipping_priority",
     oracle="""
-    SELECT o.o_orderkey,
+    WITH ship AS (
+      SELECT o.o_orderkey AS key,
+             o.o_orderpriority AS label,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             strftime(o.o_orderdate, '%Y-%m-%d')                   AS extra
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+      ORDER BY revenue DESC, o.o_orderkey
+      LIMIT 10)
+    SELECT 'shipping' AS src, key, label, revenue, extra FROM ship
+    UNION ALL
+    SELECT 'nation' AS src, CAST(NULL AS BIGINT) AS key,
+           n.n_name AS label,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           strftime(o.o_orderdate, '%Y-%m-%d')                   AS orderdate,
-           o.o_orderpriority
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
-    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o_orderkey
-    LIMIT 10
+           CAST(NULL AS VARCHAR) AS extra
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    ORDER BY src, key, label
     """,
-    doc="broadcast-hash join x2 + agg + top-k",
+    doc="filtered 3-way join + agg + top-k ('shipping', TPC-H Q3 shape) / "
+    "5-way star join through broadcast dims ('nation', TPC-H Q5 shape), "
+    "union-tagged (consolidates former q05_nation_revenue in round 5)",
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00"))
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15 00:00:00"))
-    return (
+    ship = (
         # No broadcast hints: orders and customer are both sf-proportional,
         # so the join strategy is left to AQE — broadcast while a side fits
         # the 64 MiB threshold, shuffle-hash/sort-merge beyond.
@@ -115,30 +132,65 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
-            "o_orderkey",
+            F.lit("shipping").alias("src"),
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderpriority").alias("label"),
             "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("extra"),
         )
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .orderBy(F.desc("revenue"), F.asc("key"))
         .limit(10)
     )
+    l2 = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o2 = _t(spark, sf_dir, "orders")
+    c2 = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nation = (
+        # Hints only on true dimensions (supplier/nation/region at TPC-H
+        # ratios). orders and customer are sf-proportional: AQE picks
+        # broadcast while small and falls back to shuffle joins at scale.
+        l2.join(F.broadcast(s), l2.l_suppkey == s.s_suppkey)
+        .join(o2, l2.l_orderkey == o2.o_orderkey)
+        .join(c2, (o2.o_custkey == c2.c_custkey) & (c2.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.lit("nation").alias("src"),
+            F.lit(None).cast("bigint").alias("key"),
+            F.col("n_name").alias("label"),
+            "revenue",
+            F.lit(None).cast("string").alias("extra"),
+        )
+    )
+    return ship.unionByName(nation)
 
 
 # --------------------------------------------------------------------------
-# q04 — semi + anti join, union-tagged (consolidates former
-# q19_customers_without_open_orders in round 5 to free a driver-window
-# slot for x32). Branches:
-#   * 'semi' — EXISTS semi-join + group count (TPC-H Q4 shape): key=NULL,
-#     label=o_orderpriority, n=order count;
-#   * 'anti' — NOT EXISTS anti-join (customers with no open orders):
-#     key=c_custkey, label=name:segment, n=NULL.
+# q04 — semi/anti joins + derived-aggregate joins, union-tagged
+# (consolidates former q19_customers_without_open_orders and, in late
+# round 5, former q18_big_customers — freeing driver-window slots for
+# x32/x39). Branches over (src, key, label, n, v1, v2):
+#   * 'semi'      — EXISTS semi-join + group count (TPC-H Q4 shape):
+#     key=NULL, label=o_orderpriority, n=order count;
+#   * 'anti'      — NOT EXISTS anti-join (customers with no open orders):
+#     key=c_custkey, label=name:segment, n=NULL;
+#   * 'brand_avg' — parts above their brand's average price (broadcast
+#     tiny derived aggregate): key=p_partkey, label=p_brand, v1=price,
+#     v2=brand avg;
+#   * 'big_cust'  — HAVING-filtered per-customer order aggregate joined
+#     back to the dimension (AQE decides): key=c_custkey, label=c_name,
+#     n=order count, v1=total spend.
 # --------------------------------------------------------------------------
 @register(
     "q04_priority_semi_join",
     oracle="""
     SELECT 'semi' AS src, CAST(NULL AS BIGINT) AS key,
-           o_orderpriority AS label, CAST(count(*) AS BIGINT) AS n
+           o_orderpriority AS label, CAST(count(*) AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
     FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -147,16 +199,40 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     UNION ALL
     SELECT 'anti' AS src, c_custkey AS key,
-           c_name || ':' || c_mktsegment AS label, CAST(NULL AS BIGINT) AS n
+           c_name || ':' || c_mktsegment AS label, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'brand_avg' AS src, p.p_partkey AS key, p.p_brand AS label,
+           CAST(NULL AS BIGINT)      AS n,
+           round(p.p_retailprice, 2) AS v1,
+           round(b.brand_avg, 2)     AS v2
+    FROM part p
+    JOIN (SELECT p_brand, avg(p_retailprice) AS brand_avg
+          FROM part GROUP BY p_brand) b
+      ON p.p_brand = b.p_brand
+    WHERE p.p_retailprice > round(b.brand_avg, 2)
+    UNION ALL
+    SELECT 'big_cust' AS src, c.c_custkey AS key, c.c_name AS label,
+           g.cnt                  AS n,
+           round(g.total, 2)      AS v1,
+           CAST(NULL AS DOUBLE)   AS v2
+    FROM customer c
+    JOIN (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS total
+          FROM orders GROUP BY o_custkey HAVING count(*) >= 13) g
+      ON c.c_custkey = g.o_custkey
     ORDER BY src, key, label
     """,
-    doc="left-semi join + agg / left-anti join, union-tagged",
+    doc="left-semi join + agg / left-anti join / broadcast per-brand "
+    "average filter / HAVING aggregate joined back to dimension, "
+    "union-tagged",
 )
 def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_b = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
@@ -168,9 +244,11 @@ def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(
             F.lit("semi").alias("src"),
-            F.lit(None).cast("bigint").alias("key"),
+            null_b.alias("key"),
             F.col("o_orderpriority").alias("label"),
             F.col("n").cast("bigint").alias("n"),
+            null_d.alias("v1"),
+            null_d.alias("v2"),
         )
     )
     c = _t(spark, sf_dir, "customer")
@@ -181,51 +259,49 @@ def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("anti").alias("src"),
             F.col("c_custkey").alias("key"),
             F.concat_ws(":", "c_name", "c_mktsegment").alias("label"),
-            F.lit(None).cast("bigint").alias("n"),
+            null_b.alias("n"),
+            null_d.alias("v1"),
+            null_d.alias("v2"),
         )
     )
-    return semi.unionByName(anti).orderBy("src", "key", "label")
-
-
-# --------------------------------------------------------------------------
-# q05 — 5-way star join through broadcast dims (TPC-H Q5 shape).
-# --------------------------------------------------------------------------
-@register(
-    "q05_nation_revenue",
-    oracle="""
-    SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-    FROM lineitem l
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN orders o   ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
-    JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    GROUP BY n.n_name
-    ORDER BY revenue DESC, n_name
-    """,
-    doc="multi-way star join, dims broadcast",
-)
-def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    return (
-        # Hints only on true dimensions (supplier/nation/region at TPC-H
-        # ratios). orders and customer are sf-proportional: AQE picks
-        # broadcast while small and falls back to shuffle joins at scale.
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    p = _t(spark, sf_dir, "part")
+    b = p.groupBy("p_brand").agg(F.avg("p_retailprice").alias("brand_avg"))
+    above = (
+        # b is a tiny derived aggregate (one row per brand) — always
+        # broadcast-safe regardless of sf. Boundary rounded identically on
+        # both engines: an unrounded float average differs in the last
+        # ulps between Spark and DuckDB (summation order), which could
+        # flip borderline rows.
+        p.join(F.broadcast(b), "p_brand")
+        .filter(F.col("p_retailprice") > F.round("brand_avg", 2))
+        .select(
+            F.lit("brand_avg").alias("src"),
+            F.col("p_partkey").alias("key"),
+            F.col("p_brand").alias("label"),
+            null_b.alias("n"),
+            F.round("p_retailprice", 2).alias("v1"),
+            F.round("brand_avg", 2).alias("v2"),
+        )
     )
+    c2 = _t(spark, sf_dir, "customer")
+    o2 = _t(spark, sf_dir, "orders")
+    g = (
+        o2.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"), F.sum("o_totalprice").alias("total"))
+        .filter(F.col("cnt") >= 13)
+    )
+    big = (
+        c2.join(g, c2.c_custkey == g.o_custkey)  # customer is sf-proportional: AQE decides
+        .select(
+            F.lit("big_cust").alias("src"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("label"),
+            F.col("cnt").alias("n"),
+            F.round("total", 2).alias("v1"),
+            null_d.alias("v2"),
+        )
+    )
+    return semi.unionByName(anti).unionByName(above).unionByName(big)
 
 
 # --------------------------------------------------------------------------
@@ -544,9 +620,17 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q14 — scalar function families, union-tagged (consolidates former
-# q13_string_funcs in round 5; q14 itself already absorbed q23_date_arith
-# in round 3). Two independent branches over different tables:
+# q16 — scalar + semi-structured function surface, union-tagged. Absorbed
+# over rounds 3-5: q15_json_extract, then (late round 5) the whole former
+# q14_date_functions (which had itself absorbed q13_string_funcs and
+# q23_date_arith) — freeing a driver-window slot for x40. Branches over
+# (src, k1, k2, ks, n1..n4, v1..v3, s1..s5):
+#   * 'json'   — get_json_object over the events.props JSON payload,
+#     aggregated per event_type (ks=event_type, n1=count, v1=avg, v2=max);
+#   * 'array'  — per-row array functions over the embedding vectors
+#     (ks=vec_id as string, n1=dim, v1=first_val, v2=l2_norm, v3=mean) —
+#     math forced to DOUBLE with explicit left-to-right folds so both
+#     engines agree bit-wise before rounding;
 #   * 'date'   — year/month bucketing over orders with per-row datediff/
 #     add_months/last_day/dayofweek arithmetic folded into the monthly
 #     groups (within a (year, month) group add_months/last_day are
@@ -555,22 +639,54 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * 'string' — per-row upper/substr/length/concat/replace/
 #     regexp_extract + LIKE over part (narrow, rides the scan, no
 #     shuffle).
-# Shared schema: k1/k2 = (y, m) | (p_partkey, name_len); n1..n4 carry the
-# date branch's counts; s1..s5 carry the string branch's derived strings
-# (s1/s2 double as the date branch's plus_3_months/month_end). The union
-# is append-only — branch results cannot interact.
+# The union is append-only — branch results cannot interact.
 # --------------------------------------------------------------------------
 @register(
-    "q14_date_functions",
+    "q16_array_stats",
     oracle="""
+    SELECT 'json' AS src,
+           CAST(NULL AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS k2,
+           event_type AS ks,
+           count(*) AS n1,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+           CAST(NULL AS BIGINT) AS n4,
+           round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS v1,
+           CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS DOUBLE)                                            AS v2,
+           CAST(NULL AS DOUBLE)                                       AS v3,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS VARCHAR) AS s3, CAST(NULL AS VARCHAR) AS s4,
+           CAST(NULL AS VARCHAR) AS s5
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'array' AS src,
+           CAST(NULL AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS k2,
+           CAST(vec_id AS VARCHAR) AS ks,
+           CAST(len(embedding) AS BIGINT)                                  AS n1,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+           CAST(NULL AS BIGINT) AS n4,
+           round(embedding[1]::DOUBLE, 6)                                  AS v1,
+           round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                 x -> x * x), 'sum')), 6)                                  AS v2,
+           round(list_aggregate(embedding::DOUBLE[], 'sum')
+                 / len(embedding), 6)                                      AS v3,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS VARCHAR) AS s3, CAST(NULL AS VARCHAR) AS s4,
+           CAST(NULL AS VARCHAR) AS s5
+    FROM embeddings
+    UNION ALL
     SELECT 'date' AS src,
            CAST(year(o_orderdate) AS BIGINT)  AS k1,
            CAST(month(o_orderdate) AS BIGINT) AS k2,
+           CAST(NULL AS VARCHAR) AS ks,
            count(*)                           AS n1,
            count(DISTINCT o_custkey)          AS n2,
            CAST(max(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
                               o_orderdate)) AS BIGINT)               AS n3,
            count(DISTINCT dayofweek(o_orderdate))                    AS n4,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+           CAST(NULL AS DOUBLE) AS v3,
            min(strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m'))    AS s1,
            min(strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')) AS s2,
            CAST(NULL AS VARCHAR) AS s3,
@@ -582,8 +698,11 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'string' AS src,
            p_partkey                                   AS k1,
            CAST(length(p_name) AS BIGINT)              AS k2,
+           CAST(NULL AS VARCHAR) AS ks,
            CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
            CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+           CAST(NULL AS DOUBLE) AS v3,
            upper(p_brand)                              AS s1,
            substr(p_name, 1, 8)                        AS s2,
            concat(p_brand, '#', p_type)                AS s3,
@@ -591,198 +710,94 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(p_type, '([a-z]+)$', 1)      AS s5
     FROM part
     WHERE p_name LIKE '%a%'
-    ORDER BY src, k1, k2
+    ORDER BY src, k1, k2, ks
     """,
-    doc="date buckets (datediff/add_months/last_day/dayofweek in-group) + "
-    "string scalar family (upper/substr/length/concat/replace/regexp_extract "
-    "+ LIKE), union-tagged",
-)
-def q14_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    null_b = F.lit(None).cast("bigint")
-    null_s = F.lit(None).cast("string")
-    dates = (
-        o.groupBy(
-            F.year("o_orderdate").cast("bigint").alias("k1"),
-            F.month("o_orderdate").cast("bigint").alias("k2"),
-        )
-        .agg(
-            F.count("*").alias("n1"),
-            F.countDistinct("o_custkey").alias("n2"),
-            F.max(F.datediff("o_orderdate", F.lit("1995-01-01")))
-            .cast("bigint")
-            .alias("n3"),
-            F.countDistinct(F.dayofweek("o_orderdate")).alias("n4"),
-            F.min(F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM")).alias("s1"),
-            F.min(F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd")).alias("s2"),
-        )
-        .select(
-            F.lit("date").alias("src"),
-            "k1", "k2", "n1", "n2", "n3", "n4", "s1", "s2",
-            null_s.alias("s3"), null_s.alias("s4"), null_s.alias("s5"),
-        )
-    )
-    p = _t(spark, sf_dir, "part")
-    strings = p.filter(F.col("p_name").like("%a%")).select(
-        F.lit("string").alias("src"),
-        F.col("p_partkey").alias("k1"),
-        F.length("p_name").cast("bigint").alias("k2"),
-        null_b.alias("n1"), null_b.alias("n2"),
-        null_b.alias("n3"), null_b.alias("n4"),
-        F.upper("p_brand").alias("s1"),
-        F.substring("p_name", 1, 8).alias("s2"),
-        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("s3"),
-        F.regexp_replace("p_type", " ", "_").alias("s4"),
-        F.regexp_extract("p_type", "([a-z]+)$", 1).alias("s5"),
-    )
-    return dates.unionByName(strings)
-
-
-# --------------------------------------------------------------------------
-# q16 — semi-structured column functions, union-tagged (consolidates
-# former q15_json_extract in round 5). Branches:
-#   * 'json'  — get_json_object over the events.props JSON payload,
-#     aggregated per event_type (k=event_type, n=count, v1=avg, v2=max);
-#   * 'array' — per-row array functions over the embedding vectors
-#     (k=vec_id as string, n=dim, v1=first_val, v2=l2_norm, v3=mean).
-# Array math is forced to DOUBLE with explicit left-to-right folds so
-# both engines agree bit-wise before rounding.
-# --------------------------------------------------------------------------
-@register(
-    "q16_array_stats",
-    oracle="""
-    SELECT 'json' AS src, event_type AS k,
-           count(*)                                                   AS n,
-           round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS v1,
-           CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS DOUBLE)                                            AS v2,
-           CAST(NULL AS DOUBLE)                                       AS v3
-    FROM events
-    GROUP BY event_type
-    UNION ALL
-    SELECT 'array' AS src, CAST(vec_id AS VARCHAR) AS k,
-           CAST(len(embedding) AS BIGINT)                                  AS n,
-           round(embedding[1]::DOUBLE, 6)                                  AS v1,
-           round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
-                 x -> x * x), 'sum')), 6)                                  AS v2,
-           round(list_aggregate(embedding::DOUBLE[], 'sum')
-                 / len(embedding), 6)                                      AS v3
-    FROM embeddings
-    ORDER BY src, k
-    """,
-    doc="JSON extraction per event_type + size/element_at/aggregate-fold "
-    "over array<float>, union-tagged",
+    doc="semi-structured + scalar function surface, union-tagged: JSON "
+    "extraction per event_type; size/element_at/aggregate-fold over "
+    "array<float>; date buckets (datediff/add_months/last_day/dayofweek "
+    "in-group); string scalar family (upper/substr/length/concat/replace/"
+    "regexp_extract + LIKE) — consolidates former q15_json_extract and "
+    "q14_date_functions in round 5",
 )
 def q16_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_b = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def pad(df, **given):
+        cols = []
+        for name in ("src", "k1", "k2", "ks", "n1", "n2", "n3", "n4",
+                     "v1", "v2", "v3", "s1", "s2", "s3", "s4", "s5"):
+            if name in given:
+                cols.append(given[name].alias(name))
+            elif name.startswith("k") and name != "ks":
+                cols.append(null_b.alias(name))
+            elif name.startswith("n"):
+                cols.append(null_b.alias(name))
+            elif name.startswith("v"):
+                cols.append(null_d.alias(name))
+            else:
+                cols.append(null_s.alias(name))
+        return df.select(*cols)
+
     e = _t(spark, sf_dir, "events")
     kx = F.get_json_object("props", "$.k").cast("bigint")
-    json_branch = (
-        e.groupBy("event_type")
-        .agg(
+    json_branch = pad(
+        e.groupBy("event_type").agg(
             F.count("*").alias("n"),
-            F.round(F.avg(kx), 2).alias("v1"),
-            F.max(kx).cast("double").alias("v2"),
-        )
-        .select(
-            F.lit("json").alias("src"),
-            F.col("event_type").alias("k"),
-            "n", "v1", "v2",
-            F.lit(None).cast("double").alias("v3"),
-        )
+            F.round(F.avg(kx), 2).alias("va"),
+            F.max(kx).cast("double").alias("vb"),
+        ),
+        src=F.lit("json"), ks=F.col("event_type"),
+        n1=F.col("n"), v1=F.col("va"), v2=F.col("vb"),
     )
     emb = _t(spark, sf_dir, "embeddings")
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
     sum_sq = F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x)
     total = F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x)
-    array_branch = emb.select(
-        F.lit("array").alias("src"),
-        F.col("vec_id").cast("string").alias("k"),
-        F.size("embedding").cast("bigint").alias("n"),
-        F.round(F.element_at(emb_d, 1), 6).alias("v1"),
-        F.round(F.sqrt(sum_sq), 6).alias("v2"),
-        F.round(total / F.size("embedding"), 6).alias("v3"),
+    array_branch = pad(
+        emb,
+        src=F.lit("array"), ks=F.col("vec_id").cast("string"),
+        n1=F.size("embedding").cast("bigint"),
+        v1=F.round(F.element_at(emb_d, 1), 6),
+        v2=F.round(F.sqrt(sum_sq), 6),
+        v3=F.round(total / F.size("embedding"), 6),
     )
-    return json_branch.unionByName(array_branch)
-
-
-# --------------------------------------------------------------------------
-# q18 — derived-aggregate joins, union-tagged (consolidates former
-# q17_above_brand_avg in round 5). Two join-back-to-a-derived-aggregate
-# shapes:
-#   * 'brand_avg' — parts above their brand's average price: the per-brand
-#     aggregate is tiny (one row per brand) and explicitly broadcast;
-#   * 'big_cust'  — HAVING-filtered per-customer order aggregate joined
-#     back to the customer dimension (sf-proportional sides: AQE decides).
-# Shared schema: k = p_partkey | c_custkey, name = p_brand | c_name,
-# n = NULL | n_orders, v1 = price | total_spend, v2 = brand_avg | NULL.
-# --------------------------------------------------------------------------
-@register(
-    "q18_big_customers",
-    oracle="""
-    SELECT 'brand_avg' AS src,
-           p.p_partkey AS k, p.p_brand AS name,
-           CAST(NULL AS BIGINT)      AS n,
-           round(p.p_retailprice, 2) AS v1,
-           round(b.brand_avg, 2)     AS v2
-    FROM part p
-    JOIN (SELECT p_brand, avg(p_retailprice) AS brand_avg
-          FROM part GROUP BY p_brand) b
-      ON p.p_brand = b.p_brand
-    WHERE p.p_retailprice > round(b.brand_avg, 2)
-    UNION ALL
-    SELECT 'big_cust' AS src,
-           c.c_custkey AS k, c.c_name AS name,
-           g.cnt                  AS n,
-           round(g.total, 2)      AS v1,
-           CAST(NULL AS DOUBLE)   AS v2
-    FROM customer c
-    JOIN (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS total
-          FROM orders GROUP BY o_custkey HAVING count(*) >= 13) g
-      ON c.c_custkey = g.o_custkey
-    ORDER BY src, k
-    """,
-    doc="derived-aggregate joins: broadcast per-brand average filter + "
-    "HAVING aggregate joined back to dimension, union-tagged",
-)
-def q18_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    b = p.groupBy("p_brand").agg(F.avg("p_retailprice").alias("brand_avg"))
-    above = (
-        # b is a tiny derived aggregate (one row per brand) — always
-        # broadcast-safe regardless of sf.
-        p.join(F.broadcast(b), "p_brand")
-        # Boundary rounded identically on both engines: an unrounded float
-        # average differs in the last ulps between Spark and DuckDB
-        # (summation order), which could flip borderline rows.
-        .filter(F.col("p_retailprice") > F.round("brand_avg", 2))
-        .select(
-            F.lit("brand_avg").alias("src"),
-            F.col("p_partkey").alias("k"),
-            F.col("p_brand").alias("name"),
-            F.lit(None).cast("bigint").alias("n"),
-            F.round("p_retailprice", 2).alias("v1"),
-            F.round("brand_avg", 2).alias("v2"),
-        )
-    )
-    c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    g = (
-        o.groupBy("o_custkey")
-        .agg(F.count("*").alias("cnt"), F.sum("o_totalprice").alias("total"))
-        .filter(F.col("cnt") >= 13)
+    date_branch = pad(
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("ka"),
+            F.month("o_orderdate").cast("bigint").alias("kb"),
+        ).agg(
+            F.count("*").alias("na"),
+            F.countDistinct("o_custkey").alias("nb"),
+            F.max(F.datediff("o_orderdate", F.lit("1995-01-01")))
+            .cast("bigint")
+            .alias("nc"),
+            F.countDistinct(F.dayofweek("o_orderdate")).alias("nd"),
+            F.min(F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM")).alias("sa"),
+            F.min(F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd")).alias("sb"),
+        ),
+        src=F.lit("date"), k1=F.col("ka"), k2=F.col("kb"),
+        n1=F.col("na"), n2=F.col("nb"), n3=F.col("nc"), n4=F.col("nd"),
+        s1=F.col("sa"), s2=F.col("sb"),
     )
-    big = (
-        c.join(g, c.c_custkey == g.o_custkey)  # customer is sf-proportional: AQE decides
-        .select(
-            F.lit("big_cust").alias("src"),
-            F.col("c_custkey").alias("k"),
-            F.col("c_name").alias("name"),
-            F.col("cnt").alias("n"),
-            F.round("total", 2).alias("v1"),
-            F.lit(None).cast("double").alias("v2"),
-        )
+    p = _t(spark, sf_dir, "part")
+    string_branch = pad(
+        p.filter(F.col("p_name").like("%a%")),
+        src=F.lit("string"),
+        k1=F.col("p_partkey"), k2=F.length("p_name").cast("bigint"),
+        s1=F.upper("p_brand"),
+        s2=F.substring("p_name", 1, 8),
+        s3=F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")),
+        s4=F.regexp_replace("p_type", " ", "_"),
+        s5=F.regexp_extract("p_type", "([a-z]+)$", 1),
     )
-    return above.unionByName(big)
+    return (
+        json_branch.unionByName(array_branch)
+        .unionByName(date_branch)
+        .unionByName(string_branch)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -988,3 +988,187 @@ def test_profile_tolerates_interval_and_decimal_columns(spark):
     assert got["gap"]["mean"] is None
     assert abs(got["dec"]["mean"] - 2.0) < 1e-9
     assert got["id"]["mean"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# round 5 (late): chunking / web filtering / unigram-LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_exact_windows(spark):
+    """Chunk boundaries, overlap, and the short-tail window are exact."""
+    from lambda_kafka_to_s3_parquet_spark.operators.chunking import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "solo"), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # stride 3 over 10 tokens -> starts 0,3,6,9
+    assert sorted(k for k in rows) == [(1, 0), (1, 1), (1, 2), (1, 3), (2, 0)]
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert rows[(1, 3)]["chunk_text"] == "w9"  # short tail kept
+    assert rows[(1, 3)]["n_chunk_tokens"] == 1
+    assert rows[(2, 0)]["chunk_text"] == "solo"
+    assert all(r["n_doc_tokens"] in (10, 1) for r in rows.values())
+    # empty doc produces no chunks (doc_id 3 absent above)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_reassembly_recovers_document(spark, sf_dir):
+    """With zero overlap, concatenating chunks in order recovers every
+    document's token stream exactly — no token lost or duplicated."""
+    from lambda_kafka_to_s3_parquet_spark.functions.text import tokens
+    from lambda_kafka_to_s3_parquet_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=7, overlap=0)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                    lambda r: r.chunk_text,
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    orig = docs.select(
+        "doc_id", F.array_join(tokens("text"), " ").alias("orig")
+    ).filter(F.length("orig") > 0)
+    joined = orig.join(rebuilt, "doc_id")
+    assert joined.count() == orig.count()
+    assert joined.filter(F.col("orig") != F.col("rebuilt")).count() == 0
+
+
+def test_url_functions_and_registered_domain(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.webfilter import (
+        registered_domain,
+        url_host,
+        url_path,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.b.site.org/x/y?q=1",),
+            ("http://plain.com/",),
+            ("https://single/path",),
+        ],
+        "url string",
+    )
+    out = df.select(
+        url_host("url").alias("h"),
+        url_path("url").alias("p"),
+        registered_domain(url_host("url")).alias("rd"),
+    ).collect()
+    assert [r["h"] for r in out] == ["a.b.site.org", "plain.com", "single"]
+    assert [r["p"] for r in out] == ["/x/y", "/", "/path"]
+    assert [r["rd"] for r in out] == ["site.org", "plain.com", "single"]
+
+
+def test_blocklist_and_domain_cap(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.webfilter import (
+        cap_per_domain,
+        filter_blocklist,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.net/d/{i}", float(100 - i)) for i in range(30)],
+        "doc_id long, url string, quality double",
+    )
+    blocklist = spark.createDataFrame([("h0.net",)], "host string")
+    allowed = filter_blocklist(docs, blocklist)
+    hosts = {r["host"] for r in allowed.select("host").distinct().collect()}
+    assert hosts == {"h1.net", "h2.net"}
+    capped = cap_per_domain(
+        allowed, max_per_domain=3, order_by=[F.col("quality").desc()]
+    )
+    per = {
+        r["host"]: sorted(r["ids"])
+        for r in capped.groupBy("host").agg(F.collect_list("doc_id").alias("ids")).collect()
+    }
+    # best-quality == lowest doc_id here (quality = 100 - i)
+    assert per == {"h1.net": [1, 4, 7], "h2.net": [2, 5, 8]}
+
+
+def test_cap_per_domain_uses_window_group_limit(spark, sf_dir):
+    """The rank<=k filter must compile to WindowGroupLimit so each map
+    task prunes to its local top-k per domain BEFORE the exchange."""
+    from lambda_kafka_to_s3_parquet_spark.operators.webfilter import cap_per_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_domain(docs, domain_col="source", max_per_domain=5)
+    capped.collect()
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_unigram_lm_cross_entropy_exact(spark):
+    """Hand-computed Laplace cross-entropy on a 3-doc corpus."""
+    import math
+
+    from lambda_kafka_to_s3_parquet_spark.operators.lm import (
+        cross_entropy_score,
+        unigram_counts,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    lm = unigram_counts(ref)  # a:3 b:1 c:1 -> N=5 V=3 denom=8
+    scored = {r["doc_id"]: r for r in cross_entropy_score(
+        spark.createDataFrame([(9, "a b z")], "doc_id long, text string"), lm
+    ).collect()}
+    r = scored[9]
+    expected = -(math.log(4 / 8) + math.log(2 / 8) + math.log(1 / 8)) / 3
+    assert abs(r["ce"] - expected) < 1e-12
+    assert r["n_tokens"] == 3 and r["n_oov"] == 1
+
+
+def test_unigram_lm_empty_reference_raises(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.lm import (
+        cross_entropy_score,
+        unigram_counts,
+    )
+
+    ref = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    docs = spark.createDataFrame([(2, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty language model"):
+        cross_entropy_score(docs, unigram_counts(ref))
+
+
+def test_lm_scoring_separates_junk(spark, sf_dir):
+    """Vocabulary-noise junk must score strictly worse (higher CE) than
+    the reference corpus it was derived from — the filtering contract."""
+    from lambda_kafka_to_s3_parquet_spark.operators.lm import (
+        cross_entropy_score,
+        unigram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    junk = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace("text", "[aeiou]", "#").alias("text"),
+    )
+    lm = unigram_counts(docs)
+    scored = cross_entropy_score(docs.unionByName(junk), lm)
+    means = {
+        r["grp"]: r["m"]
+        for r in scored.groupBy(
+            (F.col("doc_id") >= 1_000_000).alias("grp")
+        ).agg(F.avg("ce").alias("m")).collect()
+    }
+    assert means[True] > means[False] + 1.0
