@@ -79,13 +79,13 @@ HEADLINE = [
     "x20_interval_join",
     "x21_split_and_pack",
     "x22_rollup_daily",
-    # x24/x28 rounds <= 4 numbers (0.11 s / 0.66 s) were a cache artifact:
-    # their min-of-3 re-built byte-identical logical plans, so runs 2-3 hit
-    # run 1's in-memory cache of the pairs pipeline. Round 5's CC
-    # correctness fix (localCheckpoint of the edge list, preventing
-    # re-execution of the non-deterministic upstream) makes every plan
-    # unique — the ~2.5-4 s they now report is the honest cold cost of
-    # candidate-gen + verify + label propagation at sf0.1.
+    # x24/x28 rounds <= 4 numbers (0.11 s / 0.66 s) understated the real
+    # cost: clock-after-fn timing missed work, and min-of-3 re-built
+    # byte-identical logical plans so later runs hit run 1's in-memory
+    # cache. Round 5's CC correctness fix (localCheckpoint of the edge
+    # list) moved that work INSIDE fn(), so both are now in EAGER_FN and
+    # report the honest ~2.5-4 s cold cost of candidate-gen + verify +
+    # label propagation at sf0.1 — not comparable to earlier rounds.
     "x24_dup_clusters",
     "x25_decontaminate",
     "x26_boilerplate_lines",
@@ -153,6 +153,16 @@ SINGLE_RUN = {
     "w08_incremental_rollup",
 }
 
+#: Batch queries whose fn() executes real work EAGERLY while building the
+#: plan (localCheckpoint-materialized CC rounds in x24/x28, the LM-totals
+#: action in x40): clock-after-fn would time only the residual noop write.
+#: They keep min-of-N but start the clock before fn().
+EAGER_FN = {
+    "x24_dup_clusters",
+    "x28_curation_chain",
+    "x40_lm_perplexity",
+}
+
 
 def _sf_of(sf_dir: str) -> float | None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -166,16 +176,17 @@ def _time_set(spark, specs, sf_dir: str, runs_per_query: int) -> dict[str, float
             continue
         best = None
         for _ in range(1 if name in SINGLE_RUN else runs_per_query):
-            # Streaming replays (SINGLE_RUN) execute eagerly inside fn()
-            # and localize their (small) result — the clock must start
-            # before fn() or nothing is measured. Batch queries keep the
-            # rounds-1-4 protocol (clock starts once the plan is built,
-            # timing the distributed execution): driver-side analysis of
-            # the big union-tagged/HOF plans costs 0.2-0.5 s, which is
-            # per-query noise at bench scale and amortized at 100 TB —
-            # including it made half the batch surface read as regressed
-            # in the round-5 preview when execution was flat.
-            if name in SINGLE_RUN:
+            # Streaming replays (SINGLE_RUN) and eager plan-builders
+            # (EAGER_FN) execute work inside fn() — the clock must start
+            # before fn() or most of their cost is invisible. LAZY batch
+            # queries keep the rounds-1-4 protocol (clock starts once the
+            # plan is built, timing the distributed execution):
+            # driver-side analysis of the big union-tagged/HOF plans
+            # costs 0.2-0.5 s, which is per-query noise at bench scale
+            # and amortized at 100 TB — including it made half the batch
+            # surface read as regressed in the round-5 preview when
+            # execution was flat.
+            if name in SINGLE_RUN or name in EAGER_FN:
                 t0 = time.perf_counter()
                 df = specs[name].fn(spark, sf_dir)
             else:
@@ -223,13 +234,14 @@ def main() -> None:
     ratios = {
         n: round(timings[n] / small[n], 1) for n in timings if small.get(n)
     }
-    # Split totals: the streaming replays + the model-training probe carry
-    # per-invocation fixed machinery (micro-batch commits, state stores,
-    # L-BFGS) that dwarfs their data cost at bench scale — folding them
-    # into one number would make round-over-round comparison vs rounds
-    # <= 4 (which benched 4 of these 12) read as a regression when the
-    # batch engine is flat-or-faster. "value" stays the honest total;
-    # "value_batch" is the like-for-like scan/shuffle/agg surface.
+    # Split totals: the 8 SINGLE_RUN queries (streaming replays + the
+    # model-training probe) carry per-invocation fixed machinery
+    # (micro-batch commits, state stores, L-BFGS) that dwarfs their data
+    # cost at bench scale — folding them into one number would make
+    # round-over-round comparison vs rounds <= 4 (which benched only w05
+    # of them) read as a regression when the batch engine is
+    # flat-or-faster. "value" stays the honest total; "value_batch" is
+    # the like-for-like scan/shuffle/agg surface.
     fixed_cost = SINGLE_RUN
     batch_total = round(
         sum(v for n, v in timings.items() if n not in fixed_cost), 3

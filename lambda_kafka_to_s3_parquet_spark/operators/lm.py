@@ -54,6 +54,13 @@ def cross_entropy_score(
     score ``-ln(1/(N+V))``. Lower is more "reference-like"; a perplexity
     threshold is ``exp(ce)``.
     """
+    # Materialize the LM once: the N/V totals action below would otherwise
+    # run the reference-corpus explode+groupBy eagerly here AND a second
+    # time when the (lazy) join side executes — the dominant build shuffle
+    # twice per scoring call. The checkpoint also guarantees totals and
+    # join rows come from the SAME materialization even over a
+    # non-deterministic upstream.
+    lm = lm.localCheckpoint()
     totals = lm.agg(
         F.sum("c").cast("double").alias("N"), F.count("*").cast("double").alias("V")
     ).first()

@@ -83,18 +83,31 @@ def cap_per_domain(
 
     ``order_by`` ranks documents inside a domain (default: ``id_col``
     ascending — deterministic but arbitrary; pass a quality score for a
-    real mix). One shuffle on the domain; rank + filter prune everything
-    past the cap. Spark turns the ``row_number <= k`` filter into a
-    ``WindowGroupLimit``, so each map task keeps only its local top-k per
-    domain before the exchange — the shuffle carries O(domains × cap),
-    not the corpus.
+    real mix; ``id_col`` is appended as the tie-break). One shuffle on
+    the domain; rank + filter prune everything past the cap. Spark turns
+    the ``row_number <= k`` filter into a ``WindowGroupLimit``, so each
+    map task keeps only its local top-k per domain before the exchange —
+    the shuffle carries O(domains × cap), not the corpus.
+
+    Rows with a NULL domain (malformed/relative URLs survive
+    :func:`filter_blocklist` with ``host IS NULL``) bypass the cap: they
+    are not one site, and lumping them into a single window partition
+    would both skew that partition and silently discard all but
+    ``max_per_domain`` of them. Drop or repair them explicitly upstream
+    if they shouldn't pass through.
     """
     from pyspark.sql import Window
 
-    order = list(order_by) if order_by is not None else [F.col(id_col).asc()]
-    w = Window.partitionBy(domain_col).orderBy(*order, F.col(id_col).asc())
-    return (
-        docs.withColumn("_rank", F.row_number().over(w))
+    order = (
+        [*order_by, F.col(id_col).asc()]
+        if order_by is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    capped = (
+        docs.filter(F.col(domain_col).isNotNull())
+        .withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= max_per_domain)
         .drop("_rank")
     )
+    return capped.unionByName(docs.filter(F.col(domain_col).isNull()))

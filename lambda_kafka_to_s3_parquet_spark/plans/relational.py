@@ -33,6 +33,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _pad(df: DataFrame, schema: list[tuple[str, "F.Column"]], **given) -> DataFrame:
+    """Union-tag branch padding: project ``df`` onto the shared ``schema``
+    (ordered ``(name, typed_null_literal)`` pairs), filling every column
+    not passed via ``given`` with its typed NULL. Keeps multi-branch
+    union-tagged queries (q04, q16) declarative: each branch states only
+    the columns it populates."""
+    return df.select(
+        *[
+            (given[name] if name in given else default).alias(name)
+            for name, default in schema
+        ]
+    )
+
+
 # --------------------------------------------------------------------------
 # q01 — scan → filter → groupBy multi-agg → sort (TPC-H Q1 shape).
 # Flagship: exercises parquet pushdown + partial aggregation + AQE coalesce.
@@ -231,57 +245,54 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "union-tagged",
 )
 def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    null_b = F.lit(None).cast("bigint")
-    null_d = F.lit(None).cast("double")
+    schema = [
+        ("src", F.lit(None).cast("string")),
+        ("key", F.lit(None).cast("bigint")),
+        ("label", F.lit(None).cast("string")),
+        ("n", F.lit(None).cast("bigint")),
+        ("v1", F.lit(None).cast("double")),
+        ("v2", F.lit(None).cast("double")),
+    ]
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
     )
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
-    semi = (
+    semi = _pad(
         o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.lit("semi").alias("src"),
-            null_b.alias("key"),
-            F.col("o_orderpriority").alias("label"),
-            F.col("n").cast("bigint").alias("n"),
-            null_d.alias("v1"),
-            null_d.alias("v2"),
-        )
+        .agg(F.count("*").alias("n")),
+        schema,
+        src=F.lit("semi"),
+        label=F.col("o_orderpriority"),
+        n=F.col("n").cast("bigint"),
     )
     c = _t(spark, sf_dir, "customer")
     oo = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    anti = (
-        c.join(oo, c.c_custkey == oo.o_custkey, "left_anti")
-        .select(
-            F.lit("anti").alias("src"),
-            F.col("c_custkey").alias("key"),
-            F.concat_ws(":", "c_name", "c_mktsegment").alias("label"),
-            null_b.alias("n"),
-            null_d.alias("v1"),
-            null_d.alias("v2"),
-        )
+    anti = _pad(
+        c.join(oo, c.c_custkey == oo.o_custkey, "left_anti"),
+        schema,
+        src=F.lit("anti"),
+        key=F.col("c_custkey"),
+        label=F.concat_ws(":", "c_name", "c_mktsegment"),
     )
     p = _t(spark, sf_dir, "part")
     b = p.groupBy("p_brand").agg(F.avg("p_retailprice").alias("brand_avg"))
-    above = (
+    above = _pad(
         # b is a tiny derived aggregate (one row per brand) — always
         # broadcast-safe regardless of sf. Boundary rounded identically on
         # both engines: an unrounded float average differs in the last
         # ulps between Spark and DuckDB (summation order), which could
         # flip borderline rows.
-        p.join(F.broadcast(b), "p_brand")
-        .filter(F.col("p_retailprice") > F.round("brand_avg", 2))
-        .select(
-            F.lit("brand_avg").alias("src"),
-            F.col("p_partkey").alias("key"),
-            F.col("p_brand").alias("label"),
-            null_b.alias("n"),
-            F.round("p_retailprice", 2).alias("v1"),
-            F.round("brand_avg", 2).alias("v2"),
-        )
+        p.join(F.broadcast(b), "p_brand").filter(
+            F.col("p_retailprice") > F.round("brand_avg", 2)
+        ),
+        schema,
+        src=F.lit("brand_avg"),
+        key=F.col("p_partkey"),
+        label=F.col("p_brand"),
+        v1=F.round("p_retailprice", 2),
+        v2=F.round("brand_avg", 2),
     )
     c2 = _t(spark, sf_dir, "customer")
     o2 = _t(spark, sf_dir, "orders")
@@ -290,16 +301,14 @@ def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.sum("o_totalprice").alias("total"))
         .filter(F.col("cnt") >= 13)
     )
-    big = (
-        c2.join(g, c2.c_custkey == g.o_custkey)  # customer is sf-proportional: AQE decides
-        .select(
-            F.lit("big_cust").alias("src"),
-            F.col("c_custkey").alias("key"),
-            F.col("c_name").alias("label"),
-            F.col("cnt").alias("n"),
-            F.round("total", 2).alias("v1"),
-            null_d.alias("v2"),
-        )
+    big = _pad(
+        c2.join(g, c2.c_custkey == g.o_custkey),  # customer is sf-proportional: AQE decides
+        schema,
+        src=F.lit("big_cust"),
+        key=F.col("c_custkey"),
+        label=F.col("c_name"),
+        n=F.col("cnt"),
+        v1=F.round("total", 2),
     )
     return semi.unionByName(anti).unionByName(above).unionByName(big)
 
@@ -723,22 +732,16 @@ def q16_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_b = F.lit(None).cast("bigint")
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
+    schema = [
+        ("src", null_s), ("k1", null_b), ("k2", null_b), ("ks", null_s),
+        ("n1", null_b), ("n2", null_b), ("n3", null_b), ("n4", null_b),
+        ("v1", null_d), ("v2", null_d), ("v3", null_d),
+        ("s1", null_s), ("s2", null_s), ("s3", null_s), ("s4", null_s),
+        ("s5", null_s),
+    ]
 
     def pad(df, **given):
-        cols = []
-        for name in ("src", "k1", "k2", "ks", "n1", "n2", "n3", "n4",
-                     "v1", "v2", "v3", "s1", "s2", "s3", "s4", "s5"):
-            if name in given:
-                cols.append(given[name].alias(name))
-            elif name.startswith("k") and name != "ks":
-                cols.append(null_b.alias(name))
-            elif name.startswith("n"):
-                cols.append(null_b.alias(name))
-            elif name.startswith("v"):
-                cols.append(null_d.alias(name))
-            else:
-                cols.append(null_s.alias(name))
-        return df.select(*cols)
+        return _pad(df, schema, **given)
 
     e = _t(spark, sf_dir, "events")
     kx = F.get_json_object("props", "$.k").cast("bigint")

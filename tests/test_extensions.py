@@ -1172,3 +1172,17 @@ def test_lm_scoring_separates_junk(spark, sf_dir):
         ).agg(F.avg("ce").alias("m")).collect()
     }
     assert means[True] > means[False] + 1.0
+
+
+def test_cap_per_domain_null_domains_bypass_cap(spark):
+    """NULL-host rows (malformed URLs) are not one site: they pass
+    through uncapped instead of being lumped into one window partition
+    and silently truncated."""
+    from lambda_kafka_to_s3_parquet_spark.operators.webfilter import cap_per_domain
+
+    rows = [(i, "h.net" if i < 4 else None) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, host string")
+    out = cap_per_domain(docs, max_per_domain=2).collect()
+    kept = sorted(r["doc_id"] for r in out)
+    # 2 of the 4 h.net docs capped; all 6 null-host docs pass through
+    assert kept == [0, 1, 4, 5, 6, 7, 8, 9]
