@@ -100,6 +100,9 @@ HEADLINE = [
     "x38_doc_chunking",
     "x39_domain_cap",
     "x40_lm_perplexity",
+    # round 5 (late): PQ ANN — trains codebooks + encodes inside fn()
+    # (EAGER_FN)
+    "x41_pq_ann",
     # MLlib linear quality probe (round 5): trains on 3x the corpus per
     # invocation — single-run like the streaming replays (fixed L-BFGS
     # machinery dominates)
@@ -161,6 +164,7 @@ EAGER_FN = {
     "x24_dup_clusters",
     "x28_curation_chain",
     "x40_lm_perplexity",
+    "x41_pq_ann",
 }
 
 

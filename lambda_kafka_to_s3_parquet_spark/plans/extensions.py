@@ -1837,3 +1837,29 @@ def x40_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# --------------------------------------------------------------------------
+# x41 — product-quantization ANN (FAISS-style ADC): driver-trained
+# sub-codebooks on a bounded sample, one narrow encode pass (16 B of
+# codes per 256 B vector — the 16x memory path to billion-vector
+# serving), lookup-table scoring with the same two-level exact merge as
+# x10, exact rerank of the shortlist. Approximate recall => rows-only;
+# floors pinned in tests/test_extensions.py vs x10 (0.96 rerank / 0.52
+# raw ADC measured at sf0.001) and the encode step is pinned by an
+# independent numpy argmin replay.
+# --------------------------------------------------------------------------
+@register(
+    "x41_pq_ann",
+    oracle=None,
+    doc="PQ codebooks + ADC top-k + exact shortlist rerank (rows-only; "
+    "recall + encode-replay pytest vs x10)",
+)
+def x41_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_encode, topk_pq_adc, train_pq_codebooks
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    books = train_pq_codebooks(e)
+    codes = pq_encode(e, books)
+    return topk_pq_adc(codes, queries, books, corpus=e, k=10, shortlist=50)
