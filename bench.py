@@ -103,6 +103,9 @@ HEADLINE = [
     # round 5 (late): PQ ANN — trains codebooks + encodes inside fn()
     # (EAGER_FN)
     "x41_pq_ann",
+    # round 5 (late): hybrid BM25 + PRF-dense RRF fusion (EAGER_FN: the
+    # PRF centroid collect runs inside fn())
+    "x42_hybrid_rrf",
     # MLlib linear quality probe (round 5): trains on 3x the corpus per
     # invocation — single-run like the streaming replays (fixed L-BFGS
     # machinery dominates)
@@ -165,6 +168,7 @@ EAGER_FN = {
     "x28_curation_chain",
     "x40_lm_perplexity",
     "x41_pq_ann",
+    "x42_hybrid_rrf",
 }
 
 

@@ -163,3 +163,48 @@ def heavy_hitters(
         .withColumn("rank", F.row_number().over(w))
         .select("rank", "gram", "freq")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings over the same id space:
+    ``score(d) = Σ_r 1 / (k_rrf + rank_r(d))`` (Cormack et al.'s RRF,
+    the standard hybrid-retrieval combiner — rank-based, so lexical BM25
+    scores and cosine similarities need no calibration against each
+    other).
+
+    Each input needs only (id, rank); an id absent from a ranking simply
+    contributes nothing. The fuse is one union + one groupBy on the id —
+    input rankings are already top-k-sized, so this never touches a
+    corpus. ``n_lists`` reports how many rankings surfaced each id
+    (2 == found by both modalities).
+    """
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = [
+        r.select(
+            F.col(id_col).alias("doc_id"),
+            (1.0 / (k_rrf + F.col(rank_col))).alias("_rrf"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), tagged)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_rrf"), 6).alias("rrf_score"),
+            F.count("*").cast("bigint").alias("n_lists"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    out = fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out.select("rank", "doc_id", "rrf_score", "n_lists")

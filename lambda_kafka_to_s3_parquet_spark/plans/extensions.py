@@ -1863,3 +1863,51 @@ def x41_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(e)
     codes = pq_encode(e, books)
     return topk_pq_adc(codes, queries, books, corpus=e, k=10, shortlist=50)
+
+
+# --------------------------------------------------------------------------
+# x42 — hybrid retrieval: BM25 (lexical) + dense (embedding) rankings
+# fused with reciprocal-rank fusion. The dense query vector comes from
+# pseudo-relevance feedback (Rocchio-style): the centroid of the BM25
+# top-3 documents' embeddings — fully deterministic, no external query
+# embedding needed, and exactly how a hybrid stack bootstraps dense
+# retrieval from a keyword query. Rank-based RRF needs no score
+# calibration between the two modalities. Rows-only (the BM25 half is
+# already oracle-checked as x32, the dense half as x10; the RRF
+# arithmetic is pinned by hand-computed pytest twins).
+# --------------------------------------------------------------------------
+@register(
+    "x42_hybrid_rrf",
+    oracle=None,
+    doc="hybrid retrieval: BM25 + PRF-centroid dense top-k fused via RRF "
+    "(rows-only; RRF arithmetic + modality-mix pinned in pytest)",
+)
+def x42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import to_double
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import topk_bruteforce
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lexical = bm25_topk(docs, X32_QUERY_TERMS, k=20)
+
+    # PRF: centroid of the top-3 lexical hits' embeddings is the dense
+    # query. Tiny driver-side collect (3 vectors) by construction.
+    top_ids = [r["doc_id"] for r in lexical.filter(F.col("rank") <= 3).collect()]
+    seed_vecs = (
+        emb.filter(F.col("vec_id").isin(top_ids))
+        .select(to_double("embedding").alias("_v"))
+        .collect()
+    )
+    import numpy as np
+
+    centroid = np.mean([np.asarray(r["_v"], dtype=float) for r in seed_vecs], axis=0)
+    qdf = spark.createDataFrame(
+        [(-1, [float(x) for x in centroid])], "vec_id long, embedding array<double>"
+    )
+    dense = topk_bruteforce(emb, qdf, k=20).withColumnRenamed("cand_id", "doc_id")
+
+    return rrf_fuse(
+        [lexical.select("doc_id", "rank"), dense.select("doc_id", "rank")],
+        top_k=10,
+    )

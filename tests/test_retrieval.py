@@ -124,3 +124,38 @@ def test_bm25_topk_plan_is_distributed_topk(spark, sf_dir):
     df = bm25_topk(load_table(spark, sf_dir, "documents"), X32_QUERY_TERMS, k=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_fusion_hand_computed(spark):
+    """RRF arithmetic against a hand-computed twin: two 3-doc rankings
+    with one shared doc; k_rrf=60."""
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(11, 1), (13, 2), (14, 3)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b]).collect()}
+    assert out[11]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert out[11]["n_lists"] == 2
+    assert out[10]["rrf_score"] == round(1 / 61, 6)
+    assert out[13]["rrf_score"] == round(1 / 62, 6)
+    # the doc found by BOTH lists outranks every single-list doc here
+    assert out[11]["rank"] == 1
+
+
+def test_rrf_fuse_empty_rankings_rejected(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hybrid_rrf_mixes_modalities(spark, sf_dir):
+    """The fused top-10 must contain contributions from BOTH rankings
+    (n_lists=2 for at least the PRF seed docs), and every rank is unique."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    out = all_specs()["x42_hybrid_rrf"].fn(spark, sf_dir).collect()
+    assert len(out) == 10
+    assert len({r["rank"] for r in out}) == 10
+    assert any(r["n_lists"] == 2 for r in out)
+    assert all(r["rrf_score"] > 0 for r in out)
