@@ -226,3 +226,38 @@ def purge_tombstones(
             True,
         )
     return n_purged
+
+
+def read_state_as_of(
+    spark: SparkSession,
+    history_path: str,
+    as_of: str,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+    op_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("d", "delete"),
+) -> DataFrame:
+    """Point-in-time ("time travel") state from an append-only change
+    history: the latest change per key with ``ts_col <= as_of``, deletes
+    applied.
+
+    The current-state table (:func:`run_cdc_merge_stream`) answers "now";
+    this answers "as of T" from the raw landed change log — the other
+    half of the lakehouse pair (Delta/Iceberg call it time travel; here
+    the history IS the ingest sink's append-only output, so no extra
+    storage format is needed). The timestamp filter lands on the scan
+    (pushed to parquet row groups, and to partition pruning when the
+    history is date-partitioned — the engine's default sink layout);
+    the latest-per-key compaction is the same single-shuffle
+    :func:`~..dedup.latest_by_key` the batch path (x02/i04) uses.
+
+    ``tiebreak`` defaults to ``ts_col`` (pure-timestamp ordering);
+    ``op_col`` applies Debezium-style delete semantics exactly as
+    :func:`read_current_state`.
+    """
+    h = spark.read.parquet(history_path).filter(F.col(ts_col) <= F.lit(as_of))
+    state = latest_by_key(h, keys, ts_col, tiebreak or ts_col)
+    if op_col is not None:
+        state = state.filter(~F.col(op_col).isin(*delete_ops))
+    return state

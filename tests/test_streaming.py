@@ -943,3 +943,63 @@ def test_w11_registered_summary(spark, sf_dir):
     rows = all_specs()["w11_stream_enrichment"].fn(spark, sf_dir).collect()
     assert rows
     assert all(0 < r["n_enriched"] <= r["n_events"] for r in rows)
+
+
+def test_read_state_as_of_matches_prefix_batch(spark, sf_dir, tmp_path):
+    """Time travel: state as of T == batch latest-per-key over exactly the
+    changes with ts <= T; deletes respected; later changes invisible."""
+    import datetime as _dt
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import read_state_as_of
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    hist = str(tmp_path / "history")
+    ev.write.parquet(hist)  # append-only change log landed by the sink
+
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = bounds["lo"] + (bounds["hi"] - bounds["lo"]) / 2
+    as_of = mid.strftime("%Y-%m-%d %H:%M:%S")
+
+    got = read_state_as_of(
+        spark, hist, as_of, keys=["user_id"], ts_col="ts", tiebreak="value"
+    )
+    want = latest_by_key(
+        ev.filter(F.col("ts") <= F.lit(as_of)), ["user_id"], "ts", "value"
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # strictly fewer-or-equal keys than "now", and none from the future
+    assert got.count() <= latest_by_key(ev, ["user_id"], "ts", "value").count()
+    assert got.filter(F.col("ts") > F.lit(as_of)).count() == 0
+
+
+def test_read_state_as_of_applies_deletes(spark, tmp_path):
+    import datetime as _dt
+
+    def ts(s):
+        return _dt.datetime.fromisoformat(s)
+
+    rows = [
+        (1, ts("2024-01-01 00:00:00"), "c", 1.0),
+        (1, ts("2024-01-02 00:00:00"), "d", None),   # deleted at T2
+        (1, ts("2024-01-03 00:00:00"), "c", 2.0),    # re-created at T3
+        (2, ts("2024-01-01 12:00:00"), "c", 9.0),
+    ]
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import read_state_as_of
+
+    hist = str(tmp_path / "h")
+    spark.createDataFrame(rows, "k long, ts timestamp, op string, v double").write.parquet(hist)
+
+    def state(as_of):
+        return {
+            r["k"]: r["v"]
+            for r in read_state_as_of(
+                spark, hist, as_of, keys=["k"], ts_col="ts", op_col="op"
+            ).collect()
+        }
+
+    assert state("2024-01-01 23:59:59") == {1: 1.0, 2: 9.0}
+    assert state("2024-01-02 23:59:59") == {2: 9.0}       # k1 deleted
+    assert state("2024-01-04 00:00:00") == {1: 2.0, 2: 9.0}  # resurrected
