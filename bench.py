@@ -106,6 +106,9 @@ HEADLINE = [
     # round 5 (late): hybrid BM25 + PRF-dense RRF fusion (EAGER_FN: the
     # PRF centroid collect runs inside fn())
     "x42_hybrid_rrf",
+    # round 5 (late): constraint-validation report (fused row checks +
+    # uniqueness + referential integrity + skew diagnosis)
+    "x43_data_quality",
     # MLlib linear quality probe (round 5): trains on 3x the corpus per
     # invocation — single-run like the streaming replays (fixed L-BFGS
     # machinery dominates)

@@ -103,3 +103,46 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two identically-bucketed catalog tables on their bucket key."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    top_n: int = 20,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Per-key skew diagnosis for a prospective shuffle key: the decision
+    input for :func:`salted_join` / AQE skew thresholds.
+
+    For the ``top_n`` heaviest keys: row count, share of the table, and
+    ``suggested_salts`` = the fan-out needed so the key's rows spread
+    over at most one average partition's worth each
+    (``ceil(share × P)``, 1 = no salting needed). A key with
+    ``suggested_salts > 1`` would make one reducer process more than
+    1/P of the data — the straggler signature this engine's salted join
+    and AQE skew-join handling exist for.
+
+    One count-by-key pass with map-side combine + a TakeOrderedAndProject
+    top-n — the report never shuffles more than the distinct-key set, so
+    it is safe to run on the full table it diagnoses.
+    """
+    spark = df.sparkSession
+    p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total = df.count()
+    if total == 0:
+        raise ValueError("skew_report on an empty table is meaningless")
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count("*").alias("n_rows")
+    )
+    return (
+        counts.orderBy(F.desc("n_rows"), F.asc("key_value"))
+        .limit(top_n)
+        .select(
+            F.col("key_value").cast("string").alias("key_value"),
+            "n_rows",
+            F.round(F.col("n_rows") / F.lit(float(total)), 6).alias("share"),
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n_rows") / F.lit(float(total)) * p)
+            ).cast("bigint").alias("suggested_salts"),
+        )
+    )

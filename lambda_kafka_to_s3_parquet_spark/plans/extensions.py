@@ -1911,3 +1911,46 @@ def x42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [lexical.select("doc_id", "rank"), dense.select("doc_id", "rank")],
         top_k=10,
     )
+
+
+# --------------------------------------------------------------------------
+# x43 — data-quality constraint report over the landed tables (the
+# Deequ/Great-Expectations validation stage): row-level checks fused
+# into one pass per table, uniqueness via one keyed shuffle, referential
+# integrity via broadcast anti-join, plus the skew report that feeds the
+# salted-join decision. Rows-only (exact counts pinned vs DuckDB twins
+# in pytest); every check must PASS on the fixture tables except the
+# deliberately-tight discount range, which reports its violation count.
+# --------------------------------------------------------------------------
+@register(
+    "x43_data_quality",
+    oracle=None,
+    doc="constraint validation report: fused row checks + uniqueness + "
+    "referential integrity + skew diagnosis (rows-only; DuckDB-twin pytest)",
+)
+def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_checks import check_referential, check_unique, run_checks
+    from ..operators.skew import skew_report
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    row_checks = run_checks(
+        l,
+        not_null=["l_orderkey", "l_shipdate", "l_extendedprice"],
+        ranges={"l_discount": (0.0, 0.1), "l_tax": (0.0, 0.08)},
+        accepted={"l_returnflag": ["A", "N", "R"]},
+    )
+    report = (
+        row_checks.unionByName(check_unique(o, ["o_orderkey"]))
+        .unionByName(check_referential(o, c, "o_custkey", "c_custkey"))
+        .unionByName(check_referential(l, o, "l_orderkey", "o_orderkey",
+                                       broadcast_parent=False))
+    )
+    skew = skew_report(_t(spark, sf_dir, "documents"), "source", top_n=3).select(
+        F.concat(F.lit("skew(source="), "key_value", F.lit(")")).alias("check"),
+        F.col("suggested_salts").alias("violations"),
+        F.col("n_rows").alias("rows_checked"),
+        (F.col("suggested_salts") == 1).alias("passed"),
+    )
+    return report.unionByName(skew).orderBy("check")

@@ -1261,3 +1261,104 @@ def test_pq_rejects_indivisible_dim(spark):
     emb = load_table(spark, SF, "embeddings")  # dim 64
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(emb, m=7)
+
+
+# ---------------------------------------------------------------------------
+# round 5 (late): skew diagnosis + data-quality constraint checks
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report_matches_duckdb_and_flags_hot_key(spark, sf_dir):
+    import duckdb
+
+    from lambda_kafka_to_s3_parquet_spark.operators.skew import skew_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    hot = docs.limit(1).select(F.lit("hotsrc").alias("source"), "doc_id")
+    # fan one source out to ~half the table to force a skewed key
+    n_half = docs.count() // 2
+    hot = (
+        docs.limit(n_half).select(F.lit("hotsrc").alias("source"), "doc_id")
+    )
+    skewed = docs.select("source", "doc_id").unionByName(hot)
+    rep = {r["key_value"]: r for r in skew_report(skewed, "source", top_n=5).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW d AS SELECT source FROM '{sf_dir}/documents.parquet'"
+    )
+    want_total = con.execute("SELECT count(*) FROM d").fetchone()[0] + n_half
+    assert rep["hotsrc"]["n_rows"] == n_half
+    assert abs(rep["hotsrc"]["share"] - n_half / want_total) < 1e-6
+    # ~1/3 of the table on one key must demand multiple salts at P=8
+    assert rep["hotsrc"]["suggested_salts"] >= 2
+    # an unskewed source suggests no salting
+    other = next(v for k, v in rep.items() if k != "hotsrc")
+    assert other["suggested_salts"] == 1
+
+
+def test_run_checks_counts_match_duckdb(spark, sf_dir):
+    import duckdb
+
+    from lambda_kafka_to_s3_parquet_spark.operators.quality_checks import run_checks
+
+    l = load_table(spark, sf_dir, "lineitem")
+    rep = {
+        r["check"]: r
+        for r in run_checks(
+            l,
+            not_null=["l_orderkey", "l_shipdate"],
+            ranges={"l_discount": (0.0, 0.1)},
+            accepted={"l_returnflag": ["A", "N", "R"]},
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW l AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    n = con.execute("SELECT count(*) FROM l").fetchone()[0]
+    bad_disc = con.execute(
+        "SELECT count(*) FROM l WHERE l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.1)"
+    ).fetchone()[0]
+    assert rep["not_null(l_orderkey)"]["violations"] == 0
+    assert rep["not_null(l_orderkey)"]["rows_checked"] == n
+    assert rep["range(l_discount,[0.0,0.1])"]["violations"] == bad_disc
+    assert rep["accepted(l_returnflag)"]["passed"]
+    assert all(r["rows_checked"] == n for r in rep.values())
+
+
+def test_run_checks_is_single_pass(spark, sf_dir):
+    """All row-level checks on a table fuse into ONE scan of it."""
+    from lambda_kafka_to_s3_parquet_spark.operators.quality_checks import run_checks
+
+    l = load_table(spark, sf_dir, "lineitem")
+    rep = run_checks(
+        l, not_null=["l_orderkey"], ranges={"l_discount": (0.0, 0.1)}
+    )
+    rep.collect()
+    # AQE's toString prints the final AND the initial plan — count scans
+    # in the final section only
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1
+
+
+def test_check_unique_and_referential(spark, sf_dir):
+    from lambda_kafka_to_s3_parquet_spark.operators.quality_checks import (
+        check_referential,
+        check_unique,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    uniq = check_unique(o, ["o_orderkey"]).first()
+    assert uniq["passed"] and uniq["violations"] == 0
+    dup = check_unique(o.unionByName(o.limit(7)), ["o_orderkey"]).first()
+    assert not dup["passed"] and dup["violations"] == 7
+    ref = check_referential(o, c, "o_custkey", "c_custkey").first()
+    assert ref["passed"]
+    # poison one child key -> exactly those rows are orphans
+    poisoned = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit(-1)).otherwise(F.col("o_custkey")),
+    )
+    n_poison = poisoned.filter(F.col("o_custkey") == -1).count()
+    ref2 = check_referential(poisoned, c, "o_custkey", "c_custkey").first()
+    assert not ref2["passed"] and ref2["violations"] == n_poison
