@@ -252,12 +252,21 @@ def read_state_as_of(
     the latest-per-key compaction is the same single-shuffle
     :func:`~..dedup.latest_by_key` the batch path (x02/i04) uses.
 
-    ``tiebreak`` defaults to ``ts_col`` (pure-timestamp ordering);
+    ``tiebreak`` names the column that orders same-timestamp changes
+    (a sequence/LSN column when the log has one). Without it, ties are
+    broken by a hash of all non-key payload columns — arbitrary but
+    DETERMINISTIC, so the state as of T never flips between re-runs the
+    way a bare ``ts desc, ts desc`` ordering would under parallelism
+    (the engine's survivor contract, see ``dedup.exact_dedup``).
     ``op_col`` applies Debezium-style delete semantics exactly as
     :func:`read_current_state`.
     """
     h = spark.read.parquet(history_path).filter(F.col(ts_col) <= F.lit(as_of))
-    state = latest_by_key(h, keys, ts_col, tiebreak or ts_col)
+    if tiebreak is None:
+        payload = [c for c in h.columns if c not in keys and c != ts_col]
+        h = h.withColumn("_tiebreak", F.xxhash64(*payload) if payload else F.lit(0))
+        tiebreak = "_tiebreak"
+    state = latest_by_key(h, keys, ts_col, tiebreak).drop("_tiebreak", "n_copies")
     if op_col is not None:
         state = state.filter(~F.col(op_col).isin(*delete_ops))
     return state

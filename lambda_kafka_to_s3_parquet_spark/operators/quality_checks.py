@@ -23,11 +23,15 @@ from pyspark.sql import functions as F
 
 
 def _report_row(name: str, violations: Column, checked: Column):
+    # sum() over zero rows is NULL — coalesce so an EMPTY table reports a
+    # clean (violations=0, passed=true) instead of NULL/NULL, which a
+    # passed-gating circuit breaker would silently wave through
+    v = F.coalesce(violations, F.lit(0))
     return F.struct(
         F.lit(name).alias("check"),
-        violations.cast("bigint").alias("violations"),
+        v.cast("bigint").alias("violations"),
         checked.cast("bigint").alias("rows_checked"),
-        (violations == 0).alias("passed"),
+        (v == 0).alias("passed"),
     )
 
 
@@ -99,17 +103,23 @@ def check_referential(
     dimension; set ``broadcast_parent=False`` for fact-sized parents
     (falls back to a keyed shuffle join)."""
     c = child.filter(F.col(child_key).isNotNull())
-    p = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    p = (
+        parent.select(F.col(parent_key).alias(child_key))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     if broadcast_parent:
         p = F.broadcast(p)
-    orphans = c.join(p, child_key, "left_anti")
-    return (
-        orphans.agg(F.count("*").alias("violations"))
-        .join(c.agg(F.count("*").alias("rows_checked")))
-        .select(
-            F.lit(f"ref({child_key}->{parent_key})").alias("check"),
-            F.col("violations").cast("bigint").alias("violations"),
-            F.col("rows_checked").cast("bigint").alias("rows_checked"),
-            (F.col("violations") == 0).alias("passed"),
-        )
+    # ONE pass over the child: a left join marks orphans (_hit IS NULL),
+    # and a single aggregate produces both counts — not an anti-join agg
+    # plus a second full child scan for the denominator.
+    joined = c.select(child_key).join(p, child_key, "left")
+    return joined.agg(
+        F.coalesce(F.sum(F.col("_hit").isNull().cast("long")), F.lit(0)).alias("_v"),
+        F.count("*").alias("_n"),
+    ).select(
+        F.lit(f"ref({child_key}->{parent_key})").alias("check"),
+        F.col("_v").cast("bigint").alias("violations"),
+        F.col("_n").cast("bigint").alias("rows_checked"),
+        (F.col("_v") == 0).alias("passed"),
     )

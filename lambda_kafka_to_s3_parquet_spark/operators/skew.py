@@ -123,26 +123,29 @@ def skew_report(
     and AQE skew-join handling exist for.
 
     One count-by-key pass with map-side combine + a TakeOrderedAndProject
-    top-n — the report never shuffles more than the distinct-key set, so
-    it is safe to run on the full table it diagnoses.
+    top-n — the table is scanned ONCE (the total re-derives from the
+    per-key counts via a broadcast 1-row join, never a second scan) and
+    the report never shuffles more than the distinct-key set, so it is
+    safe to run on the full table it diagnoses. An empty table yields an
+    empty report.
     """
     spark = df.sparkSession
     p = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    total = df.count()
-    if total == 0:
-        raise ValueError("skew_report on an empty table is meaningless")
     counts = df.groupBy(F.col(key).alias("key_value")).agg(
         F.count("*").alias("n_rows")
     )
+    total = counts.agg(F.sum("n_rows").cast("double").alias("_total"))
+    share = F.col("n_rows") / F.col("_total")
     return (
-        counts.orderBy(F.desc("n_rows"), F.asc("key_value"))
+        counts.join(F.broadcast(total))
+        .orderBy(F.desc("n_rows"), F.asc("key_value"))
         .limit(top_n)
         .select(
             F.col("key_value").cast("string").alias("key_value"),
             "n_rows",
-            F.round(F.col("n_rows") / F.lit(float(total)), 6).alias("share"),
-            F.greatest(
-                F.lit(1), F.ceil(F.col("n_rows") / F.lit(float(total)) * p)
-            ).cast("bigint").alias("suggested_salts"),
+            F.round(share, 6).alias("share"),
+            F.greatest(F.lit(1), F.ceil(share * p)).cast("bigint").alias(
+                "suggested_salts"
+            ),
         )
     )

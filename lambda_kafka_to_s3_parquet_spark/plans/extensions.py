@@ -1891,14 +1891,23 @@ def x42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     lexical = bm25_topk(docs, X32_QUERY_TERMS, k=20)
 
-    # PRF: centroid of the top-3 lexical hits' embeddings is the dense
-    # query. Tiny driver-side collect (3 vectors) by construction.
-    top_ids = [r["doc_id"] for r in lexical.filter(F.col("rank") <= 3).collect()]
+    # PRF: centroid of the best-ranked 3 lexical hits THAT HAVE an
+    # embedding row (at sf0.1 the embeddings fixture covers only part of
+    # the doc id space — an uncovered seed must degrade to the next
+    # covered hit, not silently shrink or NaN the centroid). Tiny
+    # driver-side collect (<= 3 vectors) by construction.
     seed_vecs = (
-        emb.filter(F.col("vec_id").isin(top_ids))
+        lexical.join(emb, lexical.doc_id == emb.vec_id)
+        .orderBy("rank")
+        .limit(3)
         .select(to_double("embedding").alias("_v"))
         .collect()
     )
+    if not seed_vecs:
+        raise ValueError(
+            "hybrid RRF: no BM25 hit has an embedding row — dense PRF "
+            "leg impossible for this query/corpus"
+        )
     import numpy as np
 
     centroid = np.mean([np.asarray(r["_v"], dtype=float) for r in seed_vecs], axis=0)
@@ -1947,9 +1956,12 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(check_referential(l, o, "l_orderkey", "o_orderkey",
                                        broadcast_parent=False))
     )
+    # violations = EXTRA salts demanded beyond 1 so the whole report
+    # keeps the `passed == (violations == 0)` contract a gating consumer
+    # alerts on — an unskewed key reports (0, passed).
     skew = skew_report(_t(spark, sf_dir, "documents"), "source", top_n=3).select(
         F.concat(F.lit("skew(source="), "key_value", F.lit(")")).alias("check"),
-        F.col("suggested_salts").alias("violations"),
+        (F.col("suggested_salts") - 1).alias("violations"),
         F.col("n_rows").alias("rows_checked"),
         (F.col("suggested_salts") == 1).alias("passed"),
     )

@@ -1274,12 +1274,9 @@ def test_skew_report_matches_duckdb_and_flags_hot_key(spark, sf_dir):
     from lambda_kafka_to_s3_parquet_spark.operators.skew import skew_report
 
     docs = load_table(spark, sf_dir, "documents")
-    hot = docs.limit(1).select(F.lit("hotsrc").alias("source"), "doc_id")
     # fan one source out to ~half the table to force a skewed key
     n_half = docs.count() // 2
-    hot = (
-        docs.limit(n_half).select(F.lit("hotsrc").alias("source"), "doc_id")
-    )
+    hot = docs.limit(n_half).select(F.lit("hotsrc").alias("source"), "doc_id")
     skewed = docs.select("source", "doc_id").unionByName(hot)
     rep = {r["key_value"]: r for r in skew_report(skewed, "source", top_n=5).collect()}
     con = duckdb.connect()
@@ -1362,3 +1359,26 @@ def test_check_unique_and_referential(spark, sf_dir):
     n_poison = poisoned.filter(F.col("o_custkey") == -1).count()
     ref2 = check_referential(poisoned, c, "o_custkey", "c_custkey").first()
     assert not ref2["passed"] and ref2["violations"] == n_poison
+
+
+def test_run_checks_empty_table_passes_cleanly(spark):
+    """Zero rows -> violations 0 / passed true, never NULLs a gating
+    consumer would silently wave through."""
+    from lambda_kafka_to_s3_parquet_spark.operators.quality_checks import run_checks
+
+    empty = spark.createDataFrame([], "a long, b double")
+    rows = run_checks(empty, not_null=["a"], ranges={"b": (0.0, 1.0)}).collect()
+    assert rows and all(r["violations"] == 0 and r["passed"] is True for r in rows)
+    assert all(r["rows_checked"] == 0 for r in rows)
+
+
+def test_skew_report_scans_table_once(spark, sf_dir):
+    """The total derives from the per-key counts (ReusedExchange), not a
+    second scan of the diagnosed table."""
+    from lambda_kafka_to_s3_parquet_spark.operators.skew import skew_report
+
+    rep = skew_report(load_table(spark, sf_dir, "documents"), "source")
+    rep.collect()
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1

@@ -948,8 +948,6 @@ def test_w11_registered_summary(spark, sf_dir):
 def test_read_state_as_of_matches_prefix_batch(spark, sf_dir, tmp_path):
     """Time travel: state as of T == batch latest-per-key over exactly the
     changes with ts <= T; deletes respected; later changes invisible."""
-    import datetime as _dt
-
     from lambda_kafka_to_s3_parquet_spark.operators.cdc import read_state_as_of
     from lambda_kafka_to_s3_parquet_spark.operators.dedup import latest_by_key
 
@@ -968,9 +966,10 @@ def test_read_state_as_of_matches_prefix_batch(spark, sf_dir, tmp_path):
     )
     want = latest_by_key(
         ev.filter(F.col("ts") <= F.lit(as_of)), ["user_id"], "ts", "value"
-    )
+    ).drop("n_copies")
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
     # strictly fewer-or-equal keys than "now", and none from the future
+    assert got.columns == [c for c in ev.columns]  # no helper-column leak
     assert got.count() <= latest_by_key(ev, ["user_id"], "ts", "value").count()
     assert got.filter(F.col("ts") > F.lit(as_of)).count() == 0
 
