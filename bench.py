@@ -172,8 +172,6 @@ EAGER_FN = {
     "x40_lm_perplexity",
     "x41_pq_ann",
     "x42_hybrid_rrf",
-    # skew_report's total-row probe (df.count) runs inside fn()
-    "x43_data_quality",
 }
 
 
