@@ -1382,3 +1382,34 @@ def test_skew_report_scans_table_once(spark, sf_dir):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1
+
+
+@pytest.mark.parametrize("chunk,overlap", [(4, 0), (4, 1), (4, 3), (7, 2), (16, 4), (3, 0)])
+def test_chunk_window_invariants(spark, chunk, overlap):
+    """For any (chunk, overlap): n_chunks == ceil(n/stride); every chunk
+    except the last is exactly `chunk` tokens or ends at the doc end;
+    consecutive chunks overlap by exactly `overlap` tokens (where both
+    are full-width); chunk_id i starts at token i*stride."""
+    import math
+
+    from lambda_kafka_to_s3_parquet_spark.operators.chunking import chunk_documents
+
+    n_tokens = [1, 2, 3, 5, 8, 13, 21, 40]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(n_tokens)],
+        "doc_id long, text string",
+    )
+    stride = chunk - overlap
+    rows = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for i, n in enumerate(n_tokens):
+        chunks = by_doc[i]
+        assert len(chunks) == math.ceil(n / stride)
+        for cid, r in chunks.items():
+            start = cid * stride
+            toks = r["chunk_text"].split(" ")
+            assert toks == [f"t{j}" for j in range(start, min(start + chunk, n))]
+            assert r["n_chunk_tokens"] == len(toks)
+            assert r["n_doc_tokens"] == n
