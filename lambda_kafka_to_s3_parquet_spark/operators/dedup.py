@@ -691,3 +691,59 @@ def incremental_neardup(
         survivors.join(batch_dropped, id_col, "left_anti")
         .join(all_vecs, id_col, "left")
     )
+
+
+def cross_split_overlap(
+    docs: DataFrame,
+    split_col: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    train_label: str = "train",
+    test_label: str = "test",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: train docs sharing word shingles with
+    any test doc → (train_doc, n_shared_shingles, n_test_docs).
+
+    Shape: explode shingles on both sides, equi-join on the shingle — a
+    key-partitioned shuffle join, never corpus × corpus.
+
+    ``max_shingle_df`` is the SKEW + NOISE control the 100 TB plan
+    requires: a shingle appearing in more than that many distinct
+    documents is a stop-phrase, not contamination evidence, and every
+    occurrence pair crosses the join — the match count for one such
+    shingle grows as (train df × test df), i.e. QUADRATICALLY in corpus
+    growth that replicates content (measured: 10× replicated corpus →
+    3.3× wall uncapped vs ~1× capped in stress.py). The cap costs one
+    extra combine-shuffle census over the shingles and drops the heavy
+    hitters before they fan out.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        split_col.alias("split"),
+        F.explode(word_shingles(tokens(text_col), shingle_n)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    train = sh.filter(F.col("split") == train_label).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    test = sh.filter(F.col("split") == test_label).select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    return (
+        train.join(test, "shingle")
+        .groupBy("train_doc")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("test_doc").alias("n_test_docs"),
+        )
+        .orderBy("train_doc")
+    )

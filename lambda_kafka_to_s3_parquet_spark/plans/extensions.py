@@ -961,27 +961,13 @@ def x24_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.splits import assign_split
+    from ..operators.dedup import cross_split_overlap
 
-    d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        assign_split("text").alias("split"),
-        F.explode(word_shingles(tokens("text"), 3)).alias("shingle"),
-    )
-    train = sh.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc"), "shingle"
-    )
-    test = sh.filter(F.col("split") == "test").select(
-        F.col("doc_id").alias("test_doc"), "shingle"
-    )
-    return (
-        train.join(test, "shingle")
-        .groupBy("train_doc")
-        .agg(
-            F.countDistinct("shingle").alias("n_shared_shingles"),
-            F.countDistinct("test_doc").alias("n_test_docs"),
-        )
-        .orderBy("train_doc")
+    # Uncapped here (the fixture has no stop-phrase skew and the oracle
+    # counts every shared shingle); production calls pass max_shingle_df
+    # — the measured quadratic-blowup guard, see cross_split_overlap.
+    return cross_split_overlap(
+        _t(spark, sf_dir, "documents"), assign_split("text")
     )
 
 

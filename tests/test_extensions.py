@@ -1413,3 +1413,31 @@ def test_chunk_window_invariants(spark, chunk, overlap):
             assert toks == [f"t{j}" for j in range(start, min(start + chunk, n))]
             assert r["n_chunk_tokens"] == len(toks)
             assert r["n_doc_tokens"] == n
+
+
+def test_decontaminate_df_cap_drops_stop_phrases_only(spark, sf_dir):
+    """A generous cap reproduces the uncapped result exactly; a tight cap
+    only ever REMOVES evidence (capped counts <= uncapped per doc) and
+    drops the highest-df shingles first."""
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import assign_split
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import cross_split_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = assign_split("text")
+    uncapped = {
+        r["train_doc"]: (r["n_shared_shingles"], r["n_test_docs"])
+        for r in cross_split_overlap(docs, split).collect()
+    }
+    same = {
+        r["train_doc"]: (r["n_shared_shingles"], r["n_test_docs"])
+        for r in cross_split_overlap(docs, split, max_shingle_df=10**9).collect()
+    }
+    assert same == uncapped
+    capped = {
+        r["train_doc"]: (r["n_shared_shingles"], r["n_test_docs"])
+        for r in cross_split_overlap(docs, split, max_shingle_df=20).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    for doc, (n_sh, n_td) in capped.items():
+        assert n_sh <= uncapped[doc][0]
+        assert n_td <= uncapped[doc][1]
