@@ -1,0 +1,262 @@
+"""Snapshot-committed tables: atomic commits, time travel, rollback.
+
+The reference lands one parquet file per Lambda invocation directly into
+its final S3 prefix (``lambda_function.py:59``) — a reader racing the
+write sees partial state, and a crashed overwrite loses data. The
+engine's maintained tables (rollup, CDC state) documented this as the
+"Delta/Iceberg upgrade path"; this module implements the minimal honest
+version of that idea, from public designs (Iceberg's manifest +
+atomic-pointer-swap protocol), with no new file format:
+
+* every commit writes its files under a fresh ``data/<commit id>/``
+  directory — NEVER into a path a reader could already be scanning;
+* a manifest (JSON) lists, per live partition, which commit directories
+  hold its data;
+* ``_snapshots/_latest`` is swapped by an atomic rename — the single
+  visibility point. A crash before the swap leaves unreferenced files
+  (invisible, garbage-collectable), never a partial table.
+
+Readers resolve latest (or any historical) manifest and scan exactly the
+referenced directories — so "overwrite" never races a concurrent read of
+the same files (the race ADVICE flagged in the in-place dynamic-overwrite
+rollup merge), and every prior snapshot stays readable until vacuumed.
+
+Single-maintenance-writer contract, like the rollup/CDC markers: the
+pointer swap is atomic but not compare-and-swap, so two concurrent
+committers could lose one commit. The engine's streaming maintenance is
+already single-writer (checkpoint-serialized); a multi-writer table needs
+a real catalog (the named Delta/Iceberg upgrade).
+
+Scale notes: manifests list directories, not files — O(live partitions ×
+commits-touching-them) entries, compacted by ``snapshot_rewrite`` (which
+also bounds small files). Reads reconstruct partition columns per commit
+directory via ``basePath``, so partition pruning still reaches the scan
+(plan-asserted in tests).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SNAP_DIR = "_snapshots"
+_LATEST = "_latest"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _read_text(spark, path: str) -> str | None:
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        b = stream.read()
+        while b != -1:
+            out.append(b)
+            b = stream.read()
+        return bytes(out).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _write_text_atomic(spark, path: str, content: str) -> None:
+    """Temp file + rename — the atomic visibility point of every commit."""
+    fs, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + f".tmp-{uuid.uuid4().hex}")
+    final = jvm.org.apache.hadoop.fs.Path(path)
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"atomic rename failed for {path}")
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return f"{table}/{_SNAP_DIR}/v{version:05d}.json"
+
+
+def current_version(spark: SparkSession, table: str) -> int:
+    """Latest committed snapshot version (0 = empty/uninitialized)."""
+    txt = _read_text(spark, f"{table}/{_SNAP_DIR}/{_LATEST}")
+    return int(txt.strip()) if txt else 0
+
+
+def _load_manifest(spark: SparkSession, table: str, version: int) -> dict:
+    if version == 0:
+        return {"version": 0, "partitions": {}}
+    txt = _read_text(spark, _manifest_path(table, version))
+    if txt is None:
+        raise FileNotFoundError(
+            f"snapshot v{version} of {table} does not exist (history: "
+            f"{[s['version'] for s in snapshot_history(spark, table)]})"
+        )
+    return json.loads(txt)
+
+
+def snapshot_history(spark: SparkSession, table: str) -> list[dict]:
+    """All committed snapshots, oldest first: version / op / n commit dirs."""
+    fs, jvm = _fs(spark, table)
+    snap = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
+    if not fs.exists(snap):
+        return []
+    out = []
+    for st in fs.listStatus(snap):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            m = json.loads(_read_text(spark, st.getPath().toString()))
+            out.append(
+                {
+                    "version": m["version"],
+                    "op": m.get("op", "?"),
+                    "n_partition_groups": len(m["partitions"]),
+                }
+            )
+    return sorted(out, key=lambda s: s["version"])
+
+
+def _write_commit_data(
+    df: DataFrame, table: str, partition_by: list[str] | None
+) -> tuple[str, list[str]]:
+    """Write the commit's files under data/<uuid>/; returns (commit dir,
+    partition values written) — partition values as relative subdirs
+    ('p=3' style) or [''] for unpartitioned data."""
+    commit = uuid.uuid4().hex
+    commit_dir = f"{table}/data/{commit}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(commit_dir)
+    if not partition_by:
+        return commit_dir, [""]
+    fs, jvm = _fs(df.sparkSession, commit_dir)
+    parts = []
+
+    def walk(path, depth):
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name:
+                rel = f"{path}/{name}".replace(commit_dir + "/", "")
+                if depth + 1 == len(partition_by):
+                    parts.append(rel)
+                else:
+                    walk(f"{path}/{name}", depth + 1)
+
+    walk(commit_dir, 0)
+    return commit_dir, parts
+
+
+def _commit(
+    spark: SparkSession,
+    table: str,
+    op: str,
+    new_partitions: dict[str, list[str]],
+    replaced: set[str] | None = None,
+) -> int:
+    base = current_version(spark, table)
+    manifest = _load_manifest(spark, table, base)
+    parts = {
+        k: list(v)
+        for k, v in manifest["partitions"].items()
+        if replaced is None or k not in replaced
+    }
+    for pval, dirs in new_partitions.items():
+        parts.setdefault(pval, []).extend(dirs)
+    version = base + 1
+    new_manifest = {"version": version, "op": op, "partitions": parts}
+    _write_text_atomic(
+        spark, _manifest_path(table, version), json.dumps(new_manifest)
+    )
+    _write_text_atomic(spark, f"{table}/{_SNAP_DIR}/{_LATEST}", str(version))
+    return version
+
+
+def snapshot_append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Append a commit; returns the new snapshot version."""
+    commit_dir, parts = _write_commit_data(df, table, partition_by)
+    return _commit(
+        spark, table, "append", {p: [f"{commit_dir}/{p}".rstrip("/")] for p in parts}
+    )
+
+
+def snapshot_overwrite_partitions(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    partition_by: list[str],
+) -> int:
+    """Replace exactly the partitions present in ``df`` (dynamic-overwrite
+    semantics) — but via fresh files + manifest swap, so a concurrent
+    reader of the PREVIOUS snapshot keeps its files and a crash before
+    the pointer swap changes nothing."""
+    commit_dir, parts = _write_commit_data(df, table, partition_by)
+    return _commit(
+        spark,
+        table,
+        "overwrite",
+        {p: [f"{commit_dir}/{p}"] for p in parts},
+        replaced=set(parts),
+    )
+
+
+def snapshot_read(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Scan a snapshot (default: latest). Historical versions stay
+    readable until their files are vacuumed — time travel by version."""
+    v = current_version(spark, table) if version is None else version
+    manifest = _load_manifest(spark, table, v)
+    all_dirs = sorted(d for dirs in manifest["partitions"].values() for d in dirs)
+    if not all_dirs:
+        raise ValueError(f"snapshot v{v} of {table} is empty")
+    # Partition columns reconstruct per commit directory (basePath); the
+    # union preserves them, so partition filters prune inside every
+    # referenced directory.
+    frames = []
+    by_commit: dict[str, list[str]] = {}
+    for d in all_dirs:
+        commit_root = d.split("/data/")[1].split("/")[0]
+        by_commit.setdefault(f"{table}/data/{commit_root}", []).append(d)
+    for base_path, dirs in sorted(by_commit.items()):
+        frames.append(
+            spark.read.option("basePath", base_path).parquet(*sorted(dirs))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
+    """Commit a NEW snapshot whose content is an old version's (the
+    Iceberg rollback shape: history moves forward, files are reused)."""
+    manifest = _load_manifest(spark, table, version)
+    base = current_version(spark, table)
+    new_version = base + 1
+    new_manifest = {
+        "version": new_version,
+        "op": f"rollback(v{version})",
+        "partitions": manifest["partitions"],
+    }
+    _write_text_atomic(
+        spark, _manifest_path(table, new_version), json.dumps(new_manifest)
+    )
+    _write_text_atomic(spark, f"{table}/{_SNAP_DIR}/{_LATEST}", str(new_version))
+    return new_version

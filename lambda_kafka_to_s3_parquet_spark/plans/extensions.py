@@ -1952,3 +1952,65 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("suggested_salts") == 1).alias("passed"),
     )
     return report.unionByName(skew).orderBy("check")
+
+
+# --------------------------------------------------------------------------
+# x44 — snapshot-committed table: append → dynamic-partition overwrite →
+# read latest + time-travel the pre-overwrite version + rollback, all
+# through the manifest/atomic-pointer protocol (operators/snapshots.py).
+# Side-effecting scratch pipeline like i07 => rows-only; the protocol's
+# semantics (atomicity crash window, overwrite-never-races-readers,
+# pruning-through-manifest, rollup-merge equivalence) are pinned in
+# tests/test_snapshots.py.
+# --------------------------------------------------------------------------
+@register(
+    "x44_snapshot_table",
+    oracle=None,
+    doc="snapshot commits: append/overwrite/time-travel/rollback census "
+    "(rows-only; protocol semantics pinned in test_snapshots.py)",
+)
+def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.snapshots import (
+        snapshot_append,
+        snapshot_history,
+        snapshot_overwrite_partitions,
+        snapshot_read,
+        snapshot_rollback,
+    )
+
+    base = tempfile.mkdtemp(prefix="x44_")
+    try:
+        t = f"{base}/tbl"
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", F.to_date("ts").alias("d"), "value"
+        )
+        lo, hi = ev.agg(F.min("d"), F.max("d")).first()
+        half = ev.filter(F.col("d") <= F.lit(lo) + ((F.lit(hi) - F.lit(lo)) / 2))
+        snapshot_append(spark, t, half, ["d"])
+        snapshot_append(spark, t, ev.exceptAll(half), ["d"])
+        patched = ev.filter(F.col("d") == lo).withColumn(
+            "value", F.round(F.col("value") * 2, 6)
+        )
+        snapshot_overwrite_partitions(spark, t, patched, ["d"])
+        rows = []
+        for label, version in (("latest", None), ("pre_patch", 2), ("v1", 1)):
+            df = snapshot_read(spark, t, version)
+            agg = df.agg(
+                F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
+            ).first()
+            rows.append((label, agg["n"], float(agg["sv"])))
+        snapshot_rollback(spark, t, 2)
+        agg = (
+            snapshot_read(spark, t)
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+            .first()
+        )
+        rows.append(("rolled_back", agg["n"], float(agg["sv"])))
+        rows.append(("n_snapshots", len(snapshot_history(spark, t)), 0.0))
+        out = spark.createDataFrame(rows, "label string, n long, sum_value double")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1,0 +1,158 @@
+"""Snapshot-committed tables: atomicity, time travel, rollback,
+overwrite-never-races-readers, pruning."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+    _load_manifest,
+    _manifest_path,
+    _write_text_atomic,
+    current_version,
+    snapshot_append,
+    snapshot_history,
+    snapshot_overwrite_partitions,
+    snapshot_read,
+    snapshot_rollback,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_append_read_and_time_travel(spark, table):
+    df1 = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, p string, v long")
+    df2 = spark.createDataFrame([(3, "a", 30)], "id long, p string, v long")
+    assert snapshot_append(spark, table, df1, ["p"]) == 1
+    assert snapshot_append(spark, table, df2, ["p"]) == 2
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a"), (2, 20, "b"), (3, 30, "a")]
+    assert _rows(snapshot_read(spark, table, 1)) == [(1, 10, "a"), (2, 20, "b")]
+
+
+def test_overwrite_replaces_only_named_partitions_and_keeps_history(spark, table):
+    df1 = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, p string, v long")
+    snapshot_append(spark, table, df1, ["p"])
+    over = spark.createDataFrame([(9, "a", 99)], "id long, p string, v long")
+    v2 = snapshot_overwrite_partitions(spark, table, over, ["p"])
+    assert _rows(snapshot_read(spark, table)) == [(2, 20, "b"), (9, 99, "a")]
+    # the pre-overwrite snapshot still reads its ORIGINAL files: the
+    # overwrite wrote fresh directories, never touched v1's
+    assert _rows(snapshot_read(spark, table, 1)) == [(1, 10, "a"), (2, 20, "b")]
+    assert v2 == 2
+
+
+def test_rollback_moves_history_forward(spark, table):
+    df1 = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
+    snapshot_append(spark, table, df1, ["p"])
+    snapshot_overwrite_partitions(
+        spark, table, spark.createDataFrame([(9, "a", 99)], "id long, p string, v long"), ["p"]
+    )
+    v3 = snapshot_rollback(spark, table, 1)
+    assert v3 == 3
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a")]
+    ops = [s["op"] for s in snapshot_history(spark, table)]
+    assert ops == ["append", "overwrite", "rollback(v1)"]
+
+
+def test_crash_before_pointer_swap_is_invisible(spark, table):
+    """A manifest written without the _latest swap (the crash window) must
+    leave readers on the previous snapshot — the pointer IS the commit."""
+    df1 = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
+    snapshot_append(spark, table, df1, ["p"])
+    # simulate: phantom v2 manifest exists, pointer never swapped
+    phantom = {"version": 2, "op": "append", "partitions": {}}
+    _write_text_atomic(spark, _manifest_path(table, 2), json.dumps(phantom))
+    assert current_version(spark, table) == 1
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a")]
+
+
+def test_unpartitioned_append(spark, table):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    snapshot_append(spark, table, df)
+    snapshot_append(spark, table, spark.createDataFrame([(3, 30)], "id long, v long"))
+    assert _rows(snapshot_read(spark, table)) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_partition_pruning_reaches_scan(spark, table):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i) for i in range(100)], "id long, p string, v long"
+    )
+    snapshot_append(spark, table, df, ["p"])
+    snapshot_append(spark, table, df.withColumn("id", F.col("id") + 1000), ["p"])
+    out = snapshot_read(spark, table).filter(F.col("p") == "a")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters" in final
+    # every scan in the union carries the pushed partition filter
+    for chunk in final.split("PartitionFilters: [")[1:]:
+        assert "p" in chunk.split("]")[0]
+
+
+def test_missing_snapshot_raises_with_history(spark, table):
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    with pytest.raises(FileNotFoundError, match="v7.*does not exist"):
+        _load_manifest(spark, table, 7)
+
+
+def test_snapshot_rollup_merge_equals_inplace_merge(spark, sf_dir, table):
+    """The maintained-rollup shape on snapshots: per-'batch' dynamic
+    partition overwrite of affected dates only, committed via manifest
+    swap — final table equals a one-shot rollup of all the data, and the
+    pre-merge snapshot remains readable (the property the in-place
+    dynamic overwrite cannot give)."""
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", F.to_date("ts").alias("d")
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    def daily(df):
+        return df.groupBy("d", "event_type").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s")
+        )
+
+    b1, b2 = e.filter(F.col("ts") <= mid), e.filter(F.col("ts") > mid)
+    snapshot_append(spark, table, daily(b1), ["d"])
+    # merge batch 2: reaggregate ONLY the dates batch 2 touches, from the
+    # CURRENT snapshot + the new rows, then overwrite those partitions
+    affected = [r["d"] for r in b2.select("d").distinct().collect()]
+    cur = snapshot_read(spark, table).filter(F.col("d").isin(affected))
+    merged = (
+        cur.select("d", "event_type", "n", "s")
+        .unionByName(daily(b2).select("d", "event_type", "n", "s"))
+        .groupBy("d", "event_type")
+        .agg(F.sum("n").alias("n"), F.round(F.sum("s"), 6).alias("s"))
+    )
+    snapshot_overwrite_partitions(spark, table, merged, ["d"])
+
+    got = {
+        (str(r["d"]), r["event_type"]): (r["n"], r["s"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    want = {
+        (str(r["d"]), r["event_type"]): (r["n"], r["s"]) for r in daily(e).collect()
+    }
+    assert got == want
+    # and v1 (pre-merge) still reads exactly batch 1's rollup
+    v1 = {
+        (str(r["d"]), r["event_type"]): (r["n"], r["s"])
+        for r in snapshot_read(spark, table, 1).collect()
+    }
+    assert v1 == {
+        (str(r["d"]), r["event_type"]): (r["n"], r["s"]) for r in daily(b1).collect()
+    }
