@@ -116,6 +116,7 @@ def merge_rollup_batch(
     batch: DataFrame,
     path: str,
     distinct_col: str | None = None,
+    commit_protocol: str = "inplace",
 ) -> None:
     """Fold one micro-batch of raw events into the stored hourly rollup.
 
@@ -130,17 +131,23 @@ def merge_rollup_batch(
     never to the rollup's history — the property that makes the continuous
     aggregate viable at 100 TB of raw events.
 
-    Committer contract: the merged frame lazily READS ``path`` and the
-    same job dynamic-partition-overwrites ``path``. With the default V1
-    staging FileOutputCommitter the read completes against the old files
-    before the rename-commit swaps partitions, which is what the tests
-    pin. Direct-write committers (e.g. the S3A magic committer) or a
-    failure mid-commitJob can leave partitions partially replaced, and the
-    documented retry would then double-count the partitions that already
-    committed — on such storage, stage the merged output to a temp prefix
-    and swap, or use an atomic table format (Delta/Iceberg), the same
-    upgrade path :func:`run_rollup_stream` names for its marker.
+    Committer contract (``commit_protocol="inplace"``, the default): the
+    merged frame lazily READS ``path`` and the same job dynamic-partition-
+    overwrites ``path``. With the default V1 staging FileOutputCommitter
+    the read completes against the old files before the rename-commit
+    swaps partitions, which is what the tests pin. Direct-write committers
+    (e.g. the S3A magic committer) or a failure mid-commitJob can leave
+    partitions partially replaced, and the documented retry would then
+    double-count the partitions that already committed. For such storage
+    pass ``commit_protocol="snapshot"``: the merge then reads the current
+    MANIFEST-resolved snapshot and commits fresh files via the atomic
+    pointer swap (``operators/snapshots.py``) — no read/write race by
+    construction, crash-before-swap changes nothing, and every pre-merge
+    snapshot stays readable (read the maintained table with
+    ``snapshot_read`` in that mode).
     """
+    if commit_protocol not in ("inplace", "snapshot"):
+        raise ValueError(f"unknown commit_protocol: {commit_protocol!r}")
     # null-ts events roll into a NULL hour/date bucket; drop them here so
     # the Hive default partition never exists — a semi-join on d could not
     # retain stored NULL-date rows (NULL never equals NULL) and dynamic
@@ -156,12 +163,25 @@ def merge_rollup_batch(
     # explicitly through the FileSystem API — an AnalysisException from the
     # read must surface (schema corruption, permission, bad footer), never
     # be silently reinterpreted as "first materialization".
-    if _is_absent_or_empty(spark, path):
+    if commit_protocol == "snapshot":
+        from .snapshots import (
+            current_version,
+            snapshot_append,
+            snapshot_overwrite_partitions,
+            snapshot_read,
+        )
+
+        if current_version(spark, path) == 0:
+            snapshot_append(spark, path, part, ["d"])
+            return
+        existing = snapshot_read(spark, path)
+    elif _is_absent_or_empty(spark, path):
         # overwrite, not errorIfExists: the directory may exist-but-empty
         # (e.g. a crashed bootstrap left the bare dir or a stray marker).
         part.write.mode("overwrite").partitionBy("d").parquet(path)
         return
-    existing = spark.read.parquet(path)
+    else:
+        existing = spark.read.parquet(path)
     if (_HLL_COL in existing.columns) != (_HLL_COL in part.columns):
         raise ValueError(
             f"rollup at {path} and this stream disagree on the '{_HLL_COL}' "
@@ -176,6 +196,11 @@ def merge_rollup_batch(
         .groupBy("hour", "event_type", "d")
         .agg(*_merge_aggs(part.columns))
     )
+    if commit_protocol == "snapshot":
+        from .snapshots import snapshot_overwrite_partitions
+
+        snapshot_overwrite_partitions(spark, path, merged, ["d"])
+        return
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -283,6 +308,7 @@ def run_rollup_stream(
     checkpoint: str,
     max_files_per_trigger: int | None = 1,
     distinct_col: str | None = None,
+    commit_protocol: str = "inplace",
 ) -> StreamingQuery:
     """Continuously maintain the hourly rollup from an event stream.
 
@@ -307,15 +333,25 @@ def run_rollup_stream(
     residual at-least-once window of any non-transactional two-step sink.
     Clean stop/restart (the availableNow maintenance cadence) is exactly-
     once, which the restart test pins. Closing the crash window requires
-    an atomic table format (Delta/Iceberg txn carrying the batch id with
-    the data) — the drop-in upgrade at production scale.
+    an atomic table format whose txn carries the batch id with the data —
+    ``commit_protocol="snapshot"`` (operators/snapshots.py) provides the
+    atomic-data half in-engine (each merge is one pointer swap; read the
+    maintained table with ``snapshot_read``); the marker remains a
+    separate step, so the one-batch re-merge window on crash-between-
+    steps still holds until the batch id rides the manifest itself.
     """
     marker = os.path.join(rollup_path, "_last_merged_batch.json")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _read_last_batch_id(spark, marker, checkpoint) or batch_df.isEmpty():
             return
-        merge_rollup_batch(spark, batch_df, rollup_path, distinct_col=distinct_col)
+        merge_rollup_batch(
+            spark,
+            batch_df,
+            rollup_path,
+            distinct_col=distinct_col,
+            commit_protocol=commit_protocol,
+        )
         _write_last_batch_id(spark, marker, batch_id, checkpoint)
 
     reader = spark.readStream.schema(events_schema)

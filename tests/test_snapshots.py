@@ -156,3 +156,51 @@ def test_snapshot_rollup_merge_equals_inplace_merge(spark, sf_dir, table):
     assert v1 == {
         (str(r["d"]), r["event_type"]): (r["n"], r["s"]) for r in daily(b1).collect()
     }
+
+
+def test_rollup_stream_snapshot_protocol_equals_oneshot(spark, sf_dir, tmp_path):
+    """run_rollup_stream(commit_protocol='snapshot'): the manifest-
+    committed maintained table equals the one-shot rollup, and each
+    micro-batch merge is one readable snapshot of history."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators.rollup import (
+        hourly_rollup,
+        run_rollup_stream,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_history,
+        snapshot_read,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    table, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    q = run_rollup_stream(
+        spark,
+        src,
+        "ts timestamp, event_type string, value double, user_id long",
+        table,
+        ckpt,
+        max_files_per_trigger=2,
+        commit_protocol="snapshot",
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (str(r["hour"]), r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in snapshot_read(spark, table).collect()
+    }
+    want = {
+        (str(r["hour"]), r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in hourly_rollup(ev).collect()
+    }
+    assert got == want
+    hist = snapshot_history(spark, table)
+    assert len(hist) >= 2 and hist[0]["op"] == "append"
+    assert all(h["op"] in ("append", "overwrite") for h in hist)
+    assert os.path.exists(os.path.join(table, "_last_merged_batch.json"))
