@@ -260,3 +260,58 @@ def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
     )
     _write_text_atomic(spark, f"{table}/{_SNAP_DIR}/{_LATEST}", str(new_version))
     return new_version
+
+
+def snapshot_expire(
+    spark: SparkSession, table: str, keep_last: int = 2
+) -> dict[str, int]:
+    """Expire history: keep the last ``keep_last`` snapshots, delete older
+    manifests and every data directory no retained snapshot references
+    (Iceberg's expire_snapshots + orphan cleanup, minimally).
+
+    Returns ``{"manifests_deleted": n, "data_dirs_deleted": m}``. Time
+    travel reaches only retained versions afterwards. Run from the single
+    maintenance writer at a quiesce point (same contract as the other
+    maintenance steps): an in-flight commit's not-yet-referenced data
+    directory is indistinguishable from an orphan.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    latest = current_version(spark, table)
+    if latest == 0:
+        return {"manifests_deleted": 0, "data_dirs_deleted": 0}
+    keep_versions = {v for v in range(max(1, latest - keep_last + 1), latest + 1)}
+    live_dirs: set[str] = set()
+    for v in keep_versions:
+        m = _load_manifest(spark, table, v)
+        for dirs in m["partitions"].values():
+            for d in dirs:
+                live_dirs.add(d.split("/data/")[1].split("/")[0])
+    fs, jvm = _fs(spark, table)
+    n_manifests = 0
+    for s in snapshot_history(spark, table):
+        if s["version"] not in keep_versions:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_manifest_path(table, s["version"])),
+                False,
+            )
+            n_manifests += 1
+    n_dirs = 0
+    data_root = jvm.org.apache.hadoop.fs.Path(f"{table}/data")
+    if fs.exists(data_root):
+        for st in fs.listStatus(data_root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name not in live_dirs:
+                fs.delete(st.getPath(), True)
+                n_dirs += 1
+    return {"manifests_deleted": n_manifests, "data_dirs_deleted": n_dirs}
+
+
+def snapshot_rewrite(spark: SparkSession, table: str, partition_by: list[str]) -> int:
+    """Compaction: rewrite the live snapshot into ONE fresh commit — every
+    live partition ends up with a single commit-directory entry, shrinking
+    manifests that accumulated one entry per touching commit and bounding
+    small files (run on the maintenance cadence, then
+    :func:`snapshot_expire` reclaims the superseded directories)."""
+    df = snapshot_read(spark, table)
+    return snapshot_overwrite_partitions(spark, table, df, partition_by)

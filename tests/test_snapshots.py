@@ -204,3 +204,70 @@ def test_rollup_stream_snapshot_protocol_equals_oneshot(spark, sf_dir, tmp_path)
     assert len(hist) >= 2 and hist[0]["op"] == "append"
     assert all(h["op"] in ("append", "overwrite") for h in hist)
     assert os.path.exists(os.path.join(table, "_last_merged_batch.json"))
+
+
+def test_expire_removes_history_but_never_live_files(spark, table):
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_expire
+
+    for i in range(4):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(i, "a", i)], "id long, p string, v long"), ["p"]
+        )
+    before = _rows(snapshot_read(spark, table))
+    stats = snapshot_expire(spark, table, keep_last=2)
+    assert stats["manifests_deleted"] == 2
+    # v1/v2-only data dirs survive IF still referenced by v3/v4 manifests
+    # (appends accumulate, so all commit dirs are still live -> 0 deleted)
+    assert stats["data_dirs_deleted"] == 0
+    assert _rows(snapshot_read(spark, table)) == before
+    assert _rows(snapshot_read(spark, table, 3))  # retained
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, table, 1)  # expired
+
+
+def test_expire_deletes_orphaned_overwrite_files(spark, table):
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_expire
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 1)], "id long, p string, v long"), ["p"]
+    )
+    # two successive full overwrites of p=a: v1's and v2's files become
+    # unreferenced once only v3 (+v2) is retained with keep_last=1
+    for i in (2, 3):
+        snapshot_overwrite_partitions(
+            spark, table,
+            spark.createDataFrame([(i, "a", i)], "id long, p string, v long"), ["p"]
+        )
+    stats = snapshot_expire(spark, table, keep_last=1)
+    assert stats["manifests_deleted"] == 2
+    assert stats["data_dirs_deleted"] == 2
+    assert _rows(snapshot_read(spark, table)) == [(3, 3, "a")]
+
+
+def test_rewrite_compacts_manifest_to_one_entry_per_partition(spark, table):
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_expire,
+        snapshot_rewrite,
+    )
+
+    for i in range(4):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame(
+                [(i, "a", i), (i + 100, "b", i)], "id long, p string, v long"
+            ),
+            ["p"],
+        )
+    before = _rows(snapshot_read(spark, table))
+    m = _load_manifest(spark, table, 4)
+    assert all(len(dirs) == 4 for dirs in m["partitions"].values())
+    v5 = snapshot_rewrite(spark, table, ["p"])
+    m2 = _load_manifest(spark, table, v5)
+    assert all(len(dirs) == 1 for dirs in m2["partitions"].values())
+    assert _rows(snapshot_read(spark, table)) == before
+    # expire then reclaims the 4 superseded append dirs
+    stats = snapshot_expire(spark, table, keep_last=1)
+    assert stats["data_dirs_deleted"] == 4
+    assert _rows(snapshot_read(spark, table)) == before
