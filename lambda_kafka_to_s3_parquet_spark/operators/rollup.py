@@ -172,6 +172,9 @@ def merge_rollup_batch(
         )
 
         if current_version(spark, path) == 0:
+            # snapshot_append no-ops on an empty partial (e.g. an all-
+            # null-ts first batch), staying at v0 so the NEXT batch still
+            # takes the bootstrap path instead of reading an empty v1.
             snapshot_append(spark, path, part, ["d"])
             return
         existing = snapshot_read(spark, path)
@@ -197,8 +200,6 @@ def merge_rollup_batch(
         .agg(*_merge_aggs(part.columns))
     )
     if commit_protocol == "snapshot":
-        from .snapshots import snapshot_overwrite_partitions
-
         snapshot_overwrite_partitions(spark, path, merged, ["d"])
         return
     (

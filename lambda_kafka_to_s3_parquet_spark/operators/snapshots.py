@@ -6,30 +6,37 @@ write sees partial state, and a crashed overwrite loses data. The
 engine's maintained tables (rollup, CDC state) documented this as the
 "Delta/Iceberg upgrade path"; this module implements the minimal honest
 version of that idea, from public designs (Iceberg's manifest +
-atomic-pointer-swap protocol), with no new file format:
+atomic-pointer protocol), with no new file format:
 
 * every commit writes its files under a fresh ``data/<commit id>/``
   directory — NEVER into a path a reader could already be scanning;
 * a manifest (JSON) lists, per live partition, which commit directories
-  hold its data;
-* ``_snapshots/_latest`` is swapped by an atomic rename — the single
-  visibility point. A crash before the swap leaves unreferenced files
-  (invisible, garbage-collectable), never a partial table.
+  (TABLE-RELATIVE paths, so the table can move and its own path may
+  itself contain a ``/data/`` segment) hold its data;
+* visibility is a ``_snapshots/latest-<version>`` marker file created by
+  a rename to a FRESH path — atomic on every Hadoop filesystem without
+  needing overwrite-rename semantics. ``current_version`` is the max
+  marker present: the previous marker stays until the new one lands, so
+  there is NO window where the pointer is missing, and stale markers
+  (cleaned best-effort after the swap) can never win against max. A
+  manifest without its marker (crash between the two writes) is an
+  uncommitted phantom: history hides it and time travel refuses it.
 
-Readers resolve latest (or any historical) manifest and scan exactly the
-referenced directories — so "overwrite" never races a concurrent read of
-the same files (the race ADVICE flagged in the in-place dynamic-overwrite
-rollup merge), and every prior snapshot stays readable until vacuumed.
+Readers resolve a committed manifest and scan exactly the referenced
+directories — so "overwrite" never races a concurrent read of the same
+files (the race ADVICE flagged in the in-place dynamic-overwrite rollup
+merge), and every prior snapshot stays readable until expired.
 
-Single-maintenance-writer contract, like the rollup/CDC markers: the
-pointer swap is atomic but not compare-and-swap, so two concurrent
+Single-maintenance-writer contract, like the rollup/CDC markers: marker
+creation is atomic but not compare-and-swap, so two concurrent
 committers could lose one commit. The engine's streaming maintenance is
-already single-writer (checkpoint-serialized); a multi-writer table needs
-a real catalog (the named Delta/Iceberg upgrade).
+already single-writer (checkpoint-serialized); a multi-writer table
+needs a real catalog (the named Delta/Iceberg upgrade).
 
 Scale notes: manifests list directories, not files — O(live partitions ×
-commits-touching-them) entries, compacted by ``snapshot_rewrite`` (which
-also bounds small files). Reads reconstruct partition columns per commit
+commits-touching-them) entries, compacted by :func:`snapshot_rewrite`
+(which also bounds small files; :func:`snapshot_expire` then reclaims
+superseded directories). Reads reconstruct partition columns per commit
 directory via ``basePath``, so partition pruning still reaches the scan
 (plan-asserted in tests).
 """
@@ -37,13 +44,13 @@ directory via ``basePath``, so partition pruning still reaches the scan
 from __future__ import annotations
 
 import json
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
-_LATEST = "_latest"
+_MARKER_RE = re.compile(r"^latest-(\d{5})$")
 
 
 def _fs(spark: SparkSession, path: str):
@@ -59,18 +66,14 @@ def _read_text(spark, path: str) -> str | None:
         return None
     stream = fs.open(p)
     try:
-        out = bytearray()
-        b = stream.read()
-        while b != -1:
-            out.append(b)
-            b = stream.read()
-        return bytes(out).decode("utf-8")
+        return bytes(stream.readAllBytes()).decode("utf-8")
     finally:
         stream.close()
 
 
-def _write_text_atomic(spark, path: str, content: str) -> None:
-    """Temp file + rename — the atomic visibility point of every commit."""
+def _create_atomic(spark, path: str, content: str) -> None:
+    """Write via temp file + rename to a FRESH destination (never an
+    overwrite) — atomic on every Hadoop filesystem."""
     fs, jvm = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + f".tmp-{uuid.uuid4().hex}")
     final = jvm.org.apache.hadoop.fs.Path(path)
@@ -79,9 +82,9 @@ def _write_text_atomic(spark, path: str, content: str) -> None:
         stream.write(bytearray(content.encode("utf-8")))
     finally:
         stream.close()
-    fs.delete(final, False)
     if not fs.rename(tmp, final):
-        raise IOError(f"atomic rename failed for {path}")
+        fs.delete(tmp, False)
+        raise IOError(f"atomic create failed for {path} (already exists?)")
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -89,50 +92,85 @@ def _manifest_path(table: str, version: int) -> str:
 
 
 def current_version(spark: SparkSession, table: str) -> int:
-    """Latest committed snapshot version (0 = empty/uninitialized)."""
-    txt = _read_text(spark, f"{table}/{_SNAP_DIR}/{_LATEST}")
-    return int(txt.strip()) if txt else 0
+    """Latest COMMITTED snapshot version (0 = empty/uninitialized): the
+    max ``latest-<version>`` marker present."""
+    fs, jvm = _fs(spark, table)
+    snap = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
+    if not fs.exists(snap):
+        return 0
+    best = 0
+    for st in fs.listStatus(snap):
+        m = _MARKER_RE.match(st.getPath().getName())
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def _swap_pointer(spark: SparkSession, table: str, version: int) -> None:
+    """Publish ``version``: create its marker (atomic, fresh path), then
+    best-effort delete older markers. A crash after creation leaves extra
+    old markers — harmless, max wins."""
+    _create_atomic(spark, f"{table}/{_SNAP_DIR}/latest-{version:05d}", str(version))
+    fs, jvm = _fs(spark, table)
+    snap = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
+    for st in fs.listStatus(snap):
+        m = _MARKER_RE.match(st.getPath().getName())
+        if m and int(m.group(1)) < version:
+            fs.delete(st.getPath(), False)
 
 
 def _load_manifest(spark: SparkSession, table: str, version: int) -> dict:
     if version == 0:
         return {"version": 0, "partitions": {}}
+    committed = current_version(spark, table)
+    if version > committed:
+        raise FileNotFoundError(
+            f"snapshot v{version} of {table} is not committed (latest is "
+            f"v{committed}; a manifest without its marker is a crash "
+            "leftover, not a snapshot)"
+        )
     txt = _read_text(spark, _manifest_path(table, version))
     if txt is None:
         raise FileNotFoundError(
-            f"snapshot v{version} of {table} does not exist (history: "
-            f"{[s['version'] for s in snapshot_history(spark, table)]})"
+            f"snapshot v{version} of {table} does not exist (expired?); "
+            f"history: {[s['version'] for s in snapshot_history(spark, table)]}"
         )
     return json.loads(txt)
 
 
 def snapshot_history(spark: SparkSession, table: str) -> list[dict]:
-    """All committed snapshots, oldest first: version / op / n commit dirs."""
+    """COMMITTED snapshots, oldest first: version / op / n partition
+    groups. Uncommitted (phantom) and expired manifests are excluded."""
     fs, jvm = _fs(spark, table)
     snap = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
     if not fs.exists(snap):
         return []
+    committed = current_version(spark, table)
     out = []
     for st in fs.listStatus(snap):
         name = st.getPath().getName()
         if name.startswith("v") and name.endswith(".json"):
             m = json.loads(_read_text(spark, st.getPath().toString()))
-            out.append(
-                {
-                    "version": m["version"],
-                    "op": m.get("op", "?"),
-                    "n_partition_groups": len(m["partitions"]),
-                }
-            )
+            if m["version"] <= committed:
+                out.append(
+                    {
+                        "version": m["version"],
+                        "op": m.get("op", "?"),
+                        "n_partition_groups": len(m["partitions"]),
+                    }
+                )
     return sorted(out, key=lambda s: s["version"])
 
 
 def _write_commit_data(
     df: DataFrame, table: str, partition_by: list[str] | None
-) -> tuple[str, list[str]]:
-    """Write the commit's files under data/<uuid>/; returns (commit dir,
-    partition values written) — partition values as relative subdirs
-    ('p=3' style) or [''] for unpartitioned data."""
+) -> list[str]:
+    """Write the commit's files under ``data/<uuid>/``; returns the
+    TABLE-RELATIVE partition dirs written (``data/<uuid>/p=3`` style, or
+    ``[data/<uuid>]`` for unpartitioned data; empty when a partitioned
+    frame produced no partitions). Paths are stored relative so the
+    manifest survives table moves and table paths that themselves contain
+    ``/data/``."""
     commit = uuid.uuid4().hex
     commit_dir = f"{table}/data/{commit}"
     writer = df.write.mode("errorifexists")
@@ -140,22 +178,32 @@ def _write_commit_data(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(commit_dir)
     if not partition_by:
-        return commit_dir, [""]
+        return [f"data/{commit}"]
     fs, jvm = _fs(df.sparkSession, commit_dir)
-    parts = []
+    rels: list[str] = []
 
-    def walk(path, depth):
+    def walk(path, rel, depth):
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
             name = st.getPath().getName()
             if st.isDirectory() and "=" in name:
-                rel = f"{path}/{name}".replace(commit_dir + "/", "")
                 if depth + 1 == len(partition_by):
-                    parts.append(rel)
+                    rels.append(f"{rel}/{name}")
                 else:
-                    walk(f"{path}/{name}", depth + 1)
+                    walk(f"{path}/{name}", f"{rel}/{name}", depth + 1)
 
-    walk(commit_dir, 0)
-    return commit_dir, parts
+    walk(commit_dir, f"data/{commit}", 0)
+    return rels
+
+
+def _group_rels(rels: list[str], partition_by: list[str] | None) -> dict[str, list[str]]:
+    """Manifest partition key per relative dir: the ``p=x[/q=y]`` tail for
+    partitioned commits, ``''`` for unpartitioned ones."""
+    if not partition_by:
+        return {"": list(rels)}
+    out: dict[str, list[str]] = {}
+    for r in rels:
+        out.setdefault("/".join(r.split("/")[2:]), []).append(r)
+    return out
 
 
 def _commit(
@@ -165,6 +213,7 @@ def _commit(
     new_partitions: dict[str, list[str]],
     replaced: set[str] | None = None,
 ) -> int:
+    """Write the next manifest, then publish it via the marker swap."""
     base = current_version(spark, table)
     manifest = _load_manifest(spark, table, base)
     parts = {
@@ -176,10 +225,8 @@ def _commit(
         parts.setdefault(pval, []).extend(dirs)
     version = base + 1
     new_manifest = {"version": version, "op": op, "partitions": parts}
-    _write_text_atomic(
-        spark, _manifest_path(table, version), json.dumps(new_manifest)
-    )
-    _write_text_atomic(spark, f"{table}/{_SNAP_DIR}/{_LATEST}", str(version))
+    _create_atomic(spark, _manifest_path(table, version), json.dumps(new_manifest))
+    _swap_pointer(spark, table, version)
     return version
 
 
@@ -189,11 +236,14 @@ def snapshot_append(
     df: DataFrame,
     partition_by: list[str] | None = None,
 ) -> int:
-    """Append a commit; returns the new snapshot version."""
-    commit_dir, parts = _write_commit_data(df, table, partition_by)
-    return _commit(
-        spark, table, "append", {p: [f"{commit_dir}/{p}".rstrip("/")] for p in parts}
-    )
+    """Append a commit; returns the new snapshot version. A partitioned
+    frame that writes no partitions (empty input) is a NO-OP returning
+    the current version — committing an empty v1 would poison every
+    later ``snapshot_read`` of the chain."""
+    rels = _write_commit_data(df, table, partition_by)
+    if not rels:
+        return current_version(spark, table)
+    return _commit(spark, table, "append", _group_rels(rels, partition_by))
 
 
 def snapshot_overwrite_partitions(
@@ -203,24 +253,21 @@ def snapshot_overwrite_partitions(
     partition_by: list[str],
 ) -> int:
     """Replace exactly the partitions present in ``df`` (dynamic-overwrite
-    semantics) — but via fresh files + manifest swap, so a concurrent
-    reader of the PREVIOUS snapshot keeps its files and a crash before
-    the pointer swap changes nothing."""
-    commit_dir, parts = _write_commit_data(df, table, partition_by)
-    return _commit(
-        spark,
-        table,
-        "overwrite",
-        {p: [f"{commit_dir}/{p}"] for p in parts},
-        replaced=set(parts),
-    )
+    semantics) — but via fresh files + manifest/marker publish, so a
+    concurrent reader of the PREVIOUS snapshot keeps its files and a
+    crash before the marker changes nothing. Empty input is a no-op."""
+    rels = _write_commit_data(df, table, partition_by)
+    if not rels:
+        return current_version(spark, table)
+    grouped = _group_rels(rels, partition_by)
+    return _commit(spark, table, "overwrite", grouped, replaced=set(grouped))
 
 
 def snapshot_read(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
-    """Scan a snapshot (default: latest). Historical versions stay
-    readable until their files are vacuumed — time travel by version."""
+    """Scan a snapshot (default: latest committed). Historical versions
+    stay readable until expired — time travel by version."""
     v = current_version(spark, table) if version is None else version
     manifest = _load_manifest(spark, table, v)
     all_dirs = sorted(d for dirs in manifest["partitions"].values() for d in dirs)
@@ -229,14 +276,15 @@ def snapshot_read(
     # Partition columns reconstruct per commit directory (basePath); the
     # union preserves them, so partition filters prune inside every
     # referenced directory.
-    frames = []
     by_commit: dict[str, list[str]] = {}
     for d in all_dirs:
-        commit_root = d.split("/data/")[1].split("/")[0]
-        by_commit.setdefault(f"{table}/data/{commit_root}", []).append(d)
-    for base_path, dirs in sorted(by_commit.items()):
+        by_commit.setdefault(d.split("/")[1], []).append(d)  # data/<uuid>/...
+    frames = []
+    for commit_id, dirs in sorted(by_commit.items()):
         frames.append(
-            spark.read.option("basePath", base_path).parquet(*sorted(dirs))
+            spark.read.option("basePath", f"{table}/data/{commit_id}").parquet(
+                *[f"{table}/{d}" for d in sorted(dirs)]
+            )
         )
     out = frames[0]
     for f in frames[1:]:
@@ -248,48 +296,47 @@ def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
     """Commit a NEW snapshot whose content is an old version's (the
     Iceberg rollback shape: history moves forward, files are reused)."""
     manifest = _load_manifest(spark, table, version)
-    base = current_version(spark, table)
-    new_version = base + 1
-    new_manifest = {
-        "version": new_version,
-        "op": f"rollback(v{version})",
-        "partitions": manifest["partitions"],
-    }
-    _write_text_atomic(
-        spark, _manifest_path(table, new_version), json.dumps(new_manifest)
+    latest = _load_manifest(spark, table, current_version(spark, table))
+    return _commit(
+        spark,
+        table,
+        f"rollback(v{version})",
+        manifest["partitions"],
+        replaced=set(latest["partitions"]),
     )
-    _write_text_atomic(spark, f"{table}/{_SNAP_DIR}/{_LATEST}", str(new_version))
-    return new_version
 
 
 def snapshot_expire(
     spark: SparkSession, table: str, keep_last: int = 2
 ) -> dict[str, int]:
-    """Expire history: keep the last ``keep_last`` snapshots, delete older
-    manifests and every data directory no retained snapshot references
-    (Iceberg's expire_snapshots + orphan cleanup, minimally).
+    """Expire history: keep the last ``keep_last`` committed snapshots,
+    delete older manifests and every data directory no retained snapshot
+    references (Iceberg's expire_snapshots + orphan cleanup, minimally).
 
     Returns ``{"manifests_deleted": n, "data_dirs_deleted": m}``. Time
     travel reaches only retained versions afterwards. Run from the single
     maintenance writer at a quiesce point (same contract as the other
     maintenance steps): an in-flight commit's not-yet-referenced data
-    directory is indistinguishable from an orphan.
+    directory is indistinguishable from an orphan. Retention is computed
+    from the snapshots that ACTUALLY exist (re-running with a larger
+    ``keep_last`` after an aggressive expire keeps what's left, never
+    chases already-deleted versions).
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    latest = current_version(spark, table)
-    if latest == 0:
+    history = snapshot_history(spark, table)
+    if not history:
         return {"manifests_deleted": 0, "data_dirs_deleted": 0}
-    keep_versions = {v for v in range(max(1, latest - keep_last + 1), latest + 1)}
-    live_dirs: set[str] = set()
+    keep_versions = {s["version"] for s in history[-keep_last:]}
+    live_commits: set[str] = set()
     for v in keep_versions:
         m = _load_manifest(spark, table, v)
         for dirs in m["partitions"].values():
             for d in dirs:
-                live_dirs.add(d.split("/data/")[1].split("/")[0])
+                live_commits.add(d.split("/")[1])
     fs, jvm = _fs(spark, table)
     n_manifests = 0
-    for s in snapshot_history(spark, table):
+    for s in history:
         if s["version"] not in keep_versions:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(_manifest_path(table, s["version"])),
@@ -301,7 +348,7 @@ def snapshot_expire(
     if fs.exists(data_root):
         for st in fs.listStatus(data_root):
             name = st.getPath().getName()
-            if st.isDirectory() and name not in live_dirs:
+            if st.isDirectory() and name not in live_commits:
                 fs.delete(st.getPath(), True)
                 n_dirs += 1
     return {"manifests_deleted": n_manifests, "data_dirs_deleted": n_dirs}

@@ -2010,7 +2010,8 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append(("rolled_back", agg["n"], float(agg["sv"])))
         rows.append(("n_snapshots", len(snapshot_history(spark, t)), 0.0))
-        out = spark.createDataFrame(rows, "label string, n long, sum_value double")
-        return spark.createDataFrame(out.collect(), out.schema)
+        # rows are already driver-local python tuples: the frame never
+        # references the scratch table deleted in finally
+        return spark.createDataFrame(rows, "label string, n long, sum_value double")
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -54,12 +54,6 @@ QUERIES = [
     "x27_pii_redact",        # chained codegen regexes
 ]
 
-#: x25 again WITH the document-frequency cap: replicated corpora multiply
-#: stop-phrase collisions quadratically (train df × test df per shingle),
-#: and the cap is the documented 100 TB guard — this row shows it
-#: restoring the slope the uncapped row loses.
-EXTRA = {"x25_capped": None}  # filled in main() (needs a spark closure)
-
 #: id column to shift per replica so keys replicate instead of colliding
 #: into one giant group (which would distort, not scale, the workload).
 ID_SHIFT = {
@@ -121,6 +115,10 @@ def main() -> None:
             cross_split_overlap,
         )
 
+        # x25 again WITH the document-frequency cap: replicated corpora
+        # multiply stop-phrase collisions quadratically (train df x test
+        # df per shingle); this row shows the documented 100 TB guard
+        # restoring the slope the uncapped row loses.
         def x25_capped(spark_, sf_dir):
             return cross_split_overlap(
                 load_table(spark_, sf_dir, "documents"),

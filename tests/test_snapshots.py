@@ -9,9 +9,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+    _create_atomic,
     _load_manifest,
     _manifest_path,
-    _write_text_atomic,
     current_version,
     snapshot_append,
     snapshot_history,
@@ -65,15 +65,20 @@ def test_rollback_moves_history_forward(spark, table):
 
 
 def test_crash_before_pointer_swap_is_invisible(spark, table):
-    """A manifest written without the _latest swap (the crash window) must
-    leave readers on the previous snapshot — the pointer IS the commit."""
+    """A manifest written without its marker (the crash window) must leave
+    readers on the previous snapshot — the marker IS the commit: default
+    reads ignore the phantom, explicit time travel REFUSES it, and
+    history hides it."""
     df1 = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
     snapshot_append(spark, table, df1, ["p"])
-    # simulate: phantom v2 manifest exists, pointer never swapped
+    # simulate: phantom v2 manifest exists, marker never created
     phantom = {"version": 2, "op": "append", "partitions": {}}
-    _write_text_atomic(spark, _manifest_path(table, 2), json.dumps(phantom))
+    _create_atomic(spark, _manifest_path(table, 2), json.dumps(phantom))
     assert current_version(spark, table) == 1
     assert _rows(snapshot_read(spark, table)) == [(1, 10, "a")]
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        snapshot_read(spark, table, 2)
+    assert [s["version"] for s in snapshot_history(spark, table)] == [1]
 
 
 def test_unpartitioned_append(spark, table):
@@ -103,7 +108,7 @@ def test_missing_snapshot_raises_with_history(spark, table):
     snapshot_append(
         spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
     )
-    with pytest.raises(FileNotFoundError, match="v7.*does not exist"):
+    with pytest.raises(FileNotFoundError, match="v7.*not committed"):
         _load_manifest(spark, table, 7)
 
 
@@ -271,3 +276,51 @@ def test_rewrite_compacts_manifest_to_one_entry_per_partition(spark, table):
     stats = snapshot_expire(spark, table, keep_last=1)
     assert stats["data_dirs_deleted"] == 4
     assert _rows(snapshot_read(spark, table)) == before
+
+
+def test_empty_partitioned_commit_is_noop(spark, table):
+    """An all-filtered-out batch must not commit an empty snapshot that
+    would poison later reads (the null-ts first-batch case in the
+    snapshot-protocol rollup merge)."""
+    empty = spark.createDataFrame([], "id long, p string, v long")
+    assert snapshot_append(spark, table, empty, ["p"]) == 0
+    assert current_version(spark, table) == 0
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 1)], "id long, p string, v long"), ["p"]
+    )
+    assert snapshot_overwrite_partitions(spark, table, empty, ["p"]) == 1
+    assert _rows(snapshot_read(spark, table)) == [(1, 1, "a")]
+
+
+def test_expire_is_rerunnable_with_larger_retention(spark, table):
+    """keep_last larger than what survives a previous expire keeps what
+    exists instead of chasing deleted versions."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_expire
+
+    for i in range(4):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(i, "a", i)], "id long, p string, v long"), ["p"]
+        )
+    snapshot_expire(spark, table, keep_last=1)
+    stats = snapshot_expire(spark, table, keep_last=3)  # only v4 exists
+    assert stats == {"manifests_deleted": 0, "data_dirs_deleted": 0}
+    assert _rows(snapshot_read(spark, table))
+
+
+def test_table_path_containing_data_segment(spark, tmp_path):
+    """Relative manifest paths: a table living under a '/data/' parent
+    must read/expire correctly (absolute-path splitting broke this)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_expire
+
+    table = str(tmp_path / "data" / "warehouse" / "tbl")
+    for i in (1, 2):
+        snapshot_overwrite_partitions(
+            spark, table,
+            spark.createDataFrame([(i, "a", i)], "id long, p string, v long"), ["p"]
+        )
+    assert _rows(snapshot_read(spark, table)) == [(2, 2, "a")]
+    stats = snapshot_expire(spark, table, keep_last=1)
+    assert stats["data_dirs_deleted"] == 1  # v1's superseded dir only
+    assert _rows(snapshot_read(spark, table)) == [(2, 2, "a")]
