@@ -55,6 +55,7 @@ def merge_cdc_batch(
     ts_col: str,
     tiebreak: str,
     n_buckets: int = 16,
+    commit_protocol: str = "inplace",
 ) -> None:
     """Upsert one micro-batch of CDC rows into the current-state table.
 
@@ -63,24 +64,46 @@ def merge_cdc_batch(
     and re-running the same deterministic latest-per-key over the union
     gives the global latest regardless of how changes were split across
     batches. Same committer contract as the rollup merge (read-then-
-    dynamic-overwrite of the same path: V1 staging committer, or stage+
-    swap / transactional format on direct-write storage).
+    dynamic-overwrite of the same path: V1 staging committer). On
+    direct-write storage pass ``commit_protocol="snapshot"`` — same
+    manifest/marker protocol as the rollup's snapshot mode
+    (``operators/snapshots.py``): fresh files + atomic publish, no
+    read/write race, pre-merge snapshots stay readable via
+    ``snapshot_read``.
     """
+    if commit_protocol not in ("inplace", "snapshot"):
+        raise ValueError(f"unknown commit_protocol: {commit_protocol!r}")
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
     part = (
         latest_by_key(batch, keys, ts_col, tiebreak)
         .drop("n_copies")
         .withColumn("bucket", bucket)
     )
-    if _is_absent_or_empty(spark, path):
+    if commit_protocol == "snapshot":
+        from .snapshots import (
+            current_version,
+            snapshot_append,
+            snapshot_overwrite_partitions,
+            snapshot_read,
+        )
+
+        if current_version(spark, path) == 0:
+            snapshot_append(spark, path, part, ["bucket"])
+            return
+        existing = snapshot_read(spark, path)
+    elif _is_absent_or_empty(spark, path):
         part.write.mode("overwrite").partitionBy("bucket").parquet(path)
         return
-    existing = spark.read.parquet(path)
+    else:
+        existing = spark.read.parquet(path)
     affected = part.select("bucket").distinct()
     touched = existing.join(affected, "bucket", "left_semi")
     merged = latest_by_key(touched.unionByName(part), keys, ts_col, tiebreak).drop(
         "n_copies"
     )
+    if commit_protocol == "snapshot":
+        snapshot_overwrite_partitions(spark, path, merged, ["bucket"])
+        return
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -100,6 +123,7 @@ def run_cdc_merge_stream(
     tiebreak: str,
     n_buckets: int = 16,
     max_files_per_trigger: int | None = 1,
+    commit_protocol: str = "inplace",
 ) -> StreamingQuery:
     """Continuously maintain the CDC current-state table from a stream.
 
@@ -128,7 +152,16 @@ def run_cdc_merge_stream(
             )
         if (state is not None and batch_id <= int(state["batch_id"])) or batch_df.isEmpty():
             return
-        merge_cdc_batch(spark, batch_df, table_path, keys, ts_col, tiebreak, n_buckets)
+        merge_cdc_batch(
+            spark,
+            batch_df,
+            table_path,
+            keys,
+            ts_col,
+            tiebreak,
+            n_buckets,
+            commit_protocol=commit_protocol,
+        )
         _write_last_batch_id(
             spark, marker, batch_id, checkpoint, extra={"n_buckets": n_buckets}
         )

@@ -324,3 +324,43 @@ def test_table_path_containing_data_segment(spark, tmp_path):
     stats = snapshot_expire(spark, table, keep_last=1)
     assert stats["data_dirs_deleted"] == 1  # v1's superseded dir only
     assert _rows(snapshot_read(spark, table)) == [(2, 2, "a")]
+
+
+def test_cdc_stream_snapshot_protocol_equals_batch_latest(spark, sf_dir, tmp_path):
+    """run_cdc_merge_stream(commit_protocol='snapshot'): the manifest-
+    committed current-state table equals batch latest-per-key."""
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import run_cdc_merge_stream
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import latest_by_key
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_read
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+    table, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    q = run_cdc_merge_stream(
+        spark,
+        src,
+        "user_id long, ts timestamp, event_type string, value double",
+        table,
+        ckpt,
+        keys=["user_id"],
+        ts_col="ts",
+        tiebreak="value",
+        max_files_per_trigger=1,
+        commit_protocol="snapshot",
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["user_id"]: (str(r["ts"]), r["event_type"], r["value"])
+        for r in snapshot_read(spark, table).drop("bucket").collect()
+    }
+    want = {
+        r["user_id"]: (str(r["ts"]), r["event_type"], r["value"])
+        for r in latest_by_key(ev, ["user_id"], "ts", "value")
+        .drop("n_copies")
+        .collect()
+    }
+    assert got == want
