@@ -40,6 +40,7 @@ from .dedup import latest_by_key
 # Shared maintenance plumbing (FS-API marker + emptiness probe): one
 # implementation for every continuously-maintained table in the engine.
 from .rollup import (  # noqa: F401  (re-exported for cdc tests)
+    _guard_no_inplace_data,
     _is_absent_or_empty,
     _marker_fs,
     _read_marker_state,
@@ -88,6 +89,11 @@ def merge_cdc_batch(
         )
 
         if current_version(spark, path) == 0:
+            # Refuse to bootstrap OVER an existing in-place table: its
+            # bucket=N data would silently vanish from snapshot_read.
+            # (A crashed first snapshot commit leaves only data/ and
+            # _snapshots/ — those don't count as in-place data.)
+            _guard_no_inplace_data(spark, path)
             snapshot_append(spark, path, part, ["bucket"])
             return
         existing = snapshot_read(spark, path)
@@ -150,6 +156,14 @@ def run_cdc_merge_stream(
                 f"n_buckets={n_buckets}; bucket assignment is part of the "
                 "table layout — rebuild the table to resize"
             )
+        stored_proto = state.get("commit_protocol", "inplace") if state else None
+        if state is not None and stored_proto != commit_protocol:
+            raise ValueError(
+                f"current-state table {table_path} was maintained with "
+                f"commit_protocol={stored_proto!r} but this stream runs "
+                f"{commit_protocol!r}; the physical layouts are "
+                "incompatible — migrate the table explicitly"
+            )
         if (state is not None and batch_id <= int(state["batch_id"])) or batch_df.isEmpty():
             return
         merge_cdc_batch(
@@ -163,7 +177,11 @@ def run_cdc_merge_stream(
             commit_protocol=commit_protocol,
         )
         _write_last_batch_id(
-            spark, marker, batch_id, checkpoint, extra={"n_buckets": n_buckets}
+            spark,
+            marker,
+            batch_id,
+            checkpoint,
+            extra={"n_buckets": n_buckets, "commit_protocol": commit_protocol},
         )
 
     reader = spark.readStream.schema(schema)
@@ -201,7 +219,14 @@ def read_current_state(
     as it is for upserts; :func:`purge_tombstones` reclaims the space once
     a retention watermark makes late arrivals impossible.
     """
-    state = spark.read.parquet(path).drop("bucket")
+    from .snapshots import is_snapshot_table, snapshot_read
+
+    raw = (
+        snapshot_read(spark, path)
+        if is_snapshot_table(spark, path)
+        else spark.read.parquet(path)
+    )
+    state = raw.drop("bucket")
     if op_col is not None:
         state = state.filter(~F.col(op_col).isin(*delete_ops))
     return state
@@ -228,9 +253,24 @@ def purge_tombstones(
     holding one (dynamic partition overwrite; untouched buckets keep
     their files). Run it from the single maintenance writer at a quiesce
     point, like any other merge step.
+
+    On a snapshot-protocol table the purge commits through
+    ``snapshot_overwrite_all`` instead: one full-set commit whose
+    manifest simply omits buckets left with no survivors — no in-place
+    bucket rewrites, no FS-level directory deletes.
     """
+    from .snapshots import is_snapshot_table, snapshot_overwrite_all, snapshot_read
+
+    expired_pred = F.col(op_col).isin(*delete_ops) & (F.col(ts_col) < F.lit(older_than))
+    if is_snapshot_table(spark, path):
+        existing = snapshot_read(spark, path)
+        n_purged = existing.filter(expired_pred).count()
+        if n_purged == 0:
+            return 0
+        snapshot_overwrite_all(spark, path, existing.filter(~expired_pred), ["bucket"])
+        return n_purged
     existing = spark.read.parquet(path)
-    expired = F.col(op_col).isin(*delete_ops) & (F.col(ts_col) < F.lit(older_than))
+    expired = expired_pred
     # One int per affected bucket — bounded by n_buckets, driver-safe.
     affected_ids = [
         r["bucket"] for r in existing.filter(expired).select("bucket").distinct().collect()

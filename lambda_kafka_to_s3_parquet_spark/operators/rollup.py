@@ -172,6 +172,10 @@ def merge_rollup_batch(
         )
 
         if current_version(spark, path) == 0:
+            # Refuse to bootstrap OVER an existing in-place rollup (its
+            # d=... partitions would silently vanish from snapshot_read)
+            # — flipping protocols is an explicit migration.
+            _guard_no_inplace_data(spark, path)
             # snapshot_append no-ops on an empty partial (e.g. an all-
             # null-ts first batch), staying at v0 so the NEXT batch still
             # takes the bootstrap path instead of reading an empty v1.
@@ -224,6 +228,25 @@ def _is_absent_or_empty(spark: SparkSession, path: str) -> bool:
         if not status.getPath().getName().startswith(("_", ".")):
             return False
     return True
+
+
+def _guard_no_inplace_data(spark: SparkSession, path: str) -> None:
+    """Raise when ``path`` holds in-place (bucket=N / d=...) data but no
+    snapshot metadata: flipping a stream to commit_protocol='snapshot'
+    must be an explicit migration, never a silent restart from empty."""
+    fs, p = _marker_fs(spark, path)
+    if not fs.exists(p):
+        return
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")) and name != "data":
+            raise ValueError(
+                f"{path} holds an existing in-place table (found {name!r}); "
+                "bootstrapping it as a snapshot table would silently drop "
+                "that data. Migrate explicitly: snapshot_append the current "
+                "state into a fresh path (or rebuild), then point the "
+                "stream there."
+            )
 
 
 def _marker_fs(spark: SparkSession, marker: str):
@@ -344,7 +367,16 @@ def run_rollup_stream(
     marker = os.path.join(rollup_path, "_last_merged_batch.json")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _read_last_batch_id(spark, marker, checkpoint) or batch_df.isEmpty():
+        state = _read_marker_state(spark, marker, checkpoint)
+        stored_proto = state.get("commit_protocol", "inplace") if state else None
+        if state is not None and stored_proto != commit_protocol:
+            raise ValueError(
+                f"rollup table {rollup_path} was maintained with "
+                f"commit_protocol={stored_proto!r} but this stream runs "
+                f"{commit_protocol!r}; the physical layouts are "
+                "incompatible — migrate the table explicitly"
+            )
+        if (state is not None and batch_id <= int(state["batch_id"])) or batch_df.isEmpty():
             return
         merge_rollup_batch(
             spark,
@@ -353,7 +385,10 @@ def run_rollup_stream(
             distinct_col=distinct_col,
             commit_protocol=commit_protocol,
         )
-        _write_last_batch_id(spark, marker, batch_id, checkpoint)
+        _write_last_batch_id(
+            spark, marker, batch_id, checkpoint,
+            extra={"commit_protocol": commit_protocol},
+        )
 
     reader = spark.readStream.schema(events_schema)
     if max_files_per_trigger is not None:

@@ -50,7 +50,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _SNAP_DIR = "_snapshots"
-_MARKER_RE = re.compile(r"^latest-(\d{5})$")
+_MARKER_RE = re.compile(r"^latest-(\d+)$")
 
 
 def _fs(spark: SparkSession, path: str):
@@ -73,7 +73,8 @@ def _read_text(spark, path: str) -> str | None:
 
 def _create_atomic(spark, path: str, content: str) -> None:
     """Write via temp file + rename to a FRESH destination (never an
-    overwrite) — atomic on every Hadoop filesystem."""
+    overwrite) — atomic on every Hadoop filesystem. Used for the
+    visibility markers, whose names are unique by construction."""
     fs, jvm = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + f".tmp-{uuid.uuid4().hex}")
     final = jvm.org.apache.hadoop.fs.Path(path)
@@ -85,6 +86,27 @@ def _create_atomic(spark, path: str, content: str) -> None:
     if not fs.rename(tmp, final):
         fs.delete(tmp, False)
         raise IOError(f"atomic create failed for {path} (already exists?)")
+
+
+def _replace_text(spark, path: str, content: str) -> None:
+    """Write with OVERWRITE semantics (tmp + delete-dest + rename). Used
+    for manifests: their visibility point is the marker, not the file —
+    an uncommitted manifest is invisible (phantom guard), so replacing
+    one is safe, and a crashed commit's retry MUST be able to rewrite
+    the phantom its predecessor left (rename-to-existing fails on
+    HDFS/S3A; refusing would wedge the table forever)."""
+    fs, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + f".tmp-{uuid.uuid4().hex}")
+    final = jvm.org.apache.hadoop.fs.Path(path)
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise IOError(f"replace failed for {path}")
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -119,10 +141,16 @@ def _swap_pointer(spark: SparkSession, table: str, version: int) -> None:
             fs.delete(st.getPath(), False)
 
 
-def _load_manifest(spark: SparkSession, table: str, version: int) -> dict:
+def _load_manifest(
+    spark: SparkSession, table: str, version: int, committed: int | None = None
+) -> dict:
+    """``committed`` lets hot-path callers that already resolved
+    ``current_version`` skip re-listing ``_snapshots`` (one LIST per call
+    matters on S3)."""
     if version == 0:
         return {"version": 0, "partitions": {}}
-    committed = current_version(spark, table)
+    if committed is None:
+        committed = current_version(spark, table)
     if version > committed:
         raise FileNotFoundError(
             f"snapshot v{version} of {table} is not committed (latest is "
@@ -150,7 +178,10 @@ def snapshot_history(spark: SparkSession, table: str) -> list[dict]:
     for st in fs.listStatus(snap):
         name = st.getPath().getName()
         if name.startswith("v") and name.endswith(".json"):
-            m = json.loads(_read_text(spark, st.getPath().toString()))
+            txt = _read_text(spark, st.getPath().toString())
+            if txt is None:
+                continue  # expired by the maintenance writer mid-listing
+            m = json.loads(txt)
             if m["version"] <= committed:
                 out.append(
                     {
@@ -215,7 +246,7 @@ def _commit(
 ) -> int:
     """Write the next manifest, then publish it via the marker swap."""
     base = current_version(spark, table)
-    manifest = _load_manifest(spark, table, base)
+    manifest = _load_manifest(spark, table, base, committed=base)
     parts = {
         k: list(v)
         for k, v in manifest["partitions"].items()
@@ -225,7 +256,7 @@ def _commit(
         parts.setdefault(pval, []).extend(dirs)
     version = base + 1
     new_manifest = {"version": version, "op": op, "partitions": parts}
-    _create_atomic(spark, _manifest_path(table, version), json.dumps(new_manifest))
+    _replace_text(spark, _manifest_path(table, version), json.dumps(new_manifest))
     _swap_pointer(spark, table, version)
     return version
 
@@ -268,8 +299,9 @@ def snapshot_read(
 ) -> DataFrame:
     """Scan a snapshot (default: latest committed). Historical versions
     stay readable until expired — time travel by version."""
-    v = current_version(spark, table) if version is None else version
-    manifest = _load_manifest(spark, table, v)
+    committed = current_version(spark, table)
+    v = committed if version is None else version
+    manifest = _load_manifest(spark, table, v, committed=committed)
     all_dirs = sorted(d for dirs in manifest["partitions"].values() for d in dirs)
     if not all_dirs:
         raise ValueError(f"snapshot v{v} of {table} is empty")
@@ -294,8 +326,17 @@ def snapshot_read(
 
 def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
     """Commit a NEW snapshot whose content is an old version's (the
-    Iceberg rollback shape: history moves forward, files are reused)."""
+    Iceberg rollback shape: history moves forward, files are reused).
+    Rolling back to an EMPTY state (v0) is refused: an empty committed
+    snapshot poisons every later read and merge — the same hazard the
+    empty-commit no-ops guard against on the write path."""
     manifest = _load_manifest(spark, table, version)
+    if not manifest["partitions"]:
+        raise ValueError(
+            f"refusing rollback to empty snapshot v{version} of {table}: "
+            "an empty committed snapshot is unreadable; drop or rebuild "
+            "the table instead"
+        )
     latest = _load_manifest(spark, table, current_version(spark, table))
     return _commit(
         spark,
@@ -328,9 +369,10 @@ def snapshot_expire(
     if not history:
         return {"manifests_deleted": 0, "data_dirs_deleted": 0}
     keep_versions = {s["version"] for s in history[-keep_last:]}
+    committed = max(keep_versions)
     live_commits: set[str] = set()
     for v in keep_versions:
-        m = _load_manifest(spark, table, v)
+        m = _load_manifest(spark, table, v, committed=committed)
         for dirs in m["partitions"].values():
             for d in dirs:
                 live_commits.add(d.split("/")[1])
@@ -362,3 +404,36 @@ def snapshot_rewrite(spark: SparkSession, table: str, partition_by: list[str]) -
     :func:`snapshot_expire` reclaims the superseded directories)."""
     df = snapshot_read(spark, table)
     return snapshot_overwrite_partitions(spark, table, df, partition_by)
+
+
+def is_snapshot_table(spark: SparkSession, table: str) -> bool:
+    """True iff ``table`` carries snapshot metadata (``_snapshots/``)."""
+    fs, jvm = _fs(spark, table)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}"))
+
+
+def snapshot_overwrite_all(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    partition_by: list[str],
+) -> int:
+    """Replace the ENTIRE live partition set with ``df``'s content:
+    partitions absent from ``df`` are dropped from the manifest (unlike
+    :func:`snapshot_overwrite_partitions`, which keeps them). The
+    full-table maintenance op — tombstone purges and rewrites that may
+    legitimately empty a partition commit through this."""
+    rels = _write_commit_data(df, table, partition_by)
+    if not rels:
+        raise ValueError(
+            "snapshot_overwrite_all with an empty frame would commit an "
+            "unreadable empty snapshot; drop or rebuild the table instead"
+        )
+    current = _load_manifest(spark, table, current_version(spark, table))
+    return _commit(
+        spark,
+        table,
+        "overwrite_all",
+        _group_rels(rels, partition_by),
+        replaced=set(current["partitions"]),
+    )

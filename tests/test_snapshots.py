@@ -364,3 +364,113 @@ def test_cdc_stream_snapshot_protocol_equals_batch_latest(spark, sf_dir, tmp_pat
         .collect()
     }
     assert got == want
+
+
+def test_crashed_commit_retry_can_rewrite_phantom_manifest(spark, table):
+    """A phantom manifest (crash between manifest write and marker) must
+    not wedge the retry: the next commit REPLACES it and publishes."""
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 1)], "id long, p string, v long"), ["p"]
+    )
+    phantom = {"version": 2, "op": "append", "partitions": {"bogus": ["data/x/bogus"]}}
+    _create_atomic(spark, _manifest_path(table, 2), json.dumps(phantom))
+    v2 = snapshot_append(
+        spark, table,
+        spark.createDataFrame([(2, "b", 2)], "id long, p string, v long"), ["p"]
+    )
+    assert v2 == 2
+    assert _rows(snapshot_read(spark, table)) == [(1, 1, "a"), (2, 2, "b")]
+    assert "bogus" not in _load_manifest(spark, table, 2)["partitions"]
+
+
+def test_rollback_to_empty_refused(spark, table):
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_rollback
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 1)], "id long, p string, v long"), ["p"]
+    )
+    with pytest.raises(ValueError, match="empty snapshot"):
+        snapshot_rollback(spark, table, 0)
+
+
+def test_snapshot_bootstrap_over_inplace_table_refused(spark, sf_dir, tmp_path):
+    """Flipping an existing in-place maintained table to the snapshot
+    protocol must fail fast, not silently restart from empty."""
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import merge_cdc_batch
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    table = str(tmp_path / "t")
+    merge_cdc_batch(spark, ev, table, ["user_id"], "ts", "value")  # inplace
+    with pytest.raises(ValueError, match="existing in-place table"):
+        merge_cdc_batch(
+            spark, ev, table, ["user_id"], "ts", "value",
+            commit_protocol="snapshot",
+        )
+
+
+def test_stream_protocol_switch_rejected_by_marker(spark, sf_dir, tmp_path):
+    """Restarting a maintenance stream with a different commit_protocol
+    than the marker records must fail fast (layouts are incompatible)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import run_cdc_merge_stream
+
+    ev = (
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1.0)], "user_id long, ts string, value double"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    table, ckpt = str(tmp_path / "t"), str(tmp_path / "c")
+    q = run_cdc_merge_stream(
+        spark, src, "user_id long, ts timestamp, value double",
+        table, ckpt, keys=["user_id"], ts_col="ts", tiebreak="value",
+        commit_protocol="snapshot",
+    )
+    assert q.awaitTermination(120)
+    ev.write.mode("append").parquet(src)
+    q2 = run_cdc_merge_stream(
+        spark, src, "user_id long, ts timestamp, value double",
+        table, ckpt, keys=["user_id"], ts_col="ts", tiebreak="value",
+    )
+    with pytest.raises(Exception, match="commit_protocol"):
+        q2.awaitTermination(120)
+        raise RuntimeError(q2.exception() or "stream did not fail")
+
+
+def test_read_and_purge_on_snapshot_cdc_table(spark, tmp_path):
+    """read_current_state and purge_tombstones must work on a
+    snapshot-protocol CDC table (manifest-resolved, never raw-parquet)."""
+    import datetime as _dt
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        merge_cdc_batch,
+        purge_tombstones,
+        read_current_state,
+    )
+
+    def ts(x):
+        return _dt.datetime.fromisoformat(x)
+
+    rows = [
+        (1, ts("2024-01-01 00:00:00"), "c", 1.0),
+        (2, ts("2024-01-01 00:00:00"), "d", None),   # expired tombstone
+        (3, ts("2024-01-03 00:00:00"), "d", None),   # young tombstone
+    ]
+    batch = spark.createDataFrame(rows, "k long, ts timestamp, op string, v double")
+    table = str(tmp_path / "t")
+    merge_cdc_batch(
+        spark, batch, table, ["k"], "ts", "ts", commit_protocol="snapshot"
+    )
+    live = {r["k"] for r in read_current_state(spark, table, op_col="op").collect()}
+    assert live == {1}
+    assert purge_tombstones(spark, table, "op", "ts", "2024-01-02 00:00:00") == 1
+    raw = {r["k"]: r["op"] for r in read_current_state(spark, table).collect()}
+    assert raw == {1: "c", 3: "d"}
+    # idempotent once clean
+    assert purge_tombstones(spark, table, "op", "ts", "2024-01-02 00:00:00") == 0
