@@ -109,6 +109,9 @@ HEADLINE = [
     # round 5 (late): constraint-validation report (fused row checks +
     # uniqueness + referential integrity + skew diagnosis)
     "x43_data_quality",
+    # round 5 (late): BPE merge learning — a driver loop of vocab-sized
+    # jobs runs inside fn() (SINGLE_RUN: fixed machinery dominates)
+    "x45_bpe_vocab",
     # MLlib linear quality probe (round 5): trains on 3x the corpus per
     # invocation — single-run like the streaming replays (fixed L-BFGS
     # machinery dominates)
@@ -153,6 +156,9 @@ HEADLINE = [
 #: run once; the batch queries keep the min-of-N protocol.
 SINGLE_RUN = {
     "x37_quality_model",
+    # x45: a driver loop of 15 vocab-sized merge rounds — fixed machinery
+    # dominates like the streaming replays; single run, clock before fn()
+    "x45_bpe_vocab",
     "w05_stateful_user_profiles",
     "w09_incremental_neardup",
     "w10_cdc_current_state",

@@ -1,0 +1,130 @@
+"""BPE vocabulary induction — learning a tokenizer from the corpus.
+
+The engine already counts and budgets tokens (``functions/text.py``);
+this operator LEARNS the subword vocabulary itself: byte-pair encoding
+(Sennrich et al. 2016, the construction under GPT-2/RoBERTa-class
+tokenizers), expressed Spark-first.
+
+The key scale observation: BPE never needs the raw corpus after one
+pass. It operates on the (word, count) table — vocabulary-sized, orders
+of magnitude smaller than 100 TB of text — and each merge iteration is
+one pair-count aggregation over that table plus a driver-side argmax of
+a single row. So the shape here is:
+
+* ``word_counts`` — one explode + combine-shuffle over the corpus (the
+  only corpus-sized step);
+* ``learn_bpe`` — an iterative driver loop over the checkpointed
+  word-count table: explode adjacent symbol pairs (weighted by word
+  count), one combine-shuffle per round, ``orderBy().limit(1)`` argmax
+  (TakeOrderedAndProject — no global sort), then a greedy left-to-right
+  in-row merge fold. O(n_merges) rounds by construction, like the
+  reference implementations;
+* ``segment_vocab`` — apply the learned merges to the VOCAB once (not
+  per document occurrence); encoding a corpus is then a broadcast join
+  word → tokens, the standard production layout.
+
+The merge fold runs in the interpreted HOF path, but over the
+vocab-sized table that's the right trade (cf. the measured MinHash note
+in ``dedup.minhash_vectors`` — here there is no corpus-sized HOF work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+#: End-of-word sentinel symbol (kept out of [a-z0-9] so it can never
+#: collide with corpus characters after the engine tokenizer).
+EOW = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wc) over the engine tokenizer — the only corpus-sized pass."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def _initial_symbols(word: F.Column) -> F.Column:
+    """Characters of the word plus the end-of-word sentinel."""
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def _merge_pair(syms: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (a, b) into ``a+b`` — the
+    standard BPE application order, as an in-row fold."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges; returns ``[(a, b, count)]``
+    in merge order.
+
+    Deterministic: the winning pair each round is max total count, ties
+    broken lexicographically on (a, b) — so the learned vocabulary is a
+    pure function of the corpus. Stops early when no pair reaches
+    ``min_pair_count`` (merging hapax pairs memorizes noise).
+    """
+    words = (
+        word_counts(docs, text_col)
+        .select(_initial_symbols(F.col("word")).alias("syms"), "wc")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = F.zip_with(
+            F.slice("syms", 1, F.size("syms") - 1),
+            F.slice("syms", 2, F.size("syms") - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        best = (
+            words.filter(F.size("syms") >= 2)
+            .select(F.explode(pairs).alias("p"), "wc")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((a, b, n))
+        words = words.select(
+            _merge_pair(F.col("syms"), a, b).alias("syms"), "wc"
+        ).localCheckpoint()
+    return merges
+
+
+def segment_vocab(
+    words: DataFrame, merges: list[tuple[str, str, int]], word_col: str = "word"
+) -> DataFrame:
+    """(word, pieces) — the learned segmentation of each vocabulary word,
+    applying the merges in learned order. Encode a corpus by broadcast-
+    joining this table onto exploded tokens: the merges run once per
+    VOCAB word, never per corpus occurrence."""
+    syms = _initial_symbols(F.col(word_col))
+    for a, b, _ in merges:
+        syms = _merge_pair(syms, a, b)
+    return words.select(word_col, syms.alias("pieces"))

@@ -2015,3 +2015,47 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "label string, n long, sum_value double")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# x45 — BPE vocabulary induction (tokenizer learning): the corpus is
+# reduced to its (word, count) table in one pass; each merge round is a
+# pair-count combine-shuffle over that vocab-sized table + a driver
+# argmax. Iterative (non-SQL) => rows-only; exact merge sequence pinned
+# against an independent pure-python BPE in pytest. Output: the learned
+# merge table + the segmentation census it induces over the vocabulary.
+# --------------------------------------------------------------------------
+@register(
+    "x45_bpe_vocab",
+    oracle=None,
+    doc="BPE merge learning over the corpus vocab + induced segmentation "
+    "census (rows-only; exact python-reference twin in pytest)",
+)
+def x45_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import learn_bpe, segment_vocab, word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=15)
+    vocab = word_counts(docs)
+    seg = segment_vocab(vocab.select("word"), merges)
+    census = (
+        vocab.join(seg, "word")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.avg(F.size("pieces")), 4).alias("avg_pieces_per_word"),
+            F.sum(F.size("pieces") * F.col("wc")).alias("total_corpus_pieces"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("rank"),
+            F.lit("__census__").alias("a"),
+            F.concat_ws(
+                "|", "n_words", "avg_pieces_per_word", "total_corpus_pieces"
+            ).alias("b"),
+            F.lit(None).cast("long").alias("pair_count"),
+        )
+    )
+    merge_rows = spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank long, a string, b string, pair_count long",
+    )
+    return merge_rows.unionByName(census).orderBy("rank")

@@ -1441,3 +1441,86 @@ def test_decontaminate_df_cap_drops_stop_phrases_only(spark, sf_dir):
     for doc, (n_sh, n_td) in capped.items():
         assert n_sh <= uncapped[doc][0]
         assert n_td <= uncapped[doc][1]
+
+
+# ---------------------------------------------------------------------------
+# round 5 (late): BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_wc, n_merges, min_count=2):
+    """Pure-python BPE reference: greedy left-to-right merge, winner =
+    max count with lexicographic (a, b) tie-break."""
+    from lambda_kafka_to_s3_parquet_spark.operators.bpe import EOW
+
+    words = {tuple(list(w) + [EOW]): c for w, c in word_wc.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        bn = max(counts.values())
+        if bn < min_count:
+            break
+        a, b = sorted(p for p, n in counts.items() if n == bn)[0]
+        merges.append((a, b, bn))
+        new = {}
+        for syms, c in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        words = new
+    return merges
+
+
+def test_learn_bpe_matches_python_reference(spark, sf_dir):
+    from lambda_kafka_to_s3_parquet_spark.operators.bpe import learn_bpe, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = {r["word"]: r["wc"] for r in word_counts(docs).collect()}
+    got = learn_bpe(docs, n_merges=12)
+    assert got == _ref_bpe(wc, 12)
+    assert len(got) == 12  # corpus is repetitive enough to sustain merges
+
+
+def test_segment_vocab_reassembles_and_uses_merges(spark, sf_dir):
+    from lambda_kafka_to_s3_parquet_spark.operators.bpe import (
+        EOW,
+        learn_bpe,
+        segment_vocab,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=12)
+    vocab = word_counts(docs).select("word")
+    seg = segment_vocab(vocab, merges)
+    joined = seg.select(
+        "word",
+        "pieces",
+        F.concat_ws("", "pieces").alias("glued"),
+        F.size("pieces").alias("n_pieces"),
+    )
+    assert (
+        joined.filter(F.col("glued") != F.concat(F.col("word"), F.lit(EOW))).count()
+        == 0
+    )
+    # merges must actually compress: fewer pieces than chars+1 somewhere
+    chars_plus_1 = F.length("word") + 1
+    assert joined.filter(F.col("n_pieces") < chars_plus_1).count() > 0
+
+
+def test_learn_bpe_stops_below_min_pair_count(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.bpe import learn_bpe
+
+    docs = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    # every pair occurs once: with min_pair_count=2 nothing merges
+    assert learn_bpe(docs, n_merges=5, min_pair_count=2) == []
