@@ -251,8 +251,8 @@ def main() -> None:
     ratios = {
         n: round(timings[n] / small[n], 1) for n in timings if small.get(n)
     }
-    # Split totals: the 8 SINGLE_RUN queries (streaming replays + the
-    # model-training probe) carry per-invocation fixed machinery
+    # Split totals: the SINGLE_RUN queries (streaming replays + the
+    # model-training and tokenizer-learning probes) carry per-invocation fixed machinery
     # (micro-batch commits, state stores, L-BFGS) that dwarfs their data
     # cost at bench scale — folding them into one number would make
     # round-over-round comparison vs rounds <= 4 (which benched only w05

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from .lm import unigram_counts
 
 #: End-of-word sentinel symbol (kept out of [a-z0-9] so it can never
 #: collide with corpus characters after the engine tokenizer).
@@ -41,11 +41,11 @@ EOW = "</w>"
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, wc) over the engine tokenizer — the only corpus-sized pass."""
-    return (
-        docs.select(F.explode(tokens(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("wc"))
+    """(word, wc) over the engine tokenizer — the only corpus-sized pass.
+    Delegates to the LM's :func:`~.lm.unigram_counts` so the BPE vocab and
+    the unigram LM can never diverge on tokenize-and-count semantics."""
+    return unigram_counts(docs, text_col).select(
+        F.col("token").alias("word"), F.col("c").alias("wc")
     )
 
 
@@ -77,6 +77,7 @@ def learn_bpe(
     n_merges: int = 50,
     text_col: str = "text",
     min_pair_count: int = 2,
+    word_counts_df: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges; returns ``[(a, b, count)]``
     in merge order.
@@ -85,10 +86,14 @@ def learn_bpe(
     broken lexicographically on (a, b) — so the learned vocabulary is a
     pure function of the corpus. Stops early when no pair reaches
     ``min_pair_count`` (merging hapax pairs memorizes noise).
+
+    Pass ``word_counts_df`` (a :func:`word_counts` result) when the
+    caller also needs the vocabulary — the corpus-sized counting pass
+    then runs exactly once between them (x45 does this).
     """
+    wc = word_counts_df if word_counts_df is not None else word_counts(docs, text_col)
     words = (
-        word_counts(docs, text_col)
-        .select(_initial_symbols(F.col("word")).alias("syms"), "wc")
+        wc.select(_initial_symbols(F.col("word")).alias("syms"), "wc")
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []

@@ -2035,8 +2035,9 @@ def x45_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import learn_bpe, segment_vocab, word_counts
 
     docs = _t(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, n_merges=15)
-    vocab = word_counts(docs)
+    # one corpus-sized counting pass, shared by learning and the census
+    vocab = word_counts(docs).localCheckpoint()
+    merges = learn_bpe(docs, n_merges=15, word_counts_df=vocab)
     seg = segment_vocab(vocab.select("word"), merges)
     census = (
         vocab.join(seg, "word")
