@@ -185,3 +185,29 @@ def test_x28_chain_persists_cleaning_boundary(spark):
     df.write.mode("overwrite").format("noop").save()
     plan = _executed(df)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_x38_chunking_single_exchange(spark):
+    """Chunk generation is narrow (sequence → slice → posexplode in-row):
+    the only Exchange in x38's plan is the final per-doc census groupBy."""
+    df = SPECS["x38_doc_chunking"].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()
+    plan = _executed(df)
+    final = plan.split("== Initial Plan ==")[0]
+    # census agg + its sort: at most the agg hash exchange and the final
+    # rangepartitioning for orderBy — chunking itself must add none
+    assert final.count("Exchange hashpartitioning") == 1, final[:3000]
+
+
+def test_x40_lm_scoring_broadcasts_the_model(spark):
+    """The token→count model join must be a broadcast hash join — the
+    corpus side never shuffles for scoring."""
+    df = SPECS["x40_lm_perplexity"].fn(spark, SF)
+    df.write.mode("overwrite").format("noop").save()
+    plan = _executed(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    # and the exploded corpus-token side is NOT exchanged before that join
+    join_idx = final.find("BroadcastHashJoin")
+    pre = final[:join_idx]
+    assert "Exchange hashpartitioning(token" not in pre
