@@ -23,11 +23,13 @@ to the identical batch writer.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.sink import with_partition_columns, write_partitioned
+from ..operators.sink import PARTITION_COLS, with_partition_columns, write_partitioned
 from ..sources.avro_codec import SchemaProvider, decode_stage
 from ..sources.kafka_replay import stream_lambda_events
 
@@ -40,6 +42,7 @@ def run_ingest_stream(
     topic: str,
     provider: SchemaProvider | None = None,
     max_files_per_trigger: int | None = None,
+    commit_protocol: str = "inplace",
 ) -> StreamingQuery:
     """Envelope files -> decode -> partitioned parquet, exactly-once.
 
@@ -47,14 +50,44 @@ def run_ingest_stream(
     bounded micro-batches, then stops — the CI-friendly trigger that still
     exercises real checkpoint/commit machinery. Long-running deployments
     use the same code with a processing-time trigger.
+
+    ``commit_protocol="snapshot"`` lands each micro-batch as one snapshot
+    APPEND (``operators/snapshots.py``) gated by the shared batch-id
+    high-water marker: readers of the landed table (``snapshot_read``)
+    never see a half-written batch — the gap the reference's
+    file-per-invocation landing has (``lambda_function.py:59``) and the
+    plain append sink narrows but can't close on non-atomic-listing
+    object stores. The marker ALSO upgrades retry semantics: a replayed
+    foreachBatch (at-least-once) is skipped instead of double-appended.
     """
+    if commit_protocol not in ("inplace", "snapshot"):
+        raise ValueError(f"unknown commit_protocol: {commit_protocol!r}")
     kafka_shaped = stream_lambda_events(spark, input_dir, max_files_per_trigger)
     decoded = decode_stage(kafka_shaped, provider or SchemaProvider(), topic)
+    marker = os.path.join(output_path, "_last_landed_batch.json")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands over a *batch* DataFrame: the observed
         # partitioned writer is reused verbatim from the batch path.
-        if not batch_df.isEmpty():
+        if batch_df.isEmpty():
+            return
+        if commit_protocol == "snapshot":
+            from ..operators.rollup import _read_last_batch_id, _write_last_batch_id
+            from ..operators.snapshots import snapshot_append
+
+            if batch_id <= _read_last_batch_id(spark, marker, checkpoint):
+                return
+            snapshot_append(
+                spark,
+                output_path,
+                with_partition_columns(batch_df),
+                list(PARTITION_COLS),
+            )
+            _write_last_batch_id(
+                spark, marker, batch_id, checkpoint,
+                extra={"commit_protocol": "snapshot"},
+            )
+        else:
             write_partitioned(with_partition_columns(batch_df), output_path)
 
     return (

@@ -474,3 +474,58 @@ def test_read_and_purge_on_snapshot_cdc_table(spark, tmp_path):
     assert raw == {1: "c", 3: "d"}
     # idempotent once clean
     assert purge_tombstones(spark, table, "op", "ts", "2024-01-02 00:00:00") == 0
+
+
+def test_ingest_stream_snapshot_landing_equals_inplace(spark, tmp_path):
+    """run_ingest_stream(commit_protocol='snapshot'): the snapshot-landed
+    decode output equals the in-place partitioned sink's rows, each
+    micro-batch is one committed append, and a restart lands nothing."""
+    import json as _json
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_history,
+        snapshot_read,
+    )
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import run_ingest_stream
+    from lambda_kafka_to_s3_parquet_spark.plans.ingest import GOLDEN_TOPIC
+
+    fixture = "/root/reference/sample_kafka_event.json"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(fixture) as f:
+        payload = f.read()
+    with open(os.path.join(src, "event-0.json"), "w") as f:
+        f.write(payload)
+
+    inplace_out = str(tmp_path / "inplace")
+    q = run_ingest_stream(
+        spark, src, inplace_out, str(tmp_path / "c1"), GOLDEN_TOPIC
+    )
+    assert q.awaitTermination(300)
+    snap_out = str(tmp_path / "snap")
+    q = run_ingest_stream(
+        spark, src, snap_out, str(tmp_path / "c2"), GOLDEN_TOPIC,
+        commit_protocol="snapshot",
+    )
+    assert q.awaitTermination(300)
+
+    a = spark.read.parquet(inplace_out)
+    b = snapshot_read(spark, snap_out)
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    assert sorted(map(str, a.select(*cols).collect())) == sorted(
+        map(str, b.select(*cols).collect())
+    )
+    hist = snapshot_history(spark, snap_out)
+    assert [h["op"] for h in hist] == ["append"]
+    # restart with the same checkpoint: no new snapshot, marker unchanged
+    marker = os.path.join(snap_out, "_last_landed_batch.json")
+    before = _json.load(open(marker))
+    q = run_ingest_stream(
+        spark, src, snap_out, str(tmp_path / "c2"), GOLDEN_TOPIC,
+        commit_protocol="snapshot",
+    )
+    assert q.awaitTermination(300)
+    assert len(snapshot_history(spark, snap_out)) == 1
+    assert _json.load(open(marker)) == before
