@@ -134,9 +134,15 @@ def sig_bands(
     id_col: str = "doc_id",
     n_bands: int = 16,
     rows_per_band: int = 4,
+    keep_sigs: bool = False,
 ) -> DataFrame:
     """Banding table (id, band, band_sig) from signature vectors: each
-    band hashes its ``rows_per_band`` consecutive minhashes."""
+    band hashes its ``rows_per_band`` consecutive minhashes.
+
+    ``keep_sigs=True`` carries the full signature vector on every band
+    row — the persisted-band-store layout, where candidates found in any
+    band arrive WITH the history sigs needed for agreement verification
+    (no second store pass)."""
     bands = F.array(
         *[
             F.struct(
@@ -151,8 +157,12 @@ def sig_bands(
             for b in range(n_bands)
         ]
     )
-    return vecs.select(id_col, F.explode(bands).alias("bs")).select(
-        id_col, F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    extra = ["sigs"] if keep_sigs else []
+    return vecs.select(id_col, *extra, F.explode(bands).alias("bs")).select(
+        id_col,
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_sig").alias("band_sig"),
+        *extra,
     )
 
 
@@ -574,33 +584,40 @@ def incremental_neardup(
     n_bands: int = 16,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    store_bands: DataFrame | None = None,
+    precomputed_vecs: DataFrame | None = None,
 ) -> DataFrame:
     """One batch of first-arrival-wins incremental near-dup dedup.
 
     The continuous-ingestion form of corpus dedup: documents arrive in
     batches forever, and each batch must be deduplicated against
     EVERYTHING kept so far without ever re-reading prior text. State is
-    the signature store — ``(id, sigs)`` MinHash vectors of every prior
-    survivor, K·8 bytes per doc, corpus-text-independent — and the
-    verification measure is :func:`sig_agreement` (the unbiased MinHash
-    Jaccard estimate), since original shingle sets are gone. A document
-    is dropped iff it is est-similar to a prior survivor, or (within the
-    batch) to an already-kept smaller id (:func:`greedy_neardup_survivors`
-    — the rule that stays consistent as batches accumulate: replaying a
-    corpus in id-ordered batches of ANY size yields the same survivor
-    set, pinned in tests).
+    the signature store — MinHash vectors of every prior survivor, K·8
+    bytes per doc, corpus-text-independent — and the verification measure
+    is :func:`sig_agreement` (the unbiased MinHash Jaccard estimate),
+    since original shingle sets are gone. A document is dropped iff it is
+    est-similar to a prior survivor, or (within the batch) to an
+    already-kept smaller id (:func:`greedy_neardup_survivors` — the rule
+    that stays consistent as batches accumulate: replaying a corpus in
+    id-ordered batches of ANY size yields the same survivor set, pinned
+    in tests).
 
-    Scale shape per batch: signature build is the one groupBy(id) shuffle;
-    history candidates come from an equi-join of the batch's band table
-    against the store's (never batch × store); agreement verification
-    touches candidate pairs only. Recomputing the store's band table
-    rides its scan (16 xxhash64/row); at 100 TB the store is instead
-    persisted WITH its band table, partitioned/bucketed by (band,
-    band_sig), so each batch's candidate join prunes to matching buckets
-    and the per-batch cost is ∝ batch, not ∝ store.
+    History arrives one of two ways:
+
+    * ``store_bands`` — the SCALE path: rows of the persisted band store
+      (``(id, band, band_sig, sigs)``, see :func:`append_band_store`),
+      already partition-pruned to the batch's (band, pfx) buckets by
+      :func:`read_band_store`. The candidate join is a plain equi-join on
+      (band, band_sig) and every candidate row carries the history sigs —
+      no band recomputation, no second store pass; per-batch cost is ∝
+      the pruned buckets, not the corpus.
+    * ``store_sigs`` — the compact ``(id, sigs)`` layout: the store's band
+      table is recomputed on its scan (16 xxhash64/row over the FULL
+      store, every batch — fine for bounded history, ∝ corpus at scale;
+      kept for callers that trade per-batch CPU for 16× less state).
 
     Returns the surviving batch rows with their ``sigs`` column appended —
-    the caller lands the rows and appends ``(id, sigs)`` to the store.
+    the caller lands the rows and appends the signatures to the store.
     """
     # The signature build (shingle explode -> 64-aggregate groupBy) is the
     # expensive stage and every downstream step references it — the band
@@ -609,22 +626,30 @@ def incremental_neardup(
     # inside the batch plan; localCheckpoint runs it exactly once per
     # batch (the same boundary reasoning as curate_corpus's cleaning
     # persist and connected_components' edge checkpoint).
-    all_vecs = minhash_vectors(
-        batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n
-    ).localCheckpoint()
+    if store_sigs is not None and store_bands is not None:
+        raise ValueError("pass store_sigs OR store_bands, not both")
+    all_vecs = (
+        precomputed_vecs
+        if precomputed_vecs is not None  # caller already checkpointed it
+        else minhash_vectors(
+            batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n
+        ).localCheckpoint()
+    )
     vecs, bands_b = all_vecs, sig_bands(all_vecs, id_col, n_bands, rows_per_band)
 
     survivors = batch_docs
-    if store_sigs is not None:
+    history = store_bands if store_bands is not None else store_sigs
+    if history is not None:
         # Parameter-drift guard: a store built with a different K =
         # n_bands*rows_per_band would not error — element_at past the end
         # yields NULL band sigs and zip_with null-pads sig_agreement, so
         # near-dups of stored survivors would silently sail through with
         # estimates capped at ~0.5. Fail fast instead (bounded 1-row
         # probe of the store), mirroring the rollup's schema-mismatch
-        # guard.
+        # guard. (The banded store ALSO checks its meta file at
+        # read/append; this probe covers hand-built frames.)
         expected_k = n_bands * rows_per_band
-        probe = store_sigs.select(F.size("sigs").alias("k")).first()
+        probe = history.select(F.size("sigs").alias("k")).first()
         if probe is not None and probe["k"] != expected_k:
             raise ValueError(
                 f"signature store carries {probe['k']}-hash vectors but this "
@@ -633,22 +658,35 @@ def incremental_neardup(
                 "mismatched widths are silently wrong — rebuild the store "
                 "or match the parameters it was built with"
             )
-        bands_s = sig_bands(store_sigs, id_col, n_bands, rows_per_band).select(
-            F.col(id_col).alias("_hist_id"), "band", "band_sig"
-        )
-        cand_hist = (
-            bands_b.join(bands_s, ["band", "band_sig"])
-            .select(id_col, "_hist_id")
-            .distinct()
+        if store_bands is not None:
+            bands_s = store_bands.select(
+                F.col(id_col).alias("_hist_id"),
+                "band",
+                "band_sig",
+                F.col("sigs").alias("_hist_sigs"),
+            )
+        else:
+            bands_s = (
+                sig_bands(store_sigs, id_col, n_bands, rows_per_band)
+                .select(F.col(id_col).alias("_hist_id"), "band", "band_sig")
+                .join(
+                    store_sigs.select(
+                        F.col(id_col).alias("_hist_id"),
+                        F.col("sigs").alias("_hist_sigs"),
+                    ),
+                    "_hist_id",
+                )
+            )
+        # A (batch doc, hist doc) pair may collide in several bands with
+        # identical _hist_sigs; dropDuplicates keeps one row per pair WITH
+        # its sigs so verification joins nothing else. The batch band
+        # table is the small side — AQE broadcasts it, so the (pruned)
+        # store side never shuffles.
+        cand_hist = bands_b.join(bands_s, ["band", "band_sig"]).dropDuplicates(
+            [id_col, "_hist_id"]
         )
         hist_dropped = (
             cand_hist.join(vecs, id_col)
-            .join(
-                store_sigs.select(
-                    F.col(id_col).alias("_hist_id"), F.col("sigs").alias("_hist_sigs")
-                ),
-                "_hist_id",
-            )
             .filter(sig_agreement(F.col("sigs"), F.col("_hist_sigs")) >= threshold)
             .select(id_col)
             .distinct()
@@ -691,6 +729,268 @@ def incremental_neardup(
         survivors.join(batch_dropped, id_col, "left_anti")
         .join(all_vecs, id_col, "left")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted band store — the incremental near-dup state layout that keeps
+# per-batch cost ∝ batch instead of ∝ corpus-so-far.
+# ---------------------------------------------------------------------------
+
+#: store meta filename — underscore prefix keeps it invisible to the
+#: parquet reader (same convention as the rollup/CDC high-water markers)
+NEARDUP_STORE_META = "_neardup_store_meta.json"
+
+#: default band_sig prefix fan-out. Partition dirs = n_bands × n_pfx;
+#: size it (and re-bucket, below) so one dir holds roughly a target byte
+#: budget — the knob that keeps a pruned per-batch read bounded.
+DEFAULT_STORE_PFX = 8
+
+
+def _store_meta(spark, store_path: str) -> dict | None:
+    """Read the band store's meta file, or None when it doesn't exist."""
+    import json
+
+    from .rollup import _marker_fs
+
+    fs, p = _marker_fs(spark, f"{store_path}/{NEARDUP_STORE_META}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _write_store_meta(spark, store_path: str, meta: dict) -> None:
+    import json
+
+    from .rollup import _marker_fs
+
+    fs, p = _marker_fs(spark, f"{store_path}/{NEARDUP_STORE_META}")
+    stream = fs.create(p, True)
+    try:
+        stream.write(json.dumps(meta).encode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _check_store_params(
+    meta: dict, store_path: str, n_bands: int, rows_per_band: int
+) -> None:
+    if meta["n_bands"] != n_bands or meta["rows_per_band"] != rows_per_band:
+        raise ValueError(
+            f"band store {store_path} was built with n_bands="
+            f"{meta['n_bands']} x rows_per_band={meta['rows_per_band']} but "
+            f"this caller runs {n_bands} x {rows_per_band}; band signatures "
+            "across mismatched parameters never collide, so near-dups of "
+            "stored survivors would silently pass — rebuild the store or "
+            "match its parameters"
+        )
+
+
+def _with_pfx(bands: DataFrame, n_pfx: int) -> DataFrame:
+    """The partition prefix: a uniform, deterministic fold of band_sig
+    into n_pfx buckets (band_sig is already an xxhash64 output, so a
+    plain pmod is uniform)."""
+    return bands.withColumn("pfx", F.pmod("band_sig", F.lit(n_pfx)).cast("int"))
+
+
+def append_band_store(
+    spark,
+    store_path: str,
+    vecs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    n_pfx: int = DEFAULT_STORE_PFX,
+) -> None:
+    """Append survivor signatures to the persisted band store.
+
+    Layout (the fix the compact ``(id, sigs)`` layout's docstring always
+    named): the store is its OWN band table — rows ``(id, band_sig, sigs)``
+    under partition dirs ``band=<b>/pfx=<band_sig mod n_pfx>`` — so a
+    batch's candidate lookup statically prunes to the (band, pfx) buckets
+    its own band table hashes into and never scans, shuffles, or re-hashes
+    the rest of the corpus's state. The full signature vector rides every
+    band row (×n_bands duplication, ~n_bands·K·8 ≈ 8 KB/survivor at the
+    defaults): agreement verification reads it off the matched candidate
+    row directly, which is what removes the second, unprunable (id →
+    sigs) lookup that would otherwise rescan the whole store per batch —
+    state bytes are the cheap currency, per-batch scan bytes the
+    expensive one.
+
+    ``n_pfx`` is fixed at store creation (recorded in the meta file;
+    later appends validate and reuse it — pass anything, it's ignored
+    once created). As the store grows, keep per-dir size bounded with
+    :func:`rebucket_band_store` (the HBase-split-style maintenance that
+    makes pruned per-batch reads ∝ batch at any corpus size).
+
+    Single-writer contract (same as the rollup/CDC markers): one
+    maintenance stream owns a store path.
+    """
+    meta = _store_meta(spark, store_path)
+    if meta is None:
+        meta = {
+            "n_bands": n_bands,
+            "rows_per_band": rows_per_band,
+            "n_pfx": int(n_pfx),
+            "layout": "banded-v1",
+        }
+        _write_store_meta(spark, store_path, meta)
+    else:
+        _check_store_params(meta, store_path, n_bands, rows_per_band)
+    rows = _with_pfx(
+        sig_bands(vecs, id_col, n_bands, rows_per_band, keep_sigs=True),
+        meta["n_pfx"],
+    )
+    # one output file per touched dir per append, not one per task per dir
+    (
+        rows.repartition("band", "pfx")
+        .write.mode("append")
+        .partitionBy("band", "pfx")
+        .parquet(store_path)
+    )
+
+
+def read_band_store(
+    spark,
+    store_path: str,
+    id_col: str = "doc_id",
+    prune_to: DataFrame | None = None,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Scan the band store — pruned to a batch's buckets when ``prune_to``
+    (the batch's band table) is given. Returns ``None`` when pruning
+    leaves nothing to read (no stored bucket matches the batch).
+
+    The prune key set is ``distinct (band, pfx)`` of the batch, collected
+    driver-side: bounded by n_bands × n_pfx REGARDLESS of batch size
+    (both are low-cardinality partition values, not band_sigs), so the
+    collect is a few hundred ints. Pruning happens at TWO levels:
+
+    * **listing**: the matching ``band=<b>/pfx=<p>`` dir paths are
+      constructed directly (one bounded ``fs.exists`` probe each) and
+      passed to the reader with ``basePath`` — a plain partitioned read
+      of the root would RECURSIVELY LIST the whole store to discover
+      partitions before pruning anything, a per-batch metadata cost ∝
+      store (measured 4.2× wall at 10× store before this; flat after);
+    * **plan**: the same key set rides as a static predicate on the
+      partition columns (PruneFileSourcePartitions → PartitionFilters,
+      plan-asserted in tests) — defensive, since the listed paths are
+      already exactly the matching dirs.
+    """
+    meta = _store_meta(spark, store_path)
+    if meta is None:
+        raise ValueError(f"{store_path} has no band-store meta file")
+    _check_store_params(meta, store_path, n_bands, rows_per_band)
+    n_pfx = meta["n_pfx"]
+    if prune_to is None:
+        df = spark.read.parquet(store_path)
+        return df.select(id_col, "band", "band_sig", "sigs")
+
+    from .rollup import _marker_fs
+
+    pairs = sorted(
+        (r["band"], r["pfx"])
+        for r in _with_pfx(prune_to, n_pfx).select("band", "pfx").distinct().collect()
+    )
+    fs, _ = _marker_fs(spark, store_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    paths = [
+        f"{store_path}/band={b}/pfx={p}"
+        for b, p in pairs
+        if fs.exists(jpath(f"{store_path}/band={b}/pfx={p}"))
+    ]
+    if not paths:
+        return None
+    df = spark.read.option("basePath", store_path).parquet(*paths)
+    keys = [b * n_pfx + p for b, p in pairs]
+    df = df.filter((F.col("band") * n_pfx + F.col("pfx")).isin(keys))
+    return df.select(id_col, "band", "band_sig", "sigs")
+
+
+def incremental_neardup_banded(
+    spark,
+    batch_docs: DataFrame,
+    store_path: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One incremental near-dup batch against the persisted band store.
+
+    Same semantics as :func:`incremental_neardup` (first arrival wins,
+    greedy within batch, batch-split invariant); the history side is the
+    pruned band-store read. Bootstrap (absent/empty store) dedups the
+    batch against itself only — the probe goes through the FileSystem
+    API so a read ERROR surfaces instead of silently dropping history.
+    Returns survivors with sigs; the caller lands them and calls
+    :func:`append_band_store`.
+    """
+    from .rollup import _is_absent_or_empty
+
+    # One signature build per batch, shared by the prune-key collect and
+    # every downstream stage (the materialization-boundary reasoning in
+    # incremental_neardup's body).
+    vecs = minhash_vectors(
+        batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n
+    ).localCheckpoint()
+    store = None
+    if not _is_absent_or_empty(spark, store_path):
+        batch_bands = sig_bands(vecs, id_col, n_bands, rows_per_band)
+        # None when no stored bucket matches the batch — nothing in
+        # history can collide, so the batch dedups against itself only
+        store = read_band_store(
+            spark, store_path, id_col, batch_bands, n_bands, rows_per_band
+        )
+    return incremental_neardup(
+        batch_docs,
+        None,
+        threshold,
+        id_col=id_col,
+        text_col=text_col,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+        store_bands=store,
+        precomputed_vecs=vecs,
+    )
+
+
+def rebucket_band_store(spark, store_path: str, n_pfx_new: int) -> None:
+    """Split (or merge) the store's partition fan-out: rewrite with a new
+    ``n_pfx`` so per-dir bytes stay bounded as the corpus grows — run it
+    from the maintenance window that owns the store (single writer; the
+    swap is not atomic for concurrent readers, exactly like compaction on
+    plain parquet).
+    """
+    from .rollup import _marker_fs
+
+    meta = _store_meta(spark, store_path)
+    if meta is None:
+        raise ValueError(f"{store_path} has no band-store meta file")
+    tmp = store_path.rstrip("/") + ".rebucket_tmp"
+    # the tmp write fully materializes before the old dir is deleted, so a
+    # crash at any point leaves a readable store (old OR renamed new)
+    rows = _with_pfx(spark.read.parquet(store_path).drop("pfx"), n_pfx_new)
+    (
+        rows.repartition("band", "pfx")
+        .write.mode("overwrite")
+        .partitionBy("band", "pfx")
+        .parquet(tmp)
+    )
+    _write_store_meta(spark, tmp, {**meta, "n_pfx": int(n_pfx_new)})
+    fs, old_p = _marker_fs(spark, store_path)
+    _, tmp_p = _marker_fs(spark, tmp)
+    fs.delete(old_p, True)
+    if not fs.rename(tmp_p, old_p):
+        raise OSError(f"rebucket rename {tmp} -> {store_path} failed")
 
 
 def cross_split_overlap(

@@ -28,10 +28,13 @@ files (the race ADVICE flagged in the in-place dynamic-overwrite rollup
 merge), and every prior snapshot stays readable until expired.
 
 Single-maintenance-writer contract, like the rollup/CDC markers: marker
-creation is atomic but not compare-and-swap, so two concurrent
-committers could lose one commit. The engine's streaming maintenance is
-already single-writer (checkpoint-serialized); a multi-writer table
-needs a real catalog (the named Delta/Iceberg upgrade).
+creation is atomic but not compare-and-swap. Two concurrent committers
+now FAIL-STOP instead of silently losing a commit — the marker loser
+errors at the fresh-path create, and a winner whose manifest was
+clobbered detects it by re-reading after publish (see :func:`_commit`).
+The engine's streaming maintenance is already single-writer
+(checkpoint-serialized); true multi-writer needs a real catalog (the
+named Delta/Iceberg upgrade).
 
 Scale notes: manifests list directories, not files — O(live partitions ×
 commits-touching-them) entries, compacted by :func:`snapshot_rewrite`
@@ -256,8 +259,27 @@ def _commit(
         parts.setdefault(pval, []).extend(dirs)
     version = base + 1
     new_manifest = {"version": version, "op": op, "partitions": parts}
-    _replace_text(spark, _manifest_path(table, version), json.dumps(new_manifest))
+    serialized = json.dumps(new_manifest)
+    _replace_text(spark, _manifest_path(table, version), serialized)
     _swap_pointer(spark, table, version)
+    # Concurrent-committer detection (the single-writer contract made
+    # fail-stop instead of silent): two writers racing the same base both
+    # target version N+1 — the marker loser already errors in
+    # _create_atomic (fresh-path create), but it may have REPLACED the
+    # winner's manifest before losing, leaving the winner's marker
+    # pointing at the loser's content. Re-reading our manifest after the
+    # swap catches exactly that clobber; the table stays consistent (the
+    # surviving manifest + its data are a real commit), and the writer
+    # whose commit was displaced gets an error instead of silence.
+    check = _read_text(spark, _manifest_path(table, version))
+    if check != serialized:
+        raise RuntimeError(
+            f"concurrent commit detected on {table} v{version}: this "
+            "writer's manifest was replaced by another committer before "
+            "publish — the table holds the OTHER commit; this one must be "
+            "retried (snapshot tables are single-writer; use a real "
+            "catalog for multi-writer commits)"
+        )
     return version
 
 
@@ -401,9 +423,15 @@ def snapshot_rewrite(spark: SparkSession, table: str, partition_by: list[str]) -
     live partition ends up with a single commit-directory entry, shrinking
     manifests that accumulated one entry per touching commit and bounding
     small files (run on the maintenance cadence, then
-    :func:`snapshot_expire` reclaims the superseded directories)."""
+    :func:`snapshot_expire` reclaims the superseded directories).
+
+    Routes through :func:`snapshot_overwrite_all`: the rewrite reads the
+    WHOLE live snapshot, so every live manifest key must be replaced —
+    per-partition overwrite would keep an unpartitioned commit's ``''``
+    entry alongside the repartitioned copies of its rows, silently
+    duplicating them in the new snapshot."""
     df = snapshot_read(spark, table)
-    return snapshot_overwrite_partitions(spark, table, df, partition_by)
+    return snapshot_overwrite_all(spark, table, df, partition_by)
 
 
 def is_snapshot_table(spark: SparkSession, table: str) -> bool:

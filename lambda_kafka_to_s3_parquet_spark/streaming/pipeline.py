@@ -69,14 +69,39 @@ def run_ingest_stream(
     def land(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands over a *batch* DataFrame: the observed
         # partitioned writer is reused verbatim from the batch path.
+        from ..operators.rollup import (
+            _guard_no_inplace_data,
+            _read_marker_state,
+            _write_last_batch_id,
+        )
+
+        # Protocol-flip guard, BOTH directions (same contract as the
+        # rollup/CDC maintenance streams): restarting a snapshot-landed
+        # sink as inplace would write topic=... dirs beside data/ that
+        # snapshot_read never sees (and that break a plain root read);
+        # the reverse flip would commit a v1 holding only the new batch,
+        # silently hiding everything landed before it.
+        state = _read_marker_state(spark, marker, checkpoint)
+        stored_proto = state.get("commit_protocol", "inplace") if state else None
+        if state is not None and stored_proto != commit_protocol:
+            raise ValueError(
+                f"ingest sink {output_path} was landed with commit_protocol="
+                f"{stored_proto!r} but this stream runs {commit_protocol!r}; "
+                "the physical layouts are incompatible — migrate the table "
+                "explicitly"
+            )
         if batch_df.isEmpty():
             return
         if commit_protocol == "snapshot":
-            from ..operators.rollup import _read_last_batch_id, _write_last_batch_id
-            from ..operators.snapshots import snapshot_append
+            from ..operators.snapshots import current_version, snapshot_append
 
-            if batch_id <= _read_last_batch_id(spark, marker, checkpoint):
+            if state is not None and batch_id <= int(state["batch_id"]):
                 return
+            if current_version(spark, output_path) == 0:
+                # first snapshot commit: refuse to bootstrap OVER an
+                # existing in-place-landed sink (its topic=... data would
+                # silently vanish from snapshot_read)
+                _guard_no_inplace_data(spark, output_path)
             snapshot_append(
                 spark,
                 output_path,
@@ -230,10 +255,24 @@ def run_neardup_stream(
     The streaming form of :func:`..operators.dedup.incremental_neardup`:
     every micro-batch is deduplicated against the signature store of all
     prior survivors (first arrival wins) and against itself (greedy by
-    id), survivors land at ``output_path`` and their ``(id, sigs)``
-    vectors append to the store. State never contains document text —
-    only fixed-width MinHash vectors — so the store grows at K·8
-    bytes/survivor regardless of document size.
+    id), survivors land at ``output_path`` and their signatures append to
+    the store. State never contains document text — only fixed-width
+    MinHash vectors — so the store grows at ~n_bands·K·8 bytes/survivor
+    regardless of document size.
+
+    The store is the PERSISTED BAND TABLE (``append_band_store``):
+    partition dirs ``band=<b>/pfx=<band_sig mod n_pfx>`` with the sigs
+    vector riding every band row. Each batch's history lookup statically
+    prunes to its own (band, pfx) buckets (``read_band_store``), so
+    per-batch cost is ∝ batch + touched buckets — never a full-store
+    scan or a per-batch rebuild of the store's band table. Bootstrap is
+    probed through the FileSystem API — a read error (corrupt footer,
+    permissions, transient storage failure) must surface, never be
+    silently treated as "no history": that would dedup the batch only
+    against itself and permanently land near-dups of every prior
+    survivor (same reasoning as the rollup bootstrap). Keep dir sizes
+    bounded as the corpus grows with ``rebucket_band_store`` from the
+    maintenance window.
 
     Exactly-once caveat (same boundary as the rollup merge's two-step
     commit): the survivor land and the store append are two writes; a
@@ -244,34 +283,22 @@ def run_neardup_stream(
     compaction (exact_dedup on id) over ``output_path`` after a crashed
     batch, or accept at-least-once landing.
     """
-    from ..operators.dedup import incremental_neardup
-    from ..operators.rollup import _is_absent_or_empty
+    from ..operators.dedup import append_band_store, incremental_neardup_banded
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # Bootstrap ONLY when the store is genuinely absent/empty, probed
-        # through the FileSystem API — a read error (corrupt footer,
-        # permissions, transient storage failure) must surface, never be
-        # silently treated as "no history": that would dedup the batch
-        # only against itself and permanently land near-dups of every
-        # prior survivor (same reasoning as the rollup bootstrap).
-        store = (
-            None
-            if _is_absent_or_empty(spark, store_path)
-            else spark.read.parquet(store_path)
-        )
-        surv = incremental_neardup(
-            batch_df, store, threshold, id_col=id_col, text_col=text_col
+        surv = incremental_neardup_banded(
+            spark, batch_df, store_path, threshold, id_col=id_col, text_col=text_col
         )
         # two actions below (land + store append): persist so the
         # candidate joins + greedy walk run once, not twice
         surv = surv.persist()
         try:
             surv.drop("sigs").write.mode("append").parquet(output_path)
-            surv.filter(F.col("sigs").isNotNull()).select(id_col, "sigs").write.mode(
-                "append"
-            ).parquet(store_path)
+            with_sigs = surv.filter(F.col("sigs").isNotNull()).select(id_col, "sigs")
+            if not with_sigs.isEmpty():
+                append_band_store(spark, store_path, with_sigs, id_col=id_col)
         finally:
             surv.unpersist()
 

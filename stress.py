@@ -97,6 +97,51 @@ def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
     return round(best, 3)
 
 
+def w09_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """w09's scale axis is the STORE, not the batch: time one fixed
+    micro-batch of incremental near-dup against a 1x and an Nx signature
+    store, each bucketed to the same target dir size (the
+    rebucket_band_store maintenance contract). Flat t1 ≈ tN is the
+    banded layout doing its job — per-batch cost ∝ batch + touched
+    buckets, not corpus-so-far (the pre-round-6 (id, sigs) layout
+    rescanned and re-banded the whole store every batch)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        append_band_store,
+        incremental_neardup_banded,
+        minhash_vectors,
+    )
+
+    docs = load_table(spark, base_dir, "documents").select("doc_id", "text")
+    rep = docs
+    for k in range(1, scale):
+        rep = rep.unionByName(
+            docs.select(
+                (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" rep{k}")).alias("text"),
+            )
+        )
+    s1 = os.path.join(scratch, "w09_s1")
+    sN = os.path.join(scratch, "w09_sN")
+    # same per-dir row budget at both scales: n_pfx grows with the store
+    append_band_store(spark, s1, minhash_vectors(docs), n_pfx=32)
+    append_band_store(spark, sN, minhash_vectors(rep), n_pfx=32 * scale)
+    batch = docs.filter(F.col("doc_id") % 1000 < 2).localCheckpoint()  # fixed tiny batch
+
+    def run(store: str) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            incremental_neardup_banded(spark, batch, store).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    t1, tn = run(s1), run(sN)
+    return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+
+
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "10"))
@@ -132,6 +177,7 @@ def main() -> None:
             t1 = time_query(spark, fn, base1x)
             tn = time_query(spark, fn, baseNx)
             out[name] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+        out["w09_batch_vs_store"] = w09_store_growth(spark, base, scratch, scale)
         print(
             json.dumps(
                 {

@@ -1524,3 +1524,22 @@ def test_learn_bpe_stops_below_min_pair_count(spark):
     docs = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
     # every pair occurs once: with min_pair_count=2 nothing merges
     assert learn_bpe(docs, n_merges=5, min_pair_count=2) == []
+
+
+def test_pq_empty_training_sample_raises_clearly(spark):
+    """No non-null / nonzero-norm vectors -> a clear ValueError, not an
+    opaque numpy stack error."""
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="training sample is empty"):
+        train_pq_codebooks(empty, m=2, n_codes=2)
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        train_pq_codebooks(zeros, m=2, n_codes=2)

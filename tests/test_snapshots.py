@@ -529,3 +529,119 @@ def test_ingest_stream_snapshot_landing_equals_inplace(spark, tmp_path):
     assert q.awaitTermination(300)
     assert len(snapshot_history(spark, snap_out)) == 1
     assert _json.load(open(marker)) == before
+
+
+def test_concurrent_committer_detected_not_silent(spark, table, monkeypatch):
+    """Two writers racing the same base version: the marker loser errors
+    at the fresh-path create, and a winner whose manifest was clobbered
+    between its manifest write and its pointer swap detects the clobber
+    and raises — no commit is ever lost SILENTLY (the single-writer
+    contract made fail-stop)."""
+    import json as _json
+
+    import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap
+
+    base = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
+    snapshot_append(spark, table, base, ["p"])  # v1
+
+    df_a = spark.createDataFrame([(2, "a", 20)], "id long, p string, v long")
+    df_b = spark.createDataFrame([(9, "b", 90)], "id long, p string, v long")
+    orig_swap = snap._swap_pointer
+    fired = {"done": False}
+
+    def interleaved_swap(spark_, table_, version):
+        # writer B (same base) replaces A's manifest just before A's swap
+        if not fired["done"]:
+            fired["done"] = True
+            rels = snap._write_commit_data(df_b, table_, ["p"])
+            parts = dict(
+                snap._load_manifest(spark_, table_, version - 1)["partitions"]
+            )
+            for pval, dirs in snap._group_rels(rels, ["p"]).items():
+                parts.setdefault(pval, []).extend(dirs)
+            manifest_b = {"version": version, "op": "append", "partitions": parts}
+            snap._replace_text(
+                spark_, snap._manifest_path(table_, version), _json.dumps(manifest_b)
+            )
+        orig_swap(spark_, table_, version)
+
+    monkeypatch.setattr(snap, "_swap_pointer", interleaved_swap)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        snapshot_append(spark, table, df_a, ["p"])
+    monkeypatch.undo()
+    # the table is consistent: B's commit is the live v2
+    assert current_version(spark, table) == 2
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a"), (9, 90, "b")]
+    # and the marker loser (B retrying its own swap) errors, never clobbers
+    with pytest.raises(Exception, match="already exists"):
+        _create_atomic(spark, f"{table}/_snapshots/latest-00002", "2")
+
+
+def test_rewrite_handles_mixed_unpartitioned_and_partitioned_commits(spark, table):
+    """A table holding an unpartitioned commit (manifest key '') plus
+    partitioned ones must compact WITHOUT duplicating the unpartitioned
+    rows: rewrite replaces the ENTIRE live partition set (routes through
+    snapshot_overwrite_all), so the '' entry cannot survive next to the
+    repartitioned copies of its rows."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_rewrite
+
+    un = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, p string, v long")
+    snapshot_append(spark, table, un)  # unpartitioned: manifest key ''
+    pt = spark.createDataFrame([(3, "a", 30)], "id long, p string, v long")
+    snapshot_append(spark, table, pt, ["p"])
+    before = _rows(snapshot_read(spark, table))
+    snapshot_rewrite(spark, table, ["p"])
+    assert _rows(snapshot_read(spark, table)) == before  # no duplicates
+    manifest = _load_manifest(spark, table, current_version(spark, table))
+    assert "" not in manifest["partitions"]
+    assert all(k.startswith("p=") for k in manifest["partitions"])
+
+
+def test_ingest_stream_protocol_flip_guarded_both_directions(spark, tmp_path):
+    """run_ingest_stream protocol-flip guards (mirrors rollup/CDC):
+    snapshot-bootstrap over an inplace-landed sink fails fast (would
+    silently hide all previously landed data from snapshot_read), and an
+    inplace restart of a snapshot-landed sink fails fast at the marker
+    (would write topic=... dirs invisible to snapshot_read)."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.plans.ingest import GOLDEN_TOPIC
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import run_ingest_stream
+
+    fixture = "/root/reference/sample_kafka_event.json"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(fixture) as f:
+        payload = f.read()
+    with open(os.path.join(src, "event-0.json"), "w") as f:
+        f.write(payload)
+
+    # inplace landing, then a snapshot restart over the same sink
+    out = str(tmp_path / "out")
+    q = run_ingest_stream(spark, src, out, str(tmp_path / "c1"), GOLDEN_TOPIC)
+    assert q.awaitTermination(300)
+    with open(os.path.join(src, "event-1.json"), "w") as f:
+        f.write(payload)
+    q2 = run_ingest_stream(
+        spark, src, out, str(tmp_path / "c2"), GOLDEN_TOPIC,
+        commit_protocol="snapshot",
+    )
+    with pytest.raises(Exception, match="in-place"):
+        q2.awaitTermination(300)
+        raise RuntimeError(q2.exception() or "stream did not fail")
+
+    # snapshot landing, then an inplace restart over the same sink
+    snap_out = str(tmp_path / "snap")
+    q3 = run_ingest_stream(
+        spark, src, snap_out, str(tmp_path / "c3"), GOLDEN_TOPIC,
+        commit_protocol="snapshot",
+    )
+    assert q3.awaitTermination(300)
+    with open(os.path.join(src, "event-2.json"), "w") as f:
+        f.write(payload)
+    q4 = run_ingest_stream(
+        spark, src, snap_out, str(tmp_path / "c3"), GOLDEN_TOPIC
+    )
+    with pytest.raises(Exception, match="commit_protocol"):
+        q4.awaitTermination(300)
+        raise RuntimeError(q4.exception() or "stream did not fail")

@@ -548,10 +548,13 @@ def test_incremental_neardup_first_arrival_wins_and_restart(spark, sf_dir, tmp_p
     )
     assert q.awaitTermination(300)
     assert spark.read.parquet(str(tmp_path / "out")).count() == n_first
-    # store holds exactly one fixed-width signature row per survivor
+    # banded store: one fixed-width row per survivor per band, sigs riding
+    # every row, (band, pfx) partition dirs
     store = spark.read.parquet(str(tmp_path / "store"))
-    assert store.count() == n_first
-    assert store.schema.simpleString() == "struct<doc_id:bigint,sigs:array<bigint>>"
+    assert store.count() == n_first * 16
+    assert store.select("doc_id").distinct().count() == n_first
+    assert set(store.columns) == {"doc_id", "band_sig", "sigs", "band", "pfx"}
+    assert store.select(F.size("sigs")).distinct().collect()[0][0] == 64
 
 
 def test_incremental_neardup_short_docs_survive(spark, tmp_path):
@@ -565,7 +568,11 @@ def test_incremental_neardup_short_docs_survive(spark, tmp_path):
     )
     landed = _run_neardup(spark, tmp_path, [docs])
     assert landed.count() == 3
-    assert spark.read.parquet(str(tmp_path / "store")).count() == 0
+    # nothing shingleable -> the store was never created (bootstrap probe
+    # stays in the absent/empty branch)
+    from lambda_kafka_to_s3_parquet_spark.operators.rollup import _is_absent_or_empty
+
+    assert _is_absent_or_empty(spark, str(tmp_path / "store"))
 
 
 def test_w09_registered_summary(spark, sf_dir):
@@ -576,6 +583,137 @@ def test_w09_registered_summary(spark, sf_dir):
     assert all(r["n_twin_leaks"] == 0 for r in rows)
     assert all(r["last_doc"] < 1_000_000 for r in rows)
     assert sum(r["n_survivors"] for r in rows) > 0
+
+
+def _mk_band_store(spark, sf_dir, path, docs=None, n_pfx=8):
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        append_band_store,
+        minhash_vectors,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vecs = minhash_vectors(docs).filter(F.col("sigs").isNotNull())
+    append_band_store(spark, str(path), vecs, n_pfx=n_pfx)
+    return docs
+
+
+def test_band_store_read_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The history lookup's store scan must carry PartitionFilters from
+    the batch's (band, pfx) set: a tiny batch touches a strict subset of
+    the store's partition dirs — the property that makes per-batch cost
+    ∝ batch, not ∝ corpus-so-far."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        minhash_vectors,
+        read_band_store,
+        sig_bands,
+    )
+
+    store = tmp_path / "store"
+    docs = _mk_band_store(spark, sf_dir, store)
+    full = spark.read.parquet(str(store))
+
+    tiny = docs.filter(F.col("doc_id") % 500 < 2)  # ~2 docs -> <=32 band sigs
+    batch_bands = sig_bands(minhash_vectors(tiny))
+    pruned = read_band_store(spark, str(store), prune_to=batch_bands)
+
+    assert 0 < pruned.count() < full.count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "band" in plan
+    # strictly fewer files actually scanned than the store holds
+    # (inputFiles() reports the unpruned relation, so measure the scan)
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    n_full = full.select(F.input_file_name()).distinct().count()
+    assert 0 < n_pruned < n_full
+
+
+def test_band_store_pruned_read_flat_as_store_grows(spark, sf_dir, tmp_path):
+    """Deterministic stress proxy: with dir sizes held bounded (the
+    rebucket maintenance contract), a fixed batch's pruned read touches
+    ~the same number of rows whether the store holds 1x or 10x the
+    corpus — per-batch scan cost is ∝ batch, not store."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        minhash_vectors,
+        read_band_store,
+        sig_bands,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = docs
+    for i in range(1, 10):  # 10x corpus via id-shifted, text-perturbed twins
+        rep = rep.unionByName(
+            docs.select(
+                (F.col("doc_id") + 1_000_000 * i).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+            )
+        )
+    s1, s10 = tmp_path / "s1", tmp_path / "s10"
+    _mk_band_store(spark, sf_dir, s1, docs=docs, n_pfx=8)
+    _mk_band_store(spark, sf_dir, s10, docs=rep, n_pfx=80)  # same target dir size
+
+    tiny = docs.filter(F.col("doc_id") % 500 < 2)
+    batch_bands = sig_bands(minhash_vectors(tiny)).localCheckpoint()
+    r1 = read_band_store(spark, str(s1), prune_to=batch_bands).count()
+    r10 = read_band_store(spark, str(s10), prune_to=batch_bands).count()
+    assert r1 > 0
+    # 10x the store, same batch: pruned rows stay flat (not ~10x)
+    assert r10 <= 1.5 * r1 + 64
+
+
+def test_band_store_rebucket_preserves_content_and_meta(spark, sf_dir, tmp_path):
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        _store_meta,
+        read_band_store,
+        rebucket_band_store,
+    )
+
+    store = tmp_path / "store"
+    _mk_band_store(spark, sf_dir, store, n_pfx=4)
+    before = {
+        (r["doc_id"], r["band"], r["band_sig"])
+        for r in read_band_store(spark, str(store)).collect()
+    }
+    rebucket_band_store(spark, str(store), 16)
+    assert _store_meta(spark, str(store))["n_pfx"] == 16
+    after_df = read_band_store(spark, str(store))
+    after = {
+        (r["doc_id"], r["band"], r["band_sig"]) for r in after_df.collect()
+    }
+    assert after == before
+    # new fan-out actually materialized in the layout
+    assert spark.read.parquet(str(store)).select("pfx").distinct().count() > 4
+
+
+def test_band_store_rejects_parameter_drift(spark, sf_dir, tmp_path):
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        append_band_store,
+        minhash_vectors,
+        read_band_store,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    store = tmp_path / "store"
+    docs = _mk_band_store(spark, sf_dir, store)
+    with pytest.raises(ValueError, match="n_bands"):
+        read_band_store(spark, str(store), n_bands=8, rows_per_band=8)
+    with pytest.raises(ValueError, match="n_bands"):
+        append_band_store(
+            spark,
+            str(store),
+            minhash_vectors(docs, n_bands=8, rows_per_band=8),
+            n_bands=8,
+            rows_per_band=8,
+        )
 
 
 # ---------------------------------------------------------------------------
