@@ -584,8 +584,8 @@ def incremental_neardup(
     n_bands: int = 16,
     rows_per_band: int = 4,
     shingle_n: int = 3,
-    store_bands: DataFrame | None = None,
     precomputed_vecs: DataFrame | None = None,
+    _hist_dropped: DataFrame | None = None,
 ) -> DataFrame:
     """One batch of first-arrival-wins incremental near-dup dedup.
 
@@ -604,17 +604,12 @@ def incremental_neardup(
 
     History arrives one of two ways:
 
-    * ``store_bands`` — the SCALE path: rows of the persisted band store
-      (``(id, band, band_sig, sigs)``, see :func:`append_band_store`),
-      already partition-pruned to the batch's (band, pfx) buckets by
-      :func:`read_band_store`. The candidate join is a plain equi-join on
-      (band, band_sig) and every candidate row carries the history sigs —
-      no band recomputation, no second store pass; per-batch cost is ∝
-      the pruned buckets, not the corpus.
-    * ``store_sigs`` — the compact ``(id, sigs)`` layout: the store's band
+    * via :func:`incremental_neardup_banded` — the SCALE path over the
+      persisted two-part band store (``_hist_dropped`` injection);
+    * ``store_sigs`` — the compact ``(id, sigs)`` frame: the store's band
       table is recomputed on its scan (16 xxhash64/row over the FULL
       store, every batch — fine for bounded history, ∝ corpus at scale;
-      kept for callers that trade per-batch CPU for 16× less state).
+      kept for callers holding history in memory/small state).
 
     Returns the surviving batch rows with their ``sigs`` column appended —
     the caller lands the rows and appends the signatures to the store.
@@ -626,8 +621,8 @@ def incremental_neardup(
     # inside the batch plan; localCheckpoint runs it exactly once per
     # batch (the same boundary reasoning as curate_corpus's cleaning
     # persist and connected_components' edge checkpoint).
-    if store_sigs is not None and store_bands is not None:
-        raise ValueError("pass store_sigs OR store_bands, not both")
+    if store_sigs is not None and _hist_dropped is not None:
+        raise ValueError("pass store_sigs OR _hist_dropped, not both")
     all_vecs = (
         precomputed_vecs
         if precomputed_vecs is not None  # caller already checkpointed it
@@ -638,18 +633,17 @@ def incremental_neardup(
     vecs, bands_b = all_vecs, sig_bands(all_vecs, id_col, n_bands, rows_per_band)
 
     survivors = batch_docs
-    history = store_bands if store_bands is not None else store_sigs
-    if history is not None:
+    hist_dropped = _hist_dropped
+    if store_sigs is not None:
         # Parameter-drift guard: a store built with a different K =
         # n_bands*rows_per_band would not error — element_at past the end
         # yields NULL band sigs and zip_with null-pads sig_agreement, so
         # near-dups of stored survivors would silently sail through with
         # estimates capped at ~0.5. Fail fast instead (bounded 1-row
         # probe of the store), mirroring the rollup's schema-mismatch
-        # guard. (The banded store ALSO checks its meta file at
-        # read/append; this probe covers hand-built frames.)
+        # guard. (The banded store checks its meta file at read/append.)
         expected_k = n_bands * rows_per_band
-        probe = history.select(F.size("sigs").alias("k")).first()
+        probe = store_sigs.select(F.size("sigs").alias("k")).first()
         if probe is not None and probe["k"] != expected_k:
             raise ValueError(
                 f"signature store carries {probe['k']}-hash vectors but this "
@@ -658,35 +652,22 @@ def incremental_neardup(
                 "mismatched widths are silently wrong — rebuild the store "
                 "or match the parameters it was built with"
             )
-        if store_bands is not None:
-            bands_s = store_bands.select(
-                F.col(id_col).alias("_hist_id"),
-                "band",
-                "band_sig",
-                F.col("sigs").alias("_hist_sigs"),
-            )
-        else:
-            bands_s = (
-                sig_bands(store_sigs, id_col, n_bands, rows_per_band)
-                .select(F.col(id_col).alias("_hist_id"), "band", "band_sig")
-                .join(
-                    store_sigs.select(
-                        F.col(id_col).alias("_hist_id"),
-                        F.col("sigs").alias("_hist_sigs"),
-                    ),
-                    "_hist_id",
-                )
-            )
-        # A (batch doc, hist doc) pair may collide in several bands with
-        # identical _hist_sigs; dropDuplicates keeps one row per pair WITH
-        # its sigs so verification joins nothing else. The batch band
-        # table is the small side — AQE broadcasts it, so the (pruned)
-        # store side never shuffles.
-        cand_hist = bands_b.join(bands_s, ["band", "band_sig"]).dropDuplicates(
-            [id_col, "_hist_id"]
+        bands_s = sig_bands(store_sigs, id_col, n_bands, rows_per_band).select(
+            F.col(id_col).alias("_hist_id"), "band", "band_sig"
+        )
+        cand_hist = (
+            bands_b.join(bands_s, ["band", "band_sig"])
+            .select(id_col, "_hist_id")
+            .distinct()
         )
         hist_dropped = (
             cand_hist.join(vecs, id_col)
+            .join(
+                store_sigs.select(
+                    F.col(id_col).alias("_hist_id"), F.col("sigs").alias("_hist_sigs")
+                ),
+                "_hist_id",
+            )
             .filter(sig_agreement(F.col("sigs"), F.col("_hist_sigs")) >= threshold)
             .select(id_col)
             .distinct()
@@ -694,6 +675,7 @@ def incremental_neardup(
             # the boundary each would re-run the store scan + band join
             .localCheckpoint()
         )
+    if hist_dropped is not None:
         survivors = survivors.join(hist_dropped, id_col, "left_anti")
         vecs = vecs.join(hist_dropped, id_col, "left_anti")
         bands_b = bands_b.join(hist_dropped, id_col, "left_anti")
@@ -797,6 +779,28 @@ def _with_pfx(bands: DataFrame, n_pfx: int) -> DataFrame:
     return bands.withColumn("pfx", F.pmod("band_sig", F.lit(n_pfx)).cast("int"))
 
 
+def _existing_paths(spark, root: str, candidates: list[str], glob_tail: str) -> list[str]:
+    """Which of ``candidates`` (paths under ``root``) exist — by whichever
+    metadata strategy is cheaper: per-path ``exists()`` probes cost one
+    JVM/RPC round trip each (right when the candidate set is small — the
+    tiny-batch regime), while one dir-level ``globStatus`` of
+    ``root/glob_tail`` lists O(total dirs) names in a single call (right
+    when the candidate set is large). Neither ever lists into the FILES
+    of untouched dirs, so either way metadata cost is bounded by
+    min(candidates, total dirs), never by store bytes."""
+    from .rollup import _marker_fs
+
+    fs, _ = _marker_fs(spark, root)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    if len(candidates) <= 48:
+        return [p for p in candidates if fs.exists(jpath(p))]
+    existing = {
+        st.getPath().toUri().getPath()
+        for st in fs.globStatus(jpath(f"{root}/{glob_tail}")) or []
+    }
+    return [p for p in candidates if jpath(p).toUri().getPath() in existing]
+
+
 def append_band_store(
     spark,
     store_path: str,
@@ -806,20 +810,24 @@ def append_band_store(
     rows_per_band: int = 4,
     n_pfx: int = DEFAULT_STORE_PFX,
 ) -> None:
-    """Append survivor signatures to the persisted band store.
+    """Append survivor signatures to the persisted two-part band store.
 
-    Layout (the fix the compact ``(id, sigs)`` layout's docstring always
-    named): the store is its OWN band table — rows ``(id, band_sig, sigs)``
-    under partition dirs ``band=<b>/pfx=<band_sig mod n_pfx>`` — so a
-    batch's candidate lookup statically prunes to the (band, pfx) buckets
-    its own band table hashes into and never scans, shuffles, or re-hashes
-    the rest of the corpus's state. The full signature vector rides every
-    band row (×n_bands duplication, ~n_bands·K·8 ≈ 8 KB/survivor at the
-    defaults): agreement verification reads it off the matched candidate
-    row directly, which is what removes the second, unprunable (id →
-    sigs) lookup that would otherwise rescan the whole store per batch —
-    state bytes are the cheap currency, per-batch scan bytes the
-    expensive one.
+    Layout (the fix the compact ``(id, sigs)`` frame's docstring always
+    named — the store persisted WITH its band table, bucketed so lookups
+    prune):
+
+    * ``<store>/bands/band=<b>/pfx=<band_sig mod n_pfx>/`` — slim
+      ``(id, band_sig)`` rows, the candidate-generation index. A batch's
+      lookup statically prunes to the (band, pfx) buckets its own band
+      table hashes into and never scans, shuffles, or re-hashes the rest
+      of the corpus's state (and never re-pays the 16 xxhash64/row the
+      in-memory layout recomputes per batch).
+    * ``<store>/sigs/spfx=<xxhash64(id) mod n_pfx>/`` — ``(id, sigs)``
+      ONCE per survivor, the verification store. Only the id-buckets of
+      actual candidates are read (∝ candidates ∝ batch). Keeping sigs
+      out of the band rows avoids n_bands× state duplication (~0.9 KB vs
+      ~8 KB per survivor at the defaults) and 16× read amplification
+      when a batch's buckets cover much of the store.
 
     ``n_pfx`` is fixed at store creation (recorded in the meta file;
     later appends validate and reuse it — pass anything, it's ignored
@@ -836,21 +844,28 @@ def append_band_store(
             "n_bands": n_bands,
             "rows_per_band": rows_per_band,
             "n_pfx": int(n_pfx),
-            "layout": "banded-v1",
+            "layout": "banded-v2",
         }
         _write_store_meta(spark, store_path, meta)
     else:
         _check_store_params(meta, store_path, n_bands, rows_per_band)
-    rows = _with_pfx(
-        sig_bands(vecs, id_col, n_bands, rows_per_band, keep_sigs=True),
-        meta["n_pfx"],
-    )
+    n_pfx = meta["n_pfx"]
+    bands = _with_pfx(sig_bands(vecs, id_col, n_bands, rows_per_band), n_pfx)
     # one output file per touched dir per append, not one per task per dir
     (
-        rows.repartition("band", "pfx")
+        bands.repartition("band", "pfx")
         .write.mode("append")
         .partitionBy("band", "pfx")
-        .parquet(store_path)
+        .parquet(f"{store_path}/bands")
+    )
+    sig_rows = vecs.select(
+        id_col, "sigs", F.pmod(F.xxhash64(id_col), F.lit(n_pfx)).cast("int").alias("spfx")
+    )
+    (
+        sig_rows.repartition("spfx")
+        .write.mode("append")
+        .partitionBy("spfx")
+        .parquet(f"{store_path}/sigs")
     )
 
 
@@ -861,10 +876,10 @@ def read_band_store(
     prune_to: DataFrame | None = None,
     n_bands: int = 16,
     rows_per_band: int = 4,
-) -> DataFrame:
-    """Scan the band store — pruned to a batch's buckets when ``prune_to``
-    (the batch's band table) is given. Returns ``None`` when pruning
-    leaves nothing to read (no stored bucket matches the batch).
+) -> DataFrame | None:
+    """Scan the store's band table — pruned to a batch's buckets when
+    ``prune_to`` (the batch's band table) is given. Returns ``None`` when
+    pruning leaves nothing to read (no stored bucket matches the batch).
 
     The prune key set is ``distinct (band, pfx)`` of the batch, collected
     driver-side: bounded by n_bands × n_pfx REGARDLESS of batch size
@@ -872,11 +887,11 @@ def read_band_store(
     collect is a few hundred ints. Pruning happens at TWO levels:
 
     * **listing**: the matching ``band=<b>/pfx=<p>`` dir paths are
-      constructed directly (one bounded ``fs.exists`` probe each) and
-      passed to the reader with ``basePath`` — a plain partitioned read
-      of the root would RECURSIVELY LIST the whole store to discover
-      partitions before pruning anything, a per-batch metadata cost ∝
-      store (measured 4.2× wall at 10× store before this; flat after);
+      resolved against one dir-level glob and passed to the reader with
+      ``basePath`` — a plain partitioned read of the root would
+      RECURSIVELY LIST the whole store to discover partitions before
+      pruning anything, a per-batch metadata cost ∝ store (measured
+      4.2× wall at 10× store before this; flat after);
     * **plan**: the same key set rides as a static predicate on the
       partition columns (PruneFileSourcePartitions → PartitionFilters,
       plan-asserted in tests) — defensive, since the listed paths are
@@ -887,29 +902,52 @@ def read_band_store(
         raise ValueError(f"{store_path} has no band-store meta file")
     _check_store_params(meta, store_path, n_bands, rows_per_band)
     n_pfx = meta["n_pfx"]
+    root = f"{store_path}/bands"
     if prune_to is None:
-        df = spark.read.parquet(store_path)
-        return df.select(id_col, "band", "band_sig", "sigs")
-
-    from .rollup import _marker_fs
-
+        return spark.read.parquet(root).select(id_col, "band", "band_sig")
     pairs = sorted(
         (r["band"], r["pfx"])
         for r in _with_pfx(prune_to, n_pfx).select("band", "pfx").distinct().collect()
     )
-    fs, _ = _marker_fs(spark, store_path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    paths = [
-        f"{store_path}/band={b}/pfx={p}"
-        for b, p in pairs
-        if fs.exists(jpath(f"{store_path}/band={b}/pfx={p}"))
-    ]
+    paths = _existing_paths(
+        spark,
+        root,
+        [f"{root}/band={b}/pfx={p}" for b, p in pairs],
+        "band=*/pfx=*",
+    )
     if not paths:
         return None
-    df = spark.read.option("basePath", store_path).parquet(*paths)
+    df = spark.read.option("basePath", root).parquet(*paths)
     keys = [b * n_pfx + p for b, p in pairs]
     df = df.filter((F.col("band") * n_pfx + F.col("pfx")).isin(keys))
-    return df.select(id_col, "band", "band_sig", "sigs")
+    return df.select(id_col, "band", "band_sig")
+
+
+def read_sig_store(
+    spark,
+    store_path: str,
+    spfx_values: list[int],
+    id_col: str = "doc_id",
+) -> DataFrame | None:
+    """The (id, sigs) verification rows for the given id-buckets only —
+    the ∝-candidates second half of a batch lookup. ``None`` when no
+    requested bucket exists."""
+    meta = _store_meta(spark, store_path)
+    if meta is None:
+        raise ValueError(f"{store_path} has no band-store meta file")
+    root = f"{store_path}/sigs"
+    paths = _existing_paths(
+        spark,
+        root,
+        [f"{root}/spfx={s}" for s in sorted(set(spfx_values))],
+        "spfx=*",
+    )
+    if not paths:
+        return None
+    df = spark.read.option("basePath", root).parquet(*paths)
+    return df.filter(F.col("spfx").isin(sorted(set(spfx_values)))).select(
+        id_col, "sigs"
+    )
 
 
 def incremental_neardup_banded(
@@ -927,11 +965,12 @@ def incremental_neardup_banded(
 
     Same semantics as :func:`incremental_neardup` (first arrival wins,
     greedy within batch, batch-split invariant); the history side is the
-    pruned band-store read. Bootstrap (absent/empty store) dedups the
-    batch against itself only — the probe goes through the FileSystem
-    API so a read ERROR surfaces instead of silently dropping history.
-    Returns survivors with sigs; the caller lands them and calls
-    :func:`append_band_store`.
+    pruned two-part store read: candidates from the slim band table,
+    verification sigs fetched ONLY for the candidates' id-buckets.
+    Bootstrap (absent/empty store) dedups the batch against itself only —
+    the probe goes through the FileSystem API so a read ERROR surfaces
+    instead of silently dropping history. Returns survivors with sigs;
+    the caller lands them and calls :func:`append_band_store`.
     """
     from .rollup import _is_absent_or_empty
 
@@ -941,14 +980,60 @@ def incremental_neardup_banded(
     vecs = minhash_vectors(
         batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n
     ).localCheckpoint()
-    store = None
+    hist_dropped = None
     if not _is_absent_or_empty(spark, store_path):
+        meta = _store_meta(spark, store_path)
+        n_pfx = meta["n_pfx"] if meta else DEFAULT_STORE_PFX
         batch_bands = sig_bands(vecs, id_col, n_bands, rows_per_band)
-        # None when no stored bucket matches the batch — nothing in
-        # history can collide, so the batch dedups against itself only
-        store = read_band_store(
+        store_bands = read_band_store(
             spark, store_path, id_col, batch_bands, n_bands, rows_per_band
         )
+        if store_bands is not None:
+            # (batch id, hist id) candidates — ∝ real collisions, never
+            # batch × store. Materialized once: the spfx collect below
+            # and the verification join both consume it.
+            cand = (
+                batch_bands.join(
+                    store_bands.select(
+                        F.col(id_col).alias("_hist_id"), "band", "band_sig"
+                    ),
+                    ["band", "band_sig"],
+                )
+                .select(id_col, "_hist_id")
+                .distinct()
+                .localCheckpoint()
+            )
+            spfx = [
+                r["s"]
+                for r in cand.select(
+                    F.pmod(F.xxhash64("_hist_id"), F.lit(n_pfx))
+                    .cast("int")
+                    .alias("s")
+                )
+                .distinct()
+                .collect()
+            ]
+            hist_sigs = (
+                read_sig_store(spark, store_path, spfx, id_col) if spfx else None
+            )
+            if hist_sigs is not None:
+                hist_dropped = (
+                    cand.join(vecs, id_col)
+                    .join(
+                        hist_sigs.select(
+                            F.col(id_col).alias("_hist_id"),
+                            F.col("sigs").alias("_hist_sigs"),
+                        ),
+                        "_hist_id",
+                    )
+                    .filter(
+                        sig_agreement(F.col("sigs"), F.col("_hist_sigs")) >= threshold
+                    )
+                    .select(id_col)
+                    .distinct()
+                    # three anti-joins consume this small id set
+                    .localCheckpoint()
+                )
     return incremental_neardup(
         batch_docs,
         None,
@@ -958,17 +1043,17 @@ def incremental_neardup_banded(
         n_bands=n_bands,
         rows_per_band=rows_per_band,
         shingle_n=shingle_n,
-        store_bands=store,
         precomputed_vecs=vecs,
+        _hist_dropped=hist_dropped,
     )
 
 
 def rebucket_band_store(spark, store_path: str, n_pfx_new: int) -> None:
-    """Split (or merge) the store's partition fan-out: rewrite with a new
-    ``n_pfx`` so per-dir bytes stay bounded as the corpus grows — run it
-    from the maintenance window that owns the store (single writer; the
-    swap is not atomic for concurrent readers, exactly like compaction on
-    plain parquet).
+    """Split (or merge) the store's partition fan-out: rewrite both halves
+    with a new ``n_pfx`` so per-dir bytes stay bounded as the corpus
+    grows — run it from the maintenance window that owns the store
+    (single writer; the swap is not atomic for concurrent readers,
+    exactly like compaction on plain parquet).
     """
     from .rollup import _marker_fs
 
@@ -978,12 +1063,25 @@ def rebucket_band_store(spark, store_path: str, n_pfx_new: int) -> None:
     tmp = store_path.rstrip("/") + ".rebucket_tmp"
     # the tmp write fully materializes before the old dir is deleted, so a
     # crash at any point leaves a readable store (old OR renamed new)
-    rows = _with_pfx(spark.read.parquet(store_path).drop("pfx"), n_pfx_new)
+    bands = _with_pfx(
+        spark.read.parquet(f"{store_path}/bands").drop("pfx"), n_pfx_new
+    )
     (
-        rows.repartition("band", "pfx")
+        bands.repartition("band", "pfx")
         .write.mode("overwrite")
         .partitionBy("band", "pfx")
-        .parquet(tmp)
+        .parquet(f"{tmp}/bands")
+    )
+    old_sigs = spark.read.parquet(f"{store_path}/sigs").drop("spfx")
+    idc = next(c for c in old_sigs.columns if c != "sigs")
+    sig_rows = old_sigs.withColumn(
+        "spfx", F.pmod(F.xxhash64(F.col(idc)), F.lit(n_pfx_new)).cast("int")
+    )
+    (
+        sig_rows.repartition("spfx")
+        .write.mode("overwrite")
+        .partitionBy("spfx")
+        .parquet(f"{tmp}/sigs")
     )
     _write_store_meta(spark, tmp, {**meta, "n_pfx": int(n_pfx_new)})
     fs, old_p = _marker_fs(spark, store_path)

@@ -150,16 +150,31 @@ def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x04 — per-document quality profile in ONE narrow pass: length/stopword/
-# alpha/distinct ratios, Gopher-style duplicate-n-gram repetition
-# fractions, and LLM token budgets (whitespace + BPE-style estimate,
-# consolidating former x23_token_budget). Pure per-row expressions, no
-# shuffle at all — at 100 TB this is the cheapest possible shape: every
-# quality/budget signal computed in the same scan.
+# x04 — per-document quality + language profile in ONE narrow pass:
+# length/stopword/alpha/distinct ratios, Gopher-style duplicate-n-gram
+# repetition fractions, LLM token budgets (whitespace + BPE-style
+# estimate, consolidating former x23_token_budget), and the stopword-
+# profile language-ID argmax + per-language hit counts (consolidating
+# former x05_language_id in round 6 — same per-document narrow-scan
+# shape, freeing a driver-window slot for x36). Pure per-row
+# expressions, no shuffle at all — at 100 TB this is the cheapest
+# possible shape: every quality/budget/language signal computed in the
+# same scan.
 # --------------------------------------------------------------------------
-@register(
-    "x04_text_quality",
-    oracle=rf"""
+def _x04_oracle() -> str:
+    hits = {
+        lang: f"len(list_filter(tok, t -> list_contains({list(words)!r}, t)))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = "greatest({})".format(", ".join(hits.values()))
+    whens = " ".join(
+        f"WHEN {hits[lang]} > 0 AND {hits[lang]} = best THEN '{lang}'"
+        for lang in LANG_PROFILES
+    )
+    lang_cols = ",\n           ".join(
+        f"CAST({expr} AS BIGINT) AS {lang}_hits" for lang, expr in hits.items()
+    )
+    return rf"""
     SELECT doc_id,
            CAST(len(tok) AS BIGINT)                              AS n_tokens,
            round(CASE WHEN len(tok) > 0
@@ -186,15 +201,24 @@ def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       w -> regexp_replace(w, '[^a-zA-Z0-9]', '', 'g')),
                       w -> w != ''),
                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-                AS BIGINT)                                       AS est_bpe_tokens
-    FROM (SELECT doc_id, text, tok,
-                 [array_to_string(tok[i:i+1], ' ') for i in range(1, len(tok))]     AS g2,
-                 [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok) - 1)] AS g3
-          FROM (SELECT doc_id, text, {_SQL_TOKENS} AS tok FROM documents))
+                AS BIGINT)                                       AS est_bpe_tokens,
+           CASE {whens} ELSE 'und' END                           AS lang_guess,
+           {lang_cols}
+    FROM (SELECT doc_id, text, tok, g2, g3, {best} AS best
+          FROM (SELECT doc_id, text, tok,
+                       [array_to_string(tok[i:i+1], ' ') for i in range(1, len(tok))]     AS g2,
+                       [array_to_string(tok[i:i+2], ' ') for i in range(1, len(tok) - 1)] AS g3
+                FROM (SELECT doc_id, text, {_SQL_TOKENS} AS tok FROM documents)))
     ORDER BY doc_id
-    """,
-    doc="quality profile: stopword/alpha/distinct + dup-n-gram repetition "
-        "+ whitespace/BPE token budgets, one narrow scan",
+    """
+
+
+@register(
+    "x04_text_quality",
+    oracle=_x04_oracle(),
+    doc="quality + language profile: stopword/alpha/distinct + dup-n-gram "
+        "repetition + whitespace/BPE token budgets + language-ID argmax "
+        "with per-language hit counts, one narrow scan",
 )
 def x04_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import bpe_token_estimate, dup_ngram_frac, whitespace_tokens
@@ -205,6 +229,7 @@ def x04_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_n = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
     uniq_n = F.size(F.array_distinct(tok))
     ratio = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))  # noqa: E731
+    scores = lang_scores(tok)
     return d.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
@@ -215,46 +240,6 @@ def x04_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_ngram_frac(tok, 3), 6).alias("dup_3gram_frac"),
         F.size(whitespace_tokens("text")).cast("bigint").alias("n_ws_tokens"),
         bpe_token_estimate("text").alias("est_bpe_tokens"),
-    )
-
-
-# --------------------------------------------------------------------------
-# x05 — language-ID heuristic: stopword-profile argmax per document.
-# --------------------------------------------------------------------------
-def _sql_lang_case() -> str:
-    hits = {
-        lang: f"len(list_filter(tok, t -> list_contains({list(words)!r}, t)))"
-        for lang, words in LANG_PROFILES.items()
-    }
-    best = "greatest({})".format(", ".join(hits.values()))
-    whens = " ".join(
-        f"WHEN {hits[lang]} > 0 AND {hits[lang]} = best THEN '{lang}'"
-        for lang in LANG_PROFILES
-    )
-    cols = ",\n           ".join(
-        f"CAST({expr} AS BIGINT) AS {lang}_hits" for lang, expr in hits.items()
-    )
-    return f"""
-    SELECT doc_id,
-           CASE {whens} ELSE 'und' END AS lang_guess,
-           {cols}
-    FROM (SELECT doc_id, tok, {best} AS best
-          FROM (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents))
-    ORDER BY doc_id
-    """
-
-
-@register(
-    "x05_language_id",
-    oracle=_sql_lang_case(),
-    doc="language-ID: per-language stopword-profile hit counts + argmax",
-)
-def x05_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    tok = tokens("text")
-    scores = lang_scores(tok)
-    return d.select(
-        "doc_id",
         lang_guess(tok).alias("lang_guess"),
         *[scores[lang].cast("bigint").alias(f"{lang}_hits") for lang in LANG_PROFILES],
     )
@@ -942,12 +927,15 @@ def x24_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         {_SQL_TOKENS} AS tok,
                         ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 AS b
                  FROM documents),
-    sh AS (SELECT doc_id,
-                  CASE WHEN b < 80 THEN 'train'
-                       WHEN b < 90 THEN 'val'
-                       ELSE 'test' END AS split,
-                  unnest({_SQL_SHINGLES3}) AS shingle
-           FROM tok)
+    sh0 AS (SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   unnest({_SQL_SHINGLES3}) AS shingle
+            FROM tok),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle
+             HAVING count(DISTINCT doc_id) <= {{cap}}),
+    sh AS (SELECT sh0.* FROM sh0 SEMI JOIN keep ON sh0.shingle = keep.shingle)
     SELECT t.doc_id                     AS train_doc,
            count(DISTINCT t.shingle)    AS n_shared_shingles,
            count(DISTINCT te.doc_id)    AS n_test_docs
@@ -956,75 +944,30 @@ def x24_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON t.shingle = te.shingle
     GROUP BY t.doc_id
     ORDER BY train_doc
-    """,
-    doc="n-gram decontamination: train docs sharing shingles with the test split",
+    """.replace("{cap}", "60"),
+    doc="n-gram decontamination with the stop-phrase df cap: train docs "
+    "sharing (non-stop-phrase) shingles with the test split",
 )
 def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.splits import assign_split
     from ..operators.dedup import cross_split_overlap
 
-    # Uncapped here (the fixture has no stop-phrase skew and the oracle
-    # counts every shared shingle); production calls pass max_shingle_df
-    # — the measured quadratic-blowup guard, see cross_split_overlap.
+    # CAPPED since round 6 — the registered call is the one a user copies,
+    # so it carries the measured quadratic-blowup guard (uncapped: 3.2x
+    # wall at 10x replicated data; capped: ~1.1x — stress.py). The oracle
+    # recomputes the identical df-census cap in DuckDB. df_cap=60 keeps
+    # every fixture shingle (max df ~= 5 at sf0.01) while dropping
+    # stop-phrases under content replication.
     return cross_split_overlap(
-        _t(spark, sf_dir, "documents"), assign_split("text")
+        _t(spark, sf_dir, "documents"), assign_split("text"), max_shingle_df=60
     )
 
 
-# --------------------------------------------------------------------------
-# x26 — inter-document boilerplate line removal (CCNet/RefinedWeb line
-# dedup): lines whose trimmed form appears in >= k DISTINCT documents are
-# boilerplate and dropped from every doc; survivors reassemble in order.
-# The parquet fixture is single-line word-soup, so the query derives a
-# multi-line corpus first — a newline after every 3rd token via ONE
-# codegen'd regexp_replace (an earlier transform+slice higher-order
-# formulation produced identical bytes ~10x slower, and the operator's
-# plan evaluates the derivation twice) — and runs the real operator on
-# it; the oracle recomputes segment flags + ordered string_agg
-# independently. cleaned_md5 proves byte-exact reassembly including
-# removal order.
-# --------------------------------------------------------------------------
-@register(
-    "x26_boilerplate_lines",
-    oracle=rf"""
-    WITH seg0 AS (SELECT doc_id,
-                         string_split(regexp_replace(
-                             array_to_string({_SQL_TOKENS}, ' '),
-                             '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
-                             chr(10)) AS ls
-                  FROM documents),
-    seg AS (SELECT doc_id,
-                   unnest(ls)                            AS line,
-                   unnest(generate_series(1, len(ls)))   AS pos
-            FROM seg0),
-    boiler AS (SELECT line FROM seg WHERE trim(line) <> '' GROUP BY line
-               HAVING count(DISTINCT doc_id) >= 3)
-    SELECT s.doc_id,
-           CAST(count(*) AS BIGINT)                                  AS n_lines,
-           CAST(count(*) FILTER (WHERE b.line IS NOT NULL) AS BIGINT) AS n_removed,
-           md5(coalesce(string_agg(s.line, chr(10) ORDER BY s.pos)
-                        FILTER (WHERE b.line IS NULL), ''))          AS cleaned_md5
-    FROM seg s LEFT JOIN boiler b ON s.line = b.line
-    GROUP BY s.doc_id
-    ORDER BY s.doc_id
-    """,
-    doc="inter-doc boilerplate line dedup: flag lines in >=k docs, rebuild docs",
-)
-def x26_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import remove_boilerplate_lines
-
-    d = _t(spark, sf_dir, "documents")
-    doc2 = d.select(
-        "doc_id",
-        F.regexp_replace(
-            F.array_join(tokens("text"), " "), r"(\S+ \S+ \S+) ", "$1\n"
-        ).alias("text"),
-    )
-    return (
-        remove_boilerplate_lines(doc2, min_docs=3)
-        .select("doc_id", "n_lines", "n_removed", F.md5("cleaned").alias("cleaned_md5"))
-        .orderBy("doc_id")
-    )
+# (x26_boilerplate_lines was consolidated into x28_curation_chain's
+# union-tagged 'boilerplate' branch in round 6 — its per-doc line census
+# + byte-exact cleaned_md5 oracle now rides the chain query, whose
+# recursive-CTE oracle already contained the identical seg/boiler CTEs.
+# Freed a driver-window slot for x43.)
 
 
 # --------------------------------------------------------------------------
@@ -1122,13 +1065,20 @@ def x27_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scores or MinHash signatures), then the quality gate, then MinHash-LSH
 # near-dup dedup (pairs -> connected components -> min-id survivor), then
 # deterministic split assignment + token budgets — each stage is
-# individually green (x26, x04, x07/x24, x25/x21), and this query proves
+# individually green (x04, x07/x24, x25/x21), and this query proves
 # the COMPOSITION and the stage ORDER: the oracle recomputes the whole
 # chain (recursive-CTE components included) over the same derived
-# multi-line corpus, and text_md5 pins the bytes each stage saw. At 100 TB
-# the chain is exactly the sum of its verified parts: narrow per-row gates
-# ride the scan, and the shuffles are boilerplate's line census, the
-# banded LSH equi-joins, and one left-anti survivor join.
+# multi-line corpus, and the chain branch's md5 pins the bytes each stage
+# saw. Round 6 consolidates former x26_boilerplate_lines in as the
+# union-tagged 'boilerplate' branch — the standalone CCNet line-dedup
+# census (n_lines/n_removed/byte-exact cleaned_md5 per doc), recomputed
+# by the oracle from the same seg/boiler CTEs the chain already carried.
+# At 100 TB the chain is exactly the sum of its verified parts: narrow
+# per-row gates ride the scan, and the shuffles are boilerplate's line
+# census, the banded LSH equi-joins, and one left-anti survivor join.
+# Branch column mapping: chain rows carry (split, n1=n_ws_tokens,
+# n2=est_bpe_tokens, md5=text_md5); boilerplate rows carry (split=NULL,
+# n1=n_lines, n2=n_removed, md5=cleaned_md5).
 # --------------------------------------------------------------------------
 @register(
     "x28_curation_chain",
@@ -1177,12 +1127,13 @@ def x27_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ('0x' || substr(md5(g.text), 1, 8))::UBIGINT % 100 AS b
                   FROM gated g LEFT JOIN comp ON g.doc_id = comp.node
                   WHERE comp.node IS NULL OR comp.component = g.doc_id)
-    SELECT doc_id,
+    SELECT 'chain' AS src,
+           doc_id,
            CASE WHEN b < 80 THEN 'train'
                 WHEN b < 90 THEN 'val'
                 ELSE 'test' END                                   AS split,
            CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w != ''))
-                AS BIGINT)                                        AS n_ws_tokens,
+                AS BIGINT)                                        AS n1,
            CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
                 + coalesce(list_sum(list_transform(
                     list_filter(list_transform(
@@ -1190,21 +1141,34 @@ def x27_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                       w -> regexp_replace(w, '[^a-zA-Z0-9]', '', 'g')),
                       w -> w != ''),
                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)
-                AS BIGINT)                                        AS est_bpe_tokens,
-           md5(text)                                              AS text_md5
+                AS BIGINT)                                        AS n2,
+           md5(text)                                              AS md5
     FROM survivors
-    ORDER BY doc_id
+    UNION ALL
+    SELECT 'boilerplate' AS src,
+           s.doc_id,
+           CAST(NULL AS VARCHAR)                                  AS split,
+           CAST(count(*) AS BIGINT)                               AS n1,
+           CAST(count(*) FILTER (WHERE b.line IS NOT NULL) AS BIGINT) AS n2,
+           md5(coalesce(string_agg(s.line, chr(10) ORDER BY s.pos)
+                        FILTER (WHERE b.line IS NULL), ''))       AS md5
+    FROM seg s LEFT JOIN boiler b ON s.line = b.line
+    GROUP BY s.doc_id
+    ORDER BY src, doc_id
     """,
     doc="end-to-end curation chain: boilerplate removal -> quality gate -> "
-    "near-dup dedup -> split + token budgets, whole-pipeline oracle",
+    "near-dup dedup -> split + token budgets, whole-pipeline oracle; "
+    "union-tagged with the standalone boilerplate line-dedup census "
+    "(former x26)",
 )
 def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curate import curate_corpus
+    from ..operators.dedup import remove_boilerplate_lines
 
     d = _t(spark, sf_dir, "documents")
-    # Same derived multi-line corpus as x26 (the parquet fixture is
-    # single-line word soup; a newline after every 3rd token gives the
-    # line-dedup stage real lines to work on).
+    # Derived multi-line corpus (the parquet fixture is single-line word
+    # soup; a newline after every 3rd token gives the line-dedup stage
+    # real lines to work on).
     doc2 = d.select(
         "doc_id",
         F.regexp_replace(
@@ -1218,13 +1182,23 @@ def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_threshold=0.8,
         drop_boilerplate_in=3,
     )
-    return out.select(
+    chain = out.select(
+        F.lit("chain").alias("src"),
         "doc_id",
         "split",
-        "n_ws_tokens",
-        "est_bpe_tokens",
-        F.md5("text").alias("text_md5"),
-    ).orderBy("doc_id")
+        F.col("n_ws_tokens").alias("n1"),
+        F.col("est_bpe_tokens").alias("n2"),
+        F.md5("text").alias("md5"),
+    )
+    boiler = remove_boilerplate_lines(doc2, min_docs=3).select(
+        F.lit("boilerplate").alias("src"),
+        "doc_id",
+        F.lit(None).cast("string").alias("split"),
+        F.col("n_lines").alias("n1"),
+        F.col("n_removed").alias("n2"),
+        F.md5("cleaned").alias("md5"),
+    )
+    return chain.unionByName(boiler).orderBy("src", "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -1551,21 +1525,69 @@ def x35_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x36 — one-pass data profile of the events table. Rows-only (distinct
-# counts are HLL sketches, engine-specific); the exact statistics
-# (rows/nulls/min/max/mean) are pinned against a DuckDB twin in
-# tests/test_extensions.py, with the sketch checked to its rsd bound.
+# x36 — one-pass data profile of the events table, ORACLE-CHECKED since
+# round 6 on its exact statistics (rows/nulls/min/max/mean per column,
+# all computed in the same single aggregate pass): the registered query
+# profiles a comparability-prepared projection (ts pre-formatted to the
+# fixed microsecond format, value pre-rounded — the same cross-engine
+# rendering discipline x02/x22 use) and drops the approx_distinct
+# column, because an HLL sketch's VALUE is engine-specific (DuckDB's
+# approx sketch differs); the full operator including the HLL column
+# and its rsd bound stays pinned in tests/test_extensions.py.
 # --------------------------------------------------------------------------
+def _x36_oracle() -> str:
+    cols = {
+        "event_id": True,
+        "user_id": True,
+        "event_type": False,
+        "ts_str": False,
+        "value": True,
+        "props": False,
+    }
+    branches = []
+    for c, numeric in cols.items():
+        mean = f"round(avg({c}), 6)" if numeric else "CAST(NULL AS DOUBLE)"
+        branches.append(
+            f"""
+    SELECT '{c}' AS "column",
+           count(*)              AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str,
+           {mean} AS mean
+    FROM ev"""
+        )
+    return (
+        """
+    WITH ev AS (SELECT event_id, user_id, event_type,
+                       strftime(CAST(ts AS TIMESTAMP),
+                                '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+                       round(value, 2) AS value, props
+                FROM events)"""
+        + " UNION ALL ".join(branches)
+        + '\n    ORDER BY "column"'
+    )
+
+
 @register(
     "x36_data_profile",
-    oracle=None,
-    doc="per-column profile (rows/nulls/approx-distinct/min/max/mean) in "
-    "ONE aggregate pass; exact stats pinned vs DuckDB in pytest",
+    oracle=_x36_oracle(),
+    doc="per-column profile (rows/nulls/min/max/mean) in ONE aggregate "
+    "pass, oracle-checked; the HLL approx-distinct column is pinned to "
+    "its rsd bound in pytest (sketch values are engine-specific)",
 )
 def x36_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile
 
-    return profile(_t(spark, sf_dir, "events")).orderBy("column")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.round("value", 2).alias("value"),
+        "props",
+    )
+    return profile(ev).drop("approx_distinct").orderBy("column")
 
 
 # --------------------------------------------------------------------------
@@ -1913,15 +1935,88 @@ def x42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deequ/Great-Expectations validation stage): row-level checks fused
 # into one pass per table, uniqueness via one keyed shuffle, referential
 # integrity via broadcast anti-join, plus the skew report that feeds the
-# salted-join decision. Rows-only (exact counts pinned vs DuckDB twins
-# in pytest); every check must PASS on the fixture tables except the
+# salted-join decision. ORACLE-CHECKED since round 6: every violation
+# count, rows_checked, and passed flag recomputed independently by
+# DuckDB (the skew branch mirrors suggested_salts = greatest(1,
+# ceil(share * P)) with P pinned to 32 so the result is session-conf-
+# independent). Every check must PASS on the fixture tables except the
 # deliberately-tight discount range, which reports its violation count.
 # --------------------------------------------------------------------------
+_X43_SKEW_P = 32  # pinned shuffle-partition count for the skew branch
+
+_X43_ORACLE = f"""
+    SELECT "check", violations, rows_checked, violations = 0 AS passed FROM (
+      SELECT 'not_null(l_orderkey)' AS "check",
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+             count(*) AS rows_checked FROM lineitem
+      UNION ALL
+      SELECT 'not_null(l_shipdate)',
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(*) FROM lineitem
+      UNION ALL
+      SELECT 'not_null(l_extendedprice)',
+             CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(*) FROM lineitem
+      UNION ALL
+      SELECT 'range(l_discount,[0.0,0.1])',
+             CAST(sum(CASE WHEN l_discount IS NOT NULL
+                            AND NOT (l_discount BETWEEN 0.0 AND 0.1)
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             count(*) FROM lineitem
+      UNION ALL
+      SELECT 'range(l_tax,[0.0,0.08])',
+             CAST(sum(CASE WHEN l_tax IS NOT NULL
+                            AND NOT (l_tax BETWEEN 0.0 AND 0.08)
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             count(*) FROM lineitem
+      UNION ALL
+      SELECT 'accepted(l_returnflag)',
+             CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A', 'N', 'R')
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             count(*) FROM lineitem
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT),
+             CAST(coalesce(sum(n), 0) AS BIGINT)
+      FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'ref(o_custkey->c_custkey)',
+             CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(*)
+      FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'ref(l_orderkey->o_orderkey)',
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(*)
+      FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+    )
+    UNION ALL
+    SELECT 'skew(source=' || CAST(source AS VARCHAR) || ')' AS "check",
+           salts - 1   AS violations,
+           n_rows      AS rows_checked,
+           salts = 1   AS passed
+    FROM (
+      SELECT source, n_rows,
+             CAST(greatest(1, ceil((CAST(n_rows AS DOUBLE) / total)
+                                   * {_X43_SKEW_P})) AS BIGINT) AS salts
+      FROM (SELECT source, count(*) AS n_rows,
+                   CAST(sum(count(*)) OVER () AS DOUBLE) AS total
+            FROM documents GROUP BY source
+            ORDER BY n_rows DESC, CAST(source AS VARCHAR) ASC LIMIT 3))
+    ORDER BY "check"
+    """
+
+
 @register(
     "x43_data_quality",
-    oracle=None,
+    oracle=_X43_ORACLE,
     doc="constraint validation report: fused row checks + uniqueness + "
-    "referential integrity + skew diagnosis (rows-only; DuckDB-twin pytest)",
+    "referential integrity + skew diagnosis, oracle-checked",
 )
 def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality_checks import check_referential, check_unique, run_checks
@@ -1944,8 +2039,13 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # violations = EXTRA salts demanded beyond 1 so the whole report
     # keeps the `passed == (violations == 0)` contract a gating consumer
-    # alerts on — an unskewed key reports (0, passed).
-    skew = skew_report(_t(spark, sf_dir, "documents"), "source", top_n=3).select(
+    # alerts on — an unskewed key reports (0, passed). P is pinned (not
+    # read from the session) so the report — and its oracle — mean the
+    # same thing under any session conf.
+    skew = skew_report(
+        _t(spark, sf_dir, "documents"), "source", top_n=3,
+        shuffle_partitions=_X43_SKEW_P,
+    ).select(
         F.concat(F.lit("skew(source="), "key_value", F.lit(")")).alias("check"),
         (F.col("suggested_salts") - 1).alias("violations"),
         F.col("n_rows").alias("rows_checked"),

@@ -572,11 +572,16 @@ def q09_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q10 — grouping sets, both flavors in one result: ROLLUP over lineitem
-# (hierarchical subtotals) UNION ALL CUBE over orders (every subtotal
-# combination), tagged by src (consolidates former q22_cube). Each branch
-# is a single grouping-sets aggregate; the union is append-only (no extra
-# shuffle beyond the two aggregations).
+# q10 — grouped-aggregation shapes, three flavors union-tagged in one
+# result: ROLLUP over lineitem (hierarchical subtotals), CUBE over orders
+# (every subtotal combination — consolidates former q22_cube), and the
+# per-user event-type PIVOT matrix via conditional aggregation
+# (consolidates former q20_event_type_pivot in round 6, freeing a
+# driver-window slot for w10). Each branch is a single aggregate; the
+# union is append-only (no extra shuffle beyond the three aggregations).
+# Branch column mapping: grouping-sets branches use (k1, k2, n, agg_val)
+# with n2..n5 NULL; the pivot branch carries its five conditional counts
+# in (n..n5) and sum(value) in agg_val, k1 = user_id as string.
 # --------------------------------------------------------------------------
 @register(
     "q10_grouping_sets",
@@ -585,6 +590,8 @@ def q09_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(l_returnflag, 'ALL') AS k1,
            coalesce(l_linestatus, 'ALL') AS k2,
            count(*)                      AS n,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+           CAST(NULL AS BIGINT) AS n4, CAST(NULL AS BIGINT) AS n5,
            round(sum(l_quantity), 2)     AS agg_val
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -593,16 +600,33 @@ def q09_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(o_orderstatus, 'ALL')   AS k1,
            coalesce(o_orderpriority, 'ALL') AS k2,
            count(*)                         AS n,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+           CAST(NULL AS BIGINT) AS n4, CAST(NULL AS BIGINT) AS n5,
            round(sum(o_totalprice), 2)      AS agg_val
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'pivot_events' AS src,
+           CAST(user_id AS VARCHAR) AS k1,
+           'ALL'                    AS k2,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+           round(sum(value), 2) AS agg_val
+    FROM events
+    GROUP BY user_id
     ORDER BY src, k1, k2
     """,
-    doc="ROLLUP (lineitem) + CUBE (orders) grouping sets, union-tagged",
+    doc="ROLLUP (lineitem) + CUBE (orders) grouping sets + conditional-"
+    "aggregation pivot (events), union-tagged",
 )
 def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    null_n = F.lit(None).cast("bigint")
     roll = (
         l.rollup("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("agg_val"))
@@ -611,6 +635,8 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("l_returnflag", F.lit("ALL")).alias("k1"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("k2"),
             "n",
+            null_n.alias("n2"), null_n.alias("n3"),
+            null_n.alias("n4"), null_n.alias("n5"),
             "agg_val",
         )
     )
@@ -622,10 +648,38 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
             "n",
+            null_n.alias("n2"), null_n.alias("n3"),
+            null_n.alias("n4"), null_n.alias("n5"),
             "agg_val",
         )
     )
-    return roll.unionByName(cub).orderBy("src", "k1", "k2")
+
+    def cnt(t: str, alias: str):
+        return (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    piv = (
+        e.groupBy("user_id")
+        .agg(
+            cnt("click", "n"),
+            cnt("view", "n2"),
+            cnt("purchase", "n3"),
+            cnt("signup", "n4"),
+            cnt("error", "n5"),
+            F.round(F.sum("value"), 2).alias("agg_val"),
+        )
+        .select(
+            F.lit("pivot_events").alias("src"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.lit("ALL").alias("k2"),
+            "n", "n2", "n3", "n4", "n5",
+            "agg_val",
+        )
+    )
+    return roll.unionByName(cub).unionByName(piv).orderBy("src", "k1", "k2")
 
 
 # --------------------------------------------------------------------------
@@ -881,43 +935,8 @@ def q24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same SQL-API surface on a strictly harder query.)
 
 
-# --------------------------------------------------------------------------
-# q20 — pivot via conditional aggregation (event-type matrix per user).
-# --------------------------------------------------------------------------
-@register(
-    "q20_event_type_pivot",
-    oracle="""
-    SELECT user_id,
-           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-           round(sum(value), 2) AS sum_value
-    FROM events
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
-    doc="pivot (conditional aggregation) per key",
-)
-def q20_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-
-    def cnt(t: str):
-        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("bigint").alias(f"n_{t}")
-
-    return (
-        e.groupBy("user_id")
-        .agg(
-            cnt("click"),
-            cnt("view"),
-            cnt("purchase"),
-            cnt("signup"),
-            cnt("error"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .orderBy("user_id")
-    )
+# (q20_event_type_pivot was consolidated into q10_grouping_sets' union-
+# tagged 'pivot_events' branch in round 6 — freeing a driver-window slot.)
 
 
 # --------------------------------------------------------------------------

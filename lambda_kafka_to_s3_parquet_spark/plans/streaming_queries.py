@@ -618,16 +618,28 @@ def w09_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # micro-batches continuously maintains the bucket-partitioned
 # current-state table (latest row per user), i.e. the MERGE half of a
 # lakehouse over the reference's CDC topics. The returned frame is the
-# maintained table itself, compacted — it must equal x02's batch
-# latest_by_key answer exactly (pinned in tests across out-of-order
-# arrival and checkpoint restart). Rows-only (the x02 oracle already
-# driver-checks the identical semantics on the batch path).
+# maintained table itself, compacted. ORACLE-CHECKED since round 6: the
+# maintained table must equal latest-per-key over every change row ever
+# streamed, so the oracle is definitionally x02's SQL — the driver now
+# proves the whole maintenance loop (micro-batch merge, bucket overwrite,
+# marker) lands exactly the batch answer (also pinned in tests across
+# out-of-order arrival and checkpoint restart).
 # --------------------------------------------------------------------------
 @register(
     "w10_cdc_current_state",
-    oracle=None,
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
     doc="streaming CDC upsert: bucket-partitioned current-state table "
-    "maintained per micro-batch == batch latest-per-key (x02)",
+    "maintained per micro-batch == batch latest-per-key (x02's oracle)",
 )
 def w10_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

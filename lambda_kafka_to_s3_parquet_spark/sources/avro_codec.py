@@ -96,16 +96,45 @@ def _write_varint_zigzag(out: bytearray, n: int) -> None:
             break
 
 
+def _read_float(buf: io.BytesIO) -> float:
+    raw = buf.read(4)
+    if len(raw) != 4:
+        raise EOFError("truncated float")
+    return struct.unpack("<f", raw)[0]
+
+
 @dataclass(frozen=True)
 class AvroField:
     """One record field: primitive type, optionally wrapped in [null, T]."""
 
     name: str
-    type: str  # 'long' | 'string' | 'double'
+    type: str  # 'int' | 'long' | 'float' | 'double' | 'string'
     nullable: bool  # True => union [null, T] with a zigzag branch index
 
     def spark_type(self) -> DataType:
-        return {"long": LongType(), "string": StringType(), "double": DoubleType()}[self.type]
+        from pyspark.sql.types import FloatType, IntegerType
+
+        return {
+            "int": IntegerType(),
+            "long": LongType(),
+            "float": FloatType(),
+            "double": DoubleType(),
+            "string": StringType(),
+        }[self.type]
+
+
+#: Avro-spec schema-resolution promotions (Avro 1.x "Schema Resolution"):
+#: a reader may resolve data written with a narrower numeric type.
+PROMOTABLE: frozenset[tuple[str, str]] = frozenset(
+    {
+        ("int", "long"),
+        ("int", "float"),
+        ("int", "double"),
+        ("long", "float"),
+        ("long", "double"),
+        ("float", "double"),
+    }
+)
 
 
 def decode_avro_record(body: bytes, fields: tuple[AvroField, ...]) -> dict:
@@ -118,10 +147,12 @@ def decode_avro_record(body: bytes, fields: tuple[AvroField, ...]) -> dict:
             if branch == 0:
                 row[f.name] = None
                 continue
-        if f.type == "long":
+        if f.type in ("long", "int"):
             row[f.name] = _read_varint_zigzag(buf)
         elif f.type == "double":
             row[f.name] = _read_double(buf)
+        elif f.type == "float":
+            row[f.name] = _read_float(buf)
         else:
             row[f.name] = _read_string(buf)
     if buf.read(1):
@@ -161,6 +192,10 @@ def _decode_record_into(
             cols[f.name][i] = struct.unpack_from("<d", b, pos)[0]
             pos += 8
             continue
+        if t == "float":
+            cols[f.name][i] = struct.unpack_from("<f", b, pos)[0]
+            pos += 4
+            continue
         acc = 0
         shift = 0
         while True:
@@ -171,7 +206,7 @@ def _decode_record_into(
                 break
             shift += 7
         n = (acc >> 1) ^ -(acc & 1)
-        if t == "long":
+        if t in ("long", "int"):
             cols[f.name][i] = n
         else:  # string: n is the utf-8 byte length
             raw = b[pos : pos + n]
@@ -203,10 +238,12 @@ def encode_avro_record(row: dict, fields: tuple[AvroField, ...]) -> bytes:
             _write_varint_zigzag(out, 1)
         elif v is None:
             raise ValueError(f"field {f.name} is not nullable")
-        if f.type == "long":
+        if f.type in ("long", "int"):
             _write_varint_zigzag(out, int(v))
         elif f.type == "double":
             out += struct.pack("<d", float(v))
+        elif f.type == "float":
+            out += struct.pack("<f", float(v))
         else:
             raw = str(v).encode("utf-8")
             _write_varint_zigzag(out, len(raw))
@@ -483,15 +520,23 @@ def decode_stage(
     one replayed batch may mix versions (the reference's first-record
     column inference, lambda_function.py:215-226, would KeyError on such
     a batch). The output schema is always the LATEST version; fields a
-    record's writer version predates surface as NULL. Only additive
-    evolution is supported — a historical version carrying a field the
-    latest lacks fails at plan build, not silently at runtime.
+    record's writer version predates surface as NULL, and a field the
+    latest version WIDENED follows Avro's standard schema-resolution
+    promotions (int→long, int/long→float/double, float→double — the
+    reference's CDC world ships exactly this: NUMBER columns arriving as
+    int then long): the value decodes under the writer's narrow type and
+    is resolved to the reader's wide one, on both the JVM and Arrow
+    paths. Only additive-or-promotable evolution is supported — a
+    historical version carrying a field the latest lacks, or a
+    non-promotable type change (e.g. long→int, string→long), fails at
+    plan build, not silently at runtime.
     """
     if use_jvm is None:
         use_jvm = jvm_from_avro_available(kafka_df.sparkSession)
     expected_id, fields = provider.schema_for(topic)
     versions = provider.versions_for(topic)
     latest_names = {f.name for f in fields}
+    latest_types = {f.name: f.type for f in fields}
     for vid, vf in versions.items():
         extra = {f.name for f in vf} - latest_names
         if extra:
@@ -499,6 +544,15 @@ def decode_stage(
                 f"non-additive schema history for {topic}: version {vid} has "
                 f"fields {sorted(extra)} missing from latest {expected_id}"
             )
+        for f in vf:
+            lt = latest_types[f.name]
+            if f.type != lt and (f.type, lt) not in PROMOTABLE:
+                raise ValueError(
+                    f"non-resolvable schema history for {topic}: version "
+                    f"{vid} writes {f.name} as {f.type} but latest "
+                    f"{expected_id} reads it as {lt} — Avro resolution only "
+                    f"promotes {sorted(PROMOTABLE)}"
+                )
     out_schema = decoded_schema(fields)
 
     prepared = kafka_df.filter(F.col("topic") == topic).select(
@@ -539,9 +593,15 @@ def decode_stage(
                 (F.col("sid") == F.lit(vid)) & F.col(f"rec_{vid}").isNotNull()
             )
 
+        latest_spark_type = {f.name: f.spark_type() for f in fields}
+
         def field_value(name: str) -> Column:
+            # Cast each writer-version carrier to the READER (latest) type
+            # — Avro schema resolution's numeric promotion, explicit so an
+            # int-writer column coalesces into a long/double reader column
+            # identically on this path and the Arrow one.
             carriers = [
-                F.col(f"rec_{vid}.{name}")
+                F.col(f"rec_{vid}.{name}").cast(latest_spark_type[name])
                 for vid, vf in versions.items()
                 if any(f.name == name for f in vf)
             ]

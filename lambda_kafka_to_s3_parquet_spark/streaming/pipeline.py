@@ -260,12 +260,15 @@ def run_neardup_stream(
     MinHash vectors — so the store grows at ~n_bands·K·8 bytes/survivor
     regardless of document size.
 
-    The store is the PERSISTED BAND TABLE (``append_band_store``):
-    partition dirs ``band=<b>/pfx=<band_sig mod n_pfx>`` with the sigs
-    vector riding every band row. Each batch's history lookup statically
-    prunes to its own (band, pfx) buckets (``read_band_store``), so
-    per-batch cost is ∝ batch + touched buckets — never a full-store
-    scan or a per-batch rebuild of the store's band table. Bootstrap is
+    The store is the PERSISTED TWO-PART BAND STORE (``append_band_store``):
+    slim ``(id, band_sig)`` rows under ``bands/band=<b>/pfx=<band_sig mod
+    n_pfx>`` dirs for candidate generation, plus one ``(id, sigs)`` row
+    per survivor under id-bucketed ``sigs/spfx=`` dirs for verification.
+    Each batch's history lookup statically prunes the band table to its
+    own (band, pfx) buckets and fetches sigs only for its candidates'
+    id-buckets (``read_band_store`` / ``read_sig_store``), so per-batch
+    cost is ∝ batch + touched buckets — never a full-store scan or a
+    per-batch rebuild of the store's band table. Bootstrap is
     probed through the FileSystem API — a read error (corrupt footer,
     permissions, transient storage failure) must surface, never be
     silently treated as "no history": that would dedup the batch only

@@ -50,7 +50,7 @@ QUERIES = [
     "x22_rollup_daily",      # mergeable rollup + HLL
     "x10_embedding_topk",    # per-partition GEMM partial top-k
     "x21_split_and_pack",    # two-level distributed prefix sum
-    "x25_decontaminate",     # cross-split shingle equi-join (UNCAPPED)
+    "x25_decontaminate",     # cross-split shingle equi-join (df-CAPPED since r6)
     "x27_pii_redact",        # chained codegen regexes
 ]
 
@@ -160,18 +160,18 @@ def main() -> None:
             cross_split_overlap,
         )
 
-        # x25 again WITH the document-frequency cap: replicated corpora
-        # multiply stop-phrase collisions quadratically (train df x test
-        # df per shingle); this row shows the documented 100 TB guard
-        # restoring the slope the uncapped row loses.
-        def x25_capped(spark_, sf_dir):
+        # x25's registered form carries the df cap since round 6; this row
+        # keeps measuring the UNCAPPED call so the quadratic blowup the
+        # cap guards against (train df x test df stop-phrase collisions
+        # under content replication) stays on the record next to the
+        # capped slope.
+        def x25_uncapped(spark_, sf_dir):
             return cross_split_overlap(
                 load_table(spark_, sf_dir, "documents"),
                 assign_split("text"),
-                max_shingle_df=60,
             )
 
-        runs = [(n, specs[n].fn) for n in QUERIES] + [("x25_capped", x25_capped)]
+        runs = [(n, specs[n].fn) for n in QUERIES] + [("x25_uncapped", x25_uncapped)]
         out = {}
         for name, fn in runs:
             t1 = time_query(spark, fn, base1x)

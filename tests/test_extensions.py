@@ -852,15 +852,18 @@ def test_deterministic_shuffle_duplicate_texts_use_tiebreak(spark):
 
 
 def test_data_profile_matches_duckdb_exact_stats(spark, sf_dir):
-    """x36's exact statistics (rows, nulls, min/max, mean) must match
-    DuckDB; the HLL distinct must fall within its rsd bound of the exact
-    cardinality. One aggregate pass is asserted via the plan (a single
-    partial_count marker set, no second scan node)."""
+    """profile()'s exact statistics (rows, nulls, min/max, mean) must
+    match DuckDB; the HLL distinct must fall within its rsd bound of the
+    exact cardinality. (The registered x36 is oracle-checked on the
+    exact stats since round 6 and DROPS the HLL column — this test keeps
+    the full operator, HLL included, pinned over the raw events table.)"""
     import duckdb
 
-    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+    from lambda_kafka_to_s3_parquet_spark.operators.profile import profile
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
 
-    got = {r["column"]: r for r in all_specs()["x36_data_profile"].fn(spark, sf_dir).collect()}
+    prof = profile(load_table(spark, sf_dir, "events"))
+    got = {r["column"]: r for r in prof.collect()}
     path = os.path.join(sf_dir, "events.parquet")
     for col in ("event_id", "user_id", "event_type", "value"):
         want_rows, want_nulls, want_nd = duckdb.sql(

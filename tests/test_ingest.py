@@ -425,6 +425,78 @@ def test_schema_evolution_mixed_writer_versions(spark, tmp_path):
         decode_stage(read_lambda_events(spark, str(fixture)), bad, GOLDEN_TOPIC)
 
 
+def test_schema_evolution_type_promotion(spark, tmp_path):
+    """Avro schema-resolution numeric promotion: a v1 writer stores
+    RATE_CARD_ID as int and a price as float; the latest version widens
+    them to long/double (the reference's CDC world — NUMBER columns
+    arriving as int then long). Records of BOTH versions must decode to
+    the latest (wide) column types with the golden values; a
+    NON-promotable change (long -> int) fails at plan build."""
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import (
+        AvroField,
+        confluent_wrap,
+        decode_stage,
+        encode_avro_record,
+    )
+    from lambda_kafka_to_s3_parquet_spark.sources.kafka_replay import (
+        read_lambda_events,
+    )
+
+    topic = "promo_topic"
+    v2 = (
+        AvroField("ID", "long", True),
+        AvroField("PRICE", "double", True),
+        AvroField("NM", "string", False),
+    )
+    v1 = (
+        AvroField("ID", "int", True),
+        AvroField("PRICE", "float", True),
+        AvroField("NM", "string", False),
+    )
+    provider = SchemaProvider(
+        catalog={topic: (501, v2)}, history={topic: {500: v1}}
+    )
+
+    def rec(offset, sid, fields, r):
+        return {
+            "topic": topic,
+            "partition": 0,
+            "offset": offset,
+            "timestamp": 1625877624954,
+            "timestampType": "CREATE_TIME",
+            "key": base64.b64encode(b"k").decode(),
+            "value": base64.b64encode(
+                confluent_wrap(sid, encode_avro_record(r, fields))
+            ).decode(),
+        }
+
+    event = {
+        "records": {
+            f"{topic}-0": [
+                rec(0, 501, v2, {"ID": 2**40, "PRICE": 1.25, "NM": "wide"}),
+                rec(1, 500, v1, {"ID": 7, "PRICE": 2.5, "NM": "narrow"}),
+            ]
+        }
+    }
+    fixture = tmp_path / "promotion_event.json"
+    fixture.write_text(json.dumps(event))
+
+    decoded = decode_stage(read_lambda_events(spark, str(fixture)), provider, topic)
+    types = dict(decoded.dtypes)
+    assert types["ID"] == "bigint" and types["PRICE"] == "double"
+    out = {r["offset"]: r for r in decoded.collect()}
+    assert out[0]["_corrupt_record"] is None and out[1]["_corrupt_record"] is None
+    assert out[0]["ID"] == 2**40 and out[0]["PRICE"] == 1.25
+    assert out[1]["ID"] == 7 and out[1]["PRICE"] == 2.5  # exact: 2.5 is a float32
+    assert out[1]["NM"] == "narrow"
+
+    with pytest.raises(ValueError, match="non-resolvable"):
+        narrowing = SchemaProvider(
+            catalog={topic: (501, v1)}, history={topic: {500: v2}}
+        )
+        decode_stage(read_lambda_events(spark, str(fixture)), narrowing, topic)
+
+
 # --------------------------------------------------------------------------
 # Real Kafka connector builder (production path; no broker in CI).
 # --------------------------------------------------------------------------

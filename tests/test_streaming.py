@@ -548,13 +548,15 @@ def test_incremental_neardup_first_arrival_wins_and_restart(spark, sf_dir, tmp_p
     )
     assert q.awaitTermination(300)
     assert spark.read.parquet(str(tmp_path / "out")).count() == n_first
-    # banded store: one fixed-width row per survivor per band, sigs riding
-    # every row, (band, pfx) partition dirs
-    store = spark.read.parquet(str(tmp_path / "store"))
-    assert store.count() == n_first * 16
-    assert store.select("doc_id").distinct().count() == n_first
-    assert set(store.columns) == {"doc_id", "band_sig", "sigs", "band", "pfx"}
-    assert store.select(F.size("sigs")).distinct().collect()[0][0] == 64
+    # two-part banded store: slim band rows under (band, pfx) dirs, one
+    # fixed-width sig row per survivor under spfx dirs
+    bands = spark.read.parquet(str(tmp_path / "store" / "bands"))
+    assert bands.count() == n_first * 16
+    assert bands.select("doc_id").distinct().count() == n_first
+    assert set(bands.columns) == {"doc_id", "band_sig", "band", "pfx"}
+    sigs = spark.read.parquet(str(tmp_path / "store" / "sigs"))
+    assert sigs.count() == n_first
+    assert sigs.select(F.size("sigs")).distinct().collect()[0][0] == 64
 
 
 def test_incremental_neardup_short_docs_survive(spark, tmp_path):
@@ -616,7 +618,7 @@ def test_band_store_read_is_partition_pruned(spark, sf_dir, tmp_path):
 
     store = tmp_path / "store"
     docs = _mk_band_store(spark, sf_dir, store)
-    full = spark.read.parquet(str(store))
+    full = spark.read.parquet(str(store / "bands"))
 
     tiny = docs.filter(F.col("doc_id") % 500 < 2)  # ~2 docs -> <=32 band sigs
     batch_bands = sig_bands(minhash_vectors(tiny))
@@ -688,8 +690,13 @@ def test_band_store_rebucket_preserves_content_and_meta(spark, sf_dir, tmp_path)
         (r["doc_id"], r["band"], r["band_sig"]) for r in after_df.collect()
     }
     assert after == before
-    # new fan-out actually materialized in the layout
-    assert spark.read.parquet(str(store)).select("pfx").distinct().count() > 4
+    # new fan-out actually materialized in both halves of the layout
+    assert (
+        spark.read.parquet(str(store / "bands")).select("pfx").distinct().count() > 4
+    )
+    assert (
+        spark.read.parquet(str(store / "sigs")).select("spfx").distinct().count() > 4
+    )
 
 
 def test_band_store_rejects_parameter_drift(spark, sf_dir, tmp_path):
