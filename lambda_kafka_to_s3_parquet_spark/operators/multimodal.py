@@ -83,17 +83,180 @@ def media_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_real_features(media_type: str, payload: bytes) -> dict:
-    """Where a real codec would decode ``payload``.
+def encode_wav(
+    samples: list[int],
+    sample_rate: int = 16000,
+    n_channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """A real RIFF/WAVE PCM file from integer samples (test-fixture
+    synthesis, same role as ``encode_avro_record``): canonical 44-byte
+    header + interleaved little-endian PCM data, per the public WAVE
+    format spec. ``decode_wav(encode_wav(s)) == s`` byte-exactly."""
+    import struct
 
-    Requires PIL/librosa/ffmpeg-class libraries that are not available in
-    this environment; the Spark plumbing around it is exercised through
-    :func:`decode_stub_features` instead.
-    """
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode_stub_features for the deterministic test double"
+    if bits not in (8, 16):
+        raise ValueError("PCM WAV fixture supports 8- or 16-bit samples")
+    if len(samples) % n_channels:
+        raise ValueError("sample count must be a multiple of n_channels")
+    fmt = "<B" if bits == 8 else "<h"
+    data = b"".join(struct.pack(fmt, s) for s in samples)
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        byte_rate,
+        block_align,
+        bits,
+        b"data",
+        len(data),
     )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Dependency-free PCM WAV decode (public RIFF/WAVE spec): walk the
+    chunk list, parse the ``fmt `` chunk, decode the ``data`` chunk's
+    little-endian PCM samples. Returns sample_rate / n_channels / bits /
+    the decoded per-channel-interleaved samples list. Malformed input
+    raises ValueError (the caller's corrupt-record boundary)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_info, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_format != 1:
+                raise ValueError(f"unsupported WAV format {audio_format} (PCM only)")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported bit depth {bits}")
+            fmt_info = (n_channels, sample_rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_info is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n_channels, sample_rate, bits = fmt_info
+    if bits == 8:
+        samples = list(struct.unpack(f"<{len(data)}B", data))
+    else:
+        if len(data) % 2:
+            raise ValueError("odd data length for 16-bit PCM")
+        samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "samples": samples,
+    }
+
+
+def decode_real_features(media_type: str, payload: bytes) -> dict:
+    """The real-codec boundary. One format is executable offline: PCM WAV
+    audio, decoded by the dependency-free spec parser above — returns
+    sample-domain features (rate, channels, sample count, duration, peak,
+    RMS). Every other format (jpeg/png images, mp4 video) still raises
+    ``NotImplementedError`` at exactly this boundary, where a
+    PIL/ffmpeg-class codec would plug in; the Spark plumbing around the
+    boundary is exercised through :func:`decode_stub_features` for those.
+    """
+    if media_type == "audio" and payload[:4] == b"RIFF":
+        wav = decode_wav(bytes(payload))
+        s = wav["samples"]
+        n = len(s)
+        rms = (sum(v * v for v in s) / n) ** 0.5 if n else 0.0
+        return {
+            "sample_rate": wav["sample_rate"],
+            "n_channels": wav["n_channels"],
+            "n_samples": n // wav["n_channels"],
+            "duration_sec": round(
+                n / wav["n_channels"] / wav["sample_rate"], 6
+            ),
+            "peak_abs": max((abs(v) for v in s), default=0),
+            "rms": round(rms, 6),
+        }
+    raise NotImplementedError(
+        f"no offline codec for media_type={media_type!r} with this payload; "
+        "PCM WAV audio is the one real codec available here — use "
+        "decode_stub_features for the deterministic test double"
+    )
+
+
+#: Output schema of the REAL audio feature stage (PCM WAV codec).
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("peak_abs", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("corrupt", StringType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL feature extraction for audio rows: decode each payload as PCM
+    WAV through :func:`decode_wav` inside the same Arrow-batched
+    ``mapInPandas`` shape the stubbed stages use. Undecodable payloads
+    yield a row with NULL features and the error in ``corrupt``
+    (PERMISSIVE, mirroring the Avro decode stage) — never an exception.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for mid, mtype, p in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                out["media_id"].append(mid)
+                try:
+                    f = decode_real_features(str(mtype), bytes(p))
+                    for k in (
+                        "sample_rate",
+                        "n_channels",
+                        "n_samples",
+                        "duration_sec",
+                        "peak_abs",
+                        "rms",
+                    ):
+                        out[k].append(f[k])
+                    out["corrupt"].append(None)
+                except (ValueError, NotImplementedError) as e:
+                    for k in (
+                        "sample_rate",
+                        "n_channels",
+                        "n_samples",
+                        "duration_sec",
+                        "peak_abs",
+                        "rms",
+                    ):
+                        out[k].append(None)
+                    out["corrupt"].append(str(e)[:200])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def decode_stub_features(pdf: pd.DataFrame) -> pd.DataFrame:

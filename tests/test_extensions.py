@@ -1546,3 +1546,120 @@ def test_pq_empty_training_sample_raises_clearly(spark):
     )
     with pytest.raises(ValueError, match="zero-norm"):
         train_pq_codebooks(zeros, m=2, n_codes=2)
+
+
+def test_wav_codec_roundtrip_and_real_features(spark):
+    """The ONE real offline codec: PCM WAV. encode->decode is byte/value
+    exact; extract_audio_features decodes a generated real payload to the
+    independently computed sample-domain features; a non-WAV audio
+    payload and an image payload land in the corrupt column (PERMISSIVE),
+    never raise."""
+    import math
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import (
+        decode_real_features,
+        decode_wav,
+        encode_wav,
+        extract_audio_features,
+    )
+
+    ramp = list(range(-100, 100))
+    wav = encode_wav(ramp, sample_rate=8000)
+    got = decode_wav(wav)
+    assert got == {
+        "sample_rate": 8000, "n_channels": 1, "bits": 16, "samples": ramp,
+    }
+    # stereo 8-bit too
+    st = encode_wav([0, 255, 10, 20], sample_rate=4000, n_channels=2, bits=8)
+    g2 = decode_wav(st)
+    assert g2["n_channels"] == 2 and g2["bits"] == 8 and g2["samples"] == [0, 255, 10, 20]
+
+    feats = decode_real_features("audio", wav)
+    want_rms = round(math.sqrt(sum(v * v for v in ramp) / len(ramp)), 6)
+    assert feats == {
+        "sample_rate": 8000, "n_channels": 1, "n_samples": 200,
+        "duration_sec": round(200 / 8000, 6), "peak_abs": 100, "rms": want_rms,
+    }
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(wav)),
+            (2, "audio", bytearray(b"not a wav at all")),
+            (3, "image", bytearray(b"\xff\xd8jpegish")),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert rows[1]["corrupt"] is None
+    assert rows[1]["n_samples"] == 200 and rows[1]["sample_rate"] == 8000
+    assert rows[1]["peak_abs"] == 100 and abs(rows[1]["rms"] - want_rms) < 1e-9
+    assert rows[2]["corrupt"] is not None and rows[2]["n_samples"] is None
+    assert "no offline codec" in rows[3]["corrupt"]
+
+    # the image/video boundary stays an honest NotImplementedError
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_real_features("image", b"\x89PNG...")
+
+
+def _ref_bpe_batched(word_wc, n_merges, k, min_count=2):
+    """Pure-python twin of the BATCHED learner: per round, take the pair
+    census once and admit up to k merges with pairwise-disjoint symbol
+    sets, greedy by (count desc, a, b)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.bpe import EOW
+
+    words = {tuple(list(w) + [EOW]): c for w, c in word_wc.items()}
+    merges = []
+    while len(merges) < n_merges:
+        room = min(k, n_merges - len(merges))
+        counts = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + c
+        ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: room * 4]
+        picked, used = [], set()
+        for (a, b), n in ordered:
+            if n < min_count:
+                break
+            if a in used or b in used:
+                continue
+            picked.append((a, b, n))
+            used.update((a, b))
+            if len(picked) == room:
+                break
+        if not picked:
+            break
+        merges.extend(picked)
+        for a, b, _ in picked:
+            new = {}
+            for syms, c in words.items():
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            words = new
+    return merges
+
+
+def test_learn_bpe_batched_matches_python_twin(spark, sf_dir):
+    """merges_per_round > 1 (the job-count lever for realistic vocab
+    sizes) must implement EXACTLY the batched-greedy-disjoint semantics
+    the python twin defines; k=1 stays classic sequential BPE (pinned by
+    test_learn_bpe_matches_python_reference)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.bpe import learn_bpe, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = {r["word"]: r["wc"] for r in word_counts(docs).collect()}
+    got = learn_bpe(docs, n_merges=20, merges_per_round=5)
+    assert got == _ref_bpe_batched(wc, 20, 5)
+    assert len(got) == 20
+    # a batch never admits overlapping symbols within one round
+    for i in range(0, 20, 5):
+        batch = got[i : i + 5]
+        syms = [s for a, b, _ in batch for s in (a, b)]
+        assert len(syms) == len(set(syms))
