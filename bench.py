@@ -137,7 +137,13 @@ HEADLINE = [
     "w08_incremental_rollup",
     # round 5: incremental near-dup dedup vs the signature store (real
     # checkpointed stream over a perturbed-twin replay; single-run like
-    # the other streaming entries)
+    # the other streaming entries). Round 6: the store became the
+    # partitioned two-part band store (bands + id-bucketed sigs) whose
+    # per-batch cost is ~flat in corpus size (stress.py w09 row: 1.0x at
+    # 10x store); at fixture scale that trades ~2x wall for the extra
+    # partitioned writes + pruned-read sync points, so w09's timing is
+    # not comparable to rounds <= 5 (which rescanned and re-banded the
+    # whole store every batch -- cheap only while the store is tiny).
     "w09_incremental_neardup",
     # round 5: streaming CDC upsert (bucket-partitioned current-state
     # maintenance; single-run like the other streaming entries)
