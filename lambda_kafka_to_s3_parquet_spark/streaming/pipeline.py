@@ -207,8 +207,9 @@ def join_streams(
     within: str = "10 minutes",
     watermark: str = "10 minutes",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: same key, event times within ``within``.
+    """Stream-stream join: same key, event times within ``within``.
 
     Both sides are unbounded, so matching needs buffered state; without
     bounds that state grows forever. Two constraints make it droppable
@@ -218,6 +219,13 @@ def join_streams(
     * a **time-range join condition** — how far apart matching events may
       be. State for an event is freed once the other side's watermark
       passes its time plus ``within``.
+
+    ``how`` extends to the watermarked OUTER joins (``left_outer`` /
+    ``right_outer`` / ``full_outer``): an unmatched row is emitted with
+    NULLs on the other side, but only once the watermark proves no match
+    can still arrive — so outer results trail the watermark by design
+    (the reason the outer-join tests drain with availableNow plus a
+    final high-watermark batch).
 
     Left columns keep their names; right columns get a ``r_`` prefix
     (the self-join case would otherwise collide). At 100 TB the state
@@ -236,7 +244,7 @@ def join_streams(
         & (F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {within}"))
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def run_neardup_stream(

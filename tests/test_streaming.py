@@ -254,6 +254,89 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     )
 
 
+def test_stream_stream_left_outer_join_emits_watermark_proven_nulls(spark, tmp_path):
+    """how='left_outer': matched rows equal the batch inner join; a left
+    row is null-extended ONLY once the right watermark proves no match
+    can still arrive, and every null-extended row really has no batch
+    match. (Rows too close to the stream's end legitimately stay
+    unemitted — outer results trail the watermark by design.)"""
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import join_streams
+
+    left_dir, right_dir, ckpt = (
+        str(tmp_path / "l"),
+        str(tmp_path / "r"),
+        str(tmp_path / "ck"),
+    )
+    ev = load_table(spark, SF, "events").limit(400).cache()
+    l_batch = ev.filter(F.col("event_id") % 2 == 0)
+    r_batch = ev.filter((F.col("event_id") % 3 == 0) & (F.col("event_type") == "click"))
+    l_batch.write.parquet(left_dir)
+    # right side arrives in EVENT-TIME order (two time-split files with
+    # deterministic mtimes): the watermark then advances monotonically and
+    # never drops a genuinely matchable row as too-late — arrival order is
+    # the test's controlled variable, not an accident of file layout
+    import os as _os
+
+    lo, hi = r_batch.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    _os.makedirs(right_dir)
+    for i, part in enumerate(
+        (r_batch.filter(F.col("ts") <= F.lit(mid)), r_batch.filter(F.col("ts") > F.lit(mid)))
+    ):
+        staged = str(tmp_path / f"rstage{i}")
+        part.coalesce(1).write.parquet(staged)
+        f = next(x for x in _os.listdir(staged) if x.startswith("part-"))
+        dst = _os.path.join(right_dir, f"batch-{i}.parquet")
+        _os.rename(_os.path.join(staged, f), dst)
+        _os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+    def stream(d):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+
+    joined = join_streams(
+        stream(left_dir), stream(right_dir), "user_id", "5 minutes", how="left_outer"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_left_outer")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.table("ss_left_outer").select("event_id", "r_event_id").collect()
+    got_matched = sorted(
+        (x["event_id"], x["r_event_id"]) for x in got if x["r_event_id"] is not None
+    )
+    got_null = {x["event_id"] for x in got if x["r_event_id"] is None}
+
+    l = l_batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    r = r_batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    r = r.select([F.col(c).alias(f"r_{c}") for c in r.columns])
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("ts") - F.expr("INTERVAL 5 minutes"))
+        & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 5 minutes"))
+    )
+    want_inner = sorted(
+        (x["event_id"], x["r_event_id"])
+        for x in l.join(r, cond).select("event_id", "r_event_id").collect()
+    )
+    matched_ids = {a for a, _ in want_inner}
+    want_unmatched = {
+        x["event_id"] for x in l_batch.collect() if x["event_id"] not in matched_ids
+    }
+    assert got_matched == want_inner  # inner part identical to batch
+    assert got_null, "watermark passage emitted no null-extended rows"
+    assert got_null <= want_unmatched  # never a false null-extension
+    assert not (got_null & matched_ids)
+
+
 def test_stream_stream_join_uses_symmetric_hash_join(spark, tmp_path):
     """The stream-stream join must plan as StreamingSymmetricHashJoin —
     the stateful operator whose buffers the watermarks bound — not fall
