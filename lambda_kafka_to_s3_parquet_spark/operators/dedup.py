@@ -140,9 +140,10 @@ def sig_bands(
     band hashes its ``rows_per_band`` consecutive minhashes.
 
     ``keep_sigs=True`` carries the full signature vector on every band
-    row — the persisted-band-store layout, where candidates found in any
-    band arrive WITH the history sigs needed for agreement verification
-    (no second store pass)."""
+    row — useful for in-memory one-pass variants where candidates should
+    arrive WITH their sigs; the PERSISTED store deliberately does NOT do
+    this (×n_bands state duplication) and keeps sigs once per survivor
+    in its id-bucketed half instead (:func:`append_band_store`)."""
     bands = F.array(
         *[
             F.struct(
@@ -786,8 +787,11 @@ def _existing_paths(spark, root: str, candidates: list[str], glob_tail: str) -> 
     tiny-batch regime), while one dir-level ``globStatus`` of
     ``root/glob_tail`` lists O(total dirs) names in a single call (right
     when the candidate set is large). Neither ever lists into the FILES
-    of untouched dirs, so either way metadata cost is bounded by
-    min(candidates, total dirs), never by store bytes."""
+    of untouched dirs. FALLBACK path only: stores written since round 6
+    carry the dir BITMAP in their meta (see :func:`append_band_store`),
+    which resolves existence with zero filesystem calls — both fs
+    strategies here were measured growing with total dir count (glob:
+    ~0.5 ms/dir on local fs, 0.8 s → 3 s at 10× store)."""
     from .rollup import _marker_fs
 
     fs, _ = _marker_fs(spark, root)
@@ -799,6 +803,29 @@ def _existing_paths(spark, root: str, candidates: list[str], glob_tail: str) -> 
         for st in fs.globStatus(jpath(f"{root}/{glob_tail}")) or []
     }
     return [p for p in candidates if jpath(p).toUri().getPath() in existing]
+
+
+def _bitmap_decode(b64: str) -> set[int]:
+    """Set-bit indices of a base64 bitmap (the meta dir registry)."""
+    import base64
+
+    raw = base64.b64decode(b64)
+    out = set()
+    for byte_i, byte in enumerate(raw):
+        while byte:
+            low = byte & -byte
+            out.add(byte_i * 8 + low.bit_length() - 1)
+            byte ^= low
+    return out
+
+
+def _bitmap_encode(bits: set[int], n_bits: int) -> str:
+    import base64
+
+    raw = bytearray((n_bits + 7) // 8)
+    for b in bits:
+        raw[b // 8] |= 1 << (b % 8)
+    return base64.b64encode(bytes(raw)).decode("ascii")
 
 
 def append_band_store(
@@ -851,6 +878,10 @@ def append_band_store(
         _check_store_params(meta, store_path, n_bands, rows_per_band)
     n_pfx = meta["n_pfx"]
     bands = _with_pfx(sig_bands(vecs, id_col, n_bands, rows_per_band), n_pfx)
+    new_band_keys = {
+        r["band"] * n_pfx + r["pfx"]
+        for r in bands.select("band", "pfx").distinct().collect()
+    }
     # one output file per touched dir per append, not one per task per dir
     (
         bands.repartition("band", "pfx")
@@ -861,12 +892,28 @@ def append_band_store(
     sig_rows = vecs.select(
         id_col, "sigs", F.pmod(F.xxhash64(id_col), F.lit(n_pfx)).cast("int").alias("spfx")
     )
+    new_spfx = {r["spfx"] for r in sig_rows.select("spfx").distinct().collect()}
     (
         sig_rows.repartition("spfx")
         .write.mode("append")
         .partitionBy("spfx")
         .parquet(f"{store_path}/sigs")
     )
+    # Dir REGISTRY: the meta bitmap records which partition dirs exist, so
+    # per-batch reads resolve candidate paths with ZERO filesystem calls
+    # (measured: glob/exists resolution grew to seconds at 10x store).
+    # Written AFTER the data (registry ⊆ disk always): a crash between
+    # data and registry under-claims dirs for exactly one batch, and that
+    # batch's at-least-once replay re-appends + re-registers them — the
+    # same recovery contract the land/append two-step already documents.
+    band_bits = _bitmap_decode(meta.get("band_dirs", "")) | new_band_keys
+    spfx_bits = _bitmap_decode(meta.get("spfx_dirs", "")) | new_spfx
+    meta = {
+        **meta,
+        "band_dirs": _bitmap_encode(band_bits, n_bands * n_pfx),
+        "spfx_dirs": _bitmap_encode(spfx_bits, n_pfx),
+    }
+    _write_store_meta(spark, store_path, meta)
 
 
 def read_band_store(
@@ -909,12 +956,19 @@ def read_band_store(
         (r["band"], r["pfx"])
         for r in _with_pfx(prune_to, n_pfx).select("band", "pfx").distinct().collect()
     )
-    paths = _existing_paths(
-        spark,
-        root,
-        [f"{root}/band={b}/pfx={p}" for b, p in pairs],
-        "band=*/pfx=*",
-    )
+    if "band_dirs" in meta:
+        # dir registry: existence resolved from the meta bitmap, zero fs calls
+        live = _bitmap_decode(meta["band_dirs"])
+        paths = [
+            f"{root}/band={b}/pfx={p}" for b, p in pairs if b * n_pfx + p in live
+        ]
+    else:  # pre-registry store: fall back to filesystem probing
+        paths = _existing_paths(
+            spark,
+            root,
+            [f"{root}/band={b}/pfx={p}" for b, p in pairs],
+            "band=*/pfx=*",
+        )
     if not paths:
         return None
     df = spark.read.option("basePath", root).parquet(*paths)
@@ -936,12 +990,14 @@ def read_sig_store(
     if meta is None:
         raise ValueError(f"{store_path} has no band-store meta file")
     root = f"{store_path}/sigs"
-    paths = _existing_paths(
-        spark,
-        root,
-        [f"{root}/spfx={s}" for s in sorted(set(spfx_values))],
-        "spfx=*",
-    )
+    wanted = sorted(set(spfx_values))
+    if "spfx_dirs" in meta:
+        live = _bitmap_decode(meta["spfx_dirs"])
+        paths = [f"{root}/spfx={s}" for s in wanted if s in live]
+    else:
+        paths = _existing_paths(
+            spark, root, [f"{root}/spfx={s}" for s in wanted], "spfx=*"
+        )
     if not paths:
         return None
     df = spark.read.option("basePath", root).parquet(*paths)
@@ -1083,7 +1139,22 @@ def rebucket_band_store(spark, store_path: str, n_pfx_new: int) -> None:
         .partitionBy("spfx")
         .parquet(f"{tmp}/sigs")
     )
-    _write_store_meta(spark, tmp, {**meta, "n_pfx": int(n_pfx_new)})
+    # rebuild the dir registry for the new fan-out
+    band_bits = {
+        r["band"] * n_pfx_new + r["pfx"]
+        for r in bands.select("band", "pfx").distinct().collect()
+    }
+    spfx_bits = {r["spfx"] for r in sig_rows.select("spfx").distinct().collect()}
+    _write_store_meta(
+        spark,
+        tmp,
+        {
+            **meta,
+            "n_pfx": int(n_pfx_new),
+            "band_dirs": _bitmap_encode(band_bits, meta["n_bands"] * n_pfx_new),
+            "spfx_dirs": _bitmap_encode(spfx_bits, n_pfx_new),
+        },
+    )
     fs, old_p = _marker_fs(spark, store_path)
     _, tmp_p = _marker_fs(spark, tmp)
     fs.delete(old_p, True)

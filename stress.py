@@ -114,10 +114,17 @@ def w09_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dict:
     docs = load_table(spark, base_dir, "documents").select("doc_id", "text")
     rep = docs
     for k in range(1, scale):
+        # replicas must be content-DISTINCT from the batch (per-token
+        # vowel rotation mutates every shingle): the row measures cost vs
+        # STORE SIZE at fixed true-match density — near-dup replicas
+        # would hand the fixed batch k x more genuine candidates, which
+        # any correct implementation must pay for (∝ matches, not store)
         rep = rep.unionByName(
             docs.select(
                 (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(f" rep{k}")).alias("text"),
+                F.concat(
+                    F.lit(f"rep{k} "), F.translate("text", "aeiou", str(k % 10) * 5)
+                ).alias("text"),
             )
         )
     s1 = os.path.join(scratch, "w09_s1")
