@@ -6,13 +6,17 @@ used by large-scale training-data pipelines: Spark moves/filters/joins the
 bytes, and per-item decode runs as an Arrow-batched Python stage only where
 genuinely needed.
 
-The decode step itself is STUBBED: the media codec libraries are not in
-this environment, so ``decode_stub_features`` computes deterministic fake
-features from the raw bytes (documented, test-covered), and
-``decode_real_features`` raises ``NotImplementedError`` at the exact
-boundary where a codec (PIL/librosa/ffmpeg) would plug in. Everything
-around that boundary — schema, batch shape, partitioning, UDF signature —
-is real Spark plumbing and is tested.
+Two formats have REAL dependency-free codecs in this container — PCM WAV
+audio (RIFF/WAVE spec, :func:`decode_wav`) and binary PPM images (netpbm
+P6 spec, :func:`decode_ppm`, including a real nearest-neighbor resize) —
+so the audio- and image-feature stages decode genuine payloads end to
+end. Every compressed format (jpeg/png/mp4) stays STUBBED:
+``decode_stub_features`` computes deterministic fake features from the
+raw bytes (documented, test-covered), and ``decode_real_features``
+raises ``NotImplementedError`` at the exact boundary where a
+PIL/librosa/ffmpeg-class codec would plug in. Everything around that
+boundary — schema, batch shape, partitioning, UDF signature — is real
+Spark plumbing and is tested.
 
 Scale notes: payload rows are large, so the media frame keeps the bytes in
 one column and all filter/join columns (media_type, n_bytes, checksum)
@@ -170,14 +174,106 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def encode_ppm(pixels, width: int, height: int, maxval: int = 255) -> bytes:
+    """A real binary PPM (netpbm ``P6``) image from an RGB pixel array
+    (test-fixture synthesis, same role as :func:`encode_wav`): canonical
+    ``P6\\n<w> <h>\\n<maxval>\\n`` header + row-major RGB samples, per the
+    public netpbm format spec. ``pixels`` is anything ``numpy.asarray``
+    accepts with shape ``(height, width, 3)``; samples are 1 byte each for
+    ``maxval<=255``, else 2 bytes big-endian (the spec's only two widths).
+    ``decode_ppm(encode_ppm(px)) == px`` value-exactly."""
+    import numpy as np
+
+    if not 0 < maxval < 65536:
+        raise ValueError("maxval must be in 1..65535")
+    arr = np.asarray(pixels)
+    if arr.shape != (height, width, 3):
+        raise ValueError(f"pixels shape {arr.shape} != ({height}, {width}, 3)")
+    if arr.min() < 0 or arr.max() > maxval:
+        raise ValueError("sample out of 0..maxval range")
+    dt = np.dtype(">u2") if maxval > 255 else np.uint8
+    return f"P6\n{width} {height}\n{maxval}\n".encode("ascii") + arr.astype(
+        dt
+    ).tobytes()
+
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header per the netpbm spec (whitespace-separated tokens,
+    ``#`` comments run to end-of-line, exactly one whitespace byte after
+    maxval). Returns (width, height, maxval, data_offset)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    if pos >= len(payload) or not payload[pos : pos + 1].isspace():
+        raise ValueError("missing whitespace after maxval")
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"bad PPM dimensions/maxval {vals}")
+    return w, h, maxval, pos + 1
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Dependency-free binary PPM (P6) decode per the public netpbm spec.
+    Returns width / height / maxval / ``pixels`` (a ``(h, w, 3)`` numpy
+    array, uint8 or uint16 by sample width). Malformed input raises
+    ValueError (the caller's corrupt-record boundary)."""
+    import numpy as np
+
+    w, h, maxval, off = _ppm_header(payload)
+    dt, step = (np.dtype(">u2"), 2) if maxval > 255 else (np.uint8, 1)
+    need = w * h * 3 * step
+    data = payload[off : off + need]
+    if len(data) != need:
+        raise ValueError(f"PPM data truncated: need {need} bytes, have {len(data)}")
+    px = np.frombuffer(data, dtype=dt).reshape(h, w, 3)
+    return {
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "pixels": px.astype(np.uint16) if step == 2 else px,
+    }
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize: decode P6, nearest-neighbor sample to
+    ``width``×``height`` (numpy integer-index gather — the standard
+    center-of-cell mapping ``src = floor((i + 0.5) * src_dim / dst_dim)``),
+    re-encode P6 at the same maxval. Pure array ops, no codec libs."""
+    import numpy as np
+
+    img = decode_ppm(payload)
+    src = img["pixels"]
+    rows = ((np.arange(height) + 0.5) * img["height"] / height).astype(int)
+    cols = ((np.arange(width) + 0.5) * img["width"] / width).astype(int)
+    out = src[rows][:, cols]
+    return encode_ppm(out, width, height, img["maxval"])
+
+
 def decode_real_features(media_type: str, payload: bytes) -> dict:
-    """The real-codec boundary. One format is executable offline: PCM WAV
-    audio, decoded by the dependency-free spec parser above — returns
-    sample-domain features (rate, channels, sample count, duration, peak,
-    RMS). Every other format (jpeg/png images, mp4 video) still raises
-    ``NotImplementedError`` at exactly this boundary, where a
-    PIL/ffmpeg-class codec would plug in; the Spark plumbing around the
-    boundary is exercised through :func:`decode_stub_features` for those.
+    """The real-codec boundary. Two formats are executable offline: PCM
+    WAV audio (sample-domain features: rate, channels, sample count,
+    duration, peak, RMS) and binary PPM images (pixel-domain features:
+    dimensions, per-channel means, Rec.601 luma). Every compressed format
+    (jpeg/png images, mp4 video) still raises ``NotImplementedError`` at
+    exactly this boundary, where a PIL/ffmpeg-class codec would plug in;
+    the Spark plumbing around the boundary is exercised through
+    :func:`decode_stub_features` for those.
     """
     if media_type == "audio" and payload[:4] == b"RIFF":
         wav = decode_wav(bytes(payload))
@@ -194,10 +290,25 @@ def decode_real_features(media_type: str, payload: bytes) -> dict:
             "peak_abs": max((abs(v) for v in s), default=0),
             "rms": round(rms, 6),
         }
+    if media_type == "image" and payload[:2] == b"P6":
+        img = decode_ppm(bytes(payload))
+        px = img["pixels"].astype("float64")
+        mr, mg, mb = (round(float(px[:, :, c].mean()), 6) for c in range(3))
+        return {
+            "width": img["width"],
+            "height": img["height"],
+            "maxval": img["maxval"],
+            "n_pixels": img["width"] * img["height"],
+            "mean_r": mr,
+            "mean_g": mg,
+            "mean_b": mb,
+            # Rec.601 luma weights over the channel means
+            "mean_luma": round(0.299 * mr + 0.587 * mg + 0.114 * mb, 6),
+        }
     raise NotImplementedError(
         f"no offline codec for media_type={media_type!r} with this payload; "
-        "PCM WAV audio is the one real codec available here — use "
-        "decode_stub_features for the deterministic test double"
+        "PCM WAV audio and binary PPM images are the real codecs available "
+        "here — use decode_stub_features for the deterministic test double"
     )
 
 
@@ -257,6 +368,133 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+#: Output schema of the REAL image feature stage (binary PPM codec).
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("maxval", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("corrupt", StringType()),
+    ]
+)
+
+_IMG_FEAT_KEYS = (
+    "width", "height", "maxval", "n_pixels",
+    "mean_r", "mean_g", "mean_b", "mean_luma",
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL feature extraction for image rows: decode each payload as
+    binary PPM through :func:`decode_ppm` inside the same Arrow-batched
+    ``mapInPandas`` shape the stubbed stages use. Undecodable payloads
+    (jpeg/png land here too — their codec boundary is still the honest
+    ``NotImplementedError``) yield a row with NULL features and the error
+    in ``corrupt`` (PERMISSIVE, mirroring the Avro decode stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in IMAGE_FEATURE_SCHEMA.fields}
+            for mid, mtype, p in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                out["media_id"].append(mid)
+                try:
+                    f = decode_real_features(str(mtype), bytes(p))
+                    for k in _IMG_FEAT_KEYS:
+                        out[k].append(f[k])
+                    out["corrupt"].append(None)
+                except (ValueError, NotImplementedError) as e:
+                    for k in _IMG_FEAT_KEYS:
+                        out[k].append(None)
+                    out["corrupt"].append(str(e)[:200])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """REAL image resize over the Arrow batch path: each PPM payload is
+    decoded, nearest-neighbor resampled to ``width``×``height``
+    (:func:`resize_ppm`), and re-encoded as PPM — same output schema as
+    the stubbed :func:`resize_media`, so downstream consumers are
+    agnostic to which stage produced the frame. Undecodable payloads pass
+    through with NULL ``resized`` (PERMISSIVE; the byte length column
+    makes them filterable)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for p in pdf["payload"]:
+                try:
+                    resized.append(resize_ppm(bytes(p), width, height))
+                except ValueError:
+                    resized.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "resized": resized,
+                    "n_bytes_out": [
+                        len(r) if r is not None else 0 for r in resized
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def synthesize_ppm_payloads(
+    media: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Test-fixture ENCODE stage: replace each payload with a real binary
+    PPM whose pixel bytes are the original payload bytes cycled to fill
+    ``width*height*3`` (empty payloads become all-black). The container
+    has no image fixtures, so this manufactures genuine spec-conformant
+    payloads deterministically from the documents table — the downstream
+    decode/resize stages then run the REAL codec, not a stub. Same
+    Arrow-batched shape as every other media stage."""
+    need = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                filled = (
+                    (raw * (need // len(raw) + 1))[:need] if raw else b"\0" * need
+                )
+                payloads.append(
+                    encode_ppm(
+                        np.frombuffer(filled, np.uint8).reshape(height, width, 3),
+                        width,
+                        height,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="media_id long, media_type string, payload binary",
+    )
 
 
 def decode_stub_features(pdf: pd.DataFrame) -> pd.DataFrame:

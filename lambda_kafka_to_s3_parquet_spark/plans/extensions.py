@@ -2160,3 +2160,41 @@ def x45_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank long, a string, b string, pair_count long",
     )
     return merge_rows.unionByName(census).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# x46 — REAL image pipeline end to end: manufacture spec-conformant binary
+# PPM payloads from the documents bytes (encode), nearest-neighbor resize
+# to a 4x4 thumbnail (decode+re-encode), then feature-extract the
+# THUMBNAIL (decode again) — proving decode(resize(encode(x))) through
+# three chained Arrow stages of the real netpbm codec, no stubs. Python
+# codec boundary => no SQL oracle; a numpy twin pins exact channel means
+# in tests/test_extensions.py.
+# --------------------------------------------------------------------------
+@register(
+    "x46_image_pipeline",
+    oracle=None,
+    doc="real PPM codec pipeline: encode -> 4x4 thumbnail -> feature "
+    "extraction of the thumbnail (rows-only; exact numpy twin in pytest)",
+)
+def x46_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        extract_image_features,
+        resize_images,
+        synthesize_ppm_payloads,
+    )
+
+    m = media_frame(_t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    ppm = synthesize_ppm_payloads(m, width=8, height=8)
+    thumbs = resize_images(ppm, width=4, height=4).select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        F.col("resized").alias("payload"),
+    )
+    return (
+        extract_image_features(thumbs)
+        .select("media_id", "width", "height", "mean_r", "mean_g", "mean_b", "mean_luma")
+        .orderBy("media_id")
+    )

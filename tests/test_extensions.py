@@ -1596,11 +1596,79 @@ def test_wav_codec_roundtrip_and_real_features(spark):
     assert rows[2]["corrupt"] is not None and rows[2]["n_samples"] is None
     assert "no offline codec" in rows[3]["corrupt"]
 
-    # the image/video boundary stays an honest NotImplementedError
+    # the COMPRESSED image/video boundary stays an honest NotImplementedError
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
         decode_real_features("image", b"\x89PNG...")
+
+
+def test_ppm_codec_roundtrip_resize_and_real_features(spark):
+    """The second real offline codec: binary PPM (netpbm P6).
+    encode->decode is value-exact (8- and 16-bit, header comments);
+    nearest-neighbor resize picks the spec's center-of-cell samples;
+    extract_image_features decodes a generated real payload to
+    independently computed channel means; jpeg/png and malformed payloads
+    land in the corrupt column (PERMISSIVE), never raise."""
+    import numpy as np
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import (
+        decode_ppm,
+        decode_real_features,
+        encode_ppm,
+        extract_image_features,
+        resize_images,
+        resize_ppm,
+    )
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    ppm = encode_ppm(px, 4, 4)
+    got = decode_ppm(ppm)
+    assert (got["width"], got["height"], got["maxval"]) == (4, 4, 255)
+    assert (got["pixels"] == px).all()
+    # header comments + extra whitespace are spec-legal
+    commented = b"P6 # comment\n# another\n 4\t4 # dims\n255\n" + ppm[len(b"P6\n4 4\n255\n"):]
+    assert (decode_ppm(commented)["pixels"] == px).all()
+    # 16-bit samples (maxval > 255, big-endian per spec)
+    wide = np.array([[[0, 300, 65535]]], dtype=np.uint16)
+    g2 = decode_ppm(encode_ppm(wide, 1, 1, maxval=65535))
+    assert g2["maxval"] == 65535 and (g2["pixels"] == wide).all()
+
+    # nearest-neighbor center-of-cell mapping: 4x4 -> 2x2 samples (1,1),(1,3),(3,1),(3,3)
+    small = decode_ppm(resize_ppm(ppm, 2, 2))["pixels"]
+    assert (small == px[[1, 3]][:, [1, 3]]).all()
+
+    feats = decode_real_features("image", ppm)
+    want = {
+        "width": 4, "height": 4, "maxval": 255, "n_pixels": 16,
+        "mean_r": round(float(px[:, :, 0].mean()), 6),
+        "mean_g": round(float(px[:, :, 1].mean()), 6),
+        "mean_b": round(float(px[:, :, 2].mean()), 6),
+    }
+    want["mean_luma"] = round(
+        0.299 * want["mean_r"] + 0.587 * want["mean_g"] + 0.114 * want["mean_b"], 6
+    )
+    assert feats == want
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ppm)),
+            (2, "image", bytearray(b"P6\n4 4\n255\ntruncated")),
+            (3, "image", bytearray(b"\xff\xd8jpegish")),
+            (4, "audio", bytearray(b"RIFFxxxxWAVE")),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert rows[1]["corrupt"] is None and rows[1]["mean_r"] == want["mean_r"]
+    assert rows[1]["n_pixels"] == 16
+    assert "truncated" in rows[2]["corrupt"] and rows[2]["width"] is None
+    assert "no offline codec" in rows[3]["corrupt"]
+    assert rows[4]["corrupt"] is not None  # audio payload in the image stage
+
+    rs = {r["media_id"]: r for r in resize_images(media, 2, 2).collect()}
+    assert (decode_ppm(bytes(rs[1]["resized"]))["pixels"] == px[[1, 3]][:, [1, 3]]).all()
+    assert rs[2]["resized"] is None and rs[2]["n_bytes_out"] == 0
 
 
 def _ref_bpe_batched(word_wc, n_merges, k, min_count=2):
@@ -1663,3 +1731,39 @@ def test_learn_bpe_batched_matches_python_twin(spark, sf_dir):
         batch = got[i : i + 5]
         syms = [s for a, b, _ in batch for s in (a, b)]
         assert len(syms) == len(set(syms))
+
+
+def test_x46_image_pipeline_matches_numpy_twin(spark):
+    """x46's three chained real-codec stages must equal a pure-numpy
+    replay of the same pipeline (cycle text bytes into 8x8 RGB, encode
+    PPM, nearest-neighbor 4x4, channel means of the thumbnail) for every
+    image-typed document at sf0.001 — plus no corrupt rows leak (the
+    select drops the corrupt column only after decode succeeded)."""
+    import numpy as np
+
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    got = {
+        r["media_id"]: r
+        for r in all_specs()["x46_image_pipeline"].fn(spark, SF).collect()
+    }
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    imgs = [(r["doc_id"], r["text"]) for r in docs if r["doc_id"] % 3 == 0]
+    assert set(got) == {i for i, _ in imgs} and len(imgs) > 0
+    need = 8 * 8 * 3
+    for doc_id, text in imgs[:40]:
+        raw = text.encode("utf-8")
+        filled = (raw * (need // len(raw) + 1))[:need] if raw else b"\0" * need
+        px = np.frombuffer(filled, np.uint8).reshape(8, 8, 3)
+        idx = ((np.arange(4) + 0.5) * 8 / 4).astype(int)
+        thumb = px[idx][:, idx].astype("float64")
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (4, 4)
+        for c, k in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(r[k] - round(float(thumb[:, :, c].mean()), 6)) < 1e-9, (
+                doc_id, k)
+        want_luma = round(
+            0.299 * r["mean_r"] + 0.587 * r["mean_g"] + 0.114 * r["mean_b"], 6
+        )
+        assert abs(r["mean_luma"] - want_luma) < 1e-9
