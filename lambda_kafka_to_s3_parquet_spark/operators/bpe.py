@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
 from .lm import unigram_counts
 
 #: End-of-word sentinel symbol (kept out of [a-z0-9] so it can never
@@ -168,3 +169,104 @@ def segment_vocab(
     for a, b, _ in merges:
         syms = _merge_pair(syms, a, b)
     return words.select(word_col, syms.alias("pieces"))
+
+
+def piece_vocab(seg: DataFrame) -> list[str]:
+    """Sorted distinct pieces of a :func:`segment_vocab` result — the
+    token-id vocabulary. Bounded by |alphabet| + n_merges (each merge
+    creates exactly one new symbol), so the collect is a documented
+    driver-sized set (~33k rows at a production 32k-merge vocab), the
+    same class as the PQ codebooks and PRF seeds. Ids are assigned by
+    sorted order: a pure function of the corpus, like the merges."""
+    return [
+        r["p"]
+        for r in seg.select(F.explode("pieces").alias("p"))
+        .distinct()
+        .orderBy("p")
+        .collect()
+    ]
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_counts_df: DataFrame | None = None,
+) -> DataFrame:
+    """Tokenize the corpus with a learned BPE vocabulary:
+    (id, token_ids array<int>, n_tokens, n_unk) — the encode half of the
+    tokenizer, turning text into the integer sequences a training
+    pipeline actually consumes (feed the result to
+    ``operators.packing.pack_sequences`` for fixed-length batches).
+
+    Shape (the production layout the ``segment_vocab`` docstring names):
+    merges are applied once per VOCAB word, never per corpus occurrence —
+
+    * segment the (corpus or supplied) word vocabulary, resolve each
+      word's pieces to ids via the sorted piece vocabulary (broadcast
+      map over a VOCAB-sized frame; the id map itself is
+      alphabet+n_merges tiny);
+    * one corpus pass: ``posexplode(tokens(text))`` and an equi-join on
+      the word (vocab-keyed shuffle; a corpus word vocabulary at 100 TB
+      is ~10^8 rows — too big to broadcast, exactly right to shuffle);
+    * reassemble per document: one groupBy(id) collecting (pos, ids)
+      pairs, ``array_sort`` on pos, flatten. Two corpus-sized shuffles
+      total, both on natural keys.
+
+    Words absent from the segmentation vocabulary (new docs under a
+    frozen vocab) contribute their pieces as UNK id -1 and are counted
+    in ``n_unk`` — the fallback every production tokenizer needs, never
+    an error."""
+    wc = word_counts_df if word_counts_df is not None else word_counts(docs, text_col)
+    seg = segment_vocab(wc.select("word"), merges)
+    spark = docs.sparkSession
+    pieces_df = spark.createDataFrame(
+        list(enumerate(piece_vocab(seg))), "pid int, piece string"
+    )
+    # resolve piece -> id over the VOCAB-sized frame: explode pieces with
+    # position, broadcast-join the tiny id table, reassemble in order (a
+    # create_map literal would put the whole 32k-piece vocab INTO the
+    # Catalyst plan; a broadcast join keeps the plan O(1))
+    word_ids = (
+        seg.select("word", F.posexplode("pieces").alias("ppos", "piece"))
+        .join(F.broadcast(pieces_df), "piece", "left")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ppos", F.coalesce("pid", F.lit(-1)).alias("pid"))
+                    )
+                ),
+                lambda s: s["pid"],
+            ).alias("ids")
+        )
+    )
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "word")
+    )
+    per_word = exploded.join(word_ids, "word", "left").select(
+        id_col,
+        "pos",
+        # unseen word under a frozen vocab: its whole surface is one UNK
+        F.coalesce("ids", F.array(F.lit(-1))).alias("ids"),
+    )
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "ids"))
+            ).alias("chunks")
+        )
+        .select(
+            id_col,
+            F.flatten(F.col("chunks.ids")).alias("token_ids"),
+        )
+        .select(
+            id_col,
+            "token_ids",
+            F.size("token_ids").alias("n_tokens"),
+            F.size(F.filter("token_ids", lambda t: t == -1)).alias("n_unk"),
+        )
+    )

@@ -2198,3 +2198,36 @@ def x46_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "width", "height", "mean_r", "mean_g", "mean_b", "mean_luma")
         .orderBy("media_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x47 — BPE corpus ENCODING: the other half of the tokenizer (x45 learns
+# the vocabulary, this applies it), turning every document into the
+# integer id sequence a training pipeline consumes. Merges run once per
+# vocab word; the corpus pays exactly two natural-key shuffles (word
+# join, per-doc reassembly). Python-free, but the id assignment depends
+# on the learned merges => no SQL oracle; an exact python-tokenizer twin
+# pins full id sequences in tests/test_extensions.py.
+# --------------------------------------------------------------------------
+@register(
+    "x47_bpe_tokenize",
+    oracle=None,
+    doc="BPE corpus encoding with the learned vocab: per-doc token-id "
+    "sequences + UNK counts (rows-only; exact python twin in pytest)",
+)
+def x47_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import encode_corpus, learn_bpe, word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = word_counts(docs).localCheckpoint()  # one corpus counting pass
+    merges = learn_bpe(docs, n_merges=12, word_counts_df=vocab, merges_per_round=4)
+    return (
+        encode_corpus(docs, merges, word_counts_df=vocab)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_unk",
+            F.slice("token_ids", 1, 8).alias("head_ids"),
+        )
+        .orderBy("doc_id")
+    )

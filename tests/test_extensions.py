@@ -1767,3 +1767,63 @@ def test_x46_image_pipeline_matches_numpy_twin(spark):
             0.299 * r["mean_r"] + 0.587 * r["mean_g"] + 0.114 * r["mean_b"], 6
         )
         assert abs(r["mean_luma"] - want_luma) < 1e-9
+
+
+def test_x47_bpe_encode_matches_python_twin(spark):
+    """encode_corpus must produce, for every document, exactly the id
+    sequence a pure-python tokenizer yields from the same learned merges
+    (greedy left-to-right merge application per word, ids by sorted piece
+    order) — and a word absent from the frozen vocab must encode as one
+    UNK (-1), counted in n_unk, never an error."""
+    import re
+
+    from lambda_kafka_to_s3_parquet_spark.operators.bpe import (
+        EOW,
+        encode_corpus,
+        learn_bpe,
+        piece_vocab,
+        segment_vocab,
+        word_counts,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    vocab = word_counts(docs).localCheckpoint()
+    merges = learn_bpe(docs, n_merges=10, word_counts_df=vocab, merges_per_round=4)
+    got = {
+        r["doc_id"]: r
+        for r in encode_corpus(docs, merges, word_counts_df=vocab).collect()
+    }
+
+    def py_segment(word):
+        syms = list(word) + [EOW]
+        for a, b, _ in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    pieces = sorted(piece_vocab(segment_vocab(vocab.select("word"), merges)))
+    pid = {p: i for i, p in enumerate(pieces)}
+    rows = docs.collect()
+    assert len(got) == len(rows)
+    for r in rows[:60]:
+        words = [w for w in re.split("[^a-z0-9]+", r["text"].lower()) if w]
+        want = [pid[p] for w in words for p in py_segment(w)]
+        g = got[r["doc_id"]]
+        assert list(g["token_ids"]) == want, r["doc_id"]
+        assert g["n_tokens"] == len(want) and g["n_unk"] == 0
+
+    # frozen vocab over NEW text: unseen word -> single UNK id
+    w1, w2 = sorted({w for r in rows[:5] for w in re.split("[^a-z0-9]+", r["text"].lower()) if w})[:2]
+    new = spark.createDataFrame(
+        [(900001, f"{w1} qqqzzzxyzzy {w2}")], "doc_id long, text string"
+    )
+    enc = encode_corpus(new, merges, word_counts_df=vocab).collect()[0]
+    ids = list(enc["token_ids"])
+    assert ids.count(-1) == 1 and enc["n_unk"] == 1
+    assert enc["n_tokens"] == len(py_segment(w1)) + 1 + len(py_segment(w2))
+    assert ids == [pid[p] for p in py_segment(w1)] + [-1] + [pid[p] for p in py_segment(w2)]
