@@ -118,6 +118,10 @@ HEADLINE = [
     # round 5 (late): BPE merge learning — a driver loop of vocab-sized
     # jobs runs inside fn() (SINGLE_RUN: fixed machinery dominates)
     "x45_bpe_vocab",
+    # round 6: the tokenizer-to-trainer chain — learn BPE (batched
+    # rounds), encode the corpus to id sequences, pack fixed 512-token
+    # training rows (SINGLE_RUN: the same driver merge loop runs inside)
+    "x48_pack_training_rows",
     # MLlib linear quality probe (round 5): trains on 3x the corpus per
     # invocation — single-run like the streaming replays (fixed L-BFGS
     # machinery dominates)
@@ -171,6 +175,7 @@ SINGLE_RUN = {
     # x45: a driver loop of 15 vocab-sized merge rounds — fixed machinery
     # dominates like the streaming replays; single run, clock before fn()
     "x45_bpe_vocab",
+    "x48_pack_training_rows",  # same driver merge loop inside fn()
     "w05_stateful_user_profiles",
     "w09_incremental_neardup",
     "w10_cdc_current_state",

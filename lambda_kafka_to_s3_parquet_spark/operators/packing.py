@@ -81,3 +81,78 @@ def pack_sequences(
     return out.withColumn(
         "pack_id", F.floor(F.col("prefix_sum") / F.lit(pack_len)).cast("bigint")
     ).drop("prefix_sum")
+
+
+def pack_token_ids(
+    encoded: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Materialize the packed training rows themselves:
+    (seq_id, token_ids[<=seq_len], n_docs, n_filled, doc_spans).
+
+    :func:`pack_sequences` assigns docs to windows; this goes the rest of
+    the way for real id sequences (``operators.bpe.encode_corpus``
+    output): concatenate every document's ids in ``id_col`` order and cut
+    the stream every ``seq_len`` tokens, exactly what a pretraining
+    loader consumes. ``doc_spans`` records (doc_id, start, len) for each
+    document fragment inside the row — the attention/loss-mask boundary
+    information packing must not lose. The last row may be short
+    (``n_filled < seq_len``); loaders pad it.
+
+    Scale shape: the global token offset of each doc comes from the same
+    two-level scan as :func:`with_global_prefix_sum` (never a one-task
+    window); each doc then explodes to the WINDOWS IT OVERLAPS — a
+    ceil(n/seq_len)+1-row fan-out per doc, NOT per token — carrying the
+    ``slice`` of its ids that lands in that window; one groupBy(seq_id)
+    reassembles rows. Deterministic bit-for-bit on any partitioning."""
+    src = encoded.withColumn("_n", F.size(ids_col)).filter(F.col("_n") > 0)
+    pre = with_global_prefix_sum(src, id_col, "_n", bucket_size, out_col="_off")
+    L = F.lit(seq_len)
+    n = F.col("_n")
+    spans = pre.select(
+        id_col,
+        ids_col,
+        "_n",
+        "_off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_off") / L),
+                F.floor((F.col("_off") + n - 1) / L),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.greatest(F.lit(0), F.col("seq_id") * L - F.col("_off"))  # local start
+    hi = F.least(n, (F.col("seq_id") + 1) * L - F.col("_off"))
+    frag = spans.select(
+        "seq_id",
+        F.struct(
+            # offset inside the window orders fragments; cast keeps struct
+            # comparison cheap and the schema stable
+            F.greatest(F.lit(0), F.col("_off") - F.col("seq_id") * L)
+            .cast("int")
+            .alias("start"),
+            F.slice(ids_col, lo + 1, hi - lo).alias("ids"),
+            F.col(id_col).cast("long").alias("doc_id"),
+        ).alias("f"),
+    )
+    return (
+        frag.groupBy("seq_id")
+        .agg(F.array_sort(F.collect_list("f")).alias("fs"))
+        .select(
+            "seq_id",
+            F.flatten(F.col("fs.ids")).alias("token_ids"),
+            F.size("fs").alias("n_docs"),
+            F.transform(
+                "fs",
+                lambda f: F.struct(
+                    f["doc_id"].alias("doc_id"),
+                    f["start"].alias("start"),
+                    F.size(f["ids"]).alias("len"),
+                ),
+            ).alias("doc_spans"),
+        )
+        .withColumn("n_filled", F.size("token_ids"))
+    )

@@ -2231,3 +2231,40 @@ def x47_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x48 — the tokenizer-to-trainer chain: learn the BPE vocab (x45's
+# machinery), encode every document (x47's), then materialize packed
+# fixed-length training rows with doc-boundary spans — the artifact a
+# pretraining loader actually reads. Every window's ids must equal the
+# sequential concat-then-chunk of the corpus in doc_id order; the
+# python twin in tests pins that window-for-window (pack_token_ids
+# test), and sum(n_filled) == sum of x47's n_tokens by construction.
+# --------------------------------------------------------------------------
+@register(
+    "x48_pack_training_rows",
+    oracle=None,
+    doc="learn BPE -> encode corpus -> pack fixed 512-token training rows "
+    "with doc-span masks (rows-only; concat-chunk twin in pytest)",
+)
+def x48_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import encode_corpus, learn_bpe, word_counts
+    from ..operators.packing import pack_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = word_counts(docs).localCheckpoint()
+    merges = learn_bpe(docs, n_merges=12, word_counts_df=vocab, merges_per_round=4)
+    enc = encode_corpus(docs, merges, word_counts_df=vocab)
+    return (
+        pack_token_ids(enc, seq_len=512)
+        .select(
+            "seq_id",
+            "n_docs",
+            "n_filled",
+            F.slice("token_ids", 1, 6).alias("head_ids"),
+            F.element_at("doc_spans", 1)["doc_id"].alias("first_doc"),
+            F.element_at("doc_spans", -1)["doc_id"].alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )

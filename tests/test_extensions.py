@@ -1827,3 +1827,75 @@ def test_x47_bpe_encode_matches_python_twin(spark):
     assert ids.count(-1) == 1 and enc["n_unk"] == 1
     assert enc["n_tokens"] == len(py_segment(w1)) + 1 + len(py_segment(w2))
     assert ids == [pid[p] for p in py_segment(w1)] + [-1] + [pid[p] for p in py_segment(w2)]
+
+
+def test_pack_token_ids_matches_concat_chunk_twin(spark):
+    """pack_token_ids must reproduce, window for window, the sequential
+    concat-then-chunk of every doc's ids in doc_id order — token ids,
+    fragment spans, fill counts — and be invariant to input partitioning
+    (the whole point of the two-level scan)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.bpe import (
+        encode_corpus,
+        learn_bpe,
+        word_counts,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.packing import pack_token_ids
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    vocab = word_counts(docs).localCheckpoint()
+    merges = learn_bpe(docs, n_merges=8, word_counts_df=vocab, merges_per_round=4)
+    enc = encode_corpus(docs, merges, word_counts_df=vocab).localCheckpoint()
+
+    L = 128
+    got = {r["seq_id"]: r for r in pack_token_ids(enc, L).collect()}
+
+    stream, bounds = [], []  # bounds: (doc_id, global_start, n)
+    for r in sorted(enc.collect(), key=lambda r: r["doc_id"]):
+        if r["n_tokens"] == 0:
+            continue
+        bounds.append((r["doc_id"], len(stream), r["n_tokens"]))
+        stream.extend(r["token_ids"])
+    n_seqs = (len(stream) + L - 1) // L
+    assert set(got) == set(range(n_seqs)) and n_seqs > 3
+
+    for s in range(n_seqs):
+        want_ids = stream[s * L : (s + 1) * L]
+        g = got[s]
+        assert list(g["token_ids"]) == want_ids, s
+        assert g["n_filled"] == len(want_ids)
+        want_spans = []
+        for doc_id, start, n in bounds:
+            a, b = max(start, s * L), min(start + n, (s + 1) * L)
+            if a < b:
+                want_spans.append((doc_id, a - s * L, b - a))
+        assert [
+            (f["doc_id"], f["start"], f["len"]) for f in g["doc_spans"]
+        ] == want_spans, s
+        assert g["n_docs"] == len(want_spans)
+
+    # partition invariance: 7-way shuffle of the input, identical output
+    got7 = {
+        r["seq_id"]: list(r["token_ids"])
+        for r in pack_token_ids(enc.repartition(7), L).collect()
+    }
+    assert got7 == {k: list(v["token_ids"]) for k, v in got.items()}
+
+
+def test_x48_packed_rows_conserve_x47_tokens(spark):
+    """Cross-query invariant: the packed training rows carry every token
+    x47 produced exactly once — sum(n_filled) == sum(n_tokens), all rows
+    full except the last, doc chain contiguous across rows."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    specs = all_specs()
+    packed = specs["x48_pack_training_rows"].fn(spark, SF).collect()
+    enc = specs["x47_bpe_tokenize"].fn(spark, SF).collect()
+    # x45/x47/x48 share learn_bpe determinism, but x47 runs n_merges=12
+    # — identical to x48's, so token counts must conserve exactly
+    assert sum(r["n_filled"] for r in packed) == sum(r["n_tokens"] for r in enc)
+    for r in packed[:-1]:
+        assert r["n_filled"] == 512, r["seq_id"]
+    assert 0 < packed[-1]["n_filled"] <= 512
+    for prev, cur in zip(packed, packed[1:]):
+        # a doc split across a window boundary continues in the next row
+        assert cur["first_doc"] >= prev["last_doc"]
