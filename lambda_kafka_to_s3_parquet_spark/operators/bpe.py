@@ -217,7 +217,9 @@ def encode_corpus(
     Words absent from the segmentation vocabulary (new docs under a
     frozen vocab) contribute their pieces as UNK id -1 and are counted
     in ``n_unk`` — the fallback every production tokenizer needs, never
-    an error."""
+    an error. Documents with zero tokens produce no output row (nothing
+    to pack); ``word_counts_df`` must be a :func:`word_counts` result
+    (distinct words — duplicates would duplicate piece positions)."""
     wc = word_counts_df if word_counts_df is not None else word_counts(docs, text_col)
     seg = segment_vocab(wc.select("word"), merges)
     spark = docs.sparkSession

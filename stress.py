@@ -52,6 +52,10 @@ QUERIES = [
     "x21_split_and_pack",    # two-level distributed prefix sum
     "x25_decontaminate",     # cross-split shingle equi-join (df-CAPPED since r6)
     "x27_pii_redact",        # chained codegen regexes
+    # learn (vocab-sized driver rounds, same vocab at any replication) +
+    # encode (two corpus-sized natural-key shuffles): the corpus-growth
+    # slope of the tokenizer chain
+    "x47_bpe_tokenize",
 ]
 
 #: id column to shift per replica so keys replicate instead of colliding
