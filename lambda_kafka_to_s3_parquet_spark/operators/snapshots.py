@@ -343,6 +343,23 @@ def snapshot_read(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    # MIXED layouts (an unpartitioned commit beside partitioned ones)
+    # would otherwise expose a column ORDER decided by whichever commit
+    # uuid happens to sort first (fresh-table nondeterministic):
+    # unionByName aligns names but keeps frame[0]'s order, and partition
+    # columns read back AFTER the data columns only for partitioned
+    # commits. Canonicalize partition-key columns to the end — a no-op
+    # for uniform tables (partitioned reads already end with them;
+    # unpartitioned tables have none).
+    pcols: list[str] = []
+    for key in manifest["partitions"]:
+        for part in key.split("/") if key else []:
+            c = part.split("=", 1)[0]
+            if c and c not in pcols:
+                pcols.append(c)
+    if pcols:
+        data_cols = [c for c in out.columns if c not in pcols]
+        out = out.select(*data_cols, *[c for c in pcols if c in out.columns])
     return out
 
 
