@@ -92,3 +92,57 @@ def test_columnar_decoder_matches_spec_decoder(row):
     _decode_record_into(body, RATECARD_FIELDS, cols, 0)
     got = {name: vals[0] for name, vals in cols.items()}
     assert got == decode_avro_record(body, RATECARD_FIELDS)
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.sampled_from([1, 17, 255, 256, 65535]),
+    st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_ppm_codec_roundtrip_property(w, h, maxval, data):
+    """encode_ppm -> decode_ppm is value-exact for any dims / sample
+    width, and corrupting the payload raises ValueError, never returns
+    wrong pixels (PERMISSIVE boundary contract)."""
+    import numpy as np
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = np.array(
+        data.draw(
+            st.lists(
+                st.lists(
+                    st.lists(
+                        st.integers(min_value=0, max_value=maxval),
+                        min_size=3, max_size=3),
+                    min_size=w, max_size=w),
+                min_size=h, max_size=h)
+        ),
+        dtype=np.int64,
+    )
+    payload = encode_ppm(px, w, h, maxval)
+    got = decode_ppm(payload)
+    assert (got["width"], got["height"], got["maxval"]) == (w, h, maxval)
+    assert (got["pixels"].astype(np.int64) == px).all()
+    # truncation is detected, not silently mis-shaped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(payload[:-1])
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_ppm_decoder_never_crashes_on_garbage(raw):
+    """Arbitrary bytes either decode (only if they happen to be a valid
+    P6) or raise ValueError — never any other exception type."""
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import decode_ppm
+
+    try:
+        decode_ppm(b"P6" + raw)
+    except ValueError:
+        pass
