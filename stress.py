@@ -90,7 +90,10 @@ def build_scaled(spark, base_dir: str, out_dir: str, scale: int) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
 
 
-def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
+def time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
+    # min-of-3 (was 2 through round 6 mid-runs): shared-host noise bursts
+    # several seconds long survived min-of-2 (observed: one cell 2-3x its
+    # reproducible cost while every neighbor row was clean)
     best = None
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -99,6 +102,24 @@ def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
         best = dt if best is None else min(best, dt)
         spark.catalog.clearCache()
     return round(best, 3)
+
+
+def distinct_replicas(docs, scale: int):
+    """Union of content-DISTINCT replicas: per-replica vowel rotation
+    mutates every shingle, so replica k shares no n-grams with replica j
+    — the corpus grows scale x while true-match density per doc stays at
+    the 1x corpus's own near-dup structure."""
+    rep = docs
+    for k in range(1, scale):
+        rep = rep.unionByName(
+            docs.select(
+                (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
+                F.concat(
+                    F.lit(f"rep{k} "), F.translate("text", "aeiou", str(k % 10) * 5)
+                ).alias("text"),
+            )
+        )
+    return rep
 
 
 def w09_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dict:
@@ -116,21 +137,11 @@ def w09_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dict:
     )
 
     docs = load_table(spark, base_dir, "documents").select("doc_id", "text")
-    rep = docs
-    for k in range(1, scale):
-        # replicas must be content-DISTINCT from the batch (per-token
-        # vowel rotation mutates every shingle): the row measures cost vs
-        # STORE SIZE at fixed true-match density — near-dup replicas
-        # would hand the fixed batch k x more genuine candidates, which
-        # any correct implementation must pay for (∝ matches, not store)
-        rep = rep.unionByName(
-            docs.select(
-                (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
-                F.concat(
-                    F.lit(f"rep{k} "), F.translate("text", "aeiou", str(k % 10) * 5)
-                ).alias("text"),
-            )
-        )
+    # replicas must be content-DISTINCT from the batch: the row measures
+    # cost vs STORE SIZE at fixed true-match density — near-dup replicas
+    # would hand the fixed batch k x more genuine candidates, which any
+    # correct implementation must pay for (∝ matches, not store)
+    rep = distinct_replicas(docs, scale)
     s1 = os.path.join(scratch, "w09_s1")
     sN = os.path.join(scratch, "w09_sN")
     # same per-dir row budget at both scales: n_pfx grows with the store
@@ -188,6 +199,25 @@ def main() -> None:
             t1 = time_query(spark, fn, base1x)
             tn = time_query(spark, fn, baseNx)
             out[name] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+        # x07 at FIXED match density: content-distinct replicas (same
+        # mutation as the w09 row) isolate the banded-join machinery's
+        # slope from genuine-match inflation — identical-text replication
+        # (the x07 row above) grows every dup cluster scale x, so its
+        # candidate pairs grow ∝ scale² BY CONSTRUCTION and any correct
+        # near-dup pays for them; this row holds the 1x corpus's own
+        # match structure per replica while the corpus grows scale x.
+        dist_dir = os.path.join(scratch, "xNdist")
+        docs1x = load_table(spark, base, "documents").select("doc_id", "text")
+        distinct_replicas(docs1x, scale).write.mode("overwrite").parquet(
+            os.path.join(dist_dir, "documents.parquet")
+        )
+        out["x07_fixed_density"] = {
+            "t1": out["x07_minhash_neardup"]["t1"],
+            "tN": time_query(spark, specs["x07_minhash_neardup"].fn, dist_dir),
+        }
+        out["x07_fixed_density"]["ratio"] = round(
+            out["x07_fixed_density"]["tN"] / out["x07_fixed_density"]["t1"], 1
+        )
         out["w09_batch_vs_store"] = w09_store_growth(spark, base, scratch, scale)
         print(
             json.dumps(
