@@ -13,7 +13,20 @@ from .dedup import (  # noqa: F401
     near_dup_pairs,
     simhash_table,
 )
-from .multimodal import extract_features, media_frame  # noqa: F401
+from .bpe import encode_corpus, learn_bpe, segment_vocab, word_counts  # noqa: F401
+from .multimodal import (  # noqa: F401
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    extract_audio_features,
+    extract_features,
+    extract_image_features,
+    media_frame,
+    resize_images,
+    resize_ppm,
+)
+from .packing import pack_sequences, pack_token_ids  # noqa: F401
 from .similarity import (  # noqa: F401
     near_dup_within_label,
     topk_bruteforce,
