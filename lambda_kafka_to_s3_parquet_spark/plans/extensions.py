@@ -2268,3 +2268,29 @@ def x48_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x49 — SEMANTIC decontamination: the embedding-space twin of x25 (n-gram
+# decontamination) — train-split vectors too close in cosine to any
+# test-split vector, blocked by the embeddings' cluster id exactly like
+# x12. Arrow/BLAS boundary => rows-only; an exact numpy replay (same
+# blocking, same argmax tie-break) pins every flagged row in pytest.
+# --------------------------------------------------------------------------
+@register(
+    "x49_semantic_decontaminate",
+    oracle=None,
+    doc="semantic cross-split decontamination: train vectors with a "
+    "cosine >= 0.35 test neighbor in their block (rows-only; exact "
+    "numpy twin in pytest)",
+)
+def x49_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.splits import assign_split
+    from ..operators.similarity import cross_split_semantic_overlap
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cross_split_semantic_overlap(
+        e,
+        assign_split(F.col("vec_id").cast("string")),
+        threshold=0.35,
+    ).orderBy("train_id")

@@ -1899,3 +1899,54 @@ def test_x48_packed_rows_conserve_x47_tokens(spark):
     for prev, cur in zip(packed, packed[1:]):
         # a doc split across a window boundary continues in the next row
         assert cur["first_doc"] >= prev["last_doc"]
+
+
+def test_x49_semantic_decontaminate_matches_numpy_twin(spark):
+    """Every flagged (train, test, cos) row must equal an exact numpy
+    replay of the same blocked rectangular GEMM with the same
+    smallest-test-id argmax tie-break — and no train vector with a
+    >= threshold test neighbor IN ITS BLOCK may be missed."""
+    import numpy as np
+
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 flags only 1 row; use 0.01
+    got = [
+        (r["block"], r["train_id"], r["test_id"], r["cos_sim"])
+        for r in all_specs()["x49_semantic_decontaminate"].fn(spark, sf).collect()
+    ]
+
+    emb = load_table(spark, sf, "embeddings")
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import assign_split
+
+    rows = emb.select(
+        "label", "vec_id", "embedding",
+        assign_split(F.col("vec_id").cast("string")).alias("s"),
+    ).collect()
+    want = []
+    blocks = {}
+    for r in rows:
+        blocks.setdefault(r["label"], []).append(r)
+    for lbl, rs in blocks.items():
+        def unit(split):
+            pool = [
+                (r["vec_id"], np.asarray(r["embedding"], np.float64))
+                for r in rs
+                if r["s"] == split and r["embedding"] is not None
+            ]
+            pool = [(i, v / np.linalg.norm(v)) for i, v in pool if np.linalg.norm(v) > 0]
+            return pool
+        tr, te = unit("train"), unit("test")
+        if not tr or not te:
+            continue
+        te.sort(key=lambda p: p[0])
+        TE = np.stack([v for _, v in te])
+        for tid, tv in tr:
+            sims = np.round(TE @ tv, 6)
+            b = int(sims.argmax())
+            if sims[b] >= 0.35:
+                want.append((lbl, tid, te[b][0], float(sims[b])))
+    assert sorted(got, key=lambda x: x[1]) == sorted(want, key=lambda x: x[1])
+    assert len(want) > 0
