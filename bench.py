@@ -75,6 +75,9 @@ HEADLINE = [
     "x12_embedding_neardup_blocked",
     "x13_media_stats",
     "x17_frame_sample",
+    # round 6: real-codec image pipeline (PPM encode -> thumbnail ->
+    # features through three Arrow stages)
+    "x46_image_pipeline",
     "x19_asof_join",
     "x20_interval_join",
     "x21_split_and_pack",
@@ -92,6 +95,8 @@ HEADLINE = [
     # teaches); timing is not comparable to rounds <= 5 (the uncapped
     # call pays no census shuffle).
     "x25_decontaminate",
+    # round 6: semantic cross-split decontamination (blocked GEMM)
+    "x49_semantic_decontaminate",
     "x27_pii_redact",
     # round 6: x28 absorbs former x26_boilerplate_lines as a union-tagged
     # branch — its timing now includes that census and is not comparable
