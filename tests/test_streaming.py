@@ -1230,3 +1230,41 @@ def test_read_state_as_of_applies_deletes(spark, tmp_path):
     assert state("2024-01-01 23:59:59") == {1: 1.0, 2: 9.0}
     assert state("2024-01-02 23:59:59") == {2: 9.0}       # k1 deleted
     assert state("2024-01-04 00:00:00") == {1: 2.0, 2: 9.0}  # resurrected
+
+
+def test_band_store_pre_registry_meta_falls_back_to_fs_probing(spark, sf_dir, tmp_path):
+    """Stores written before the dir-registry bitmap (round-6 meta keys
+    band_dirs/spfx_dirs) must stay readable: stripping the bitmaps from
+    the meta forces the filesystem-probing fallback, which must return
+    the SAME candidate rows and sig rows as the registry path."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        _store_meta,
+        _write_store_meta,
+        minhash_vectors,
+        read_band_store,
+        read_sig_store,
+        sig_bands,
+    )
+
+    store = tmp_path / "store"
+    docs = _mk_band_store(spark, sf_dir, store)
+    tiny = docs.filter(F.col("doc_id") % 500 < 2)
+    batch_bands = sig_bands(minhash_vectors(tiny))
+
+    with_reg = read_band_store(spark, str(store), prune_to=batch_bands)
+    reg_rows = sorted((r["doc_id"], r["band"]) for r in with_reg.collect())
+    sig_ids = sorted(r["doc_id"] for r in read_sig_store(
+        spark, str(store), [0, 1, 2, 3]).collect())
+
+    meta = _store_meta(spark, str(store))
+    assert "band_dirs" in meta and "spfx_dirs" in meta  # registry present
+    legacy = {k: v for k, v in meta.items() if k not in ("band_dirs", "spfx_dirs")}
+    _write_store_meta(spark, str(store), legacy)
+
+    no_reg = read_band_store(spark, str(store), prune_to=batch_bands)
+    assert sorted((r["doc_id"], r["band"]) for r in no_reg.collect()) == reg_rows
+    legacy_ids = sorted(r["doc_id"] for r in read_sig_store(
+        spark, str(store), [0, 1, 2, 3]).collect())
+    assert legacy_ids == sig_ids and len(sig_ids) > 0
