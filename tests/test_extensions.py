@@ -1950,3 +1950,61 @@ def test_x49_semantic_decontaminate_matches_numpy_twin(spark):
                 want.append((lbl, tid, te[b][0], float(sims[b])))
     assert sorted(got, key=lambda x: x[1]) == sorted(want, key=lambda x: x[1])
     assert len(want) > 0
+
+
+def test_semantic_decontaminate_composes_with_kmeans_cells(spark):
+    """The production blocking path: assign shared k-means cells
+    (_kmeans_cells, the SemDeDup front half), block the cross-split
+    overlap by cell instead of the fixture label, and match an exact
+    numpy replay over the SAME cell assignment — proving the operator is
+    blocking-key agnostic."""
+    import numpy as np
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import assign_split
+    from lambda_kafka_to_s3_parquet_spark.operators.similarity import (
+        _kmeans_cells,
+        cross_split_semantic_overlap,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    assigned, _ = _kmeans_cells(emb, n_cells=6)
+    cells = assigned.select(
+        F.col("id").alias("vec_id"),
+        F.col("_uvec").alias("embedding"),
+        "cell",
+    ).localCheckpoint()  # one assignment, shared by operator and twin
+
+    got = sorted(
+        (r["block"], r["train_id"], r["test_id"], r["cos_sim"])
+        for r in cross_split_semantic_overlap(
+            cells,
+            assign_split(F.col("vec_id").cast("string")),
+            threshold=0.35,
+            block_col="cell",
+        ).collect()
+    )
+
+    rows = cells.withColumn(
+        "s", assign_split(F.col("vec_id").cast("string"))
+    ).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    want = []
+    for cell, rs in by_cell.items():
+        tr = [(r["vec_id"], np.asarray(r["embedding"])) for r in rs if r["s"] == "train"]
+        te = sorted(
+            (r["vec_id"], np.asarray(r["embedding"])) for r in rs if r["s"] == "test"
+        )
+        if not tr or not te:
+            continue
+        TE = np.stack([v for _, v in te])
+        for tid, tv in tr:
+            sims = np.round(TE @ tv, 6)
+            b = int(sims.argmax())
+            if sims[b] >= 0.35:
+                want.append((cell, tid, te[b][0], float(sims[b])))
+    assert got == sorted(want) and len(want) > 0
