@@ -1268,3 +1268,62 @@ def test_band_store_pre_registry_meta_falls_back_to_fs_probing(spark, sf_dir, tm
     legacy_ids = sorted(r["doc_id"] for r in read_sig_store(
         spark, str(store), [0, 1, 2, 3]).collect())
     assert legacy_ids == sig_ids and len(sig_ids) > 0
+
+
+def test_band_store_dir_registry_matches_disk_across_appends_and_rebucket(
+    spark, sf_dir, tmp_path
+):
+    """The meta bitmaps are the store's source of truth for partition-dir
+    existence (zero-fs-call reads) — after multiple appends and a
+    rebucket they must decode to EXACTLY the dirs present on disk, never
+    a superset (phantom dirs would feed nonexistent paths to the reader)
+    nor a subset (missed dirs would silently drop history candidates)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        _bitmap_decode,
+        _store_meta,
+        append_band_store,
+        minhash_vectors,
+        rebucket_band_store,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    store = tmp_path / "store"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for lo, hi in ((0, 100), (100, 180), (180, 260)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        append_band_store(
+            spark, str(store), minhash_vectors(batch).filter(F.col("sigs").isNotNull()),
+            n_pfx=8,
+        )
+
+    def disk_state(root):
+        meta = _store_meta(spark, str(root))
+        n_pfx = meta["n_pfx"]
+        band_dirs = set()
+        for b in os.listdir(root / "bands"):
+            if b.startswith("band="):
+                for p in os.listdir(root / "bands" / b):
+                    if p.startswith("pfx="):
+                        band_dirs.add(
+                            int(b.split("=")[1]) * n_pfx + int(p.split("=")[1])
+                        )
+        spfx_dirs = {
+            int(d.split("=")[1])
+            for d in os.listdir(root / "sigs")
+            if d.startswith("spfx=")
+        }
+        return meta, band_dirs, spfx_dirs
+
+    meta, band_disk, spfx_disk = disk_state(store)
+    assert _bitmap_decode(meta["band_dirs"]) == band_disk
+    assert _bitmap_decode(meta["spfx_dirs"]) == spfx_disk
+
+    rebucket_band_store(spark, str(store), n_pfx_new=16)
+    meta, band_disk, spfx_disk = disk_state(store)
+    assert meta["n_pfx"] == 16
+    assert _bitmap_decode(meta["band_dirs"]) == band_disk
+    assert _bitmap_decode(meta["spfx_dirs"]) == spfx_disk
