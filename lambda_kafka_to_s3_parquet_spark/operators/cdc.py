@@ -42,6 +42,7 @@ from .dedup import latest_by_key
 from .rollup import (  # noqa: F401  (re-exported for cdc tests)
     _guard_no_inplace_data,
     _is_absent_or_empty,
+    _maintenance_state,
     _marker_fs,
     _read_marker_state,
     _write_last_batch_id,
@@ -57,6 +58,7 @@ def merge_cdc_batch(
     tiebreak: str,
     n_buckets: int = 16,
     commit_protocol: str = "inplace",
+    commit_meta: dict | None = None,
 ) -> None:
     """Upsert one micro-batch of CDC rows into the current-state table.
 
@@ -94,7 +96,7 @@ def merge_cdc_batch(
             # (A crashed first snapshot commit leaves only data/ and
             # _snapshots/ — those don't count as in-place data.)
             _guard_no_inplace_data(spark, path)
-            snapshot_append(spark, path, part, ["bucket"])
+            snapshot_append(spark, path, part, ["bucket"], meta=commit_meta)
             return
         existing = snapshot_read(spark, path)
     elif _is_absent_or_empty(spark, path):
@@ -108,7 +110,7 @@ def merge_cdc_batch(
         "n_copies"
     )
     if commit_protocol == "snapshot":
-        snapshot_overwrite_partitions(spark, path, merged, ["bucket"])
+        snapshot_overwrite_partitions(spark, path, merged, ["bucket"], meta=commit_meta)
         return
     (
         merged.write.mode("overwrite")
@@ -139,11 +141,19 @@ def run_cdc_merge_stream(
     point equals ``latest_by_key`` over every change row ever streamed —
     pinned against x02's batch answer in tests, including out-of-order
     arrival and checkpoint restart.
+
+    ``commit_protocol="snapshot"`` is exactly-once across crashes: the
+    batch id rides inside the snapshot manifest, so merge + high-water
+    mark are one atomic pointer swap (see ``run_rollup_stream`` for the
+    full contract; in-place mode keeps the documented one-batch
+    crash-replay residual of its two-step marker).
     """
     marker = os.path.join(table_path, "_last_merged_batch.json")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        state = _read_marker_state(spark, marker, checkpoint)
+        from .snapshots import is_snapshot_table
+
+        state = _maintenance_state(spark, table_path, marker, checkpoint)
         # Bucket-count drift guard: the stored rows sit in pmod(hash, N)
         # partitions for the N the table was built with; merging with a
         # different N would semi-join the wrong buckets and leave stale
@@ -157,12 +167,16 @@ def run_cdc_merge_stream(
                 "table layout — rebuild the table to resize"
             )
         stored_proto = state.get("commit_protocol", "inplace") if state else None
-        if state is not None and stored_proto != commit_protocol:
+        if (state is not None and stored_proto != commit_protocol) or (
+            commit_protocol == "inplace"
+            and state is None
+            and is_snapshot_table(spark, table_path)
+        ):
             raise ValueError(
                 f"current-state table {table_path} was maintained with "
-                f"commit_protocol={stored_proto!r} but this stream runs "
-                f"{commit_protocol!r}; the physical layouts are "
-                "incompatible — migrate the table explicitly"
+                f"commit_protocol={stored_proto or 'snapshot'!r} but this "
+                f"stream runs {commit_protocol!r}; the physical layouts "
+                "are incompatible — migrate the table explicitly"
             )
         if (state is not None and batch_id <= int(state["batch_id"])) or batch_df.isEmpty():
             return
@@ -175,14 +189,23 @@ def run_cdc_merge_stream(
             tiebreak,
             n_buckets,
             commit_protocol=commit_protocol,
+            commit_meta={
+                "batch_id": batch_id,
+                "checkpoint": checkpoint,
+                "n_buckets": n_buckets,
+                "commit_protocol": commit_protocol,
+            },
         )
-        _write_last_batch_id(
-            spark,
-            marker,
-            batch_id,
-            checkpoint,
-            extra={"n_buckets": n_buckets, "commit_protocol": commit_protocol},
-        )
+        if commit_protocol == "inplace":
+            # snapshot mode publishes the id atomically with the merge
+            # (commit_meta above, inside the manifest).
+            _write_last_batch_id(
+                spark,
+                marker,
+                batch_id,
+                checkpoint,
+                extra={"n_buckets": n_buckets, "commit_protocol": commit_protocol},
+            )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

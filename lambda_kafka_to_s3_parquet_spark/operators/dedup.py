@@ -747,16 +747,34 @@ def _store_meta(spark, store_path: str) -> dict | None:
 
 
 def _write_store_meta(spark, store_path: str, meta: dict) -> None:
+    """Publish the meta ATOMICALLY (tmp + delete-old + rename), the
+    snapshot-manifest protocol in miniature: a crash mid-write must never
+    leave a truncated/garbled meta at the canonical name — readers would
+    raise on it (fail-stop, but needlessly) or, worse, a JSON prefix that
+    still parses could resurrect a stale registry. With rename, every
+    crash point leaves either the old meta or the new one. (The tiny
+    delete→rename window on rename-no-overwrite filesystems means a
+    concurrent reader could see the meta absent — the store is
+    single-writer and readers run in the same maintenance stream, so no
+    reader races this by contract.)"""
     import json
+    import uuid
 
     from .rollup import _marker_fs
 
     fs, p = _marker_fs(spark, f"{store_path}/{NEARDUP_STORE_META}")
-    stream = fs.create(p, True)
+    fs2, tmp = _marker_fs(
+        spark, f"{store_path}/{NEARDUP_STORE_META}.tmp-{uuid.uuid4().hex}"
+    )
+    stream = fs.create(tmp, True)
     try:
         stream.write(json.dumps(meta).encode("utf-8"))
     finally:
         stream.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        fs.delete(tmp, False)
+        raise OSError(f"band-store meta publish failed for {store_path}")
 
 
 def _check_store_params(
@@ -828,6 +846,41 @@ def _bitmap_encode(bits: set[int], n_bits: int) -> str:
     return base64.b64encode(bytes(raw)).decode("ascii")
 
 
+def _store_has_data(spark, store_path: str) -> bool:
+    """True iff either half of the store holds any partition dirs."""
+    from .rollup import _marker_fs
+
+    fs, _ = _marker_fs(spark, store_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    return fs.exists(jpath(f"{store_path}/bands")) or fs.exists(
+        jpath(f"{store_path}/sigs")
+    )
+
+
+def _probe_dir_registry(spark, store_path: str, n_bands: int, n_pfx: int) -> dict:
+    """Build the dir-registry bitmaps from the filesystem — one dir-level
+    globStatus per store half (upgrade path for pre-registry stores; the
+    hot path never calls this)."""
+    from .rollup import _marker_fs
+
+    fs, _ = _marker_fs(spark, store_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    band_bits: set[int] = set()
+    for st in fs.globStatus(jpath(f"{store_path}/bands/band=*/pfx=*")) or []:
+        p = st.getPath()
+        band = int(p.getParent().getName().split("=", 1)[1])
+        pfx = int(p.getName().split("=", 1)[1])
+        band_bits.add(band * n_pfx + pfx)
+    spfx_bits = {
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.globStatus(jpath(f"{store_path}/sigs/spfx=*")) or []
+    }
+    return {
+        "band_dirs": _bitmap_encode(band_bits, n_bands * n_pfx),
+        "spfx_dirs": _bitmap_encode(spfx_bits, n_pfx),
+    }
+
+
 def append_band_store(
     spark,
     store_path: str,
@@ -877,6 +930,15 @@ def append_band_store(
     else:
         _check_store_params(meta, store_path, n_bands, rows_per_band)
     n_pfx = meta["n_pfx"]
+    if "band_dirs" not in meta and _store_has_data(spark, store_path):
+        # Pre-registry store (meta without the dir bitmaps) with existing
+        # data: seed the bitmaps from ONE filesystem probe of each half
+        # BEFORE unioning this batch's keys. Seeding from the empty
+        # default would register only this batch's dirs, and the now-
+        # bitmap-carrying meta would make every read silently skip the
+        # legacy dirs — dropped history, near-dups of prior survivors
+        # landing forever (the exact silent failure this module forbids).
+        meta = {**meta, **_probe_dir_registry(spark, store_path, n_bands, n_pfx)}
     bands = _with_pfx(sig_bands(vecs, id_col, n_bands, rows_per_band), n_pfx)
     new_band_keys = {
         r["band"] * n_pfx + r["pfx"]
@@ -1037,6 +1099,12 @@ def incremental_neardup_banded(
         batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n
     ).localCheckpoint()
     hist_dropped = None
+    if _is_absent_or_empty(spark, store_path):
+        # An interrupted rebucket swap leaves the store at a side path —
+        # complete it rather than silently bootstrapping over history.
+        # Zero cost on the hot path (only probed when the canonical path
+        # looks absent/empty).
+        _recover_rebucket(spark, store_path)
     if not _is_absent_or_empty(spark, store_path):
         meta = _store_meta(spark, store_path)
         n_pfx = meta["n_pfx"] if meta else DEFAULT_STORE_PFX
@@ -1104,21 +1172,128 @@ def incremental_neardup_banded(
     )
 
 
+def migrate_band_store(
+    spark,
+    legacy_store: str,
+    new_store: str,
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    n_pfx: int = DEFAULT_STORE_PFX,
+) -> int:
+    """Rebuild a legacy flat ``(id, sigs)`` signature store (the pre-
+    banded layout) as the two-part banded store at ``new_store`` — the
+    explicit upgrade step for restarting an old ``run_neardup_stream``
+    deployment against the banded engine (which otherwise fails fast in
+    ``read_band_store`` with "has no band-store meta file"). One pass:
+    the stored signatures re-band and land via :func:`append_band_store`;
+    returns the number of migrated signature rows. The legacy store is
+    left untouched — point the stream at ``new_store`` afterwards."""
+    from .rollup import _is_absent_or_empty
+
+    if _store_meta(spark, legacy_store) is not None:
+        raise ValueError(
+            f"{legacy_store} is already a banded store; migration reads "
+            "only the legacy flat (id, sigs) layout"
+        )
+    if not _is_absent_or_empty(spark, new_store):
+        raise ValueError(
+            f"migration target {new_store} already holds data; migrate "
+            "into a fresh path and repoint the stream"
+        )
+    legacy = spark.read.parquet(legacy_store)
+    if id_col not in legacy.columns or "sigs" not in legacy.columns:
+        raise ValueError(
+            f"{legacy_store} does not look like a legacy signature store "
+            f"(need columns [{id_col!r}, 'sigs'], found {legacy.columns})"
+        )
+    vecs = legacy.select(id_col, "sigs").localCheckpoint()
+    n = vecs.count()
+    probe = vecs.select(F.size("sigs").alias("k")).first()
+    if probe is not None and probe["k"] != n_bands * rows_per_band:
+        raise ValueError(
+            f"{legacy_store} carries {probe['k']}-hash vectors but the new "
+            f"store would run n_bands={n_bands} x rows_per_band="
+            f"{rows_per_band} (K={n_bands * rows_per_band}); migrate with "
+            "the parameters the legacy store was built with"
+        )
+    append_band_store(
+        spark, new_store, vecs, id_col, n_bands, rows_per_band, n_pfx
+    )
+    return n
+
+
+def _recover_rebucket(spark, store_path: str) -> bool:
+    """Complete an interrupted :func:`rebucket_band_store` swap.
+
+    Swap protocol states (rename-only, never delete-first): a crash can
+    leave (a) canonical intact + leftover tmp/old dirs — garbage, drop
+    the ``.rebucket_old``; (b) canonical ABSENT + ``.rebucket_old``
+    present — crashed between the two renames: roll FORWARD to the
+    fully-written tmp if its meta exists, else roll BACK to the old
+    store. Returns True when a roll restored the canonical path. Called
+    from rebucket itself and from the bootstrap probe of
+    :func:`incremental_neardup_banded` — without this, a crashed swap
+    would read as "absent store" and silently bootstrap empty (full
+    history loss, the failure mode the module forbids)."""
+    from .rollup import _marker_fs
+
+    fs, canon = _marker_fs(spark, store_path)
+    base = store_path.rstrip("/")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    old_p = jpath(base + ".rebucket_old")
+    tmp_p = jpath(base + ".rebucket_tmp")
+    if fs.exists(jpath(f"{store_path}/{NEARDUP_STORE_META}")):
+        # canonical store is live; a leftover .rebucket_old is the crash
+        # tail of a COMPLETED swap — reclaim it
+        if fs.exists(old_p):
+            fs.delete(old_p, True)
+        return False
+    if not fs.exists(old_p):
+        return False
+    if fs.exists(jpath(f"{base}.rebucket_tmp/{NEARDUP_STORE_META}")):
+        # tmp fully materialized (its meta is written LAST) — roll forward
+        if fs.exists(canon):
+            fs.delete(canon, True)  # metaless shell, unreadable anyway
+        if not fs.rename(tmp_p, canon):
+            raise OSError(f"rebucket recovery rename {base}.rebucket_tmp -> "
+                          f"{store_path} failed")
+        fs.delete(old_p, True)
+    else:
+        # tmp incomplete — roll back to the pre-rebucket store
+        if fs.exists(canon):
+            fs.delete(canon, True)
+        if not fs.rename(old_p, canon):
+            raise OSError(f"rebucket recovery rename {base}.rebucket_old -> "
+                          f"{store_path} failed")
+        if fs.exists(tmp_p):
+            fs.delete(tmp_p, True)
+    return True
+
+
 def rebucket_band_store(spark, store_path: str, n_pfx_new: int) -> None:
     """Split (or merge) the store's partition fan-out: rewrite both halves
     with a new ``n_pfx`` so per-dir bytes stay bounded as the corpus
     grows — run it from the maintenance window that owns the store
     (single writer; the swap is not atomic for concurrent readers,
     exactly like compaction on plain parquet).
+
+    Crash safety: the fully-materialized tmp store swaps in via RENAMES
+    only (canonical → ``.rebucket_old``, tmp → canonical, drop the old) —
+    every crash point leaves a store recoverable at the canonical path,
+    and :func:`_recover_rebucket` (run here and by the incremental
+    reader's bootstrap probe) completes an interrupted swap instead of
+    letting it read as an absent store.
     """
     from .rollup import _marker_fs
 
+    _recover_rebucket(spark, store_path)
     meta = _store_meta(spark, store_path)
     if meta is None:
         raise ValueError(f"{store_path} has no band-store meta file")
     tmp = store_path.rstrip("/") + ".rebucket_tmp"
-    # the tmp write fully materializes before the old dir is deleted, so a
-    # crash at any point leaves a readable store (old OR renamed new)
+    # the tmp write fully materializes (meta LAST — it is the tmp's
+    # completeness witness) before any rename touches the canonical path
     bands = _with_pfx(
         spark.read.parquet(f"{store_path}/bands").drop("pfx"), n_pfx_new
     )
@@ -1155,11 +1330,20 @@ def rebucket_band_store(spark, store_path: str, n_pfx_new: int) -> None:
             "spfx_dirs": _bitmap_encode(spfx_bits, n_pfx_new),
         },
     )
-    fs, old_p = _marker_fs(spark, store_path)
+    # Swap via renames only (never delete-first): a crash between a
+    # delete and a rename would leave NO store at the canonical path and
+    # the next batch would silently bootstrap empty. Here every crash
+    # point leaves old or new recoverable (see _recover_rebucket).
+    fs, canon_p = _marker_fs(spark, store_path)
     _, tmp_p = _marker_fs(spark, tmp)
-    fs.delete(old_p, True)
-    if not fs.rename(tmp_p, old_p):
+    _, old_p = _marker_fs(spark, store_path.rstrip("/") + ".rebucket_old")
+    if fs.exists(old_p):
+        fs.delete(old_p, True)  # stale tail of a prior completed swap
+    if not fs.rename(canon_p, old_p):
+        raise OSError(f"rebucket rename {store_path} -> .rebucket_old failed")
+    if not fs.rename(tmp_p, canon_p):
         raise OSError(f"rebucket rename {tmp} -> {store_path} failed")
+    fs.delete(old_p, True)
 
 
 def cross_split_overlap(

@@ -117,6 +117,7 @@ def merge_rollup_batch(
     path: str,
     distinct_col: str | None = None,
     commit_protocol: str = "inplace",
+    commit_meta: dict | None = None,
 ) -> None:
     """Fold one micro-batch of raw events into the stored hourly rollup.
 
@@ -179,7 +180,7 @@ def merge_rollup_batch(
             # snapshot_append no-ops on an empty partial (e.g. an all-
             # null-ts first batch), staying at v0 so the NEXT batch still
             # takes the bootstrap path instead of reading an empty v1.
-            snapshot_append(spark, path, part, ["d"])
+            snapshot_append(spark, path, part, ["d"], meta=commit_meta)
             return
         existing = snapshot_read(spark, path)
     elif _is_absent_or_empty(spark, path):
@@ -204,7 +205,7 @@ def merge_rollup_batch(
         .agg(*_merge_aggs(part.columns))
     )
     if commit_protocol == "snapshot":
-        snapshot_overwrite_partitions(spark, path, merged, ["d"])
+        snapshot_overwrite_partitions(spark, path, merged, ["d"], meta=commit_meta)
         return
     (
         merged.write.mode("overwrite")
@@ -288,16 +289,46 @@ def _read_marker_state(spark: SparkSession, marker: str, checkpoint: str) -> dic
     finally:
         stream.close()
     state = json.loads(raw.decode("utf-8"))
+    _validate_state_checkpoint(state, marker, checkpoint)
+    return state
+
+
+def _validate_state_checkpoint(state: dict, source: str, checkpoint: str) -> None:
     if state.get("checkpoint") != checkpoint:
         raise ValueError(
-            f"high-water mark {marker} was written by checkpoint "
+            f"high-water mark {source} was written by checkpoint "
             f"{state.get('checkpoint')!r} but this stream runs from "
             f"{checkpoint!r}; batch ids are not comparable across "
             "checkpoints (risk: silent skips AND double-merges). Restore "
             "the original checkpoint, or rebuild the maintained table and "
             "marker together."
         )
-    return state
+
+
+def _maintenance_state(
+    spark: SparkSession, table_path: str, marker: str, checkpoint: str
+) -> dict | None:
+    """High-water state for a continuously-maintained table.
+
+    Snapshot-protocol tables committed since the manifest-meta upgrade
+    carry it INSIDE the manifest — data + batch id publish in one atomic
+    pointer swap, so there is no crash window between them. Pre-upgrade
+    snapshot tables and every in-place table keep the legacy side-car
+    marker. The manifest wins when both exist: after the first atomic
+    commit the side-car goes stale and is never updated again (its
+    batch id only falls behind, never ahead — the atomic commit happens
+    before any marker write ever would). The same checkpoint-identity
+    guard applies to either source."""
+    from .snapshots import is_snapshot_table, snapshot_meta
+
+    if is_snapshot_table(spark, table_path):
+        meta = snapshot_meta(spark, table_path)
+        if "batch_id" in meta:
+            _validate_state_checkpoint(
+                meta, f"{table_path} (snapshot manifest meta)", checkpoint
+            )
+            return meta
+    return _read_marker_state(spark, marker, checkpoint)
 
 
 def _read_last_batch_id(spark: SparkSession, marker: str, checkpoint: str) -> int:
@@ -352,29 +383,36 @@ def run_rollup_stream(
     sketch partial unions into the stored buckets, so "daily unique X
     from the continuously-maintained table" never touches raw events.
 
-    Honest consistency contract: merge and marker write are two steps, so
-    a crash BETWEEN them re-merges that one batch on restart — the
-    residual at-least-once window of any non-transactional two-step sink.
-    Clean stop/restart (the availableNow maintenance cadence) is exactly-
-    once, which the restart test pins. Closing the crash window requires
-    an atomic table format whose txn carries the batch id with the data —
-    ``commit_protocol="snapshot"`` (operators/snapshots.py) provides the
-    atomic-data half in-engine (each merge is one pointer swap; read the
-    maintained table with ``snapshot_read``); the marker remains a
-    separate step, so the one-batch re-merge window on crash-between-
-    steps still holds until the batch id rides the manifest itself.
+    Consistency contract. ``commit_protocol="inplace"``: merge and marker
+    write are two steps, so a crash BETWEEN them re-merges that one batch
+    on restart — the residual at-least-once window of any non-
+    transactional two-step sink (clean stop/restart is exactly-once,
+    which the restart test pins). ``commit_protocol="snapshot"``:
+    EXACTLY-ONCE even across crashes — the batch id rides INSIDE the
+    snapshot manifest (``snapshot_meta``), so data + high-water mark
+    publish in one atomic pointer swap and a replayed batch is skipped
+    no matter where the previous attempt died (the kill-anywhere restart
+    test pins this). Pre-upgrade snapshot tables with a side-car marker
+    migrate transparently: the first new commit moves the state into the
+    manifest (see :func:`_maintenance_state`).
     """
     marker = os.path.join(rollup_path, "_last_merged_batch.json")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        state = _read_marker_state(spark, marker, checkpoint)
+        from .snapshots import is_snapshot_table
+
+        state = _maintenance_state(spark, rollup_path, marker, checkpoint)
         stored_proto = state.get("commit_protocol", "inplace") if state else None
-        if state is not None and stored_proto != commit_protocol:
+        if (state is not None and stored_proto != commit_protocol) or (
+            commit_protocol == "inplace"
+            and state is None
+            and is_snapshot_table(spark, rollup_path)
+        ):
             raise ValueError(
                 f"rollup table {rollup_path} was maintained with "
-                f"commit_protocol={stored_proto!r} but this stream runs "
-                f"{commit_protocol!r}; the physical layouts are "
-                "incompatible — migrate the table explicitly"
+                f"commit_protocol={stored_proto or 'snapshot'!r} but this "
+                f"stream runs {commit_protocol!r}; the physical layouts "
+                "are incompatible — migrate the table explicitly"
             )
         if (state is not None and batch_id <= int(state["batch_id"])) or batch_df.isEmpty():
             return
@@ -384,11 +422,20 @@ def run_rollup_stream(
             rollup_path,
             distinct_col=distinct_col,
             commit_protocol=commit_protocol,
+            commit_meta={
+                "batch_id": batch_id,
+                "checkpoint": checkpoint,
+                "commit_protocol": commit_protocol,
+            },
         )
-        _write_last_batch_id(
-            spark, marker, batch_id, checkpoint,
-            extra={"commit_protocol": commit_protocol},
-        )
+        if commit_protocol == "inplace":
+            # snapshot mode publishes the id atomically with the merge
+            # (commit_meta above); only the in-place layout still needs
+            # the two-step side-car marker.
+            _write_last_batch_id(
+                spark, marker, batch_id, checkpoint,
+                extra={"commit_protocol": commit_protocol},
+            )
 
     reader = spark.readStream.schema(events_schema)
     if max_files_per_trigger is not None:

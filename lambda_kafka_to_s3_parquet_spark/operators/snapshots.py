@@ -28,13 +28,25 @@ files (the race ADVICE flagged in the in-place dynamic-overwrite rollup
 merge), and every prior snapshot stays readable until expired.
 
 Single-maintenance-writer contract, like the rollup/CDC markers: marker
-creation is atomic but not compare-and-swap. Two concurrent committers
-now FAIL-STOP instead of silently losing a commit — the marker loser
-errors at the fresh-path create, and a winner whose manifest was
-clobbered detects it by re-reading after publish (see :func:`_commit`).
-The engine's streaming maintenance is already single-writer
-(checkpoint-serialized); true multi-writer needs a real catalog (the
-named Delta/Iceberg upgrade).
+creation is atomic but not compare-and-swap. Concurrent committers are
+detected BEST-EFFORT, not guaranteed: the marker loser errors at the
+fresh-path create, and a winner whose manifest was clobbered usually
+catches it by re-reading after publish (see :func:`_commit`) — but a
+loser that replaces the manifest after the winner's re-read and before
+its own marker failure goes unnoticed (the table stays consistent; the
+winner just reported success for the loser's content). The single-writer
+contract remains the real guarantee. The engine's streaming maintenance
+is already single-writer (checkpoint-serialized); true multi-writer
+needs a real catalog (the named Delta/Iceberg upgrade).
+
+Commits may carry a small ``meta`` dict inside the manifest (e.g. the
+maintenance streams' batch-id high-water mark): because the manifest IS
+the commit, data + meta publish in ONE atomic pointer swap — the
+upgrade that closes the crash window between "merge landed" and
+"marker written" that any two-step side-car marker necessarily has.
+Commits that don't pass ``meta`` INHERIT the previous snapshot's (so a
+compaction/expire/purge between stream batches never erases the
+high-water mark).
 
 Scale notes: manifests list directories, not files — O(live partitions ×
 commits-touching-them) entries, compacted by :func:`snapshot_rewrite`
@@ -246,8 +258,15 @@ def _commit(
     op: str,
     new_partitions: dict[str, list[str]],
     replaced: set[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
-    """Write the next manifest, then publish it via the marker swap."""
+    """Write the next manifest, then publish it via the marker swap.
+
+    ``meta`` rides INSIDE the manifest, so it publishes atomically with
+    the data (the maintenance streams store their batch-id high-water
+    mark here). ``None`` inherits the previous snapshot's meta — a
+    maintenance commit (rewrite/expire/purge) between stream batches
+    must not erase the stream's high-water mark."""
     base = current_version(spark, table)
     manifest = _load_manifest(spark, table, base, committed=base)
     parts = {
@@ -259,18 +278,22 @@ def _commit(
         parts.setdefault(pval, []).extend(dirs)
     version = base + 1
     new_manifest = {"version": version, "op": op, "partitions": parts}
+    carried = manifest.get("meta") if meta is None else meta
+    if carried:
+        new_manifest["meta"] = carried
     serialized = json.dumps(new_manifest)
     _replace_text(spark, _manifest_path(table, version), serialized)
     _swap_pointer(spark, table, version)
-    # Concurrent-committer detection (the single-writer contract made
-    # fail-stop instead of silent): two writers racing the same base both
-    # target version N+1 — the marker loser already errors in
-    # _create_atomic (fresh-path create), but it may have REPLACED the
-    # winner's manifest before losing, leaving the winner's marker
-    # pointing at the loser's content. Re-reading our manifest after the
-    # swap catches exactly that clobber; the table stays consistent (the
-    # surviving manifest + its data are a real commit), and the writer
-    # whose commit was displaced gets an error instead of silence.
+    # Concurrent-committer detection (BEST-EFFORT, see module docstring):
+    # two writers racing the same base both target version N+1 — the
+    # marker loser already errors in _create_atomic (fresh-path create),
+    # but it may have REPLACED the winner's manifest before losing,
+    # leaving the winner's marker pointing at the loser's content.
+    # Re-reading our manifest after the swap catches that clobber when it
+    # lands before this read; a replace racing in AFTER it goes unseen
+    # (the table stays consistent — the surviving manifest + its data are
+    # a real commit — but this writer would wrongly report success). The
+    # single-writer contract is the actual guarantee.
     check = _read_text(spark, _manifest_path(table, version))
     if check != serialized:
         raise RuntimeError(
@@ -288,15 +311,18 @@ def snapshot_append(
     table: str,
     df: DataFrame,
     partition_by: list[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Append a commit; returns the new snapshot version. A partitioned
     frame that writes no partitions (empty input) is a NO-OP returning
     the current version — committing an empty v1 would poison every
-    later ``snapshot_read`` of the chain."""
+    later ``snapshot_read`` of the chain. ``meta`` publishes atomically
+    with the data inside the manifest (``None`` inherits the previous
+    snapshot's — see :func:`_commit`)."""
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         return current_version(spark, table)
-    return _commit(spark, table, "append", _group_rels(rels, partition_by))
+    return _commit(spark, table, "append", _group_rels(rels, partition_by), meta=meta)
 
 
 def snapshot_overwrite_partitions(
@@ -304,6 +330,7 @@ def snapshot_overwrite_partitions(
     table: str,
     df: DataFrame,
     partition_by: list[str],
+    meta: dict | None = None,
 ) -> int:
     """Replace exactly the partitions present in ``df`` (dynamic-overwrite
     semantics) — but via fresh files + manifest/marker publish, so a
@@ -313,7 +340,21 @@ def snapshot_overwrite_partitions(
     if not rels:
         return current_version(spark, table)
     grouped = _group_rels(rels, partition_by)
-    return _commit(spark, table, "overwrite", grouped, replaced=set(grouped))
+    return _commit(spark, table, "overwrite", grouped, replaced=set(grouped), meta=meta)
+
+
+def snapshot_meta(
+    spark: SparkSession, table: str, version: int | None = None
+) -> dict:
+    """The ``meta`` dict a snapshot's manifest carries (``{}`` when absent
+    or the table is empty/uninitialized). Because meta rides the manifest,
+    reading it costs the same one pointer resolution as any snapshot read
+    and is always consistent with the data it was committed with."""
+    committed = current_version(spark, table)
+    v = committed if version is None else version
+    if v == 0:
+        return {}
+    return _load_manifest(spark, table, v, committed=committed).get("meta", {})
 
 
 def snapshot_read(
@@ -462,6 +503,7 @@ def snapshot_overwrite_all(
     table: str,
     df: DataFrame,
     partition_by: list[str],
+    meta: dict | None = None,
 ) -> int:
     """Replace the ENTIRE live partition set with ``df``'s content:
     partitions absent from ``df`` are dropped from the manifest (unlike
@@ -481,4 +523,5 @@ def snapshot_overwrite_all(
         "overwrite_all",
         _group_rels(rels, partition_by),
         replaced=set(current["partitions"]),
+        meta=meta,
     )

@@ -52,13 +52,15 @@ def run_ingest_stream(
     use the same code with a processing-time trigger.
 
     ``commit_protocol="snapshot"`` lands each micro-batch as one snapshot
-    APPEND (``operators/snapshots.py``) gated by the shared batch-id
-    high-water marker: readers of the landed table (``snapshot_read``)
+    APPEND (``operators/snapshots.py``) whose manifest CARRIES the batch-id
+    high-water mark: readers of the landed table (``snapshot_read``)
     never see a half-written batch — the gap the reference's
     file-per-invocation landing has (``lambda_function.py:59``) and the
     plain append sink narrows but can't close on non-atomic-listing
-    object stores. The marker ALSO upgrades retry semantics: a replayed
-    foreachBatch (at-least-once) is skipped instead of double-appended.
+    object stores. Because data + batch id publish in one atomic pointer
+    swap, a replayed foreachBatch (at-least-once on retry, no matter
+    where the previous attempt crashed) is skipped instead of
+    double-appended — exactly-once landing, crash-proven in tests.
     """
     if commit_protocol not in ("inplace", "snapshot"):
         raise ValueError(f"unknown commit_protocol: {commit_protocol!r}")
@@ -69,11 +71,8 @@ def run_ingest_stream(
     def land(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch hands over a *batch* DataFrame: the observed
         # partitioned writer is reused verbatim from the batch path.
-        from ..operators.rollup import (
-            _guard_no_inplace_data,
-            _read_marker_state,
-            _write_last_batch_id,
-        )
+        from ..operators.rollup import _guard_no_inplace_data, _maintenance_state
+        from ..operators.snapshots import is_snapshot_table
 
         # Protocol-flip guard, BOTH directions (same contract as the
         # rollup/CDC maintenance streams): restarting a snapshot-landed
@@ -81,14 +80,18 @@ def run_ingest_stream(
         # snapshot_read never sees (and that break a plain root read);
         # the reverse flip would commit a v1 holding only the new batch,
         # silently hiding everything landed before it.
-        state = _read_marker_state(spark, marker, checkpoint)
+        state = _maintenance_state(spark, output_path, marker, checkpoint)
         stored_proto = state.get("commit_protocol", "inplace") if state else None
-        if state is not None and stored_proto != commit_protocol:
+        if (state is not None and stored_proto != commit_protocol) or (
+            commit_protocol == "inplace"
+            and state is None
+            and is_snapshot_table(spark, output_path)
+        ):
             raise ValueError(
                 f"ingest sink {output_path} was landed with commit_protocol="
-                f"{stored_proto!r} but this stream runs {commit_protocol!r}; "
-                "the physical layouts are incompatible — migrate the table "
-                "explicitly"
+                f"{stored_proto or 'snapshot'!r} but this stream runs "
+                f"{commit_protocol!r}; the physical layouts are incompatible "
+                "— migrate the table explicitly"
             )
         if batch_df.isEmpty():
             return
@@ -102,15 +105,19 @@ def run_ingest_stream(
                 # existing in-place-landed sink (its topic=... data would
                 # silently vanish from snapshot_read)
                 _guard_no_inplace_data(spark, output_path)
+            # the batch id rides the manifest — append + high-water mark
+            # are ONE atomic publish (no side-car marker step to crash
+            # between)
             snapshot_append(
                 spark,
                 output_path,
                 with_partition_columns(batch_df),
                 list(PARTITION_COLS),
-            )
-            _write_last_batch_id(
-                spark, marker, batch_id, checkpoint,
-                extra={"commit_protocol": "snapshot"},
+                meta={
+                    "batch_id": batch_id,
+                    "checkpoint": checkpoint,
+                    "commit_protocol": "snapshot",
+                },
             )
         else:
             write_partitioned(with_partition_columns(batch_df), output_path)
@@ -283,7 +290,15 @@ def run_neardup_stream(
     against itself and permanently land near-dups of every prior
     survivor (same reasoning as the rollup bootstrap). Keep dir sizes
     bounded as the corpus grows with ``rebucket_band_store`` from the
-    maintenance window.
+    maintenance window (an interrupted rebucket swap is completed
+    automatically by the bootstrap probe — ``_recover_rebucket``).
+
+    RESTART COMPATIBILITY: a stream that previously ran against the
+    pre-banded flat ``(id, sigs)`` store fails fast here ("has no
+    band-store meta file") rather than silently dropping history —
+    upgrade explicitly with ``operators.dedup.migrate_band_store``
+    (one pass: legacy signatures re-band into a fresh banded store),
+    then point ``store_path`` at the migrated store.
 
     Exactly-once caveat (same boundary as the rollup merge's two-step
     commit): the survivor land and the store append are two writes; a

@@ -208,7 +208,14 @@ def test_rollup_stream_snapshot_protocol_equals_oneshot(spark, sf_dir, tmp_path)
     hist = snapshot_history(spark, table)
     assert len(hist) >= 2 and hist[0]["op"] == "append"
     assert all(h["op"] in ("append", "overwrite") for h in hist)
-    assert os.path.exists(os.path.join(table, "_last_merged_batch.json"))
+    # the batch-id high-water mark rides INSIDE the manifest (atomic with
+    # the merge); no side-car marker is written in snapshot mode
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_meta
+
+    meta = snapshot_meta(spark, table)
+    assert meta["checkpoint"] == ckpt and meta["commit_protocol"] == "snapshot"
+    assert meta["batch_id"] == len(hist) - 1
+    assert not os.path.exists(os.path.join(table, "_last_merged_batch.json"))
 
 
 def test_expire_removes_history_but_never_live_files(spark, table):
@@ -519,16 +526,20 @@ def test_ingest_stream_snapshot_landing_equals_inplace(spark, tmp_path):
     )
     hist = snapshot_history(spark, snap_out)
     assert [h["op"] for h in hist] == ["append"]
-    # restart with the same checkpoint: no new snapshot, marker unchanged
-    marker = os.path.join(snap_out, "_last_landed_batch.json")
-    before = _json.load(open(marker))
+    # the batch id landed atomically inside the manifest; no side-car marker
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_meta
+
+    before = snapshot_meta(spark, snap_out)
+    assert before["batch_id"] == 0 and before["commit_protocol"] == "snapshot"
+    assert not os.path.exists(os.path.join(snap_out, "_last_landed_batch.json"))
+    # restart with the same checkpoint: no new snapshot, meta unchanged
     q = run_ingest_stream(
         spark, src, snap_out, str(tmp_path / "c2"), GOLDEN_TOPIC,
         commit_protocol="snapshot",
     )
     assert q.awaitTermination(300)
     assert len(snapshot_history(spark, snap_out)) == 1
-    assert _json.load(open(marker)) == before
+    assert snapshot_meta(spark, snap_out) == before
 
 
 def test_concurrent_committer_detected_not_silent(spark, table, monkeypatch):
@@ -645,3 +656,194 @@ def test_ingest_stream_protocol_flip_guarded_both_directions(spark, tmp_path):
     with pytest.raises(Exception, match="commit_protocol"):
         q4.awaitTermination(300)
         raise RuntimeError(q4.exception() or "stream did not fail")
+
+
+# ---------------------------------------------------------------------------
+# Atomic exactly-once: the batch id rides INSIDE the manifest, so a crash
+# anywhere around the commit replays NOTHING on restart — for all three
+# maintained-table streams. (The old two-step side-car marker re-merged
+# the crashed batch; these tests fail against that design.)
+# ---------------------------------------------------------------------------
+
+
+def _crash_once_after(monkeypatch, module, name):
+    """Wrap module.name so its FIRST successful call raises afterwards —
+    simulating a crash at the exact point the old design wrote its
+    side-car marker (after the data commit, before foreachBatch records
+    success in the checkpoint). Later calls run normally so the
+    restarted stream can finish."""
+    real = getattr(module, name)
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        out = real(*a, **k)
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected crash after atomic commit")
+        return out
+
+    monkeypatch.setattr(module, name, crashing)
+    return calls
+
+
+def test_rollup_snapshot_crash_after_commit_replays_nothing(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill the rollup stream AFTER a snapshot merge commits (the old
+    commit-vs-marker crash window): the restart must SKIP the already-
+    committed batch — the maintained table equals the one-shot rollup
+    (no double counts) and history shows exactly one commit per batch."""
+    import lambda_kafka_to_s3_parquet_spark.operators.rollup as rollup_mod
+    from lambda_kafka_to_s3_parquet_spark.operators.rollup import hourly_rollup
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_meta
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    schema = "ts timestamp, event_type string, value double, user_id long"
+    table, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    _crash_once_after(monkeypatch, rollup_mod, "merge_rollup_batch")
+
+    q = rollup_mod.run_rollup_stream(
+        spark, src, schema, table, ckpt,
+        max_files_per_trigger=2, commit_protocol="snapshot",
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+        raise RuntimeError(q.exception() or "stream did not fail")
+    # batch 0 committed atomically (data + id in one manifest) before the crash
+    assert snapshot_meta(spark, table)["batch_id"] == 0
+
+    q2 = rollup_mod.run_rollup_stream(
+        spark, src, schema, table, ckpt,
+        max_files_per_trigger=2, commit_protocol="snapshot",
+    )
+    assert q2.awaitTermination(300)
+    got = {
+        (str(r["hour"]), r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in snapshot_read(spark, table).collect()
+    }
+    want = {
+        (str(r["hour"]), r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in hourly_rollup(ev).collect()
+    }
+    assert got == want  # a replayed merge would double batch 0's counts
+    # exactly one commit per processed batch: the replayed batch 0 was
+    # skipped by the manifest high-water mark, not re-committed
+    assert len(snapshot_history(spark, table)) == 2
+    assert snapshot_meta(spark, table)["batch_id"] == 1
+
+
+def test_cdc_snapshot_crash_after_commit_replays_nothing(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Same kill point for the CDC current-state stream. The CDC merge is
+    value-idempotent, so the replay evidence is snapshot HISTORY: a
+    re-merged batch would add an extra commit."""
+    import lambda_kafka_to_s3_parquet_spark.operators.cdc as cdc_mod
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import read_current_state
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import latest_by_key
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_meta
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+    from tests.test_streaming import _stage_batches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    frames = [ev.filter(F.col("event_id") % 3 == k) for k in (2, 0, 1)]
+    src = _stage_batches(tmp_path, frames)
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double"
+    )
+    table, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    args = dict(keys=["user_id"], ts_col="ts", tiebreak="event_id",
+                commit_protocol="snapshot")
+    _crash_once_after(monkeypatch, cdc_mod, "merge_cdc_batch")
+
+    q = cdc_mod.run_cdc_merge_stream(spark, src, schema, table, ckpt, **args)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+        raise RuntimeError(q.exception() or "stream did not fail")
+    assert snapshot_meta(spark, table)["batch_id"] == 0
+
+    q2 = cdc_mod.run_cdc_merge_stream(spark, src, schema, table, ckpt, **args)
+    assert q2.awaitTermination(300)
+    got = sorted(
+        map(tuple, read_current_state(spark, table).select(*ev.columns).collect())
+    )
+    want = sorted(
+        map(tuple,
+            latest_by_key(ev, ["user_id"], "ts", "event_id").drop("n_copies").collect())
+    )
+    assert got == want and len(got) > 0
+    # 3 batches -> exactly 3 commits; a replayed batch 0 would make 4
+    assert len(snapshot_history(spark, table)) == 3
+    assert snapshot_meta(spark, table)["batch_id"] == 2
+
+
+def test_ingest_snapshot_crash_after_commit_replays_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """Same kill point for the ingest landing: a replayed append would
+    double the batch's rows; the manifest-carried id must skip it."""
+    import os
+
+    import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap_mod
+    from lambda_kafka_to_s3_parquet_spark.plans.ingest import GOLDEN_TOPIC
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import run_ingest_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open("/root/reference/sample_kafka_event.json") as f:
+        payload = f.read()
+    with open(os.path.join(src, "event-0.json"), "w") as f:
+        f.write(payload)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _crash_once_after(monkeypatch, snap_mod, "snapshot_append")
+
+    q = run_ingest_stream(
+        spark, src, out, ckpt, GOLDEN_TOPIC, commit_protocol="snapshot"
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+        raise RuntimeError(q.exception() or "stream did not fail")
+    n_committed = snapshot_read(spark, out).count()
+    assert n_committed > 0  # the append itself landed atomically
+
+    q2 = run_ingest_stream(
+        spark, src, out, ckpt, GOLDEN_TOPIC, commit_protocol="snapshot"
+    )
+    assert q2.awaitTermination(300)
+    assert snapshot_read(spark, out).count() == n_committed
+    assert len(snapshot_history(spark, out)) == 1
+    assert snap_mod.snapshot_meta(spark, out)["batch_id"] == 0
+
+
+def test_maintenance_commits_inherit_manifest_meta(spark, table):
+    """rewrite/expire/overwrite between stream batches must NOT erase the
+    stream's manifest-carried high-water mark: meta inherits unless a
+    commit explicitly passes its own."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_meta,
+        snapshot_rewrite,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+    )
+    hw = {"batch_id": 7, "checkpoint": "ck", "commit_protocol": "snapshot"}
+    snapshot_append(spark, table, df, ["p"], meta=hw)
+    assert snapshot_meta(spark, table) == hw
+    # maintenance commit with no meta of its own -> inherits
+    snapshot_rewrite(spark, table, ["p"])
+    assert snapshot_meta(spark, table) == hw
+    # a later stream batch replaces it atomically with its own
+    hw2 = {**hw, "batch_id": 8}
+    snapshot_overwrite_partitions(spark, table, df, ["p"], meta=hw2)
+    assert snapshot_meta(spark, table) == hw2
+    # historical versions keep the meta they were committed with
+    assert snapshot_meta(spark, table, version=1) == hw

@@ -1327,3 +1327,168 @@ def test_band_store_dir_registry_matches_disk_across_appends_and_rebucket(
     assert meta["n_pfx"] == 16
     assert _bitmap_decode(meta["band_dirs"]) == band_disk
     assert _bitmap_decode(meta["spfx_dirs"]) == spfx_disk
+
+
+def test_pre_registry_store_append_seeds_registry_from_disk(spark, sf_dir, tmp_path):
+    """append_band_store on a pre-registry store (meta without the dir
+    bitmaps) must seed the registry from a FILESYSTEM PROBE before adding
+    the new batch's dirs: seeding from the empty default would register
+    only the current batch, and the now-bitmap-carrying meta would make
+    every later read silently skip the legacy dirs (dropped history)."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        _bitmap_decode,
+        _store_meta,
+        _write_store_meta,
+        append_band_store,
+        minhash_vectors,
+        read_band_store,
+        read_sig_store,
+        sig_bands,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    store = tmp_path / "store"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old_half = docs.filter(F.col("doc_id") % 2 == 0)
+    new_half = docs.filter(F.col("doc_id") % 2 == 1).limit(3)
+    _mk_band_store(spark, sf_dir, store, docs=old_half)
+
+    # strip the bitmaps -> the exact on-disk shape of a pre-registry store
+    meta = _store_meta(spark, str(store))
+    legacy = {k: v for k, v in meta.items() if k not in ("band_dirs", "spfx_dirs")}
+    _write_store_meta(spark, str(store), legacy)
+
+    vecs = minhash_vectors(new_half).filter(F.col("sigs").isNotNull())
+    append_band_store(spark, str(store), vecs)
+
+    upgraded = _store_meta(spark, str(store))
+    assert "band_dirs" in upgraded and "spfx_dirs" in upgraded
+    # the registry claims a SUPERSET of the original store's dirs, so no
+    # legacy candidate dir is skipped
+    assert _bitmap_decode(meta["band_dirs"]) <= _bitmap_decode(upgraded["band_dirs"])
+    assert _bitmap_decode(meta["spfx_dirs"]) <= _bitmap_decode(upgraded["spfx_dirs"])
+    # and a read probing OLD docs' buckets still returns their rows
+    old_bands = sig_bands(minhash_vectors(old_half.limit(2)))
+    got = read_band_store(spark, str(store), prune_to=old_bands)
+    assert got is not None and got.count() > 0
+    assert read_sig_store(spark, str(store), list(range(8))).count() >= old_half.count() - 5
+
+
+def test_rebucket_crash_between_renames_recovers(spark, sf_dir, tmp_path):
+    """An interrupted rebucket swap (canonical renamed aside, new store
+    not yet renamed in) must NOT read as an absent store: the bootstrap
+    probe completes the swap — rolling FORWARD to a fully-written tmp,
+    or BACK to the old store when the tmp is incomplete."""
+    import os
+    import shutil
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        NEARDUP_STORE_META,
+        _recover_rebucket,
+        read_sig_store,
+    )
+
+    store = tmp_path / "store"
+    _mk_band_store(spark, sf_dir, store)
+    all_ids = sorted(
+        r["doc_id"]
+        for r in read_sig_store(spark, str(store), list(range(8))).collect()
+    )
+    assert all_ids
+
+    # crash point A: old renamed aside, tmp COMPLETE (meta present)
+    shutil.copytree(store, tmp_path / "store.rebucket_tmp")
+    os.rename(store, tmp_path / "store.rebucket_old")
+    assert _recover_rebucket(spark, str(store)) is True
+    assert not os.path.exists(tmp_path / "store.rebucket_old")
+    assert not os.path.exists(tmp_path / "store.rebucket_tmp")
+    got = sorted(
+        r["doc_id"]
+        for r in read_sig_store(spark, str(store), list(range(8))).collect()
+    )
+    assert got == all_ids
+
+    # crash point B: old renamed aside, tmp INCOMPLETE (no meta yet)
+    shutil.copytree(store, tmp_path / "store.rebucket_tmp")
+    os.remove(tmp_path / "store.rebucket_tmp" / NEARDUP_STORE_META)
+    os.rename(store, tmp_path / "store.rebucket_old")
+    assert _recover_rebucket(spark, str(store)) is True
+    assert not os.path.exists(tmp_path / "store.rebucket_tmp")
+    got = sorted(
+        r["doc_id"]
+        for r in read_sig_store(spark, str(store), list(range(8))).collect()
+    )
+    assert got == all_ids
+
+    # completed-swap tail: canonical live, stale .rebucket_old left over
+    shutil.copytree(store, tmp_path / "store.rebucket_old")
+    assert _recover_rebucket(spark, str(store)) is False
+    assert not os.path.exists(tmp_path / "store.rebucket_old")
+
+
+def test_rebucket_swap_leaves_no_side_paths(spark, sf_dir, tmp_path):
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        _store_meta,
+        rebucket_band_store,
+        read_sig_store,
+    )
+
+    store = tmp_path / "store"
+    _mk_band_store(spark, sf_dir, store, n_pfx=4)
+    before = sorted(
+        r["doc_id"]
+        for r in read_sig_store(spark, str(store), list(range(4))).collect()
+    )
+    rebucket_band_store(spark, str(store), 16)
+    assert _store_meta(spark, str(store))["n_pfx"] == 16
+    assert not os.path.exists(tmp_path / "store.rebucket_tmp")
+    assert not os.path.exists(tmp_path / "store.rebucket_old")
+    after = sorted(
+        r["doc_id"]
+        for r in read_sig_store(spark, str(store), list(range(16))).collect()
+    )
+    assert after == before
+
+
+def test_migrate_band_store_from_legacy_flat_layout(spark, sf_dir, tmp_path):
+    """The documented upgrade path for pre-banded streams: a flat
+    (id, sigs) store migrates into a banded store that then DROPS a
+    near-dup of a legacy survivor (history honored, not silently lost)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        incremental_neardup_banded,
+        migrate_band_store,
+        minhash_vectors,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 7 == 0)
+    legacy = str(tmp_path / "legacy")
+    minhash_vectors(hist).filter(F.col("sigs").isNotNull()).write.parquet(legacy)
+
+    banded = str(tmp_path / "banded")
+    n = migrate_band_store(spark, legacy, banded)
+    assert n == spark.read.parquet(legacy).count()
+
+    # a batch holding an exact twin of a legacy survivor + a fresh doc
+    twin_src = hist.orderBy("doc_id").first()
+    batch = spark.createDataFrame(
+        [(10_000_001, twin_src["text"]), (10_000_002, "completely unrelated fresh words " * 8)],
+        "doc_id long, text string",
+    )
+    surv = incremental_neardup_banded(spark, batch, banded, threshold=0.7)
+    kept = sorted(r["doc_id"] for r in surv.select("doc_id").collect())
+    assert kept == [10_000_002]  # twin dropped against MIGRATED history
+
+    # guard rails: non-empty target / already-banded source both refuse
+    with _pytest.raises(ValueError, match="already holds data"):
+        migrate_band_store(spark, legacy, banded)
+    with _pytest.raises(ValueError, match="already a banded store"):
+        migrate_band_store(spark, banded, str(tmp_path / "other"))
