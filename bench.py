@@ -57,11 +57,9 @@ HEADLINE = [
     # round 5: q16 consolidates former q15_json_extract (adds the JSON
     # branch); its timing is not comparable to rounds <= 4.
     "q16_array_stats",
-    # q21 round-3 "regression" (1.41 -> 2.09 s) did not reproduce: 5
-    # isolated runs at sf0.1 steady-state at 1.39-1.52 s (= round 2), so it
-    # was shared-host load on both of round 3's two runs. runs_per_query
-    # now defaults to 3 to make min() robust against exactly that.
-    "q21_percentiles",
+    # round 7: q16 also absorbs former q21_percentiles (pct branch) —
+    # q16 timing is not comparable to rounds <= 6. (q21's round-3
+    # "regression" was shared-host load; runs_per_query=3 guards that.)
     "q24_salted_join",  # round 4: salted-join timing tracked per-round
     "q26_outer_joins",
     "q30_subqueries",
@@ -104,6 +102,8 @@ HEADLINE = [
     "x28_curation_chain",  # round 4: end-to-end curation pipeline
     # deterministic stratified corpus mix (round 5: oracle-checked)
     "x30_stratified_mix",
+    # round 7: oracle-promoted (deterministic hyperplane cells)
+    "x31_semantic_dedup",
     # one-pass per-column profile (round 5)
     "x36_data_profile",
     # round 5 (late): token-window chunking, URL/domain cap, unigram-LM
@@ -159,6 +159,8 @@ HEADLINE = [
     "w10_cdc_current_state",
     # round 5: per-batch stream enrichment from the maintained CDC state
     "w11_stream_enrichment",
+    # round 7: streaming semantic decontamination vs persisted test index
+    "w12_semantic_decontam_stream",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
     # synthesized 20k-record Confluent batch through the full decode stage
@@ -185,6 +187,7 @@ SINGLE_RUN = {
     "w09_incremental_neardup",
     "w10_cdc_current_state",
     "w11_stream_enrichment",
+    "w12_semantic_decontam_stream",
     "w06_stream_dedup",
     "w07_stream_stream_join",
     "w08_incremental_rollup",

@@ -9,11 +9,18 @@ from .dedup import (  # noqa: F401
     exact_dedup,
     hamming64,
     latest_by_key,
+    migrate_band_store,
     minhash_signatures,
     near_dup_pairs,
     simhash_table,
 )
-from .bpe import encode_corpus, learn_bpe, segment_vocab, word_counts  # noqa: F401
+from .bpe import (  # noqa: F401
+    encode_corpus,
+    learn_bpe,
+    learn_bpe_local,
+    segment_vocab,
+    word_counts,
+)
 from .multimodal import (  # noqa: F401
     decode_ppm,
     decode_wav,
@@ -31,6 +38,14 @@ from .similarity import (  # noqa: F401
     near_dup_within_label,
     topk_bruteforce,
     topk_lsh,
+)
+from .vector_index import (  # noqa: F401
+    build_ivf_index,
+    build_pq_index,
+    check_index_fresh,
+    load_pq_index,
+    topk_ivf_indexed,
+    topk_pq_indexed,
 )
 from .sink import (  # noqa: F401
     read_partition,

@@ -77,13 +77,24 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+#: Hard cap on the training-frame row count — the sampling contract that
+#: bounds both the L-BFGS fit (each iteration is a full pass) and the
+#: unpartitioned rank window inside :func:`_rank_auc`. The linear probe
+#: has ~10 parameters; a million labeled rows is already far past its
+#: sample-complexity needs, so at 100 TB you SAMPLE to train and score
+#: everything — the cap turns that design assumption into an error
+#: instead of a silent full-corpus fit (mirrors
+#: ``similarity.train_pq_codebooks``'s bounded-sample contract).
+DEFAULT_TRAIN_LIMIT = 1_000_000
+
+
 def _rank_auc(scored: DataFrame, label_col: str = "label") -> float:
     """Area under the ROC curve as the tie-averaged Mann-Whitney rank
     statistic: AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), with
     tied scores taking their average rank. Runs as one window + one
-    aggregate over the (small, sampled-by-design) training frame; the
-    unpartitioned window is bounded by the same sampling contract that
-    bounds the fit itself."""
+    aggregate over the training frame; the unpartitioned window is
+    bounded by ``train_limit``, which :func:`train_quality_model`
+    ENFORCES before fitting (not just documents)."""
     from pyspark.ml.functions import vector_to_array
     from pyspark.sql.window import Window
 
@@ -110,12 +121,20 @@ def train_quality_model(
     labeled: DataFrame,
     label_col: str = "label",
     seed: int = 42,
+    train_limit: int = DEFAULT_TRAIN_LIMIT,
 ):
     """Fit the linear quality probe; returns ``(model, train_auc)``.
 
     ``labeled`` must already carry the feature columns
     (:func:`quality_features`) and a 0/1 ``label_col``. Deterministic
     given the data (fixed seed, L-BFGS on a convex loss).
+
+    RAISES when ``labeled`` exceeds ``train_limit`` rows: the probe is
+    meant to be trained on a bounded sample and scored on everything —
+    an unsampled 100 TB frame here would run every L-BFGS pass AND the
+    AUC rank window over the full corpus. Sample first
+    (``df.sample(...)`` / stratified ``sampleBy``) or raise the limit
+    deliberately.
     """
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
@@ -131,11 +150,24 @@ def train_quality_model(
         .select("features", F.col(label_col).alias("label"))
         .localCheckpoint()
     )
-    # 20 L-BFGS iterations: the loss is convex over 7 standardized
-    # features and converges well before that (train AUC 1.0 on the x37
-    # cohorts at 15); iterations are the dominant x37 cost because each is
-    # a full pass (a Spark job) over the assembled frame.
-    lr = LogisticRegression(maxIter=20, regParam=0.01, standardization=True)
+    n = train.count()  # cheap: counts the checkpointed (vector,label) frame
+    if n > train_limit:
+        raise ValueError(
+            f"quality-probe training frame has {n} rows, over the "
+            f"train_limit={train_limit} sampling contract; the linear "
+            "probe needs a bounded sample, not the corpus — sample the "
+            "labeled frame first (or raise train_limit deliberately)"
+        )
+    # The loss is convex over the standardized features; measured on the
+    # sf0.1 documents fit, tol=1e-6 stops L-BFGS at 10 iterations with
+    # train AUC 1.0 (objectiveHistory flat to 8 decimals over the last
+    # 4). Iterations are the dominant x37 cost because each is a full
+    # pass (a Spark job) over the assembled frame, so maxIter sits at
+    # the measured convergence point + margin, not far above it, and tol
+    # is the real stop.
+    lr = LogisticRegression(
+        maxIter=15, tol=1e-6, regParam=0.01, standardization=True
+    )
     fitted = lr.fit(train)
     # Strip the training summary by a save/load round-trip (loaded models
     # carry none; the model file is a few hundred bytes). A freshly

@@ -1,0 +1,488 @@
+"""Persisted vector-index artifacts: build ANN indexes once, reuse.
+
+The reference has no vector search at all (its 714 lines are a
+Lambda/boto3 decode-and-land pipeline — ``lambda_function.py``); the
+engine's PQ (``similarity.train_pq_codebooks``/``pq_encode``) and IVF
+(``similarity._kmeans_cells``) paths previously retrained their index
+structures on EVERY invocation — fine for a registered benchmark query,
+wrong for the 100 TB deployment, where codebook training + full-corpus
+encoding cost hours and the index is then queried thousands of times.
+
+This module is the persisted-index pattern the near-dup band store
+(``operators/dedup.py`` ``append_band_store``) established, applied to
+embeddings:
+
+* a tiny JSON **meta file** is the commit witness and the registry: it
+  is written LAST (build crash => no meta => loader fail-stop, never a
+  partial index read) and atomically (tmp + rename); it carries the
+  training params, the codebooks/centroids themselves (driver-sized by
+  the same bounded-sample contract that trains them), the list of
+  populated cell dirs (IVF), and a corpus **fingerprint**;
+* the corpus-sized artifact (PQ codes / IVF cell assignments) is plain
+  parquet — IVF partitioned by cell so a query's ``nprobe`` cells read
+  with listing-level pruning (explicit dirs + ``basePath``), the exact
+  ∝-probe read discipline the band store proved out;
+* **staleness** is detected, not guessed: the fingerprint is one
+  order-independent aggregate over the corpus ids
+  (``count + bit_xor(xxhash64(id))``), recomputed on demand by
+  :func:`check_index_fresh` — a changed corpus raises instead of
+  silently serving neighbors from a stale index;
+* **param drift** rejects at load: a caller expecting different
+  (m, n_codes)/(n_cells)/vec_col than the index was built with gets an
+  error, mirroring the band store's ``_check_store_params``.
+
+Query semantics are NOT duplicated here: the indexed searches feed the
+loaded structures back into ``topk_pq_adc`` / ``topk_ivf``, so indexed
+and in-memory results are byte-identical by construction (test-pinned).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import _kmeans_cells, pq_encode, topk_ivf, topk_pq_adc, train_pq_codebooks
+
+#: meta filename — underscore-prefixed so parquet readers ignore it
+VECTOR_INDEX_META = "_vector_index_meta.json"
+
+
+def _meta_path(spark: SparkSession, path: str):
+    from .rollup import _marker_fs
+
+    return _marker_fs(spark, f"{path}/{VECTOR_INDEX_META}")
+
+
+def _read_index_meta(spark: SparkSession, path: str) -> dict | None:
+    fs, p = _meta_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Atomic publish (tmp + delete + rename), written AFTER the data —
+    the meta IS the commit: no meta, no index (same protocol as the band
+    store's meta and the snapshot manifests)."""
+    fs, p = _meta_path(spark, path)
+    from .rollup import _marker_fs
+
+    _, tmp = _marker_fs(spark, f"{path}/{VECTOR_INDEX_META}.tmp-{uuid.uuid4().hex}")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(json.dumps(meta).encode("utf-8"))
+    finally:
+        stream.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        fs.delete(tmp, False)
+        raise OSError(f"vector-index meta publish failed for {path}")
+
+
+def _corpus_fingerprint(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> dict:
+    """Order/partitioning-independent corpus identity: row count and a
+    64-bit xor-fold of the id hashes, restricted to rows an index build
+    would actually consume (non-null id and vector). One narrow
+    aggregate — cheap enough to recompute as a freshness check."""
+    row = (
+        corpus.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"bit_xor(xxhash64({id_col}))").alias("h"),
+        )
+        .first()
+    )
+    return {"n_vectors": int(row["n"]), "id_xor_hash": int(row["h"] or 0)}
+
+
+def check_index_fresh(
+    spark: SparkSession, path: str, corpus: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Raise when ``corpus`` no longer matches the fingerprint the index
+    at ``path`` was built from — serving ANN results from a stale index
+    is the silent failure mode; rebuilding is the caller's decision."""
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} has no vector-index meta file")
+    now = _corpus_fingerprint(corpus, id_col, vec_col)
+    was = {"n_vectors": meta["n_vectors"], "id_xor_hash": meta["id_xor_hash"]}
+    if now != was:
+        raise ValueError(
+            f"vector index at {path} is STALE: built over "
+            f"{was['n_vectors']} vectors (id hash {was['id_xor_hash']}), "
+            f"corpus now has {now['n_vectors']} (id hash "
+            f"{now['id_xor_hash']}); rebuild the index or query the "
+            "corpus it was built from"
+        )
+
+
+def _check_params(meta: dict, path: str, expect: dict) -> None:
+    drift = {k: (meta.get(k), v) for k, v in expect.items() if meta.get(k) != v}
+    if drift:
+        raise ValueError(
+            f"vector index at {path} was built with "
+            f"{ {k: m for k, (m, _) in drift.items()} } but this caller "
+            f"expects { {k: w for k, (_, w) in drift.items()} }; index "
+            "parameters are part of the artifact — rebuild to change them"
+        )
+
+
+# ---------------------------------------------------------------------------
+# PQ: codebooks (meta) + codes (parquet)
+# ---------------------------------------------------------------------------
+
+
+def build_pq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    m: int = 16,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_limit: int = 16384,
+    n_iter: int = 10,
+) -> dict:
+    """Train codebooks + encode the corpus ONCE, persist both.
+
+    The codes table is the 16-bytes-per-vector artifact ADC scans; the
+    codebooks (m × n_codes × d/m doubles — a few thousand floats under
+    the driver-sized training contract) ride the meta file so a loader
+    needs exactly one small read before scanning codes. Refuses an
+    existing index (rebuild = new path or delete first: an index is an
+    immutable artifact of (corpus, params))."""
+    if _read_index_meta(spark, path) is not None:
+        raise ValueError(f"{path} already holds a vector index")
+    books = train_pq_codebooks(
+        corpus, m, n_codes, vec_col, seed, train_limit, n_iter
+    )
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    codes.write.mode("errorifexists").parquet(f"{path}/codes")
+    meta = {
+        "kind": "pq",
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "dim": int(books.shape[0] * books.shape[2]),
+        "seed": int(seed),
+        "train_limit": int(train_limit),
+        "n_iter": int(n_iter),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "codebooks": books.tolist(),
+        **_corpus_fingerprint(corpus, id_col, vec_col),
+    }
+    _write_index_meta(spark, path, meta)
+    return meta
+
+
+def load_pq_index(
+    spark: SparkSession, path: str, expect: dict | None = None
+):
+    """(codes_df, codebooks, meta) — fail-stop on missing meta (a crashed
+    build never half-loads) and on param drift vs ``expect``."""
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"{path} has no vector-index meta file (crashed build, or not "
+            "an index)"
+        )
+    if meta.get("kind") != "pq":
+        raise ValueError(f"{path} holds a {meta.get('kind')!r} index, not pq")
+    if expect:
+        _check_params(meta, path, expect)
+    codes = spark.read.parquet(f"{path}/codes")
+    return codes, np.asarray(meta["codebooks"]), meta
+
+
+def topk_pq_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against the PERSISTED index — byte-identical to the
+    in-memory ``topk_pq_adc`` chain (test-pinned): no retraining, no
+    re-encode, one codes scan. Pass ``corpus`` for the exact-rerank
+    refine step exactly as in the in-memory path."""
+    codes, books, meta = load_pq_index(
+        spark, path, expect={"id_col": id_col, "vec_col": vec_col}
+    )
+    return topk_pq_adc(
+        codes, queries, books, corpus=corpus, k=k, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: centroids (meta) + cell-partitioned assignments (parquet)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """K-means cells trained + assignments persisted partitioned-by-cell,
+    so a query's ``nprobe`` cells read with listing-level dir pruning.
+    The populated-cell list rides the meta (registry — zero listing calls
+    to resolve which dirs exist, the band store's bitmap idea at n_cells
+    scale)."""
+    if _read_index_meta(spark, path) is not None:
+        raise ValueError(f"{path} already holds a vector index")
+    assigned, centroids = _kmeans_cells(corpus, n_cells, id_col, vec_col, seed)
+    (
+        assigned.repartition("cell")
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    cells_present = sorted(
+        r["cell"] for r in assigned.select("cell").distinct().collect()
+    )
+    meta = {
+        "kind": "ivf",
+        "n_cells": int(n_cells),
+        "seed": int(seed),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": centroids,
+        "cells_present": cells_present,
+        **_corpus_fingerprint(corpus, id_col, vec_col),
+    }
+    _write_index_meta(spark, path, meta)
+    return meta
+
+
+def assign_cells(
+    uvecs: DataFrame, centroids: list[list[float]], vec_col: str = "_uvec"
+) -> DataFrame:
+    """Tag each (already unit-normalized) vector with its NEAREST
+    centroid's cell — MLlib k-means' own assignment rule (min squared
+    euclidean; ties to the lowest cell id), as pure JVM expressions over
+    centroid literals: ``argmin ||v - c||² = argmax (v·c − ||c||²/2)``.
+    This is how a NEW batch joins a persisted cell partition without the
+    model object — the index meta's centroid list is the whole model."""
+    from ..functions.vectors import dot
+
+    half_norm2 = [sum(x * x for x in c) / 2.0 for c in centroids]
+    scored = F.array(
+        *[
+            F.struct(
+                (dot(F.col(vec_col), F.array(*[F.lit(v) for v in c])) - F.lit(h))
+                .alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, (c, h) in enumerate(zip(centroids, half_norm2))
+        ]
+    )
+    # array_max on (score, cell) structs orders lexicographically — ties
+    # on score would pick the HIGHEST cell, so negate the cell in the
+    # comparison tuple to get lowest-cell tie-break, then recover it
+    best = F.array_max(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                s["s"].alias("s"), (-s["cell"]).alias("negcell")
+            ),
+        )
+    )
+    return uvecs.withColumn("cell", (-best["negcell"]).cast("int"))
+
+
+def semantic_decontaminate_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    test_index_path: str,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One TRAIN batch against the PERSISTED test-set index — the
+    incremental/streaming form of
+    ``similarity.cross_split_semantic_overlap`` (x49), shaped like the
+    near-dup band store's per-batch lookup:
+
+    * the TEST split is persisted ONCE as an IVF index
+      (:func:`build_ivf_index` — cell-partitioned unit vectors +
+      centroid list in the meta);
+    * each batch assigns its vectors to the SAME cells via the meta's
+      centroids (:func:`assign_cells` — no model object, no refit) and
+      reads ONLY its cells' directories from the index;
+    * the within-cell TRAIN×TEST GEMM and the deterministic argmax
+      neighbor are ``cross_split_semantic_overlap``'s own Arrow kernel,
+      so per-batch flags equal the one-shot batch run with the same
+      blocking — batch-split invariant by construction (test-pinned).
+
+    Per-batch cost ∝ batch cells' test vectors, never the whole test
+    set; same recall contract as every blocked method here (cross-cell
+    pairs invisible). Returns ``(block, train_id, test_id, cos_sim)``.
+    """
+    from ..functions.vectors import to_double, unit
+    from .similarity import cross_split_semantic_overlap
+
+    meta = _read_index_meta(spark, test_index_path)
+    if meta is None:
+        raise ValueError(f"{test_index_path} has no vector-index meta file")
+    if meta.get("kind") != "ivf":
+        raise ValueError(
+            f"{test_index_path} holds a {meta.get('kind')!r} index, not the "
+            "ivf layout the test-set store uses"
+        )
+    uq = (
+        batch.select(
+            F.col(id_col).alias("id"), unit(to_double(vec_col)).alias("_uvec")
+        )
+        .filter(F.col("_uvec").isNotNull())
+    )
+    train = assign_cells(uq, meta["centroids"])
+    cells_needed = sorted(
+        r["cell"] for r in train.select("cell").distinct().collect()
+    )
+    live = set(meta["cells_present"])
+    dirs = [
+        f"{test_index_path}/cells/cell={c}" for c in cells_needed if c in live
+    ]
+    if not dirs:
+        return spark.createDataFrame(
+            [], "block int, train_id long, test_id long, cos_sim double"
+        )
+    test = (
+        spark.read.option("basePath", f"{test_index_path}/cells")
+        .parquet(*dirs)
+        .select("id", "_uvec", "cell")
+    )
+    both = train.withColumn("_sp", F.lit("train")).unionByName(
+        test.withColumn("_sp", F.lit("test"))
+    )
+    return cross_split_semantic_overlap(
+        both,
+        F.col("_sp"),
+        threshold=threshold,
+        id_col="id",
+        vec_col="_uvec",
+        block_col="cell",
+    )
+
+
+def probe_cell_union(
+    queries: DataFrame,
+    meta: dict,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Union of the cells the queries would probe — the dirs an indexed
+    search reads. Per-query probe choice replicates ``topk_ivf``'s
+    ranking exactly (centroid cosine desc, cell asc, top ``nprobe``);
+    the collect is bounded by ``n_cells`` ints."""
+    if nprobe >= meta["n_cells"]:
+        return list(meta["cells_present"])
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import dot, to_double, unit
+
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(v) for v in c]).alias("cvec"),
+            )
+            for i, c in enumerate(meta["centroids"])
+        ]
+    )
+    uq = queries.select(
+        F.col(id_col).alias("query_id"), unit(to_double(vec_col)).alias("_qvec")
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("_cscore"), F.asc("cell"))
+    return sorted(
+        r["cell"]
+        for r in (
+            uq.select("query_id", "_qvec", F.explode(cent_arr).alias("c"))
+            .select(
+                "query_id",
+                F.col("c.cell").alias("cell"),
+                dot(F.col("_qvec"), F.col("c.cvec")).alias("_cscore"),
+            )
+            .withColumn("_crank", F.row_number().over(wc))
+            .filter(F.col("_crank") <= nprobe)
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+    )
+
+
+def topk_ivf_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against the PERSISTED index: centroids come from the
+    meta, and ONLY the union of the queries' probed cells is read from
+    disk (explicit dirs + ``basePath`` — a root read would list every
+    cell first). Probe choice per query, ranking, and scores are
+    ``topk_ivf``'s own code over the loaded index, so results are
+    byte-identical to the in-memory path (test-pinned).
+
+    The probed-cell union collect is bounded by ``n_cells`` ints — the
+    same driver-side bound class as the band store's prune keys."""
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"{path} has no vector-index meta file (crashed build, or not "
+            "an index)"
+        )
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"{path} holds a {meta.get('kind')!r} index, not ivf")
+    _check_params(meta, path, {"id_col": id_col, "vec_col": vec_col})
+    centroids = meta["centroids"]
+    n_cells = meta["n_cells"]
+    probe_cells = probe_cell_union(queries, meta, nprobe, id_col, vec_col)
+    live = set(meta["cells_present"])
+    dirs = [f"{path}/cells/cell={c}" for c in probe_cells if c in live]
+    if dirs:
+        assigned = (
+            spark.read.option("basePath", f"{path}/cells")
+            .parquet(*dirs)
+            .select("id", "_uvec", "cell")
+        )
+    else:
+        assigned = spark.createDataFrame(
+            [], "id long, _uvec array<double>, cell int"
+        )
+    return topk_ivf(
+        corpus=None,
+        queries=queries,
+        k=k,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        _index=(assigned, centroids),
+    )

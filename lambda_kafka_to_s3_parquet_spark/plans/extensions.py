@@ -1301,25 +1301,106 @@ def x30_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # x31 — SemDeDup-style semantic deduplication (Abbas et al. 2023,
-# arXiv:2303.09540): k-means cells + within-cell greedy cosine pruning.
+# arXiv:2303.09540): blocking cells + within-cell greedy cosine pruning.
 # Threshold 0.35 reuses x12's calibration (≈4σ above the isotropic-
 # gaussian null spread), pruning a real ~15% of the fixture corpus.
-# Rows-only by design (MLlib's k-means is engine-specific, so cell
-# boundaries have no SQL twin); the pruning pass itself IS exactly
-# verified in pytest by replaying the same greedy rule in numpy over the
-# engine's own cell assignment (tests/test_similarity.py).
+# ORACLE-CHECKED since round 7 (the q21→q16 consolidation freed the
+# slot): the registered form blocks on DETERMINISTIC hyperplane cells
+# (sign bits of 4 fixed Gaussian planes — SQL-expressible, unlike MLlib
+# centroids; the greedy rule is blocking-key agnostic, the x49
+# property), and the DuckDB twin replays the ENTIRE pipeline: same
+# plane literals for the cell bits, then the sequential greedy scan as
+# a recursive CTE that carries each cell's kept-vector list and admits
+# a row iff its max cosine against that list is < τ — the x24
+# recursive-CTE precedent applied to an ordered greedy instead of a
+# fixpoint. The k-means-blocked variant (semantic_dedup's default)
+# stays exactly verified in pytest by the numpy greedy replay.
 # --------------------------------------------------------------------------
+_X31_PLANES = None
+
+
+def _x31_planes():
+    global _X31_PLANES
+    if _X31_PLANES is None:
+        from ..operators.similarity import random_hyperplanes
+
+        _X31_PLANES = random_hyperplanes(4, 64, seed=7)
+    return _X31_PLANES
+
+
+def _x31_oracle() -> str:
+    def lit(p):
+        return "[" + ", ".join(repr(float(v)) for v in p) + "]"
+
+    cell_expr = "\n           + ".join(
+        f"(CASE WHEN list_inner_product(e, {lit(p)}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_x31_planes())
+    )
+    return f"""
+    WITH RECURSIVE
+    emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    normed AS (
+      SELECT vec_id, e,
+             sqrt(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS nrm
+      FROM emb
+    ),
+    uv AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / nrm) AS v,
+             ({cell_expr}) AS cell
+      FROM normed WHERE nrm <> 0
+    ),
+    ranked AS (
+      SELECT cell, vec_id, v,
+             row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+      FROM uv
+    ),
+    g(cell, rn, id, kept, kept_vecs) AS (
+      SELECT cell, 0, CAST(-1 AS BIGINT), TRUE, CAST([] AS DOUBLE[][])
+      FROM (SELECT DISTINCT cell FROM ranked)
+      UNION ALL
+      SELECT r.cell, CAST(r.rn AS INTEGER), r.vec_id,
+             coalesce(list_max(list_transform(g.kept_vecs,
+                      kv -> list_inner_product(kv, r.v))), -2.0) < 0.35,
+             CASE WHEN coalesce(list_max(list_transform(g.kept_vecs,
+                      kv -> list_inner_product(kv, r.v))), -2.0) < 0.35
+                  THEN list_append(g.kept_vecs, r.v) ELSE g.kept_vecs END
+      FROM g JOIN ranked r ON r.cell = g.cell AND r.rn = g.rn + 1
+    )
+    SELECT cell, count(*) AS n_vecs,
+           sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM g WHERE rn > 0
+    GROUP BY cell ORDER BY cell
+    """
+
+
 @register(
     "x31_semantic_dedup",
-    oracle=None,
-    doc="SemDeDup: k-means cells + greedy within-cell cosine pruning; "
-    "per-cell kept/dropped census (pytest replays the greedy rule in numpy)",
+    oracle=_x31_oracle(),
+    doc="SemDeDup: deterministic hyperplane cells + greedy within-cell "
+    "cosine pruning; per-cell kept/dropped census vs a recursive-CTE "
+    "DuckDB replay of the full pipeline (k-means variant pytest-pinned)",
 )
 def x31_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import hyperplane_signature, to_double, unit
     from ..operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    flags = semantic_dedup(emb, threshold=0.35, n_cells=16)
+    cells = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            unit(to_double("embedding")).alias("_uvec"),
+            hyperplane_signature(to_double("embedding"), _x31_planes())
+            .cast("int")
+            .alias("cell"),
+        )
+        .filter(F.col("_uvec").isNotNull())
+    )
+    flags = semantic_dedup(emb, threshold=0.35, cells=cells)
     return (
         flags.groupBy("cell")
         .agg(
@@ -2132,12 +2213,15 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "census (rows-only; exact python-reference twin in pytest)",
 )
 def x45_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bpe import learn_bpe, segment_vocab, word_counts
+    from ..operators.bpe import learn_bpe_local, segment_vocab, word_counts
 
     docs = _t(spark, sf_dir, "documents")
-    # one corpus-sized counting pass, shared by learning and the census
+    # one corpus-sized counting pass, shared by learning and the census;
+    # the merge loop runs driver-side (learn_bpe_local == learn_bpe
+    # exactly, test-pinned) — the distributed loop stays as the oracle
+    # twin, but a registered query should use the production learner
     vocab = word_counts(docs).localCheckpoint()
-    merges = learn_bpe(docs, n_merges=15, word_counts_df=vocab)
+    merges = learn_bpe_local(docs, n_merges=15, word_counts_df=vocab)
     seg = segment_vocab(vocab.select("word"), merges)
     census = (
         vocab.join(seg, "word")
@@ -2216,11 +2300,13 @@ def x46_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequences + UNK counts (rows-only; exact python twin in pytest)",
 )
 def x47_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bpe import encode_corpus, learn_bpe, word_counts
+    from ..operators.bpe import encode_corpus, learn_bpe_local, word_counts
 
     docs = _t(spark, sf_dir, "documents")
     vocab = word_counts(docs).localCheckpoint()  # one corpus counting pass
-    merges = learn_bpe(docs, n_merges=12, word_counts_df=vocab, merges_per_round=4)
+    merges = learn_bpe_local(
+        docs, n_merges=12, word_counts_df=vocab, merges_per_round=4
+    )
     return (
         encode_corpus(docs, merges, word_counts_df=vocab)
         .select(
@@ -2249,12 +2335,14 @@ def x47_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with doc-span masks (rows-only; concat-chunk twin in pytest)",
 )
 def x48_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bpe import encode_corpus, learn_bpe, word_counts
+    from ..operators.bpe import encode_corpus, learn_bpe_local, word_counts
     from ..operators.packing import pack_token_ids
 
     docs = _t(spark, sf_dir, "documents")
     vocab = word_counts(docs).localCheckpoint()
-    merges = learn_bpe(docs, n_merges=12, word_counts_df=vocab, merges_per_round=4)
+    merges = learn_bpe_local(
+        docs, n_merges=12, word_counts_df=vocab, merges_per_round=4
+    )
     enc = encode_corpus(docs, merges, word_counts_df=vocab)
     return (
         pack_token_ids(enc, seq_len=512)

@@ -717,6 +717,7 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS DOUBLE)                                            AS v2,
            CAST(NULL AS DOUBLE)                                       AS v3,
+           CAST(NULL AS DOUBLE)                                       AS v4,
            CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
            CAST(NULL AS VARCHAR) AS s3, CAST(NULL AS VARCHAR) AS s4,
            CAST(NULL AS VARCHAR) AS s5
@@ -734,6 +735,7 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  x -> x * x), 'sum')), 6)                                  AS v2,
            round(list_aggregate(embedding::DOUBLE[], 'sum')
                  / len(embedding), 6)                                      AS v3,
+           CAST(NULL AS DOUBLE)                                            AS v4,
            CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
            CAST(NULL AS VARCHAR) AS s3, CAST(NULL AS VARCHAR) AS s4,
            CAST(NULL AS VARCHAR) AS s5
@@ -749,7 +751,7 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                               o_orderdate)) AS BIGINT)               AS n3,
            count(DISTINCT dayofweek(o_orderdate))                    AS n4,
            CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
-           CAST(NULL AS DOUBLE) AS v3,
+           CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4,
            min(strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m'))    AS s1,
            min(strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')) AS s2,
            CAST(NULL AS VARCHAR) AS s3,
@@ -765,7 +767,7 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
            CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
            CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
-           CAST(NULL AS DOUBLE) AS v3,
+           CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4,
            upper(p_brand)                              AS s1,
            substr(p_name, 1, 8)                        AS s2,
            concat(p_brand, '#', p_type)                AS s3,
@@ -773,14 +775,30 @@ def q10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(p_type, '([a-z]+)$', 1)      AS s5
     FROM part
     WHERE p_name LIKE '%a%'
+    UNION ALL
+    SELECT 'pct' AS src,
+           CAST(NULL AS BIGINT) AS k1, CAST(NULL AS BIGINT) AS k2,
+           l_returnflag AS ks,
+           CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS v1,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS v2,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS v3,
+           round(max(l_extendedprice), 2)                 AS v4,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS VARCHAR) AS s3, CAST(NULL AS VARCHAR) AS s4,
+           CAST(NULL AS VARCHAR) AS s5
+    FROM lineitem
+    GROUP BY l_returnflag
     ORDER BY src, k1, k2, ks
     """,
     doc="semi-structured + scalar function surface, union-tagged: JSON "
     "extraction per event_type; size/element_at/aggregate-fold over "
     "array<float>; date buckets (datediff/add_months/last_day/dayofweek "
     "in-group); string scalar family (upper/substr/length/concat/replace/"
-    "regexp_extract + LIKE) — consolidates former q15_json_extract and "
-    "q14_date_functions in round 5",
+    "regexp_extract + LIKE); exact interpolated percentiles per group — "
+    "consolidates former q15_json_extract + q14_date_functions (round 5) "
+    "and q21_percentiles (round 7)",
 )
 def q16_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_b = F.lit(None).cast("bigint")
@@ -789,7 +807,7 @@ def q16_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = [
         ("src", null_s), ("k1", null_b), ("k2", null_b), ("ks", null_s),
         ("n1", null_b), ("n2", null_b), ("n3", null_b), ("n4", null_b),
-        ("v1", null_d), ("v2", null_d), ("v3", null_d),
+        ("v1", null_d), ("v2", null_d), ("v3", null_d), ("v4", null_d),
         ("s1", null_s), ("s2", null_s), ("s3", null_s), ("s4", null_s),
         ("s5", null_s),
     ]
@@ -850,52 +868,34 @@ def q16_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         s4=F.regexp_replace("p_type", " ", "_"),
         s5=F.regexp_extract("p_type", "([a-z]+)$", 1),
     )
+    l = _t(spark, sf_dir, "lineitem")
+    # absorbed former q21 (round-7 consolidation freeing an oracle slot
+    # for x31): one percentile(col, array(...)) aggregate — the exact-
+    # percentile buffer is built once per group, not per quantile. Exact
+    # percentiles sort per group by design; at true 100 TB the operator
+    # of choice is approx_percentile (t-digest, mergeable map-side) —
+    # exact is kept for the oracle comparison. round(…, 6): interpolated
+    # values of 2-decimal prices have <=4 decimal digits, so 6-decimal
+    # rounding sits on no half-ulp boundary.
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.90))
+    )
+    pct_branch = pad(
+        l.groupBy("l_returnflag").agg(
+            pcts.alias("_p"),
+            F.round(F.max("l_extendedprice"), 2).alias("_p100"),
+        ),
+        src=F.lit("pct"), ks=F.col("l_returnflag"),
+        v1=F.round(F.element_at("_p", 1), 6),
+        v2=F.round(F.element_at("_p", 2), 6),
+        v3=F.round(F.element_at("_p", 3), 6),
+        v4=F.col("_p100"),
+    )
     return (
         json_branch.unionByName(array_branch)
         .unionByName(date_branch)
         .unionByName(string_branch)
-    )
-
-
-# --------------------------------------------------------------------------
-# q21 — exact percentiles (continuous interpolation) per group.
-# --------------------------------------------------------------------------
-@register(
-    "q21_percentiles",
-    oracle="""
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
-           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
-           round(max(l_extendedprice), 2)                 AS p100
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-    doc="exact interpolated percentiles per group",
-)
-def q21_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    # One percentile(col, array(...)) aggregate: the exact-percentile buffer
-    # is built once per group instead of once per requested quantile (3x
-    # cheaper). Exact percentiles sort per group by design — at true 100 TB
-    # scale the operator of choice is approx_percentile (t-digest sketch,
-    # mergeable map-side); exact is kept here for the oracle comparison.
-    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.90)))
-    return (
-        l.groupBy("l_returnflag")
-        .agg(pcts.alias("_p"), F.round(F.max("l_extendedprice"), 2).alias("p100"))
-        .select(
-            "l_returnflag",
-            # round(…, 6): interpolated values of 2-decimal prices have at
-            # most 4 decimal digits, so 6-decimal rounding sits on no
-            # half-ulp boundary (2-decimal rounding does: midpoints end .xx5)
-            F.round(F.element_at("_p", 1), 6).alias("p25"),
-            F.round(F.element_at("_p", 2), 6).alias("p50"),
-            F.round(F.element_at("_p", 3), 6).alias("p90"),
-            "p100",
-        )
-        .orderBy("l_returnflag")
+        .unionByName(pct_branch)
     )
 
 

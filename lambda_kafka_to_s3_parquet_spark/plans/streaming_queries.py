@@ -751,3 +751,59 @@ def w11_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return _localized(spark, out, base)
+
+
+# --------------------------------------------------------------------------
+# w12 — streaming SEMANTIC decontamination: x49's embedding-space
+# cross-split overlap run incrementally against a PERSISTED test-set
+# index (operators/vector_index.py build_ivf_index — cell-partitioned
+# unit vectors + centroids-in-meta), the w09 band-store discipline with
+# the state roles flipped (static test history, streamed train batches).
+# Arrow/BLAS boundary + streaming machinery => rows-only; batch-split
+# invariance and one-shot equality pinned in tests/test_streaming.py.
+# --------------------------------------------------------------------------
+@register(
+    "w12_semantic_decontam_stream",
+    oracle=None,
+    doc="streaming semantic decontamination vs a persisted test-set IVF "
+    "index: per-batch cell-pruned TRAIN x TEST GEMM (rows-only; "
+    "batch-split invariance + one-shot equality in pytest)",
+)
+def w12_semantic_decontam_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.vector_index import build_ivf_index
+    from ..streaming.pipeline import run_semantic_decontam_stream
+
+    base = Path(tempfile.mkdtemp(prefix="w12_"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    build_ivf_index(spark, test, str(base / "test_idx"), n_cells=8)
+    train.select("vec_id", "embedding").repartition(3).write.parquet(
+        str(base / "train_src")
+    )
+    with _state_partitions(spark):
+        q = run_semantic_decontam_stream(
+            spark,
+            str(base / "train_src"),
+            "vec_id long, embedding array<float>",
+            str(base / "test_idx"),
+            str(base / "out"),
+            str(base / "ckpt"),
+            threshold=0.35,
+        )
+        _drain(q)
+    flags = spark.read.parquet(str(base / "out"))
+    out = (
+        flags.groupBy("block")
+        .agg(
+            F.count("*").alias("n_flagged"),
+            F.countDistinct("test_id").alias("n_test_hit"),
+            F.round(F.max("cos_sim"), 6).alias("max_sim"),
+            F.min("train_id").alias("first_train"),
+        )
+        .orderBy("block")
+    )
+    return _localized(spark, out, base)

@@ -387,3 +387,52 @@ def enrich_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_semantic_decontam_stream(
+    spark: SparkSession,
+    train_dir: str,
+    schema: str,
+    test_index_path: str,
+    output_path: str,
+    checkpoint: str,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Continuous SEMANTIC decontamination: stream TRAIN embeddings,
+    flag those with a >= ``threshold`` cosine test-set neighbor.
+
+    The embedding twin of :func:`run_neardup_stream`, with the state
+    roles flipped: the near-dup stream's history GROWS per batch; here
+    the "history" is the STATIC test set, persisted once as an IVF index
+    (``vector_index.build_ivf_index``) whose centroid list lives in its
+    meta. Each micro-batch assigns its vectors to the index's cells and
+    reads only those cell directories
+    (``vector_index.semantic_decontaminate_batch``) — per-batch cost
+    ∝ batch, exactly the band-store discipline. Flags append to
+    ``output_path``; because the test set is static, batches are
+    independent and the result is batch-split invariant (test-pinned
+    mirroring w09's invariance test). The plain append sink carries the
+    usual at-least-once caveat on crash replay (dedup flags on
+    (train_id) downstream, or land via snapshot_append).
+    """
+    from ..operators.vector_index import semantic_decontaminate_batch
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flags = semantic_decontaminate_batch(
+            spark, batch_df, test_index_path, threshold, id_col, vec_col
+        )
+        flags.write.mode("append").parquet(output_path)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(train_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

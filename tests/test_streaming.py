@@ -1492,3 +1492,182 @@ def test_migrate_band_store_from_legacy_flat_layout(spark, sf_dir, tmp_path):
         migrate_band_store(spark, legacy, banded)
     with _pytest.raises(ValueError, match="already a banded store"):
         migrate_band_store(spark, banded, str(tmp_path / "other"))
+
+
+def test_band_store_crash_between_data_and_registry_self_heals(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash AFTER an append's data lands but BEFORE the registry
+    publishes (the band store's analog of the snapshot crash window):
+    the registry must UNDER-claim (subset of disk — never phantom dirs),
+    the batch's at-least-once replay must re-register everything, and
+    after healing the registry again equals the disk exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import lambda_kafka_to_s3_parquet_spark.operators.dedup as dd
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    store = tmp_path / "store"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 60)
+    b2 = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 75))
+    v1 = dd.minhash_vectors(b1).filter(F.col("sigs").isNotNull()).localCheckpoint()
+    v2 = dd.minhash_vectors(b2).filter(F.col("sigs").isNotNull()).localCheckpoint()
+    dd.append_band_store(spark, str(store), v1, n_pfx=8)
+
+    def disk_dirs():
+        meta = dd._store_meta(spark, str(store))
+        n_pfx = meta["n_pfx"]
+        band = set()
+        for b in os.listdir(store / "bands"):
+            if b.startswith("band="):
+                for p in os.listdir(store / "bands" / b):
+                    if p.startswith("pfx="):
+                        band.add(int(b.split("=")[1]) * n_pfx + int(p.split("=")[1]))
+        spfx = {
+            int(d.split("=")[1])
+            for d in os.listdir(store / "sigs")
+            if d.startswith("spfx=")
+        }
+        return meta, band, spfx
+
+    meta0, band0, spfx0 = disk_dirs()
+    assert dd._bitmap_decode(meta0["band_dirs"]) == band0  # healthy baseline
+
+    # crash: the registry publish for batch 2 never happens
+    real = dd._write_store_meta
+
+    def crashing(spark_, path_, meta_):
+        raise RuntimeError("injected crash before registry publish")
+
+    monkeypatch.setattr(dd, "_write_store_meta", crashing)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        dd.append_band_store(spark, str(store), v2, n_pfx=8)
+    monkeypatch.setattr(dd, "_write_store_meta", real)
+
+    meta1, band1, spfx1 = disk_dirs()
+    claimed_band = dd._bitmap_decode(meta1["band_dirs"])
+    claimed_spfx = dd._bitmap_decode(meta1["spfx_dirs"])
+    # registry NEVER over-claims: bits ⊆ disk even mid-crash...
+    assert claimed_band <= band1 and claimed_spfx <= spfx1
+    # ...and this crash specifically under-claims batch 2's new dirs
+    assert claimed_band == dd._bitmap_decode(meta0["band_dirs"])
+
+    # at-least-once replay of the SAME batch self-heals the registry
+    dd.append_band_store(spark, str(store), v2, n_pfx=8)
+    meta2, band2, spfx2 = disk_dirs()
+    assert dd._bitmap_decode(meta2["band_dirs"]) == band2
+    assert dd._bitmap_decode(meta2["spfx_dirs"]) == spfx2
+    # healed reads see batch-2 history (no silently dropped candidates)
+    batch_bands = dd.sig_bands(v2)
+    got = dd.read_band_store(spark, str(store), prune_to=batch_bands)
+    hist_ids = {r["doc_id"] for r in got.collect()}
+    assert {r["doc_id"] for r in v2.select("doc_id").collect()} <= hist_ids
+
+
+def test_semantic_decontam_stream_batch_split_invariant_and_equals_oneshot(
+    spark, sf_dir, tmp_path
+):
+    """w09's invariance property for the SEMANTIC decontamination stream:
+    because the test-set index is static, the union of per-batch flags
+    must be identical no matter how the train split is batched, and must
+    equal the ONE-SHOT cross_split_semantic_overlap with the same cell
+    blocking (index centroids)."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.functions.vectors import to_double, unit
+    from lambda_kafka_to_s3_parquet_spark.operators.similarity import (
+        cross_split_semantic_overlap,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.vector_index import (
+        _read_index_meta,
+        assign_cells,
+        build_ivf_index,
+        semantic_decontaminate_batch,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import (
+        run_semantic_decontam_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    idx = str(tmp_path / "test_idx")
+    build_ivf_index(spark, test, idx, n_cells=8)
+
+    # one big batch through the per-batch kernel
+    one = sorted(
+        map(tuple, semantic_decontaminate_batch(spark, train, idx, 0.35).collect())
+    )
+    assert len(one) > 0
+
+    # three-way batch split through the STREAM
+    src = str(tmp_path / "src")
+    train.select("vec_id", "embedding").repartition(3).write.parquet(src)
+    q = run_semantic_decontam_stream(
+        spark, src, "vec_id long, embedding array<float>", idx,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), threshold=0.35,
+    )
+    assert q.awaitTermination(300)
+    streamed = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "out")).collect())
+    )
+    assert streamed == one
+
+    # one-shot equality: same result as cross_split_semantic_overlap with
+    # the index's OWN cell blocking applied to both splits at once
+    meta = _read_index_meta(spark, idx)
+    both = emb.select(
+        F.col("vec_id").alias("id"),
+        unit(to_double("embedding")).alias("_uvec"),
+        F.when(F.col("vec_id") % 5 == 0, "test").otherwise("train").alias("_sp"),
+    ).filter(F.col("_uvec").isNotNull())
+    blocked = assign_cells(both, meta["centroids"])
+    oneshot = sorted(
+        map(
+            tuple,
+            cross_split_semantic_overlap(
+                blocked, F.col("_sp"), threshold=0.35,
+                id_col="id", vec_col="_uvec", block_col="cell",
+            ).collect(),
+        )
+    )
+    assert streamed == oneshot
+
+
+def test_assign_cells_matches_index_assignment(spark, sf_dir, tmp_path):
+    """assign_cells over the meta's centroid list must reproduce the
+    MLlib assignment the index was BUILT with, vector for vector — the
+    property that lets a new batch join a persisted cell partition
+    without the model object."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.functions.vectors import to_double, unit
+    from lambda_kafka_to_s3_parquet_spark.operators.vector_index import (
+        _read_index_meta,
+        assign_cells,
+        build_ivf_index,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, emb, idx, n_cells=8)
+    stored = {
+        r["id"]: r["cell"]
+        for r in spark.read.parquet(f"{idx}/cells").select("id", "cell").collect()
+    }
+    meta = _read_index_meta(spark, idx)
+    uv = emb.select(
+        F.col("vec_id").alias("id"), unit(to_double("embedding")).alias("_uvec")
+    ).filter(F.col("_uvec").isNotNull())
+    recomputed = {
+        r["id"]: r["cell"]
+        for r in assign_cells(uv, meta["centroids"]).select("id", "cell").collect()
+    }
+    assert recomputed == stored and len(stored) > 0
