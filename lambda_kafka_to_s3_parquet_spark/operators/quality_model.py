@@ -145,9 +145,17 @@ def train_quality_model(
     # re-executes the full feature pipeline (token/ngram HOFs over the
     # whole corpus) — measured 16 s -> ~3 s at sf0.1. The frame is just
     # (vector, label): tiny relative to the corpus it derives from.
+    # coalesce(8): every L-BFGS iteration is one job over this frame, and
+    # with the corpus's own partitioning (32+ tiny partitions of a
+    # <=train_limit sample) per-task scheduling dominates the actual
+    # gradient math — measured 2.6 s -> 0.7 s for the 10-iteration fit at
+    # sf0.1. 8 partitions keeps the reduce tree parallel while bounding
+    # tasks; the frame is <= train_limit rows by contract, so per-partition
+    # size stays executor-safe.
     train = (
         assembler.transform(labeled)
         .select("features", F.col(label_col).alias("label"))
+        .coalesce(8)
         .localCheckpoint()
     )
     n = train.count()  # cheap: counts the checkpointed (vector,label) frame
