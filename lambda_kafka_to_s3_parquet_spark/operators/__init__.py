@@ -39,6 +39,7 @@ from .similarity import (  # noqa: F401
     topk_bruteforce,
     topk_lsh,
 )
+from .retrieval import bm25_topk_indexed, build_bm25_index  # noqa: F401
 from .vector_index import (  # noqa: F401
     build_ivf_index,
     build_pq_index,

@@ -208,3 +208,140 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("rank") <= top_k)
     return out.select("rank", "doc_id", "rrf_score", "n_lists")
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 postings index — the lexical member of the engine's
+# index-artifact family (vector_index.py holds the embedding members;
+# all share the meta/registry/fingerprint plumbing).
+# ---------------------------------------------------------------------------
+
+
+def build_bm25_index(
+    spark,
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Tokenize + aggregate the corpus ONCE into a term-hash-bucketed
+    postings store; queries then read only their terms' buckets.
+
+    Layout: ``tf/bucket=<xxhash64(term) mod n_buckets>/`` rows of
+    ``(term, doc_id, tf, dl)`` — the per-doc length rides every posting
+    row, so scoring needs NO corpus-sized doclen join (the one join in
+    the from-scratch ``bm25_topk`` that touches all documents); the
+    1-row corpus statistic (n_docs, avgdl) and the populated-bucket
+    registry land in the meta (atomic, written LAST — same commit
+    protocol as the vector indexes). At 100 TB the tokenize+explode is
+    the expensive pass, and a query should pay |matching postings|, not
+    re-pay it — this is that artifact."""
+    from .vector_index import _corpus_fingerprint, _read_index_meta, _write_index_meta
+
+    if _read_index_meta(spark, path) is not None:
+        raise ValueError(f"{path} already holds an index")
+    doclen = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+    ).filter(F.col("dl") > 0)
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).first()
+    tf = (
+        postings(docs, id_col, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(doclen, "doc_id")
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    (
+        tf.repartition("bucket")
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(f"{path}/tf")
+    )
+    buckets = sorted(r["bucket"] for r in tf.select("bucket").distinct().collect())
+    meta = {
+        "kind": "bm25",
+        "n_buckets": int(n_buckets),
+        "n_docs": int(stats["n_docs"]),
+        "avgdl": float(stats["avgdl"]),
+        "id_col": id_col,
+        "text_col": text_col,
+        "buckets_present": buckets,
+        **_corpus_fingerprint(docs, id_col, text_col),
+    }
+    _write_index_meta(spark, path, meta)
+    return meta
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against the PERSISTED postings index: identical scores,
+    ranks, and tie-breaks to the from-scratch :func:`bm25_topk`
+    (test-pinned), paying only the query terms' buckets — listing-level
+    dir pruning + an in-bucket term filter; df derives from the pruned
+    rows, (n_docs, avgdl) from the meta. The query-term bucket hash is
+    computed by the same JVM xxhash64 the build used (a |terms|-row
+    frame, collected — bounded by the query size)."""
+    from .vector_index import _read_index_meta
+
+    if not query_terms:
+        raise ValueError("bm25_topk_indexed needs at least one query term")
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} has no index meta file (crashed build?)")
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"{path} holds a {meta.get('kind')!r} index, not bm25")
+    terms = [t.lower() for t in query_terms]
+    n_buckets = meta["n_buckets"]
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    wanted = sorted(
+        r["bucket"]
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket")
+        )
+        .distinct()
+        .collect()
+    )
+    live = set(meta["buckets_present"])
+    dirs = [f"{path}/tf/bucket={bk}" for bk in wanted if bk in live]
+    out_schema = "rank int, doc_id long, score double, n_terms_hit bigint"
+    if not dirs:
+        return spark.createDataFrame([], out_schema)
+    tf = (
+        spark.read.option("basePath", f"{path}/tf")
+        .parquet(*dirs)
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "tf", "dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = float(meta["n_docs"])
+    avgdl = float(meta["avgdl"])
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("_c", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_c"), 6).alias("score"), F.count("*").alias("n_terms_hit"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score", "n_terms_hit")
+    )

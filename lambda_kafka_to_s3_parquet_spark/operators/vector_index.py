@@ -280,35 +280,39 @@ def assign_cells(
 ) -> DataFrame:
     """Tag each (already unit-normalized) vector with its NEAREST
     centroid's cell — MLlib k-means' own assignment rule (min squared
-    euclidean; ties to the lowest cell id), as pure JVM expressions over
-    centroid literals: ``argmin ||v - c||² = argmax (v·c − ||c||²/2)``.
-    This is how a NEW batch joins a persisted cell partition without the
-    model object — the index meta's centroid list is the whole model."""
-    from ..functions.vectors import dot
+    euclidean; ties to the lowest cell id) via
+    ``argmin ||v - c||² = argmax (v·c − ||c||²/2)``, computed as ONE
+    Arrow-batched GEMM against broadcast centroids. This is how a NEW
+    batch joins a persisted cell partition without the model object —
+    the index meta's centroid list is the whole model.
 
-    half_norm2 = [sum(x * x for x in c) / 2.0 for c in centroids]
-    scored = F.array(
-        *[
-            F.struct(
-                (dot(F.col(vec_col), F.array(*[F.lit(v) for v in c])) - F.lit(h))
-                .alias("s"),
-                F.lit(i).alias("cell"),
-            )
-            for i, (c, h) in enumerate(zip(centroids, half_norm2))
-        ]
-    )
-    # array_max on (score, cell) structs orders lexicographically — ties
-    # on score would pick the HIGHEST cell, so negate the cell in the
-    # comparison tuple to get lowest-cell tie-break, then recover it
-    best = F.array_max(
-        F.transform(
-            scored,
-            lambda s: F.struct(
-                s["s"].alias("s"), (-s["cell"]).alias("negcell")
-            ),
-        )
-    )
-    return uvecs.withColumn("cell", (-best["negcell"]).cast("int"))
+    Why not centroid-literal JVM expressions: at n_cells=80 the literal
+    array (n_cells × dim lits + n_cells interpreted dot folds) cost a
+    measured ~6 s of driver analysis PER ACTION using the expression —
+    the create_map-in-the-plan trap ``bpe.encode_corpus`` documents. The
+    broadcast keeps the plan O(1); ``np.argmax`` ties to the first
+    (= lowest) cell, matching the rule."""
+    C = np.asarray(centroids, dtype=np.float64)
+    half = (C * C).sum(axis=1) / 2.0
+    bc = uvecs.sparkSession.sparkContext.broadcast((C, half))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in uvecs.schema.fields
+    ) + ", cell int"
+    cols = [f.name for f in uvecs.schema.fields]
+
+    def tag(batches):
+        Cb, hb = bc.value
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            best = (V @ Cb.T - hb[None, :]).argmax(axis=1)
+            pdf = pdf[cols].copy()
+            pdf["cell"] = best.astype("int32")
+            yield pdf
+
+    return uvecs.mapInPandas(tag, out_schema)
 
 
 def semantic_decontaminate_batch(
@@ -356,7 +360,9 @@ def semantic_decontaminate_batch(
         )
         .filter(F.col("_uvec").isNotNull())
     )
-    train = assign_cells(uq, meta["centroids"])
+    # materialize once: the prune-key collect AND the GEMM union both
+    # consume the assigned batch (micro-batch-sized by construction)
+    train = assign_cells(uq, meta["centroids"]).localCheckpoint()
     cells_needed = sorted(
         r["cell"] for r in train.select("cell").distinct().collect()
     )

@@ -159,3 +159,53 @@ def test_hybrid_rrf_mixes_modalities(spark, sf_dir):
     assert len({r["rank"] for r in out}) == 10
     assert any(r["n_lists"] == 2 for r in out)
     assert all(r["rrf_score"] > 0 for r in out)
+
+
+def test_bm25_index_persisted_equals_from_scratch(spark, sf_dir, tmp_path):
+    """bm25_topk_indexed over the persisted postings store must return
+    EXACTLY bm25_topk's rows (ranks, scores, tie-breaks) while reading
+    only the query terms' buckets."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from lambda_kafka_to_s3_parquet_spark.plans.extensions import X32_QUERY_TERMS
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    meta = build_bm25_index(spark, docs, idx, n_buckets=64)
+    assert meta["n_docs"] > 0 and len(meta["buckets_present"]) > 4
+
+    scratch = sorted(map(tuple, bm25_topk(docs, X32_QUERY_TERMS, k=10).collect()))
+    indexed_df = bm25_topk_indexed(spark, idx, X32_QUERY_TERMS, k=10)
+    indexed = sorted(map(tuple, indexed_df.collect()))
+    assert indexed == scratch and len(indexed) == 10
+
+    # pruning: the query touches a strict subset of the store's buckets
+    tdf = spark.createDataFrame([(t,) for t in X32_QUERY_TERMS], "term string")
+    wanted = {
+        r["b"]
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(64)).cast("int").alias("b")
+        ).collect()
+    }
+    assert 0 < len(wanted) < len(meta["buckets_present"])
+
+    # guard rails shared with the vector indexes
+    import pytest
+
+    with pytest.raises(ValueError, match="already holds"):
+        build_bm25_index(spark, docs, idx)
+    with pytest.raises(ValueError, match="not bm25"):
+        from lambda_kafka_to_s3_parquet_spark.operators.vector_index import (
+            build_ivf_index,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        ivf = str(tmp_path / "ivf")
+        build_ivf_index(spark, emb, ivf, n_cells=8)
+        bm25_topk_indexed(spark, ivf, X32_QUERY_TERMS)
