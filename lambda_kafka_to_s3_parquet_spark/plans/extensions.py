@@ -2382,3 +2382,74 @@ def x49_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_split(F.col("vec_id").cast("string")),
         threshold=0.35,
     ).orderBy("train_id")
+
+
+# --------------------------------------------------------------------------
+# x50 — persisted index artifacts, end-to-end: build each index family
+# member (PQ codes, IVF cells, BM25 postings) into scratch, run the
+# indexed search, and CHECK it row-for-row against the from-scratch
+# in-memory path — the equality IS the semantics, so the query reports
+# the match census (a mismatch shows up as eq=false rows, and the >0-
+# rows driver check plus pytest equality twins pin it). Side-effecting
+# scratch builds => rows-only, like x44's snapshot pipeline.
+# --------------------------------------------------------------------------
+@register(
+    "x50_persisted_indexes",
+    oracle=None,
+    doc="persisted PQ/IVF/BM25 index artifacts: build once into scratch, "
+    "query indexed vs from-scratch, report per-family row equality "
+    "(rows-only; byte-equality also pinned in pytest)",
+)
+def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import bm25_topk, bm25_topk_indexed, build_bm25_index
+    from ..operators.similarity import (
+        pq_encode,
+        topk_ivf,
+        topk_pq_adc,
+        train_pq_codebooks,
+    )
+    from ..operators.vector_index import (
+        build_ivf_index,
+        build_pq_index,
+        topk_ivf_indexed,
+        topk_pq_indexed,
+    )
+    from .extensions import X32_QUERY_TERMS
+
+    base = tempfile.mkdtemp(prefix="x50_")
+    try:
+        emb = _t(spark, sf_dir, "embeddings")
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        queries = emb.filter(F.col("vec_id") < 4)
+
+        build_pq_index(spark, emb, f"{base}/pq")
+        books = train_pq_codebooks(emb)
+        mem_pq = sorted(map(tuple, topk_pq_adc(
+            pq_encode(emb, books), queries, books, corpus=emb, k=10).collect()))
+        idx_pq = sorted(map(tuple, topk_pq_indexed(
+            spark, f"{base}/pq", queries, corpus=emb, k=10).collect()))
+
+        build_ivf_index(spark, emb, f"{base}/ivf", n_cells=16)
+        mem_ivf = sorted(map(tuple, topk_ivf(
+            emb, queries, k=10, n_cells=16, nprobe=6).collect()))
+        idx_ivf = sorted(map(tuple, topk_ivf_indexed(
+            spark, f"{base}/ivf", queries, k=10, nprobe=6).collect()))
+
+        build_bm25_index(spark, docs, f"{base}/bm25", n_buckets=64)
+        mem_bm = sorted(map(tuple, bm25_topk(docs, X32_QUERY_TERMS, k=10).collect()))
+        idx_bm = sorted(map(tuple, bm25_topk_indexed(
+            spark, f"{base}/bm25", X32_QUERY_TERMS, k=10).collect()))
+
+        rows = [
+            ("pq", len(idx_pq), idx_pq == mem_pq),
+            ("ivf", len(idx_ivf), idx_ivf == mem_ivf),
+            ("bm25", len(idx_bm), idx_bm == mem_bm),
+        ]
+        return spark.createDataFrame(
+            rows, "index_kind string, n_results long, eq_in_memory boolean"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -2219,3 +2219,14 @@ def test_vector_index_rejects_drift_staleness_and_crashed_build(spark, tmp_path)
     # and double-build refuses (an index is an immutable artifact)
     with pytest.raises(ValueError, match="already holds"):
         build_pq_index(spark, emb, pq)
+
+
+def test_x50_registered_index_equality_census(spark, sf_dir):
+    """Every persisted index family must report row-for-row equality with
+    its from-scratch twin in the registered census."""
+    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+
+    rows = all_specs()["x50_persisted_indexes"].fn(spark, sf_dir).collect()
+    assert {r["index_kind"] for r in rows} == {"pq", "ivf", "bm25"}
+    assert all(r["eq_in_memory"] for r in rows)
+    assert all(r["n_results"] > 0 for r in rows)
