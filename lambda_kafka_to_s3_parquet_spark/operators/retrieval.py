@@ -246,7 +246,9 @@ def build_bm25_index(
         F.size(tokens(F.col(text_col))).alias("dl"),
     ).filter(F.col("dl") > 0)
     stats = doclen.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
     ).first()
     tf = (
         postings(docs, id_col, text_col)
@@ -269,9 +271,19 @@ def build_bm25_index(
         "n_buckets": int(n_buckets),
         "n_docs": int(stats["n_docs"]),
         "avgdl": float(stats["avgdl"]),
+        # exact integer, so post-append avgdl (= sum_dl/n_docs) equals a
+        # from-scratch F.avg over the union bit-for-bit (int sums are
+        # exact in double far past any real corpus; avg is one division)
+        "sum_dl": int(stats["sum_dl"]),
         "id_col": id_col,
+        "id_type": docs.schema[id_col].dataType.simpleString(),
         "text_col": text_col,
         "buckets_present": buckets,
+        # fingerprint spans ALL docs with non-null (id, text) — a superset
+        # of n_docs' dl>0 population, deliberately: check_index_fresh
+        # recomputes the same aggregate over the raw corpus (it reads the
+        # column names from this meta), and token-empty docs can't affect
+        # postings, so the wider net only ever errs toward rebuilding
         **_corpus_fingerprint(docs, id_col, text_col),
     }
     _write_index_meta(spark, path, meta)
@@ -313,20 +325,40 @@ def bm25_topk_indexed(
         .distinct()
         .collect()
     )
-    live = set(meta["buckets_present"])
-    dirs = [f"{path}/tf/bucket={bk}" for bk in wanted if bk in live]
-    out_schema = "rank int, doc_id long, score double, n_terms_hit bigint"
-    if not dirs:
-        return spark.createDataFrame([], out_schema)
-    tf = (
-        spark.read.option("basePath", f"{path}/tf")
-        .parquet(*dirs)
-        .filter(F.col("term").isin(terms))
-        .select("doc_id", "term", "tf", "dl")
+    # pruned read across the base root AND every registered append root
+    # (each with its own basePath); an orphaned append dir — a crashed
+    # append that never republished the meta — is invisible by design
+    roots = [(f"{path}/tf", set(meta["buckets_present"]))] + [
+        (f"{path}/appends/{a['id']}/tf", set(a["buckets_present"]))
+        for a in meta.get("appends", [])
+    ]
+    parts = []
+    for root, live in roots:
+        dirs = [f"{root}/bucket={bk}" for bk in wanted if bk in live]
+        if dirs:
+            parts.append(
+                spark.read.option("basePath", root)
+                .parquet(*dirs)
+                .filter(F.col("term").isin(terms))
+                .select("doc_id", "term", "tf", "dl")
+            )
+    out_schema = (
+        f"rank int, doc_id {meta.get('id_type', 'long')}, score double, "
+        "n_terms_hit bigint"
     )
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    tf = parts[0]
+    for p in parts[1:]:
+        tf = tf.unionByName(p)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = float(meta["n_docs"])
-    avgdl = float(meta["avgdl"])
+    # exact post-append statistic when the build recorded sum_dl;
+    # pre-sum_dl metas (never appended to) keep their stored avgdl
+    avgdl = (
+        meta["sum_dl"] / meta["n_docs"] if "sum_dl" in meta
+        else float(meta["avgdl"])
+    )
     idf = F.log(
         F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -345,3 +377,102 @@ def bm25_topk_indexed(
         .withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "score", "n_terms_hit")
     )
+
+
+def append_to_bm25_index(
+    spark,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Append ``docs``'s postings to the persisted BM25 index at ``path``
+    — incremental maintenance with SNAPSHOT semantics (the same protocol
+    as ``vector_index.append_to_index``: data under
+    ``<path>/appends/<uuid>/``, meta republished LAST with the append's
+    bucket registry; orphaned dirs from crashed appends stay invisible).
+
+    Unlike pq/ivf, NOTHING in bm25 is frozen: df derives from the pruned
+    postings at query time, and (n_docs, avgdl) update exactly — n_docs
+    and sum_dl are integers, xor-fold fingerprints compose — so
+    ``bm25_topk_indexed`` after N appends equals ``bm25_topk`` over the
+    full union corpus bit-for-bit (test-pinned), not approximately.
+    Caller contract: appended doc ids are NEW (a re-appended id would
+    double-count its postings — same contract as the band store's
+    first-arrival batches). Single-maintainer; a concurrent append is
+    detected at publish time and the loser's data stays orphaned.
+    """
+    from .vector_index import _corpus_fingerprint, _read_index_meta, _write_index_meta
+
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} has no index meta file")
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"{path} holds a {meta.get('kind')!r} index, not bm25")
+    if meta.get("id_col") != id_col or meta.get("text_col") != text_col:
+        raise ValueError(
+            f"index at {path} was built over "
+            f"({meta.get('id_col')}, {meta.get('text_col')}), not "
+            f"({id_col}, {text_col}); rebuild to change columns"
+        )
+    if "sum_dl" not in meta:
+        raise ValueError(
+            f"index at {path} predates exact-statistic metas (no sum_dl); "
+            "rebuild once to enable appends"
+        )
+    n_buckets = meta["n_buckets"]
+    seen = [a["id"] for a in meta.get("appends", [])]
+    import uuid as _uuid
+
+    append_id = _uuid.uuid4().hex
+    root = f"{path}/appends/{append_id}"
+
+    doclen = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+    ).filter(F.col("dl") > 0)
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    tf = (
+        postings(docs, id_col, text_col)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(doclen, "doc_id")
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    (
+        tf.repartition("bucket")
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(f"{root}/tf")
+    )
+    buckets = sorted(r["bucket"] for r in tf.select("bucket").distinct().collect())
+    fp = _corpus_fingerprint(docs, id_col, text_col)
+
+    current = _read_index_meta(spark, path)
+    if current is None or [a["id"] for a in current.get("appends", [])] != seen:
+        raise ValueError(
+            f"concurrent append detected on {path}: the append registry "
+            f"changed during this append; this writer's data ({append_id}) "
+            "is orphaned and invisible — retry"
+        )
+    entry = {
+        "id": append_id,
+        "buckets_present": buckets,
+        "n_docs": int(stats["n_docs"] or 0),
+    }
+    meta = {
+        **current,
+        "appends": current.get("appends", []) + [entry],
+        "n_docs": current["n_docs"] + int(stats["n_docs"] or 0),
+        "sum_dl": current["sum_dl"] + int(stats["sum_dl"] or 0),
+        "avgdl": (current["sum_dl"] + int(stats["sum_dl"] or 0))
+        / max(current["n_docs"] + int(stats["n_docs"] or 0), 1),
+        "n_vectors": current["n_vectors"] + fp["n_vectors"],
+        "id_xor_hash": current["id_xor_hash"] ^ fp["id_xor_hash"],
+    }
+    _write_index_meta(spark, path, meta)
+    return meta

@@ -108,14 +108,23 @@ def _corpus_fingerprint(
 
 def check_index_fresh(
     spark: SparkSession, path: str, corpus: DataFrame,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str | None = None, vec_col: str | None = None,
 ) -> None:
     """Raise when ``corpus`` no longer matches the fingerprint the index
     at ``path`` was built from — serving ANN results from a stale index
-    is the silent failure mode; rebuilding is the caller's decision."""
+    is the silent failure mode; rebuilding is the caller's decision.
+
+    The fingerprint's column pair comes FROM THE META by default (every
+    build records ``id_col`` plus ``vec_col``/``text_col``), so the same
+    call works against pq/ivf/bm25 indexes alike — a caller re-supplying
+    the wrong pair used to get a guaranteed-stale error instead of a
+    freshness check. Pass explicit names only to fingerprint a corpus
+    whose columns were renamed since the build."""
     meta = _read_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"{path} has no vector-index meta file")
+    id_col = id_col or meta.get("id_col", "vec_id")
+    vec_col = vec_col or meta.get("vec_col") or meta.get("text_col") or "embedding"
     now = _corpus_fingerprint(corpus, id_col, vec_col)
     was = {"n_vectors": meta["n_vectors"], "id_xor_hash": meta["id_xor_hash"]}
     if now != was:
@@ -180,6 +189,7 @@ def build_pq_index(
         "train_limit": int(train_limit),
         "n_iter": int(n_iter),
         "id_col": id_col,
+        "id_type": corpus.schema[id_col].dataType.simpleString(),
         "vec_col": vec_col,
         "codebooks": books.tolist(),
         **_corpus_fingerprint(corpus, id_col, vec_col),
@@ -203,7 +213,10 @@ def load_pq_index(
         raise ValueError(f"{path} holds a {meta.get('kind')!r} index, not pq")
     if expect:
         _check_params(meta, path, expect)
-    codes = spark.read.parquet(f"{path}/codes")
+    roots = [f"{path}/codes"] + [
+        f"{path}/appends/{a['id']}/codes" for a in meta.get("appends", [])
+    ]
+    codes = spark.read.parquet(*roots)
     return codes, np.asarray(meta["codebooks"]), meta
 
 
@@ -266,6 +279,7 @@ def build_ivf_index(
         "n_cells": int(n_cells),
         "seed": int(seed),
         "id_col": id_col,
+        "id_type": corpus.schema[id_col].dataType.simpleString(),
         "vec_col": vec_col,
         "centroids": centroids,
         "cells_present": cells_present,
@@ -273,6 +287,44 @@ def build_ivf_index(
     }
     _write_index_meta(spark, path, meta)
     return meta
+
+
+def _ivf_cells_present(meta: dict) -> list[int]:
+    """Union of the base build's populated cells and every registered
+    append's — the full registry readers resolve dirs from."""
+    cells = set(meta["cells_present"])
+    for a in meta.get("appends", []):
+        cells.update(a["cells_present"])
+    return sorted(cells)
+
+
+def _read_ivf_cells(
+    spark: SparkSession, path: str, meta: dict, wanted: list[int]
+) -> DataFrame | None:
+    """Read ``wanted`` cells' rows across the base root AND every
+    registered append root, each with its own ``basePath`` (listing-level
+    dir pruning per root; an unregistered/orphaned append dir — a crashed
+    append that never published its meta — is invisible by construction).
+    Returns None when no wanted cell is populated anywhere."""
+    parts = []
+    roots = [(f"{path}/cells", set(meta["cells_present"]))] + [
+        (f"{path}/appends/{a['id']}/cells", set(a["cells_present"]))
+        for a in meta.get("appends", [])
+    ]
+    for root, live in roots:
+        dirs = [f"{root}/cell={c}" for c in wanted if c in live]
+        if dirs:
+            parts.append(
+                spark.read.option("basePath", root)
+                .parquet(*dirs)
+                .select("id", "_uvec", "cell")
+            )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def assign_cells(
@@ -366,19 +418,17 @@ def semantic_decontaminate_batch(
     cells_needed = sorted(
         r["cell"] for r in train.select("cell").distinct().collect()
     )
-    live = set(meta["cells_present"])
-    dirs = [
-        f"{test_index_path}/cells/cell={c}" for c in cells_needed if c in live
-    ]
-    if not dirs:
+    test = _read_ivf_cells(spark, test_index_path, meta, cells_needed)
+    if test is None:
+        # id types derived, not hardcoded: train side from the batch
+        # schema, test side from the index meta (falls back to the batch
+        # type for pre-id_type metas) — the populated branch gets both
+        # from the data, so the empty branch must match
+        tid_t = batch.schema[id_col].dataType.simpleString()
+        xid_t = meta.get("id_type", tid_t)
         return spark.createDataFrame(
-            [], "block int, train_id long, test_id long, cos_sim double"
+            [], f"block int, train_id {tid_t}, test_id {xid_t}, cos_sim double"
         )
-    test = (
-        spark.read.option("basePath", f"{test_index_path}/cells")
-        .parquet(*dirs)
-        .select("id", "_uvec", "cell")
-    )
     both = train.withColumn("_sp", F.lit("train")).unionByName(
         test.withColumn("_sp", F.lit("test"))
     )
@@ -400,43 +450,27 @@ def probe_cell_union(
     vec_col: str = "embedding",
 ) -> list[int]:
     """Union of the cells the queries would probe — the dirs an indexed
-    search reads. Per-query probe choice replicates ``topk_ivf``'s
-    ranking exactly (centroid cosine desc, cell asc, top ``nprobe``);
-    the collect is bounded by ``n_cells`` ints."""
+    search reads. Per-query probe choice is ``rank_probe_cells``'s
+    broadcast-centroid Arrow GEMM — the SAME kernel ``topk_ivf`` ranks
+    with (dot desc, cell asc, top ``nprobe``), so the dir union always
+    covers the cells the search will join; the collect is bounded by
+    ``n_cells`` ints. (The centroid-literal expression this replaced cost
+    ~6 s of driver plan analysis per query at n_cells=80 — the hot path
+    this module exists to make cheap.)"""
     if nprobe >= meta["n_cells"]:
-        return list(meta["cells_present"])
-    from pyspark.sql.window import Window
+        return _ivf_cells_present(meta)
+    from ..functions.vectors import to_double, unit
+    from .similarity import rank_probe_cells
 
-    from ..functions.vectors import dot, to_double, unit
-
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(v) for v in c]).alias("cvec"),
-            )
-            for i, c in enumerate(meta["centroids"])
-        ]
-    )
     uq = queries.select(
         F.col(id_col).alias("query_id"), unit(to_double(vec_col)).alias("_qvec")
     )
-    wc = Window.partitionBy("query_id").orderBy(F.desc("_cscore"), F.asc("cell"))
     return sorted(
         r["cell"]
-        for r in (
-            uq.select("query_id", "_qvec", F.explode(cent_arr).alias("c"))
-            .select(
-                "query_id",
-                F.col("c.cell").alias("cell"),
-                dot(F.col("_qvec"), F.col("c.cvec")).alias("_cscore"),
-            )
-            .withColumn("_crank", F.row_number().over(wc))
-            .filter(F.col("_crank") <= nprobe)
-            .select("cell")
-            .distinct()
-            .collect()
-        )
+        for r in rank_probe_cells(uq, meta["centroids"], nprobe)
+        .select("cell")
+        .distinct()
+        .collect()
     )
 
 
@@ -470,17 +504,16 @@ def topk_ivf_indexed(
     centroids = meta["centroids"]
     n_cells = meta["n_cells"]
     probe_cells = probe_cell_union(queries, meta, nprobe, id_col, vec_col)
-    live = set(meta["cells_present"])
-    dirs = [f"{path}/cells/cell={c}" for c in probe_cells if c in live]
-    if dirs:
-        assigned = (
-            spark.read.option("basePath", f"{path}/cells")
-            .parquet(*dirs)
-            .select("id", "_uvec", "cell")
+    assigned = _read_ivf_cells(spark, path, meta, probe_cells)
+    if assigned is None:
+        # derive the id type (meta first, queries as the pre-id_type-meta
+        # fallback) so the zero-probed-cells branch returns the same
+        # schema as the populated branch for non-long id columns
+        id_t = meta.get(
+            "id_type", queries.schema[id_col].dataType.simpleString()
         )
-    else:
         assigned = spark.createDataFrame(
-            [], "id long, _uvec array<double>, cell int"
+            [], f"id {id_t}, _uvec array<double>, cell int"
         )
     return topk_ivf(
         corpus=None,
@@ -492,3 +525,104 @@ def topk_ivf_indexed(
         vec_col=vec_col,
         _index=(assigned, centroids),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: append a batch to a persisted index without a
+# rebuild — the index-artifact family's version of the band store's
+# append path, but with SNAPSHOT semantics instead of in-place appends.
+# ---------------------------------------------------------------------------
+
+
+def append_to_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append ``batch``'s vectors to the pq/ivf index at ``path``.
+
+    The trained structures are FROZEN — PQ codebooks / IVF centroids are
+    never refit (that is what makes this an append, not a rebuild): the
+    batch is encoded (``pq_encode``) or cell-assigned
+    (:func:`assign_cells`, the broadcast-centroid Arrow GEMM) with the
+    meta's own structures, so queries after N appends equal a one-shot
+    build that had used the same frozen structures over the whole corpus
+    (test-pinned). Recall drifts only as far as the data distribution
+    drifts from the training sample — re-train by rebuilding.
+
+    Protocol (snapshot semantics, unlike the band store's in-place
+    ``mode("append")``):
+
+    * data lands under ``<path>/appends/<uuid>/`` — never inside a live
+      directory, so concurrent readers see either the whole append or
+      none of it;
+    * the meta republishes LAST (atomic tmp+rename) with the append
+      registered in ``meta["appends"]`` (id + its populated-cell
+      registry) — a crash before publish leaves an orphaned dir that
+      every reader ignores by construction (readers resolve dirs from
+      the meta registry only);
+    * the corpus fingerprint updates EXACTLY without touching old data:
+      xor-folds compose over disjoint row sets, so
+      ``n += n_batch; hash ^= hash_batch`` is the fingerprint of the
+      union — :func:`check_index_fresh` against the grown corpus passes;
+    * single-maintainer contract (same as the band store / rollup
+      markers): a concurrent append is detected at publish time by
+      re-reading the meta (append-registry drift ⇒ ValueError, the
+      loser's data dir stays orphaned and invisible).
+    """
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} has no vector-index meta file")
+    kind = meta.get("kind")
+    if kind not in ("pq", "ivf"):
+        raise ValueError(
+            f"{path} holds a {kind!r} index; append_to_index handles "
+            "pq/ivf (bm25 appends via retrieval.append_to_bm25_index)"
+        )
+    _check_params(meta, path, {"id_col": id_col, "vec_col": vec_col})
+    seen = [a["id"] for a in meta.get("appends", [])]
+    append_id = uuid.uuid4().hex
+    root = f"{path}/appends/{append_id}"
+    entry: dict = {"id": append_id}
+
+    if kind == "pq":
+        books = np.asarray(meta["codebooks"])
+        codes = pq_encode(batch, books, id_col, vec_col)
+        codes.write.mode("errorifexists").parquet(f"{root}/codes")
+    else:
+        from ..functions.vectors import to_double, unit
+
+        uvecs = batch.select(
+            F.col(id_col).alias("id"), unit(to_double(vec_col)).alias("_uvec")
+        ).filter(F.col("_uvec").isNotNull())
+        assigned = assign_cells(uvecs, meta["centroids"])
+        (
+            assigned.repartition("cell")
+            .write.mode("errorifexists")
+            .partitionBy("cell")
+            .parquet(f"{root}/cells")
+        )
+        entry["cells_present"] = sorted(
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        )
+
+    fp = _corpus_fingerprint(batch, id_col, vec_col)
+    entry["n_vectors"] = fp["n_vectors"]
+
+    current = _read_index_meta(spark, path)
+    if current is None or [a["id"] for a in current.get("appends", [])] != seen:
+        raise ValueError(
+            f"concurrent append detected on {path}: the append registry "
+            "changed during this append; this writer's data "
+            f"({append_id}) is orphaned and invisible — retry"
+        )
+    meta = {
+        **current,
+        "appends": current.get("appends", []) + [entry],
+        "n_vectors": current["n_vectors"] + fp["n_vectors"],
+        "id_xor_hash": current["id_xor_hash"] ^ fp["id_xor_hash"],
+    }
+    _write_index_meta(spark, path, meta)
+    return meta

@@ -2396,27 +2396,43 @@ def x49_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x50_persisted_indexes",
     oracle=None,
-    doc="persisted PQ/IVF/BM25 index artifacts: build once into scratch, "
-    "query indexed vs from-scratch, report per-family row equality "
+    doc="persisted PQ/IVF/BM25 index artifacts incl. incremental appends: "
+    "build over half the corpus, append the rest, query indexed vs the "
+    "frozen-structure from-scratch twin, report per-family row equality "
     "(rows-only; byte-equality also pinned in pytest)",
 )
 def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each family builds over HALF the corpus and APPENDS the other half
+    (``append_to_index`` / ``append_to_bm25_index`` — snapshot-semantics
+    maintenance, meta-last), so one equality row certifies both the
+    persisted-read path and the append path: the twin uses the SAME
+    frozen structures (codebooks/centroids trained on the first half; bm25
+    freezes nothing) over the full corpus."""
     import shutil
     import tempfile
 
-    from ..operators.retrieval import bm25_topk, bm25_topk_indexed, build_bm25_index
+    from ..operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
     from ..operators.similarity import (
+        _kmeans_cells,
         pq_encode,
         topk_ivf,
         topk_pq_adc,
         train_pq_codebooks,
     )
     from ..operators.vector_index import (
+        append_to_index,
+        assign_cells,
         build_ivf_index,
         build_pq_index,
         topk_ivf_indexed,
         topk_pq_indexed,
     )
+    from ..functions.vectors import to_double, unit
     from .extensions import X32_QUERY_TERMS
 
     base = tempfile.mkdtemp(prefix="x50_")
@@ -2424,21 +2440,34 @@ def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = _t(spark, sf_dir, "embeddings")
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
         queries = emb.filter(F.col("vec_id") < 4)
+        e_first = emb.filter(F.col("vec_id") % 2 == 0)
+        e_rest = emb.filter(F.col("vec_id") % 2 == 1)
 
-        build_pq_index(spark, emb, f"{base}/pq")
-        books = train_pq_codebooks(emb)
+        build_pq_index(spark, e_first, f"{base}/pq")
+        append_to_index(spark, f"{base}/pq", e_rest)
+        books = train_pq_codebooks(e_first)
         mem_pq = sorted(map(tuple, topk_pq_adc(
             pq_encode(emb, books), queries, books, corpus=emb, k=10).collect()))
         idx_pq = sorted(map(tuple, topk_pq_indexed(
             spark, f"{base}/pq", queries, corpus=emb, k=10).collect()))
 
-        build_ivf_index(spark, emb, f"{base}/ivf", n_cells=16)
+        build_ivf_index(spark, e_first, f"{base}/ivf", n_cells=16)
+        append_to_index(spark, f"{base}/ivf", e_rest)
+        assigned_first, centroids = _kmeans_cells(e_first, 16)
+        urest = e_rest.select(
+            F.col("vec_id").alias("id"), unit(to_double("embedding")).alias("_uvec")
+        ).filter(F.col("_uvec").isNotNull())
+        assigned_union = assigned_first.unionByName(assign_cells(urest, centroids))
         mem_ivf = sorted(map(tuple, topk_ivf(
-            emb, queries, k=10, n_cells=16, nprobe=6).collect()))
+            None, queries, k=10, n_cells=16, nprobe=6,
+            _index=(assigned_union, centroids)).collect()))
         idx_ivf = sorted(map(tuple, topk_ivf_indexed(
             spark, f"{base}/ivf", queries, k=10, nprobe=6).collect()))
 
-        build_bm25_index(spark, docs, f"{base}/bm25", n_buckets=64)
+        d_first = docs.filter(F.col("doc_id") % 2 == 0)
+        d_rest = docs.filter(F.col("doc_id") % 2 == 1)
+        build_bm25_index(spark, d_first, f"{base}/bm25", n_buckets=64)
+        append_to_bm25_index(spark, d_rest, f"{base}/bm25")
         mem_bm = sorted(map(tuple, bm25_topk(docs, X32_QUERY_TERMS, k=10).collect()))
         idx_bm = sorted(map(tuple, bm25_topk_indexed(
             spark, f"{base}/bm25", X32_QUERY_TERMS, k=10).collect()))

@@ -2221,6 +2221,59 @@ def test_vector_index_rejects_drift_staleness_and_crashed_build(spark, tmp_path)
         build_pq_index(spark, emb, pq)
 
 
+def test_index_meta_driven_freshness_and_id_types(spark, tmp_path):
+    """Round-8 ADVICE regressions: (a) check_index_fresh reads the column
+    pair from the META, so the same call checks pq/ivf/bm25 indexes
+    without the caller re-supplying (wrong) columns; (b) the empty-result
+    branches derive the id type from the meta — a string-id index returns
+    the SAME schema whether or not any cell/bucket is probed."""
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.vector_index import (
+        build_ivf_index,
+        check_index_fresh,
+        topk_ivf_indexed,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    # (a) bm25 index + default-arg freshness check: the old vec_id/
+    # embedding defaults guaranteed a stale error here
+    bidx = str(tmp_path / "bm25")
+    build_bm25_index(spark, docs, bidx, id_col="doc_id", text_col="text")
+    check_index_fresh(spark, bidx, docs)  # no columns re-supplied
+    with pytest.raises(ValueError, match="STALE"):
+        check_index_fresh(spark, bidx, docs.filter(F.col("doc_id") % 2 == 0))
+
+    # (b) string-id IVF index: populated vs zero-probed-cells schemas match
+    emb = load_table(spark, SF, "embeddings")
+    s_emb = emb.withColumn("vec_id", F.concat(F.lit("v"), F.col("vec_id")))
+    sidx = str(tmp_path / "ivf_str")
+    meta = build_ivf_index(spark, s_emb, sidx, n_cells=4)
+    assert meta["id_type"] == "string"
+    queries = s_emb.filter(F.col("vec_id").isin("v1", "v2"))
+    populated = topk_ivf_indexed(spark, sidx, queries, k=3, nprobe=2)
+    assert populated.count() > 0
+    # force the empty branch: a meta whose cells_present is empty
+    import copy
+
+    from lambda_kafka_to_s3_parquet_spark.operators import vector_index as vi
+
+    hollow = copy.deepcopy(meta)
+    hollow["cells_present"] = []
+    real_read = vi._read_index_meta
+    vi._read_index_meta = lambda sp, p: hollow if p == sidx else real_read(sp, p)
+    try:
+        empty = topk_ivf_indexed(spark, sidx, queries, k=3, nprobe=2)
+        assert empty.count() == 0
+        assert empty.schema == populated.schema
+    finally:
+        vi._read_index_meta = real_read
+
+
 def test_x50_registered_index_equality_census(spark, sf_dir):
     """Every persisted index family must report row-for-row equality with
     its from-scratch twin in the registered census."""
@@ -2230,3 +2283,123 @@ def test_x50_registered_index_equality_census(spark, sf_dir):
     assert {r["index_kind"] for r in rows} == {"pq", "ivf", "bm25"}
     assert all(r["eq_in_memory"] for r in rows)
     assert all(r["n_results"] > 0 for r in rows)
+
+
+def test_pq_ivf_index_append_equals_frozen_rebuild(spark, tmp_path):
+    """Incremental maintenance: build each vector index over half the
+    corpus, append the other half with the FROZEN trained structures —
+    queries must equal a one-shot run whose codebooks/centroids came from
+    the same half but whose data is the full corpus; the updated
+    fingerprint must accept the grown corpus."""
+    from lambda_kafka_to_s3_parquet_spark.functions.vectors import to_double, unit
+    from lambda_kafka_to_s3_parquet_spark.operators.similarity import (
+        _kmeans_cells,
+        pq_encode,
+        topk_ivf,
+        topk_pq_adc,
+        train_pq_codebooks,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.vector_index import (
+        append_to_index,
+        assign_cells,
+        build_ivf_index,
+        build_pq_index,
+        check_index_fresh,
+        topk_ivf_indexed,
+        topk_pq_indexed,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    # --- PQ: frozen codebooks (trained on `first`), data = full corpus
+    pq = str(tmp_path / "pq")
+    build_pq_index(spark, first, pq)
+    meta = append_to_index(spark, pq, rest)
+    assert len(meta["appends"]) == 1
+    books = train_pq_codebooks(first)
+    want = sorted(map(tuple, topk_pq_adc(
+        pq_encode(emb, books), queries, books, corpus=emb, k=10).collect()))
+    got = sorted(map(tuple, topk_pq_indexed(
+        spark, pq, queries, corpus=emb, k=10).collect()))
+    assert got == want and len(got) > 0
+    check_index_fresh(spark, pq, emb)
+    import pytest
+
+    with pytest.raises(ValueError, match="STALE"):
+        check_index_fresh(spark, pq, first)
+
+    # --- IVF: frozen centroids (k-means on `first`), assignments = union
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(spark, first, ivf, n_cells=8)
+    append_to_index(spark, ivf, rest)
+    assigned_first, centroids = _kmeans_cells(first, 8)
+    urest = rest.select(
+        F.col("vec_id").alias("id"), unit(to_double("embedding")).alias("_uvec")
+    ).filter(F.col("_uvec").isNotNull())
+    assigned_union = assigned_first.unionByName(assign_cells(urest, centroids))
+    want_ivf = sorted(map(tuple, topk_ivf(
+        None, queries, k=10, n_cells=8, nprobe=3,
+        _index=(assigned_union, centroids)).collect()))
+    got_ivf = sorted(map(tuple, topk_ivf_indexed(
+        spark, ivf, queries, k=10, nprobe=3).collect()))
+    assert got_ivf == want_ivf and len(got_ivf) > 0
+    check_index_fresh(spark, ivf, emb)
+
+
+def test_index_append_crash_and_concurrency_protocol(spark, tmp_path):
+    """(a) a crashed append (data written, meta never republished) is
+    INVISIBLE: queries and freshness behave exactly as before the
+    attempt; (b) a registry that changed mid-append is detected at
+    publish time and the append fails without registering."""
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators import vector_index as vi
+
+    emb = load_table(spark, SF, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 4)
+    ivf = str(tmp_path / "ivf")
+    vi.build_ivf_index(spark, first, ivf, n_cells=8)
+    before = sorted(map(tuple, vi.topk_ivf_indexed(
+        spark, ivf, queries, k=5, nprobe=3).collect()))
+
+    # (a) crash between data write and meta publish
+    real_write = vi._write_index_meta
+
+    def boom(spark_, path_, meta_):
+        raise RuntimeError("simulated crash before meta publish")
+
+    vi._write_index_meta = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            vi.append_to_index(spark, ivf, rest)
+    finally:
+        vi._write_index_meta = real_write
+    after = sorted(map(tuple, vi.topk_ivf_indexed(
+        spark, ivf, queries, k=5, nprobe=3).collect()))
+    assert after == before  # orphaned dir never read
+    vi.check_index_fresh(spark, ivf, first)  # fingerprint untouched
+
+    # (b) registry drift between start and publish -> fail-stop
+    real_read = vi._read_index_meta
+    calls = {"n": 0}
+
+    def drifting(spark_, path_):
+        meta = real_read(spark_, path_)
+        calls["n"] += 1
+        if calls["n"] > 1 and meta is not None:  # publish-time re-read
+            meta = {**meta, "appends": meta.get("appends", []) + [
+                {"id": "someone-else", "cells_present": [], "n_vectors": 0}
+            ]}
+        return meta
+
+    vi._read_index_meta = drifting
+    try:
+        with pytest.raises(ValueError, match="concurrent append"):
+            vi.append_to_index(spark, ivf, rest)
+    finally:
+        vi._read_index_meta = real_read

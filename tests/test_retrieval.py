@@ -7,6 +7,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from lambda_kafka_to_s3_parquet_spark.operators.retrieval import bm25_topk, heavy_hitters
 from lambda_kafka_to_s3_parquet_spark.plans import all_specs
@@ -209,3 +210,47 @@ def test_bm25_index_persisted_equals_from_scratch(spark, sf_dir, tmp_path):
         ivf = str(tmp_path / "ivf")
         build_ivf_index(spark, emb, ivf, n_cells=8)
         bm25_topk_indexed(spark, ivf, X32_QUERY_TERMS)
+
+
+def test_bm25_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Incremental maintenance: build over half the corpus, append the
+    other half — the indexed search must equal bm25_topk over the FULL
+    corpus bit-for-bit (nothing in bm25 is frozen: df is query-time,
+    n_docs/sum_dl update exactly), and the meta-driven freshness check
+    must accept the grown corpus."""
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.vector_index import (
+        check_index_fresh,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(spark, first, idx, n_buckets=32)
+    meta = append_to_bm25_index(spark, rest, idx)
+    assert len(meta["appends"]) == 1
+
+    got = sorted(map(tuple, bm25_topk_indexed(spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    want = sorted(map(tuple, bm25_topk(docs, X32_QUERY_TERMS, k=10).collect()))
+    assert got == want and len(got) == 10
+
+    check_index_fresh(spark, idx, docs)  # grown corpus == updated fingerprint
+    with pytest.raises(ValueError, match="STALE"):
+        check_index_fresh(spark, idx, first)
+
+    # a second append composes (quarters of the odd half would re-append
+    # ids — use fresh synthetic docs instead)
+    extra = spark.createDataFrame(
+        [(10_000_001, "spark shuffle partition skew"),
+         (10_000_002, "watermark event time windows")],
+        "doc_id long, text string",
+    )
+    append_to_bm25_index(spark, extra, idx)
+    got2 = sorted(map(tuple, bm25_topk_indexed(spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    want2 = sorted(map(tuple, bm25_topk(docs.unionByName(extra), X32_QUERY_TERMS, k=10).collect()))
+    assert got2 == want2
