@@ -68,7 +68,10 @@ HEADLINE = [
     "x02_cdc_latest_event",
     "x03_token_stats",
     "x07_minhash_neardup",
-    "x08_simhash",
+    # round 8: x08_simhash consolidated into x06; its bench slot goes to
+    # the new substring-granular dedup (positioned-gram census + island
+    # merge — a heavier, more representative near-dup workload)
+    "x51_duplicated_spans",
     "x10_embedding_topk",
     "x12_embedding_neardup_blocked",
     "x13_media_stats",

@@ -1400,3 +1400,167 @@ def cross_split_overlap(
         )
         .orderBy("train_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection/removal — the substring-granular member
+# of the dedup family (document-level: exact_dedup/near-dup; line-level:
+# remove_boilerplate_lines; THIS: token-span-level). The classic use is
+# scrubbing verbatim-repeated passages (licenses, navigation chrome,
+# quoted boilerplate) that survive document-level dedup because the
+# containing documents differ.
+# ---------------------------------------------------------------------------
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = None,
+    hash_key: bool = True,
+) -> DataFrame:
+    """Maximal token spans whose every k-gram also appears in >= min_docs
+    distinct documents — exact (not fingerprint-approximate) repeated-
+    passage detection at sub-document granularity.
+
+    Returns ``(doc_id, span_start, span_end, n_tokens, n_grams)`` with
+    0-based inclusive token positions; overlapping/adjacent duplicated
+    k-grams merge into one maximal span (a span of j consecutive
+    duplicated grams covers j + k - 1 tokens).
+
+    Plan shape (all relational, no Python in the hot path):
+
+    1. positioned k-grams via ``posexplode(word_ngrams(tokens))`` — the
+       same JVM tokenizer/gram kernels the census/repetition family uses,
+       now keeping the start position;
+    2. the duplicated-gram census: ``groupBy(gram key) .. countDistinct``
+       (map-side partial + one exchange). With ``hash_key`` (default) the
+       census and the back-join key is ``xxhash64(gram)`` — 8 bytes
+       instead of a k-token string through BOTH shuffles; a 64-bit
+       collision (odds ~ n²/2⁶⁴) could at worst merge two grams' counts;
+       pass ``hash_key=False`` for the exact-string key;
+    3. ``max_gram_df`` drops stop-phrase grams (df above the cap) before
+       the back-join — the same quadratic-blowup guard, measured on
+       ``cross_split_overlap``, that x25 registers (uncapped: 3.2× wall
+       at 10× replicated data);
+    4. back-join duplicated keys onto the positioned grams (shuffle ∝
+       duplicated occurrences), then per-doc island merge: a gram starts
+       a new span iff its position is > k past the previous duplicated
+       gram's position (same-length intervals ⇒ the running island
+       window is one ``lag`` + running ``sum`` — no interval tree).
+
+    At 100 TB the census is the dominant shuffle (|tokens| rows); k=8+
+    makes grams near-unique so the duplicated set — and the back-join —
+    stays small. The k-gram-level contract (vs suffix-array maximal
+    substrings, e.g. Lee et al. 2022's exact-substring dedup) trades
+    span tightness for a fully relational two-shuffle plan: any
+    duplicated substring of >= k tokens is found, boundaries quantized
+    to gram starts.
+    """
+    if k < 1:
+        raise ValueError("k-gram size must be >= 1")
+    from ..functions.text import word_ngrams
+
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams(tokens(F.col(text_col)), k)).alias(
+            "pos", "gram"
+        ),
+    )
+    key = F.xxhash64("gram") if hash_key else F.col("gram")
+    g = g.select("doc_id", "pos", key.alias("gkey"))
+    census = g.groupBy("gkey").agg(F.countDistinct("doc_id").alias("_df"))
+    dup = census.filter(F.col("_df") >= min_docs)
+    if max_gram_df is not None:
+        dup = dup.filter(F.col("_df") <= max_gram_df)
+    hits = g.join(dup.select("gkey"), "gkey").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn(
+            "_new",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+            "n_grams",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def mask_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every token covered by a duplicated span; emit the scrubbed
+    token stream — (id, cleaned_text, n_tokens_kept, n_tokens_dropped).
+
+    ``spans`` is :func:`duplicated_spans`'s output (or any
+    ``(doc_id, span_start, span_end)`` frame). Docs with no span pass
+    through with zero drops. Output text is the kept tokens joined by
+    single spaces — the same tokens-stream convention the chunking/
+    packing operators consume (original inter-token whitespace is not
+    reconstructed; run this before, not after, formatting-sensitive
+    stages).
+
+    Plan: spans aggregate to one ``(doc_id, [[start, end], ...])`` row
+    per doc (tiny ∝ |spans|), LEFT-join onto the corpus (one key-
+    partitioned shuffle of span lists, never the corpus²), then one JVM
+    pass filters each token array against its doc's span list
+    (positions-zip + exists — interpreted HOFs, but per-doc-token cost
+    with list sizes ∝ that doc's spans, and only span-carrying docs pay
+    it via the null-fast branch).
+    """
+    span_lists = spans.groupBy(F.col("doc_id").alias("_sid")).agg(
+        F.collect_list(F.array("span_start", "span_end")).alias("_spans")
+    )
+    tok = tokens(F.col(text_col))
+    joined = docs.join(
+        span_lists, docs[id_col] == span_lists["_sid"], "left"
+    ).drop("_sid")
+    # positions 0..n-1 zipped with tokens; a token is dropped iff some
+    # span [s,e] contains its position
+    pos = F.sequence(F.lit(0), F.greatest(F.size(tok) - 1, F.lit(0)))
+    kept = F.when(F.col("_spans").isNull(), tok).otherwise(
+        F.zip_with(
+            tok,
+            F.slice(pos, 1, F.size(tok)),
+            lambda t, p: F.when(
+                F.exists(
+                    F.col("_spans"),
+                    lambda s: (p >= s.getItem(0)) & (p <= s.getItem(1)),
+                ),
+                F.lit(None),
+            ).otherwise(t),
+        )
+    )
+    kept = F.filter(kept, lambda t: t.isNotNull())
+    n_all = F.size(tok)
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("cleaned_text"),
+        F.size(kept).cast("bigint").alias("n_tokens_kept"),
+        (n_all - F.size(kept)).cast("bigint").alias("n_tokens_dropped"),
+    )

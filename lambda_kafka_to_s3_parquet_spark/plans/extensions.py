@@ -246,16 +246,48 @@ def x04_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x06 — document fingerprinting, both algorithms union-tagged
-# (consolidates former x15_rolling_fingerprint): md5 of normalized text
-# (near-exact dup detection via normalization) and the Rabin-Karp
-# polynomial rolling hash — a char fold any engine reproduces, proven by
-# the DuckDB twin computing the identical fold. Each branch is one narrow
-# scan + one groupBy(fp) shuffle; the union is append-only.
+# x06 — document fingerprinting, all three algorithms union-tagged
+# (consolidates former x15_rolling_fingerprint and, since round 8, former
+# x08_simhash — SimHash IS a fingerprint; folding it here freed the
+# driver-window slot x51 now holds): md5 of normalized text (near-exact
+# dup detection via normalization), the Rabin-Karp polynomial rolling
+# hash — a char fold any engine reproduces, proven by the DuckDB twin
+# computing the identical fold — and the Charikar SimHash in its
+# portable-hash variant (30 usable bits over the same Rabin-Karp token
+# hash, so the oracle rebuilds the construction bit-for-bit; production
+# default stays 64-bit xxhash64, pinned in pytest). Each branch is one
+# narrow scan + one groupBy shuffle; the union is append-only.
 # --------------------------------------------------------------------------
+_SIMHASH_BITS = 30
+
+#: Per-token Rabin-Karp hash, identical to functions.text.rolling_hash.
+_SQL_TOKEN_RK = (
+    "list_reduce([CAST(0 AS BIGINT)] || "
+    "list_transform(list_filter(regexp_split_to_array(t, ''), c -> c <> ''), "
+    "c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+
+def _sql_simhash(bits: int) -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(bits))
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents),
+    h AS (SELECT doc_id, {_SQL_TOKEN_RK} AS h FROM tok),
+    votes AS (SELECT doc_id,
+           {votes}
+           FROM h GROUP BY doc_id)
+    SELECT doc_id, {sig} AS simhash
+    FROM votes
+    """
+
+
 @register(
     "x06_fingerprints",
-    oracle="""
+    oracle=f"""
     SELECT 'md5_norm' AS algo,
            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
            count(*)    AS n_docs,
@@ -276,17 +308,22 @@ def x04_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
       FROM documents)
     GROUP BY 2
+    UNION ALL
+    SELECT 'simhash' AS algo, CAST(simhash AS VARCHAR) AS fp,
+           count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM ({_sql_simhash(_SIMHASH_BITS)})
+    GROUP BY 2
     ORDER BY algo, fp
     """,
-    doc="document fingerprints: md5(normalized) + Rabin-Karp rolling hash, union-tagged",
+    doc="document fingerprints: md5(normalized) + Rabin-Karp rolling hash "
+    "+ portable-hash SimHash, union-tagged",
 )
 def x06_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
 
-    def groups(fp_col, algo: str) -> DataFrame:
+    def groups(fps: DataFrame, algo: str) -> DataFrame:
         return (
-            d.select(fp_col.cast("string").alias("fp"), "doc_id")
-            .groupBy("fp")
+            fps.groupBy("fp")
             .agg(
                 F.count("*").alias("n_docs"),
                 F.min("doc_id").alias("first_doc"),
@@ -295,8 +332,16 @@ def x06_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(algo).alias("algo"), "fp", "n_docs", "first_doc", "last_doc")
         )
 
-    return groups(fingerprint("text"), "md5_norm").unionByName(
-        groups(rolling_hash("text"), "rabin_karp")
+    per_row = lambda fp_col: d.select(  # noqa: E731
+        fp_col.cast("string").alias("fp"), "doc_id"
+    )
+    sim = simhash_table(d, bits=_SIMHASH_BITS, token_hash=rolling_hash).select(
+        F.col("simhash").cast("string").alias("fp"), "doc_id"
+    )
+    return (
+        groups(per_row(fingerprint("text")), "md5_norm")
+        .unionByName(groups(per_row(rolling_hash("text")), "rabin_karp"))
+        .unionByName(groups(sim, "simhash"))
     )
 
 
@@ -331,55 +376,13 @@ def x07_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(d, threshold=0.8)
 
 
-# --------------------------------------------------------------------------
-# x08 — SimHash signatures per document, oracle-checked via the portable
-# hash: the registered query runs the SAME simhash_table operator as
-# production but with the Rabin-Karp rolling token hash (30 usable bits,
-# values < 2^30 — reproducible in any engine) instead of xxhash64, so the
-# DuckDB twin computes the identical Charikar construction bit-for-bit.
-# Production code keeps the full 64-bit xxhash64 variant (the default),
-# whose semantics are pinned by tests/test_extensions.py (identical text
-# => identical signature, near pairs at small hamming distance).
-# The former x09_ngram_jaccard_probe's exact-Jaccard kernel is exercised
-# (and oracle-checked) as x07's verification stage.
-# --------------------------------------------------------------------------
-_SIMHASH_BITS = 30
-
-#: Per-token Rabin-Karp hash, identical to functions.text.rolling_hash.
-_SQL_TOKEN_RK = (
-    "list_reduce([CAST(0 AS BIGINT)] || "
-    "list_transform(list_filter(regexp_split_to_array(t, ''), c -> c <> ''), "
-    "c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)"
-)
-
-
-def _sql_simhash(bits: int) -> str:
-    votes = ",\n           ".join(
-        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(bits)
-    )
-    sig = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(bits))
-    return f"""
-    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents),
-    h AS (SELECT doc_id, {_SQL_TOKEN_RK} AS h FROM tok),
-    votes AS (SELECT doc_id,
-           {votes}
-           FROM h GROUP BY doc_id)
-    SELECT doc_id, {sig} AS simhash
-    FROM votes
-    ORDER BY doc_id
-    """
-
-
-@register(
-    "x08_simhash",
-    oracle=_sql_simhash(_SIMHASH_BITS),
-    doc="SimHash document fingerprints (portable-hash variant, oracle computes "
-    "the same Charikar construction; production default stays xxhash64/64-bit)",
-)
-def x08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return simhash_table(d, bits=_SIMHASH_BITS, token_hash=rolling_hash)
+# (x08_simhash was consolidated into x06_fingerprints' union-tagged
+# 'simhash' branch in round 8 — same operator call, same portable-hash
+# oracle construction, now grouped like the other fingerprint algos.
+# The 64-bit xxhash64 production variant stays pinned in pytest. The
+# former x09_ngram_jaccard_probe's exact-Jaccard kernel is exercised
+# (and oracle-checked) as x07's verification stage. Freed a driver-
+# window slot for x51_duplicated_spans.)
 
 
 # --------------------------------------------------------------------------
@@ -2482,3 +2485,66 @@ def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# x51 — exact duplicated-span detection: maximal token spans whose every
+# k-gram appears in >= 2 distinct documents (the substring-granular dedup
+# member — catches verbatim-repeated passages that survive document-level
+# dedup because the containing documents differ). Registered with the
+# same stop-phrase df cap convention as x25; the oracle replays the
+# identical positioned-gram census + island merge in SQL (zipped unnests
+# for (gram, pos), lag/running-sum islands). Spark registers the
+# PRODUCTION default — census keyed on xxhash64(gram), 8 bytes through
+# both shuffles instead of a 5-token string (measured 2.6 vs 6.5 s at
+# sf0.1) — while the oracle keys on the gram string: final spans agree
+# unless a 64-bit collision merges two grams' counts (odds ~ n²/2⁶⁴,
+# deterministic either way; the string-key variant is equality-pinned
+# against this one in pytest).
+# --------------------------------------------------------------------------
+_X51_K = 5
+_X51_CAP = 60
+
+
+@register(
+    "x51_duplicated_spans",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(len(tok) - {_X51_K} + 1, 0) + 1),
+                     i -> array_to_string(list_slice(tok, i, i + {_X51_K - 1}), ' '))) AS gram,
+                 unnest(range(0, greatest(len(tok) - {_X51_K} + 1, 0))) AS pos
+          FROM tok),
+    census AS (SELECT gram FROM g GROUP BY gram
+               HAVING count(DISTINCT doc_id) >= 2
+                  AND count(DISTINCT doc_id) <= {_X51_CAP}),
+    hits AS (SELECT doc_id, pos FROM g SEMI JOIN census USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   sum(CASE WHEN prev IS NULL OR pos - prev > {_X51_K}
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM (SELECT doc_id, pos,
+                         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                  FROM hits))
+    SELECT doc_id,
+           min(pos)                                  AS span_start,
+           max(pos) + {_X51_K - 1}                   AS span_end,
+           max(pos) + {_X51_K} - min(pos)            AS n_tokens,
+           count(*)                                  AS n_grams
+    FROM isl
+    GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+    doc="exact duplicated-span dedup: maximal cross-doc-repeated k-token "
+    "spans (positioned-gram census + island merge), stop-phrase df-capped",
+)
+def x51_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _t(spark, sf_dir, "documents"),
+        k=_X51_K,
+        min_docs=2,
+        max_gram_df=_X51_CAP,
+    )

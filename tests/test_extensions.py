@@ -2403,3 +2403,118 @@ def test_index_append_crash_and_concurrency_protocol(spark, tmp_path):
             vi.append_to_index(spark, ivf, rest)
     finally:
         vi._read_index_meta = real_read
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection/removal (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_duplicated_spans(texts: dict, k: int, min_docs: int):
+    """Independent python twin: positioned k-grams, cross-doc census,
+    island merge — returns {(doc_id, start, end, n_tokens, n_grams)}."""
+    import re
+    from collections import defaultdict
+
+    toks = {
+        d: [w for w in re.split("[^a-z0-9]+", t.lower()) if w]
+        for d, t in texts.items()
+    }
+    grams = defaultdict(set)
+    pos = defaultdict(list)
+    for d, tk in toks.items():
+        for i in range(len(tk) - k + 1):
+            g = " ".join(tk[i : i + k])
+            grams[g].add(d)
+            pos[d].append((i, g))
+    out = set()
+    for d, plist in pos.items():
+        hits = [i for i, g in plist if len(grams[g]) >= min_docs]
+        if not hits:
+            continue
+        start = prev = hits[0]
+        n = 1
+        for i in hits[1:]:
+            if i - prev <= k:
+                prev = i
+                n += 1
+            else:
+                out.add((d, start, prev + k - 1, prev + k - start, n))
+                start = prev = i
+                n = 1
+        out.add((d, start, prev + k - 1, prev + k - start, n))
+    return out
+
+
+def test_duplicated_spans_synthetic(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        duplicated_spans,
+        mask_duplicated_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    texts = {
+        1: f"{shared} plus unique tail one",
+        2: f"completely different lead text {shared} and trailing words",
+        3: "nothing in common with anything else here at all",
+        # within-doc repetition only: must NOT flag (min_docs counts docs)
+        4: "repeat me twice repeat me twice repeat me twice repeat me",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    for hk in (True, False):
+        got = {
+            tuple(r)
+            for r in duplicated_spans(
+                docs, k=4, min_docs=2, hash_key=hk
+            ).collect()
+        }
+        assert got == _py_duplicated_spans(texts, 4, 2)
+    # the shared 9-token passage: doc 1 spans tokens 0-8, doc 2 spans 4-12
+    assert (1, 0, 8, 9, 6) in got and (2, 4, 12, 9, 6) in got
+
+    masked = {
+        r["doc_id"]: r
+        for r in mask_duplicated_spans(
+            docs, duplicated_spans(docs, k=4, min_docs=2)
+        ).collect()
+    }
+    assert masked[1]["cleaned_text"] == "plus unique tail one"
+    assert masked[1]["n_tokens_dropped"] == 9
+    assert masked[2]["cleaned_text"] == "completely different lead text and trailing words"
+    assert masked[3]["n_tokens_dropped"] == 0
+    assert masked[4]["n_tokens_dropped"] == 0
+    # token conservation per doc
+    for d, r in masked.items():
+        assert r["n_tokens_kept"] + r["n_tokens_dropped"] == len(
+            [w for w in __import__("re").split("[^a-z0-9]+", texts[d].lower()) if w]
+        )
+
+
+def test_duplicated_spans_fixture_and_df_cap(spark, sf_dir):
+    """Fixture run: hash and string keys agree; the df cap drops only
+    above-cap grams (census recount) and never invents spans."""
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    a = sorted(map(tuple, duplicated_spans(docs, k=3, min_docs=2).collect()))
+    b = sorted(
+        map(tuple, duplicated_spans(docs, k=3, min_docs=2, hash_key=False).collect())
+    )
+    assert a == b and len(a) > 0
+    capped = sorted(
+        map(
+            tuple,
+            duplicated_spans(docs, k=3, min_docs=2, max_gram_df=3).collect(),
+        )
+    )
+    # capping drops grams, which can SPLIT spans (more rows) — the real
+    # invariants: fewer total duplicated grams, and every capped span's
+    # token range lies inside some uncapped span of the same doc
+    assert sum(r[4] for r in capped) < sum(r[4] for r in a)
+    by_doc = {}
+    for d, s, e, *_ in a:
+        by_doc.setdefault(d, []).append((s, e))
+    for d, s, e, *_ in capped:
+        assert any(s >= s0 and e <= e0 for s0, e0 in by_doc.get(d, []))
