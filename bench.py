@@ -164,6 +164,11 @@ HEADLINE = [
     "w11_stream_enrichment",
     # round 7: streaming semantic decontamination vs persisted test index
     "w12_semantic_decontam_stream",
+    # round 8: streaming duplicated-span scrub vs the persisted
+    # gram-census store (bloom negative-lookup + registered appends;
+    # fixture capped at 300 docs + twins, so the entry measures the
+    # per-batch machinery, not corpus scale)
+    "w13_span_scrub_stream",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
     # synthesized 20k-record Confluent batch through the full decode stage
@@ -191,6 +196,7 @@ SINGLE_RUN = {
     "w10_cdc_current_state",
     "w11_stream_enrichment",
     "w12_semantic_decontam_stream",
+    "w13_span_scrub_stream",
     "w06_stream_dedup",
     "w07_stream_stream_join",
     "w08_incremental_rollup",

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1476,7 +1478,14 @@ def duplicated_spans(
     if max_gram_df is not None:
         dup = dup.filter(F.col("_df") <= max_gram_df)
     hits = g.join(dup.select("gkey"), "gkey").select("doc_id", "pos")
+    return _span_islands(hits, k)
 
+
+def _span_islands(hits: DataFrame, k: int) -> DataFrame:
+    """Merge duplicated k-gram start positions into maximal spans — the
+    shared back half of :func:`duplicated_spans` and
+    :func:`incremental_duplicated_spans`. Same-length intervals mean the
+    running island boundary is one ``lag`` + running ``sum``."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         hits.withColumn(
@@ -1563,4 +1572,366 @@ def mask_duplicated_spans(
         F.array_join(kept, " ").alias("cleaned_text"),
         F.size(kept).cast("bigint").alias("n_tokens_kept"),
         (n_all - F.size(kept)).cast("bigint").alias("n_tokens_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental duplicated-span dedup: a persisted gram-census store so each
+# micro-batch is scrubbed against ALL history — the maintenance-store
+# member of the span-dedup family (the band store's role, for grams).
+# ---------------------------------------------------------------------------
+
+GRAM_STORE_META = "_gram_store_meta.json"
+GRAM_STORE_BLOOM = "_gram_store_bloom.bin"
+
+
+def _gram_meta(spark, store_path: str) -> dict | None:
+    import json
+
+    from .rollup import _marker_fs
+
+    fs, p = _marker_fs(spark, f"{store_path}/{GRAM_STORE_META}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _write_gram_meta(spark, store_path: str, meta: dict) -> None:
+    """Atomic tmp+rename publish, written LAST — the meta is the append
+    registry (same protocol as the vector-index appends): an append's
+    data dir is invisible until its entry lands here."""
+    import json
+    import uuid
+
+    from .rollup import _marker_fs
+
+    fs, p = _marker_fs(spark, f"{store_path}/{GRAM_STORE_META}")
+    _, tmp = _marker_fs(
+        spark, f"{store_path}/{GRAM_STORE_META}.tmp-{uuid.uuid4().hex}"
+    )
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(json.dumps(meta).encode("utf-8"))
+    finally:
+        stream.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        fs.delete(tmp, False)
+        raise OSError(f"gram-store meta publish failed for {store_path}")
+
+
+def _read_bloom(spark, store_path: str, n_bits: int) -> np.ndarray:
+    from .rollup import _marker_fs
+
+    fs, p = _marker_fs(spark, f"{store_path}/{GRAM_STORE_BLOOM}")
+    if not fs.exists(p):
+        return np.zeros(n_bits // 8, dtype=np.uint8)
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return np.frombuffer(raw, dtype=np.uint8).copy()
+
+
+def _write_bloom(spark, store_path: str, arr: np.ndarray) -> None:
+    import uuid
+
+    from .rollup import _marker_fs
+
+    fs, p = _marker_fs(spark, f"{store_path}/{GRAM_STORE_BLOOM}")
+    _, tmp = _marker_fs(
+        spark, f"{store_path}/{GRAM_STORE_BLOOM}.tmp-{uuid.uuid4().hex}"
+    )
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(arr.tobytes())
+    finally:
+        stream.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        fs.delete(tmp, False)
+        raise OSError(f"gram-store bloom publish failed for {store_path}")
+
+
+#: odd 64-bit mix constant (splitmix64's golden-gamma) for double hashing
+_BLOOM_GAMMA = 0x9E3779B97F4A7C15
+
+
+def _bloom_positions(gkeys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """Bit positions (shape |keys| × n_hashes) via Kirsch-Mitzenmacher
+    double hashing over the already-xxhash64'd gram keys: pos_i =
+    (h1 + i·h2) mod n_bits with h2 odd (full-period stepping)."""
+    u = gkeys.astype(np.uint64)
+    h1 = u ^ (u >> np.uint64(33))
+    h2 = (u * np.uint64(_BLOOM_GAMMA)) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
+
+
+def _bloom_maybe_contains(
+    bloom: np.ndarray, gkeys: np.ndarray, n_bits: int, n_hashes: int
+) -> np.ndarray:
+    pos = _bloom_positions(gkeys, n_bits, n_hashes)
+    bits = (bloom[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
+def incremental_duplicated_spans(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    max_gram_df: int | None = None,
+    n_pfx: int = 64,
+    bloom_bits: int = 1 << 22,
+    bloom_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated spans of ``batch`` against ALL history + itself, then
+    fold the batch's gram census into the persisted store — the
+    incremental/streaming form of :func:`duplicated_spans`, exactly equal
+    to the one-shot run over every document seen so far RESTRICTED to the
+    batch's docs (prefix-replay equality, test-pinned): a span flags when
+    batch-internal df + historical df reaches ``min_docs``.
+
+    Store design (the scrub-as-you-ingest contract: early docs keep
+    their text, later verbatim repeats get flagged):
+
+    * ``<store>/appends/<uuid>/gpfx=<gkey mod n_pfx>/`` — per-append
+      ``(gkey, df)`` partial censuses; readers SUM partials per gkey.
+      Appends are REGISTERED in the meta (published LAST, atomic), the
+      vector-index appends protocol: a crashed append leaves an orphaned
+      dir no reader resolves, so replays are exactly-once without marker
+      files, and the per-append bucket registry prunes reads;
+    * **driver bloom filter** (side file, Kirsch-Mitzenmacher double
+      hashing over the xxhash64 gram keys) is the negative-lookup fast
+      path: gram keys are UNIFORM, so bucket pruning alone cannot help a
+      batch that touches every gpfx — but natural-text batches are
+      mostly NEW grams, and the bloom proves absence driver-side before
+      any store read. Only bloom-positive keys' buckets are read and
+      joined. False positives cost extra reads, never correctness (the
+      join settles the truth); false negatives cannot happen because the
+      bloom is updated BEFORE the meta registers an append (bloom ⊇
+      registered store keys at every crash point, extra orphan bits are
+      harmless). Default 2²² bits ≈ 512 KB ≈ 1 % fp at ~4·10⁵ grams;
+      size ~n_grams·10 bits — at extreme scale shard the bloom per gpfx
+      and load only touched shards;
+    * the per-batch driver traffic is bounded by the batch: one collect
+      of its distinct gram keys (the bloom test + insert set) — the same
+      bound class as the band store's prune-key collects;
+    * ``compact_gram_store`` merges appends (sum partials per gkey) into
+      a fresh base registered in ONE meta swap — dir count and
+      partial-row amplification stay bounded.
+
+    Contract: doc ids are NEW per batch (same as every append family
+    here); ``min_docs``/``max_gram_df`` are query-time knobs, ``k``/
+    ``n_pfx``/bloom geometry are store parameters (drift rejects).
+    Hash-keyed only (the store keys ARE xxhash64 values).
+    """
+    import uuid as _uuid
+
+    from ..functions.text import word_ngrams
+
+    meta = _gram_meta(spark, store_path)
+    if meta is None:
+        meta = {
+            "kind": "gram-census",
+            "k": int(k),
+            "n_pfx": int(n_pfx),
+            "bloom_bits": int(bloom_bits),
+            "bloom_hashes": int(bloom_hashes),
+            "appends": [],
+        }
+        _write_gram_meta(spark, store_path, meta)
+    else:
+        drift = {
+            name: (meta.get(name), val)
+            for name, val in (
+                ("k", k), ("n_pfx", n_pfx), ("bloom_bits", bloom_bits),
+                ("bloom_hashes", bloom_hashes),
+            )
+            if meta.get(name) != val
+        }
+        if drift:
+            raise ValueError(
+                f"gram store {store_path} was built with "
+                f"{ {n: m for n, (m, _) in drift.items()} } but this caller "
+                f"runs { {n: w for n, (_, w) in drift.items()} }; store "
+                "parameters are part of the artifact"
+            )
+    seen_appends = [a["id"] for a in meta["appends"]]
+
+    g = (
+        batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(word_ngrams(tokens(F.col(text_col)), k)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select("doc_id", "pos", F.xxhash64("gram").alias("gkey"))
+        .localCheckpoint()  # consumed by census, hits join
+    )
+    bc = (
+        g.groupBy("gkey")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .localCheckpoint()  # consumed by lookup, dup calc, append
+    )
+
+    # --- driver-side bloom screen over the batch's distinct gram keys
+    batch_keys = np.array(
+        [r["gkey"] for r in bc.select("gkey").collect()], dtype=np.int64
+    )
+    bloom = _read_bloom(spark, store_path, meta["bloom_bits"])
+    if len(batch_keys) and meta["appends"]:
+        pos_mask = _bloom_maybe_contains(
+            bloom, batch_keys, meta["bloom_bits"], meta["bloom_hashes"]
+        )
+        candidate_keys = batch_keys[pos_mask]
+    else:
+        candidate_keys = np.array([], dtype=np.int64)
+
+    # --- pruned store read: only bloom-positive keys' buckets, summed
+    if len(candidate_keys):
+        buckets = set((candidate_keys % n_pfx + n_pfx) % n_pfx)
+        parts = []
+        for a in meta["appends"]:
+            dirs = [
+                f"{store_path}/appends/{a['id']}/gpfx={b}"
+                for b in buckets
+                if b in set(a["gpfx_present"])
+            ]
+            if dirs:
+                parts.append(
+                    spark.read.option(
+                        "basePath", f"{store_path}/appends/{a['id']}"
+                    ).parquet(*dirs).select("gkey", "df")
+                )
+        if parts:
+            store_rows = parts[0]
+            for p in parts[1:]:
+                store_rows = store_rows.unionByName(p)
+            cand_df = spark.createDataFrame(
+                [(int(x),) for x in candidate_keys], "gkey long"
+            )
+            hist = (
+                store_rows.join(F.broadcast(cand_df), "gkey")
+                .groupBy("gkey")
+                .agg(F.sum("df").alias("df_hist"))
+            )
+        else:
+            hist = None
+    else:
+        hist = None
+
+    total = bc.withColumnRenamed("df", "df_batch")
+    if hist is not None:
+        total = total.join(hist, "gkey", "left").withColumn(
+            "df_tot", F.col("df_batch") + F.coalesce(F.col("df_hist"), F.lit(0))
+        )
+    else:
+        total = total.withColumn("df_tot", F.col("df_batch"))
+    dup = total.filter(F.col("df_tot") >= min_docs)
+    if max_gram_df is not None:
+        dup = dup.filter(F.col("df_tot") <= max_gram_df)
+    spans = _span_islands(
+        g.join(dup.select("gkey"), "gkey").select("doc_id", "pos"), k
+    ).localCheckpoint()  # flags are computed BEFORE the store grows
+
+    # --- fold the batch census in: data -> bloom -> meta (in that order)
+    append_id = _uuid.uuid4().hex
+    root = f"{store_path}/appends/{append_id}"
+    out = bc.withColumn(
+        "gpfx", F.pmod("gkey", F.lit(n_pfx)).cast("int")
+    )
+    (
+        out.repartition("gpfx")
+        .write.mode("errorifexists")
+        .partitionBy("gpfx")
+        .parquet(root)
+    )
+    gpfx_present = sorted(
+        r["gpfx"] for r in out.select("gpfx").distinct().collect()
+    )
+    if len(batch_keys):
+        pos = _bloom_positions(batch_keys, meta["bloom_bits"], meta["bloom_hashes"])
+        np.bitwise_or.at(
+            bloom, (pos // 8).ravel(),
+            (np.uint8(1) << (pos % 8).astype(np.uint8)).ravel(),
+        )
+        _write_bloom(spark, store_path, bloom)
+
+    current = _gram_meta(spark, store_path)
+    if current is None or [a["id"] for a in current["appends"]] != seen_appends:
+        raise ValueError(
+            f"concurrent append detected on gram store {store_path}; this "
+            f"writer's data ({append_id}) is orphaned and invisible — retry"
+        )
+    _write_gram_meta(
+        spark,
+        store_path,
+        {
+            **current,
+            "appends": current["appends"]
+            + [{"id": append_id, "gpfx_present": gpfx_present}],
+        },
+    )
+    return spans
+
+
+def compact_gram_store(spark, store_path: str) -> None:
+    """Merge every registered append into ONE new append (partials summed
+    per gkey) and republish the registry in a single meta swap — bounds
+    dir count and partial-row amplification as batches accumulate. Old
+    append dirs become orphans (invisible immediately; reclaim with any
+    directory sweep). The bloom is untouched: compaction removes no keys.
+    Crash-safe at every point: the compacted dir is invisible until the
+    meta swap, and the swap either happens or doesn't."""
+    import uuid as _uuid
+
+    meta = _gram_meta(spark, store_path)
+    if meta is None:
+        raise ValueError(f"{store_path} has no gram-store meta")
+    if len(meta["appends"]) <= 1:
+        return
+    seen_appends = [a["id"] for a in meta["appends"]]
+    parts = [
+        spark.read.parquet(f"{store_path}/appends/{a['id']}")
+        for a in meta["appends"]
+    ]
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    merged = (
+        allrows.groupBy("gkey")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("gpfx", F.pmod("gkey", F.lit(meta["n_pfx"])).cast("int"))
+    )
+    new_id = _uuid.uuid4().hex
+    (
+        merged.repartition("gpfx")
+        .write.mode("errorifexists")
+        .partitionBy("gpfx")
+        .parquet(f"{store_path}/appends/{new_id}")
+    )
+    gpfx_present = sorted(
+        r["gpfx"] for r in merged.select("gpfx").distinct().collect()
+    )
+    current = _gram_meta(spark, store_path)
+    if current is None or [a["id"] for a in current["appends"]] != seen_appends:
+        raise ValueError(
+            f"concurrent maintenance detected on gram store {store_path}; "
+            "compaction abandoned (its output dir is orphaned)"
+        )
+    _write_gram_meta(
+        spark,
+        store_path,
+        {**current, "appends": [{"id": new_id, "gpfx_present": gpfx_present}]},
     )

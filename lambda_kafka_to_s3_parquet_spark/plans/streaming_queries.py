@@ -807,3 +807,81 @@ def w12_semantic_decontam_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("block")
     )
     return _localized(spark, out, base)
+
+
+# --------------------------------------------------------------------------
+# w13 — incremental streaming duplicated-SPAN scrubbing: x51's substring-
+# granular dedup run continuously against the persisted gram-census store
+# (registered append roots + driver bloom negative-lookup — grams hash
+# uniformly, so the bloom, not bucket pruning, is what keeps a mostly-new
+# batch from reading the store at all). Batch 1 replays the documents
+# corpus; batch 2 replays twins that each PREPEND a unique marker to a
+# verbatim copy of their original's text — so every twin's copied region
+# is a historical repeat that only the store can flag (its grams appear
+# once within the batch). Rows-only (iterative store maintenance isn't
+# SQL); prefix-replay equality (== one-shot duplicated_spans over the
+# docs seen so far, restricted to the batch) is pinned in pytest.
+# --------------------------------------------------------------------------
+@register(
+    "w13_span_scrub_stream",
+    oracle=None,
+    doc="incremental streaming duplicated-span scrub against a persisted "
+    "gram-census store: per-cohort flagged-span census after a "
+    "verbatim-copy replay (history must flag every twin's copied region)",
+)
+def w13_span_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from ..streaming.pipeline import run_span_scrub_stream
+
+    base = Path(tempfile.mkdtemp(prefix="w13_"))
+    src = base / "src"
+    src.mkdir()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    twins = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text",
+        F.concat(F.lit("zzuniq"), F.col("doc_id").cast("string"), F.lit(" "), F.col("text")),
+    )
+    for i, b in enumerate((docs, twins)):
+        staged = base / f"stage{i}"
+        b.coalesce(1).write.parquet(str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{i}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+    with _state_partitions(spark):
+        q = run_span_scrub_stream(
+            spark,
+            str(src),
+            "doc_id long, text string",
+            str(base / "out"),
+            str(base / "store"),
+            str(base / "ckpt"),
+            k=5,
+            min_docs=2,
+        )
+        _drain(q)
+    spans = spark.read.parquet(str(base / "out"))
+    out = (
+        spans.withColumn(
+            "cohort",
+            F.when(F.col("doc_id") >= 1_000_000, F.lit("twin")).otherwise(
+                F.lit("original")
+            ),
+        )
+        .groupBy("cohort")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_flagged"),
+            F.count("*").alias("n_spans"),
+            F.sum("n_tokens").alias("tokens_flagged"),
+        )
+        .orderBy("cohort")
+    )
+    return _localized(spark, out, base)

@@ -436,3 +436,54 @@ def run_semantic_decontam_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_span_scrub_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    output_path: str,
+    store_path: str,
+    checkpoint: str,
+    k: int = 5,
+    min_docs: int = 2,
+    max_gram_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Continuous duplicated-SPAN scrubbing: file-source batches →
+    flagged spans, each batch checked against the persisted gram-census
+    store of ALL prior batches plus itself (the scrub-as-you-ingest
+    contract: early docs keep their text, later verbatim repeats flag).
+
+    The per-batch operator is
+    :func:`..operators.dedup.incremental_duplicated_spans` — prefix-
+    replay-exact (== the one-shot ``duplicated_spans`` over every doc
+    seen so far, restricted to the batch; test-pinned) — whose store
+    appends are REGISTERED roots published meta-last, so a crash between
+    the span land and the census fold replays the batch against the SAME
+    store state (orphaned dir invisible): flags are deterministic and
+    the land is mode-append, giving the usual at-least-once landing
+    boundary (dedup the output on (doc_id, span_start) after a crashed
+    batch, or land into a snapshot table). Keep dir counts bounded with
+    ``compact_gram_store`` from the maintenance window."""
+    from ..operators.dedup import incremental_duplicated_spans
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spans = incremental_duplicated_spans(
+            spark, store_path, batch_df, k=k, min_docs=min_docs,
+            max_gram_df=max_gram_df, id_col=id_col, text_col=text_col,
+        )
+        spans.write.mode("append").parquet(output_path)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

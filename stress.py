@@ -56,6 +56,10 @@ QUERIES = [
     # encode (two corpus-sized natural-key shuffles): the corpus-growth
     # slope of the tokenizer chain
     "x47_bpe_tokenize",
+    # positioned-gram census + island merge; identical replication grows
+    # every duplicated gram's df (and thus hits) ∝ scale — expect the
+    # ratio near the data ratio, the fixed-density row isolates machinery
+    "x51_duplicated_spans",
 ]
 
 #: id column to shift per replica so keys replicate instead of colliding
@@ -233,6 +237,66 @@ def w12_index_growth(spark, base_dir: str, scratch: str, scale: int) -> dict:
     return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
 
 
+def w13_gram_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """w13's scale axis is the gram-census STORE: time one fixed batch of
+    incremental_duplicated_spans against a 1x and an Nx store (content-
+    distinct replicas; n_pfx grown ∝ scale at store creation — the same
+    constant-dir-size maintenance contract as w09's rebucket). Two
+    sub-rows: a FRESH batch (content-distinct from both stores — the
+    bloom answers 'new' driver-side, so per-batch cost should be ~flat),
+    and a DUP batch (a subset of the 1x corpus — every gram is a bloom
+    positive and its buckets are read; with n_pfx ∝ store the read stays
+    bounded per bucket, so this too should be ~flat, just higher)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        incremental_duplicated_spans,
+    )
+
+    docs = load_table(spark, base_dir, "documents").select("doc_id", "text")
+    rep = distinct_replicas(docs, scale)
+    s1 = os.path.join(scratch, "w13_s1")
+    sN = os.path.join(scratch, "w13_sN")
+    incremental_duplicated_spans(spark, s1, docs, k=5, n_pfx=64)
+    incremental_duplicated_spans(spark, sN, rep, k=5, n_pfx=64 * scale)
+    base_batch = docs.filter(F.col("doc_id") % 1000 < 2)
+
+    # each timed iteration gets CONTENT-DISTINCT ids/text — a timed run
+    # appends its census to the store, so reusing one batch would make
+    # iteration 2's "fresh" grams bloom-positive (its own iteration-1
+    # copy) and its "dup" matches grow
+    def fresh_batch(i: int):
+        return base_batch.select(
+            (F.col("doc_id") + 90_000_000 + i * 100_000).alias("doc_id"),
+            F.concat(
+                F.lit(f"zzfresh{i} "),
+                F.translate("text", "aeiou", "zyxwv"[i % 5] * 5),
+            ).alias("text"),
+        ).localCheckpoint()
+
+    def dup_batch(i: int):
+        return base_batch.select(
+            (F.col("doc_id") + 80_000_000 + i * 100_000).alias("doc_id"), "text"
+        ).localCheckpoint()
+
+    def run(store: str, mk, n_pfx: int) -> float:
+        best = None
+        for i in range(2):
+            b = mk(i)
+            t0 = time.perf_counter()
+            incremental_duplicated_spans(
+                spark, store, b, k=5, n_pfx=n_pfx
+            ).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    out = {}
+    for label, mk in (("fresh", fresh_batch), ("dup", dup_batch)):
+        t1 = run(s1, mk, 64)
+        tn = run(sN, mk, 64 * scale)
+        out[label] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+    return out
+
+
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "10"))
@@ -287,7 +351,16 @@ def main() -> None:
         out["x07_fixed_density"]["ratio"] = round(
             out["x07_fixed_density"]["tN"] / out["x07_fixed_density"]["t1"], 1
         )
+        # x51 at FIXED duplicate density (same rationale as x07's row)
+        out["x51_fixed_density"] = {
+            "t1": out["x51_duplicated_spans"]["t1"],
+            "tN": time_query(spark, specs["x51_duplicated_spans"].fn, dist_dir),
+        }
+        out["x51_fixed_density"]["ratio"] = round(
+            out["x51_fixed_density"]["tN"] / out["x51_fixed_density"]["t1"], 1
+        )
         out["w09_batch_vs_store"] = w09_store_growth(spark, base, scratch, scale)
+        out["w13_batch_vs_store"] = w13_gram_store_growth(spark, base, scratch, scale)
         out["w12_batch_vs_index"] = w12_index_growth(spark, base, scratch, scale)
         print(
             json.dumps(

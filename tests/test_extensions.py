@@ -2518,3 +2518,100 @@ def test_duplicated_spans_fixture_and_df_cap(spark, sf_dir):
         by_doc.setdefault(d, []).append((s, e))
     for d, s, e, *_ in capped:
         assert any(s >= s0 and e <= e0 for s0, e0 in by_doc.get(d, []))
+
+
+def test_incremental_duplicated_spans_prefix_replay(spark, sf_dir, tmp_path):
+    """The incremental operator must equal the one-shot duplicated_spans
+    over every document seen so far, RESTRICTED to the batch's docs —
+    for every batch, with and without the df cap (cap applies to the
+    prefix-total census in both)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        duplicated_spans,
+        incremental_duplicated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    for cap, store_name in ((None, "store_nocap"), (40, "store_cap")):
+        store = str(tmp_path / store_name)
+        prefix = None
+        for b in batches:
+            prefix = b if prefix is None else prefix.unionByName(b)
+            got = sorted(
+                map(
+                    tuple,
+                    incremental_duplicated_spans(
+                        spark, store, b, k=4, min_docs=2, max_gram_df=cap
+                    ).collect(),
+                )
+            )
+            batch_ids = {r["doc_id"] for r in b.select("doc_id").collect()}
+            want = sorted(
+                r
+                for r in map(
+                    tuple,
+                    duplicated_spans(
+                        prefix, k=4, min_docs=2, max_gram_df=cap
+                    ).collect(),
+                )
+                if r[0] in batch_ids
+            )
+            assert got == want
+        assert len(want) > 0  # the contract actually exercised something
+
+
+def test_gram_store_compaction_drift_and_concurrency(spark, sf_dir, tmp_path):
+    from lambda_kafka_to_s3_parquet_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    store = str(tmp_path / "store")
+    dd.incremental_duplicated_spans(spark, store, batches[0], k=4)
+    dd.incremental_duplicated_spans(spark, store, batches[1], k=4)
+    assert len(dd._gram_meta(spark, store)["appends"]) == 2
+
+    dd.compact_gram_store(spark, store)
+    assert len(dd._gram_meta(spark, store)["appends"]) == 1
+    # post-compaction lookups still see the full history exactly
+    got = sorted(
+        map(
+            tuple,
+            dd.incremental_duplicated_spans(spark, store, batches[2], k=4).collect(),
+        )
+    )
+    batch_ids = {r["doc_id"] for r in batches[2].select("doc_id").collect()}
+    want = sorted(
+        r
+        for r in map(tuple, dd.duplicated_spans(docs, k=4, min_docs=2).collect())
+        if r[0] in batch_ids
+    )
+    assert got == want and len(got) > 0
+
+    # param drift rejects
+    import pytest
+
+    with pytest.raises(ValueError, match="store parameters"):
+        dd.incremental_duplicated_spans(spark, store, batches[0], k=5)
+
+    # concurrent append fail-stop: registry drifts between start and publish
+    real = dd._gram_meta
+    calls = {"n": 0}
+
+    def drifting(spark_, path_):
+        meta = real(spark_, path_)
+        calls["n"] += 1
+        if calls["n"] > 1 and meta is not None:
+            meta = {
+                **meta,
+                "appends": meta["appends"]
+                + [{"id": "someone-else", "gpfx_present": []}],
+            }
+        return meta
+
+    dd._gram_meta = drifting
+    try:
+        with pytest.raises(ValueError, match="concurrent append"):
+            dd.incremental_duplicated_spans(spark, store, batches[0], k=4)
+    finally:
+        dd._gram_meta = real
