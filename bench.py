@@ -130,9 +130,8 @@ HEADLINE = [
     # rounds), encode the corpus to id sequences, pack fixed 512-token
     # training rows (SINGLE_RUN: the same driver merge loop runs inside)
     "x48_pack_training_rows",
-    # MLlib linear quality probe (round 5): trains on 3x the corpus per
-    # invocation — single-run like the streaming replays (fixed L-BFGS
-    # machinery dominates)
+    # MLlib linear quality probe (round 5; min-of-3 EAGER_FN since
+    # round 8 — see EAGER_FN note)
     "x37_quality_model",
     # event-time windows + stateful streaming
     # round 5: w01 consolidates former w02_sliding_window (union-tagged
@@ -186,7 +185,6 @@ HEADLINE = [
 #: wall time to shave noise that is a rounding error at this scale. They
 #: run once; the batch queries keep the min-of-N protocol.
 SINGLE_RUN = {
-    "x37_quality_model",
     # x45: a driver loop of 15 vocab-sized merge rounds — fixed machinery
     # dominates like the streaming replays; single run, clock before fn()
     "x45_bpe_vocab",
@@ -207,6 +205,13 @@ SINGLE_RUN = {
 #: action in x40): clock-after-fn would time only the residual noop write.
 #: They keep min-of-N but start the clock before fn().
 EAGER_FN = {
+    # round 8: x37 moved here FROM SINGLE_RUN — "fixed L-BFGS machinery,
+    # stable run-to-run" did not survive contact with shared-host noise
+    # (observed 16.7 s in a bench run whose standalone min-of-3 is
+    # ~5.2 s); min-of-3 with the clock before fn() (the fit runs inside)
+    # is the honest protocol. Not comparable to rounds <= 7 single-run
+    # numbers when those caught a noise burst.
+    "x37_quality_model",
     "x24_dup_clusters",
     "x28_curation_chain",
     "x40_lm_perplexity",

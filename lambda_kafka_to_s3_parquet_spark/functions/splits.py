@@ -126,3 +126,62 @@ def deterministic_shuffle(
     else:
         out = out.repartitionByRange(*sort_cols)
     return out.sortWithinPartitions(*sort_cols)
+
+
+def temperature_rates(
+    counts: dict, alpha: float = 0.5, target_total: int | float | None = None
+) -> dict:
+    """Per-stratum keep rates for TEMPERATURE-scaled corpus mixing — the
+    standard multilingual/multi-domain rebalancing (sample stratum s with
+    probability ∝ p_s^α, α<1 flattening the head so low-resource strata
+    keep share): q_s ∝ n_s^α renormalized, rate_s = min(1, q_s·T / n_s)
+    with T the target corpus size (default: the full corpus — pure
+    reweighting). Rates are KEEP-side only: a stratum whose temperature
+    share exceeds its size caps at 1.0 (upsampling is epoch repetition
+    downstream, not row duplication here).
+
+    Determinism note (the x30 oracle contract): at the default α=0.5 the
+    power is ``sqrt`` — IEEE-correctly-rounded in every libm, unlike
+    ``pow`` — and the arithmetic order below (``((sqrt(n)/S)·T)/n``) is
+    mirrored token-for-token by the DuckDB twin, so both engines compute
+    bit-identical rates and identical ``floor(rate·n_buckets)``
+    thresholds. S sums in SORTED-stratum order left-to-right (float
+    addition isn't associative; the twin uses
+    ``list_sum(list(sqrt(n) ORDER BY lang))`` for the same order), so
+    even the sum is bit-identical.
+    """
+    import math
+
+    if not counts:
+        return {}
+    if alpha == 0.5:
+        powed = {s: math.sqrt(n) for s, n in counts.items()}
+    else:
+        powed = {s: float(n) ** alpha for s, n in counts.items()}
+    S = 0.0
+    for s in sorted(powed, key=lambda x: (x is None, x)):
+        S += powed[s]
+    T = float(target_total if target_total is not None else sum(counts.values()))
+    return {s: min(1.0, ((powed[s] / S) * T) / counts[s]) for s in counts}
+
+
+def temperature_mix(
+    df,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    key_col: str = "text",
+    n_buckets: int = 10_000,
+):
+    """Temperature-rebalanced deterministic corpus mix: one tiny
+    per-stratum count aggregate (collected — bounded by |strata|), rates
+    from :func:`temperature_rates`, rows kept by the same content-hash
+    threshold rule as :func:`stratified_sample` (reproducible on any
+    cluster/partitioning; a kept duplicate stays with its split). Returns
+    ``(kept_df, rates)`` so the recipe ships with its data."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_rates(counts, alpha, target_total)
+    return stratified_sample(df, strata_col, rates, key_col, 0.0, n_buckets), rates

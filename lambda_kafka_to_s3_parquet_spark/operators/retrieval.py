@@ -476,3 +476,80 @@ def append_to_bm25_index(
     }
     _write_index_meta(spark, path, meta)
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the sublinear frequency structure the heavy-hitters
+# census names as its scale pre-pass (cap the exact census to keys the
+# sketch already says are frequent). Fully relational: build = one
+# groupBy shuffle of depth×N narrow rows; estimate = a broadcast join.
+# ---------------------------------------------------------------------------
+
+
+def countmin_table(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Build a depth×width count-min sketch over ``col`` (one counter row
+    per populated (row_idx, bucket)): ``counter[i][h_i(x) mod width] +=
+    1`` for each of the ``depth`` independent hash rows.
+
+    Hashes ride :func:`..functions.splits.hash_bucket`'s md5 arithmetic
+    (row i salts the value with ``chr(31) + str(seed + i)``) — portable,
+    so an independent engine replays the sketch bit-for-bit (test-
+    pinned). Plan: explode depth rows per input row (depth is 3-5; the
+    exploded stream is narrow ints) → ONE combine-shuffle groupBy. The
+    sketch is ``depth × width`` counters regardless of input cardinality
+    — the point: a 100 TB column's frequency structure in kilobytes,
+    mergeable across partitions/days by adding counters."""
+    from ..functions.splits import hash_bucket
+
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    salted = df.select(F.col(col).alias("_v")).select(
+        "_v", F.explode(rows).alias("row_idx")
+    )
+    bucket = hash_bucket(
+        F.concat_ws("\x1f", F.col("_v"), F.col("row_idx").cast("string"),
+                    F.lit(str(seed))),
+        width,
+    )
+    return (
+        salted.select("row_idx", bucket.alias("bucket"))
+        .groupBy("row_idx", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-estimate each key's frequency from the sketch: min over the
+    depth rows of its counters — always >= the true count (collisions
+    only ADD), within εN with the standard (width, depth) guarantees.
+    The sketch is broadcast (depth×width bounded); the keys stream stays
+    distributed, so estimating a million keys is one narrow join."""
+    from ..functions.splits import hash_bucket
+
+    rows = F.array(*[F.lit(i) for i in range(depth)])
+    probes = keys.select(F.col(key_col).alias("key")).distinct().select(
+        "key", F.explode(rows).alias("row_idx")
+    )
+    bucket = hash_bucket(
+        F.concat_ws("\x1f", F.col("key"), F.col("row_idx").cast("string"),
+                    F.lit(str(seed))),
+        width,
+    )
+    return (
+        probes.select("key", "row_idx", bucket.alias("bucket"))
+        .join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -1270,10 +1270,26 @@ _X30_THRESH = " ".join(
 )
 
 
+# Round 8 adds the TEMPERATURE branch (union-tagged 'mix' column): the
+# standard multilingual rebalancing q_s ∝ p_s^α (α=0.5, target half the
+# corpus). Rates derive from corpus counts at runtime, and the oracle
+# recomputes them BIT-IDENTICALLY: α=0.5 makes the power sqrt (IEEE-
+# correctly-rounded in every libm, unlike pow), the arithmetic order
+# ((sqrt(n)/S)·T)/n is mirrored token-for-token, and S sums in sorted-
+# lang order on both sides (list_sum(list(... ORDER BY lang)) vs a
+# sorted-key python loop) — verified equal thresholds on the fixtures.
 @register(
     "x30_stratified_mix",
     oracle=f"""
-    SELECT lang,
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    s AS (SELECT list_sum(list(sqrt(n) ORDER BY lang)) AS S,
+                 sum(n) * 0.5 AS T
+          FROM cnt),
+    tthr AS (SELECT lang,
+                    CAST(floor(least(1.0, ((sqrt(n) / S) * T) / n) * 10000)
+                         AS INT) AS thr
+             FROM cnt, s)
+    SELECT 'stratified' AS mix, lang,
            count(*)    AS n_kept,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
@@ -1281,25 +1297,44 @@ _X30_THRESH = " ".join(
     WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 10000
           < (CASE {_X30_THRESH} ELSE 0 END)
     GROUP BY lang
-    ORDER BY lang
+    UNION ALL
+    SELECT 'temperature' AS mix, lang,
+           count(*)    AS n_kept,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM documents JOIN tthr USING (lang)
+    WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 10000 < thr
+    GROUP BY lang
+    ORDER BY mix, lang
     """,
-    doc="deterministic stratified corpus mix (hash-threshold per-language "
-    "rates); oracle recomputes the exact md5 arithmetic in DuckDB",
+    doc="deterministic corpus mix, union-tagged: per-language stratified "
+    "rates + temperature-scaled (alpha=0.5) rebalancing to half the "
+    "corpus; oracle recomputes the exact md5 AND rate arithmetic",
 )
 def x30_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.splits import stratified_sample
+    from ..functions.splits import stratified_sample, temperature_mix
 
     d = _t(spark, sf_dir, "documents")
-    kept = stratified_sample(d, "lang", X30_RATES, key_col="text")
-    return (
-        kept.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
+
+    def census(kept: DataFrame, mix: str) -> DataFrame:
+        return (
+            kept.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_kept"),
+                F.min("doc_id").alias("first_doc"),
+                F.max("doc_id").alias("last_doc"),
+            )
+            .select(F.lit(mix).alias("mix"), "*")
         )
-        .orderBy("lang")
+
+    strat = stratified_sample(d, "lang", X30_RATES, key_col="text")
+    n_total = d.count()
+    temp, _rates = temperature_mix(
+        d, "lang", alpha=0.5, target_total=n_total * 0.5, key_col="text"
     )
+    return census(strat, "stratified").unionByName(
+        census(temp, "temperature")
+    ).orderBy("mix", "lang")
 
 
 # --------------------------------------------------------------------------
@@ -2547,4 +2582,50 @@ def x51_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_X51_K,
         min_docs=2,
         max_gram_df=_X51_CAP,
+    )
+
+
+# --------------------------------------------------------------------------
+# x52 — count-min sketch frequency estimation over the corpus unigram
+# stream, reported against the exact census for the exact top-20 tokens:
+# (gram, est, exact) with est >= exact ALWAYS (collisions only add) and
+# est within the (width, depth) error envelope. The sketch is the
+# sublinear pre-pass heavy_hitters' docstring names for capping the exact
+# census at 100 TB: depth x width counters regardless of corpus size,
+# mergeable by addition. Rows-only (the window holds 50); the md5
+# arithmetic is portable and the exact-twin replay + overestimate
+# property are pinned in pytest.
+# --------------------------------------------------------------------------
+@register(
+    "x52_countmin_sketch",
+    oracle=None,
+    doc="count-min sketch over corpus unigrams vs the exact census for "
+    "the top-20 tokens (est >= exact always; rows-only, exact twin "
+    "pinned in pytest)",
+)
+def x52_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as _tok
+    from ..operators.retrieval import countmin_estimate, countmin_table
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(_tok(F.col("text"))).alias("t"))
+    )
+    sketch = countmin_table(toks, "t", depth=4, width=2048).localCheckpoint()
+    exact = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("t"))
+        .limit(20)
+    )
+    est = countmin_estimate(sketch, exact, "t", depth=4, width=2048)
+    return (
+        exact.join(est, exact["t"] == est["key"])
+        .select(
+            F.col("t").alias("gram"),
+            "est",
+            "exact",
+            (F.col("est") >= F.col("exact")).alias("overestimate_ok"),
+        )
+        .orderBy(F.desc("exact"), F.asc("gram"))
     )

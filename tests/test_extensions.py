@@ -704,10 +704,29 @@ def test_stratified_mix_matches_duckdb_md5_twin(spark, sf_dir):
     from lambda_kafka_to_s3_parquet_spark.plans import all_specs
     from lambda_kafka_to_s3_parquet_spark.plans.extensions import X30_RATES
 
+    rows = all_specs()["x30_stratified_mix"].fn(spark, sf_dir).collect()
     got = {
         r["lang"]: (r["n_kept"], r["first_doc"], r["last_doc"])
-        for r in all_specs()["x30_stratified_mix"].fn(spark, sf_dir).collect()
+        for r in rows
+        if r["mix"] == "stratified"
     }
+    # the round-8 temperature branch: every lang present (alpha=0.5 lifts
+    # the tail above zero), kept counts respect the per-lang cap n_s
+    temp = {r["lang"]: r["n_kept"] for r in rows if r["mix"] == "temperature"}
+    full = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(temp) == set(full)
+    assert all(0 < temp[s] <= full[s] for s in temp)
+    # flattening: the biggest stratum keeps a smaller FRACTION than the
+    # smallest (that is what temperature does)
+    big = max(full, key=full.get)
+    small = min(full, key=full.get)
+    assert temp[big] / full[big] < temp[small] / full[small]
     thresh = " ".join(
         f"WHEN lang = '{s}' THEN {int(r * 10_000)}" for s, r in X30_RATES.items()
     )
@@ -2615,3 +2634,35 @@ def test_gram_store_compaction_drift_and_concurrency(spark, sf_dir, tmp_path):
             dd.incremental_duplicated_spans(spark, store, batches[0], k=4)
     finally:
         dd._gram_meta = real
+
+
+def test_temperature_rates_math_and_partition_invariance(spark):
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import (
+        temperature_mix,
+        temperature_rates,
+    )
+
+    counts = {"en": 8000, "de": 1500, "fr": 400, "yo": 100}
+    # alpha=1: pure proportional -> every stratum keeps T/N exactly
+    r1 = temperature_rates(counts, alpha=1.0, target_total=5000)
+    for s in counts:
+        assert abs(r1[s] - 5000 / 10000) < 1e-12
+    # alpha=0: equal shares -> rate_s = (T/|S|)/n_s, capped at 1
+    r0 = temperature_rates(counts, alpha=0.0, target_total=4000)
+    assert r0["yo"] == 1.0  # 1000-doc share > 100 docs -> capped
+    assert abs(r0["en"] - 1000 / 8000) < 1e-12
+    # alpha=0.5 flattens monotonically: bigger stratum, smaller rate
+    r5 = temperature_rates(counts, alpha=0.5, target_total=5000)
+    assert r5["en"] < r5["de"] < r5["fr"] <= 1.0
+    assert temperature_rates({}, 0.5) == {}
+
+    # verdicts are content-hash deterministic: partitioning-invariant
+    rows = [(i, f"doc {i} text {'x' * (i % 7)}", ["en", "de", "fr"][i % 3])
+            for i in range(300)]
+    d1 = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept1, rates = temperature_mix(d1, "lang", target_total=150)
+    kept64, _ = temperature_mix(d1.repartition(64), "lang", target_total=150)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == sorted(
+        r["doc_id"] for r in kept64.collect()
+    )
+    assert set(rates) == {"en", "de", "fr"}

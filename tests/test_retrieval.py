@@ -254,3 +254,71 @@ def test_bm25_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
     got2 = sorted(map(tuple, bm25_topk_indexed(spark, idx, X32_QUERY_TERMS, k=10).collect()))
     want2 = sorted(map(tuple, bm25_topk(docs.unionByName(extra), X32_QUERY_TERMS, k=10).collect()))
     assert got2 == want2
+
+
+def test_countmin_sketch_exact_twin_and_guarantees(spark, sf_dir):
+    """(a) the sketch equals an independent python replay of the same md5
+    arithmetic counter-for-counter; (b) estimates NEVER undercount;
+    (c) top-20 estimates sit within the epsilon*N envelope (width 2048 ->
+    eps = e/2048); (d) two half-corpus sketches merged by adding counters
+    equal the one-shot sketch (mergeability — the 100 TB property)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = docs.select(F.explode(
+        F.split(F.lower("text"), "[^a-z0-9]+")).alias("t")).filter(F.col("t") != "")
+    depth, width, seed = 3, 512, 42
+    sketch = {(r["row_idx"], r["bucket"]): r["cnt"]
+              for r in countmin_table(toks, "t", depth, width, seed).collect()}
+
+    # (a) python twin
+    texts = [r["text"] for r in docs.collect()]
+    stream = [w for t in texts for w in re.split("[^a-z0-9]+", t.lower()) if w]
+    twin = Counter()
+    for w in stream:
+        for i in range(depth):
+            h = hashlib.md5(f"{w}\x1f{i}\x1f{seed}".encode()).hexdigest()[:8]
+            twin[(i, int(h, 16) % width)] += 1
+    assert sketch == dict(twin)
+
+    # (b) + (c)
+    exact = Counter(stream)
+    top = spark.createDataFrame(
+        [(w,) for w, _ in exact.most_common(20)], "t string"
+    )
+    est = {r["key"]: r["est"]
+           for r in countmin_estimate(
+               countmin_table(toks, "t", depth, width, seed),
+               top, "t", depth, width, seed).collect()}
+    n_total = len(stream)
+    eps = math.e / width
+    for w, e_ in est.items():
+        assert e_ >= exact[w]
+        assert e_ - exact[w] <= eps * n_total * 3  # slack over the w.h.p. bound
+
+    # (d) mergeability
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def tok(d):
+        return d.select(F.explode(
+            F.split(F.lower("text"), "[^a-z0-9]+")).alias("t")).filter(F.col("t") != "")
+
+    sa = countmin_table(tok(half_a), "t", depth, width, seed)
+    sb = countmin_table(tok(half_b), "t", depth, width, seed)
+    merged = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in sa.unionByName(sb)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == sketch
