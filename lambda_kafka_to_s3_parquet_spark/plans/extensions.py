@@ -2629,3 +2629,26 @@ def x52_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact"), F.asc("gram"))
     )
+
+
+# --------------------------------------------------------------------------
+# x53 — int8-quantized embedding top-k: the storage/IO point between the
+# exact float baseline (x10) and 16-byte PQ codes (x41) — 1 byte/dim +
+# one float scale (4x smaller scans than float32 embeddings) with
+# near-exact recall; the integer GEMM accumulates in int32 and the
+# scale/norm rescale restores cosine up to ~1/254-per-component
+# quantization error. Rows-only (approximate by design); the numpy
+# quantization twin and the recall floor vs x10 are pinned in pytest.
+# --------------------------------------------------------------------------
+@register(
+    "x53_int8_topk",
+    oracle=None,
+    doc="int8-quantized embedding cosine top-k (per-vector symmetric "
+    "scale; integer GEMM + rescale; rows-only, recall floor vs x10 in "
+    "pytest)",
+)
+def x53_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings, topk_bruteforce_int8
+
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings")).localCheckpoint()
+    return topk_bruteforce_int8(q, q.filter(F.col("id") < 5), k=10)
