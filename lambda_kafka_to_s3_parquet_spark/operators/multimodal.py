@@ -265,6 +265,95 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(out, width, height, img["maxval"])
 
 
+def encode_bmp(pixels, width: int, height: int) -> bytes:
+    """A real Windows BMP (BITMAPINFOHEADER, 24-bit uncompressed BI_RGB)
+    from an RGB pixel array — the third offline codec next to PCM WAV
+    and binary PPM, per the public BMP file-format spec: 14-byte file
+    header + 40-byte info header + bottom-up rows of BGR samples, each
+    row padded to a 4-byte boundary. ``decode_bmp(encode_bmp(px)) == px``
+    value-exactly."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    if arr.shape != (height, width, 3):
+        raise ValueError(f"pixels shape {arr.shape} != ({height}, {width}, 3)")
+    if arr.min() < 0 or arr.max() > 255:
+        raise ValueError("BMP samples must be in 0..255")
+    bgr = arr.astype(np.uint8)[:, :, ::-1]  # RGB -> BGR
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    rows = [
+        bgr[r].tobytes() + b"\x00" * pad for r in range(height - 1, -1, -1)
+    ]  # bottom-up
+    data = b"".join(rows)
+    off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Dependency-free BMP decode per the public spec: BITMAPINFOHEADER
+    (or larger v4/v5 headers — read their common 40-byte prefix), 24-bit
+    uncompressed BI_RGB only, bottom-up (positive height) or top-down
+    (negative) row order, 4-byte row padding. Returns width / height /
+    ``pixels`` (``(h, w, 3)`` RGB uint8). Palette/compressed/other-depth
+    BMPs raise ValueError — the same honest codec boundary jpeg/png hit.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size} (BITMAPCOREHEADER)")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (planes={planes}, bpp={bpp}, "
+            f"compression={compression}); 24-bit BI_RGB is the offline codec"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = stride * h
+    data = payload[data_off : data_off + need]
+    if len(data) != need:
+        raise ValueError(f"BMP data truncated: need {need} bytes, have {len(data)}")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)[:, :row_bytes]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        px = px[::-1]  # bottom-up storage -> top-down array
+    return {"width": w, "height": h, "pixels": px.copy()}
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Format-dispatching REAL resize: P6 payloads through
+    :func:`resize_ppm`, BMP payloads through decode → the same
+    center-of-cell nearest-neighbor gather → re-encode BMP. Output stays
+    in the input's own format."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        img = decode_bmp(payload)
+        rows = ((np.arange(height) + 0.5) * img["height"] / height).astype(int)
+        cols = ((np.arange(width) + 0.5) * img["width"] / width).astype(int)
+        return encode_bmp(img["pixels"][rows][:, cols], width, height)
+    return resize_ppm(payload, width, height)
+
+
 def decode_real_features(media_type: str, payload: bytes) -> dict:
     """The real-codec boundary. Two formats are executable offline: PCM
     WAV audio (sample-domain features: rate, channels, sample count,
@@ -290,8 +379,11 @@ def decode_real_features(media_type: str, payload: bytes) -> dict:
             "peak_abs": max((abs(v) for v in s), default=0),
             "rms": round(rms, 6),
         }
-    if media_type == "image" and payload[:2] == b"P6":
-        img = decode_ppm(bytes(payload))
+    if media_type == "image" and payload[:2] in (b"P6", b"BM"):
+        if payload[:2] == b"BM":
+            img = {**decode_bmp(bytes(payload)), "maxval": 255}
+        else:
+            img = decode_ppm(bytes(payload))
         px = img["pixels"].astype("float64")
         mr, mg, mb = (round(float(px[:, :, c].mean()), 6) for c in range(3))
         return {
@@ -422,20 +514,21 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
-    """REAL image resize over the Arrow batch path: each PPM payload is
-    decoded, nearest-neighbor resampled to ``width``×``height``
-    (:func:`resize_ppm`), and re-encoded as PPM — same output schema as
-    the stubbed :func:`resize_media`, so downstream consumers are
-    agnostic to which stage produced the frame. Undecodable payloads pass
-    through with NULL ``resized`` (PERMISSIVE; the byte length column
-    makes them filterable)."""
+    """REAL image resize over the Arrow batch path: each PPM or BMP
+    payload is decoded, nearest-neighbor resampled to
+    ``width``×``height`` (:func:`resize_image` — format-dispatching), and
+    re-encoded in its own format — same output schema as the stubbed
+    :func:`resize_media`, so downstream consumers are agnostic to which
+    stage produced the frame. Undecodable payloads pass through with NULL
+    ``resized`` (PERMISSIVE; the byte length column makes them
+    filterable)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = []
             for p in pdf["payload"]:
                 try:
-                    resized.append(resize_ppm(bytes(p), width, height))
+                    resized.append(resize_image(bytes(p), width, height))
                 except ValueError:
                     resized.append(None)
             yield pd.DataFrame(

@@ -698,3 +698,94 @@ def route_by_topic(
     if not kafka_df.isStreaming:
         kafka_df = kafka_df.localCheckpoint()
     return {t: decode_stage(kafka_df, provider, t) for t in provider.topics()}
+
+
+# ---------------------------------------------------------------------------
+# Schema-compatibility checking — the registry-side gate in front of the
+# evolution the decode stage already implements. The reference delegates
+# this to Confluent Schema Registry's compatibility levels (its Lambda
+# just fetches whatever schema the registry serves — lambda_function.py:169);
+# an engine that owns its schema history must enforce the same contract
+# itself before accepting a new writer version.
+# ---------------------------------------------------------------------------
+
+
+def schema_compat_violations(
+    reader: tuple[AvroField, ...], writer: tuple[AvroField, ...]
+) -> list[str]:
+    """Why can't ``reader`` decode data written with ``writer``? Empty
+    list = it can. Avro 1.x schema-resolution rules on the flat-record
+    model the codec implements:
+
+    * a field in both: types equal, or (writer, reader) ∈ PROMOTABLE
+      (the reader may be wider, never narrower);
+    * a reader field the writer lacks: needs a default — here the union
+      ``[null, T]`` IS the default mechanism (decode yields null), so a
+      non-nullable added field is the violation;
+    * a writer field the reader lacks: skipped on read — never a
+      violation (Avro resolution discards it);
+    * nullability: a nullable writer field read as non-nullable would
+      crash on the null branch — violation; the reverse widening is fine.
+    """
+    r = {f.name: f for f in reader}
+    w = {f.name: f for f in writer}
+    out = []
+    for name, rf in r.items():
+        wf = w.get(name)
+        if wf is None:
+            if not rf.nullable:
+                out.append(
+                    f"field '{name}': added without a default (non-nullable) "
+                    "— old data has no value for it"
+                )
+            continue
+        if rf.type != wf.type and (wf.type, rf.type) not in PROMOTABLE:
+            out.append(
+                f"field '{name}': cannot resolve writer type '{wf.type}' "
+                f"as reader type '{rf.type}' (not an Avro promotion)"
+            )
+        if wf.nullable and not rf.nullable:
+            out.append(
+                f"field '{name}': writer allows null but reader type is "
+                "non-nullable"
+            )
+    return out
+
+
+def check_schema_compat(
+    old: tuple[AvroField, ...],
+    new: tuple[AvroField, ...],
+    mode: str = "BACKWARD",
+) -> list[str]:
+    """Compatibility of a NEW schema version against the previous one,
+    under the Confluent-registry level names: BACKWARD = new readers
+    consume data written with the old schema; FORWARD = old readers
+    consume data written with the new; FULL = both. Returns the list of
+    violations (empty = compatible at that level)."""
+    mode = mode.upper()
+    if mode == "BACKWARD":
+        return [f"BACKWARD: {v}" for v in schema_compat_violations(new, old)]
+    if mode == "FORWARD":
+        return [f"FORWARD: {v}" for v in schema_compat_violations(old, new)]
+    if mode == "FULL":
+        return check_schema_compat(old, new, "BACKWARD") + check_schema_compat(
+            old, new, "FORWARD"
+        )
+    raise ValueError(f"unknown compatibility mode {mode!r} (BACKWARD/FORWARD/FULL)")
+
+
+def check_topic_compat(
+    provider: SchemaProvider, topic: str, mode: str = "BACKWARD"
+) -> dict[tuple[int, int], list[str]]:
+    """Audit a topic's whole version history pairwise-adjacent (the
+    registry's non-transitive levels check N against N-1 only — the
+    _TRANSITIVE variants would check N against all, which is this same
+    loop over all pairs). Returns {(old_version, new_version):
+    violations} for adjacent pairs, empty lists included — so callers
+    can both gate (any non-empty) and report."""
+    hist = provider.versions_for(topic)
+    versions = sorted(hist)
+    out = {}
+    for a, b in zip(versions, versions[1:]):
+        out[(a, b)] = check_schema_compat(hist[a], hist[b], mode)
+    return out

@@ -248,6 +248,7 @@ def w13_gram_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dic
     positive and its buckets are read; with n_pfx ∝ store the read stays
     bounded per bucket, so this too should be ~flat, just higher)."""
     from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        compact_gram_store,
         incremental_duplicated_spans,
     )
 
@@ -255,8 +256,23 @@ def w13_gram_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dic
     rep = distinct_replicas(docs, scale)
     s1 = os.path.join(scratch, "w13_s1")
     sN = os.path.join(scratch, "w13_sN")
-    incremental_duplicated_spans(spark, s1, docs, k=5, n_pfx=64)
-    incremental_duplicated_spans(spark, sN, rep, k=5, n_pfx=64 * scale)
+    # BOTH maintenance knobs grow with the store at creation: n_pfx (dir
+    # sizes, as w09's rebucket) AND bloom_bits — an undersized bloom
+    # saturates and answers 'maybe' for every gram, degrading each batch
+    # to a full candidate-bucket read (measured before sizing: 3.4x
+    # per-batch wall at 10x store with the 2^22 default; ~10 bits per
+    # expected distinct gram is the contract the operator documents)
+    bb1 = 1 << 24
+    incremental_duplicated_spans(spark, s1, docs, k=5, n_pfx=64, bloom_bits=bb1)
+    incremental_duplicated_spans(
+        spark, sN, rep, k=5, n_pfx=64 * scale, bloom_bits=bb1 * scale
+    )
+    # the realistic maintenance flow: backfill lands as an L0 run, then
+    # compaction buckets it so steady-state lookups prune (timing the
+    # batches against an uncompacted full-corpus L0 would measure a
+    # full-store scan per bloom-positive lookup by construction)
+    compact_gram_store(spark, s1)
+    compact_gram_store(spark, sN)
     base_batch = docs.filter(F.col("doc_id") % 1000 < 2)
 
     # each timed iteration gets CONTENT-DISTINCT ids/text — a timed run
@@ -277,13 +293,13 @@ def w13_gram_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dic
             (F.col("doc_id") + 80_000_000 + i * 100_000).alias("doc_id"), "text"
         ).localCheckpoint()
 
-    def run(store: str, mk, n_pfx: int) -> float:
+    def run(store: str, mk, n_pfx: int, bloom_bits: int) -> float:
         best = None
         for i in range(2):
             b = mk(i)
             t0 = time.perf_counter()
             incremental_duplicated_spans(
-                spark, store, b, k=5, n_pfx=n_pfx
+                spark, store, b, k=5, n_pfx=n_pfx, bloom_bits=bloom_bits
             ).write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
@@ -291,8 +307,8 @@ def w13_gram_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dic
 
     out = {}
     for label, mk in (("fresh", fresh_batch), ("dup", dup_batch)):
-        t1 = run(s1, mk, 64)
-        tn = run(sN, mk, 64 * scale)
+        t1 = run(s1, mk, 64, bb1)
+        tn = run(sN, mk, 64 * scale, bb1 * scale)
         out[label] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
     return out
 

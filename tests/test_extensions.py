@@ -2712,3 +2712,81 @@ def test_int8_quantization_twin_and_recall(spark, sf_dir):
         q.unionByName(quantize_embeddings(zero)), quantize_embeddings(zero), k=3
     ).collect()
     assert all(r["score"] == 0.0 for r in scored)
+
+
+def test_bmp_codec_roundtrip_and_dispatch(spark):
+    """Third real offline codec: (a) decode(encode(px)) == px including
+    the 4-byte row padding (odd widths) and bottom-up row order; (b)
+    top-down (negative height) BMPs decode too; (c) unsupported variants
+    raise at the honest boundary; (d) feature extraction and resize
+    dispatch BMP next to PPM with identical feature semantics."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import (
+        decode_bmp,
+        decode_real_features,
+        encode_bmp,
+        extract_image_features,
+        resize_image,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in ((4, 4), (5, 3), (1, 1), (7, 2)):  # odd widths pad rows
+        px = rng.randint(0, 256, size=(h, w, 3))
+        bmp = encode_bmp(px, w, h)
+        got = decode_bmp(bmp)
+        assert got["width"] == w and got["height"] == h
+        assert (got["pixels"] == px).all(), (w, h)
+
+    # top-down variant: flip rows, negate height in the info header
+    px = rng.randint(0, 256, size=(3, 5, 3))
+    bu = encode_bmp(px, 5, 3)
+    td = bytearray(bu)
+    struct.pack_into("<i", td, 22, -3)
+    data_off = struct.unpack_from("<I", bu, 10)[0]
+    stride = 5 * 3 + ((-15) % 4)
+    rows = [bytes(bu[data_off + r * stride : data_off + (r + 1) * stride])
+            for r in range(3)]
+    td[data_off:] = b"".join(reversed(rows))
+    assert (decode_bmp(bytes(td))["pixels"] == px).all()
+
+    # unsupported variants fail at the boundary
+    bad = bytearray(encode_bmp(px, 5, 3))
+    struct.pack_into("<H", bad, 28, 8)  # 8bpp palette
+    with pytest.raises(ValueError, match="unsupported BMP variant"):
+        decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"JUNK")
+
+    # feature parity: the same image as BMP and PPM must yield identical
+    # pixel-domain features (means/luma/dimensions)
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import encode_ppm
+
+    fb = decode_real_features("image", encode_bmp(px, 5, 3))
+    fp = decode_real_features("image", encode_ppm(px, 5, 3))
+    assert {k: v for k, v in fb.items()} == {k: v for k, v in fp.items()}
+
+    # resize dispatch keeps the input's format and matches the PPM
+    # resample pixel-for-pixel
+    rb = decode_bmp(resize_image(encode_bmp(px, 5, 3), 2, 2))["pixels"]
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import decode_ppm
+
+    rp = decode_ppm(resize_image(encode_ppm(px, 5, 3), 2, 2))["pixels"]
+    assert (rb == rp).all()
+
+    # Spark stage: a mixed PPM/BMP/junk frame through the Arrow path
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_ppm(px, 5, 3))),
+            (2, "image", bytearray(encode_bmp(px, 5, 3))),
+            (3, "image", bytearray(b"\x89PNG fake")),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    rows_out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert rows_out[1]["mean_luma"] == rows_out[2]["mean_luma"]
+    assert rows_out[1]["width"] == rows_out[2]["width"] == 5
+    assert rows_out[3]["corrupt"] is not None and rows_out[3]["width"] is None

@@ -601,3 +601,66 @@ def test_i09_mixed_writer_throughput_batch_splits_half(spark):
     assert row["n_decoded"] == 20_000
     assert row["n_corrupt"] == 0
     assert row["n_v1_rows"] == 10_000 and row["n_v2_rows"] == 10_000
+
+
+def test_schema_compat_levels():
+    """Registry-style compatibility gates on the flat-record model:
+    promotions pass BACKWARD, narrowing fails, non-nullable adds fail
+    BACKWARD, removals fail FORWARD when the removed field was required,
+    FULL = both directions, and the per-topic audit walks adjacent
+    version pairs."""
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import (
+        AvroField,
+        SchemaProvider,
+        check_schema_compat,
+        check_topic_compat,
+    )
+
+    f = AvroField
+    v1 = (f("id", "int", False), f("amount", "float", True))
+    # widen id int->long, add nullable note: BACKWARD + FORWARD clean
+    v2 = (f("id", "long", False), f("amount", "float", True), f("note", "string", True))
+    assert check_schema_compat(v1, v2, "BACKWARD") == []
+    # FORWARD: old reader (v1) reads v2 data: id written long read as int
+    viol_f = check_schema_compat(v1, v2, "FORWARD")
+    assert len(viol_f) == 1 and "cannot resolve writer type 'long'" in viol_f[0]
+    assert check_schema_compat(v1, v2, "FULL") == viol_f
+
+    # narrowing double->float fails BACKWARD
+    v3 = (f("id", "long", False), f("amount", "double", True))
+    v4 = (f("id", "long", False), f("amount", "float", True))
+    assert any("not an Avro promotion" in v for v in check_schema_compat(v3, v4, "BACKWARD"))
+
+    # non-nullable add fails BACKWARD (no default for old data)
+    v5 = (f("id", "long", False), f("created", "string", False))
+    bad = check_schema_compat((f("id", "long", False),), v5, "BACKWARD")
+    assert any("added without a default" in v for v in bad)
+    # nullable add passes
+    v6 = (f("id", "long", False), f("created", "string", True))
+    assert check_schema_compat((f("id", "long", False),), v6, "BACKWARD") == []
+
+    # nullable -> non-nullable fails (null branch would crash the reader)
+    v7 = (f("id", "long", False), f("amount", "float", False))
+    assert any("allows null" in x for x in check_schema_compat(v4, v7, "BACKWARD"))
+    # non-nullable -> nullable widening passes BACKWARD
+    assert check_schema_compat(v7, v4, "BACKWARD") == []
+
+    # removal: BACKWARD fine (reader skips), FORWARD fails when the old
+    # reader required the field
+    v8 = (f("id", "long", False),)
+    assert check_schema_compat(v7, v8, "BACKWARD") == []
+    assert any("added without a default" in x for x in check_schema_compat(v7, v8, "FORWARD"))
+
+    with pytest.raises(ValueError, match="unknown compatibility mode"):
+        check_schema_compat(v1, v2, "SIDEWAYS")
+
+    # topic audit: adjacent pairs, keyed by (old_id, new_id)
+    provider = SchemaProvider(
+        catalog={"t": (3, v2)},
+        history={"t": {1: v1, 2: (f("id", "long", False), f("amount", "float", True))}},
+    )
+    audit = check_topic_compat(provider, "t", "BACKWARD")
+    assert set(audit) == {(1, 2), (2, 3)}
+    assert audit[(1, 2)] == [] and audit[(2, 3)] == []
