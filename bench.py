@@ -188,7 +188,6 @@ SINGLE_RUN = {
     # x45: a driver loop of 15 vocab-sized merge rounds — fixed machinery
     # dominates like the streaming replays; single run, clock before fn()
     "x45_bpe_vocab",
-    "x48_pack_training_rows",  # same driver merge loop inside fn()
     "w05_stateful_user_profiles",
     "w09_incremental_neardup",
     "w10_cdc_current_state",
@@ -212,6 +211,11 @@ EAGER_FN = {
     # is the honest protocol. Not comparable to rounds <= 7 single-run
     # numbers when those caught a noise burst.
     "x37_quality_model",
+    # round 8: x48 likewise — its single-run number swung 2.6-6.3 s
+    # across rounds purely with JVM/session warmth; the driver merge
+    # loop runs inside fn(), so clock-before-fn + min-of-3 (warm floor
+    # ~3.2 s at sf0.1). Not comparable to earlier single-run rounds.
+    "x48_pack_training_rows",
     "x24_dup_clusters",
     "x28_curation_chain",
     "x40_lm_perplexity",
