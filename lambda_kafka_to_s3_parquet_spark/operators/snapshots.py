@@ -63,6 +63,7 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
 _MARKER_RE = re.compile(r"^latest-(\d+)$")
@@ -252,6 +253,61 @@ def _group_rels(rels: list[str], partition_by: list[str] | None) -> dict[str, li
     return out
 
 
+def _collect_dir_stats(
+    spark: SparkSession, table: str, rels: list[str], stats_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-directory zone maps (min/max per stat column) for a commit's
+    just-written dirs — the Iceberg/Delta data-skipping statistic, here
+    at dir granularity to match the manifest's unit of reference.
+
+    Collected by reading BACK the commit's own files grouped on
+    ``_metadata.file_path``'s dirname (one commit-sized scan) rather
+    than re-deriving hive dir names from partition VALUES — Spark's dir
+    naming (null → __HIVE_DEFAULT_PARTITION__, URL-escaping) would have
+    to be replicated exactly, and a mismatch would silently attach stats
+    to a nonexistent dir. Matching on the physical path cannot drift.
+    Values serialize as JSON numbers (ints/floats) or strings
+    (everything else via ``str`` — ISO timestamps/dates compare
+    lexicographically), the same normalization the read-side overlap
+    test applies."""
+    commit_id = rels[0].split("/")[1]
+    base = f"{table}/data/{commit_id}"
+    df = spark.read.option("basePath", base).parquet(
+        *[f"{table}/{r}" for r in rels]
+    )
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    rows = (
+        df.withColumn(
+            "_dir", F.expr("regexp_replace(_metadata.file_path, '/[^/]+$', '')")
+        )
+        .groupBy("_dir")
+        .agg(*aggs)
+        .collect()
+    )
+
+    def norm(v):
+        return v if isinstance(v, (int, float)) and not isinstance(v, bool) else (
+            None if v is None else str(v)
+        )
+
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        # absolute file URI -> table-relative dir, by suffix match
+        rel = next((x for x in rels if r["_dir"].endswith(x)), None)
+        if rel is None:
+            continue
+        stats = {}
+        for c in stats_cols:
+            lo, hi = norm(r[f"_lo_{c}"]), norm(r[f"_hi_{c}"])
+            if lo is not None and hi is not None:
+                stats[c] = [lo, hi]
+        if stats:
+            out[rel] = stats
+    return out
+
+
 def _commit(
     spark: SparkSession,
     table: str,
@@ -259,6 +315,7 @@ def _commit(
     new_partitions: dict[str, list[str]],
     replaced: set[str] | None = None,
     meta: dict | None = None,
+    stats: dict[str, dict[str, list]] | None = None,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -281,6 +338,17 @@ def _commit(
     carried = manifest.get("meta") if meta is None else meta
     if carried:
         new_manifest["meta"] = carried
+    # zone maps ride the manifest per dir: carry forward every surviving
+    # dir's stats (replaced/expired dirs drop out with their entries),
+    # then merge this commit's. Dirs without stats are simply always
+    # read — skipping is an optimization, never a correctness input.
+    live = {d for dirs in parts.values() for d in dirs}
+    kept_stats = {
+        d: s for d, s in manifest.get("stats", {}).items() if d in live
+    }
+    kept_stats.update(stats or {})
+    if kept_stats:
+        new_manifest["stats"] = kept_stats
     serialized = json.dumps(new_manifest)
     _replace_text(spark, _manifest_path(table, version), serialized)
     _swap_pointer(spark, table, version)
@@ -312,17 +380,27 @@ def snapshot_append(
     df: DataFrame,
     partition_by: list[str] | None = None,
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append a commit; returns the new snapshot version. A partitioned
     frame that writes no partitions (empty input) is a NO-OP returning
     the current version — committing an empty v1 would poison every
     later ``snapshot_read`` of the chain. ``meta`` publishes atomically
     with the data inside the manifest (``None`` inherits the previous
-    snapshot's — see :func:`_commit`)."""
+    snapshot's — see :func:`_commit`). ``stats_cols`` records per-dir
+    zone maps (min/max) for those columns in the manifest, enabling
+    ``snapshot_read(skip_where=...)`` file skipping BEYOND partition
+    pruning (one commit-sized read-back pass at write time)."""
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         return current_version(spark, table)
-    return _commit(spark, table, "append", _group_rels(rels, partition_by), meta=meta)
+    stats = (
+        _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
+    )
+    return _commit(
+        spark, table, "append", _group_rels(rels, partition_by), meta=meta,
+        stats=stats,
+    )
 
 
 def snapshot_overwrite_partitions(
@@ -331,16 +409,24 @@ def snapshot_overwrite_partitions(
     df: DataFrame,
     partition_by: list[str],
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Replace exactly the partitions present in ``df`` (dynamic-overwrite
     semantics) — but via fresh files + manifest/marker publish, so a
     concurrent reader of the PREVIOUS snapshot keeps its files and a
-    crash before the marker changes nothing. Empty input is a no-op."""
+    crash before the marker changes nothing. Empty input is a no-op.
+    ``stats_cols`` as in :func:`snapshot_append`."""
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         return current_version(spark, table)
     grouped = _group_rels(rels, partition_by)
-    return _commit(spark, table, "overwrite", grouped, replaced=set(grouped), meta=meta)
+    stats = (
+        _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
+    )
+    return _commit(
+        spark, table, "overwrite", grouped, replaced=set(grouped), meta=meta,
+        stats=stats,
+    )
 
 
 def snapshot_meta(
@@ -358,16 +444,58 @@ def snapshot_meta(
 
 
 def snapshot_read(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    skip_where: list[tuple] | None = None,
 ) -> DataFrame:
     """Scan a snapshot (default: latest committed). Historical versions
-    stay readable until expired — time travel by version."""
+    stay readable until expired — time travel by version.
+
+    ``skip_where=[(col, lo, hi), ...]`` applies manifest ZONE-MAP
+    skipping: directories whose recorded [min, max] for ``col`` cannot
+    intersect [lo, hi] are dropped from the scan BEFORE Spark ever lists
+    them — data skipping beyond partition pruning, for commits written
+    with ``stats_cols``. Dirs without stats for a column are always read
+    (skipping is conservative), and the caller still applies the real
+    filter — skip_where only shrinks the file list, it never implements
+    the predicate. Null semantics match a range predicate's: min/max
+    ignore nulls, and a NULL row fails ``col BETWEEN lo AND hi`` anyway.
+    Bounds compare as JSON numbers for numeric columns and as strings
+    (ISO for timestamps/dates) otherwise — pass bounds of that shape.
+    """
     committed = current_version(spark, table)
     v = committed if version is None else version
     manifest = _load_manifest(spark, table, v, committed=committed)
     all_dirs = sorted(d for dirs in manifest["partitions"].values() for d in dirs)
     if not all_dirs:
         raise ValueError(f"snapshot v{v} of {table} is empty")
+    if skip_where:
+        zone = manifest.get("stats", {})
+
+        def norm(x):
+            return x if isinstance(x, (int, float)) and not isinstance(x, bool) else str(x)
+
+        def may_match(d: str) -> bool:
+            stats = zone.get(d)
+            if not stats:
+                return True  # unknown dir: must read
+            for col, lo, hi in skip_where:
+                if col not in stats:
+                    continue
+                dlo, dhi = stats[col]
+                if norm(lo) > dhi or norm(hi) < dlo:
+                    return False
+            return True
+
+        kept = [d for d in all_dirs if may_match(d)]
+        if not kept:
+            # provably-empty result with the right schema: scan one dir
+            # but keep no rows (cheap — limit(0) prunes at the source)
+            kept, empty = all_dirs[:1], True
+        else:
+            empty = False
+        all_dirs = kept
     # Partition columns reconstruct per commit directory (basePath); the
     # union preserves them, so partition filters prune inside every
     # referenced directory.
@@ -401,6 +529,8 @@ def snapshot_read(
     if pcols:
         data_cols = [c for c in out.columns if c not in pcols]
         out = out.select(*data_cols, *[c for c in pcols if c in out.columns])
+    if skip_where and empty:
+        out = out.limit(0)
     return out
 
 
