@@ -2208,12 +2208,16 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lo, hi = ev.agg(F.min("d"), F.max("d")).first()
         half = ev.filter(F.col("d") <= F.lit(lo) + ((F.lit(hi) - F.lit(lo)) / 2))
-        snapshot_append(spark, t, half, ["d"])
-        snapshot_append(spark, t, ev.exceptAll(half), ["d"])
+        snapshot_append(spark, t, half, ["d"], stats_cols=["event_id"])
+        snapshot_append(
+            spark, t, ev.exceptAll(half), ["d"], stats_cols=["event_id"]
+        )
         patched = ev.filter(F.col("d") == lo).withColumn(
             "value", F.round(F.col("value") * 2, 6)
         )
-        snapshot_overwrite_partitions(spark, t, patched, ["d"])
+        snapshot_overwrite_partitions(
+            spark, t, patched, ["d"], stats_cols=["event_id"]
+        )
         rows = []
         for label, version in (("latest", None), ("pre_patch", 2), ("v1", 1)):
             df = snapshot_read(spark, t, version)
@@ -2229,6 +2233,28 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append(("rolled_back", agg["n"], float(agg["sv"])))
         rows.append(("n_snapshots", len(snapshot_history(spark, t)), 0.0))
+        # round 8: zone-map branch — a stats-carrying commit with a
+        # disjoint event_id range, then a skip_where read: the census
+        # reports files touched with vs without skipping plus the row
+        # count the skipped scan returns (equality with the filtered
+        # full scan is pinned in test_snapshots.py)
+        extra = ev.filter(F.col("event_id") < 100).withColumn(
+            "event_id", F.col("event_id") + 10_000_000
+        )
+        snapshot_append(spark, t, extra, ["d"], stats_cols=["event_id"])
+        full_files = (
+            snapshot_read(spark, t)
+            .select(F.input_file_name()).distinct().count()
+        )
+        zm = snapshot_read(
+            spark, t, skip_where=[("event_id", 10_000_000, 99_999_999)]
+        )
+        zm_files = zm.select(F.input_file_name()).distinct().count()
+        rows.append(("zonemap_files_full", full_files, 0.0))
+        rows.append(("zonemap_files_skipped", zm_files, 0.0))
+        rows.append(
+            ("zonemap_rows", zm.filter(F.col("event_id") >= 10_000_000).count(), 0.0)
+        )
         # rows are already driver-local python tuples: the frame never
         # references the scratch table deleted in finally
         return spark.createDataFrame(rows, "label string, n long, sum_value double")
