@@ -606,7 +606,12 @@ def snapshot_expire(
     return {"manifests_deleted": n_manifests, "data_dirs_deleted": n_dirs}
 
 
-def snapshot_rewrite(spark: SparkSession, table: str, partition_by: list[str]) -> int:
+def snapshot_rewrite(
+    spark: SparkSession,
+    table: str,
+    partition_by: list[str],
+    stats_cols: list[str] | None = None,
+) -> int:
     """Compaction: rewrite the live snapshot into ONE fresh commit — every
     live partition ends up with a single commit-directory entry, shrinking
     manifests that accumulated one entry per touching commit and bounding
@@ -619,7 +624,9 @@ def snapshot_rewrite(spark: SparkSession, table: str, partition_by: list[str]) -
     entry alongside the repartitioned copies of its rows, silently
     duplicating them in the new snapshot."""
     df = snapshot_read(spark, table)
-    return snapshot_overwrite_all(spark, table, df, partition_by)
+    return snapshot_overwrite_all(
+        spark, table, df, partition_by, stats_cols=stats_cols
+    )
 
 
 def is_snapshot_table(spark: SparkSession, table: str) -> bool:
@@ -634,12 +641,15 @@ def snapshot_overwrite_all(
     df: DataFrame,
     partition_by: list[str],
     meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Replace the ENTIRE live partition set with ``df``'s content:
     partitions absent from ``df`` are dropped from the manifest (unlike
     :func:`snapshot_overwrite_partitions`, which keeps them). The
     full-table maintenance op — tombstone purges and rewrites that may
-    legitimately empty a partition commit through this."""
+    legitimately empty a partition commit through this. ``stats_cols``
+    as in :func:`snapshot_append` — a rewrite is exactly when zone maps
+    should be (re)collected, since the whole table passes through."""
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         raise ValueError(
@@ -647,6 +657,9 @@ def snapshot_overwrite_all(
             "unreadable empty snapshot; drop or rebuild the table instead"
         )
     current = _load_manifest(spark, table, current_version(spark, table))
+    stats = (
+        _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
+    )
     return _commit(
         spark,
         table,
@@ -654,4 +667,5 @@ def snapshot_overwrite_all(
         _group_rels(rels, partition_by),
         replaced=set(current["partitions"]),
         meta=meta,
+        stats=stats,
     )

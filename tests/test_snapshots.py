@@ -916,3 +916,50 @@ def test_zone_map_skipping(spark, tmp_path):
     # (e) time travel: v1's manifest still skips on its own stats
     tt = snapshot_read(spark, t, version=v1, skip_where=[("id", 1000, 9999)])
     assert tt.count() == 0  # v1 had no ids >= 1000 and its stats prove it
+
+
+def test_rewrite_recollects_zone_maps(spark, tmp_path):
+    """Compaction is where zone maps should be (re)collected: a rewrite
+    with stats_cols restores skipping for the whole table — including
+    dirs whose stats a prior overwrite had dropped."""
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_read,
+        snapshot_rewrite,
+    )
+
+    t = str(tmp_path / "rw")
+    # p correlates with id (i // 150): after the rewrite each partition
+    # dir holds a NARROW id range, so id zone maps can prune dirs (ids
+    # interleaved over p would leave every dir spanning both ranges —
+    # nothing any file-level statistic could skip)
+    a = spark.createDataFrame(
+        [(i, i // 150, float(i)) for i in range(300)], "id long, p int, v double"
+    )
+    b = spark.createDataFrame(
+        [(i, i // 150, float(i)) for i in range(5000, 5300)], "id long, p int, v double"
+    )
+    snapshot_append(spark, t, a, ["p"])  # statless
+    snapshot_append(spark, t, b, ["p"])  # statless
+
+    def files(skip):
+        return (
+            snapshot_read(spark, t, skip_where=skip)
+            .select(F.input_file_name()).distinct().count()
+        )
+
+    n_all = files(None)
+    assert files([("id", 5000, 9999)]) == n_all  # nothing skippable yet
+
+    snapshot_rewrite(spark, t, ["p"], stats_cols=["id"])
+    n_all2 = files(None)
+    skipped = files([("id", 5000, 9999)])
+    assert skipped < n_all2
+    got = sorted(
+        map(tuple, snapshot_read(spark, t, skip_where=[("id", 5000, 9999)])
+            .filter("id >= 5000").collect())
+    )
+    want = sorted(map(tuple, snapshot_read(spark, t).filter("id >= 5000").collect()))
+    assert got == want and len(got) == 300
