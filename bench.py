@@ -337,8 +337,21 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_local.json"), "w") as f:
         f.write(line + "\n")
-    print(line)
+    # The JSON line must be the LAST thing on stdout/stderr: the driver
+    # records a bounded tail, and round 8 lost the whole line to an async
+    # StateStore-maintenance WARN stacktrace that fired after spark.stop().
+    # Silence the JVM root logger entirely, stop the session, and only
+    # then print — nothing can log over the line afterwards.
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+            jvm.org.apache.logging.log4j.Level.OFF
+        )
+    except Exception:
+        pass
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -1699,6 +1699,7 @@ def incremental_duplicated_spans(
     bloom_hashes: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Duplicated spans of ``batch`` against ALL history + itself, then
     fold the batch's gram census into the persisted store — the
@@ -1747,6 +1748,16 @@ def incremental_duplicated_spans(
     here); ``min_docs``/``max_gram_df`` are query-time knobs, ``k``/
     ``n_pfx``/bloom geometry are store parameters (drift rejects).
     Hash-keyed only (the store keys ARE xxhash64 values).
+
+    **Exactly-once under foreachBatch replay**: pass the streaming
+    ``batch_id``. Each fold records it on its append entry; a replayed
+    batch (``batch_id`` already registered — a crash AFTER the fold
+    published but BEFORE the streaming checkpoint committed) skips the
+    fold entirely and re-emits the SAME deterministic flags by reading
+    history WITHOUT its own prior append — so the census never
+    double-counts and prefix-replay exactness survives any crash point.
+    Without a ``batch_id`` (ad-hoc batch use) the caller owns replay
+    protection.
     """
     import uuid as _uuid
 
@@ -1754,6 +1765,22 @@ def incremental_duplicated_spans(
 
     meta = _gram_meta(spark, store_path)
     if meta is None:
+        # A missing meta over a NON-empty store means a crashed meta
+        # publish (delete→rename window) — treating it as a fresh store
+        # would silently orphan all history (the bloom still answers
+        # 'maybe' but appends=[] skips every store read). Fail-stop,
+        # same as rollup._read_marker_state / load_pq_index.
+        from .rollup import _marker_fs
+
+        fs, bloom_p = _marker_fs(spark, f"{store_path}/{GRAM_STORE_BLOOM}")
+        _, appends_p = _marker_fs(spark, f"{store_path}/appends")
+        if fs.exists(bloom_p) or fs.exists(appends_p):
+            raise ValueError(
+                f"gram store {store_path} has data (bloom/appends present) "
+                "but no meta — a meta publish crashed mid-swap; restore "
+                f"{GRAM_STORE_META} from the registry backup or rebuild "
+                "the store rather than silently orphaning its history"
+            )
         meta = {
             "kind": "gram-census",
             "k": int(k),
@@ -1780,6 +1807,35 @@ def incremental_duplicated_spans(
                 "parameters are part of the artifact"
             )
     seen_appends = [a["id"] for a in meta["appends"]]
+
+    # Replay detection (batch-id high-water mark, carried on the append
+    # entries themselves so it publishes in the SAME atomic meta swap):
+    # a batch_id already registered means the fold landed but the
+    # streaming checkpoint didn't — re-emit flags from history MINUS the
+    # batch's own prior append(s), and do not fold again.
+    folded_ids = [
+        a.get("batch_id") for a in meta["appends"] if a.get("batch_id") is not None
+    ]
+    is_replay = batch_id is not None and batch_id in folded_ids
+    if batch_id is not None and not is_replay:
+        hwm = max(
+            folded_ids
+            + ([meta["last_batch_id"]] if meta.get("last_batch_id") is not None else []),
+            default=None,
+        )
+        if hwm is not None and batch_id <= hwm:
+            raise ValueError(
+                f"gram store {store_path} has folded batch_id up to {hwm} "
+                f"but batch {batch_id}'s own L0 append is no longer "
+                "registered (compacted into the base?); exact re-emission "
+                "is impossible — run compact_gram_store only while the "
+                "stream is quiesced (checkpoint committed)"
+            )
+    read_appends = (
+        [a for a in meta["appends"] if a.get("batch_id") != batch_id]
+        if is_replay
+        else meta["appends"]
+    )
 
     g = (
         batch.select(
@@ -1811,7 +1867,7 @@ def incremental_duplicated_spans(
         bloom = cached[1]
     else:
         bloom = _read_bloom(spark, store_path, meta["bloom_bits"])
-    if len(batch_keys) and meta["appends"]:
+    if len(batch_keys) and read_appends:
         pos_mask = _bloom_maybe_contains(
             bloom, batch_keys, meta["bloom_bits"], meta["bloom_hashes"]
         )
@@ -1824,7 +1880,7 @@ def incremental_duplicated_spans(
     if len(candidate_keys):
         buckets = set(int(b) for b in candidate_keys % n_pfx)
         parts = []
-        for a in meta["appends"]:
+        for a in read_appends:
             root = f"{store_path}/appends/{a['id']}"
             if a.get("l0"):
                 parts.append(spark.read.parquet(root).select("gkey", "df"))
@@ -1871,12 +1927,28 @@ def incremental_duplicated_spans(
         g.join(dup.select("gkey"), "gkey").select("doc_id", "pos"), k
     ).localCheckpoint()  # flags are computed BEFORE the store grows
 
-    # --- fold the batch census in: data -> bloom -> meta (in that
-    # order). L0 write: ONE file, no bucketing — per-batch append cost
-    # is O(batch) regardless of n_pfx (compaction buckets later)
+    if is_replay:
+        # The fold already published; flags above were computed against
+        # history minus the batch's own prior append — identical to the
+        # original emission. Nothing to write.
+        return spans
+
+    # --- fold the batch census in: data -> registry check -> bloom ->
+    # meta (in that order). L0 write: ONE file, no bucketing — per-batch
+    # append cost is O(batch) regardless of n_pfx (compaction buckets
+    # later). The registry check runs BEFORE the bloom write so a
+    # concurrent append's freshly-set bits are never clobbered by this
+    # writer's stale in-process copy (bloom bits are add-only, so a race
+    # landing between check and write still leaves a superset).
     append_id = _uuid.uuid4().hex
     root = f"{store_path}/appends/{append_id}"
     bc.coalesce(1).write.mode("errorifexists").parquet(root)
+    current = _gram_meta(spark, store_path)
+    if current is None or [a["id"] for a in current["appends"]] != seen_appends:
+        raise ValueError(
+            f"concurrent append detected on gram store {store_path}; this "
+            f"writer's data ({append_id}) is orphaned and invisible — retry"
+        )
     bloom_fill = None
     if len(batch_keys):
         pos = _bloom_positions(batch_keys, meta["bloom_bits"], meta["bloom_hashes"])
@@ -1910,15 +1982,12 @@ def incremental_duplicated_spans(
                 stacklevel=2,
             )
 
-    current = _gram_meta(spark, store_path)
-    if current is None or [a["id"] for a in current["appends"]] != seen_appends:
-        raise ValueError(
-            f"concurrent append detected on gram store {store_path}; this "
-            f"writer's data ({append_id}) is orphaned and invisible — retry"
-        )
+    entry: dict = {"id": append_id, "l0": True}
+    if batch_id is not None:
+        entry["batch_id"] = int(batch_id)
     new_meta = {
         **current,
-        "appends": current["appends"] + [{"id": append_id, "l0": True}],
+        "appends": current["appends"] + [entry],
     }
     if bloom_fill is not None:
         new_meta["bloom_fill"] = bloom_fill
@@ -1975,8 +2044,17 @@ def compact_gram_store(spark, store_path: str) -> None:
             f"concurrent maintenance detected on gram store {store_path}; "
             "compaction abandoned (its output dir is orphaned)"
         )
-    _write_gram_meta(
-        spark,
-        store_path,
-        {**current, "appends": [{"id": new_id, "gpfx_present": gpfx_present}]},
-    )
+    # The per-append batch_id replay marks vanish with the L0 runs; the
+    # high-water mark survives at the meta level so a post-compaction
+    # replay of an already-folded batch fail-stops instead of silently
+    # double-counting (incremental_duplicated_spans checks both).
+    hwm = [
+        a["batch_id"] for a in appends if a.get("batch_id") is not None
+    ] + ([current["last_batch_id"]] if current.get("last_batch_id") is not None else [])
+    new_meta = {
+        **current,
+        "appends": [{"id": new_id, "gpfx_present": gpfx_present}],
+    }
+    if hwm:
+        new_meta["last_batch_id"] = max(hwm)
+    _write_gram_meta(spark, store_path, new_meta)

@@ -361,11 +361,25 @@ class SchemaProvider:
         self,
         catalog: dict[str, tuple[int, tuple[AvroField, ...]]] | None = None,
         history: dict[str, dict[int, tuple[AvroField, ...]]] | None = None,
+        compat_mode: str | None = "RESOLVABLE",
     ):
         self._catalog = catalog or DEFAULT_CATALOG
         self._history = history or {}
         self._memo: dict[str, tuple[int, tuple[AvroField, ...]]] = {}
         self.lookups = 0  # instrumentation: proves memoization in tests
+        #: Compatibility gate run when a topic's version history loads
+        #: (memoized per subject): ``"RESOLVABLE"`` (default) enforces
+        #: the engine's own decode contract — every historical writer
+        #: version must decode under the latest reader (additive names +
+        #: Avro type promotions); ``"BACKWARD"/"FORWARD"/"FULL"`` enforce
+        #: the strict Confluent registry level over adjacent version
+        #: pairs; ``None`` disables (the decode stage keeps its own
+        #: plan-build defense). This is the upgrade over the reference's
+        #: silent first-record schema assumption
+        #: (lambda_function.py:215-226): a registry update that breaks
+        #: the level FAILS AT PROVIDER LOAD, before any record decodes.
+        self.compat_mode = compat_mode
+        self._compat_ok: set[str] = set()
 
     def schema_for(self, topic: str) -> tuple[int, tuple[AvroField, ...]]:
         subject = f"{topic}-value"
@@ -374,18 +388,70 @@ class SchemaProvider:
             self._memo[subject] = self._catalog[topic]
         return self._memo[subject]
 
-    def versions_for(self, topic: str) -> dict[int, tuple[AvroField, ...]]:
+    def versions_for(
+        self, topic: str, enforce: bool = True
+    ) -> dict[int, tuple[AvroField, ...]]:
         """All known writer versions: {schema_id: fields}, latest included.
 
         A Confluent subject accumulates versions; a replayed batch mixes
         records written under any of them (each record carries its own
-        schema id). ``history`` registers the older versions. Evolution
-        must be additive: every historical version's field names are a
-        subset of the latest version's (validated by the decode stage) —
-        a record written before a column existed decodes with NULL there.
+        schema id). ``history`` registers the older versions. Loading a
+        topic's history runs the ``compat_mode`` gate (once per subject):
+        an incompatible writer version raises HERE — at provider load —
+        never at decode. ``enforce=False`` is the audit/reporting path
+        (:func:`check_topic_compat` uses it so it can REPORT violations
+        on a provider whose gate would reject them).
         """
         latest_id, latest_fields = self.schema_for(topic)
-        return {**self._history.get(topic, {}), latest_id: latest_fields}
+        hist = {**self._history.get(topic, {}), latest_id: latest_fields}
+        if enforce and self.compat_mode and topic not in self._compat_ok:
+            self._enforce_compat(topic, hist, latest_id, latest_fields)
+            self._compat_ok.add(topic)
+        return hist
+
+    def _enforce_compat(
+        self,
+        topic: str,
+        hist: dict[int, tuple[AvroField, ...]],
+        latest_id: int,
+        latest_fields: tuple[AvroField, ...],
+    ) -> None:
+        mode = self.compat_mode.upper()
+        if mode == "RESOLVABLE":
+            latest_names = {f.name for f in latest_fields}
+            latest_types = {f.name: f.type for f in latest_fields}
+            problems = []
+            for vid in sorted(hist):
+                vf = hist[vid]
+                extra = {f.name for f in vf} - latest_names
+                if extra:
+                    problems.append(
+                        f"version {vid} has fields {sorted(extra)} missing "
+                        f"from latest {latest_id} (non-additive)"
+                    )
+                for f in vf:
+                    lt = latest_types.get(f.name)
+                    if lt is not None and f.type != lt and (f.type, lt) not in PROMOTABLE:
+                        problems.append(
+                            f"version {vid} writes {f.name} as {f.type} but "
+                            f"latest {latest_id} reads it as {lt} "
+                            "(non-resolvable: not an Avro promotion)"
+                        )
+        elif mode in ("BACKWARD", "FORWARD", "FULL"):
+            audit = check_topic_compat(self, topic, mode)
+            problems = [
+                f"{old}->{new}: {v}" for (old, new), vs in audit.items() for v in vs
+            ]
+        else:
+            raise ValueError(
+                f"unknown compat_mode {self.compat_mode!r} "
+                "(RESOLVABLE/BACKWARD/FORWARD/FULL/None)"
+            )
+        if problems:
+            raise ValueError(
+                f"schema history for {topic} fails the {mode} compatibility "
+                "gate at provider load: " + "; ".join(problems)
+            )
 
     def topics(self) -> tuple[str, ...]:
         return tuple(self._catalog)
@@ -782,8 +848,9 @@ def check_topic_compat(
     _TRANSITIVE variants would check N against all, which is this same
     loop over all pairs). Returns {(old_version, new_version):
     violations} for adjacent pairs, empty lists included — so callers
-    can both gate (any non-empty) and report."""
-    hist = provider.versions_for(topic)
+    can both gate (any non-empty) and report. Bypasses the provider's
+    own load gate (``enforce=False``) — this IS the reporting tool."""
+    hist = provider.versions_for(topic, enforce=False)
     versions = sorted(hist)
     out = {}
     for a, b in zip(versions, versions[1:]):

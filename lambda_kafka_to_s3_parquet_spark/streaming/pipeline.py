@@ -459,14 +459,19 @@ def run_span_scrub_stream(
     The per-batch operator is
     :func:`..operators.dedup.incremental_duplicated_spans` — prefix-
     replay-exact (== the one-shot ``duplicated_spans`` over every doc
-    seen so far, restricted to the batch; test-pinned) — whose store
-    appends are REGISTERED roots published meta-last, so a crash between
-    the span land and the census fold replays the batch against the SAME
-    store state (orphaned dir invisible): flags are deterministic and
-    the land is mode-append, giving the usual at-least-once landing
-    boundary (dedup the output on (doc_id, span_start) after a crashed
-    batch, or land into a snapshot table). Keep dir counts bounded with
-    ``compact_gram_store`` from the maintenance window."""
+    seen so far, restricted to the batch; test-pinned) — with the
+    streaming ``batch_id`` recorded on the append entry in the same
+    atomic meta swap: a crash AFTER the census fold published but BEFORE
+    the checkpoint committed replays the batch, the operator sees its
+    batch_id already registered, SKIPS the fold (no double count), and
+    re-emits the identical flags by reading history minus its own prior
+    append. A crash before the fold replays against the same store state
+    (orphaned dir invisible). Flags are deterministic either way; the
+    land is mode-append, giving the usual at-least-once landing boundary
+    (dedup the output on (doc_id, span_start) after a crashed batch, or
+    land into a snapshot table). Keep dir counts bounded with
+    ``compact_gram_store`` from the maintenance window — only while the
+    stream is quiesced (it retires the per-append replay marks)."""
     from ..operators.dedup import incremental_duplicated_spans
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -475,6 +480,7 @@ def run_span_scrub_stream(
         spans = incremental_duplicated_spans(
             spark, store_path, batch_df, k=k, min_docs=min_docs,
             max_gram_df=max_gram_df, id_col=id_col, text_col=text_col,
+            batch_id=batch_id,
         )
         spans.write.mode("append").parquet(output_path)
 

@@ -2636,6 +2636,71 @@ def test_gram_store_compaction_drift_and_concurrency(spark, sf_dir, tmp_path):
         dd._gram_meta = real
 
 
+def test_gram_store_replay_and_crash_protocol(spark, sf_dir, tmp_path):
+    """(a) A foreachBatch replay (same batch_id after the fold published
+    but before the checkpoint committed) re-emits IDENTICAL flags and
+    does NOT double-count the census — the next batch's flags match the
+    one-shot prefix replay exactly. (b) An unseen batch_id at-or-below
+    the high-water mark fail-stops (compaction retired the replay mark).
+    (c) A missing meta over a non-empty store fail-stops instead of
+    silently orphaning history."""
+    import json
+
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    store = str(tmp_path / "store")
+
+    first = sorted(map(tuple, dd.incremental_duplicated_spans(
+        spark, store, batches[0], k=4, batch_id=0).collect()))
+    second = sorted(map(tuple, dd.incremental_duplicated_spans(
+        spark, store, batches[1], k=4, batch_id=1).collect()))
+    n_appends = len(dd._gram_meta(spark, store)["appends"])
+
+    # (a) replay batch 1: identical flags, no new append, no double count
+    replay = sorted(map(tuple, dd.incremental_duplicated_spans(
+        spark, store, batches[1], k=4, batch_id=1).collect()))
+    assert replay == second and len(second) > 0
+    assert len(dd._gram_meta(spark, store)["appends"]) == n_appends
+    # batch 2 after the replay still equals the one-shot prefix — the
+    # census was not folded twice
+    got3 = sorted(map(tuple, dd.incremental_duplicated_spans(
+        spark, store, batches[2], k=4, batch_id=2).collect()))
+    ids3 = {r["doc_id"] for r in batches[2].select("doc_id").collect()}
+    want3 = sorted(
+        r for r in map(tuple, dd.duplicated_spans(docs, k=4, min_docs=2).collect())
+        if r[0] in ids3
+    )
+    assert got3 == want3
+
+    # (b) compaction carries the high-water mark; a replay whose L0 mark
+    # was retired fail-stops rather than double-folding
+    dd.compact_gram_store(spark, store)
+    meta = dd._gram_meta(spark, store)
+    assert meta["last_batch_id"] == 2 and len(meta["appends"]) == 1
+    with pytest.raises(ValueError, match="no longer registered"):
+        dd.incremental_duplicated_spans(spark, store, batches[2], k=4, batch_id=2)
+    # a genuinely NEW batch_id proceeds normally post-compaction
+    dd.incremental_duplicated_spans(
+        spark, store, batches[0].withColumn(
+            "doc_id", F.col("doc_id") + 10_000), k=4, batch_id=3)
+
+    # (c) crashed meta publish (delete→rename window): meta gone, data
+    # present → fail-stop, never treat as a fresh store
+    import os
+
+    os.remove(os.path.join(store, dd.GRAM_STORE_META))
+    with pytest.raises(ValueError, match="no meta"):
+        dd.incremental_duplicated_spans(spark, store, batches[0], k=4)
+    # a truly empty path still initializes cleanly
+    fresh = str(tmp_path / "fresh")
+    dd.incremental_duplicated_spans(spark, fresh, batches[0], k=4)
+    assert len(dd._gram_meta(spark, fresh)["appends"]) == 1
+
+
 def test_temperature_rates_math_and_partition_invariance(spark):
     from lambda_kafka_to_s3_parquet_spark.functions.splits import (
         temperature_mix,
@@ -2687,8 +2752,11 @@ def test_int8_quantization_twin_and_recall(spark, sf_dir):
     for r in emb.collect():
         v = np.asarray(r["embedding"], dtype=np.float64)
         s = np.abs(v).max() / 127.0
-        qv = (np.zeros(len(v), dtype=np.int64) if s == 0
-              else np.round(v / s).astype(np.int64))
+        # Spark's F.round is HALF_UP (away from zero on .5 ties), NOT
+        # numpy's banker's rounding — the twin must pin the same tie
+        # rule: floor(|x| + 0.5) sign-adjusted.
+        x = v / s if s != 0 else np.zeros(len(v))
+        qv = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
         gs, gq = got[r["vec_id"]]
         assert abs(gs - s) < 1e-12 and list(qv) == gq, r["vec_id"]
 

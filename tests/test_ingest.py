@@ -603,6 +603,67 @@ def test_i09_mixed_writer_throughput_batch_splits_half(spark):
     assert row["n_v1_rows"] == 10_000 and row["n_v2_rows"] == 10_000
 
 
+def test_schema_compat_gate_fires_at_provider_load():
+    """The compat gate is WIRED IN, not detection-only: an incompatible
+    registry update (a narrowing latest version) raises when the
+    provider loads the topic's version history — before decode_stage
+    ever sees a record — while check_topic_compat still REPORTS on the
+    same provider (enforce=False), and the strict Confluent levels are
+    opt-in per deployment."""
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.sources.avro_codec import (
+        AvroField,
+        SchemaProvider,
+        check_topic_compat,
+    )
+
+    f = AvroField
+    wide = (f("id", "long", True), f("price", "double", True))
+    narrow = (f("id", "int", True), f("price", "float", True))
+
+    # (a) default RESOLVABLE gate: a narrowing registry update fails at
+    # history load — no kafka frame, no decode stage involved
+    bad = SchemaProvider(catalog={"t": (2, narrow)}, history={"t": {1: wide}})
+    with pytest.raises(ValueError, match="at provider load.*non-resolvable"):
+        bad.versions_for("t")
+    # the reporting path still works on the SAME rejected provider
+    audit = check_topic_compat(bad, "t", "BACKWARD")
+    assert any(v for v in audit.values())
+
+    # (b) the gate memoizes: a compatible topic audits once, then loads free
+    ok = SchemaProvider(catalog={"t": (2, wide)}, history={"t": {1: narrow}})
+    assert sorted(ok.versions_for("t")) == [1, 2]
+    assert sorted(ok.versions_for("t")) == [1, 2]  # memoized, no re-audit
+
+    # (c) strict Confluent BACKWARD rejects what RESOLVABLE tolerates:
+    # a non-nullable added field (the engine decodes it as NULL, but the
+    # registry level calls it incompatible)
+    plus_required = wide + (f("sku", "string", False),)
+    lenient = SchemaProvider(
+        catalog={"t": (2, plus_required)}, history={"t": {1: wide}}
+    )
+    assert sorted(lenient.versions_for("t")) == [1, 2]  # RESOLVABLE: fine
+    strict = SchemaProvider(
+        catalog={"t": (2, plus_required)}, history={"t": {1: wide}},
+        compat_mode="BACKWARD",
+    )
+    with pytest.raises(ValueError, match="BACKWARD compatibility gate"):
+        strict.versions_for("t")
+
+    # (d) gate disabled: the decode stage's own plan-build defense remains
+    off = SchemaProvider(
+        catalog={"t": (2, narrow)}, history={"t": {1: wide}}, compat_mode=None
+    )
+    assert sorted(off.versions_for("t")) == [1, 2]  # provider loads
+
+    # (e) unknown mode names reject loudly
+    with pytest.raises(ValueError, match="unknown compat_mode"):
+        SchemaProvider(
+            catalog={"t": (1, wide)}, compat_mode="SIDEWAYS"
+        ).versions_for("t")
+
+
 def test_schema_compat_levels():
     """Registry-style compatibility gates on the flat-record model:
     promotions pass BACKWARD, narrowing fails, non-nullable adds fail

@@ -910,8 +910,15 @@ def test_zone_map_skipping(spark, tmp_path):
     got3 = sorted(map(tuple, after.filter("id between 0 and 500").collect()))
     assert got3 == want3  # p=0's new (statless) dir was read: no rows lost
     # the statless replacement dir is ALSO present in a disjoint-range
-    # read (conservative: unknown dirs always read)
-    assert snapshot_read(spark, t, skip_where=[("id", 5000, 6000)]).count() == 0 or True
+    # read (conservative: unknown dirs always read — skip_where shrinks
+    # the file list, it never implements the predicate, so the statless
+    # dir's row surfaces while every stats-proven-disjoint dir is gone)
+    disjoint_ids = {
+        r["id"]
+        for r in snapshot_read(spark, t, skip_where=[("id", 5000, 6000)]).collect()
+    }
+    assert 7777 in disjoint_ids  # statless dir was read
+    assert disjoint_ids <= {7777}  # all stats-bearing dirs were skipped
 
     # (e) time travel: v1's manifest still skips on its own stats
     tt = snapshot_read(spark, t, version=v1, skip_where=[("id", 1000, 9999)])
