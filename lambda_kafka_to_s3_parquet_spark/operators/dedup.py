@@ -1583,6 +1583,7 @@ def mask_duplicated_spans(
 
 GRAM_STORE_META = "_gram_store_meta.json"
 GRAM_STORE_BLOOM = "_gram_store_bloom.bin"
+BLOOM_DELTA_FILE = "_bloom_delta.bin"
 
 
 def _gram_meta(spark, store_path: str) -> dict | None:
@@ -1639,6 +1640,75 @@ def _read_bloom(spark, store_path: str, n_bits: int) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint8).copy()
 
 
+def _read_bloom_delta(spark, store_path: str, append_id: str) -> np.ndarray:
+    """The gkeys a registered L0 append added (its bloom delta)."""
+    from .rollup import _marker_fs
+
+    fs, p = _marker_fs(
+        spark, f"{store_path}/appends/{append_id}/{BLOOM_DELTA_FILE}"
+    )
+    stream = fs.open(p)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return np.frombuffer(raw, dtype=np.int64).copy()
+
+
+def _write_bloom_delta(
+    spark, store_path: str, append_id: str, gkeys: np.ndarray
+) -> None:
+    """Per-batch bloom publish, O(batch): the batch's distinct gkeys land
+    INSIDE its (still unregistered) append dir — orphan-invisible until
+    the meta swap, like the data itself. A full-bloom rewrite per batch
+    costs I/O ∝ store (measured: 0.34 s py4j write + 1.35 s numpy
+    popcount on a 21 MB bloom at a 10× store — the round-8 w13 stress
+    inflation); the delta is a few KB regardless of store size."""
+    from .rollup import _marker_fs
+
+    fs, p = _marker_fs(
+        spark, f"{store_path}/appends/{append_id}/{BLOOM_DELTA_FILE}"
+    )
+    stream = fs.create(p, True)
+    try:
+        stream.write(np.ascontiguousarray(gkeys, dtype=np.int64).tobytes())
+    finally:
+        stream.close()
+
+
+def _load_bloom(spark, store_path: str, meta: dict) -> np.ndarray:
+    """Composite bloom: the materialized base file OR'd with every
+    registered append's delta keys. Cold-start cost is base + K tiny
+    delta files (K = appends since the last compaction — bounded by the
+    maintenance cadence); steady state hits the in-process cache."""
+    bloom = _read_bloom(spark, store_path, meta["bloom_bits"])
+    for a in meta["appends"]:
+        if not a.get("bloom_delta"):
+            continue
+        keys = _read_bloom_delta(spark, store_path, a["id"])
+        if len(keys):
+            pos = _bloom_positions(keys, meta["bloom_bits"], meta["bloom_hashes"])
+            np.bitwise_or.at(
+                bloom, (pos // 8).ravel(),
+                (np.uint8(1) << (pos % 8).astype(np.uint8)).ravel(),
+            )
+    return bloom
+
+
+#: byte -> popcount lookup (numpy < 2 lacks bitwise_count; unpackbits on a
+#: 21 MB bloom measured 1.35 s/batch — bincount @ table is a single O(n)
+#: pass, ~50 ms)
+_POPCOUNT_TABLE = np.array(
+    [bin(i).count("1") for i in range(256)], dtype=np.int64
+)
+
+
+def _popcount(arr: np.ndarray) -> int:
+    if hasattr(np, "bitwise_count"):
+        return int(np.bitwise_count(arr).sum())
+    return int(np.bincount(arr, minlength=256) @ _POPCOUNT_TABLE)
+
+
 def _write_bloom(spark, store_path: str, arr: np.ndarray) -> None:
     import uuid
 
@@ -1666,6 +1736,26 @@ _BLOOM_GAMMA = 0x9E3779B97F4A7C15
 #: valid under the single-maintainer contract; a mismatched append count
 #: (foreign append or compaction) forces a disk reload.
 _BLOOM_CACHE: dict[str, tuple[int, "np.ndarray"]] = {}
+
+#: In-process read-plan cache {(spark_app_id, append_uuid): DataFrame}.
+#: Append dirs are IMMUTABLE once registered (uuid-named, never rewritten
+#: — compaction orphans them, it never edits them), so the listed
+#: FileIndex can be reused across batches: building a fresh
+#: spark.read.parquet over a 640-bucket base costs ~0.8 s of driver-side
+#: listing PER BATCH (measured at the 10× stress store); a gpfx
+#: partition FILTER over the cached plan prunes the same files for free.
+_APPEND_READ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _append_df(spark, store_path: str, append_id: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, append_id)
+    df = _APPEND_READ_CACHE.get(key)
+    if df is None:
+        df = spark.read.option("basePath", f"{store_path}/appends/{append_id}").parquet(
+            f"{store_path}/appends/{append_id}"
+        )
+        _APPEND_READ_CACHE[key] = df
+    return df
 
 
 def _bloom_positions(gkeys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
@@ -1724,19 +1814,23 @@ def incremental_duplicated_spans(
       vector-index appends protocol: a crashed append leaves an orphaned
       dir no reader resolves, so replays are exactly-once without marker
       files;
-    * **driver bloom filter** (side file, Kirsch-Mitzenmacher double
-      hashing over the xxhash64 gram keys) is the negative-lookup fast
-      path: gram keys are UNIFORM, so bucket pruning alone cannot help a
-      batch that touches every gpfx — but natural-text batches are
-      mostly NEW grams, and the bloom proves absence driver-side before
-      any store read. Only bloom-positive keys' buckets are read and
-      joined. False positives cost extra reads, never correctness (the
-      join settles the truth); false negatives cannot happen because the
-      bloom is updated BEFORE the meta registers an append (bloom ⊇
-      registered store keys at every crash point, extra orphan bits are
-      harmless). Default 2²² bits ≈ 512 KB ≈ 1 % fp at ~4·10⁵ grams;
-      size ~n_grams·10 bits — at extreme scale shard the bloom per gpfx
-      and load only touched shards;
+    * **driver bloom filter** (Kirsch-Mitzenmacher double hashing over
+      the xxhash64 gram keys) is the negative-lookup fast path: gram
+      keys are UNIFORM, so bucket pruning alone cannot help a batch that
+      touches every gpfx — but natural-text batches are mostly NEW
+      grams, and the bloom proves absence driver-side before any store
+      read. Only bloom-positive keys' buckets are read and joined. False
+      positives cost extra reads, never correctness (the join settles
+      the truth). **Per-batch bloom I/O is ∝ batch, not store**: each
+      fold publishes only its gkeys as a DELTA file inside the append
+      dir (a few KB; a full-bitmap rewrite measured 1.7 s/batch at a 10×
+      store), the running popcount updates incrementally in the meta,
+      and compaction materializes base ∪ deltas into the bitmap file —
+      the one ∝-store bloom pass per maintenance window. False negatives
+      cannot happen: a delta is orphan-invisible until the SAME meta
+      swap that registers its data (bloom ⊇ registered store keys at
+      every crash point). Default 2²² bits ≈ 512 KB ≈ 1 % fp at ~4·10⁵
+      grams; size ~n_grams·10 bits;
     * the per-batch driver traffic is bounded by the batch: one collect
       of its distinct gram keys (the bloom test + insert set) — the same
       bound class as the band store's prune-key collects;
@@ -1866,7 +1960,7 @@ def incremental_duplicated_spans(
     if cached is not None and cached[0] == len(meta["appends"]):
         bloom = cached[1]
     else:
-        bloom = _read_bloom(spark, store_path, meta["bloom_bits"])
+        bloom = _load_bloom(spark, store_path, meta)
     if len(batch_keys) and read_appends:
         pos_mask = _bloom_maybe_contains(
             bloom, batch_keys, meta["bloom_bits"], meta["bloom_hashes"]
@@ -1878,22 +1972,22 @@ def incremental_duplicated_spans(
     # --- store read: bucketed (compacted) appends prune to the
     # candidate keys' gpfx dirs; L0 runs are read whole (batch-sized)
     if len(candidate_keys):
-        buckets = set(int(b) for b in candidate_keys % n_pfx)
+        buckets = sorted(set(int(b) for b in candidate_keys % n_pfx))
         parts = []
         for a in read_appends:
-            root = f"{store_path}/appends/{a['id']}"
             if a.get("l0"):
-                parts.append(spark.read.parquet(root).select("gkey", "df"))
-                continue
-            dirs = [
-                f"{root}/gpfx={b}"
-                for b in buckets
-                if b in set(a["gpfx_present"])
-            ]
-            if dirs:
                 parts.append(
-                    spark.read.option("basePath", root)
-                    .parquet(*dirs)
+                    _append_df(spark, store_path, a["id"]).select("gkey", "df")
+                )
+                continue
+            hit = [b for b in buckets if b in set(a["gpfx_present"])]
+            if hit:
+                # partition filter over the cached plan: same file set as
+                # explicit dirs (PartitionFilters prune at query planning)
+                # without re-listing the n_pfx-dir base every batch
+                parts.append(
+                    _append_df(spark, store_path, a["id"])
+                    .filter(F.col("gpfx").isin(hit))
                     .select("gkey", "df")
                 )
         if parts:
@@ -1950,13 +2044,31 @@ def incremental_duplicated_spans(
             f"writer's data ({append_id}) is orphaned and invisible — retry"
         )
     bloom_fill = None
+    new_popcount = None
     if len(batch_keys):
+        # Per-batch bloom publish is the DELTA (this batch's gkeys, a few
+        # KB inside the append dir) — never the full bitmap, whose write
+        # + popcount cost I/O ∝ store (measured 1.7 s/batch at a 10×
+        # store / 21 MB bloom). The in-memory copy still ORs the bits so
+        # this process's next batch screens against them; compaction
+        # materializes the composite into the base file.
         pos = _bloom_positions(batch_keys, meta["bloom_bits"], meta["bloom_hashes"])
+        # popcount rides the meta and updates INCREMENTALLY (count the
+        # 0→1 flips among this batch's distinct bit positions, BEFORE
+        # setting them): a full popcount is another ∝-store pass
+        # (measured 0.76 s/batch on the 21 MB bloom even via the bincount
+        # table). Legacy metas without the field pay one full count.
+        u = np.unique(pos.ravel())
+        was_set = (bloom[u // 8] >> (u % 8).astype(np.uint8)) & 1
+        base_pop = current.get("bloom_popcount")
+        if base_pop is None:
+            base_pop = _popcount(bloom)
+        new_popcount = int(base_pop) + int((was_set == 0).sum())
         np.bitwise_or.at(
             bloom, (pos // 8).ravel(),
             (np.uint8(1) << (pos % 8).astype(np.uint8)).ravel(),
         )
-        _write_bloom(spark, store_path, bloom)
+        _write_bloom_delta(spark, store_path, append_id, batch_keys)
         # fill ratio is the bloom's health metric: at 0.5 the fp rate is
         # ~(1/2)^hashes and the negative-lookup fast path is eroding; a
         # SATURATED bloom answers 'maybe' for everything and every batch
@@ -1964,12 +2076,7 @@ def incremental_duplicated_spans(
         # undersized 2^22 default hit 3.4x per-batch wall at a 10x store
         # before this guard) — rebuild the store with bloom_bits ≈ 10x
         # the expected distinct grams, or shard the bloom per gpfx
-        popcount = (
-            np.bitwise_count(bloom).sum()  # numpy >= 2
-            if hasattr(np, "bitwise_count")
-            else np.unpackbits(bloom).sum()
-        )
-        bloom_fill = round(float(popcount) / meta["bloom_bits"], 4)
+        bloom_fill = round(new_popcount / meta["bloom_bits"], 4)
         if bloom_fill > 0.5:
             import warnings
 
@@ -1983,6 +2090,8 @@ def incremental_duplicated_spans(
             )
 
     entry: dict = {"id": append_id, "l0": True}
+    if len(batch_keys):
+        entry["bloom_delta"] = True
     if batch_id is not None:
         entry["batch_id"] = int(batch_id)
     new_meta = {
@@ -1991,6 +2100,7 @@ def incremental_duplicated_spans(
     }
     if bloom_fill is not None:
         new_meta["bloom_fill"] = bloom_fill
+        new_meta["bloom_popcount"] = new_popcount
     _write_gram_meta(spark, store_path, new_meta)
     _BLOOM_CACHE[store_path] = (len(new_meta["appends"]), bloom)
     return spans
@@ -2004,9 +2114,15 @@ def compact_gram_store(spark, store_path: str) -> None:
     on the maintenance cadence, never per batch, and afterwards lookups
     prune the whole store to the candidate keys' buckets. Old append
     dirs become orphans (invisible immediately; reclaim with any
-    directory sweep). The bloom is untouched: compaction removes no
-    keys. Crash-safe at every point: the compacted dir is invisible
-    until the meta swap, and the swap either happens or doesn't."""
+    directory sweep). The composite bloom (base file ∪ per-append key
+    deltas) is MATERIALIZED here — the one full-bitmap write per
+    maintenance window; batches only ever publish their own key deltas.
+    Compaction removes no keys. Crash-safe at every point: the compacted
+    dir is invisible until the meta swap, the bloom base is written
+    BEFORE the swap retires the delta entries (bloom ⊇ registered keys
+    at every crash point — a crash between leaves the base a superset
+    beside still-registered deltas, harmless), and the swap either
+    happens or doesn't."""
     import uuid as _uuid
 
     meta = _gram_meta(spark, store_path)
@@ -2044,6 +2160,16 @@ def compact_gram_store(spark, store_path: str) -> None:
             f"concurrent maintenance detected on gram store {store_path}; "
             "compaction abandoned (its output dir is orphaned)"
         )
+    # Materialize the composite bloom into the base file BEFORE the meta
+    # swap retires the per-append delta entries (superset invariant holds
+    # on a crash between the two writes). Re-anchor the running popcount
+    # from the materialized bitmap here — the one ∝-store count per
+    # maintenance window.
+    bloom_popcount = current.get("bloom_popcount")
+    if any(a.get("bloom_delta") for a in appends):
+        full = _load_bloom(spark, store_path, current)
+        _write_bloom(spark, store_path, full)
+        bloom_popcount = _popcount(full)
     # The per-append batch_id replay marks vanish with the L0 runs; the
     # high-water mark survives at the meta level so a post-compaction
     # replay of an already-folded batch fail-stops instead of silently
@@ -2057,4 +2183,10 @@ def compact_gram_store(spark, store_path: str) -> None:
     }
     if hwm:
         new_meta["last_batch_id"] = max(hwm)
+    if bloom_popcount is not None:
+        new_meta["bloom_popcount"] = int(bloom_popcount)
     _write_gram_meta(spark, store_path, new_meta)
+    # retired append dirs are orphans — drop their cached read plans
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _APPEND_READ_CACHE if k[0] == app and k[1] != new_id]:
+        del _APPEND_READ_CACHE[key]

@@ -2636,6 +2636,60 @@ def test_gram_store_compaction_drift_and_concurrency(spark, sf_dir, tmp_path):
         dd._gram_meta = real
 
 
+def test_gram_store_delta_bloom_protocol(spark, sf_dir, tmp_path):
+    """Per-batch bloom I/O is ∝ batch, not store: each fold publishes its
+    gkeys as a delta INSIDE the append dir (orphan-invisible) instead of
+    rewriting the full bitmap. Pins: (a) no base bitmap exists until
+    compaction, yet a COLD process (caches cleared) reconstructs the
+    composite and screens correctly; (b) the meta's running popcount
+    equals an exact full count at every step; (c) compaction
+    materializes base == composite and retires the deltas."""
+    import os
+
+    import numpy as np
+
+    from lambda_kafka_to_s3_parquet_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    store = str(tmp_path / "store")
+
+    dd.incremental_duplicated_spans(spark, store, batches[0], k=4)
+    dd.incremental_duplicated_spans(spark, store, batches[1], k=4)
+    meta = dd._gram_meta(spark, store)
+    # (a) deltas registered, no full bitmap written yet
+    assert all(a.get("bloom_delta") for a in meta["appends"])
+    assert not os.path.exists(os.path.join(store, dd.GRAM_STORE_BLOOM))
+    for a in meta["appends"]:
+        d = os.path.join(store, "appends", a["id"], dd.BLOOM_DELTA_FILE)
+        assert os.path.getsize(d) % 8 == 0 and os.path.getsize(d) > 0
+    # (b) running popcount is exact
+    composite = dd._load_bloom(spark, store, meta)
+    assert meta["bloom_popcount"] == dd._popcount(composite)
+
+    # cold process: wipe in-process caches, batch 2 must still equal the
+    # one-shot prefix (bloom reconstructed from base+deltas)
+    dd._BLOOM_CACHE.clear()
+    dd._APPEND_READ_CACHE.clear()
+    got = sorted(map(tuple, dd.incremental_duplicated_spans(
+        spark, store, batches[2], k=4).collect()))
+    ids2 = {r["doc_id"] for r in batches[2].select("doc_id").collect()}
+    want = sorted(
+        r for r in map(tuple, dd.duplicated_spans(docs, k=4, min_docs=2).collect())
+        if r[0] in ids2
+    )
+    assert got == want and len(got) > 0
+
+    # (c) compaction materializes the composite and retires the deltas
+    pre = dd._load_bloom(spark, store, dd._gram_meta(spark, store))
+    dd.compact_gram_store(spark, store)
+    meta2 = dd._gram_meta(spark, store)
+    assert not any(a.get("bloom_delta") for a in meta2["appends"])
+    base = dd._read_bloom(spark, store, meta2["bloom_bits"])
+    assert np.array_equal(base, pre)
+    assert meta2["bloom_popcount"] == dd._popcount(base)
+
+
 def test_gram_store_replay_and_crash_protocol(spark, sf_dir, tmp_path):
     """(a) A foreachBatch replay (same batch_id after the fold published
     but before the checkpoint committed) re-emits IDENTICAL flags and
