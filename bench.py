@@ -79,8 +79,10 @@ HEADLINE = [
     # round 6: real-codec image pipeline (PPM encode -> thumbnail ->
     # features through three Arrow stages)
     "x46_image_pipeline",
-    "x19_asof_join",
-    "x20_interval_join",
+    # round 9: x20_interval_join consolidated into x19 (union-tagged
+    # 'interval' branch) — x19 timing not comparable to rounds <= 8; the
+    # freed oracle slot went to x34's deterministic skip census
+    "x19_temporal_joins",
     "x21_split_and_pack",
     "x22_rollup_daily",
     # x24/x28 rounds <= 4 numbers (0.11 s / 0.66 s) understated the real

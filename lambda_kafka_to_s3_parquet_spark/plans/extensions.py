@@ -600,13 +600,23 @@ def x17_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x19 — as-of join: each purchase event gets the user's most recent view
-# at-or-before it (point-in-time lookup). Spark side is the union-window
-# asof operator (one shuffle, no range explosion); DuckDB oracle is the
-# native ASOF LEFT JOIN — two independent formulations of the semantics.
+# x19 — TEMPORAL JOINS, union-tagged (round 9: former x20_interval_join
+# consolidated here to free its oracle slot for x34 — the established
+# window protocol; timings not comparable to rounds <= 8).
+#   'asof'    : each purchase gets the user's most recent view at-or-
+#               before it (point-in-time lookup) — Spark is the union-
+#               window asof operator (one shuffle, no range explosion),
+#               the oracle is DuckDB's native ASOF LEFT JOIN: two
+#               independent formulations of the semantics.
+#   'interval': clicks within 10 minutes AFTER each purchase, per user —
+#               Spark is the bucketed equi-join operator (time buckets as
+#               join key, exact integer-microsecond filter on the ~2x
+#               candidate set), the oracle a plain inequality join.
+# Shared shape: generic value columns per branch (k1/k2 bigint, t1/t2
+# string, v double) — the per-branch meaning is documented inline.
 # --------------------------------------------------------------------------
 @register(
-    "x19_asof_join",
+    "x19_temporal_joins",
     oracle="""
     WITH v AS (
       SELECT user_id, ts, event_id, value FROM (
@@ -615,22 +625,43 @@ def x17_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'view')
       WHERE rn = 1),
     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
-    SELECT p.event_id, p.user_id,
-           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
-           v.event_id                             AS asof_event_id,
-           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
-           round(v.value, 2)                      AS asof_value
+    SELECT 'asof' AS branch, p.event_id,
+           p.user_id                              AS k1,
+           v.event_id                             AS k2,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+           round(v.value, 2)                      AS v
     FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-    ORDER BY p.event_id
+    UNION ALL
+    SELECT 'interval' AS branch, p.event_id,
+           count(c.event_id)                                    AS k1,
+           CAST(min(epoch_us(c.ts) - epoch_us(p.ts)) AS BIGINT) AS k2,
+           NULL AS t1, NULL AS t2, NULL AS v
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTES
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    ORDER BY branch, event_id
     """,
-    doc="as-of join (union-window, single shuffle) vs DuckDB native ASOF JOIN",
+    doc="temporal joins, union-tagged: as-of (union-window single-shuffle "
+    "vs native ASOF JOIN) + 10-min interval join (bucketed equi-join vs "
+    "theta join)",
 )
-def x19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x19_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     from ..operators.asof import asof_join
+    from ..operators.ranges import interval_join
 
     e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    # --- 'asof' branch: k1=user_id, k2=asof_event_id, t1/t2 formatted
+    # purchase/view instants, v=matched view's value
     dedup_w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
     views = (
         e.filter(F.col("event_type") == "view")
@@ -638,54 +669,22 @@ def x19_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "ts", "event_id", "value")
     )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
     joined = asof_join(
         purchases, views, key="user_id", left_time="ts", right_time="ts",
         right_cols=["ts", "event_id", "value"],
     )
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    return joined.select(
+    asof = joined.select(
+        F.lit("asof").alias("branch"),
         "event_id",
-        "user_id",
-        F.date_format("ts", fmt).alias("purchase_ts"),
-        F.col("asof_event_id"),
-        F.date_format("asof_ts", fmt).alias("asof_ts"),
-        F.round("asof_value", 2).alias("asof_value"),
+        F.col("user_id").alias("k1"),
+        F.col("asof_event_id").alias("k2"),
+        F.date_format("ts", fmt).alias("t1"),
+        F.date_format("asof_ts", fmt).alias("t2"),
+        F.round("asof_value", 2).alias("v"),
     )
 
-
-# --------------------------------------------------------------------------
-# x20 — range (interval) join: clicks within 10 minutes AFTER each
-# purchase, per user. Spark side is the bucketed equi-join operator (time
-# buckets as join key, exact integer-microsecond filter on the ~2x
-# candidate set); oracle is DuckDB's plain inequality join. Left-outer
-# aggregation keeps purchases with zero follow-up clicks.
-# --------------------------------------------------------------------------
-@register(
-    "x20_interval_join",
-    oracle="""
-    SELECT p.event_id,
-           count(c.event_id)                                  AS n_clicks,
-           CAST(min(epoch_us(c.ts) - epoch_us(p.ts)) AS BIGINT) AS min_gap_us
-    FROM events p
-    LEFT JOIN events c
-      ON c.user_id = p.user_id AND c.event_type = 'click'
-     AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTES
-    WHERE p.event_type = 'purchase'
-    GROUP BY p.event_id
-    ORDER BY p.event_id
-    """,
-    doc="bucketed interval join (10-min follow-up clicks) vs DuckDB theta join",
-)
-def x20_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ranges import interval_join
-
-    e = _t(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
+    # --- 'interval' branch: k1=n follow-up clicks, k2=min gap (µs)
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -696,15 +695,16 @@ def x20_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_purchase = pairs.groupBy("event_id").agg(
         F.count("*").alias("n_clicks"), F.min("gap_us").alias("min_gap_us")
     )
-    return (
-        purchases.join(per_purchase, "event_id", "left")
-        .select(
-            "event_id",
-            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
-            "min_gap_us",
-        )
-        .orderBy("event_id")
+    interval = purchases.join(per_purchase, "event_id", "left").select(
+        F.lit("interval").alias("branch"),
+        "event_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("k1"),
+        F.col("min_gap_us").alias("k2"),
+        F.lit(None).cast("string").alias("t1"),
+        F.lit(None).cast("string").alias("t2"),
+        F.lit(None).cast("double").alias("v"),
     )
+    return asof.unionByName(interval).orderBy("branch", "event_id")
 
 
 # --------------------------------------------------------------------------
@@ -1531,86 +1531,153 @@ def x33_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # x34 — data layout vs scan cost: the write-side half of performance.
-# Lands events three ways — hash-scattered (baseline), range-clustered
-# on ts (lexicographic), and Z-ORDERED on interleaved (time-bucket,
-# hashed-user-bucket) — then probes each layout with a time-range AND a
-# user-set predicate, reporting how many files every (layout, probe)
-# pair forced the scan to touch. The point the numbers make: range
-# clustering only skips on its leading column; the Morton layout gives
-# every file a rectangle of (time, user) space, so BOTH probes skip —
-# Delta OPTIMIZE ZORDER / Iceberg sort-order behavior from stock Spark.
-# Values are environmental (file counts), so rows-only; the strict
-# inequalities are pinned in tests/test_sink.py.
+# ORACLE-CHECKED since round 9 (slot freed by x20→x19): the registered
+# form is the DETERMINISTIC zone-map skip census — assign every event to
+# one of 16 "files" under three layouts (hash-scattered baseline;
+# range-clustered on ts; Z-ORDERED on the Morton interleave of a
+# 1024-slot time bucket × a 1024-slot hashed-user bucket), collect each
+# file's min of the probe dimension, and count the files a zone-map
+# reader would have to touch for a time-range probe and a user-set probe
+# (touch ⇔ file min < probe bound). File assignment replays in ANSI SQL:
+# ntile(16) over the layout's sort key mirrors repartitionByRange's
+# equal-split contract (portable md5 arithmetic for the hash dimensions,
+# integer µs DIV for the time bucket — no float epochs), so DuckDB
+# recomputes the census value-for-value. The point the numbers make:
+# range clustering only skips on its leading column; the Morton layout
+# gives every file a rectangle of (time, user) space, so BOTH probes
+# skip. The PHYSICAL half — real parquet writes via write_clustered /
+# interleave_bits and input_file_name() scan counts with the strict
+# skipping inequalities — stays pinned in tests/test_sink.py (file
+# counts there are environmental, not SQL-expressible).
+# NOTE the global-order ntile is the census's determinism device, not
+# the production write path: write_clustered's repartitionByRange is the
+# scale form (sampled range split, no single-task sort).
 # --------------------------------------------------------------------------
+
+#: Morton interleave of two 10-bit bucket columns, as portable SQL text.
+_X34_ZEXPR = " | ".join(
+    f"(((tb >> {i}) & 1) << {2 * i}) | (((ub >> {i}) & 1) << {2 * i + 1})"
+    for i in range(10)
+)
+
+
 @register(
     "x34_clustered_layout",
-    oracle=None,
-    doc="scattered vs range-clustered vs Z-ordered parquet layout: files "
-    "touched by time-range and user-set probes (file-skipping evidence)",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, ts,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 1024 AS BIGINT) AS ub
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    bounds AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM e),
+    b AS (SELECT event_id, ts, ub,
+                 ((epoch_us(ts) - lo) * 1024) // (hi - lo + 1) AS tb
+          FROM e, bounds),
+    z AS (SELECT *, {_X34_ZEXPR} AS zkey FROM b),
+    f AS (SELECT tb, ub,
+                 CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+                      % 16 AS BIGINT)                   AS f_scattered,
+                 ntile(16) OVER (ORDER BY ts, event_id)   AS f_range_ts,
+                 ntile(16) OVER (ORDER BY zkey, event_id) AS f_zorder
+          FROM z),
+    census AS (
+      SELECT 'scattered' AS layout, f_scattered AS fid,
+             min(tb) AS min_tb, min(ub) AS min_ub,
+             sum(CASE WHEN tb < 256 THEN 1 ELSE 0 END) AS r_ts,
+             sum(CASE WHEN ub < 256 THEN 1 ELSE 0 END) AS r_ub
+      FROM f GROUP BY f_scattered
+      UNION ALL
+      SELECT 'range_ts', f_range_ts, min(tb), min(ub),
+             sum(CASE WHEN tb < 256 THEN 1 ELSE 0 END),
+             sum(CASE WHEN ub < 256 THEN 1 ELSE 0 END)
+      FROM f GROUP BY f_range_ts
+      UNION ALL
+      SELECT 'zorder', f_zorder, min(tb), min(ub),
+             sum(CASE WHEN tb < 256 THEN 1 ELSE 0 END),
+             sum(CASE WHEN ub < 256 THEN 1 ELSE 0 END)
+      FROM f GROUP BY f_zorder)
+    SELECT layout, probe, total_files, files_touched, n_rows FROM (
+      SELECT layout, 'ts_quarter' AS probe,
+             count(*)                    AS total_files,
+             CAST(sum(CASE WHEN min_tb < 256 THEN 1 ELSE 0 END) AS BIGINT)
+                                         AS files_touched,
+             CAST(sum(r_ts) AS BIGINT)   AS n_rows
+      FROM census GROUP BY layout
+      UNION ALL
+      SELECT layout, 'user_quarter',
+             count(*),
+             CAST(sum(CASE WHEN min_ub < 256 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(r_ub) AS BIGINT)
+      FROM census GROUP BY layout)
+    ORDER BY layout, probe
+    """,
+    doc="deterministic zone-map skip census over scattered vs "
+    "range-clustered vs Z-ordered 16-file layouts: files a min/max "
+    "reader touches for time-range and user-set probes; oracle replays "
+    "the md5/ntile/Morton assignment exactly",
 )
 def x34_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    from pathlib import Path
+    from pyspark.sql.window import Window as W
 
-    from ..operators.sink import files_touched, interleave_bits, write_clustered
+    from ..functions.splits import hash_bucket
+    from ..operators.sink import interleave_bits
 
-    base = Path(tempfile.mkdtemp(prefix="x34_"))
-    try:
-        events = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-        span = max((hi - lo).total_seconds(), 1.0)
-        # bucketize both dimensions into [0, 1024): time by span slice,
-        # users by hash (raw ids span only ~150 values — hashing spreads
-        # them across the bucket space so a "quarter of users" probe is a
-        # quarter of the y-range, not a corner)
-        # least(.., 1023): unix_timestamp truncates to whole seconds while
-        # span keeps the fractional part, so the max-ts row can compute
-        # bucket 1024 — outside interleave_bits' [0, 2^bits) contract,
-        # where the low-bits read would wrap it into bucket 0
-        tbucket = F.least(
-            (
-                (
-                    F.unix_timestamp(F.col("ts").cast("timestamp"))
-                    - F.unix_timestamp(F.lit(lo).cast("timestamp"))
-                )
-                / F.lit(span / 1024)
-            ).cast("bigint"),
-            F.lit(1023),
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "ts",
+            hash_bucket(F.col("user_id").cast("string"), 1024).alias("ub"),
+            # TIMESTAMP_NTZ lacks unix_micros; timestampdiff from the NTZ
+            # epoch is the same integer (== DuckDB's epoch_us)
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
         )
-        ubucket = F.pmod(F.xxhash64("user_id"), F.lit(1024))
+    )
+    lo, hi = e.select(F.min("us"), F.max("us")).first()
+    # integer µs DIV — no float epoch arithmetic to drift cross-engine
+    b = e.withColumn("tb", F.expr(f"((us - {lo}) * 1024) DIV ({hi} - {lo} + 1)"))
+    z = b.withColumn("zkey", interleave_bits("tb", "ub", bits=10))
+    f = z.select(
+        "tb",
+        "ub",
+        hash_bucket(F.col("event_id").cast("string"), 16).alias("f_scattered"),
+        F.ntile(16).over(W.orderBy("ts", "event_id")).alias("f_range_ts"),
+        F.ntile(16).over(W.orderBy("zkey", "event_id")).alias("f_zorder"),
+    )
 
-        n_files = 16
-        events.repartition(n_files).write.parquet(str(base / "scattered"))
-        write_clustered(events, str(base / "range_ts"), ["ts"], n_files=n_files)
-        write_clustered(
-            events.withColumn("zkey", interleave_bits(tbucket, ubucket, bits=10)),
-            str(base / "zorder"),
-            ["zkey"],
-            n_files=n_files,
+    def census(fid: str, layout: str) -> DataFrame:
+        per_file = f.groupBy(F.col(fid).alias("fid")).agg(
+            F.min("tb").alias("min_tb"),
+            F.min("ub").alias("min_ub"),
+            F.sum((F.col("tb") < 256).cast("long")).alias("r_ts"),
+            F.sum((F.col("ub") < 256).cast("long")).alias("r_ub"),
         )
+        ts_row = per_file.agg(
+            F.count("*").alias("total_files"),
+            F.sum((F.col("min_tb") < 256).cast("long")).alias("files_touched"),
+            F.sum("r_ts").alias("n_rows"),
+        ).select(
+            F.lit(layout).alias("layout"), F.lit("ts_quarter").alias("probe"), "*"
+        )
+        ub_row = per_file.agg(
+            F.count("*").alias("total_files"),
+            F.sum((F.col("min_ub") < 256).cast("long")).alias("files_touched"),
+            F.sum("r_ub").alias("n_rows"),
+        ).select(
+            F.lit(layout).alias("layout"), F.lit("user_quarter").alias("probe"), "*"
+        )
+        return ts_row.unionByName(ub_row)
 
-        quarter = lo + (hi - lo) / 4
-        probes = {
-            "ts_quarter": (F.col("ts") >= lo) & (F.col("ts") < quarter),
-            # the SAME ubucket expression the layout was built from — the
-            # probe is only evidence because the coupling is structural
-            "user_quarter": ubucket < 256,
-        }
-        rows = []
-        for layout in ("scattered", "range_ts", "zorder"):
-            df = spark.read.parquet(str(base / layout))
-            total = files_touched(df)
-            for pname, pred in probes.items():
-                scan = df.filter(pred)
-                rows.append((layout, pname, total, files_touched(scan), scan.count()))
-        return spark.createDataFrame(
-            rows,
-            "layout string, probe string, total_files bigint, "
-            "files_touched bigint, n_rows bigint",
-        )
-    finally:
-        shutil.rmtree(str(base), ignore_errors=True)
+    out = (
+        census("f_scattered", "scattered")
+        .unionByName(census("f_range_ts", "range_ts"))
+        .unionByName(census("f_zorder", "zorder"))
+    )
+    return out.orderBy("layout", "probe")
 
 
 # --------------------------------------------------------------------------

@@ -228,6 +228,69 @@ def test_clustered_layout_touches_fewer_files_than_scattered(spark, sf_dir):
     assert rows[("zorder", "user_quarter")]["files_touched"] <= (total * 3) // 4
 
 
+def test_physical_file_skipping_matches_layout_claims(spark, tmp_path):
+    """The PHYSICAL half of x34's zone-map census (x34's registered form
+    went deterministic/oracle-checked in round 9): really write the
+    three layouts with write_clustered / interleave_bits and count the
+    files a filtered scan touches via input_file_name(). Scattered reads
+    everything; range clustering skips on its leading column only;
+    Z-order skips on both probe dimensions."""
+    from lambda_kafka_to_s3_parquet_spark.operators.sink import (
+        files_touched,
+        interleave_bits,
+        write_clustered,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = max((hi - lo).total_seconds(), 1.0)
+    tbucket = F.least(
+        (
+            (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.lit(lo).cast("timestamp"))
+            )
+            / F.lit(span / 1024)
+        ).cast("bigint"),
+        F.lit(1023),
+    )
+    ubucket = F.pmod(F.xxhash64("user_id"), F.lit(1024))
+
+    n_files = 16
+    base = tmp_path / "layouts"
+    events.repartition(n_files).write.parquet(str(base / "scattered"))
+    write_clustered(events, str(base / "range_ts"), ["ts"], n_files=n_files)
+    write_clustered(
+        events.withColumn("zkey", interleave_bits(tbucket, ubucket, bits=10)),
+        str(base / "zorder"),
+        ["zkey"],
+        n_files=n_files,
+    )
+
+    quarter = lo + (hi - lo) / 4
+    probes = {
+        "ts": (F.col("ts") >= lo) & (F.col("ts") < quarter),
+        "user": ubucket < 256,
+    }
+    touched = {}
+    for layout in ("scattered", "range_ts", "zorder"):
+        df = spark.read.parquet(str(base / layout))
+        total = files_touched(df)
+        assert total == n_files
+        for pname, pred in probes.items():
+            touched[(layout, pname)] = files_touched(df.filter(pred))
+
+    assert touched[("scattered", "ts")] == n_files
+    assert touched[("scattered", "user")] == n_files
+    assert touched[("range_ts", "ts")] <= (n_files * 3) // 4
+    assert touched[("range_ts", "user")] == n_files
+    assert touched[("zorder", "ts")] <= (n_files * 3) // 4
+    assert touched[("zorder", "user")] <= (n_files * 3) // 4
+
+
 def test_write_clustered_sorts_within_files(spark, tmp_path):
     """Each clustered file must be internally sorted on the cluster column
     (tight row-group min/max is the point of the layout)."""
@@ -252,3 +315,105 @@ def test_write_clustered_sorts_within_files(spark, tmp_path):
     spans = sorted((min(v), max(v)) for v in by_file.values())
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_sink_zone_maps_partitioned(spark, tmp_path):
+    """Plain-sink zone maps, partition granularity: stats-driven skipping
+    via read_pruned must (a) touch strictly fewer files than the raw
+    scan for a disjoint-range probe, (b) never lose rows for an
+    overlapping probe, (c) WIDEN on append (the appended values' range
+    is honored), and (d) read statless partitions conservatively."""
+    from lambda_kafka_to_s3_parquet_spark.operators.sink import (
+        files_touched,
+        read_pruned,
+        read_zone_maps,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(i, "t1", 2021, 7, (i % 3) + 1, f"k{i}") for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, topic string, y int, m int, d int, key string"
+    )
+    write_partitioned(
+        df, path, key_col="key", granularity="day", stats_cols=["event_id"]
+    )
+    maps = read_zone_maps(spark, path)
+    assert maps["kind"] == "partitions" and len(maps["entries"]) == 3
+
+    # (a) disjoint probe: every partition's [min,max] excludes it
+    full = files_touched(spark.read.parquet(path))
+    pruned = read_pruned(spark, path, skip_where=[("event_id", 10_000, 20_000)])
+    assert pruned.count() == 0
+    # the exclusion predicate prunes at PLANNING: no files scanned
+    assert files_touched(pruned.filter(F.lit(True))) == 0 < full
+
+    # (b) overlapping probe loses nothing vs the real filter
+    hit = read_pruned(spark, path, skip_where=[("event_id", 0, 99)])
+    want = spark.read.parquet(path).filter("event_id between 0 and 99")
+    assert sorted(r["event_id"] for r in hit.filter(
+        "event_id between 0 and 99").collect()) == sorted(
+        r["event_id"] for r in want.collect())
+
+    # (c) append widens: new high ids land in d=1 only; a probe on the
+    # new range must read d=1 but may skip d=2/d=3
+    more = spark.createDataFrame(
+        [(50_000 + i, "t1", 2021, 7, 1, f"n{i}") for i in range(50)],
+        "event_id long, topic string, y int, m int, d int, key string",
+    )
+    write_partitioned(
+        more, path, key_col="key", granularity="day", stats_cols=["event_id"]
+    )
+    new_probe = read_pruned(spark, path, skip_where=[("event_id", 50_000, 60_000)])
+    assert new_probe.filter("event_id >= 50000").count() == 50
+    assert files_touched(new_probe) < files_touched(spark.read.parquet(path))
+
+    # (d) a statless partition (written WITHOUT stats_cols) is always read
+    bypass = spark.createDataFrame(
+        [(999_999, "t1", 2021, 7, 9, "x")],
+        "event_id long, topic string, y int, m int, d int, key string",
+    )
+    write_partitioned(bypass, path, key_col="key", granularity="day")
+    ids = {r["event_id"] for r in read_pruned(
+        spark, path, skip_where=[("event_id", 10_000, 20_000)]).collect()}
+    assert 999_999 in ids  # unknown dir: conservative read
+
+
+def test_sink_zone_maps_clustered_files(spark, tmp_path):
+    """File-granularity zone maps from write_clustered: a range probe on
+    the cluster column scans only surviving files (strict subset), the
+    kept rows equal the real filter, and append mode refuses stats."""
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.sink import (
+        files_touched,
+        read_pruned,
+        read_zone_maps,
+        write_clustered,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "value"
+    )
+    path = str(tmp_path / "clu")
+    write_clustered(events, path, ["event_id"], n_files=8, stats_cols=["event_id"])
+    maps = read_zone_maps(spark, path)
+    assert maps["kind"] == "files" and maps["complete"] and len(maps["entries"]) == 8
+
+    lo, hi = 0, events.count() // 8  # ~first file's range
+    pruned = read_pruned(spark, path, skip_where=[("event_id", lo, hi)])
+    assert files_touched(pruned) < 8
+    got = sorted(r["event_id"] for r in pruned.filter(
+        f"event_id between {lo} and {hi}").collect())
+    want = sorted(r["event_id"] for r in events.filter(
+        f"event_id between {lo} and {hi}").collect())
+    assert got == want and len(got) > 0
+
+    # provably-empty range: zero rows, schema intact
+    none = read_pruned(spark, path, skip_where=[("event_id", 10**12, 10**13)])
+    assert none.count() == 0 and none.columns == pruned.columns
+
+    with pytest.raises(ValueError, match="overwrite"):
+        write_clustered(events, path, ["event_id"], mode="append",
+                        stats_cols=["event_id"])
