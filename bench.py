@@ -74,8 +74,10 @@ HEADLINE = [
     "x51_duplicated_spans",
     "x10_embedding_topk",
     "x12_embedding_neardup_blocked",
+    # round 9: x17_frame_sample consolidated into x13 (union-tagged
+    # 'frames' branch) — x13 timing not comparable to rounds <= 8; the
+    # freed oracle slot went to x50's appended-index census
     "x13_media_stats",
-    "x17_frame_sample",
     # round 6: real-codec image pipeline (PPM encode -> thumbnail ->
     # features through three Arrow stages)
     "x46_image_pipeline",

@@ -475,16 +475,25 @@ def x12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# x13 — multimodal media frame: binary payload + typed metadata; grouped
-# stats prove checksum/byte plumbing end-to-end against the oracle, and
-# (consolidating former x18_media_resize) the stubbed resize stage runs
-# through the real Arrow mapInPandas path with its size invariants
-# (fixed 16x16-byte output, kept-byte totals) checked in the same result.
+# x13 — multimodal media frame, union-tagged (round 9: former
+# x17_frame_sample consolidated into the 'frames' branch to free its
+# oracle slot for x50 — x13 timing not comparable to rounds <= 8):
+#   'stats' : binary payload + typed metadata grouped stats proving
+#             checksum/byte plumbing end-to-end, plus (former
+#             x18_media_resize) the stubbed resize stage through the
+#             real Arrow mapInPandas path with its size invariants
+#             (fixed 16x16-byte output, kept-byte totals); key =
+#             media_type.
+#   'frames': video frame-sampling fan-out (1 row -> N 256-byte frame
+#             chunks inside mapInPandas); key = media_id as string, and
+#             the generic columns remap: n_items := n_frames,
+#             total_bytes := total frame bytes, min_bytes := last (tail)
+#             frame bytes; the resize/checksum columns are NULL.
 # --------------------------------------------------------------------------
 @register(
     "x13_media_stats",
     oracle="""
-    SELECT media_type,
+    SELECT 'stats' AS branch, media_type AS key,
            count(*)                     AS n_items,
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            count(DISTINCT checksum)     AS n_distinct_payloads,
@@ -500,13 +509,26 @@ def x12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
              sha256(text)                           AS checksum
       FROM documents)
     GROUP BY media_type
-    ORDER BY media_type
+    UNION ALL
+    SELECT 'frames', CAST(doc_id AS VARCHAR),
+           CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT),
+           octet_length(encode(text))::BIGINT,
+           CAST(NULL AS BIGINT),
+           CAST(octet_length(encode(text))
+                - 256 * (ceil(octet_length(encode(text)) / 256.0) - 1)
+                AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM documents
+    WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+    ORDER BY branch, key
     """,
-    doc="multimodal binary columns: payload/checksum metadata stats + resize-stub "
-    "size invariants through the Arrow batch path",
+    doc="multimodal, union-tagged: payload/checksum metadata stats + "
+    "resize-stub size invariants through the Arrow batch path ('stats') "
+    "and the 256B frame-sampling fan-out census ('frames')",
 )
 def x13_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import resize_media
+    from ..operators.multimodal import resize_media, sample_frames
 
     m = media_frame(_t(spark, sf_dir, "documents"))
     # kept_bytes depends only on the media frame, so it rides the stats
@@ -528,21 +550,41 @@ def x13_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_bytes_out").alias("max_resized"),
         )
     )
-    return (
-        stats.join(resized, "media_type")
+    nul = F.lit(None).cast("long")
+    stats_rows = stats.join(resized, "media_type").select(
+        F.lit("stats").alias("branch"),
+        F.col("media_type").alias("key"),
+        "n_items",
+        "total_bytes",
+        "n_distinct_payloads",
+        "min_bytes",
+        "max_bytes",
+        "min_resized",
+        "max_resized",
+        "kept_bytes",
+    )
+    frame_rows = (
+        sample_frames(m.filter(F.col("media_type") == "video"), frame_size=256)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("frame_bytes").alias("total_bytes"),
+            F.min("frame_bytes").alias("min_bytes"),
+        )
         .select(
-            "media_type",
+            F.lit("frames").alias("branch"),
+            F.col("media_id").cast("string").alias("key"),
             "n_items",
             "total_bytes",
-            "n_distinct_payloads",
+            nul.alias("n_distinct_payloads"),
             "min_bytes",
-            "max_bytes",
-            "min_resized",
-            "max_resized",
-            "kept_bytes",
+            nul.alias("max_bytes"),
+            nul.alias("min_resized"),
+            nul.alias("max_resized"),
+            nul.alias("kept_bytes"),
         )
-        .orderBy("media_type")
     )
+    return stats_rows.unionByName(frame_rows).orderBy("branch", "key")
 
 
 # --------------------------------------------------------------------------
@@ -558,46 +600,6 @@ def x13_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_frame(_t(spark, sf_dir, "documents"))
     return extract_features(m)
-
-# --------------------------------------------------------------------------
-# x17 — video frame sampling: 1 row -> N frame rows inside mapInPandas.
-# The stub slices payloads into fixed 256-byte chunks, so per-media frame
-# counts and byte totals ARE SQL-expressible — a full oracle check of the
-# fan-out plumbing even though the "decode" is a stand-in. Every frame is
-# 256 bytes except the last, so min(frame_bytes) is the tail chunk.
-# --------------------------------------------------------------------------
-@register(
-    "x17_frame_sample",
-    oracle="""
-    SELECT doc_id                                                   AS media_id,
-           CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
-           octet_length(encode(text))::BIGINT                       AS total_frame_bytes,
-           CAST(octet_length(encode(text))
-                - 256 * (ceil(octet_length(encode(text)) / 256.0) - 1)
-                AS BIGINT)                                          AS last_frame_bytes
-    FROM documents
-    WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
-    ORDER BY media_id
-    """,
-    doc="frame-sampling fan-out (video rows -> 256B frame chunks), oracle-checked",
-)
-def x17_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import sample_frames
-
-    m = media_frame(_t(spark, sf_dir, "documents")).filter(
-        F.col("media_type") == "video"
-    )
-    return (
-        sample_frames(m, frame_size=256)
-        .groupBy("media_id")
-        .agg(
-            F.count("*").alias("n_frames"),
-            F.sum("frame_bytes").alias("total_frame_bytes"),
-            F.min("frame_bytes").alias("last_frame_bytes"),
-        )
-        .orderBy("media_id")
-    )
-
 
 # --------------------------------------------------------------------------
 # x19 — TEMPORAL JOINS, union-tagged (round 9: former x20_interval_join
@@ -2517,20 +2519,63 @@ def x49_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # x50 — persisted index artifacts, end-to-end: build each index family
-# member (PQ codes, IVF cells, BM25 postings) into scratch, run the
-# indexed search, and CHECK it row-for-row against the from-scratch
-# in-memory path — the equality IS the semantics, so the query reports
-# the match census (a mismatch shows up as eq=false rows, and the >0-
-# rows driver check plus pytest equality twins pin it). Side-effecting
-# scratch builds => rows-only, like x44's snapshot pipeline.
+# member (PQ codes, IVF cells, BM25 postings) into scratch over HALF the
+# corpus, APPEND the other half, run the indexed search, and CHECK it
+# against the from-scratch path. ORACLE-CHECKED since round 9 (slot
+# freed by x17→x13): the 'bm25' rows are the indexed top-10 FROM THE
+# HALF-BUILT-PLUS-APPENDED STORE, and the oracle recomputes them from
+# `documents` with x32's full BM25 SQL — a genuinely independent
+# recomputation that fails if the append protocol loses/duplicates any
+# posting, doc length, or corpus stat (df/avgdl/n_docs shift). The
+# 'pq'/'ivf' rows carry the indexed-vs-in-memory equality the engine
+# computes over its persisted artifacts; DuckDB cannot reach those
+# artifacts (kmeans/codebook floats aren't SQL-expressible), so the
+# oracle pins the CONTRACT values those rows must equal (n_results=40:
+# 4 probes x k=10; eq=true) — a regression flips the Spark side and the
+# driver goes red. Byte-equality twins stay in pytest.
 # --------------------------------------------------------------------------
 @register(
     "x50_persisted_indexes",
-    oracle=None,
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ({_X32_TERMS_SQL}) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT row_number() OVER (ORDER BY sum(contrib) DESC, doc_id) AS rank,
+             doc_id,
+             round(sum(contrib), 6) AS score,
+             count(*) AS n_terms_hit
+      FROM (
+          SELECT tf.doc_id, ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 AS contrib
+          FROM tf JOIN df USING (term) CROSS JOIN stats JOIN dl USING (doc_id)
+      )
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id
+      LIMIT 10)
+    SELECT 'bm25' AS family, rank, doc_id, score, n_terms_hit,
+           CAST(NULL AS BIGINT) AS n_results,
+           CAST(NULL AS BIGINT) AS eq_in_memory
+    FROM bm
+    UNION ALL
+    SELECT 'ivf', NULL, NULL, NULL, NULL, 40, 1
+    UNION ALL
+    SELECT 'pq', NULL, NULL, NULL, NULL, 40, 1
+    ORDER BY family, rank
+    """,
     doc="persisted PQ/IVF/BM25 index artifacts incl. incremental appends: "
-    "build over half the corpus, append the rest, query indexed vs the "
-    "frozen-structure from-scratch twin, report per-family row equality "
-    "(rows-only; byte-equality also pinned in pytest)",
+    "build over half the corpus, append the rest; bm25 rows = indexed "
+    "top-10 from the appended store, independently recomputed by the "
+    "oracle from documents; pq/ivf rows = indexed-vs-in-memory equality "
+    "against the pinned contract values (byte-equality also in pytest)",
 )
 def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each family builds over HALF the corpus and APPENDS the other half
@@ -2544,7 +2589,6 @@ def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.retrieval import (
         append_to_bm25_index,
-        bm25_topk,
         bm25_topk_indexed,
         build_bm25_index,
     )
@@ -2599,18 +2643,29 @@ def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_rest = docs.filter(F.col("doc_id") % 2 == 1)
         build_bm25_index(spark, d_first, f"{base}/bm25", n_buckets=64)
         append_to_bm25_index(spark, d_rest, f"{base}/bm25")
-        mem_bm = sorted(map(tuple, bm25_topk(docs, X32_QUERY_TERMS, k=10).collect()))
-        idx_bm = sorted(map(tuple, bm25_topk_indexed(
-            spark, f"{base}/bm25", X32_QUERY_TERMS, k=10).collect()))
+        # the bm25 branch rows ARE the indexed results from the appended
+        # store — the oracle recomputes them from `documents` directly,
+        # so a lost/duplicated posting or drifted corpus stat goes red
+        idx_bm_rows = bm25_topk_indexed(
+            spark, f"{base}/bm25", X32_QUERY_TERMS, k=10
+        ).collect()
 
-        rows = [
-            ("pq", len(idx_pq), idx_pq == mem_pq),
-            ("ivf", len(idx_ivf), idx_ivf == mem_ivf),
-            ("bm25", len(idx_bm), idx_bm == mem_bm),
+        # eq flags ride as 0/1 bigints (a NULL boolean canonicalizes
+        # differently across the two pandas bridges; NULL bigints agree)
+        summary = [
+            ("pq", None, None, None, None, len(idx_pq), int(idx_pq == mem_pq)),
+            ("ivf", None, None, None, None, len(idx_ivf), int(idx_ivf == mem_ivf)),
+        ]
+        bm = [
+            ("bm25", r["rank"], r["doc_id"], r["score"], r["n_terms_hit"],
+             None, None)
+            for r in idx_bm_rows
         ]
         return spark.createDataFrame(
-            rows, "index_kind string, n_results long, eq_in_memory boolean"
-        )
+            bm + summary,
+            "family string, rank long, doc_id long, score double, "
+            "n_terms_hit long, n_results long, eq_in_memory long",
+        ).orderBy("family", "rank")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -2294,14 +2294,28 @@ def test_index_meta_driven_freshness_and_id_types(spark, tmp_path):
 
 
 def test_x50_registered_index_equality_census(spark, sf_dir):
-    """Every persisted index family must report row-for-row equality with
-    its from-scratch twin in the registered census."""
+    """The registered census (oracle-checked since round 9): pq/ivf rows
+    report indexed-vs-in-memory equality (eq=1, the oracle's pinned
+    contract value), and the bm25 rows ARE the indexed top-10 from the
+    half-built-plus-appended store."""
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import bm25_topk
     from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+    from lambda_kafka_to_s3_parquet_spark.plans.extensions import X32_QUERY_TERMS
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
 
     rows = all_specs()["x50_persisted_indexes"].fn(spark, sf_dir).collect()
-    assert {r["index_kind"] for r in rows} == {"pq", "ivf", "bm25"}
-    assert all(r["eq_in_memory"] for r in rows)
-    assert all(r["n_results"] > 0 for r in rows)
+    assert {r["family"] for r in rows} == {"pq", "ivf", "bm25"}
+    summary = {r["family"]: r for r in rows if r["family"] != "bm25"}
+    assert all(r["eq_in_memory"] == 1 for r in summary.values())
+    assert all(r["n_results"] > 0 for r in summary.values())
+    # the bm25 branch equals the from-scratch full-corpus search
+    got = sorted(
+        (r["rank"], r["doc_id"], r["score"], r["n_terms_hit"])
+        for r in rows if r["family"] == "bm25"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = sorted(map(tuple, bm25_topk(docs, X32_QUERY_TERMS, k=10).collect()))
+    assert got == want and len(got) == 10
 
 
 def test_pq_ivf_index_append_equals_frozen_rebuild(spark, tmp_path):
