@@ -182,6 +182,17 @@ HEADLINE = [
 ]
 
 
+#: Round-9 artifact notes (idle host, per the bench-protocol rule; the
+#: round-8 artifact was committed from a noisy night and every SINGLE_RUN
+#: streaming entry read +9-38% vs r7): this run puts w05-w12 back within
+#: +12% of their r7 values and x42 at ~1.6 s, confirming the r8 inflation
+#: was measurement. w13 3.74 s (r8 4.17) reflects the delta-bloom +
+#: cached-read-plan work (see STRESS_r09 w13 rows: fresh/dup 1.0x at a
+#: 10x store). x13/x19 absorb former x17/x20 (not comparable to <= r8).
+#: Residual watch: x46 crept 0.64 (r7) -> 0.82 (r8) -> 0.97 s with no
+#: change on its own path; the round-8 BMP codec added a format-dispatch
+#: branch in front of the PPM decode it exercises — small absolute cost,
+#: attribute before optimizing.
 #: Checkpointed streaming replays (w05-w10) execute a full multi-micro-
 #: batch query per invocation: their cost is dominated by fixed machinery
 #: (scratch copy, checkpoint commits, state-store files), stable run-to-

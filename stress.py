@@ -246,7 +246,15 @@ def w13_gram_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dic
     bloom answers 'new' driver-side, so per-batch cost should be ~flat),
     and a DUP batch (a subset of the 1x corpus — every gram is a bloom
     positive and its buckets are read; with n_pfx ∝ store the read stays
-    bounded per bucket, so this too should be ~flat, just higher)."""
+    bounded per bucket, so this too should be ~flat, just higher).
+
+    These rows are ALSO the per-batch bloom-I/O-∝-batch evidence: round
+    8 committed fresh 1.7x / dup 1.8x because three per-batch costs
+    scaled with the STORE (full 21 MB bitmap rewrite 0.34 s, fill-ratio
+    popcount 0.76-1.35 s, re-listing ~276 bucket dirs 0.82 s); round 9's
+    delta-bloom appends + meta-carried popcount + cached immutable read
+    plans brought the same measurement to fresh 1.0x / dup 1.0x
+    (committed STRESS_r09)."""
     from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
         compact_gram_store,
         incremental_duplicated_spans,
