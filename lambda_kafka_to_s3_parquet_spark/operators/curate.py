@@ -43,7 +43,12 @@ from ..functions.text import (
     tokens,
     whitespace_tokens,
 )
-from .dedup import near_dup_dedup, remove_boilerplate_lines
+from .dedup import (
+    connected_components,
+    near_dup_dedup,
+    near_dup_pairs,
+    remove_boilerplate_lines,
+)
 from .packing import pack_sequences
 
 
@@ -108,3 +113,101 @@ def curate_corpus(
     if pack_len is not None:
         out = pack_sequences(out, id_col, "est_bpe_tokens", pack_len)
     return out
+
+
+def curate_with_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    max_dup_3gram_frac: float = 1.0,
+    dedup_threshold: float = 0.8,
+    drop_boilerplate_in: int | None = None,
+    scrub_pii: bool = False,
+) -> DataFrame:
+    """:func:`curate_corpus` with a full AUDIT TRAIL: every input
+    document comes back exactly once —
+
+    * ``status='kept'`` rows are curate_corpus's survivors, with the same
+      ``split`` / ``n_ws_tokens`` / ``est_bpe_tokens`` columns;
+    * ``status='dropped:quality_gate'`` rows failed the token/alpha/
+      repetition thresholds (post-cleaning text retained for inspection);
+    * ``status='dropped:near_dup'`` rows lost their near-dup cluster;
+      ``exemplar`` carries the SURVIVING cluster member's id, so every
+      drop is attributable to the document that kept its place.
+
+    At 100 TB silent row loss is the classic curation failure mode — a
+    threshold typo or a skewed dedup can delete a percent of the corpus
+    with nothing in the logs. The audited form costs ONE extra narrow
+    filter (the gate's complement) and relabels the dedup's anti-join as
+    a left join on the SAME connected-components output — the chain still
+    runs once (same ``gated`` persist boundary as curate_corpus), so the
+    audit is ~free relative to the dedup it rides.
+    """
+    if drop_boilerplate_in is not None:
+        cleaned = remove_boilerplate_lines(
+            docs, id_col=id_col, text_col=text_col, min_docs=drop_boilerplate_in
+        ).select(id_col, F.col("cleaned").alias(text_col))
+        docs = docs.drop(text_col).join(cleaned, id_col)
+    if scrub_pii:
+        docs = docs.withColumn(text_col, redact_pii(text_col))
+    if drop_boilerplate_in is not None or scrub_pii:
+        # Stage boundary, one level HIGHER than curate_corpus's: the
+        # audit consumes the cleaned frame from BOTH sides of the gate
+        # (gated feeds the dedup's four subtrees + the two labeled
+        # branches; the complement feeds gate_drops), so cache the
+        # cleaning output itself — persisting only `gated` re-ran the
+        # whole boilerplate chain for the complement (measured: the
+        # audited x28 doubled, 4.5 -> 8.4 s at sf0.1, before this).
+        docs = docs.persist()
+    gate = (
+        (token_count(text_col) >= min_tokens)
+        & (alpha_ratio(text_col) >= min_alpha_ratio)
+        & (dup_ngram_frac(tokens(text_col), 3) <= max_dup_3gram_frac)
+    )
+    nul_l = F.lit(None).cast("bigint")
+    nul_s = F.lit(None).cast("string")
+    gate_drops = docs.filter(~gate).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.lit("dropped:quality_gate").alias("status"),
+        nul_s.alias("split"),
+        nul_l.alias("n_ws_tokens"),
+        nul_l.alias("est_bpe_tokens"),
+        nul_l.alias("exemplar"),
+    )
+    gated = docs.filter(gate)  # narrow filter over the cache
+    pairs = near_dup_pairs(
+        gated, id_col=id_col, text_col=text_col, threshold=dedup_threshold
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    # comp holds one row per CLUSTERED node — a sliver of the corpus —
+    # and is consumed by both the kept and dup_drop branches: broadcast
+    # so neither consumer shuffles the (cached) corpus.
+    labeled = gated.join(
+        F.broadcast(comp), gated[id_col] == comp["node"], "left"
+    )
+    kept = labeled.filter(
+        F.col("node").isNull() | (F.col("node") == F.col("component"))
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.lit("kept").alias("status"),
+        assign_split(text_col).alias("split"),
+        F.size(whitespace_tokens(text_col)).cast("bigint").alias("n_ws_tokens"),
+        bpe_token_estimate(text_col).alias("est_bpe_tokens"),
+        nul_l.alias("exemplar"),
+    )
+    dup_drops = labeled.filter(
+        F.col("node").isNotNull() & (F.col("node") != F.col("component"))
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.lit("dropped:near_dup").alias("status"),
+        nul_s.alias("split"),
+        nul_l.alias("n_ws_tokens"),
+        nul_l.alias("est_bpe_tokens"),
+        F.col("component").cast("bigint").alias("exemplar"),
+    )
+    return kept.unionByName(gate_drops).unionByName(dup_drops)

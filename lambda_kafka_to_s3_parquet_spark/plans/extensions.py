@@ -1159,15 +1159,29 @@ def x27_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                         FILTER (WHERE b.line IS NULL), ''))       AS md5
     FROM seg s LEFT JOIN boiler b ON s.line = b.line
     GROUP BY s.doc_id
+    UNION ALL
+    SELECT 'gate_drop' AS src, doc_id,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM cleaned WHERE doc_id NOT IN (SELECT doc_id FROM gated)
+    UNION ALL
+    SELECT 'dup_drop' AS src, g.doc_id,
+           CAST(NULL AS VARCHAR),
+           comp.component AS n1,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM gated g JOIN comp ON g.doc_id = comp.node
+    WHERE comp.component <> g.doc_id
     ORDER BY src, doc_id
     """,
-    doc="end-to-end curation chain: boilerplate removal -> quality gate -> "
-    "near-dup dedup -> split + token budgets, whole-pipeline oracle; "
-    "union-tagged with the standalone boilerplate line-dedup census "
-    "(former x26)",
+    doc="end-to-end curation chain with AUDIT TRAIL: boilerplate removal "
+    "-> quality gate -> near-dup dedup -> split + token budgets, "
+    "whole-pipeline oracle; union-tagged with the standalone boilerplate "
+    "line-dedup census (former x26) and, since round 9, the per-document "
+    "drop ledger (gate_drop rows; dup_drop rows carry the surviving "
+    "exemplar's id in n1) — nothing exits the chain unaccounted",
 )
 def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curate import curate_corpus
+    from ..operators.curate import curate_with_audit
     from ..operators.dedup import remove_boilerplate_lines
 
     d = _t(spark, sf_dir, "documents")
@@ -1180,20 +1194,38 @@ def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(tokens("text"), " "), r"(\S+ \S+ \S+) ", "$1\n"
         ).alias("text"),
     )
-    out = curate_corpus(
+    audited = curate_with_audit(
         doc2,
         min_tokens=5,
         min_alpha_ratio=0.5,
         dedup_threshold=0.8,
         drop_boilerplate_in=3,
     )
-    chain = out.select(
+    nul_s = F.lit(None).cast("string")
+    nul_l = F.lit(None).cast("bigint")
+    chain = audited.filter(F.col("status") == "kept").select(
         F.lit("chain").alias("src"),
         "doc_id",
         "split",
         F.col("n_ws_tokens").alias("n1"),
         F.col("est_bpe_tokens").alias("n2"),
         F.md5("text").alias("md5"),
+    )
+    gate_drop = audited.filter(F.col("status") == "dropped:quality_gate").select(
+        F.lit("gate_drop").alias("src"),
+        "doc_id",
+        nul_s.alias("split"),
+        nul_l.alias("n1"),
+        nul_l.alias("n2"),
+        nul_s.alias("md5"),
+    )
+    dup_drop = audited.filter(F.col("status") == "dropped:near_dup").select(
+        F.lit("dup_drop").alias("src"),
+        "doc_id",
+        nul_s.alias("split"),
+        F.col("exemplar").alias("n1"),
+        nul_l.alias("n2"),
+        nul_s.alias("md5"),
     )
     boiler = remove_boilerplate_lines(doc2, min_docs=3).select(
         F.lit("boilerplate").alias("src"),
@@ -1203,7 +1235,12 @@ def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").alias("n2"),
         F.md5("cleaned").alias("md5"),
     )
-    return chain.unionByName(boiler).orderBy("src", "doc_id")
+    return (
+        chain.unionByName(boiler)
+        .unionByName(gate_drop)
+        .unionByName(dup_drop)
+        .orderBy("src", "doc_id")
+    )
 
 
 # --------------------------------------------------------------------------

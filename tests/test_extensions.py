@@ -425,6 +425,43 @@ def test_curate_corpus_pipeline(spark):
     assert all(r["split"] == want[r["doc_id"]] for r in out)
 
 
+def test_curate_with_audit_accounts_for_every_document(spark, sf_dir):
+    """The audited chain partitions the input exactly: every doc comes
+    back once as kept / dropped:quality_gate / dropped:near_dup; kept
+    rows equal curate_corpus's survivors column-for-column; every
+    near-dup drop's exemplar is a KEPT doc with a smaller id (min-id
+    survivor rule)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.curate import (
+        curate_corpus,
+        curate_with_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400).select("doc_id", "text")
+    audited = curate_with_audit(docs).collect()
+
+    # exact partition of the input
+    ids = sorted(r["doc_id"] for r in audited)
+    want_ids = sorted(r["doc_id"] for r in docs.collect())
+    assert ids == want_ids
+
+    kept = {r["doc_id"]: r for r in audited if r["status"] == "kept"}
+    plain = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+    assert kept.keys() == plain.keys()
+    for i, r in kept.items():
+        p = plain[i]
+        assert (r["split"], r["n_ws_tokens"], r["est_bpe_tokens"]) == (
+            p["split"], p["n_ws_tokens"], p["est_bpe_tokens"])
+
+    dup_drops = [r for r in audited if r["status"] == "dropped:near_dup"]
+    assert dup_drops, "fixture has near-dup structure"
+    for r in dup_drops:
+        assert r["exemplar"] in kept and r["exemplar"] < r["doc_id"]
+    gate_drops = [r for r in audited if r["status"] == "dropped:quality_gate"]
+    for r in gate_drops:
+        assert r["exemplar"] is None and r["split"] is None
+
+
 def test_remove_boilerplate_lines(spark):
     """CCNet-style inter-doc line dedup: lines in >= min_docs distinct
     documents vanish from every doc; survivors keep original order; empty
