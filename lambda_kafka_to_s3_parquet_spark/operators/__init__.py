@@ -48,8 +48,12 @@ from .vector_index import (  # noqa: F401
     topk_ivf_indexed,
     topk_pq_indexed,
 )
+from .curate import curate_corpus, curate_with_audit  # noqa: F401
 from .sink import (  # noqa: F401
     read_partition,
+    read_pruned,
+    read_zone_maps,
     with_partition_columns,
+    write_clustered,
     write_partitioned,
 )

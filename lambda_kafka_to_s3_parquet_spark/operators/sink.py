@@ -471,6 +471,12 @@ def read_pruned(
         excluded = [
             json.loads(k) for k, stats in maps["entries"].items() if disjoint(stats)
         ]
+        if not excluded:
+            return df
+        # ONE NOT(OR(...)) predicate, not a chained filter per tuple —
+        # thousands of excluded partitions otherwise stack thousands of
+        # Filter nodes into the plan before the collapse rule sees them
+        exclusion = None
         for vals in excluded:
             cond = F.lit(True)
             for c, v in zip(pcols, vals):
@@ -478,8 +484,8 @@ def read_pruned(
                     F.col(c).isNull() if v is None
                     else (F.col(c).cast("string") == F.lit(str(v)))
                 )
-            df = df.filter(~cond)
-        return df
+            exclusion = cond if exclusion is None else (exclusion | cond)
+        return df.filter(~exclusion)
 
     # file granularity: scan only surviving paths
     keep = [f for f, stats in maps["entries"].items() if not disjoint(stats)]

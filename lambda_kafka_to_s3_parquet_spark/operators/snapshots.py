@@ -496,9 +496,26 @@ def snapshot_read(
         else:
             empty = False
         all_dirs = kept
-    # Partition columns reconstruct per commit directory (basePath); the
-    # union preserves them, so partition filters prune inside every
-    # referenced directory.
+    out = _read_dirs(spark, table, all_dirs, manifest)
+    if skip_where and empty:
+        out = out.limit(0)
+    return out
+
+
+def _read_dirs(
+    spark: SparkSession, table: str, all_dirs: list[str], manifest: dict
+) -> DataFrame:
+    """Union scan of specific table-relative commit dirs.
+
+    Partition columns reconstruct per commit directory (basePath); the
+    union preserves them, so partition filters prune inside every
+    referenced directory. MIXED layouts (an unpartitioned commit beside
+    partitioned ones) would otherwise expose a column ORDER decided by
+    whichever commit uuid happens to sort first (fresh-table
+    nondeterministic): unionByName aligns names but keeps frame[0]'s
+    order, and partition columns read back AFTER the data columns only
+    for partitioned commits. Canonicalize partition-key columns to the
+    end — a no-op for uniform tables."""
     by_commit: dict[str, list[str]] = {}
     for d in all_dirs:
         by_commit.setdefault(d.split("/")[1], []).append(d)  # data/<uuid>/...
@@ -512,14 +529,6 @@ def snapshot_read(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    # MIXED layouts (an unpartitioned commit beside partitioned ones)
-    # would otherwise expose a column ORDER decided by whichever commit
-    # uuid happens to sort first (fresh-table nondeterministic):
-    # unionByName aligns names but keeps frame[0]'s order, and partition
-    # columns read back AFTER the data columns only for partitioned
-    # commits. Canonicalize partition-key columns to the end — a no-op
-    # for uniform tables (partitioned reads already end with them;
-    # unpartitioned tables have none).
     pcols: list[str] = []
     for key in manifest["partitions"]:
         for part in key.split("/") if key else []:
@@ -529,9 +538,75 @@ def snapshot_read(
     if pcols:
         data_cols = [c for c in out.columns if c not in pcols]
         out = out.select(*data_cols, *[c for c in pcols if c in out.columns])
-    if skip_where and empty:
-        out = out.limit(0)
     return out
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> dict:
+    """Directory-level delta between two committed snapshots:
+    ``{"from", "to", "added": [rel dirs], "removed": [rel dirs]}``.
+
+    Manifest-only — no data is listed or read, so the diff costs two
+    JSON reads regardless of table size. ``removed`` non-empty means an
+    overwrite/rewrite/rollback happened in the range (the table is not
+    append-only over it)."""
+    committed = current_version(spark, table)
+    to_v = committed if to_version is None else to_version
+    mf = _load_manifest(spark, table, from_version, committed=committed)
+    mt = _load_manifest(spark, table, to_v, committed=committed)
+    dirs_f = {d for dirs in mf["partitions"].values() for d in dirs}
+    dirs_t = {d for dirs in mt["partitions"].values() for d in dirs}
+    return {
+        "from": from_version,
+        "to": to_v,
+        "added": sorted(dirs_t - dirs_f),
+        "removed": sorted(dirs_f - dirs_t),
+    }
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table: str,
+    since_version: int,
+    to_version: int | None = None,
+    allow_replacements: bool = False,
+) -> DataFrame:
+    """Rows ADDED between two snapshot versions, read from ONLY the new
+    directories — the Iceberg incremental-read shape: a downstream
+    consumer that processed v_N catches up to v_M by scanning the delta
+    commits, never the whole table (at 100 TB the difference between an
+    incremental pipeline and a nightly full rescan).
+
+    Append-only ranges are exact: the result is precisely the appended
+    rows. If the range REMOVED directories (overwrite/rewrite/rollback),
+    an added dir may carry rewritten copies of old rows, so "what
+    changed" is ambiguous at file granularity — fail fast unless
+    ``allow_replacements=True`` (then the new dirs' rows are returned
+    as-is and the caller owns dedup/merge semantics; pair with
+    :func:`snapshot_diff` to see what was dropped). An empty delta
+    returns zero rows with the table's schema."""
+    committed = current_version(spark, table)
+    to_v = committed if to_version is None else to_version
+    d = snapshot_diff(spark, table, since_version, to_version=to_v)
+    if d["removed"] and not allow_replacements:
+        raise ValueError(
+            f"snapshot range v{since_version}->v{to_v} of {table} removed "
+            f"{len(d['removed'])} dir(s) (op history includes an overwrite/"
+            "rewrite/rollback); file-level incremental reads are ambiguous "
+            "over replacements — pass allow_replacements=True to consume "
+            "the new dirs anyway, or rebuild from snapshot_read"
+        )
+    manifest = _load_manifest(spark, table, to_v, committed=committed)
+    if not d["added"]:
+        all_dirs = sorted(
+            x for dirs in manifest["partitions"].values() for x in dirs
+        )
+        return _read_dirs(spark, table, all_dirs, manifest).limit(0)
+    return _read_dirs(spark, table, d["added"], manifest)
 
 
 def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:

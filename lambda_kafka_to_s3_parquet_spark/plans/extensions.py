@@ -2300,6 +2300,8 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.snapshots import (
         snapshot_append,
+        snapshot_changes,
+        snapshot_diff,
         snapshot_history,
         snapshot_overwrite_partitions,
         snapshot_read,
@@ -2360,6 +2362,20 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(("zonemap_files_skipped", zm_files, 0.0))
         rows.append(
             ("zonemap_rows", zm.filter(F.col("event_id") >= 10_000_000).count(), 0.0)
+        )
+        # round 9: incremental-consumption branch — snapshot_changes over
+        # the append-only prefix reads ONLY the delta dirs (the Iceberg
+        # incremental-read shape); the census reports the delta's rows +
+        # value sum (equality with the appended batch and the replacement
+        # fail-stop are pinned in test_snapshots.py)
+        delta = snapshot_changes(spark, t, 1, to_version=2)
+        dagg = delta.agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
+        ).first()
+        rows.append(("changes_v1_v2", dagg["n"], float(dagg["sv"])))
+        rows.append(
+            ("diff_v1_v2_added",
+             len(snapshot_diff(spark, t, 1, 2)["added"]), 0.0)
         )
         # rows are already driver-local python tuples: the frame never
         # references the scratch table deleted in finally

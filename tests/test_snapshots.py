@@ -970,3 +970,58 @@ def test_rewrite_recollects_zone_maps(spark, tmp_path):
     )
     want = sorted(map(tuple, snapshot_read(spark, t).filter("id >= 5000").collect()))
     assert got == want and len(got) == 300
+
+
+def test_snapshot_diff_and_incremental_changes(spark, tmp_path):
+    """Incremental consumption: (a) an append-only range's changes are
+    exactly the appended rows, read from only the delta dirs; (b) an
+    empty range returns zero rows with the table schema; (c) a range
+    containing an overwrite fail-stops (file-level increments are
+    ambiguous over replacements) unless allow_replacements=True, which
+    returns the new dirs' rows; (d) snapshot_diff is manifest-only and
+    reports both sides."""
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_changes,
+        snapshot_diff,
+        snapshot_overwrite_partitions,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(100)], "id long, p int, v double"
+    )
+    b = spark.createDataFrame(
+        [(1000 + i, i % 2, float(i)) for i in range(40)], "id long, p int, v double"
+    )
+    v1 = snapshot_append(spark, t, a, partition_by=["p"])
+    v2 = snapshot_append(spark, t, b, partition_by=["p"])
+
+    # (a) append-only delta == second append's rows
+    got = sorted(r["id"] for r in snapshot_changes(spark, t, v1).collect())
+    assert got == sorted(r["id"] for r in b.collect())
+    # full-history delta == whole table
+    assert snapshot_changes(spark, t, 0).count() == 140
+    d = snapshot_diff(spark, t, v1, v2)
+    assert d["removed"] == [] and len(d["added"]) == 2  # two p= dirs
+
+    # (b) empty range: schema intact, zero rows
+    empty = snapshot_changes(spark, t, v2)
+    assert empty.count() == 0
+    assert set(empty.columns) == set(snapshot_read(spark, t).columns)
+
+    # (c) overwrite in range -> fail-stop; allow_replacements consumes
+    repl = spark.createDataFrame([(7777, 0, 7.0)], "id long, p int, v double")
+    v3 = snapshot_overwrite_partitions(spark, t, repl, partition_by=["p"])
+    assert snapshot_diff(spark, t, v2, v3)["removed"]
+    with pytest.raises(ValueError, match="allow_replacements"):
+        snapshot_changes(spark, t, v2)
+    forced = snapshot_changes(spark, t, v2, allow_replacements=True)
+    assert {r["id"] for r in forced.collect()} == {7777}
+
+    # (d) diff across the whole history
+    d_all = snapshot_diff(spark, t, 0, v3)
+    assert len(d_all["added"]) >= 2 and d_all["removed"] == []
