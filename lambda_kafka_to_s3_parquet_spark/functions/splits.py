@@ -172,16 +172,34 @@ def temperature_mix(
     target_total: int | None = None,
     key_col: str = "text",
     n_buckets: int = 10_000,
+    weight_col: str | None = None,
 ):
     """Temperature-rebalanced deterministic corpus mix: one tiny
     per-stratum count aggregate (collected — bounded by |strata|), rates
     from :func:`temperature_rates`, rows kept by the same content-hash
     threshold rule as :func:`stratified_sample` (reproducible on any
     cluster/partitioning; a kept duplicate stays with its split). Returns
-    ``(kept_df, rates)`` so the recipe ships with its data."""
+    ``(kept_df, rates)`` so the recipe ships with its data.
+
+    ``weight_col`` switches the mix to a WEIGHT budget — the production
+    form targets TOKENS, not documents (a stratum of long documents
+    otherwise over-contributes to training exactly the way mixing is
+    meant to prevent): strata sizes become per-stratum weight sums,
+    ``target_total`` is a weight budget, and the per-document keep rate
+    caps each stratum's expected kept weight at its temperature share.
+    Document-level hash sampling approximates the budget (exact in
+    expectation; the error is one document's weight per stratum —
+    negligible at corpus scale). Integer weights keep the per-stratum
+    sums order-independent, so the rate arithmetic stays bit-identical
+    cross-engine (the x30 oracle contract extends to this branch)."""
+    agg = (
+        F.sum(weight_col).cast("double")
+        if weight_col is not None
+        else F.count("*")
+    )
     counts = {
         r[strata_col]: r["n"]
-        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+        for r in df.groupBy(strata_col).agg(agg.alias("n")).collect()
     }
     rates = temperature_rates(counts, alpha, target_total)
     return stratified_sample(df, strata_col, rates, key_col, 0.0, n_buckets), rates

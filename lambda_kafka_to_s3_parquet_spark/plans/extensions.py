@@ -1327,7 +1327,19 @@ _X30_THRESH = " ".join(
     tthr AS (SELECT lang,
                     CAST(floor(least(1.0, ((sqrt(n) / S) * T) / n) * 10000)
                          AS INT) AS thr
-             FROM cnt, s)
+             FROM cnt, s),
+    wdoc AS (SELECT lang, doc_id, text,
+                    CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                         w -> w != '')) AS BIGINT) AS w
+             FROM documents),
+    wcnt AS (SELECT lang, CAST(sum(w) AS DOUBLE) AS n FROM wdoc GROUP BY lang),
+    ws AS (SELECT list_sum(list(sqrt(n) ORDER BY lang)) AS S,
+                  sum(n) * 0.5 AS T
+           FROM wcnt),
+    wthr AS (SELECT lang,
+                    CAST(floor(least(1.0, ((sqrt(n) / S) * T) / n) * 10000)
+                         AS INT) AS thr
+             FROM wcnt, ws)
     SELECT 'stratified' AS mix, lang,
            count(*)    AS n_kept,
            min(doc_id) AS first_doc,
@@ -1344,14 +1356,25 @@ _X30_THRESH = " ".join(
     FROM documents JOIN tthr USING (lang)
     WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 10000 < thr
     GROUP BY lang
+    UNION ALL
+    SELECT 'temperature_tokens' AS mix, lang,
+           count(*)    AS n_kept,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM wdoc JOIN wthr USING (lang)
+    WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 10000 < thr
+    GROUP BY lang
     ORDER BY mix, lang
     """,
     doc="deterministic corpus mix, union-tagged: per-language stratified "
     "rates + temperature-scaled (alpha=0.5) rebalancing to half the "
-    "corpus; oracle recomputes the exact md5 AND rate arithmetic",
+    "corpus by DOCUMENT count AND (round 9) by TOKEN budget "
+    "(weight_col); oracle recomputes the exact md5 AND rate arithmetic "
+    "for all three branches",
 )
 def x30_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.splits import stratified_sample, temperature_mix
+    from ..functions.text import whitespace_tokens
 
     d = _t(spark, sf_dir, "documents")
 
@@ -1371,9 +1394,21 @@ def x30_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp, _rates = temperature_mix(
         d, "lang", alpha=0.5, target_total=n_total * 0.5, key_col="text"
     )
-    return census(strat, "stratified").unionByName(
-        census(temp, "temperature")
-    ).orderBy("mix", "lang")
+    # token-budget branch: strata sized by whitespace-token sums (integer
+    # weights — the per-stratum sums are order-independent, keeping the
+    # rate arithmetic bit-identical to the DuckDB twin)
+    dw = d.withColumn("w", F.size(whitespace_tokens("text")).cast("bigint"))
+    w_total = dw.agg(F.sum("w")).first()[0]
+    tempw, _wr = temperature_mix(
+        dw, "lang", alpha=0.5, target_total=w_total * 0.5, key_col="text",
+        weight_col="w",
+    )
+    return (
+        census(strat, "stratified")
+        .unionByName(census(temp, "temperature"))
+        .unionByName(census(tempw, "temperature_tokens"))
+        .orderBy("mix", "lang")
+    )
 
 
 # --------------------------------------------------------------------------

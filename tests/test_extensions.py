@@ -2837,6 +2837,29 @@ def test_temperature_rates_math_and_partition_invariance(spark):
     )
     assert set(rates) == {"en", "de", "fr"}
 
+    # weight_col: strata are sized by WEIGHT sums, not doc counts — a
+    # stratum of heavy docs gets a LOWER keep rate than its doc count
+    # suggests (the token-budget form). Rates equal temperature_rates
+    # over the weight sums exactly.
+    wrows = [(i, f"w doc {i}", "heavy" if i < 100 else "light",
+              1000 if i < 100 else 10) for i in range(200)]
+    dw = spark.createDataFrame(wrows, "doc_id long, text string, lang string, w long")
+    keptw, wr = temperature_mix(dw, "lang", alpha=0.5,
+                                target_total=55_000.0, weight_col="w")
+    want_wr = temperature_rates({"heavy": 100_000.0, "light": 1_000.0},
+                                alpha=0.5, target_total=55_000.0)
+    assert wr == want_wr
+    # doc-count rates would treat the strata as 100 vs 100 (equal);
+    # weight rates must not
+    dr = temperature_rates({"heavy": 100, "light": 100}, 0.5, 110.0)
+    assert dr["heavy"] == dr["light"]
+    assert wr["heavy"] < wr["light"] == 1.0  # light's share exceeds its size
+    # kept docs come only through the hash rule at those rates
+    kept_by = {(r["lang"]): 0 for r in keptw.collect()}
+    for r in keptw.collect():
+        kept_by[r["lang"]] += 1
+    assert kept_by.get("light", 0) == 100  # rate 1.0 keeps everything
+
 
 def test_int8_quantization_twin_and_recall(spark, sf_dir):
     """(a) quantize_embeddings equals the numpy symmetric-quantization
