@@ -119,6 +119,8 @@ HEADLINE = [
     # round 5 (late): token-window chunking, URL/domain cap, unigram-LM
     # cross-entropy scoring — all oracle-checked
     "x38_doc_chunking",
+    # round 9: x39 union-tagged (doc_cap + token_quota cumsum branch) —
+    # timing not comparable to rounds <= 8
     "x39_domain_cap",
     "x40_lm_perplexity",
     # round 5 (late): PQ ANN — trains codebooks + encodes inside fn()

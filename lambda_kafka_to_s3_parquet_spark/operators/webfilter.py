@@ -111,3 +111,43 @@ def cap_per_domain(
         .drop("_rank")
     )
     return capped.unionByName(docs.filter(F.col(domain_col).isNull()))
+
+
+def cap_domain_tokens(
+    docs: DataFrame,
+    domain_col: str = "host",
+    weight_col: str = "n_tokens",
+    budget: int = 1_000_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each domain's documents until its TOKEN budget is spent —
+    the weight-denominated sibling of :func:`cap_per_domain` (a cap of
+    15 docs means 15x more tokens from a long-form site than a
+    short-form one; training mixes budget tokens).
+
+    Semantics: documents consume the budget in ``id_col`` (arrival)
+    order, and a document is kept iff the running total INCLUDING it
+    stays within the budget — the stop-at-exhaustion rule. (The
+    alternative, skip-and-continue, depends on which docs were already
+    kept and is expressible neither as a window function nor as O(1)
+    streaming state per key.) One shuffle on the domain; the cumulative
+    sum is a single window pass. NULL domains bypass the cap, as in
+    :func:`cap_per_domain`. The streaming twin
+    (:func:`..streaming.pipeline.run_token_quota_stream`) carries the
+    running total as per-key state and equals this operator whenever the
+    replay preserves ``id_col`` order across batches (test-pinned).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    capped = (
+        docs.filter(F.col(domain_col).isNotNull())
+        .withColumn("_cum", F.sum(weight_col).over(w))
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+    )
+    return capped.unionByName(docs.filter(F.col(domain_col).isNull()))

@@ -1991,21 +1991,40 @@ def x38_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE host NOT IN ('src2.corpus.net', 'src15.corpus.net')),
     ranked AS (SELECT *, row_number() OVER (PARTITION BY host
                              ORDER BY n_chars DESC, doc_id) AS rn
-               FROM allowed)
-    SELECT host,
+               FROM allowed),
+    cum AS (SELECT *, sum(n_chars) OVER (PARTITION BY host ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS running
+            FROM allowed)
+    SELECT 'doc_cap' AS branch, host,
            CAST(count(*) AS BIGINT)                        AS n_total,
            CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN rn > 15 THEN 1 ELSE 0 END) AS BIGINT)  AS n_dropped,
            round(avg(n_chars) FILTER (rn <= 15), 2)        AS avg_kept_chars,
            min(doc_id) FILTER (rn <= 15)                   AS min_kept_doc,
            max(doc_id) FILTER (rn <= 15)                   AS max_kept_doc
-    FROM ranked GROUP BY host ORDER BY host
+    FROM ranked GROUP BY host
+    UNION ALL
+    SELECT 'token_quota' AS branch, host,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN running <= 8000 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN running > 8000 THEN 1 ELSE 0 END) AS BIGINT),
+           round(avg(n_chars) FILTER (running <= 8000), 2),
+           min(doc_id) FILTER (running <= 8000),
+           max(doc_id) FILTER (running <= 8000)
+    FROM cum GROUP BY host
+    ORDER BY branch, host
     """,
-    doc="URL host extraction + broadcast blocklist anti-join + "
-    "windowed per-domain cap (15 best-by-length docs per host)",
+    doc="URL host extraction + broadcast blocklist anti-join + per-domain "
+    "caps, union-tagged: 15-best-docs window cap ('doc_cap') and the "
+    "8000-char token-budget cumsum quota ('token_quota', round 9 — the "
+    "weight-denominated form whose streaming twin is w14)",
 )
 def x39_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.webfilter import cap_per_domain, filter_blocklist
+    from ..operators.webfilter import (
+        cap_domain_tokens,
+        cap_per_domain,
+        filter_blocklist,
+    )
 
     d = _t(spark, sf_dir, "documents").withColumn(
         "url",
@@ -2018,20 +2037,17 @@ def x39_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("src2.corpus.net",), ("src15.corpus.net",)], "host string"
     )
     allowed = filter_blocklist(d, blocklist)
-    capped = cap_per_domain(
-        allowed, domain_col="host", max_per_domain=15,
-        order_by=[F.col("n_chars").desc()],
-    )
     totals = allowed.groupBy("host").agg(F.count("*").alias("n_total"))
-    census = capped.groupBy("host").agg(
-        F.count("*").alias("n_kept"),
-        F.round(F.avg("n_chars"), 2).alias("avg_kept_chars"),
-        F.min("doc_id").alias("min_kept_doc"),
-        F.max("doc_id").alias("max_kept_doc"),
-    )
-    return (
-        totals.join(census, "host", "left")
-        .select(
+
+    def census(kept: DataFrame, branch: str) -> DataFrame:
+        agg = kept.groupBy("host").agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("n_chars"), 2).alias("avg_kept_chars"),
+            F.min("doc_id").alias("min_kept_doc"),
+            F.max("doc_id").alias("max_kept_doc"),
+        )
+        return totals.join(agg, "host", "left").select(
+            F.lit(branch).alias("branch"),
             "host",
             "n_total",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
@@ -2040,7 +2056,18 @@ def x39_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_kept_doc",
             "max_kept_doc",
         )
-        .orderBy("host")
+
+    capped = cap_per_domain(
+        allowed, domain_col="host", max_per_domain=15,
+        order_by=[F.col("n_chars").desc()],
+    )
+    quota = cap_domain_tokens(
+        allowed, domain_col="host", weight_col="n_chars", budget=8_000
+    )
+    return (
+        census(capped, "doc_cap")
+        .unionByName(census(quota, "token_quota"))
+        .orderBy("branch", "host")
     )
 
 

@@ -885,3 +885,74 @@ def w13_span_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cohort")
     )
     return _localized(spark, out, base)
+
+
+# --------------------------------------------------------------------------
+# w14 — streaming per-domain TOKEN quota: the stateful twin of x39's
+# token-budget branch (cap_domain_tokens). Two replay batches; each
+# domain's running token total is one LONG of state, consumed in doc_id
+# order within a batch and arrival order across batches — docs after a
+# domain's budget exhausts drop. Rows-only (order-dependent stateful
+# semantics aren't SQL over the union of batches); equality with the
+# batch window-cumsum operator under an id-ordered replay is pinned in
+# pytest (test_streaming.py).
+# --------------------------------------------------------------------------
+@register(
+    "w14_token_quota_stream",
+    oracle=None,
+    doc="streaming per-domain token quota (stateful running total, one "
+    "LONG per domain): per-domain kept-doc/token census after a two-batch "
+    "replay; equals the batch cumsum operator under id-ordered replay",
+)
+def w14_token_quota_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from ..streaming.pipeline import run_token_quota_stream
+
+    base = Path(tempfile.mkdtemp(prefix="w14_"))
+    src = base / "src"
+    src.mkdir()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("source").alias("host"),
+            F.col("n_chars").cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("doc_id") < 2000)
+    )
+    # two batches split on doc_id so the cross-batch arrival order IS
+    # doc_id order (the equality-with-batch-cumsum replay convention)
+    for i, b in enumerate(
+        (docs.filter(F.col("doc_id") < 1000), docs.filter(F.col("doc_id") >= 1000))
+    ):
+        staged = base / f"stage{i}"
+        b.coalesce(1).write.parquet(str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{i}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+    with _state_partitions(spark):
+        q = run_token_quota_stream(
+            spark,
+            str(src),
+            "doc_id long, host string, n_tokens long",
+            str(base / "out"),
+            str(base / "ckpt"),
+            budget=30_000,
+        )
+        _drain(q)
+    kept = spark.read.parquet(str(base / "out"))
+    out = (
+        kept.groupBy("host")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.max("doc_id").alias("last_kept_doc"),
+        )
+        .orderBy("host")
+    )
+    return _localized(spark, out, base)

@@ -493,3 +493,73 @@ def run_span_scrub_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_token_quota_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    output_path: str,
+    checkpoint: str,
+    budget: int,
+    domain_col: str = "host",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming per-domain TOKEN quota: the stateful twin of
+    :func:`..operators.webfilter.cap_domain_tokens`. Each domain's
+    running token total rides ``applyInPandasWithState`` (one LONG per
+    key — O(domains) state regardless of corpus size); a document is
+    kept iff the total including it stays within the budget, consuming
+    in ``id_col`` order within each micro-batch and in arrival order
+    across batches. Equals the batch operator whenever the replay
+    presents documents in ``id_col`` order (the file-source replay
+    convention every streaming twin here uses; test-pinned). Kept rows
+    land mode-append — at-least-once like the other landing twins."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{domain_col} STRING, {id_col} LONG, {weight_col} LONG"
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (domain,) = key
+        (used,) = state.get if state.exists else (0,)
+        kept_ids, kept_w = [], []
+        for pdf in batches:
+            for _, row in pdf.sort_values(id_col).iterrows():
+                w = int(row[weight_col])
+                if used + w <= budget:
+                    kept_ids.append(int(row[id_col]))
+                    kept_w.append(w)
+                # the running total counts EVERY arrival (stop-at-
+                # exhaustion), matching the batch window cumsum
+                used += w
+        state.update((used,))
+        if kept_ids:
+            yield pd.DataFrame(
+                {domain_col: domain, id_col: kept_ids, weight_col: kept_w}
+            )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        .filter(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="used LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1671,3 +1671,92 @@ def test_assign_cells_matches_index_assignment(spark, sf_dir, tmp_path):
         for r in assign_cells(uv, meta["centroids"]).select("id", "cell").collect()
     }
     assert recomputed == stored and len(stored) > 0
+
+
+def test_token_quota_stream_equals_batch_cumsum(spark, sf_dir, tmp_path):
+    """The streaming per-domain token quota must equal (a) the batch
+    window-cumsum operator under an id-ordered replay and (b) an
+    independent python greedy replay; (c) state is one running total per
+    domain, so a doc arriving after its domain's budget exhausts drops
+    even in a later batch; (d) NULL domains bypass the batch cap."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators.webfilter import (
+        cap_domain_tokens,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import (
+        run_token_quota_stream,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("source").alias("host"),
+            F.col("n_chars").cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("doc_id") < 1200)
+    )
+    budget = 20_000
+
+    src = tmp_path / "src"
+    src.mkdir()
+    halves = (docs.filter(F.col("doc_id") < 600), docs.filter(F.col("doc_id") >= 600))
+    for i, b in enumerate(halves):
+        staged = tmp_path / f"stage{i}"
+        b.coalesce(1).write.parquet(str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{i}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+    q = run_token_quota_stream(
+        spark,
+        str(src),
+        "doc_id long, host string, n_tokens long",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        budget=budget,
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["host"], r["doc_id"], r["n_tokens"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+
+    # (a) batch twin
+    want = sorted(
+        (r["host"], r["doc_id"], r["n_tokens"])
+        for r in cap_domain_tokens(
+            docs, domain_col="host", weight_col="n_tokens", budget=budget
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # (b) python greedy replay (stop-at-exhaustion in doc_id order)
+    used: dict = {}
+    replay = []
+    for r in sorted(docs.collect(), key=lambda r: r["doc_id"]):
+        u = used.get(r["host"], 0)
+        if u + r["n_tokens"] <= budget:
+            replay.append((r["host"], r["doc_id"], r["n_tokens"]))
+        used[r["host"]] = u + r["n_tokens"]
+    assert got == sorted(replay)
+
+    # (c) the stop rule is global across batches: some domain must have
+    # exhausted in batch 1 and kept nothing from batch 2
+    kept_by_host = {}
+    for h, d, _ in got:
+        kept_by_host.setdefault(h, []).append(d)
+    assert any(max(ds) < 600 for ds in kept_by_host.values())
+
+    # (d) NULL domains bypass the batch operator
+    with_null = docs.unionByName(
+        spark.createDataFrame([(99_999, None, 10**9)],
+                              "doc_id long, host string, n_tokens long")
+    )
+    capped = cap_domain_tokens(
+        with_null, domain_col="host", weight_col="n_tokens", budget=budget
+    )
+    assert capped.filter("doc_id = 99999").count() == 1
