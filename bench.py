@@ -66,6 +66,8 @@ HEADLINE = [
     # LLM-pipeline extensions
     "x01_exact_dedup_docs",
     "x02_cdc_latest_event",
+    # round 9: x03 union-tagged (absorbs x33's bigram heavy hitters) —
+    # timing not comparable to rounds <= 8
     "x03_token_stats",
     "x07_minhash_neardup",
     # round 8: x08_simhash consolidated into x06; its bench slot goes to

@@ -124,29 +124,71 @@ def x02_cdc_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x03_token_stats",
     oracle=f"""
-    SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
-    FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
-    GROUP BY token
-    ORDER BY n DESC, token
-    LIMIT 50
+    WITH uni AS (
+      SELECT token AS gram, count(*) AS n,
+             count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+      GROUP BY token
+      ORDER BY n DESC, gram
+      LIMIT 50
+    ),
+    tok AS (SELECT {_SQL_TOKENS} AS tok FROM documents),
+    bi AS (
+      SELECT gram, count(*) AS n FROM (
+        SELECT unnest([tok[i] || ' ' || tok[i + 1] for i in range(1, len(tok))]) AS gram
+        FROM tok WHERE len(tok) >= 2)
+      GROUP BY gram
+      ORDER BY n DESC, gram
+      LIMIT 20
+    )
+    SELECT 'unigram' AS branch,
+           row_number() OVER (ORDER BY n DESC, gram) AS rank,
+           gram, n, n_docs
+    FROM uni
+    UNION ALL
+    SELECT 'bigram',
+           row_number() OVER (ORDER BY n DESC, gram),
+           gram, n, CAST(NULL AS BIGINT)
+    FROM bi
+    ORDER BY branch, rank
     """,
-    doc="token counting: explode + groupBy.count, top-50",
+    doc="corpus n-gram census, union-tagged (round 9: former "
+    "x33_heavy_hitters folds in as the 'bigram' branch, freeing its "
+    "oracle slot for x42): top-50 unigrams with document frequencies + "
+    "top-20 bigram heavy hitters",
 )
 def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.retrieval import heavy_hitters
+
     d = _t(spark, sf_dir, "documents")
     # Two-level aggregation instead of countDistinct: the first groupBy
     # reduces to distinct (token, doc) pairs with map-side combine, which
     # spreads a skewed hot token across its documents before the final
     # per-token shuffle — the standard distinct-under-skew shape.
-    return (
-        d.select("doc_id", F.explode(tokens("text")).alias("token"))
-        .groupBy("token", "doc_id")
+    uni = (
+        d.select("doc_id", F.explode(tokens("text")).alias("gram"))
+        .groupBy("gram", "doc_id")
         .agg(F.count("*").alias("c"))
-        .groupBy("token")
+        .groupBy("gram")
         .agg(F.sum("c").cast("bigint").alias("n"), F.count("*").alias("n_docs"))
-        .orderBy(F.desc("n"), F.asc("token"))
+        .orderBy(F.desc("n"), F.asc("gram"))
         .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("n"), F.asc("gram"))).cast("bigint"),
+        )
+        .select(F.lit("unigram").alias("branch"), "rank", "gram", "n", "n_docs")
     )
+    bi = heavy_hitters(d, n=2, k=20).select(
+        F.lit("bigram").alias("branch"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "gram",
+        F.col("freq").cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("n_docs"),
+    )
+    return uni.unionByName(bi).orderBy("branch", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -1573,37 +1615,6 @@ def x32_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x33 — corpus n-gram census (heavy hitters). Oracle-checked since the
-# round-5 q12->q09 consolidation freed a window slot: the DuckDB twin
-# rebuilds the bigrams with a 1-based list comprehension over the shared
-# tokenizer and pins the exact top-20 (count desc, gram asc tie-break).
-# --------------------------------------------------------------------------
-@register(
-    "x33_heavy_hitters",
-    oracle=f"""
-    WITH tok AS (
-        SELECT {_SQL_TOKENS} AS tok FROM documents
-    ),
-    grams AS (
-        SELECT unnest([tok[i] || ' ' || tok[i + 1] for i in range(1, len(tok))]) AS gram
-        FROM tok WHERE len(tok) >= 2
-    )
-    SELECT row_number() OVER (ORDER BY count(*) DESC, gram) AS rank,
-           gram, count(*) AS freq
-    FROM grams GROUP BY gram
-    ORDER BY freq DESC, gram
-    LIMIT 20
-    """,
-    doc="exact top-20 most frequent word bigrams corpus-wide (two-phase "
-    "count + distributed top-k); oracle rebuilds the census in DuckDB",
-)
-def x33_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.retrieval import heavy_hitters
-
-    return heavy_hitters(_t(spark, sf_dir, "documents"), n=2, k=20)
-
-
-# --------------------------------------------------------------------------
 # x34 — data layout vs scan cost: the write-side half of performance.
 # ORACLE-CHECKED since round 9 (slot freed by x20→x19): the registered
 # form is the DETERMINISTIC zone-map skip census — assign every event to
@@ -2173,9 +2184,68 @@ def x41_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "x42_hybrid_rrf",
-    oracle=None,
-    doc="hybrid retrieval: BM25 + PRF-centroid dense top-k fused via RRF "
-    "(rows-only; RRF arithmetic + modality-mix pinned in pytest)",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ({_X32_TERMS_SQL}) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT row_number() OVER (ORDER BY sum(contrib) DESC, doc_id) AS rank,
+             doc_id
+      FROM (
+          SELECT tf.doc_id, ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 AS contrib
+          FROM tf JOIN df USING (term) CROSS JOIN stats JOIN dl USING (doc_id)
+      )
+      GROUP BY doc_id
+      ORDER BY sum(contrib) DESC, doc_id
+      LIMIT 20),
+    seeds AS (
+      SELECT e.embedding::DOUBLE[] AS v
+      FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id
+      ORDER BY bm.rank LIMIT 3),
+    cent AS (
+      SELECT list(m ORDER BY i) AS c FROM (
+        SELECT i, avg(x) AS m FROM (
+          SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM seeds)
+        GROUP BY i)),
+    dense AS (
+      SELECT cand_id, rank FROM (
+        SELECT cand_id, CAST(row_number() OVER (
+                 ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+        FROM (SELECT c2.vec_id AS cand_id,
+                     round(list_cosine_similarity(cent.c,
+                           c2.embedding::DOUBLE[]), 6) AS score
+              FROM embeddings c2, cent))
+      WHERE rank <= 20)
+    SELECT rank, doc_id, rrf_score, n_lists FROM (
+      SELECT CAST(row_number() OVER (
+               ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
+             doc_id, rrf_score, n_lists
+      FROM (
+        SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM (SELECT doc_id, rank FROM bm
+              UNION ALL SELECT cand_id, rank FROM dense)
+        GROUP BY doc_id))
+    WHERE rank <= 10
+    ORDER BY rank
+    """,
+    doc="hybrid retrieval, fully oracle-checked (round 9, slot freed by "
+    "x33->x03): BM25 top-20 + PRF-centroid (mean of the best 3 "
+    "embedding-covered lexical hits) dense top-20, fused via "
+    "reciprocal-rank fusion; DuckDB replays the whole chain — BM25 "
+    "math, seed selection, per-dimension centroid mean, cosine ranks, "
+    "and the RRF sum (1-2 terms per doc: float addition is exact under "
+    "commutation, and the centroid's avg-vs-numpy-mean difference is "
+    "~1e-16, invisible at the 6-decimal rounding both sides apply)",
 )
 def x42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import to_double

@@ -77,9 +77,12 @@ def test_bm25_unmatched_terms_are_no_hits(spark, sf_dir):
 
 
 def test_heavy_hitters_matches_duckdb_twin(spark, sf_dir):
+    # x33 consolidated into x03's 'bigram' branch (round 9); the local
+    # twin keeps checking the same heavy-hitters census through it
     got = [
-        (r["rank"], r["gram"], r["freq"])
-        for r in all_specs()["x33_heavy_hitters"].fn(spark, sf_dir).collect()
+        (r["rank"], r["gram"], r["n"])
+        for r in all_specs()["x03_token_stats"].fn(spark, sf_dir).collect()
+        if r["branch"] == "bigram"
     ]
     want = duckdb.sql(f"""
         WITH tok AS (
