@@ -147,8 +147,10 @@ HEADLINE = [
     # event-time windows + stateful streaming
     # round 5: w01 consolidates former w02_sliding_window (union-tagged
     # sliding branch); its timing is not comparable to rounds <= 4.
+    # round 9: w03_session_window consolidated into w01 (union-tagged
+    # 'session' branch) — w01 timing not comparable to rounds <= 8; the
+    # freed oracle slot went to x52's count-min census
     "w01_tumbling_window",
-    "w03_session_window",
     "w05_stateful_user_profiles",
     # round 5: the full stateful streaming surface, now oracle-checked —
     # each runs a real checkpointed streaming query (file-source replay),

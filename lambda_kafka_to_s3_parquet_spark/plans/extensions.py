@@ -2931,10 +2931,38 @@ def x51_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "x52_countmin_sketch",
-    oracle=None,
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS t FROM documents),
+    exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact
+              FROM tok GROUP BY t
+              ORDER BY exact DESC, t LIMIT 20),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    sketch AS (
+      SELECT r,
+             CAST(('0x' || substr(md5(t || chr(31) || CAST(r AS VARCHAR)
+                                    || chr(31) || '42'), 1, 8))::UBIGINT
+                  % 2048 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tok, rows_ GROUP BY 1, 2),
+    probes AS (
+      SELECT e.t, r.r,
+             CAST(('0x' || substr(md5(e.t || chr(31) || CAST(r.r AS VARCHAR)
+                                    || chr(31) || '42'), 1, 8))::UBIGINT
+                  % 2048 AS BIGINT) AS bucket
+      FROM exact e, rows_ r),
+    est AS (
+      SELECT p.t, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+      FROM probes p LEFT JOIN sketch s
+        ON s.r = p.r AND s.bucket = p.bucket
+      GROUP BY p.t)
+    SELECT e.t AS gram, est, exact, (est >= exact) AS overestimate_ok
+    FROM exact e JOIN est ON est.t = e.t
+    ORDER BY exact DESC, gram
+    """,
     doc="count-min sketch over corpus unigrams vs the exact census for "
-    "the top-20 tokens (est >= exact always; rows-only, exact twin "
-    "pinned in pytest)",
+    "the top-20 tokens, ORACLE-CHECKED (round 9, slot freed by w03->w01: "
+    "the portable md5 double-hash arithmetic lets DuckDB rebuild the "
+    "sketch counter-for-counter and replay the min-estimate)",
 )
 def x52_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens as _tok

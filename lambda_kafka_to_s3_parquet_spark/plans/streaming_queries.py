@@ -117,9 +117,35 @@ def _state_partitions(spark: SparkSession, n: int = 8):
            CAST(count(DISTINCT user_id) AS DOUBLE) AS metric
     FROM events, (SELECT unnest([0, 1]) AS k)
     GROUP BY 2
+    UNION ALL
+    SELECT 'session' AS src, session_start AS window_start,
+           CAST(user_id AS VARCHAR) AS event_type,
+           n_events AS n, sum_value AS metric
+    FROM (
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         <= INTERVAL '5 minutes' THEN 0 ELSE 1 END AS brk
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked)
+      SELECT user_id,
+             strftime(CAST(min(ts) AS TIMESTAMP),
+                      '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             count(*)              AS n_events,
+             round(sum(value), 2)  AS sum_value
+      FROM sess
+      GROUP BY user_id, sess_id)
     ORDER BY src, window_start, event_type
     """,
-    doc="tumbling 1h x event_type + sliding 1h/30min windows, union-tagged",
+    doc="event-time windows, union-tagged: tumbling 1h x event_type + "
+    "sliding 1h/30min + per-user 5-min-gap SESSION windows (former w03, "
+    "consolidated round 9 — gaps-and-islands oracle; its slot went to "
+    "x52's count-min census)",
 )
 def w01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -148,48 +174,26 @@ def w01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "metric",
         )
     )
-    return tumbling.unionByName(sliding).orderBy("src", "window_start", "event_type")
-
-
-# --------------------------------------------------------------------------
-# w03 — session windows (5 min inactivity gap) per user. Oracle is the
-# classic gaps-and-islands rewrite: a session break is a gap > 5 min from
-# the previous event of the same user; session id = running sum of breaks.
-# --------------------------------------------------------------------------
-@register(
-    "w03_session_window",
-    oracle="""
-    WITH marked AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       <= INTERVAL '5 minutes' THEN 0 ELSE 1 END AS brk
-      FROM events),
-    sess AS (
-      SELECT user_id, ts, value,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS sess_id
-      FROM marked)
-    SELECT user_id,
-           strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-           count(*)              AS n_events,
-           round(sum(value), 2)  AS sum_value
-    FROM sess
-    GROUP BY user_id, sess_id
-    ORDER BY user_id, session_start
-    """,
-    doc="session_window (5 min gap) per user vs gaps-and-islands oracle",
-)
-def w03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
+    session = (
         e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
-            "n_events",
-            "sum_value",
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("metric"),
         )
+        .select(
+            F.lit("session").alias("src"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "window_start"
+            ),
+            F.col("user_id").cast("string").alias("event_type"),
+            "n",
+            "metric",
+        )
+    )
+    return (
+        tumbling.unionByName(sliding)
+        .unionByName(session)
+        .orderBy("src", "window_start", "event_type")
     )
 
 
