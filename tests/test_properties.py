@@ -146,3 +146,67 @@ def test_ppm_decoder_never_crashes_on_garbage(raw):
         decode_ppm(b"P6" + raw)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Gram-store bloom-delta protocol math (operators/dedup.py): the pure-numpy
+# invariants the LSM store's crash/replay safety rests on, independent of
+# any Spark session.
+# ---------------------------------------------------------------------------
+
+gkey_batches = st.lists(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+             min_size=0, max_size=60),
+    min_size=1, max_size=6,
+)
+
+
+@given(gkey_batches)
+@settings(max_examples=200, deadline=None)
+def test_bloom_delta_composition_and_incremental_popcount(batches):
+    """(a) OR-ing per-batch deltas into a zero bitmap equals inserting
+    every key into one bloom (delta composition == one-shot — what
+    _load_bloom reconstructs on a cold start); (b) the incremental
+    popcount (count 0->1 flips per batch before setting) equals the
+    exact popcount at every step; (c) membership: every inserted key is
+    'maybe present' (no false negatives, ever)."""
+    import numpy as np
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        _bloom_maybe_contains,
+        _bloom_positions,
+        _popcount,
+    )
+
+    n_bits, n_hashes = 1 << 12, 4
+    composite = np.zeros(n_bits // 8, dtype=np.uint8)
+    running = 0
+    all_keys: list[int] = []
+    for batch in batches:
+        keys = np.array(batch, dtype=np.int64)
+        all_keys.extend(batch)
+        if len(keys) == 0:
+            continue
+        pos = _bloom_positions(keys, n_bits, n_hashes)
+        u = np.unique(pos.ravel())
+        was = (composite[u // 8] >> (u % 8).astype(np.uint8)) & 1
+        running += int((was == 0).sum())
+        np.bitwise_or.at(
+            composite, (pos // 8).ravel(),
+            (np.uint8(1) << (pos % 8).astype(np.uint8)).ravel(),
+        )
+        assert running == _popcount(composite)  # (b)
+
+    oneshot = np.zeros(n_bits // 8, dtype=np.uint8)
+    if all_keys:
+        pos = _bloom_positions(np.array(all_keys, dtype=np.int64), n_bits, n_hashes)
+        np.bitwise_or.at(
+            oneshot, (pos // 8).ravel(),
+            (np.uint8(1) << (pos % 8).astype(np.uint8)).ravel(),
+        )
+    assert np.array_equal(composite, oneshot)  # (a)
+    if all_keys:
+        hits = _bloom_maybe_contains(
+            composite, np.array(all_keys, dtype=np.int64), n_bits, n_hashes
+        )
+        assert hits.all()  # (c)
