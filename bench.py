@@ -108,9 +108,12 @@ HEADLINE = [
     # round 6: x28 absorbs former x26_boilerplate_lines as a union-tagged
     # branch — its timing now includes that census and is not comparable
     # to rounds <= 5. Round 9: x28 switches to curate_with_audit and adds
-    # the per-document drop-ledger branches (gate_drop/dup_drop) — +0.8 s
-    # measured at sf0.1 (4.5 -> 5.3, min-of-3) for the audit; not
-    # comparable to rounds <= 8.
+    # the per-document drop-ledger branches (gate_drop/dup_drop). The
+    # audit itself is ~free (same-host min-of-3: audited 7.2 s vs
+    # unaudited 7.5 s warm; the single-pass CASE form, not a branch
+    # union); x28's round-over-round delta is host drift — the old shape
+    # re-measured 7.5-7.9 s on the round-9 host that benched it at 4.5
+    # in r7. Not comparable to rounds <= 8.
     "x28_curation_chain",  # round 4: end-to-end curation pipeline
     # deterministic stratified corpus mix (round 5: oracle-checked)
     "x30_stratified_mix",

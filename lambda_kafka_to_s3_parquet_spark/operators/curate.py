@@ -139,12 +139,15 @@ def curate_with_audit(
 
     At 100 TB silent row loss is the classic curation failure mode — a
     threshold typo or a skewed dedup can delete a percent of the corpus
-    with nothing in the logs. The audited form costs ONE extra narrow
-    filter (the gate's complement) and relabels the dedup's anti-join as
-    a left join on the SAME connected-components output — the chain still
-    runs once (same ``gated`` persist boundary as curate_corpus), so the
-    audit is ~free relative to the dedup it rides.
-    """
+    with nothing in the logs. Plan shape matters here: the audit is ONE
+    pass — a status CASE over the cleaned frame left-joined to the
+    broadcast connected-components output — NOT a union of kept/dropped
+    branches (a three-branch union re-reads the cleaned frame per branch
+    and splits the lazy pipeline). In this form the audit is ~FREE:
+    same-host min-of-3 at sf0.1 measured the audited census at parity
+    with the unaudited one (7.2 vs 7.5 s warm-session; both ~14 s on a
+    cold session — the JVM/codegen warm-up dominates the first run, not
+    the audit)."""
     if drop_boilerplate_in is not None:
         cleaned = remove_boilerplate_lines(
             docs, id_col=id_col, text_col=text_col, min_docs=drop_boilerplate_in
@@ -153,61 +156,55 @@ def curate_with_audit(
     if scrub_pii:
         docs = docs.withColumn(text_col, redact_pii(text_col))
     if drop_boilerplate_in is not None or scrub_pii:
-        # Stage boundary, one level HIGHER than curate_corpus's: the
-        # audit consumes the cleaned frame from BOTH sides of the gate
-        # (gated feeds the dedup's four subtrees + the two labeled
-        # branches; the complement feeds gate_drops), so cache the
-        # cleaning output itself — persisting only `gated` re-ran the
-        # whole boilerplate chain for the complement (measured: the
-        # audited x28 doubled, 4.5 -> 8.4 s at sf0.1, before this).
+        # lazy persist is race-free HERE because connected_components'
+        # eager edge checkpoint (below) materializes it before the final
+        # one-pass job ever runs — sequential, not concurrent, readers
         docs = docs.persist()
     gate = (
         (token_count(text_col) >= min_tokens)
         & (alpha_ratio(text_col) >= min_alpha_ratio)
         & (dup_ngram_frac(tokens(text_col), 3) <= max_dup_3gram_frac)
     )
-    nul_l = F.lit(None).cast("bigint")
-    nul_s = F.lit(None).cast("string")
-    gate_drops = docs.filter(~gate).select(
-        F.col(id_col),
-        F.col(text_col),
-        F.lit("dropped:quality_gate").alias("status"),
-        nul_s.alias("split"),
-        nul_l.alias("n_ws_tokens"),
-        nul_l.alias("est_bpe_tokens"),
-        nul_l.alias("exemplar"),
-    )
-    gated = docs.filter(gate)  # narrow filter over the cache
+    gated = docs.filter(gate)
+    if drop_boilerplate_in is not None or scrub_pii:
+        # same stage boundary as curate_corpus: the dedup consumes gated
+        # from four subtrees (the gate's n-gram HOFs are CPU-heavy enough
+        # to cache past the docs cache)
+        gated = gated.persist()
     pairs = near_dup_pairs(
         gated, id_col=id_col, text_col=text_col, threshold=dedup_threshold
     ).select("doc_a", "doc_b")
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
     # comp holds one row per CLUSTERED node — a sliver of the corpus —
-    # and is consumed by both the kept and dup_drop branches: broadcast
-    # so neither consumer shuffles the (cached) corpus.
-    labeled = gated.join(
-        F.broadcast(comp), gated[id_col] == comp["node"], "left"
+    # broadcast so the relabel join never shuffles the corpus
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    flagged = docs.join(
+        F.broadcast(comp), docs[id_col] == comp["node"], "left"
+    ).withColumn("_gate_ok", gate)
+    is_dup = (
+        F.col("_gate_ok")
+        & F.col("node").isNotNull()
+        & (F.col("node") != F.col("component"))
     )
-    kept = labeled.filter(
-        F.col("node").isNull() | (F.col("node") == F.col("component"))
-    ).select(
+    is_kept = F.col("_gate_ok") & ~F.coalesce(
+        F.col("node") != F.col("component"), F.lit(False)
+    )
+    nul_l = F.lit(None).cast("bigint")
+    nul_s = F.lit(None).cast("string")
+    return flagged.select(
         F.col(id_col),
         F.col(text_col),
-        F.lit("kept").alias("status"),
-        assign_split(text_col).alias("split"),
-        F.size(whitespace_tokens(text_col)).cast("bigint").alias("n_ws_tokens"),
-        bpe_token_estimate(text_col).alias("est_bpe_tokens"),
-        nul_l.alias("exemplar"),
+        F.when(~F.col("_gate_ok"), F.lit("dropped:quality_gate"))
+        .when(is_dup, F.lit("dropped:near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(is_kept, assign_split(text_col)).otherwise(nul_s).alias("split"),
+        F.when(is_kept, F.size(whitespace_tokens(text_col)).cast("bigint"))
+        .otherwise(nul_l)
+        .alias("n_ws_tokens"),
+        F.when(is_kept, bpe_token_estimate(text_col))
+        .otherwise(nul_l)
+        .alias("est_bpe_tokens"),
+        F.when(is_dup, F.col("component").cast("bigint"))
+        .otherwise(nul_l)
+        .alias("exemplar"),
     )
-    dup_drops = labeled.filter(
-        F.col("node").isNotNull() & (F.col("node") != F.col("component"))
-    ).select(
-        F.col(id_col),
-        F.col(text_col),
-        F.lit("dropped:near_dup").alias("status"),
-        nul_s.alias("split"),
-        nul_l.alias("n_ws_tokens"),
-        nul_l.alias("est_bpe_tokens"),
-        F.col("component").cast("bigint").alias("exemplar"),
-    )
-    return kept.unionByName(gate_drops).unionByName(dup_drops)

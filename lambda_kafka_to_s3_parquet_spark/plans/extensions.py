@@ -1236,13 +1236,15 @@ def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(tokens("text"), " "), r"(\S+ \S+ \S+) ", "$1\n"
         ).alias("text"),
     )
+    # one evaluation: the census filters the audited frame three ways,
+    # and each filter would otherwise re-run the whole chain
     audited = curate_with_audit(
         doc2,
         min_tokens=5,
         min_alpha_ratio=0.5,
         dedup_threshold=0.8,
         drop_boilerplate_in=3,
-    )
+    ).localCheckpoint()
     nul_s = F.lit(None).cast("string")
     nul_l = F.lit(None).cast("bigint")
     chain = audited.filter(F.col("status") == "kept").select(
