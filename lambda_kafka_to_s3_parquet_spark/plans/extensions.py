@@ -2160,17 +2160,29 @@ def x40_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x41_pq_ann",
     oracle=None,
-    doc="PQ codebooks + ADC top-k + exact shortlist rerank (rows-only; "
-    "recall + encode-replay pytest vs x10)",
+    doc="PQ ANN, union-tagged: flat ADC + exact shortlist rerank ('pq') "
+    "and the IVF-PQ composition ('ivfpq', round 9 — probed cells bound "
+    "WHICH vectors a query touches, codes bound the bytes; the 100 TB "
+    "serving shape). Rows-only; recall floors + the nprobe==n_cells "
+    "degradation equality are pinned in pytest",
 )
 def x41_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import pq_encode, topk_pq_adc, train_pq_codebooks
+    from ..operators.similarity import (
+        pq_encode,
+        topk_ivfpq,
+        topk_pq_adc,
+        train_pq_codebooks,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     books = train_pq_codebooks(e)
     codes = pq_encode(e, books)
-    return topk_pq_adc(codes, queries, books, corpus=e, k=10, shortlist=50)
+    flat = topk_pq_adc(codes, queries, books, corpus=e, k=10, shortlist=50)
+    ivfpq = topk_ivfpq(e, queries, k=10, n_cells=16, nprobe=6, shortlist=50)
+    return flat.select(F.lit("pq").alias("branch"), "*").unionByName(
+        ivfpq.select(F.lit("ivfpq").alias("branch"), "*")
+    ).orderBy("branch", "query_id", "rank")
 
 
 # --------------------------------------------------------------------------
