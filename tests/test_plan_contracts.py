@@ -178,13 +178,27 @@ def test_q07_top3_branch_uses_window_group_limit(spark):
 
 
 def test_x28_chain_persists_cleaning_boundary(spark):
-    """The curation chain must reuse the cleaned corpus through the cache
-    (InMemoryTableScan), not recompute boilerplate removal for each of
-    near_dup_dedup's four consumers."""
+    """The audited curation chain must reuse the cleaned corpus through
+    the cache (InMemoryTableScan), not recompute boilerplate removal for
+    each of near_dup_dedup's four consumers — asserted on
+    curate_with_audit's own final plan (the registered x28 wraps it in a
+    localCheckpoint, which hides the upstream from the census plan)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.curate import (
+        curate_with_audit,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") < 300).select("doc_id", "text")
+    out = curate_with_audit(docs, drop_boilerplate_in=3)
+    out.write.mode("overwrite").format("noop").save()
+    plan = _executed(out)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    # and the registered census reads the ONE checkpointed evaluation
     df = SPECS["x28_curation_chain"].fn(spark, SF)
     df.write.mode("overwrite").format("noop").save()
-    plan = _executed(df)
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    final = _executed(df)
+    assert "ExistingRDD" in final or "LogicalRDD" in final or "Scan" in final
 
 
 def test_x38_chunking_single_exchange(spark):
