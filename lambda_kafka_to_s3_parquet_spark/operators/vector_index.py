@@ -311,13 +311,15 @@ def _read_ivf_cells(
         (f"{path}/appends/{a['id']}/cells", set(a["cells_present"]))
         for a in meta.get("appends", [])
     ]
+    cols = ("id", "codes", "cell") if meta.get("kind") == "ivfpq" else (
+        "id", "_uvec", "cell")
     for root, live in roots:
         dirs = [f"{root}/cell={c}" for c in wanted if c in live]
         if dirs:
             parts.append(
                 spark.read.option("basePath", root)
                 .parquet(*dirs)
-                .select("id", "_uvec", "cell")
+                .select(*cols)
             )
     if not parts:
         return None
@@ -576,10 +578,10 @@ def append_to_index(
     if meta is None:
         raise ValueError(f"{path} has no vector-index meta file")
     kind = meta.get("kind")
-    if kind not in ("pq", "ivf"):
+    if kind not in ("pq", "ivf", "ivfpq"):
         raise ValueError(
             f"{path} holds a {kind!r} index; append_to_index handles "
-            "pq/ivf (bm25 appends via retrieval.append_to_bm25_index)"
+            "pq/ivf/ivfpq (bm25 appends via retrieval.append_to_bm25_index)"
         )
     _check_params(meta, path, {"id_col": id_col, "vec_col": vec_col})
     seen = [a["id"] for a in meta.get("appends", [])]
@@ -591,6 +593,28 @@ def append_to_index(
         books = np.asarray(meta["codebooks"])
         codes = pq_encode(batch, books, id_col, vec_col)
         codes.write.mode("errorifexists").parquet(f"{root}/codes")
+    elif kind == "ivfpq":
+        # frozen codebooks encode, frozen centroids assign — the batch
+        # lands cell-partitioned like the base, (id, codes) inside
+        from ..functions.vectors import to_double, unit
+
+        books = np.asarray(meta["codebooks"])
+        codes = pq_encode(batch, books, id_col, vec_col)
+        uvecs = batch.select(
+            F.col(id_col).alias("id"), unit(to_double(vec_col)).alias("_uvec")
+        ).filter(F.col("_uvec").isNotNull())
+        assigned = codes.join(
+            assign_cells(uvecs, meta["centroids"]).select("id", "cell"), "id"
+        )
+        (
+            assigned.repartition("cell")
+            .write.mode("errorifexists")
+            .partitionBy("cell")
+            .parquet(f"{root}/cells")
+        )
+        entry["cells_present"] = sorted(
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        )
     else:
         from ..functions.vectors import to_double, unit
 
@@ -626,3 +650,113 @@ def append_to_index(
     }
     _write_index_meta(spark, path, meta)
     return meta
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 16,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> dict:
+    """Persist the IVF-PQ index — the production ANN layout: PQ codes
+    partitioned BY CELL, so a query's probed cells read with
+    listing-level dir pruning AND every row inside costs m bytes, not a
+    float vector. Centroids and codebooks (both driver-sized by their
+    training contracts) ride the atomic meta like every other index
+    artifact here; :func:`append_to_index` grows it with the frozen
+    structures; :func:`topk_ivfpq_indexed` feeds the loaded pieces back
+    through ``similarity.topk_ivfpq`` so results are byte-identical to
+    the in-memory path (test-pinned)."""
+    from .similarity import _kmeans_cells, pq_encode, train_pq_codebooks
+
+    if _read_index_meta(spark, path) is not None:
+        raise ValueError(f"{path} already holds a vector index")
+    assigned, centroids = _kmeans_cells(corpus, n_cells, id_col, vec_col, seed)
+    books = train_pq_codebooks(
+        corpus, m=m, n_codes=n_codes, vec_col=vec_col, seed=seed
+    )
+    rows = pq_encode(corpus, books, id_col, vec_col).join(
+        assigned.select("id", "cell"), "id"
+    )
+    (
+        rows.repartition("cell")
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    cells_present = sorted(
+        r["cell"] for r in rows.select("cell").distinct().collect()
+    )
+    meta = {
+        "kind": "ivfpq",
+        "n_cells": int(n_cells),
+        "m": int(m),
+        "n_codes": int(n_codes),
+        "seed": int(seed),
+        "id_col": id_col,
+        "id_type": corpus.schema[id_col].dataType.simpleString(),
+        "vec_col": vec_col,
+        "centroids": centroids,
+        "codebooks": np.asarray(books).tolist(),
+        "cells_present": cells_present,
+        **_corpus_fingerprint(corpus, id_col, vec_col),
+    }
+    _write_index_meta(spark, path, meta)
+    return meta
+
+
+def topk_ivfpq_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 6,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against the PERSISTED index: centroids + codebooks
+    come from the meta, ONLY the queries' probed cells are read from
+    disk (explicit dirs + basePath per registered root), each row read
+    is m code bytes, and the exact rerank rescans nothing but the
+    Q×shortlist shortlist against ``corpus`` (the live vector table —
+    codes alone cannot rerank). Probe choice, ADC math, tie rules, and
+    the rerank are ``similarity.topk_ivfpq``'s own code over the loaded
+    structures — byte-identical to the in-memory path (test-pinned)."""
+    from .similarity import topk_ivfpq
+
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"{path} has no vector-index meta file (crashed build, or not "
+            "an index)"
+        )
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(f"{path} holds a {meta.get('kind')!r} index, not ivfpq")
+    _check_params(meta, path, {"id_col": id_col, "vec_col": vec_col})
+    probe_cells = probe_cell_union(queries, meta, nprobe, id_col, vec_col)
+    codes_cells = _read_ivf_cells(spark, path, meta, probe_cells)
+    if codes_cells is None:
+        id_t = meta.get(
+            "id_type", queries.schema[id_col].dataType.simpleString()
+        )
+        codes_cells = spark.createDataFrame(
+            [], f"id {id_t}, codes array<int>, cell int"
+        )
+    return topk_ivfpq(
+        corpus=corpus,
+        queries=queries,
+        k=k,
+        n_cells=meta["n_cells"],
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        _index=(codes_cells, meta["centroids"], np.asarray(meta["codebooks"])),
+    )

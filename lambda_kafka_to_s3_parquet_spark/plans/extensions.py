@@ -2767,6 +2767,8 @@ def x49_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'ivf', NULL, NULL, NULL, NULL, 40, 1
     UNION ALL
+    SELECT 'ivfpq', NULL, NULL, NULL, NULL, 40, 1
+    UNION ALL
     SELECT 'pq', NULL, NULL, NULL, NULL, 40, 1
     ORDER BY family, rank
     """,
@@ -2786,6 +2788,8 @@ def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    import numpy as np
+
     from ..operators.retrieval import (
         append_to_bm25_index,
         bm25_topk_indexed,
@@ -2795,6 +2799,7 @@ def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kmeans_cells,
         pq_encode,
         topk_ivf,
+        topk_ivfpq,
         topk_pq_adc,
         train_pq_codebooks,
     )
@@ -2802,8 +2807,10 @@ def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_to_index,
         assign_cells,
         build_ivf_index,
+        build_ivfpq_index,
         build_pq_index,
         topk_ivf_indexed,
+        topk_ivfpq_indexed,
         topk_pq_indexed,
     )
     from ..functions.vectors import to_double, unit
@@ -2827,6 +2834,9 @@ def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         build_ivf_index(spark, e_first, f"{base}/ivf", n_cells=16)
         append_to_index(spark, f"{base}/ivf", e_rest)
+
+        ivfpq_meta = build_ivfpq_index(spark, e_first, f"{base}/ivfpq", n_cells=16)
+        append_to_index(spark, f"{base}/ivfpq", e_rest)
         assigned_first, centroids = _kmeans_cells(e_first, 16)
         urest = e_rest.select(
             F.col("vec_id").alias("id"), unit(to_double("embedding")).alias("_uvec")
@@ -2851,9 +2861,24 @@ def x50_persisted_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # eq flags ride as 0/1 bigints (a NULL boolean canonicalizes
         # differently across the two pandas bridges; NULL bigints agree)
+        # ivfpq twin: same frozen structures (codebooks + first-half
+        # centroids) through the in-memory kernel over the full corpus
+        books_np = np.asarray(ivfpq_meta["codebooks"])
+        codes_cells = pq_encode(emb, books_np).join(
+            assigned_union.select("id", "cell"), "id"
+        )
+        mem_ivfpq = sorted(map(tuple, topk_ivfpq(
+            corpus=emb, queries=queries, k=10, nprobe=6,
+            _index=(codes_cells, centroids, books_np)).collect()))
+        idx_ivfpq = sorted(map(tuple, topk_ivfpq_indexed(
+            spark, f"{base}/ivfpq", queries, corpus=emb, k=10, nprobe=6
+        ).collect()))
+
         summary = [
             ("pq", None, None, None, None, len(idx_pq), int(idx_pq == mem_pq)),
             ("ivf", None, None, None, None, len(idx_ivf), int(idx_ivf == mem_ivf)),
+            ("ivfpq", None, None, None, None, len(idx_ivfpq),
+             int(idx_ivfpq == mem_ivfpq)),
         ]
         bm = [
             ("bm25", r["rank"], r["doc_id"], r["score"], r["n_terms_hit"],

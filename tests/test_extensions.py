@@ -2341,7 +2341,7 @@ def test_x50_registered_index_equality_census(spark, sf_dir):
     from lambda_kafka_to_s3_parquet_spark.session import load_table
 
     rows = all_specs()["x50_persisted_indexes"].fn(spark, sf_dir).collect()
-    assert {r["family"] for r in rows} == {"pq", "ivf", "bm25"}
+    assert {r["family"] for r in rows} == {"pq", "ivf", "ivfpq", "bm25"}
     summary = {r["family"]: r for r in rows if r["family"] != "bm25"}
     assert all(r["eq_in_memory"] == 1 for r in summary.values())
     assert all(r["n_results"] > 0 for r in summary.values())
@@ -3028,3 +3028,74 @@ def test_ivfpq_degrades_to_pq_and_recall_floor(spark, sf_dir):
     # isotropic fixtures: recall ≈ probed fraction (6/16 = 0.375); the
     # floor leaves noise headroom while still proving the probe works
     assert sum(recalls) / len(recalls) >= 0.25, recalls
+
+
+def test_ivfpq_persisted_index_equals_in_memory(spark, sf_dir, tmp_path):
+    """Persisted IVF-PQ: (a) build over HALF the corpus + append the rest
+    with the frozen centroids/codebooks, then the indexed search equals
+    the in-memory topk_ivfpq fed the same frozen structures —
+    byte-identical rows; (b) an orphaned (unregistered) append dir is
+    invisible; (c) kind/param drift fail-stops."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.functions.vectors import to_double, unit
+    from lambda_kafka_to_s3_parquet_spark.operators.similarity import (
+        _kmeans_cells,
+        pq_encode,
+        topk_ivfpq,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.vector_index import (
+        append_to_index,
+        assign_cells,
+        build_ivfpq_index,
+        topk_ivfpq_indexed,
+        topk_pq_indexed,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 800)
+    queries = e.filter(F.col("vec_id") < 4)
+    first = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "ivfpq")
+    meta = build_ivfpq_index(spark, first, path, n_cells=16)
+    append_to_index(spark, path, rest)
+
+    got = sorted(map(tuple, topk_ivfpq_indexed(
+        spark, path, queries, corpus=e, k=10, nprobe=6).collect()))
+
+    # in-memory twin over the SAME frozen structures (trained on `first`,
+    # applied to the whole corpus — exactly what build+append persisted)
+    books = np.asarray(meta["codebooks"])
+    assigned_first, centroids = _kmeans_cells(first, 16)
+    urest = rest.select(
+        F.col("vec_id").alias("id"), unit(to_double("embedding")).alias("_uvec")
+    ).filter(F.col("_uvec").isNotNull())
+    assigned_union = assigned_first.select("id", "cell").unionByName(
+        assign_cells(urest, centroids).select("id", "cell")
+    )
+    codes_cells = pq_encode(e, books).join(assigned_union, "id")
+    want = sorted(map(tuple, topk_ivfpq(
+        corpus=e, queries=queries, k=10, nprobe=6,
+        _index=(codes_cells, centroids, books)).collect()))
+    assert got == want and len(got) == 40
+
+    # (b) an unregistered append dir is invisible
+    orphan = os.path.join(path, "appends", "deadbeef", "cells", "cell=0")
+    os.makedirs(orphan)
+    e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("id"),
+        F.array(*[F.lit(0)] * 16).alias("codes"),
+    ).write.mode("overwrite").parquet(orphan)
+    again = sorted(map(tuple, topk_ivfpq_indexed(
+        spark, path, queries, corpus=e, k=10, nprobe=6).collect()))
+    assert again == got
+
+    # (c) wrong-kind and drift rejections
+    with pytest.raises(ValueError, match="not pq"):
+        topk_pq_indexed(spark, path, queries, corpus=e)
+    with pytest.raises(ValueError, match="already holds"):
+        build_ivfpq_index(spark, e, path)
