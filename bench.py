@@ -129,7 +129,9 @@ HEADLINE = [
     "x39_domain_cap",
     "x40_lm_perplexity",
     # round 5 (late): PQ ANN — trains codebooks + encodes inside fn()
-    # (EAGER_FN)
+    # (EAGER_FN). Round 9: union-tagged 'pq' + 'ivfpq' branches (the
+    # IVF-PQ composition trains cells AND codebooks inside fn()) — not
+    # comparable to rounds <= 8.
     "x41_pq_ann",
     # round 5 (late): hybrid BM25 + PRF-dense RRF fusion (EAGER_FN: the
     # PRF centroid collect runs inside fn())
