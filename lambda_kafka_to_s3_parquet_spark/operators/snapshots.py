@@ -601,10 +601,13 @@ def snapshot_changes(
             "the new dirs anyway, or rebuild from snapshot_read"
         )
     manifest = _load_manifest(spark, table, to_v, committed=committed)
-    if not d["added"]:
-        all_dirs = sorted(
-            x for dirs in manifest["partitions"].values() for x in dirs
+    all_dirs = sorted(x for dirs in manifest["partitions"].values() for x in dirs)
+    if not all_dirs:
+        raise ValueError(
+            f"snapshot v{to_v} of {table} is empty — no schema to derive a "
+            "(possibly empty) delta frame from"
         )
+    if not d["added"]:
         return _read_dirs(spark, table, all_dirs, manifest).limit(0)
     return _read_dirs(spark, table, d["added"], manifest)
 
