@@ -88,7 +88,11 @@ HEADLINE = [
     # freed oracle slot went to x34's deterministic skip census
     "x19_temporal_joins",
     "x21_split_and_pack",
-    "x22_rollup_daily",
+    # round 10: x22_rollup_daily consolidated into w08 (union-tagged
+    # 'batch' branch) — w08 timing not comparable to rounds <= 9; the
+    # freed oracle slot went to w11's enrichment oracle. The batch
+    # rollup's scale slope stays visible via stress.py, which calls the
+    # unregistered x22 function directly.
     # x24/x28 rounds <= 4 numbers (0.11 s / 0.66 s) understated the real
     # cost: clock-after-fn timing missed work, and min-of-3 re-built
     # byte-identical logical plans so later runs hit run 1's in-memory
@@ -335,26 +339,19 @@ def main() -> None:
     batch_total = round(
         sum(v for n, v in timings.items() if n not in fixed_cost), 3
     )
-    # Key order matters: the driver records only a bounded TAIL of stdout
-    # (round 5 lost the sf0.1 per-query dict to a 2 kB tail capture), so
-    # the primary artifacts — the sf0.1 `queries` dict and the headline
-    # totals — go LAST on the line; small-scale timings and ratios go
-    # first. The full JSON is ALSO written to BENCH_local.json in the
-    # repo so the round's timings survive regardless of capture limits.
+    # The PRINTED line must fit entirely inside the driver's ~2 kB stdout
+    # tail window or the parse fails (rounds 5-9 all recorded
+    # "parsed": null — round 8's reorder saved the queries dict visually
+    # but the line head with {"metric": ... was still cut off). So the
+    # stdout line carries ONLY the sf0.1 queries dict and the headline
+    # totals (~1.5 kB); the sf0.01 `queries_small` and `scale_ratio`
+    # maps live exclusively in BENCH_local.json, committed per round.
     out = {
         "metric": "total_headline_sec",
         "unit": "sec",
         "sf": _sf_of(sf_dir),
         "runs_per_query": runs_per_query,
         "agg": "min",
-    }
-    if small:
-        out |= {
-            "sf_small": _sf_of(sf_small_dir),
-            "queries_small": small,
-            "scale_ratio": ratios,
-        }
-    out |= {
         "queries": timings,
         "value_batch": batch_total,
         "value_fixed_cost": round(
@@ -362,10 +359,17 @@ def main() -> None:
         ),
         "value": round(sum(timings.values()), 3),
     }
-    line = json.dumps(out)
+    line = json.dumps(out, separators=(",", ":"))
+    full = dict(out)
+    if small:
+        full |= {
+            "sf_small": _sf_of(sf_small_dir),
+            "queries_small": small,
+            "scale_ratio": ratios,
+        }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_local.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(full) + "\n")
     # The JSON line must be the LAST thing on stdout/stderr: the driver
     # records a bounded tail, and round 8 lost the whole line to an async
     # StateStore-maintenance WARN stacktrace that fired after spark.stop().
