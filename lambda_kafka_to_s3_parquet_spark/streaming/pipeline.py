@@ -528,21 +528,33 @@ def run_token_quota_stream(
     ) -> Iterator[pd.DataFrame]:
         (domain,) = key
         (used,) = state.get if state.exists else (0,)
-        kept_ids, kept_w = [], []
-        for pdf in batches:
-            for _, row in pdf.sort_values(id_col).iterrows():
-                w = int(row[weight_col])
-                if used + w <= budget:
-                    kept_ids.append(int(row[id_col]))
-                    kept_w.append(w)
-                # the running total counts EVERY arrival (stop-at-
-                # exhaustion), matching the batch window cumsum
-                used += w
+        # Concat the group's Arrow chunks BEFORE sorting: a domain whose
+        # micro-batch slice spans multiple record batches must consume in
+        # GLOBAL id order, not per-chunk order (round-9 advice finding —
+        # per-chunk sort_values broke the pinned batch-cumsum equality
+        # once a group exceeded arrow.maxRecordsPerBatch). Group data is
+        # already executor-resident under applyInPandasWithState, so the
+        # concat adds no new memory class. The cumsum IS the batch rule:
+        # `used + w <= budget` with pre-row `used` == post-row running
+        # total <= budget; the total counts EVERY arrival
+        # (stop-at-exhaustion), matching cap_domain_tokens' window cumsum.
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(id_col)
+            cum = used + pdf[weight_col].astype("int64").cumsum()
+            kept = pdf[cum <= budget]
+            used = int(cum.iloc[-1])
+            if len(kept):
+                yield pd.DataFrame(
+                    {
+                        domain_col: domain,
+                        id_col: kept[id_col].astype("int64").to_numpy(),
+                        weight_col: kept[weight_col]
+                        .astype("int64")
+                        .to_numpy(),
+                    }
+                )
         state.update((used,))
-        if kept_ids:
-            yield pd.DataFrame(
-                {domain_col: domain, id_col: kept_ids, weight_col: kept_w}
-            )
 
     return (
         spark.readStream.schema(schema)

@@ -1760,3 +1760,58 @@ def test_token_quota_stream_equals_batch_cumsum(spark, sf_dir, tmp_path):
         with_null, domain_col="host", weight_col="n_tokens", budget=budget
     )
     assert capped.filter("doc_id = 99999").count() == 1
+
+
+def test_token_quota_stream_group_spanning_arrow_chunks(spark, tmp_path):
+    """A domain whose micro-batch slice spans MULTIPLE Arrow record
+    batches must still consume in global id order (round-9 advice: the
+    old per-chunk sort broke the batch-cumsum equality at realistic batch
+    sizes). One domain, 200 docs delivered reverse-id-ordered in one
+    micro-batch, arrow.maxRecordsPerBatch=16 → the state fn sees ~13
+    chunks; only the concat-then-sort-once form keeps the low-id docs."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import (
+        run_token_quota_stream,
+    )
+
+    n, budget = 200, 10 * 60  # keeps exactly doc_ids 0..59 at weight 10
+    rows = [(i, "one.example", 10) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, host string, n_tokens long"
+    # reverse id order in the file: global-sort correctness must not
+    # depend on arrival order within the micro-batch
+    ).orderBy(F.col("doc_id").desc())
+
+    src = tmp_path / "src"
+    src.mkdir()
+    staged = tmp_path / "stage"
+    df.coalesce(1).write.parquet(str(staged))
+    part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+    os.rename(staged / part, src / "batch-0.parquet")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        q = run_token_quota_stream(
+            spark,
+            str(src),
+            "doc_id long, host string, n_tokens long",
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            budget=budget,
+        )
+        q.awaitTermination(300)
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert kept == list(range(60))
