@@ -106,10 +106,16 @@ def write_partitioned(
         F.count(F.lit(1)).alias("total"),
         F.approx_count_distinct(key_col).alias("distinct_keys"),
     )
-    observed.write.mode(mode).partitionBy(*pcols).parquet(path)
-    got = obs.get
+    # Zone maps are widened BEFORE the data lands: bounds only ever grow,
+    # so a pre-widened entry is always conservative — a crash between the
+    # two steps leaves bounds wider than the data (harmless extra reads).
+    # The old write-then-widen order left an existing entry NARROWER than
+    # the partition after a crash, silently skipping matching rows on
+    # read (round-9 advice, medium).
     if stats_cols:
         _merge_partition_stats(df, path, pcols, stats_cols, granularity)
+    observed.write.mode(mode).partitionBy(*pcols).parquet(path)
+    got = obs.get
     return WriteMetrics(int(got["total"]), int(got["distinct_keys"]))
 
 
@@ -371,40 +377,61 @@ def _merge_partition_stats(
     (null-encoding/URL-escaping drift risk; the reader prunes by VALUES
     through ordinary partition pruning, so paths are never needed).
     Append mode widens existing bounds; bounds only ever grow, so the
-    sidecar stays a superset of all stats-aware writes."""
+    sidecar stays a superset of all stats-aware writes.
+
+    Concurrent writers: the publish re-reads the sidecar and retries the
+    merge when another writer landed in between (lost-widening was the
+    round-9 advice finding — each writer's read-modify-write could drop
+    the other's bounds). The re-read-then-rename window is best-effort
+    (the sidecar store has no CAS primitive); because every retry merges
+    FROM the latest published sidecar and bounds only widen, two racing
+    writers converge on the union in practice. Tables needing a hard
+    guarantee should route writes through one process."""
     spark = df.sparkSession
     aggs = []
     for c in stats_cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     rows = df.groupBy(*pcols).agg(*aggs).collect()
 
-    maps = read_zone_maps(spark, path)
-    if maps and maps.get("kind") != "partitions":
-        raise ValueError(
-            f"{path} carries {maps.get('kind')!r} zone maps; cannot merge "
-            "partition-tuple stats into a file-granularity sidecar"
-        )
     import json
 
-    entries = maps.get("entries", {})
-    for r in rows:
-        key = json.dumps([_norm_stat(r[c]) for c in pcols])
-        cur = entries.get(key, {})
-        for c in stats_cols:
-            lo, hi = _norm_stat(r[f"_lo_{c}"]), _norm_stat(r[f"_hi_{c}"])
-            if lo is None or hi is None:
-                cur.pop(c, None)  # all-null batch column: no claim
-                continue
-            if c in cur:
-                cur[c] = [min(cur[c][0], lo), max(cur[c][1], hi)]
-            else:
-                cur[c] = [lo, hi]
-        entries[key] = cur
-    _write_zone_maps(
-        spark,
-        path,
-        {"kind": "partitions", "pcols": pcols, "granularity": granularity,
-         "entries": entries},
+    for _attempt in range(5):
+        maps = read_zone_maps(spark, path)
+        if maps and maps.get("kind") != "partitions":
+            raise ValueError(
+                f"{path} carries {maps.get('kind')!r} zone maps; cannot "
+                "merge partition-tuple stats into a file-granularity sidecar"
+            )
+        base = json.dumps(maps, sort_keys=True)
+        entries = {k: dict(v) for k, v in maps.get("entries", {}).items()}
+        for r in rows:
+            key = json.dumps([_norm_stat(r[c]) for c in pcols])
+            cur = entries.get(key, {})
+            for c in stats_cols:
+                lo, hi = _norm_stat(r[f"_lo_{c}"]), _norm_stat(r[f"_hi_{c}"])
+                if lo is None or hi is None:
+                    cur.pop(c, None)  # all-null batch column: no claim
+                    continue
+                if c in cur:
+                    cur[c] = [min(cur[c][0], lo), max(cur[c][1], hi)]
+                else:
+                    cur[c] = [lo, hi]
+            entries[key] = cur
+        # seen-entries compare just before publish (gram-store registry
+        # pattern): if another writer widened the sidecar since we read
+        # it, re-merge from THEIR published state instead of clobbering
+        if json.dumps(read_zone_maps(spark, path), sort_keys=True) != base:
+            continue
+        _write_zone_maps(
+            spark,
+            path,
+            {"kind": "partitions", "pcols": pcols,
+             "granularity": granularity, "entries": entries},
+        )
+        return
+    raise OSError(
+        f"zone-map merge for {path} lost the publish race 5 times — "
+        "concurrent writer storm; retry or serialize writers"
     )
 
 

@@ -379,6 +379,57 @@ def test_sink_zone_maps_partitioned(spark, tmp_path):
     assert 999_999 in ids  # unknown dir: conservative read
 
 
+def test_sink_zone_maps_widen_before_write_crash_safe(spark, tmp_path):
+    """The sidecar is widened BEFORE the data lands (round-9 advice): a
+    crash between the two steps leaves bounds WIDER than the data —
+    conservative — never an existing entry narrower than its partition.
+    Simulated crash: merge the batch's stats, don't write the batch; the
+    probe covering the phantom range just reads conservatively. After
+    the retry lands the data, every row is found."""
+    from lambda_kafka_to_s3_parquet_spark.operators.sink import (
+        _merge_partition_stats,
+        partition_cols,
+        read_pruned,
+        read_zone_maps,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    schema = "event_id long, topic string, y int, m int, d int, key string"
+    base = spark.createDataFrame(
+        [(i, "t1", 2021, 7, 1, f"k{i}") for i in range(100)], schema
+    )
+    write_partitioned(
+        base, path, key_col="key", granularity="day", stats_cols=["event_id"]
+    )
+
+    # "crash": the appending writer widened the sidecar but never landed
+    # its data (the order write_partitioned now guarantees)
+    more = spark.createDataFrame(
+        [(5_000 + i, "t1", 2021, 7, 1, f"n{i}") for i in range(10)], schema
+    )
+    _merge_partition_stats(
+        more, path, list(partition_cols("day")), ["event_id"], "day"
+    )
+    entry = next(iter(read_zone_maps(spark, path)["entries"].values()))
+    assert entry["event_id"][1] >= 5_009  # pre-widened past the data
+
+    # wider-than-data is conservative: a probe skipping [5000, 6000]
+    # cannot skip d=1 (its recorded range now overlaps), so the base
+    # rows all survive; and the real filter loses nothing
+    got = read_pruned(spark, path, skip_where=[("event_id", 5_000, 6_000)])
+    assert got.count() == 100
+
+    # retry lands the data inside the already-published bounds: the
+    # pre-widened entry still admits the new range, so the probe that
+    # targets it reads the partition and finds every retried row
+    write_partitioned(
+        more, path, key_col="key", granularity="day", stats_cols=["event_id"]
+    )
+    found = read_pruned(spark, path, skip_where=[("event_id", 5_000, 6_000)])
+    assert found.filter("event_id >= 5000").count() == 10
+
+
 def test_sink_zone_maps_clustered_files(spark, tmp_path):
     """File-granularity zone maps from write_clustered: a range probe on
     the cluster column scans only surviving files (strict subset), the
