@@ -190,6 +190,11 @@ def curate_with_audit(
     )
     nul_l = F.lit(None).cast("bigint")
     nul_s = F.lit(None).cast("string")
+    # The exemplar is a surviving member's id: cast to the id column's OWN
+    # type — a hardcoded bigint cast silently NULLs string ids, destroying
+    # the drop attribution the audit exists for (round-9 advice).
+    id_type = docs.schema[id_col].dataType
+    nul_id = F.lit(None).cast(id_type)
     return flagged.select(
         F.col(id_col),
         F.col(text_col),
@@ -204,7 +209,7 @@ def curate_with_audit(
         F.when(is_kept, bpe_token_estimate(text_col))
         .otherwise(nul_l)
         .alias("est_bpe_tokens"),
-        F.when(is_dup, F.col("component").cast("bigint"))
-        .otherwise(nul_l)
+        F.when(is_dup, F.col("component").cast(id_type))
+        .otherwise(nul_id)
         .alias("exemplar"),
     )

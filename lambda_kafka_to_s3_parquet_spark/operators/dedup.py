@@ -1744,11 +1744,16 @@ _BLOOM_CACHE: dict[str, tuple[int, "np.ndarray"]] = {}
 #: spark.read.parquet over a 640-bucket base costs ~0.8 s of driver-side
 #: listing PER BATCH (measured at the 10× stress store); a gpfx
 #: partition FILTER over the cached plan prunes the same files for free.
-_APPEND_READ_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Keyed by (app_id, store_path, append_id): the store path must be part
+#: of the key so compacting ONE store evicts only ITS retired plans, not
+#: every store's in the same app (round-9 advice — perf, not
+#: correctness: append ids are uuids, so cross-store collisions can't
+#: alias).
+_APPEND_READ_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _append_df(spark, store_path: str, append_id: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, append_id)
+    key = (spark.sparkContext.applicationId, store_path, append_id)
     df = _APPEND_READ_CACHE.get(key)
     if df is None:
         df = spark.read.option("basePath", f"{store_path}/appends/{append_id}").parquet(
@@ -2089,14 +2094,26 @@ def incremental_duplicated_spans(
                 stacklevel=2,
             )
 
+    # Registry re-check IMMEDIATELY before the swap: _write_gram_meta is
+    # last-writer-wins, so a concurrent fold landing between the earlier
+    # check and here (bloom positions, delta write, popcount all sit in
+    # that window) would be silently orphaned by our swap. The window
+    # between this read and the swap is as small as the protocol allows;
+    # the earlier check stays so we fail before paying the bloom work.
+    latest = _gram_meta(spark, store_path)
+    if latest is None or [a["id"] for a in latest["appends"]] != seen_appends:
+        raise ValueError(
+            f"concurrent append detected on gram store {store_path}; this "
+            f"writer's data ({append_id}) is orphaned and invisible — retry"
+        )
     entry: dict = {"id": append_id, "l0": True}
     if len(batch_keys):
         entry["bloom_delta"] = True
     if batch_id is not None:
         entry["batch_id"] = int(batch_id)
     new_meta = {
-        **current,
-        "appends": current["appends"] + [entry],
+        **latest,
+        "appends": latest["appends"] + [entry],
     }
     if bloom_fill is not None:
         new_meta["bloom_fill"] = bloom_fill
@@ -2187,6 +2204,11 @@ def compact_gram_store(spark, store_path: str) -> None:
         new_meta["bloom_popcount"] = int(bloom_popcount)
     _write_gram_meta(spark, store_path, new_meta)
     # retired append dirs are orphans — drop their cached read plans
+    # (this store's only: the key carries store_path)
     app = spark.sparkContext.applicationId
-    for key in [k for k in _APPEND_READ_CACHE if k[0] == app and k[1] != new_id]:
+    for key in [
+        k
+        for k in _APPEND_READ_CACHE
+        if k[0] == app and k[1] == store_path and k[2] != new_id
+    ]:
         del _APPEND_READ_CACHE[key]
