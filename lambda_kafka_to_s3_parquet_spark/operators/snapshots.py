@@ -612,6 +612,169 @@ def snapshot_changes(
     return _read_dirs(spark, table, d["added"], manifest)
 
 
+def snapshot_consume_changes(
+    spark: SparkSession,
+    source: str,
+    sink: str,
+    transform=None,
+    partition_by: list[str] | None = None,
+    hwm_key: str = "consumed_source_version",
+) -> dict:
+    """ONE poll of an incremental snapshot consumer with exactly-once
+    delivery — the consumer-side contract of :func:`snapshot_changes`.
+
+    Reads the consumer's high-water mark (the last consumed SOURCE
+    version) from the SINK's manifest meta, consumes
+    ``snapshot_changes(source, hwm -> current)``, applies ``transform``
+    (optional, DataFrame -> DataFrame), and lands the result via ONE
+    ``snapshot_append`` whose ``meta`` carries the new mark — the same
+    data+watermark-in-one-atomic-swap pattern as the rollup/CDC
+    maintenance streams' batch ids. A crash at ANY point either commits
+    both the rows and the mark or neither: orphaned data files from a
+    pre-publish crash are invisible, and the retry re-consumes the same
+    range. A restarted consumer has NO local state — the mark lives in
+    the sink — so each appended source dir is processed exactly once no
+    matter where the previous run died.
+
+    Replacement commits in the range make ``snapshot_changes`` fail
+    fast (by design — see there); recover a consumer stranded behind a
+    compaction by rebuilding the sink from ``snapshot_read`` or, when
+    the maintained table has unique keys, switching to
+    :func:`snapshot_row_changes`.
+
+    A range that added no directories (maintenance-only history)
+    returns ``consumed=0`` WITHOUT advancing the mark (an empty append
+    is a no-op by the empty-commit guard); the next poll re-diffs the
+    same range — two manifest reads, no data I/O.
+
+    Deployment shape: call on a schedule, or from any driver loop —
+    e.g. ``foreachBatch`` of a clock stream — one poll per tick;
+    concurrency contract is single-consumer-per-sink (the usual
+    maintenance-writer rule).
+
+    Returns ``{"from", "to", "consumed", "sink_version"}`` where
+    ``consumed`` is 1 when a commit landed.
+    """
+    last = int(snapshot_meta(spark, sink).get(hwm_key, 0))
+    cur = current_version(spark, source)
+    if cur <= last:
+        return {"from": last, "to": last, "consumed": 0,
+                "sink_version": current_version(spark, sink)}
+    delta = snapshot_changes(spark, source, last, to_version=cur)
+    if transform is not None:
+        delta = transform(delta)
+    meta = {**snapshot_meta(spark, sink), hwm_key: cur}
+    before = current_version(spark, sink)
+    v = snapshot_append(spark, sink, delta, partition_by, meta=meta)
+    return {"from": last, "to": cur, "consumed": int(v > before),
+            "sink_version": v}
+
+
+def snapshot_row_changes(
+    spark: SparkSession,
+    table: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+    ignore_cols: list[str] | None = None,
+) -> DataFrame:
+    """ROW-level change feed between two snapshot versions of a
+    MAINTAINED table — the answer :func:`snapshot_changes` correctly
+    refuses to give once the range contains a replacement commit
+    (upsert-maintenance + compaction is exactly that case, and a
+    downstream consumer of a maintained table hits it the first time
+    compaction runs).
+
+    Semantics are the Delta CDF shape: a keyed diff of the two snapshot
+    STATES. For each ``keys`` tuple —
+
+    * present only at ``to``   -> one ``insert`` row (new image);
+    * present only at ``from`` -> one ``delete`` row (old image);
+    * present at both with any non-key, non-``ignore_cols`` column
+      differing (null-safe) -> ``update_preimage`` + ``update_postimage``
+      rows;
+    * unchanged -> no output.
+
+    Because the diff is between STATES, it is exact across ANY commit
+    history in the range — appends, upserts, dynamic-partition
+    overwrites, compaction/rewrite, rollback — unlike file-level
+    incremental reads. Requires ``keys`` to be unique within each
+    snapshot (the maintained-table contract; the CDC current-state and
+    rollup tables hold it by construction). ``ignore_cols`` excludes
+    physical columns (e.g. a re-derivable ``bucket``) from the
+    difference test; they still appear in the output images.
+
+    Plan shape: two snapshot scans and ONE full-outer shuffle join on
+    ``keys``; the change classification is a single CASE producing an
+    array of (image, change_type) structs that explodes in the same
+    stage — no per-change-type branch unions re-reading the join. At
+    100 TB both sides prune to the join keys' partitions/buckets like
+    any other keyed maintenance pass, and the output is ∝ changed rows.
+
+    Output: the table's columns plus ``_change_type`` (string). Rows
+    with deletes carry the OLD image, inserts/postimages the NEW one.
+    """
+    committed = current_version(spark, table)
+    to_v = committed if to_version is None else to_version
+    old = snapshot_read(spark, table, version=from_version)
+    new = snapshot_read(spark, table, version=to_v)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot v{from_version} and v{to_v} of {table} have "
+            f"different columns ({sorted(set(old.columns) ^ set(new.columns))}); "
+            "row-level diff over a schema change is ambiguous — migrate "
+            "the old snapshot first"
+        )
+    missing = [k for k in keys if k not in new.columns]
+    if missing:
+        raise ValueError(f"key column(s) {missing} not in {table}")
+    ig = set(ignore_cols or ())
+    nonkey = [c for c in new.columns if c not in keys]
+    cmp_cols = [c for c in nonkey if c not in ig]
+
+    o = old.select(
+        *keys,
+        F.struct(*[F.col(c) for c in nonkey]).alias("_old"),
+        F.struct(*[F.col(c) for c in cmp_cols]).alias("_ocmp"),
+    )
+    n = new.select(
+        *keys,
+        F.struct(*[F.col(c) for c in nonkey]).alias("_new"),
+        F.struct(*[F.col(c) for c in cmp_cols]).alias("_ncmp"),
+    )
+    j = o.join(n, keys, "full_outer")
+    changes = (
+        F.when(
+            F.col("_old").isNull(),
+            F.array(F.struct(F.col("_new").alias("img"),
+                             F.lit("insert").alias("ct"))),
+        )
+        .when(
+            F.col("_new").isNull(),
+            F.array(F.struct(F.col("_old").alias("img"),
+                             F.lit("delete").alias("ct"))),
+        )
+        .when(
+            ~F.col("_ocmp").eqNullSafe(F.col("_ncmp")),
+            F.array(
+                F.struct(F.col("_old").alias("img"),
+                         F.lit("update_preimage").alias("ct")),
+                F.struct(F.col("_new").alias("img"),
+                         F.lit("update_postimage").alias("ct")),
+            ),
+        )
+        # unchanged keys: NULL array — explode (not explode_outer)
+        # produces no row for them, so no empty-array type plumbing
+        .otherwise(F.lit(None))
+    )
+    exploded = j.select(*keys, F.explode(changes).alias("_chg"))
+    return exploded.select(
+        *keys,
+        *[F.col(f"_chg.img.{c}").alias(c) for c in nonkey],
+        F.col("_chg.ct").alias("_change_type"),
+    )
+
+
 def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
     """Commit a NEW snapshot whose content is an old version's (the
     Iceberg rollback shape: history moves forward, files are reused).

@@ -450,6 +450,150 @@ def test_stream_protocol_switch_rejected_by_marker(spark, sf_dir, tmp_path):
         raise RuntimeError(q2.exception() or "stream did not fail")
 
 
+def test_snapshot_consume_changes_exactly_once(spark, tmp_path, monkeypatch):
+    """The incremental consumer: high-water mark rides the sink's
+    manifest meta on the same atomic swap as the data, so (a) polls with
+    no new source commits no-op, (b) a consumer 'restarted' mid-history
+    (it holds NO local state) picks up exactly the unconsumed dirs, (c) a
+    crash immediately after the commit replays nothing, and (d) a
+    replacement commit in the unconsumed range fail-stops."""
+    import pytest
+
+    import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap_mod
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_consume_changes,
+        snapshot_meta,
+        snapshot_read,
+        snapshot_rollback,
+    )
+
+    src, snk = str(tmp_path / "src"), str(tmp_path / "snk")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+    snapshot_append(spark, src, batch(0, 10))       # v1
+    snapshot_append(spark, src, batch(10, 20))      # v2
+
+    r1 = snapshot_consume_changes(spark, src, snk)
+    assert (r1["from"], r1["to"], r1["consumed"]) == (0, 2, 1)
+    assert sorted(r["k"] for r in snapshot_read(spark, snk).collect()) == list(range(20))
+
+    # (a) nothing new: no-op poll, no sink commit
+    r2 = snapshot_consume_changes(spark, src, snk)
+    assert r2["consumed"] == 0 and r2["sink_version"] == r1["sink_version"]
+
+    # (b) restart mid-history: fresh poll state IS the sink meta
+    snapshot_append(spark, src, batch(20, 30))      # v3
+    r3 = snapshot_consume_changes(spark, src, snk)
+    assert (r3["from"], r3["to"], r3["consumed"]) == (2, 3, 1)
+    got = sorted(r["k"] for r in snapshot_read(spark, snk).collect())
+    assert got == list(range(30))  # each appended dir exactly once
+
+    # (c) crash right after the atomic commit: mark landed with the data,
+    # so the retry consumes nothing
+    snapshot_append(spark, src, batch(30, 40))      # v4
+    calls = _crash_once_after(monkeypatch, snap_mod, "snapshot_append")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        snapshot_consume_changes(spark, src, snk)
+    assert calls["n"] == 1
+    assert snapshot_meta(spark, snk)["consumed_source_version"] == 4
+    r4 = snapshot_consume_changes(spark, src, snk)
+    assert r4["consumed"] == 0
+    got = sorted(r["k"] for r in snapshot_read(spark, snk).collect())
+    assert got == list(range(40))  # no duplicates from the crash retry
+
+    # (d) replacement in the unconsumed range fail-stops the consumer
+    snapshot_rollback(spark, src, 1)                # v5 replaces v2-v4 dirs
+    with pytest.raises(ValueError, match="allow_replacements"):
+        snapshot_consume_changes(spark, src, snk)
+
+
+def test_snapshot_row_changes_across_replacements(spark, tmp_path):
+    """append -> upsert -> compaction -> upsert -> purge on a maintained
+    CDC table: snapshot_changes fail-stops (the range replaced dirs)
+    while snapshot_row_changes returns the EXACT keyed diff — inserts,
+    deletes, and update pre/post images; unchanged keys are absent."""
+    import datetime as _dt
+
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        merge_cdc_batch,
+        purge_tombstones,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        current_version,
+        snapshot_changes,
+        snapshot_rewrite,
+        snapshot_row_changes,
+    )
+
+    def ts(x):
+        return _dt.datetime.fromisoformat(x)
+
+    schema = "k long, ts timestamp, op string, v double"
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), "c", 1.0),
+            (2, ts("2024-01-01 00:00:00"), "c", 2.0),
+            (3, ts("2024-01-01 00:00:00"), "c", 3.0),
+            (4, ts("2024-01-01 00:00:00"), "c", 4.0),
+            (9, ts("2024-01-01 00:00:00"), "d", None),  # old tombstone
+        ],
+        schema,
+    )
+    merge_cdc_batch(spark, b1, table, ["k"], "ts", "ts",
+                    commit_protocol="snapshot")
+    v1 = current_version(spark, table)
+
+    b2 = spark.createDataFrame(
+        [
+            (2, ts("2024-01-02 00:00:00"), "u", 2.5),   # update
+            (5, ts("2024-01-02 00:00:00"), "c", 5.0),   # insert
+        ],
+        schema,
+    )
+    merge_cdc_batch(spark, b2, table, ["k"], "ts", "ts",
+                    commit_protocol="snapshot")
+    snapshot_rewrite(spark, table, ["bucket"])  # compaction: replaces every dir
+    b3 = spark.createDataFrame(
+        [
+            (3, ts("2024-01-03 00:00:00"), "u", 3.5),   # update
+            (6, ts("2024-01-03 00:00:00"), "c", 6.0),   # insert
+        ],
+        schema,
+    )
+    merge_cdc_batch(spark, b3, table, ["k"], "ts", "ts",
+                    commit_protocol="snapshot")
+    purge_tombstones(spark, table, "op", "ts", "2024-01-02 00:00:00")  # k=9
+
+    # file-level incremental read correctly refuses the replaced range...
+    with pytest.raises(ValueError, match="allow_replacements"):
+        snapshot_changes(spark, table, v1)
+
+    # ...the keyed state diff answers it exactly
+    chg = snapshot_row_changes(spark, table, ["k"], v1)
+    got = {
+        (r["k"], r["_change_type"]): (r["ts"], r["op"], r["v"])
+        for r in chg.collect()
+    }
+    assert got == {
+        (2, "update_preimage"): (ts("2024-01-01 00:00:00"), "c", 2.0),
+        (2, "update_postimage"): (ts("2024-01-02 00:00:00"), "u", 2.5),
+        (3, "update_preimage"): (ts("2024-01-01 00:00:00"), "c", 3.0),
+        (3, "update_postimage"): (ts("2024-01-03 00:00:00"), "u", 3.5),
+        (5, "insert"): (ts("2024-01-02 00:00:00"), "c", 5.0),
+        (6, "insert"): (ts("2024-01-03 00:00:00"), "c", 6.0),
+        (9, "delete"): (ts("2024-01-01 00:00:00"), "d", None),
+    }
+    # a zero-length range is empty
+    v_now = current_version(spark, table)
+    assert snapshot_row_changes(spark, table, ["k"], v_now).count() == 0
+
+
 def test_read_and_purge_on_snapshot_cdc_table(spark, tmp_path):
     """read_current_state and purge_tombstones must work on a
     snapshot-protocol CDC table (manifest-resolved, never raw-parquet)."""
