@@ -74,10 +74,15 @@ def hourly_rollup(events: DataFrame, distinct_col: str | None = None) -> DataFra
     ).agg(*aggs)
 
 
-def materialize_hourly(events: DataFrame, path: str) -> None:
-    """Land the hourly rollup as a date-partitioned parquet table."""
+def materialize_hourly(
+    events: DataFrame, path: str, distinct_col: str | None = None
+) -> None:
+    """Land the hourly rollup as a date-partitioned parquet table.
+
+    ``distinct_col`` passes through to :func:`hourly_rollup`, opting in
+    the mergeable HLL distinct-sketch column."""
     (
-        hourly_rollup(events)
+        hourly_rollup(events, distinct_col=distinct_col)
         .withColumn("d", F.to_date("hour"))
         .repartition("d")
         .write.mode("overwrite")

@@ -850,30 +850,13 @@ def x21_split_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # x22 — materialized rollup (continuous aggregate): raw events fold into
 # an hourly rollup table on disk; DAILY answers re-aggregate the rollup,
-# never the raw data. The oracle aggregates raw events directly, so a
-# match proves the mergeable-aggregate contract end-to-end (sums of sums,
-# min of mins, avg derived from merged sum/count — never avg of avgs).
+# never the raw data. UNREGISTERED since round 10: w08 carries this code
+# path as its union-tagged 'batch' branch (same oracle — direct
+# aggregation of raw events), freeing the oracle slot for w11. The
+# function stays callable for stress.py's scale-slope row and any local
+# use; the mergeable-aggregate equality is still driver-checked through
+# w08 every round.
 # --------------------------------------------------------------------------
-@register(
-    "x22_rollup_daily",
-    oracle="""
-    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           event_type,
-           count(*)                        AS n_events,
-           round(sum(value), 2)            AS sum_value,
-           min(value)                      AS min_value,
-           max(value)                      AS max_value,
-           -- derived avg in INTEGER domain (1e-4 units): float division of
-           -- a 2-decimal sum can land exactly on a .5 rounding boundary,
-           -- where Spark (decimal HALF_UP) and DuckDB (binary) disagree
-           CAST(round(round(sum(value), 2) * 100) AS BIGINT) * 100
-               // count(*)                 AS avg_1e4
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY day, event_type
-    """,
-    doc="daily stats from a materialized hourly rollup == direct aggregation",
-)
 def x22_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -2179,7 +2162,13 @@ def x41_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(e)
     codes = pq_encode(e, books)
     flat = topk_pq_adc(codes, queries, books, corpus=e, k=10, shortlist=50)
-    ivfpq = topk_ivfpq(e, queries, k=10, n_cells=16, nprobe=6, shortlist=50)
+    # Share the already-trained codebooks and encoded corpus with the
+    # ivfpq branch (same seed/params => identical structures): the round-9
+    # form retrained + re-encoded inside topk_ivfpq, doubling the query.
+    ivfpq = topk_ivfpq(
+        e, queries, k=10, n_cells=16, nprobe=6, shortlist=50,
+        codebooks=books, codes=codes,
+    )
     return flat.select(F.lit("pq").alias("branch"), "*").unionByName(
         ivfpq.select(F.lit("ivfpq").alias("branch"), "*")
     ).orderBy("branch", "query_id", "rank")
@@ -3052,3 +3041,84 @@ def x53_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = quantize_embeddings(_t(spark, sf_dir, "embeddings")).localCheckpoint()
     return topk_bruteforce_int8(q, q.filter(F.col("id") < 5), k=10)
+
+
+# --------------------------------------------------------------------------
+# x54 — snapshot CHANGE-FEED surface (round 10): (a) the row-level keyed
+# diff between two versions of a maintained CDC table ACROSS a
+# compaction commit — exactly the range where file-level incremental
+# reads (snapshot_changes) fail-stop by design — and (b) the
+# exactly-once incremental consumer whose high-water mark rides the
+# sink manifest. Rows-only: the exact change images, crash/restart
+# exactly-once, and fail-stop contracts are value-pinned in
+# tests/test_snapshots.py (test_snapshot_row_changes_across_replacements,
+# test_snapshot_consume_changes_exactly_once).
+# --------------------------------------------------------------------------
+@register(
+    "x54_change_feed",
+    oracle=None,
+    doc="snapshot change-data surface, union-tagged: 'diff' = row-level "
+    "keyed diff across a compaction (Delta-CDF shape: insert/delete/"
+    "update pre+post images); 'consume' = exactly-once incremental "
+    "consumer census (HWM rides the sink manifest). Rows-only; exact "
+    "twins in pytest",
+)
+def x54_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.cdc import merge_cdc_batch
+    from ..operators.snapshots import (
+        current_version,
+        snapshot_append,
+        snapshot_consume_changes,
+        snapshot_read,
+        snapshot_rewrite,
+        snapshot_row_changes,
+    )
+
+    base = tempfile.mkdtemp(prefix="x54_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+    # --- 'diff' branch: maintained CDC table, upsert -> compact -> upsert
+    # (users ≡ 0 mod 10 are withheld from the first batch so the diff
+    # exercises 'insert' rows alongside the update pre/post images;
+    # 'delete' needs a purge and stays pinned in pytest)
+    state = f"{base}/state"
+    merge_cdc_batch(
+        spark,
+        ev.filter((F.col("event_id") % 2 == 0) & (F.col("user_id") % 10 != 0)),
+        state,
+        ["user_id"], "ts", "event_id", commit_protocol="snapshot",
+    )
+    v1 = current_version(spark, state)
+    snapshot_rewrite(spark, state, ["bucket"])  # replacement commit
+    merge_cdc_batch(
+        spark, ev.filter(F.col("event_id") % 2 == 1), state,
+        ["user_id"], "ts", "event_id", commit_protocol="snapshot",
+    )
+    chg = snapshot_row_changes(spark, state, ["user_id"], v1)
+    diff = chg.groupBy(F.col("_change_type").alias("tag")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+    # --- 'consume' branch: two appends, two exactly-once polls
+    src, snk = f"{base}/src", f"{base}/snk"
+    snapshot_append(spark, src, ev.filter(F.col("event_id") % 3 == 0))
+    snapshot_consume_changes(spark, src, snk)
+    snapshot_append(spark, src, ev.filter(F.col("event_id") % 3 == 1))
+    snapshot_consume_changes(spark, src, snk)
+    landed = snapshot_read(spark, snk)
+    consume = landed.groupBy(F.col("event_type").alias("tag")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    return (
+        diff.select(F.lit("diff").alias("branch"), "*")
+        .unionByName(consume.select(F.lit("consume").alias("branch"), "*"))
+        .orderBy("branch", "tag")
+    )

@@ -489,32 +489,49 @@ def w07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-equals the oracle's exact count(DISTINCT event_id), pinning the
 # whole streaming sketch-merge path byte-for-byte. Estimation-mode
 # accuracy at larger cardinalities is measured separately (x29).
+# Round 10: absorbs former x22_rollup_daily as the union-tagged 'batch'
+# branch (one-shot materialize_hourly + reaggregate — the scheduled-job
+# code path), freeing x22's oracle slot for w11. Both branches must
+# equal the oracle's direct aggregation of raw events — the mergeable-
+# aggregate contract holds whether the rollup was built in one pass or
+# maintained incrementally.
 # --------------------------------------------------------------------------
 @register(
     "w08_incremental_rollup",
     oracle="""
-    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
-                    '%Y-%m-%d %H:%M:%S')     AS day,
-           event_type,
-           count(*)                          AS n_events,
-           round(sum(value), 2)              AS sum_value,
-           round(min(value), 2)              AS min_value,
-           round(max(value), 2)              AS max_value,
-           round(round(sum(value), 2) / count(*), 2) AS avg_value,
-           count(DISTINCT event_id)          AS approx_distinct
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY day, event_type
+    WITH agg AS (
+      SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S')     AS day,
+             event_type,
+             count(*)                          AS n_events,
+             round(sum(value), 2)              AS sum_value,
+             round(min(value), 2)              AS min_value,
+             round(max(value), 2)              AS max_value,
+             round(round(sum(value), 2) / count(*), 2) AS avg_value,
+             count(DISTINCT event_id)          AS approx_distinct
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT 'batch' AS branch, * FROM agg
+    UNION ALL
+    SELECT 'stream' AS branch, * FROM agg
+    ORDER BY branch, day, event_type
     """,
-    doc="streaming continuous aggregate: per-batch rollup merge "
-    "(dynamic partition overwrite) -> daily reaggregate + HLL distincts "
-    "from the maintained table",
+    doc="continuous aggregate, union-tagged: 'stream' = per-batch rollup "
+    "merge (dynamic partition overwrite) -> daily reaggregate + HLL "
+    "distincts from the maintained table; 'batch' = one-shot "
+    "materialize_hourly -> same reaggregate (former x22). Both == direct "
+    "aggregation of raw events",
 )
 def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
 
-    from ..operators.rollup import reaggregate, run_rollup_stream
+    from ..operators.rollup import (
+        materialize_hourly,
+        reaggregate,
+        run_rollup_stream,
+    )
 
     base = Path(tempfile.mkdtemp(prefix="w08_"))
     src, rollup, ckpt = str(base / "src"), str(base / "rollup"), str(base / "ckpt")
@@ -531,21 +548,36 @@ def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             distinct_col="event_id",
         )
         _drain(q)
-    daily = reaggregate(spark.read.parquet(rollup), "day")
-    out = daily.select(
-        F.date_format("bucket", _TS_FMT).alias("day"),
-        "event_type",
-        "n_events",
-        F.round("sum_value", 2).alias("sum_value"),
-        F.round("min_value", 2).alias("min_value"),
-        F.round("max_value", 2).alias("max_value"),
-        # avg derived from the ROUNDED sum: both engines then divide the
-        # bit-identical double by the same count, so the 2-decimal round
-        # cannot flip on last-ulp summation-order differences (it did,
-        # at 45.885, when each engine rounded its own unrounded sum).
-        F.round(F.round("sum_value", 2) / F.col("n_events"), 2).alias("avg_value"),
-        "approx_distinct",
-    ).orderBy("day", "event_type")
+    # 'batch' branch: the scheduled-materialization code path over the
+    # same events (former x22_rollup_daily)
+    batch_rollup = str(base / "batch_rollup")
+    materialize_hourly(ev, batch_rollup, distinct_col="event_id")
+
+    def daily_of(rollup_path: str, tag: str) -> DataFrame:
+        daily = reaggregate(spark.read.parquet(rollup_path), "day")
+        return daily.select(
+            F.lit(tag).alias("branch"),
+            F.date_format("bucket", _TS_FMT).alias("day"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+            F.round("min_value", 2).alias("min_value"),
+            F.round("max_value", 2).alias("max_value"),
+            # avg derived from the ROUNDED sum: both engines then divide
+            # the bit-identical double by the same count, so the 2-decimal
+            # round cannot flip on last-ulp summation-order differences
+            # (it did, at 45.885, when each engine rounded its own
+            # unrounded sum).
+            F.round(F.round("sum_value", 2) / F.col("n_events"), 2).alias(
+                "avg_value"
+            ),
+            "approx_distinct",
+        )
+    out = (
+        daily_of(rollup, "stream")
+        .unionByName(daily_of(batch_rollup, "batch"))
+        .orderBy("branch", "day", "event_type")
+    )
     return _localized(spark, out, base)
 
 
@@ -687,19 +719,43 @@ def w10_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # w11 — stream enrichment from the maintained CDC state (the engine's
-# end-to-end CDC story in one query): the FIRST half of the events
-# stream builds the current-state table via the w10 merge; the SECOND
+# end-to-end CDC story in one query): the EVEN-id half of the events
+# stream builds the current-state table via the w10 merge; the ODD-id
 # half then streams through a per-batch left join against that table,
 # every event enriched with its user's state (or NULL dims for users
-# never seen). Rows-only; the == batch-left-join equivalence is pinned
-# in tests/test_streaming.py.
+# never seen). ORACLE-CHECKED since round 10 (the parity split replaced
+# the approxQuantile median precisely so DuckDB can reproduce it): the
+# oracle rebuilds the dimension as latest-per-user over even events
+# (row_number by ts DESC, event_id DESC — run_cdc_merge_stream's
+# ordering) and left-joins the odd events; the == batch-left-join
+# equivalence also stays pinned in tests/test_streaming.py.
 # --------------------------------------------------------------------------
 @register(
     "w11_stream_enrichment",
-    oracle=None,
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_id AS dim_event_id, value AS dim_value
+      FROM (
+        SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 0
+      ) WHERE rn = 1
+    ),
+    sec AS (SELECT * FROM events WHERE event_id % 2 = 1)
+    SELECT sec.event_type,
+           count(*)                                       AS n_events,
+           CAST(sum(CASE WHEN dim.dim_event_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)    AS n_enriched,
+           count(DISTINCT sec.user_id)                    AS n_users,
+           round(sum(dim.dim_value), 2)                   AS dim_value_sum
+    FROM sec LEFT JOIN dim USING (user_id)
+    GROUP BY sec.event_type
+    ORDER BY event_type
+    """,
     doc="per-batch dimension lookup from the continuously-maintained CDC "
-    "current-state table: second-half events enriched with first-half "
-    "user state; per-type match census",
+    "current-state table: odd-id events enriched with latest even-id "
+    "user state; per-type match census (oracle-checked since r10)",
 )
 def w11_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -716,8 +772,8 @@ def w11_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, user_id long, event_type string, "
         "ts timestamp_ntz, value double"
     )
-    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
-    first, second = ev.filter(F.col("event_id") < mid), ev.filter(F.col("event_id") >= mid)
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
     first.repartition(2).write.parquet(str(base / "dim_src"))
     second.repartition(2).write.parquet(str(base / "ev_src"))
 

@@ -47,7 +47,8 @@ QUERIES = [
     "x01_exact_dedup_docs",  # one hash shuffle on text
     "x03_token_stats",       # narrow JVM HOF signals
     "x07_minhash_neardup",   # shingle explode -> banded join -> verify
-    "x22_rollup_daily",      # mergeable rollup + HLL
+    # x22_rollup_daily is UNREGISTERED since round 10 (folded into w08's
+    # 'batch' branch); its slope row survives via the direct import below
     "x10_embedding_topk",    # per-partition GEMM partial top-k
     "x21_split_and_pack",    # two-level distributed prefix sum
     "x25_decontaminate",     # cross-split shingle equi-join (df-CAPPED since r6)
@@ -350,7 +351,15 @@ def main() -> None:
                 assign_split("text"),
             )
 
-        runs = [(n, specs[n].fn) for n in QUERIES] + [("x25_uncapped", x25_uncapped)]
+        from lambda_kafka_to_s3_parquet_spark.plans.extensions import (
+            x22_rollup_daily,
+        )
+
+        runs = (
+            [(n, specs[n].fn) for n in QUERIES]
+            + [("x22_rollup_daily", x22_rollup_daily)]
+            + [("x25_uncapped", x25_uncapped)]
+        )
         out = {}
         for name, fn in runs:
             t1 = time_query(spark, fn, base1x)
@@ -383,6 +392,40 @@ def main() -> None:
         out["x51_fixed_density"]["ratio"] = round(
             out["x51_fixed_density"]["tN"] / out["x51_fixed_density"]["t1"], 1
         )
+        # MEGA-domain token quota (round 10): every doc in ONE domain, so
+        # the single-window form's per-domain cumsum serializes in one
+        # task while the two-level prefix-sum form parallelizes across
+        # id-range buckets. Expect the scaled form's ratio near the
+        # all-core data slope (q01-like) and the window form's ratio
+        # visibly worse as the hot domain grows 10x; the row keeps BOTH
+        # so the gap is the evidence. Result equality is pinned in
+        # tests/test_extensions.py::
+        # test_cap_domain_tokens_scaled_equals_window_form.
+        from lambda_kafka_to_s3_parquet_spark.operators.webfilter import (
+            cap_domain_tokens,
+            cap_domain_tokens_scaled,
+        )
+
+        def _mega(sf_dir):
+            return load_table(spark, sf_dir, "documents").select(
+                "doc_id",
+                F.lit("mega.example").alias("host"),
+                F.col("n_chars").cast("long").alias("n_tokens"),
+            )
+
+        def quota_window(spark_, sf_dir):
+            return cap_domain_tokens(_mega(sf_dir), budget=10**12)
+
+        def quota_scaled(spark_, sf_dir):
+            return cap_domain_tokens_scaled(
+                _mega(sf_dir), budget=10**12, bucket_size=4096
+            )
+
+        for name, fn in (("x39_mega_window", quota_window),
+                         ("x39_mega_scaled", quota_scaled)):
+            t1 = time_query(spark, fn, base1x)
+            tn = time_query(spark, fn, baseNx)
+            out[name] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
         out["w09_batch_vs_store"] = w09_store_growth(spark, base, scratch, scale)
         out["w13_batch_vs_store"] = w13_gram_store_growth(spark, base, scratch, scale)
         out["w12_batch_vs_index"] = w12_index_growth(spark, base, scratch, scale)
