@@ -190,6 +190,9 @@ HEADLINE = [
     # fixture capped at 300 docs + twins, so the entry measures the
     # per-batch machinery, not corpus scale)
     "w13_span_scrub_stream",
+    # round 10: streaming BM25 index maintenance (build + two exactly-
+    # once appends + an indexed query; fixed micro-batch machinery)
+    "w15_bm25_index_stream",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
     # synthesized 20k-record Confluent batch through the full decode stage
@@ -227,6 +230,7 @@ SINGLE_RUN = {
     "w11_stream_enrichment",
     "w12_semantic_decontam_stream",
     "w13_span_scrub_stream",
+    "w15_bm25_index_stream",
     "w06_stream_dedup",
     "w07_stream_stream_join",
     "w08_incremental_rollup",

@@ -224,6 +224,7 @@ def build_bm25_index(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> dict:
     """Tokenize + aggregate the corpus ONCE into a term-hash-bucketed
     postings store; queries then read only their terms' buckets.
@@ -236,7 +237,13 @@ def build_bm25_index(
     registry land in the meta (atomic, written LAST — same commit
     protocol as the vector indexes). At 100 TB the tokenize+explode is
     the expensive pass, and a query should pay |matching postings|, not
-    re-pay it — this is that artifact."""
+    re-pay it — this is that artifact.
+
+    ``batch_id`` stamps the meta (``base_batch_id``) for streaming
+    maintainers: the meta is the commit witness, so a micro-batch
+    replayed after a crash-between-commit-and-checkpoint can recognize
+    its own completed build (see
+    :func:`..streaming.pipeline.run_bm25_index_stream`)."""
     from .vector_index import _corpus_fingerprint, _read_index_meta, _write_index_meta
 
     if _read_index_meta(spark, path) is not None:
@@ -286,6 +293,8 @@ def build_bm25_index(
         # postings, so the wider net only ever errs toward rebuilding
         **_corpus_fingerprint(docs, id_col, text_col),
     }
+    if batch_id is not None:
+        meta["base_batch_id"] = int(batch_id)
     _write_index_meta(spark, path, meta)
     return meta
 
@@ -385,6 +394,7 @@ def append_to_bm25_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> dict:
     """Append ``docs``'s postings to the persisted BM25 index at ``path``
     — incremental maintenance with SNAPSHOT semantics (the same protocol
@@ -401,6 +411,12 @@ def append_to_bm25_index(
     double-count its postings — same contract as the band store's
     first-arrival batches). Single-maintainer; a concurrent append is
     detected at publish time and the loser's data stays orphaned.
+
+    ``batch_id`` makes the append EXACTLY-ONCE for streaming
+    maintainers: the id rides the registry entry on the same meta swap
+    as the data, so replaying an already-folded micro-batch (crash
+    between the swap and the checkpoint commit) is a NO-OP returning the
+    current meta — double-counted postings are impossible.
     """
     from .vector_index import _corpus_fingerprint, _read_index_meta, _write_index_meta
 
@@ -420,6 +436,14 @@ def append_to_bm25_index(
             f"index at {path} predates exact-statistic metas (no sum_dl); "
             "rebuild once to enable appends"
         )
+    if batch_id is not None and (
+        meta.get("base_batch_id") == int(batch_id)
+        or any(a.get("batch_id") == int(batch_id)
+               for a in meta.get("appends", []))
+    ):
+        # replay of a batch whose fold already committed: the meta swap
+        # was the commit witness — nothing to write
+        return meta
     n_buckets = meta["n_buckets"]
     seen = [a["id"] for a in meta.get("appends", [])]
     import uuid as _uuid
@@ -464,6 +488,8 @@ def append_to_bm25_index(
         "buckets_present": buckets,
         "n_docs": int(stats["n_docs"] or 0),
     }
+    if batch_id is not None:
+        entry["batch_id"] = int(batch_id)
     meta = {
         **current,
         "appends": current.get("appends", []) + [entry],

@@ -1016,3 +1016,58 @@ def w14_token_quota_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("host")
     )
     return _localized(spark, out, base)
+
+
+# --------------------------------------------------------------------------
+# w15 — streaming BM25 index maintenance (round 10): the persisted
+# postings index tracks a document stream — first batch builds, later
+# batches append, each fold exactly-once via the batch id riding the
+# index meta swap. The returned top-10 comes from the MAINTAINED index;
+# bm25_topk_indexed == from-scratch bm25_topk over the union corpus is
+# bit-exact by construction (nothing in bm25 is frozen) and pinned in
+# tests/test_retrieval.py along with the crash-replay no-op. Rows-only
+# (the BM25 arithmetic itself is driver-oracle-checked as x32 over the
+# same corpus and terms).
+# --------------------------------------------------------------------------
+@register(
+    "w15_bm25_index_stream",
+    oracle=None,
+    doc="streaming BM25 postings-index maintenance: build + exactly-once "
+    "appends (batch id on the meta swap); top-10 from the maintained "
+    "index (rows-only; == one-shot pinned in pytest, math oracle-checked "
+    "as x32)",
+)
+def w15_bm25_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.retrieval import bm25_topk_indexed
+    from ..streaming.pipeline import run_bm25_index_stream
+    from .extensions import X32_QUERY_TERMS
+
+    base = Path(tempfile.mkdtemp(prefix="w15_"))
+    src = base / "src"
+    src.mkdir()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        b = docs.filter(F.col("doc_id") % 3 == i)
+        staged = base / f"stage{i}"
+        b.coalesce(1).write.parquet(str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{i}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+    with _state_partitions(spark):
+        q = run_bm25_index_stream(
+            spark,
+            str(src),
+            "doc_id long, text string",
+            str(base / "bm25"),
+            str(base / "ckpt"),
+            n_buckets=32,
+        )
+        _drain(q)
+    out = bm25_topk_indexed(spark, str(base / "bm25"), X32_QUERY_TERMS, k=10)
+    return _localized(spark, out, base)

@@ -495,6 +495,75 @@ def run_span_scrub_stream(
     )
 
 
+def run_bm25_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    index_path: str,
+    checkpoint: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Continuously maintain a persisted BM25 postings index from a
+    document stream: the first micro-batch builds the index
+    (:func:`..operators.retrieval.build_bm25_index`), every later batch
+    appends its postings (:func:`..operators.retrieval.
+    append_to_bm25_index`) — and ``bm25_topk_indexed`` over the
+    maintained index equals the from-scratch ``bm25_topk`` over every
+    document seen so far, bit-for-bit (nothing in bm25 is frozen: df,
+    n_docs, avgdl all update exactly; test-pinned).
+
+    Exactly-once: the micro-batch id rides the index meta on the same
+    atomic swap as the data (``base_batch_id`` for the build, a
+    registry-entry ``batch_id`` per append), so a batch replayed after a
+    crash between the meta swap and the checkpoint commit is recognized
+    and skipped — double-counted postings are impossible at any crash
+    point. Same single-maintainer contract as every index writer.
+
+    At 100 TB this is how the retrieval index tracks an ingest stream
+    without rebuild storms: per batch the tokenize+explode cost is
+    ∝ batch, the write is one bucketed append dir, and queries keep
+    paying only their terms' buckets across base + appends.
+    """
+    from ..operators.retrieval import append_to_bm25_index, build_bm25_index
+    from ..operators.vector_index import _read_index_meta
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        meta = _read_index_meta(spark, index_path)
+        if meta is None:
+            # a tf/ dir without meta is an orphan from a build that
+            # crashed before its meta swap — invisible to every reader,
+            # safe to clear under the single-maintainer contract (and
+            # the build's errorifexists would otherwise wedge the replay)
+            from ..operators.rollup import _marker_fs
+
+            fs, tfp = _marker_fs(spark, f"{index_path}/tf")
+            if fs.exists(tfp):
+                fs.delete(tfp, True)
+            build_bm25_index(
+                spark, batch_df, index_path, n_buckets=n_buckets,
+                id_col=id_col, text_col=text_col, batch_id=batch_id,
+            )
+            return
+        append_to_bm25_index(
+            spark, batch_df, index_path, id_col=id_col, text_col=text_col,
+            batch_id=batch_id,
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(input_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_token_quota_stream(
     spark: SparkSession,
     input_dir: str,

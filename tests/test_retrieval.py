@@ -325,3 +325,126 @@ def test_countmin_sketch_exact_twin_and_guarantees(spark, sf_dir):
         .collect()
     }
     assert merged == sketch
+
+
+def test_bm25_index_stream_equals_oneshot(spark, sf_dir, tmp_path):
+    """Streaming index maintenance: three micro-batches (build + two
+    appends) must leave an index whose search equals bm25_topk over the
+    whole corpus bit-for-bit, with the batch ids recorded on the meta."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.vector_index import (
+        _read_index_meta,
+    )
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import (
+        run_bm25_index_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "src"
+    src.mkdir()
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for i, b in enumerate(thirds):
+        staged = tmp_path / f"stage{i}"
+        b.coalesce(1).write.parquet(str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{i}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+    idx = str(tmp_path / "bm25")
+    q = run_bm25_index_stream(
+        spark, str(src), "doc_id long, text string", idx,
+        str(tmp_path / "ckpt"), n_buckets=32,
+    )
+    q.awaitTermination(300)
+
+    meta = _read_index_meta(spark, idx)
+    assert meta["base_batch_id"] == 0
+    assert [a["batch_id"] for a in meta["appends"]] == [1, 2]
+
+    got = sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    want = sorted(map(tuple, bm25_topk(docs, X32_QUERY_TERMS, k=10).collect()))
+    assert got == want and len(got) == 10
+
+
+def test_bm25_index_stream_crash_after_fold_replays_nothing(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill the stream AFTER an append's meta swap but BEFORE the
+    checkpoint commits: the restarted stream replays the batch, the
+    append recognizes its batch_id on the registry and NO-OPs — n_docs
+    counts every document exactly once and search equals one-shot."""
+    import os
+
+    import pytest
+
+    import lambda_kafka_to_s3_parquet_spark.operators.retrieval as ret_mod
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.vector_index import (
+        _read_index_meta,
+    )
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import (
+        run_bm25_index_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 600
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    halves = [docs.filter(F.col("doc_id") < 300),
+              docs.filter(F.col("doc_id") >= 300)]
+    for i, b in enumerate(halves):
+        staged = tmp_path / f"stage{i}"
+        b.coalesce(1).write.parquet(str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{i}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+    real = ret_mod.append_to_bm25_index
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        out = real(*a, **k)
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected crash after atomic meta swap")
+        return out
+
+    monkeypatch.setattr(ret_mod, "append_to_bm25_index", crashing)
+
+    idx, ckpt = str(tmp_path / "bm25"), str(tmp_path / "ckpt")
+    q = run_bm25_index_stream(
+        spark, str(src), "doc_id long, text string", idx, ckpt, n_buckets=32
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+        raise RuntimeError(q.exception() or "stream did not fail")
+    # the append committed atomically before the crash
+    assert [a["batch_id"] for a in _read_index_meta(spark, idx)["appends"]] == [1]
+
+    q2 = run_bm25_index_stream(
+        spark, str(src), "doc_id long, text string", idx, ckpt, n_buckets=32
+    )
+    q2.awaitTermination(300)
+
+    meta = _read_index_meta(spark, idx)
+    # replay folded nothing: still exactly one append, exact n_docs
+    assert [a["batch_id"] for a in meta["appends"]] == [1]
+    from lambda_kafka_to_s3_parquet_spark.functions.text import tokens as _tok
+
+    assert meta["n_docs"] == docs.filter(F.size(_tok(F.col("text"))) > 0).count()
+    got = sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    want = sorted(map(tuple, bm25_topk(docs, X32_QUERY_TERMS, k=10).collect()))
+    assert got == want and len(got) == 10
