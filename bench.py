@@ -193,6 +193,10 @@ HEADLINE = [
     # round 10: streaming BM25 index maintenance (build + two exactly-
     # once appends + an indexed query; fixed micro-batch machinery)
     "w15_bm25_index_stream",
+    # round 10 (late): snapshot change-data surface — keyed diff across a
+    # compaction + the exactly-once incremental consumer (scratch
+    # snapshot tables; side-effecting, so single-run like the streams)
+    "x54_change_feed",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
     # synthesized 20k-record Confluent batch through the full decode stage
@@ -231,6 +235,7 @@ SINGLE_RUN = {
     "w12_semantic_decontam_stream",
     "w13_span_scrub_stream",
     "w15_bm25_index_stream",
+    "x54_change_feed",
     "w06_stream_dedup",
     "w07_stream_stream_join",
     "w08_incremental_rollup",

@@ -3,7 +3,7 @@
 The reference's topics are CDC change streams (lndcdc* — README.md:20,
 configure_lambda_triggeres.sh:13-23) and it lands RAW change rows; every
 downstream consumer then wants "current state per key", which the batch
-path answers with :func:`..operators.dedup.latest_by_key` (x02/i04). This
+path answers with :func:`..operators.dedup.latest_by_key` (x02/i01). This
 module maintains that answer CONTINUOUSLY — the MERGE/upsert half of a
 lakehouse, expressed with stock Spark:
 
@@ -346,7 +346,7 @@ def read_state_as_of(
     (pushed to parquet row groups, and to partition pruning when the
     history is date-partitioned — the engine's default sink layout);
     the latest-per-key compaction is the same single-shuffle
-    :func:`~..dedup.latest_by_key` the batch path (x02/i04) uses.
+    :func:`~..dedup.latest_by_key` the batch path (x02/i01) uses.
 
     ``tiebreak`` names the column that orders same-timestamp changes
     (a sequence/LSN column when the log has one). Without it, ties are

@@ -3049,19 +3049,65 @@ def x53_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compaction commit — exactly the range where file-level incremental
 # reads (snapshot_changes) fail-stop by design — and (b) the
 # exactly-once incremental consumer whose high-water mark rides the
-# sink manifest. Rows-only: the exact change images, crash/restart
-# exactly-once, and fail-stop contracts are value-pinned in
-# tests/test_snapshots.py (test_snapshot_row_changes_across_replacements,
+# sink manifest. ORACLE-CHECKED (late r10): the diff branch is a pure
+# function of the events table — state@v = latest-per-user over the
+# batches merged so far, so DuckDB rebuilds both states with window
+# functions and re-derives the Delta-CDF census (update fires iff the
+# winning event changed, which for unique event_ids is iff the ids
+# differ); the consume branch's landed rows are exactly the union of
+# the two appended filters. The census uses only EXACT aggregates
+# (counts + BIGINT event_id sums — no float sums) so the value-hash is
+# engine-stable. Exact change images, crash/restart exactly-once, and
+# fail-stop contracts stay value-pinned in tests/test_snapshots.py
+# (test_snapshot_row_changes_across_replacements,
 # test_snapshot_consume_changes_exactly_once).
 # --------------------------------------------------------------------------
 @register(
     "x54_change_feed",
-    oracle=None,
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, event_type, ts, value FROM events),
+    b1 AS (SELECT * FROM ev WHERE event_id % 2 = 0 AND user_id % 10 != 0),
+    u  AS (SELECT * FROM b1 UNION ALL
+           SELECT * FROM ev WHERE event_id % 2 = 1),
+    s1 AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+             FROM b1) WHERE rn = 1),
+    s2 AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+             FROM u) WHERE rn = 1),
+    ins AS (SELECT 'insert' AS tag, n.user_id, n.event_id
+            FROM s2 n LEFT JOIN s1 o ON n.user_id = o.user_id
+            WHERE o.user_id IS NULL),
+    upd AS (SELECT o.user_id AS user_id, o.event_id AS old_id,
+                   n.event_id AS new_id
+            FROM s1 o JOIN s2 n ON o.user_id = n.user_id
+            WHERE o.event_id <> n.event_id),
+    chg AS (SELECT tag, user_id, event_id FROM ins
+            UNION ALL
+            SELECT 'update_preimage' AS tag, user_id, old_id AS event_id
+            FROM upd
+            UNION ALL
+            SELECT 'update_postimage' AS tag, user_id, new_id AS event_id
+            FROM upd)
+    SELECT 'diff' AS branch, tag, count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM chg GROUP BY tag
+    UNION ALL
+    SELECT 'consume' AS branch, event_type AS tag, count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM ev WHERE event_id % 3 IN (0, 1) GROUP BY event_type
+    ORDER BY branch, tag
+    """,
     doc="snapshot change-data surface, union-tagged: 'diff' = row-level "
     "keyed diff across a compaction (Delta-CDF shape: insert/delete/"
-    "update pre+post images); 'consume' = exactly-once incremental "
-    "consumer census (HWM rides the sink manifest). Rows-only; exact "
-    "twins in pytest",
+    "update pre+post images; oracle rebuilds both states via window "
+    "functions); 'consume' = exactly-once incremental consumer census "
+    "(HWM rides the sink manifest; oracle = union of the appended "
+    "filters). Exact image/crash twins in pytest",
 )
 def x54_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -3102,7 +3148,7 @@ def x54_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = chg.groupBy(F.col("_change_type").alias("tag")).agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_keys"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum("event_id").alias("id_sum"),
     )
 
     # --- 'consume' branch: two appends, two exactly-once polls
@@ -3115,7 +3161,7 @@ def x54_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume = landed.groupBy(F.col("event_type").alias("tag")).agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("user_id").alias("n_keys"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum("event_id").alias("id_sum"),
     )
     return (
         diff.select(F.lit("diff").alias("branch"), "*")

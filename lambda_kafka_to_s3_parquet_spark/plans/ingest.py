@@ -9,8 +9,9 @@ The Avro *bytes* are not expressible in ANSI SQL, but the decode's expected
 OUTPUT is: the reference ships its own golden result parquet
 (lndcdcadsrtcrd_ratecard_*_local_test.parquet, 16 rows x 19 cols — the
 landed file check_parquet.py:87-94 reads back), and a repo-local copy of
-that fixture (testdata/golden_ratecard.parquet) gives i01/i04 full DuckDB
-oracles: ``SELECT ... FROM parquet_scan('<golden>')``. The remaining
+that fixture (testdata/golden_ratecard.parquet) gives i01 a full DuckDB
+oracle (which since late round 10 also runs the stale-twin CDC compaction,
+former i04): ``SELECT ... FROM parquet_scan('<golden>')``. The remaining
 i-queries (envelope metrics, synthesized batches, side-effecting sinks)
 stay rows-only with byte-exact asserts in tests/test_ingest.py.
 
@@ -62,22 +63,40 @@ def decoded_golden(spark: SparkSession) -> DataFrame:
 @register(
     "i01_replay_decode",
     oracle=f"""
-    SELECT {_GOLDEN_COLS}
+    SELECT {_GOLDEN_COLS}, CAST(2 AS BIGINT) AS n_copies
     FROM parquet_scan('{GOLDEN_PARQUET}')
     ORDER BY SRC_KEY_VAL
     """,
-    doc="Kafka envelope replay -> Confluent-Avro decode == the reference's "
-    "own golden output parquet (check_parquet.py:87-94 read-back shape)",
+    doc="Kafka envelope replay -> Confluent-Avro decode -> CDC latest-"
+    "version compaction == the reference's own golden output parquet "
+    "(check_parquet.py:87-94 read-back shape; former i04 folded in r10)",
 )
 def i01_replay_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's core competency, driver-checked end-to-end: replay the
     reference's golden Kafka event (sample_kafka_event.json), run the full
-    base64 -> envelope-split -> Confluent-wire Avro decode, and return the
-    19 payload columns. The oracle is the reference's own landed parquet
-    for the same event, so rows + schema + value-hash all confirm the
-    decode byte-for-byte (envelope columns are checked separately by
-    i02/i05 and tests/test_ingest.py)."""
-    return decoded_golden(spark).select(*[f.name for f in RATECARD_FIELDS])
+    base64 -> envelope-split -> Confluent-wire Avro decode, CDC-compact,
+    and return the 19 payload columns. The oracle is the reference's own
+    landed parquet for the same event, so rows + schema + value-hash all
+    confirm the decode byte-for-byte (envelope columns are checked
+    separately by i02/i05 and tests/test_ingest.py).
+
+    The CDC stage (former i04, folded in round 10 to free an oracle-window
+    slot) keeps its TEETH: the golden event's 16 keys are unique, so
+    deduping it alone would be the identity and prove nothing about
+    ordering. Each decoded record is therefore replayed TWICE — once
+    as-is, once as a synthesized STALE predecessor (older
+    SRC_COMMIT_DT_UTC, marker operation name) — and compacted. Only a
+    correct latest-by-(commit-ts DESC) reduction returns exactly the
+    golden rows with n_copies = 2; an ordering regression surfaces the
+    STALE twins and hash-mismatches."""
+    d = decoded_golden(spark).filter(F.col("_corrupt_record").isNull())
+    stale = d.withColumn("SRC_COMMIT_DT_UTC", F.lit("2021-07-01 00:00:00")).withColumn(
+        "SRC_CDC_OPER_NM", F.lit("STALE")
+    )
+    cdc = d.unionByName(stale)
+    return latest_by_key(cdc, ["SRC_KEY_VAL"], "SRC_COMMIT_DT_UTC", "offset").select(
+        *[f.name for f in RATECARD_FIELDS], "n_copies"
+    )
 
 
 @register(
@@ -303,36 +322,6 @@ def i07_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):  # the reference's one-file-per-invocation pattern
         write_partitioned(d, path)
     return compact_partitions(spark, path, topic=GOLDEN_TOPIC)
-
-
-@register(
-    "i04_cdc_latest_ratecard",
-    oracle=f"""
-    SELECT SRC_KEY_VAL, RATE_CARD_ID, SRC_CDC_OPER_NM, SRC_COMMIT_DT_UTC,
-           CAST(2 AS BIGINT) AS n_copies
-    FROM parquet_scan('{GOLDEN_PARQUET}')
-    ORDER BY SRC_KEY_VAL
-    """,
-    doc="CDC latest-version dedup: golden stream + synthesized stale "
-    "predecessors compact back to exactly the golden parquet rows",
-)
-def i04_cdc_latest_ratecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + CDC compaction, driver-checked against the golden parquet
-    with TEETH: the golden event's 16 keys are unique, so deduping it
-    alone would be the identity and prove nothing about ordering. The
-    query therefore replays each decoded record TWICE — once as-is, once
-    as a synthesized STALE predecessor (older SRC_COMMIT_DT_UTC, marker
-    operation name) — and compacts. Only a correct latest-by-(commit-ts
-    DESC) reduction returns exactly the golden rows with n_copies = 2; an
-    ordering regression surfaces the STALE twins and hash-mismatches."""
-    d = decoded_golden(spark).filter(F.col("_corrupt_record").isNull())
-    stale = d.withColumn("SRC_COMMIT_DT_UTC", F.lit("2021-07-01 00:00:00")).withColumn(
-        "SRC_CDC_OPER_NM", F.lit("STALE")
-    )
-    cdc = d.unionByName(stale)
-    return latest_by_key(cdc, ["SRC_KEY_VAL"], "SRC_COMMIT_DT_UTC", "offset").select(
-        "SRC_KEY_VAL", "RATE_CARD_ID", "SRC_CDC_OPER_NM", "SRC_COMMIT_DT_UTC", "n_copies"
-    )
 
 
 @register(
