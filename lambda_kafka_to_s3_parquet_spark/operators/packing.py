@@ -37,6 +37,7 @@ def with_global_prefix_sum(
     weight_col: str,
     bucket_size: int = 100_000,
     out_col: str = "prefix_sum",
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``weight_col`` in ``order_col`` order.
 
@@ -44,18 +45,36 @@ def with_global_prefix_sum(
     buckets balanced; gaps only make some buckets smaller). Adds
     ``out_col`` = sum of weights of all STRICTLY EARLIER rows. Two
     shuffles (bucket window + tiny aggregate), no global single-task scan.
+
+    ``partition_cols`` restarts the scan per group (one independent
+    prefix sum per partition key — the per-domain token-quota shape,
+    ``..webfilter.cap_domain_tokens_scaled``): every window/aggregate
+    gains the group key, and the offsets join stays a plain shuffle join
+    there (groups × buckets rows need not fit a broadcast), while the
+    ungrouped form keeps its tiny broadcast.
     """
+    pcols = list(partition_cols or [])
     b = F.floor(F.col(order_col) / F.lit(bucket_size)).alias("_bucket")
     bucketed = df.withColumn("_bucket", b)
-    w_in = Window.partitionBy("_bucket").orderBy(order_col)
+    w_in = Window.partitionBy(*pcols, "_bucket").orderBy(order_col)
     cum = bucketed.withColumn("_cum", F.sum(weight_col).over(w_in))
-    totals = bucketed.groupBy("_bucket").agg(F.sum(weight_col).alias("_btot"))
-    w_b = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    totals = bucketed.groupBy(*pcols, "_bucket").agg(
+        F.sum(weight_col).alias("_btot")
+    )
+    w_b = (
+        Window.partitionBy(*pcols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = totals.select(
-        "_bucket", F.coalesce(F.sum("_btot").over(w_b), F.lit(0)).alias("_boff")
+        *pcols,
+        "_bucket",
+        F.coalesce(F.sum("_btot").over(w_b), F.lit(0)).alias("_boff"),
     )
     return (
-        cum.join(F.broadcast(offsets), "_bucket")
+        cum.join(
+            offsets if pcols else F.broadcast(offsets), pcols + ["_bucket"]
+        )
         .withColumn(out_col, (F.col("_boff") + F.col("_cum") - F.col(weight_col)))
         .drop("_bucket", "_cum", "_boff")
     )

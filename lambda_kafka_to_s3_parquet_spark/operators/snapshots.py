@@ -645,7 +645,11 @@ def snapshot_consume_changes(
     A range that added no directories (maintenance-only history)
     returns ``consumed=0`` WITHOUT advancing the mark (an empty append
     is a no-op by the empty-commit guard); the next poll re-diffs the
-    same range — two manifest reads, no data I/O.
+    same range — two manifest reads, no data I/O. A range whose dirs
+    ``transform`` filters down to ZERO rows instead advances the mark
+    via a meta-only ``consume_mark`` commit (once the sink is
+    initialized) — otherwise every poll would re-scan and re-transform
+    an ever-growing range as source commits accumulate.
 
     Deployment shape: call on a schedule, or from any driver loop —
     e.g. ``foreachBatch`` of a clock stream — one poll per tick;
@@ -666,6 +670,20 @@ def snapshot_consume_changes(
     meta = {**snapshot_meta(spark, sink), hwm_key: cur}
     before = current_version(spark, sink)
     v = snapshot_append(spark, sink, delta, partition_by, meta=meta)
+    if v == before and before > 0:
+        # The range ADDED source dirs but ``transform`` filtered every
+        # row out, so the append no-opped (empty-commit guard) and the
+        # mark did not ride it. Without advancing it here, every later
+        # poll would re-scan and re-transform the SAME ever-growing
+        # range — a real data job per poll, not the two-manifest-read
+        # no-op of a dir-less range. Publish a META-ONLY commit carrying
+        # the mark: it adds no partitions (nothing lands twice on a
+        # crash-retry — re-consuming the range reproduces the same empty
+        # output), it just records that the range was consumed. Skipped
+        # while the sink is still uninitialized (an empty v1 would
+        # poison snapshot_read — the bounded bootstrap re-scan lasts
+        # only until the first non-empty transform output).
+        v = _commit(spark, sink, "consume_mark", {}, meta=meta)
     return {"from": last, "to": cur, "consumed": int(v > before),
             "sink_version": v}
 

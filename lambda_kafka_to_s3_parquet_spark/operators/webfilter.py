@@ -186,33 +186,40 @@ def cap_domain_tokens_scaled(
        the same (domain, bucket) keys the window already shuffled on.
 
     Result equality with the window form is test-pinned; the flat-wall
-    claim under 10x growth of a single domain is a stress.py row."""
-    from pyspark.sql import Window
+    claim under 10x growth of a single domain is a stress.py row.
+
+    Requires a NUMERIC ``id_col`` (the bucket arithmetic needs one, the
+    same order-key contract ``..packing.with_global_prefix_sum``
+    documents); a string id would cast to NULL buckets and silently
+    empty the join, so it is rejected up front —
+    :func:`cap_domain_tokens` handles any orderable id type."""
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(docs.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"cap_domain_tokens_scaled needs a numeric id_col for its "
+            f"bucket arithmetic; {id_col!r} is "
+            f"{docs.schema[id_col].dataType.simpleString()} — use "
+            f"cap_domain_tokens (any orderable id) or derive a numeric "
+            f"order key first"
+        )
+    from .packing import with_global_prefix_sum
 
     nn = docs.filter(F.col(domain_col).isNotNull())
-    bucketed = nn.withColumn(
-        "_bucket", F.floor(F.col(id_col) / F.lit(bucket_size))
-    )
-    w_in = Window.partitionBy(domain_col, "_bucket").orderBy(
-        F.col(id_col).asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = bucketed.withColumn("_cum", F.sum(weight_col).over(w_in))
-    totals = bucketed.groupBy(domain_col, "_bucket").agg(
-        F.sum(weight_col).alias("_btot")
-    )
-    w_b = (
-        Window.partitionBy(domain_col)
-        .orderBy("_bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        domain_col,
-        "_bucket",
-        F.coalesce(F.sum("_btot").over(w_b), F.lit(0)).alias("_boff"),
-    )
+    # One shared two-level scan kernel (packing.py) — the per-domain form
+    # just partitions every level by the domain. The exclusive prefix
+    # plus the row's own weight is the inclusive running total the
+    # stop-at-exhaustion rule tests.
     capped = (
-        cum.join(offsets, [domain_col, "_bucket"])
-        .filter(F.col("_boff") + F.col("_cum") <= budget)
-        .drop("_bucket", "_cum", "_boff")
+        with_global_prefix_sum(
+            nn,
+            id_col,
+            weight_col,
+            bucket_size=bucket_size,
+            out_col="_pre",
+            partition_cols=[domain_col],
+        )
+        .filter(F.col("_pre") + F.col(weight_col) <= budget)
+        .drop("_pre")
     )
     return capped.unionByName(docs.filter(F.col(domain_col).isNull()))

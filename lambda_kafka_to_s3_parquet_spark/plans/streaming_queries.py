@@ -748,7 +748,8 @@ def w10_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN dim.dim_event_id IS NOT NULL
                          THEN 1 ELSE 0 END) AS BIGINT)    AS n_enriched,
            count(DISTINCT sec.user_id)                    AS n_users,
-           round(sum(dim.dim_value), 2)                   AS dim_value_sum
+           CAST(sum(CAST(round(dim.dim_value * 100) AS BIGINT))
+                AS BIGINT)                                AS dim_cents_sum
     FROM sec LEFT JOIN dim USING (user_id)
     GROUP BY sec.event_type
     ORDER BY event_type
@@ -806,7 +807,14 @@ def w11_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("dim_event_id").isNotNull().cast("long")).alias("n_enriched"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("dim_value"), 2).alias("dim_value_sum"),
+            # Exact integer aggregate (per-row cent-scaling, then a long
+            # sum): a rounded FLOAT sum is order-dependent in its last
+            # ulps, and two engines summing ~1e5 doubles in different
+            # orders can round to different 2-decimal values right at a
+            # .005 boundary — the x54/x36 comparability rule.
+            F.sum(F.round(F.col("dim_value") * 100).cast("long")).alias(
+                "dim_cents_sum"
+            ),
         )
         .orderBy("event_type")
     )

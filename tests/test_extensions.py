@@ -1231,6 +1231,24 @@ def test_cap_domain_tokens_scaled_equals_window_form(spark, sf_dir):
     assert kept_mega and max(kept_mega) > 64
 
 
+def test_cap_domain_tokens_scaled_rejects_string_ids(spark):
+    """The bucket arithmetic needs a numeric id: a string id would cast
+    to NULL buckets and silently drop every non-NULL-domain row, so the
+    function must refuse up front (the window form handles string ids)."""
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.webfilter import (
+        cap_domain_tokens_scaled,
+    )
+
+    docs = spark.createDataFrame(
+        [("doc-1", "a.com", 5), ("doc-2", "a.com", 5)],
+        "doc_id string, host string, n_tokens long",
+    )
+    with pytest.raises(TypeError, match="numeric id_col"):
+        cap_domain_tokens_scaled(docs)
+
+
 def test_cap_per_domain_uses_window_group_limit(spark, sf_dir):
     """The rank<=k filter must compile to WindowGroupLimit so each map
     task prunes to its local top-k per domain BEFORE the exchange."""

@@ -510,6 +510,71 @@ def test_snapshot_consume_changes_exactly_once(spark, tmp_path, monkeypatch):
         snapshot_consume_changes(spark, src, snk)
 
 
+def test_snapshot_consume_changes_empty_transform_advances_mark(
+    spark, tmp_path
+):
+    """A transform that filters a non-empty delta to ZERO rows must still
+    advance the high-water mark (meta-only commit) once the sink is
+    initialized — otherwise every later poll re-scans and re-transforms
+    the same ever-growing range. The stall shape needs a PARTITIONED
+    sink: there an empty frame writes no partition dirs so the append
+    (and the mark riding it) no-ops, whereas an unpartitioned empty
+    frame still writes a schema-bearing data dir and commits normally.
+    While the sink is uninitialized the mark stays put (an empty
+    partitioned v1 would poison snapshot_read)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_consume_changes,
+        snapshot_meta,
+        snapshot_read,
+    )
+
+    src, snk = str(tmp_path / "src"), str(tmp_path / "snk")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        )
+
+    drop_all = lambda df: df.filter(F.lit(False))  # noqa: E731
+    keep_all = lambda df: df  # noqa: E731
+
+    # Bootstrap edge: sink uninitialized + empty partitioned output ->
+    # mark NOT advanced (no poisoned empty v1), poll reports consumed=0.
+    snapshot_append(spark, src, batch(0, 10))  # src v1
+    r0 = snapshot_consume_changes(
+        spark, src, snk, transform=drop_all, partition_by=["p"]
+    )
+    assert r0["consumed"] == 0 and r0["sink_version"] == 0
+    assert snapshot_meta(spark, snk) == {}
+
+    # First real landing initializes the sink and consumes v1.
+    r1 = snapshot_consume_changes(
+        spark, src, snk, transform=keep_all, partition_by=["p"]
+    )
+    assert r1["consumed"] == 1
+    assert snapshot_meta(spark, snk)["consumed_source_version"] == 1
+
+    # Now a filtered-to-empty range: the mark must advance meta-only.
+    snapshot_append(spark, src, batch(10, 20))  # src v2
+    r2 = snapshot_consume_changes(
+        spark, src, snk, transform=drop_all, partition_by=["p"]
+    )
+    assert snapshot_meta(spark, snk)["consumed_source_version"] == 2
+    assert r2["to"] == 2
+    # ... without landing any rows, and the sink stays readable.
+    assert sorted(r["k"] for r in snapshot_read(spark, snk).collect()) == list(
+        range(10)
+    )
+
+    # The next poll is a true no-op (no re-scan of the consumed range).
+    r3 = snapshot_consume_changes(
+        spark, src, snk, transform=drop_all, partition_by=["p"]
+    )
+    assert r3["consumed"] == 0
+    assert r3["sink_version"] == r2["sink_version"]
+
+
 def test_snapshot_row_changes_across_replacements(spark, tmp_path):
     """append -> upsert -> compaction -> upsert -> purge on a maintained
     CDC table: snapshot_changes fail-stops (the range replaced dirs)
