@@ -491,8 +491,15 @@ def snapshot_read(
         kept = [d for d in all_dirs if may_match(d)]
         if not kept:
             # provably-empty result with the right schema: scan one dir
-            # but keep no rows (cheap — limit(0) prunes at the source)
-            kept, empty = all_dirs[:1], True
+            # PER COMMIT but keep no rows (cheap — limit(0) prunes at
+            # the source; one dir per commit, not one overall, so the
+            # empty frame still carries the full additive-evolution
+            # column union)
+            first_of_commit: dict[str, str] = {}
+            for d in all_dirs:
+                first_of_commit.setdefault(d.split("/")[1], d)
+            kept = sorted(first_of_commit.values())
+            empty = True
         else:
             empty = False
         all_dirs = kept
@@ -515,7 +522,20 @@ def _read_dirs(
     nondeterministic): unionByName aligns names but keeps frame[0]'s
     order, and partition columns read back AFTER the data columns only
     for partitioned commits. Canonicalize partition-key columns to the
-    end — a no-op for uniform tables."""
+    end — a no-op for uniform tables.
+
+    ADDITIVE schema evolution (the Iceberg add-column shape): commits
+    may carry columns earlier commits lack — the union back-fills NULL
+    for dirs written before the column existed (allowMissingColumns),
+    so appending a frame with a new column never breaks reads of the
+    whole table, and time travel sees each version's own column union.
+    A same-name DATA column whose TYPE changed between commits is
+    REJECTED here with an explicit error: left to Spark, the union
+    would insert a runtime ANSI cast that fails on some values and
+    silently coerces others ('123' -> 123) — value-dependent behavior,
+    not a schema contract. Migrate a type with an explicit cast +
+    ``snapshot_rewrite``. Partition columns are exempt (their types are
+    re-inferred from path values per commit, not evolved)."""
     by_commit: dict[str, list[str]] = {}
     for d in all_dirs:
         by_commit.setdefault(d.split("/")[1], []).append(d)  # data/<uuid>/...
@@ -526,15 +546,29 @@ def _read_dirs(
                 *[f"{table}/{d}" for d in sorted(dirs)]
             )
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
     pcols: list[str] = []
     for key in manifest["partitions"]:
         for part in key.split("/") if key else []:
             c = part.split("=", 1)[0]
             if c and c not in pcols:
                 pcols.append(c)
+    seen_types: dict[str, object] = {}
+    for f in frames:
+        for fld in f.schema.fields:
+            if fld.name in pcols:
+                continue
+            prev = seen_types.setdefault(fld.name, fld.dataType)
+            if prev != fld.dataType:
+                raise ValueError(
+                    f"column {fld.name!r} of {table} changed type across "
+                    f"commits ({prev.simpleString()} vs "
+                    f"{fld.dataType.simpleString()}); snapshot evolution "
+                    "is additive-only — migrate with an explicit cast + "
+                    "snapshot_rewrite"
+                )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
     if pcols:
         data_cols = [c for c in out.columns if c not in pcols]
         out = out.select(*data_cols, *[c for c in pcols if c in out.columns])

@@ -1234,3 +1234,58 @@ def test_snapshot_diff_and_incremental_changes(spark, tmp_path):
     # (d) diff across the whole history
     d_all = snapshot_diff(spark, t, 0, v3)
     assert len(d_all["added"]) >= 2 and d_all["removed"] == []
+
+
+def test_additive_schema_evolution_on_append(spark, table):
+    """Appending a commit that ADDS a column must not break reads: the
+    union back-fills NULL for rows from commits written before the
+    column existed, time travel sees each version's own column set, and
+    the incremental delta carries the new column. A same-name column
+    whose TYPE changed still fails loudly."""
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_read,
+    )
+
+    df1 = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "id long, p string, v long")
+    df2 = spark.createDataFrame(
+        [(3, "a", 30, "en")], "id long, p string, v long, lang string"
+    )
+    snapshot_append(spark, table, df1, ["p"])          # v1: no lang
+    snapshot_append(spark, table, df2, ["p"])          # v2: + lang
+
+    got = {r["id"]: r["lang"] for r in snapshot_read(spark, table).collect()}
+    assert got == {1: None, 2: None, 3: "en"}
+    # time travel: v1 predates the column entirely
+    assert "lang" not in snapshot_read(spark, table, 1).columns
+    # incremental consumption carries the evolved column
+    delta = snapshot_changes(spark, table, 1)
+    assert [(r["id"], r["lang"]) for r in delta.collect()] == [(3, "en")]
+
+    # a TYPE change is rejected up front with a schema error — left to
+    # Spark's union it would become a value-dependent runtime ANSI cast
+    # ('123' coerces silently, 'x' throws NumberFormatException)
+    df3 = spark.createDataFrame([("123", "a", 40)], "id string, p string, v long")
+    snapshot_append(spark, table, df3, ["p"])          # v3: id long -> string
+    with pytest.raises(ValueError, match="changed type across"):
+        snapshot_read(spark, table)
+
+
+def test_zone_map_all_skipped_empty_frame_has_evolved_schema(spark, table):
+    """When skip_where proves every dir empty, the returned zero-row
+    frame must still carry the full additive-evolution column union
+    (one dir per commit is scanned, not one overall)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_read
+
+    df1 = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
+    df2 = spark.createDataFrame(
+        [(2, "a", 20, "en")], "id long, p string, v long, lang string"
+    )
+    snapshot_append(spark, table, df1, ["p"], stats_cols=["id"])
+    snapshot_append(spark, table, df2, ["p"], stats_cols=["id"])
+
+    out = snapshot_read(spark, table, skip_where=[("id", 100, 200)])
+    assert out.count() == 0
+    assert "lang" in out.columns and "v" in out.columns
