@@ -49,14 +49,28 @@ def with_global_prefix_sum(
     ``partition_cols`` restarts the scan per group (one independent
     prefix sum per partition key — the per-domain token-quota shape,
     ``..webfilter.cap_domain_tokens_scaled``): every window/aggregate
-    gains the group key, and the offsets join stays a plain shuffle join
-    there (groups × buckets rows need not fit a broadcast), while the
-    ungrouped form keeps its tiny broadcast.
+    gains the group key, the offsets join stays a plain shuffle join
+    there (groups × buckets rows need not fit a broadcast) and matches
+    NULL group keys null-safely (a NULL group is an ordinary group, as
+    in SQL window semantics — an equi-join would silently drop its
+    rows), while the ungrouped form keeps its tiny broadcast.
+
+    The within-bucket window uses an explicit ROWS frame: the default
+    RANGE frame gives order-key PEERS the same inclusive sum, which
+    breaks the stop-at-exhaustion consumers on duplicate keys. With
+    duplicate ``order_col`` values the scan is only defined up to peer
+    order (Spark's within-partition tie order) — the contract remains a
+    UNIQUE total-order key, as pack_sequences' determinism claim
+    requires.
     """
     pcols = list(partition_cols or [])
     b = F.floor(F.col(order_col) / F.lit(bucket_size)).alias("_bucket")
     bucketed = df.withColumn("_bucket", b)
-    w_in = Window.partitionBy(*pcols, "_bucket").orderBy(order_col)
+    w_in = (
+        Window.partitionBy(*pcols, "_bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = bucketed.withColumn("_cum", F.sum(weight_col).over(w_in))
     totals = bucketed.groupBy(*pcols, "_bucket").agg(
         F.sum(weight_col).alias("_btot")
@@ -71,12 +85,24 @@ def with_global_prefix_sum(
         "_bucket",
         F.coalesce(F.sum("_btot").over(w_b), F.lit(0)).alias("_boff"),
     )
-    return (
-        cum.join(
-            offsets if pcols else F.broadcast(offsets), pcols + ["_bucket"]
+    if not pcols:
+        joined = cum.join(F.broadcast(offsets), ["_bucket"])
+    else:
+        off = offsets.select(
+            *[F.col(c).alias(f"_o_{c}") for c in pcols],
+            F.col("_bucket").alias("_o_bucket"),
+            "_boff",
         )
-        .withColumn(out_col, (F.col("_boff") + F.col("_cum") - F.col(weight_col)))
-        .drop("_bucket", "_cum", "_boff")
+        cond = [cum["_bucket"] == off["_o_bucket"]] + [
+            cum[c].eqNullSafe(off[f"_o_{c}"]) for c in pcols
+        ]
+        joined = cum.join(off, cond).drop(
+            "_o_bucket", *[f"_o_{c}" for c in pcols]
+        )
+    return (
+        joined.withColumn(
+            out_col, (F.col("_boff") + F.col("_cum") - F.col(weight_col))
+        ).drop("_bucket", "_cum", "_boff")
     )
 
 

@@ -239,6 +239,13 @@ def _write_commit_data(
                     walk(f"{path}/{name}", f"{rel}/{name}", depth + 1)
 
     walk(commit_dir, f"data/{commit}", 0)
+    if not rels:
+        # An empty partitioned frame wrote only a _SUCCESS-bearing stub
+        # dir that no manifest will ever reference; remove it, or a
+        # polling writer (e.g. an incremental consumer whose transform
+        # keeps filtering to empty) leaks one orphan dir per no-op that
+        # snapshot_expire can't see.
+        fs.delete(jvm.org.apache.hadoop.fs.Path(commit_dir), True)
     return rels
 
 
@@ -308,6 +315,49 @@ def _collect_dir_stats(
     return out
 
 
+def _merged_commit_schema(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    partition_by: list[str] | None,
+) -> dict[str, str]:
+    """Validate additive evolution at WRITE time; return the new commit's
+    manifest data-column schema (prior union ∪ this frame's columns,
+    name -> ``simpleString`` — nullability-insensitive by construction).
+
+    A same-name data column whose type differs from the recorded union
+    fails HERE, before any data is written: left to read time, the
+    type-changed commit would land fine and poison every later read —
+    and an incremental consumer reading only the added dirs would see
+    one self-consistent schema and silently propagate the bad column
+    into its sink one hop downstream. Pre-upgrade manifests without a
+    recorded schema skip the check (the read-time gate still applies)
+    and start recording from this commit."""
+    committed = current_version(spark, table)
+    prior: dict[str, str] = {}
+    if committed:
+        prior = dict(
+            _load_manifest(spark, table, committed, committed=committed).get(
+                "dschema", {}
+            )
+        )
+    pset = set(partition_by or [])
+    mine = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name not in pset
+    }
+    for c, t in mine.items():
+        if c in prior and prior[c] != t:
+            raise ValueError(
+                f"column {c!r} of {table} would change type "
+                f"({prior[c]} -> {t}); snapshot evolution is "
+                "additive-only — cast the frame to the table's type, or "
+                "write to a new table"
+            )
+    return {**prior, **mine}
+
+
 def _commit(
     spark: SparkSession,
     table: str,
@@ -316,6 +366,7 @@ def _commit(
     replaced: set[str] | None = None,
     meta: dict | None = None,
     stats: dict[str, dict[str, list]] | None = None,
+    dschema: dict[str, str] | None = None,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -323,7 +374,10 @@ def _commit(
     the data (the maintenance streams store their batch-id high-water
     mark here). ``None`` inherits the previous snapshot's meta — a
     maintenance commit (rewrite/expire/purge) between stream batches
-    must not erase the stream's high-water mark."""
+    must not erase the stream's high-water mark. ``dschema`` is the
+    recorded data-column schema union (see
+    :func:`_merged_commit_schema`); ``None`` inherits the previous
+    snapshot's, so maintenance commits never erase it."""
     base = current_version(spark, table)
     manifest = _load_manifest(spark, table, base, committed=base)
     parts = {
@@ -338,6 +392,9 @@ def _commit(
     carried = manifest.get("meta") if meta is None else meta
     if carried:
         new_manifest["meta"] = carried
+    sch = manifest.get("dschema") if dschema is None else dschema
+    if sch:
+        new_manifest["dschema"] = sch
     # zone maps ride the manifest per dir: carry forward every surviving
     # dir's stats (replaced/expired dirs drop out with their entries),
     # then merge this commit's. Dirs without stats are simply always
@@ -390,7 +447,11 @@ def snapshot_append(
     snapshot's — see :func:`_commit`). ``stats_cols`` records per-dir
     zone maps (min/max) for those columns in the manifest, enabling
     ``snapshot_read(skip_where=...)`` file skipping BEYOND partition
-    pruning (one commit-sized read-back pass at write time)."""
+    pruning (one commit-sized read-back pass at write time). Additive
+    schema evolution is validated BEFORE the data write
+    (:func:`_merged_commit_schema`): new columns are fine, a type
+    change fails fast with nothing landed."""
+    dschema = _merged_commit_schema(spark, table, df, partition_by)
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         return current_version(spark, table)
@@ -399,7 +460,7 @@ def snapshot_append(
     )
     return _commit(
         spark, table, "append", _group_rels(rels, partition_by), meta=meta,
-        stats=stats,
+        stats=stats, dschema=dschema,
     )
 
 
@@ -415,7 +476,9 @@ def snapshot_overwrite_partitions(
     semantics) — but via fresh files + manifest/marker publish, so a
     concurrent reader of the PREVIOUS snapshot keeps its files and a
     crash before the marker changes nothing. Empty input is a no-op.
-    ``stats_cols`` as in :func:`snapshot_append`."""
+    ``stats_cols`` as in :func:`snapshot_append`, and the same write-time
+    additive-evolution gate applies."""
+    dschema = _merged_commit_schema(spark, table, df, partition_by)
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         return current_version(spark, table)
@@ -425,7 +488,7 @@ def snapshot_overwrite_partitions(
     )
     return _commit(
         spark, table, "overwrite", grouped, replaced=set(grouped), meta=meta,
-        stats=stats,
+        stats=stats, dschema=dschema,
     )
 
 
@@ -533,9 +596,15 @@ def _read_dirs(
     REJECTED here with an explicit error: left to Spark, the union
     would insert a runtime ANSI cast that fails on some values and
     silently coerces others ('123' -> 123) — value-dependent behavior,
-    not a schema contract. Migrate a type with an explicit cast +
-    ``snapshot_rewrite``. Partition columns are exempt (their types are
-    re-inferred from path values per commit, not evolved)."""
+    not a schema contract. The comparison is on ``simpleString`` so
+    nested NULLABILITY differences (collect_list's containsNull=false
+    array vs a schema-declared one) never spuriously reject a readable
+    table. :func:`snapshot_append` enforces the same rule at WRITE time
+    against the manifest's recorded schema union, so this gate only
+    fires for pre-upgrade tables or out-of-band writes; recover one by
+    ``snapshot_rollback`` to a pre-change version (a rewrite can't run —
+    it starts with this very read). Partition columns are exempt (their
+    types are re-inferred from path values per commit, not evolved)."""
     by_commit: dict[str, list[str]] = {}
     for d in all_dirs:
         by_commit.setdefault(d.split("/")[1], []).append(d)  # data/<uuid>/...
@@ -552,19 +621,20 @@ def _read_dirs(
             c = part.split("=", 1)[0]
             if c and c not in pcols:
                 pcols.append(c)
-    seen_types: dict[str, object] = {}
+    seen_types: dict[str, str] = {}
     for f in frames:
         for fld in f.schema.fields:
             if fld.name in pcols:
                 continue
-            prev = seen_types.setdefault(fld.name, fld.dataType)
-            if prev != fld.dataType:
+            t = fld.dataType.simpleString()  # nullability-insensitive
+            prev = seen_types.setdefault(fld.name, t)
+            if prev != t:
                 raise ValueError(
                     f"column {fld.name!r} of {table} changed type across "
-                    f"commits ({prev.simpleString()} vs "
-                    f"{fld.dataType.simpleString()}); snapshot evolution "
-                    "is additive-only — migrate with an explicit cast + "
-                    "snapshot_rewrite"
+                    f"commits ({prev} vs {t}); snapshot evolution is "
+                    "additive-only — roll back to a pre-change version "
+                    "(snapshot_rollback) or rebuild the table from cast "
+                    "frames"
                 )
     out = frames[0]
     for f in frames[1:]:

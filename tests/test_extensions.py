@@ -607,6 +607,28 @@ def test_prefix_sum_and_packing(spark):
     assert all(p >= 0 for p in got_packs.values())
 
 
+def test_prefix_sum_partitioned_keeps_null_group(spark):
+    """with_global_prefix_sum(partition_cols=...): a NULL group key is an
+    ordinary group (SQL window semantics) — the offsets join must match
+    it null-safely, never silently drop its rows — and each group's scan
+    restarts at zero."""
+    from lambda_kafka_to_s3_parquet_spark.operators.packing import (
+        with_global_prefix_sum,
+    )
+
+    rows = [
+        (1, "a", 10), (2, "a", 20), (3, None, 5), (4, None, 7), (5, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, ["id", "g", "w"]).repartition(3)
+    out = with_global_prefix_sum(
+        df, "id", "w", bucket_size=2, partition_cols=["g"]
+    )
+    got = {r["id"]: (r["g"], r["prefix_sum"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 0), 2: ("a", 10), 3: (None, 0), 4: (None, 5), 5: ("b", 0),
+    }
+
+
 def test_rollup_hll_distinct_merges(spark):
     """Mergeable-distinct contract: the union of per-hour HLL sketches
     re-aggregated to daily must give the SAME estimate as sketching the

@@ -1264,13 +1264,80 @@ def test_additive_schema_evolution_on_append(spark, table):
     delta = snapshot_changes(spark, table, 1)
     assert [(r["id"], r["lang"]) for r in delta.collect()] == [(3, "en")]
 
-    # a TYPE change is rejected up front with a schema error — left to
-    # Spark's union it would become a value-dependent runtime ANSI cast
-    # ('123' coerces silently, 'x' throws NumberFormatException)
+    # a TYPE change is rejected at WRITE time, before any data lands —
+    # left to Spark's union it would become a value-dependent runtime
+    # ANSI cast ('123' coerces silently, 'x' throws NumberFormatException)
     df3 = spark.createDataFrame([("123", "a", 40)], "id string, p string, v long")
-    snapshot_append(spark, table, df3, ["p"])          # v3: id long -> string
+    with pytest.raises(ValueError, match="would change type"):
+        snapshot_append(spark, table, df3, ["p"])
+    # ... and the table stays fully readable afterwards
+    assert snapshot_read(spark, table).count() == 3
+
+
+def test_type_change_read_gate_catches_pre_upgrade_tables(spark, table):
+    """Tables written before the manifest recorded a schema union have no
+    write-time gate; the READ-time gate still refuses the mixed-type
+    union (with the workable remedy — rollback — in the message), and a
+    nested-NULLABILITY difference alone never trips it."""
+    import json as _json
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        _manifest_path,
+        _read_text,
+        _replace_text,
+        current_version,
+        snapshot_read,
+    )
+
+    df1 = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
+    snapshot_append(spark, table, df1, ["p"])
+    # simulate a pre-upgrade manifest: strip the recorded schema union
+    v = current_version(spark, table)
+    m = _json.loads(_read_text(spark, _manifest_path(table, v)))
+    del m["dschema"]
+    _replace_text(spark, _manifest_path(table, v), _json.dumps(m))
+
+    df2 = spark.createDataFrame([("x", "a", 40)], "id string, p string, v long")
+    snapshot_append(spark, table, df2, ["p"])  # no prior schema: lands
     with pytest.raises(ValueError, match="changed type across"):
         snapshot_read(spark, table)
+
+
+def test_nested_nullability_difference_is_not_a_type_change(spark, table):
+    """collect_list produces array<long> with containsNull=false; a
+    schema-declared array<long> has containsNull=true. Both gates must
+    treat these as the SAME type (simpleString comparison) — strict
+    DataType equality would wedge a perfectly readable table."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_read
+
+    g = (
+        spark.createDataFrame([(1, "a", 10), (1, "a", 20)], "id long, p string, v long")
+        .groupBy("id", "p")
+        .agg(F.collect_list("v").alias("vs"))
+    )
+    snapshot_append(spark, table, g, ["p"])  # containsNull=false
+    declared = spark.createDataFrame(
+        [(2, "a", [30, None])], "id long, p string, vs array<long>"
+    )
+    snapshot_append(spark, table, declared, ["p"])  # containsNull=true
+    got = sorted((r["id"], r["vs"]) for r in snapshot_read(spark, table).collect())
+    assert got == [(1, [10, 20]), (2, [30, None])]
+
+
+def test_empty_partitioned_append_leaves_no_orphan_dir(spark, table):
+    """Every no-op empty partitioned append must clean up its stub
+    data/<uuid> dir — a polling consumer whose transform keeps filtering
+    to empty would otherwise leak one orphan per poll, invisible to
+    snapshot_expire."""
+    import os
+
+    df = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
+    snapshot_append(spark, table, df, ["p"])
+    empty = df.filter(F.lit(False))
+    for _ in range(3):
+        snapshot_append(spark, table, empty, ["p"])
+    dirs = os.listdir(os.path.join(table, "data"))
+    assert len(dirs) == 1  # only the real commit's dir remains
 
 
 def test_zone_map_all_skipped_empty_frame_has_evolved_schema(spark, table):
