@@ -603,8 +603,30 @@ def _read_dirs(
     against the manifest's recorded schema union, so this gate only
     fires for pre-upgrade tables or out-of-band writes; recover one by
     ``snapshot_rollback`` to a pre-change version (a rewrite can't run —
-    it starts with this very read). Partition columns are exempt (their
-    types are re-inferred from path values per commit, not evolved)."""
+    it starts with this very read).
+
+    Partition columns get a FAMILY-level version of the same check
+    instead of an exemption: their types re-infer from path strings per
+    commit (never evolved), and in a MIXED layout the same name can also
+    appear as a real data column (supported — the rewrite tests pin it),
+    so exact types legitimately differ (``p=3`` paths infer ``int``
+    beside a ``bigint`` data column — Spark's union upcasts
+    deterministically). What must NOT pass is a cross-family mix
+    (``string`` data beside ``int``-inferred paths): there the union
+    cast is value-dependent ('123' coerces, 'x' nulls) — the exact hole
+    the write-time gate can't see, because partition VALUES aren't in
+    the frame it checks. Families: integral / fractional / timestamp /
+    everything else exact."""
+
+    def _family(t: str) -> str:
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return "integral"
+        if t in ("float", "double") or t.startswith("decimal"):
+            return "fractional"
+        if t.startswith("timestamp"):
+            return "timestamp"
+        return t
+
     by_commit: dict[str, list[str]] = {}
     for d in all_dirs:
         by_commit.setdefault(d.split("/")[1], []).append(d)  # data/<uuid>/...
@@ -622,11 +644,23 @@ def _read_dirs(
             if c and c not in pcols:
                 pcols.append(c)
     seen_types: dict[str, str] = {}
+    seen_fams: dict[str, str] = {}
     for f in frames:
         for fld in f.schema.fields:
-            if fld.name in pcols:
-                continue
             t = fld.dataType.simpleString()  # nullability-insensitive
+            if fld.name in pcols:
+                fam = _family(t)
+                pfam = seen_fams.setdefault(fld.name, fam)
+                if pfam != fam:
+                    raise ValueError(
+                        f"partition column {fld.name!r} of {table} mixes "
+                        f"incompatible types across commits ({pfam} vs "
+                        f"{fam}): a mixed-layout table wrote it both as a "
+                        "data column and as a path-inferred partition key "
+                        "with value-dependent union semantics — rewrite "
+                        "the table with one consistent layout"
+                    )
+                continue
             prev = seen_types.setdefault(fld.name, t)
             if prev != t:
                 raise ValueError(
@@ -643,6 +677,28 @@ def _read_dirs(
         data_cols = [c for c in out.columns if c not in pcols]
         out = out.select(*data_cols, *[c for c in pcols if c in out.columns])
     return out
+
+
+def _read_state_side(
+    spark: SparkSession, table: str, dirs: list[str], manifest: dict
+) -> DataFrame | None:
+    """One side of a pruned state diff: scan exactly ``dirs`` (a subset
+    of the version's manifest). Empty ``dirs`` over a non-empty snapshot
+    returns a ZERO-ROW frame carrying the version's full additive column
+    union (one dir per commit, ``limit(0)`` — prunes at the source);
+    ``None`` when the snapshot itself is empty (v0 — the caller aligns
+    against the other side's schema)."""
+    all_dirs = sorted(x for ds in manifest["partitions"].values() for x in ds)
+    if dirs:
+        return _read_dirs(spark, table, sorted(dirs), manifest)
+    if not all_dirs:
+        return None
+    first_of_commit: dict[str, str] = {}
+    for x in all_dirs:
+        first_of_commit.setdefault(x.split("/")[1], x)
+    return _read_dirs(
+        spark, table, sorted(first_of_commit.values()), manifest
+    ).limit(0)
 
 
 def snapshot_diff(
@@ -792,6 +848,67 @@ def snapshot_consume_changes(
             "sink_version": v}
 
 
+def snapshot_consume_row_changes(
+    spark: SparkSession,
+    source: str,
+    sink: str,
+    keys: list[str],
+    transform=None,
+    partition_by: list[str] | None = None,
+    hwm_key: str = "consumed_source_version",
+) -> dict:
+    """ONE poll of a ROW-LEVEL incremental consumer of a MAINTAINED
+    table — the complete Delta-CDF consumer story: while the unconsumed
+    range is APPEND-ONLY it consumes at file granularity (reads only the
+    appended dirs, tagging every row ``insert`` — no join, no old-state
+    read), and the first time the range contains a replacement commit
+    (upsert / compaction / purge / rollback) it falls back to the keyed
+    state diff of :func:`snapshot_row_changes`, whose scans stay pruned
+    to the manifest delta. Either way the poll never rescans data the
+    range didn't touch.
+
+    Exactly-once delivery is identical to :func:`snapshot_consume_changes`
+    (and shares its meta-only-mark behavior for filtered-to-empty
+    ranges): the high-water mark rides the sink manifest's meta on the
+    same atomic swap as the data, so a crash anywhere commits both or
+    neither and a restarted consumer holds no local state.
+
+    The sink receives the source columns plus ``_change_type``
+    (``insert`` / ``delete`` / ``update_preimage`` / ``update_postimage``)
+    — a true change FEED, so downstream applies changes instead of
+    rebuilding state. ``keys`` must be unique per source snapshot (the
+    maintained-table contract). ``transform`` (optional) maps the change
+    frame before landing; ``partition_by`` partitions the sink.
+
+    Returns ``{"from", "to", "mode": "files"|"rows", "consumed",
+    "sink_version"}``.
+    """
+    last = int(snapshot_meta(spark, sink).get(hwm_key, 0))
+    cur = current_version(spark, source)
+    if cur <= last:
+        return {"from": last, "to": last, "mode": "none", "consumed": 0,
+                "sink_version": current_version(spark, sink)}
+    d = snapshot_diff(spark, source, last, to_version=cur)
+    if not d["removed"]:
+        mode = "files"
+        delta = snapshot_changes(spark, source, last, to_version=cur)
+        delta = delta.withColumn("_change_type", F.lit("insert"))
+    else:
+        mode = "rows"
+        delta = snapshot_row_changes(spark, source, keys, last, to_version=cur)
+    if transform is not None:
+        delta = transform(delta)
+    meta = {**snapshot_meta(spark, sink), hwm_key: cur}
+    before = current_version(spark, sink)
+    v = snapshot_append(spark, sink, delta, partition_by, meta=meta)
+    if v == before and before > 0:
+        # same meta-only mark-advance as snapshot_consume_changes (see
+        # there): an all-filtered range must not be re-diffed forever
+        v = _commit(spark, sink, "consume_mark", {}, meta=meta)
+    return {"from": last, "to": cur, "mode": mode,
+            "consumed": int(v > before), "sink_version": v}
+
+
 def snapshot_row_changes(
     spark: SparkSession,
     table: str,
@@ -826,32 +943,82 @@ def snapshot_row_changes(
     physical columns (e.g. a re-derivable ``bucket``) from the
     difference test; they still appear in the output images.
 
-    Plan shape: two snapshot scans and ONE full-outer shuffle join on
-    ``keys``; the change classification is a single CASE producing an
-    array of (image, change_type) structs that explodes in the same
-    stage — no per-change-type branch unions re-reading the join. At
-    100 TB both sides prune to the join keys' partitions/buckets like
-    any other keyed maintenance pass, and the output is ∝ changed rows.
+    Plan shape: the scans are PRUNED by the manifest delta — the old
+    side reads ONLY the directories the range REMOVED, the new side
+    ONLY the directories it ADDED (``snapshot_diff``; two manifest
+    reads, no listing). This is EXACT, not approximate, because
+    committed directories are immutable and ``keys`` are unique per
+    snapshot: a directory present at both versions holds byte-identical
+    rows at both, so a key living in a shared dir at ``to`` was there
+    with the same image at ``from`` (a second from-image elsewhere
+    would duplicate the key), and vice versa — shared-dir keys are
+    provably unchanged and never need to be read. Then ONE full-outer
+    shuffle join on ``keys`` over the pruned sides; the change
+    classification is a single CASE producing an array of
+    (image, change_type) structs that explodes in the same stage — no
+    per-change-type branch unions re-reading the join. At 100 TB the
+    diff therefore costs ∝ data the range actually rewrote (a one-bucket
+    upsert reads one old dir + one new dir), never ∝ table size; output
+    is ∝ changed rows. An append-only range degenerates to reading just
+    the appended dirs (all inserts), matching ``snapshot_changes``.
+
+    ADDITIVE schema evolution inside the range is handled with the same
+    ``allowMissingColumns`` semantics as the read path: a column one
+    side lacks is NULL-filled there, so a consumer survives the
+    add-column commit — old images of rows upserted after the add carry
+    NULL for the new column, and rows untouched across it produce no
+    change rows at all. A same-name column whose TYPE changed between
+    the two versions still raises (the write-time gate rejects that
+    history; this guards pre-upgrade tables).
 
     Output: the table's columns plus ``_change_type`` (string). Rows
     with deletes carry the OLD image, inserts/postimages the NEW one.
     """
     committed = current_version(spark, table)
     to_v = committed if to_version is None else to_version
-    old = snapshot_read(spark, table, version=from_version)
-    new = snapshot_read(spark, table, version=to_v)
-    if set(old.columns) != set(new.columns):
+    d = snapshot_diff(spark, table, from_version, to_version=to_v)
+    mf = _load_manifest(spark, table, from_version, committed=committed)
+    mt = _load_manifest(spark, table, to_v, committed=committed)
+    if not any(mt["partitions"].values()) and not any(mf["partitions"].values()):
         raise ValueError(
-            f"snapshot v{from_version} and v{to_v} of {table} have "
-            f"different columns ({sorted(set(old.columns) ^ set(new.columns))}); "
-            "row-level diff over a schema change is ambiguous — migrate "
-            "the old snapshot first"
+            f"snapshots v{from_version} and v{to_v} of {table} are both "
+            "empty — no schema to diff"
         )
-    missing = [k for k in keys if k not in new.columns]
+    old = _read_state_side(spark, table, d["removed"], mf)
+    new = _read_state_side(spark, table, d["added"], mt)
+    if old is None and new is None:  # pragma: no cover — delta is never
+        raise AssertionError("empty delta over non-empty snapshots")
+    # Align the two sides across additive evolution (NULL-fill missing
+    # columns, allowMissingColumns semantics); reject type changes.
+    if old is None:
+        old = new.limit(0)
+    if new is None:
+        new = old.limit(0)
+    otypes = {f.name: f.dataType for f in old.schema.fields}
+    ntypes = {f.name: f.dataType for f in new.schema.fields}
+    for c in set(otypes) & set(ntypes):
+        if otypes[c].simpleString() != ntypes[c].simpleString():
+            raise ValueError(
+                f"column {c!r} of {table} changed type between "
+                f"v{from_version} and v{to_v} "
+                f"({otypes[c].simpleString()} vs {ntypes[c].simpleString()}); "
+                "row-level diff over a type change is ambiguous — "
+                "snapshot evolution is additive-only"
+            )
+    all_cols = list(old.columns) + [c for c in new.columns if c not in otypes]
+    old = old.select(
+        *[F.col(c) if c in otypes else F.lit(None).cast(ntypes[c]).alias(c)
+          for c in all_cols]
+    )
+    new = new.select(
+        *[F.col(c) if c in ntypes else F.lit(None).cast(otypes[c]).alias(c)
+          for c in all_cols]
+    )
+    missing = [k for k in keys if k not in all_cols]
     if missing:
         raise ValueError(f"key column(s) {missing} not in {table}")
     ig = set(ignore_cols or ())
-    nonkey = [c for c in new.columns if c not in keys]
+    nonkey = [c for c in all_cols if c not in keys]
     cmp_cols = [c for c in nonkey if c not in ig]
 
     o = old.select(

@@ -1356,3 +1356,326 @@ def test_zone_map_all_skipped_empty_frame_has_evolved_schema(spark, table):
     out = snapshot_read(spark, table, skip_where=[("id", 100, 200)])
     assert out.count() == 0
     assert "lang" in out.columns and "v" in out.columns
+
+
+def test_row_changes_pruned_to_manifest_delta(spark, tmp_path, monkeypatch):
+    """snapshot_row_changes must read ONLY the dirs the range removed
+    (old side) and added (new side) — a one-partition upsert's diff
+    scans one old dir + one new dir, never the full table — and the
+    pruned result must EQUAL the full-state keyed diff recomputed from
+    snapshot_read on a replacement-bearing multi-commit history."""
+    import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap_mod
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_diff,
+        snapshot_row_changes,
+    )
+
+    table = str(tmp_path / "t")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, p string, v long")
+
+    snapshot_append(spark, table, frame([(1, "a", 10), (2, "a", 20)]), ["p"])
+    snapshot_append(spark, table, frame([(3, "b", 30), (4, "c", 40)]), ["p"])
+    v_from = current_version(spark, table)
+    # one-partition upsert: replace ONLY p=a (k=1 updated, k=2 deleted,
+    # k=5 inserted); p=b and p=c dirs are untouched = shared
+    snapshot_overwrite_partitions(
+        spark, table, frame([(1, "a", 11), (5, "a", 50)]), ["p"]
+    )
+    v_to = current_version(spark, table)
+
+    seen: list[list[str]] = []
+    real = snap_mod._read_dirs
+
+    def spy(spark_, table_, dirs, manifest):
+        seen.append(sorted(dirs))
+        return real(spark_, table_, dirs, manifest)
+
+    monkeypatch.setattr(snap_mod, "_read_dirs", spy)
+    chg = snapshot_row_changes(spark, table, ["k"], v_from, to_version=v_to)
+    got = {
+        (r["k"], r["_change_type"]): (r["p"], r["v"]) for r in chg.collect()
+    }
+    assert got == {
+        (1, "update_preimage"): ("a", 10),
+        (1, "update_postimage"): ("a", 11),
+        (2, "delete"): ("a", 20),
+        (5, "insert"): ("a", 50),
+    }
+    # the scans touched EXACTLY the manifest delta: old side = removed
+    # dirs, new side = added dirs; the shared p=b / p=c dirs (3 of the
+    # 5 live dirs) were never read
+    d = snapshot_diff(spark, table, v_from, to_version=v_to)
+    assert seen == [d["removed"], d["added"]]
+    assert len(d["removed"]) == 1 and len(d["added"]) == 1
+    shared = {x for x in ("p=b", "p=c")}
+    assert all(not any(s.endswith(p) for p in shared) for call in seen for s in call)
+
+    # equality vs the FULL-state keyed diff (recomputed independently)
+    old = {r["k"]: (r["p"], r["v"])
+           for r in snapshot_read(spark, table, v_from).collect()}
+    new = {r["k"]: (r["p"], r["v"])
+           for r in snapshot_read(spark, table, v_to).collect()}
+    full = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            full[(k, "insert")] = new[k]
+        elif k not in new:
+            full[(k, "delete")] = old[k]
+        elif old[k] != new[k]:
+            full[(k, "update_preimage")] = old[k]
+            full[(k, "update_postimage")] = new[k]
+    assert got == full
+
+
+def test_row_changes_full_diff_equality_across_compaction(spark, tmp_path):
+    """Pruned diff == independent full-state diff when the range contains
+    a compaction (every dir replaced) AND later upserts — the worst-case
+    history where pruning degenerates to a full read but must stay exact
+    (rewritten-but-unchanged keys produce NO rows)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_rewrite,
+        snapshot_row_changes,
+    )
+
+    table = str(tmp_path / "t")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, p string, v long")
+
+    snapshot_append(spark, table, frame([(i, "a" if i % 2 else "b", i * 10)
+                                         for i in range(8)]), ["p"])
+    v_from = current_version(spark, table)
+    snapshot_overwrite_partitions(
+        spark, table, frame([(1, "a", 999), (3, "a", 30), (5, "a", 50),
+                             (7, "a", 70), (9, "a", 90)]), ["p"]
+    )
+    snapshot_rewrite(spark, table, ["p"])  # replaces EVERY dir
+    v_to = current_version(spark, table)
+
+    got = {
+        (r["k"], r["_change_type"]): (r["p"], r["v"])
+        for r in snapshot_row_changes(spark, table, ["k"], v_from,
+                                      to_version=v_to).collect()
+    }
+    old = {r["k"]: (r["p"], r["v"])
+           for r in snapshot_read(spark, table, v_from).collect()}
+    new = {r["k"]: (r["p"], r["v"])
+           for r in snapshot_read(spark, table, v_to).collect()}
+    full = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            full[(k, "insert")] = new[k]
+        elif k not in new:
+            full[(k, "delete")] = old[k]
+        elif old[k] != new[k]:
+            full[(k, "update_preimage")] = old[k]
+            full[(k, "update_postimage")] = new[k]
+    assert got == full
+    # compaction rewrote every even-k row identically: none appear
+    assert not any(k in (0, 2, 4, 6) for (k, _) in got)
+
+
+def test_row_changes_across_additive_evolution(spark, tmp_path):
+    """A column added between v_from and v_to NULL-fills the old-side
+    images (allowMissingColumns semantics) instead of raising; rows
+    untouched across the add-column commit produce no change rows; a
+    TYPE change between the versions still raises."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_row_changes,
+    )
+
+    table = str(tmp_path / "t")
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "k long, p string, v long"), ["p"],
+    )
+    v1 = current_version(spark, table)
+    # upsert p=a with a NEW column `lang`; p=b is untouched (shared dir)
+    snapshot_overwrite_partitions(
+        spark, table,
+        spark.createDataFrame([(1, "a", 11, "en")],
+                              "k long, p string, v long, lang string"), ["p"],
+    )
+    v2 = current_version(spark, table)
+    chg = snapshot_row_changes(spark, table, ["k"], v1, to_version=v2)
+    got = {(r["k"], r["_change_type"]): (r["v"], r["lang"])
+           for r in chg.collect()}
+    assert got == {
+        (1, "update_preimage"): (10, None),   # old image NULL-fills lang
+        (1, "update_postimage"): (11, "en"),
+    }
+    assert "lang" in chg.columns
+    # untouched k=2 produced nothing (and was never scanned)
+
+    # type change across the range still raises (pre-upgrade histories)
+    t2 = str(tmp_path / "t2")
+    snapshot_append(
+        spark, t2,
+        spark.createDataFrame([(1, "a", 10)], "k long, p string, v long"),
+        ["p"],
+    )
+    u1 = current_version(spark, t2)
+    # bypass the write-time gate the way a pre-upgrade table would:
+    # strip the recorded dschema from the manifest before appending
+    mpath = _manifest_path(t2, u1)
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        _read_text,
+        _replace_text,
+    )
+    m = json.loads(_read_text(spark, mpath))
+    m.pop("dschema", None)
+    _replace_text(spark, mpath, json.dumps(m))
+    snapshot_overwrite_partitions(
+        spark, t2,
+        spark.createDataFrame([(1, "a", "ten")], "k long, p string, v string"),
+        ["p"],
+    )
+    with pytest.raises(ValueError, match="changed type"):
+        snapshot_row_changes(spark, t2, ["k"], u1).collect()
+
+
+def test_row_changes_from_v0_is_all_inserts(spark, tmp_path):
+    """Diffing from the uninitialized v0 returns every current row as an
+    insert — the natural bootstrap for a row-level consumer."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_row_changes,
+    )
+
+    table = str(tmp_path / "t")
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+    )
+    chg = snapshot_row_changes(spark, table, ["k"], 0)
+    got = {(r["k"], r["_change_type"]): r["v"] for r in chg.collect()}
+    assert got == {(1, "insert"): 10, (2, "insert"): 20}
+
+
+def test_consume_row_changes_end_to_end(spark, tmp_path, monkeypatch):
+    """append -> upsert -> compact -> append consumed exactly-once via
+    snapshot_consume_row_changes: append-only stretches consume at FILE
+    granularity (only the added dirs are scanned — asserted via a
+    _read_dirs spy), replacement stretches fall back to the keyed row
+    diff, the mark rides the sink meta atomically, and replaying a poll
+    after a crash-at-commit lands nothing twice."""
+    import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap_mod
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_consume_row_changes,
+        snapshot_meta,
+        snapshot_overwrite_partitions as over,
+        snapshot_rewrite,
+    )
+
+    src, snk = str(tmp_path / "src"), str(tmp_path / "snk")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k long, p string, v long")
+
+    def feed():
+        return sorted(
+            (r["k"], r["_change_type"], r["v"])
+            for r in snapshot_read(spark, snk).collect()
+        )
+
+    # --- append-only stretch: bootstrap + one more append
+    snapshot_append(spark, src, frame([(1, "a", 10), (2, "b", 20)]), ["p"])
+    snapshot_append(spark, src, frame([(3, "b", 30)]), ["p"])
+
+    seen: list[list[str]] = []
+    real = snap_mod._read_dirs
+
+    def spy(spark_, table_, dirs, manifest):
+        if table_ == src:
+            seen.append(sorted(dirs))
+        return real(spark_, table_, dirs, manifest)
+
+    monkeypatch.setattr(snap_mod, "_read_dirs", spy)
+
+    r1 = snapshot_consume_row_changes(spark, src, snk, ["k"])
+    assert (r1["mode"], r1["consumed"], r1["from"], r1["to"]) == ("files", 1, 0, 2)
+    assert feed() == [(1, "insert", 10), (2, "insert", 20), (3, "insert", 30)]
+    # file-granularity: exactly ONE source scan, of all (= added) dirs
+    assert len(seen) == 1
+
+    # a later append-only poll reads ONLY the new commit's dirs
+    seen.clear()
+    snapshot_append(spark, src, frame([(4, "a", 40)]), ["p"])
+    r2 = snapshot_consume_row_changes(spark, src, snk, ["k"])
+    assert r2["mode"] == "files" and r2["consumed"] == 1
+    assert len(seen) == 1 and len(seen[0]) == 1  # one added dir, nothing else
+
+    # --- replacement stretch: one-partition upsert + compaction
+    over(spark, src, frame([(1, "a", 11), (5, "a", 50)]), ["p"])
+    snapshot_rewrite(spark, src, ["p"])  # its own full read isn't the poll's
+    seen.clear()
+    r3 = snapshot_consume_row_changes(spark, src, snk, ["k"])
+    assert r3["mode"] == "rows" and r3["consumed"] == 1
+    got = feed()
+    # the replacement stretch produced exactly the keyed diff: k=1
+    # updated, k=4 deleted (its partition was overwritten), k=5 inserted;
+    # compaction-rewritten-but-unchanged keys (2, 3) produced nothing new
+    assert (1, "update_preimage", 10) in got
+    assert (1, "update_postimage", 11) in got
+    assert (4, "delete", 40) in got
+    assert (5, "insert", 50) in got
+    assert sum(1 for k, ct, _ in got if k in (2, 3)) == 2  # the bootstraps only
+    # the row diff scanned only removed+added dirs, two pruned scans
+    assert len(seen) == 2
+
+    # --- crash at the sink commit replays nothing
+    snapshot_append(spark, src, frame([(6, "c", 60)]), ["p"])
+    calls = {"n": 0}
+    real_append = snap_mod.snapshot_append
+
+    def crash_after(*a, **kw):
+        out = real_append(*a, **kw)
+        calls["n"] += 1
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(snap_mod, "snapshot_append", crash_after)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        snapshot_consume_row_changes(spark, src, snk, ["k"])
+    monkeypatch.setattr(snap_mod, "snapshot_append", real_append)
+    assert snapshot_meta(spark, snk)["consumed_source_version"] == \
+        current_version(spark, src)
+    r4 = snapshot_consume_row_changes(spark, src, snk, ["k"])
+    assert r4["consumed"] == 0
+    assert sum(1 for k, _, _ in feed() if k == 6) == 1  # landed exactly once
+
+
+def test_mixed_layout_partition_type_family_gate(spark, tmp_path):
+    """A column written as a STRING data column in one commit and as an
+    int-inferred partition KEY in another (the shadow hole: both
+    write-time gates exempt partition columns) is rejected at read time
+    — cross-family union semantics are value-dependent. Same-family
+    mixes (bigint data beside int-inferred paths) stay legal: that is
+    the supported mixed layout."""
+    # legal: bigint data column beside int-inferred partition paths
+    t1 = str(tmp_path / "ok")
+    snapshot_append(
+        spark, t1,
+        spark.createDataFrame([(1, 3, 10)], "id long, p long, v long"),
+    )
+    snapshot_append(
+        spark, t1,
+        spark.createDataFrame([(2, 3, 20)], "id long, p long, v long"), ["p"],
+    )
+    got = sorted((r["id"], int(r["p"]), r["v"])
+                 for r in snapshot_read(spark, t1).collect())
+    assert got == [(1, 3, 10), (2, 3, 20)]
+
+    # illegal: string data column beside int-inferred partition paths
+    t2 = str(tmp_path / "bad")
+    snapshot_append(
+        spark, t2,
+        spark.createDataFrame([(1, "007", 10)], "id long, p string, v long"),
+    )
+    snapshot_append(
+        spark, t2,
+        spark.createDataFrame([(2, 3, 20)], "id long, p long, v long"), ["p"],
+    )
+    with pytest.raises(ValueError, match="mixes incompatible types"):
+        snapshot_read(spark, t2).collect()
