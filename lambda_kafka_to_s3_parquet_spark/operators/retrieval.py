@@ -337,7 +337,9 @@ def bm25_topk_indexed(
     # pruned read across the base root AND every registered append root
     # (each with its own basePath); an orphaned append dir — a crashed
     # append that never republished the meta — is invisible by design
-    roots = [(f"{path}/tf", set(meta["buckets_present"]))] + [
+    from .vector_index import _base_root
+
+    roots = [(f"{_base_root(path, meta)}/tf", set(meta["buckets_present"]))] + [
         (f"{path}/appends/{a['id']}/tf", set(a["buckets_present"]))
         for a in meta.get("appends", [])
     ]
@@ -437,12 +439,17 @@ def append_to_bm25_index(
             "rebuild once to enable appends"
         )
     if batch_id is not None and (
-        meta.get("base_batch_id") == int(batch_id)
+        (meta.get("base_batch_id") is not None
+         and int(batch_id) <= int(meta["base_batch_id"]))
         or any(a.get("batch_id") == int(batch_id)
                for a in meta.get("appends", []))
     ):
         # replay of a batch whose fold already committed: the meta swap
-        # was the commit witness — nothing to write
+        # was the commit witness — nothing to write. base_batch_id is a
+        # HIGH-WATER mark (<=, not ==): compact_bm25_index folds the
+        # append registry away and records the max folded batch id
+        # there, so a replay of any pre-compaction batch stays a no-op
+        # (micro-batch ids are monotonic — the foreachBatch contract).
         return meta
     n_buckets = meta["n_buckets"]
     seen = [a["id"] for a in meta.get("appends", [])]
@@ -502,6 +509,103 @@ def append_to_bm25_index(
     }
     _write_index_meta(spark, path, meta)
     return meta
+
+
+def compact_bm25_index(spark, path: str, clean: bool = True) -> dict:
+    """Fold every registered postings append into ONE fresh bucketed
+    base — the maintenance step :func:`append_to_bm25_index`'s protocol
+    needs to stay sound per-month: ``run_bm25_index_stream`` lands one
+    ``appends/<uuid>`` root per micro-batch forever, so without
+    compaction every query reads base + N roots and every meta swap
+    rewrites a growing registry (``dedup.compact_gram_store``'s LSM
+    contract, applied here).
+
+    Pure data movement — postings rows, corpus statistics (n_docs,
+    sum_dl), and fingerprints are untouched, so ``bm25_topk_indexed``
+    after compaction is bit-identical to before (test-pinned). The
+    merged rows land under a FRESH ``<path>/base-<uuid>/tf`` (never
+    inside a dir a reader of the current meta could be scanning); the
+    meta republishes LAST with the new base, an EMPTY append registry,
+    and ``base_batch_id`` advanced to the MAX folded batch id — the
+    high-water mark that keeps a replayed pre-compaction micro-batch a
+    no-op (exactly-once survives the fold). A crash before the swap
+    leaves an orphaned dir and an intact index; after the swap the
+    superseded dirs are deleted best-effort (``clean=False`` keeps
+    them). Single-maintainer, run at a quiesce point (a reader of the
+    PREVIOUS meta may still scan the old dirs). No appends = no-op."""
+    from .vector_index import _base_root, _read_index_meta, _write_index_meta
+    from .rollup import _marker_fs
+
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} has no index meta file")
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"{path} holds a {meta.get('kind')!r} index, not bm25")
+    appends = meta.get("appends", [])
+    if not appends:
+        return meta
+    seen = [a["id"] for a in appends]
+    import uuid as _uuid
+
+    old_base = _base_root(path, meta)
+    new_base = f"base-{_uuid.uuid4().hex}"
+    roots = [f"{old_base}/tf"] + [
+        f"{path}/appends/{a['id']}/tf" for a in appends
+    ]
+    parts = [
+        spark.read.option("basePath", r).parquet(r) for r in roots
+    ]
+    tf = parts[0]
+    for p in parts[1:]:
+        tf = tf.unionByName(p)
+    (
+        tf.repartition("bucket")
+        .write.mode("errorifexists")
+        .partitionBy("bucket")
+        .parquet(f"{path}/{new_base}/tf")
+    )
+    buckets = sorted(
+        set(meta["buckets_present"]).union(
+            *[a["buckets_present"] for a in appends]
+        )
+    )
+    folded_ids = [a["batch_id"] for a in appends if "batch_id" in a]
+    if meta.get("base_batch_id") is not None:
+        folded_ids.append(int(meta["base_batch_id"]))
+
+    current = _read_index_meta(spark, path)
+    if (
+        current is None
+        or [a["id"] for a in current.get("appends", [])] != seen
+        or current.get("base") != meta.get("base")
+    ):
+        raise ValueError(
+            f"concurrent maintenance detected on {path}: the registry "
+            f"changed during this compaction; the new base ({new_base}) "
+            "is orphaned and invisible — retry"
+        )
+    new_meta = dict(current)
+    new_meta["base"] = new_base
+    new_meta["appends"] = []
+    new_meta["buckets_present"] = buckets
+    if folded_ids:
+        new_meta["base_batch_id"] = max(folded_ids)
+    _write_index_meta(spark, path, new_meta)
+    if clean:
+        fs, _ = _marker_fs(spark, path)
+        if old_base != path:
+            _, oldp = _marker_fs(spark, old_base)
+            if fs.exists(oldp):
+                fs.delete(oldp, True)
+        else:
+            _, oldd = _marker_fs(spark, f"{path}/tf")
+            if fs.exists(oldd):
+                fs.delete(oldd, True)
+        for a in appends:
+            _, ap = _marker_fs(spark, f"{path}/appends/{a['id']}")
+            if fs.exists(ap):
+                fs.delete(ap, True)
+    return new_meta
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,17 @@ def _write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
         raise OSError(f"vector-index meta publish failed for {path}")
 
 
+def _base_root(path: str, meta: dict) -> str:
+    """The index's CURRENT base data root. Fresh builds use ``path``
+    itself (``<path>/codes|cells|tf``); after :func:`compact_index` /
+    ``retrieval.compact_bm25_index`` the base lives under a versioned
+    ``<path>/base-<uuid>/`` the meta names — compaction can then publish
+    a NEW base without ever writing into a directory a reader of the
+    previous meta could be scanning (same fresh-dir rule as snapshot
+    commits)."""
+    return path if "base" not in meta else f"{path}/{meta['base']}"
+
+
 def _corpus_fingerprint(
     corpus: DataFrame, id_col: str, vec_col: str
 ) -> dict:
@@ -213,7 +224,7 @@ def load_pq_index(
         raise ValueError(f"{path} holds a {meta.get('kind')!r} index, not pq")
     if expect:
         _check_params(meta, path, expect)
-    roots = [f"{path}/codes"] + [
+    roots = [f"{_base_root(path, meta)}/codes"] + [
         f"{path}/appends/{a['id']}/codes" for a in meta.get("appends", [])
     ]
     codes = spark.read.parquet(*roots)
@@ -307,7 +318,7 @@ def _read_ivf_cells(
     append that never published its meta — is invisible by construction).
     Returns None when no wanted cell is populated anywhere."""
     parts = []
-    roots = [(f"{path}/cells", set(meta["cells_present"]))] + [
+    roots = [(f"{_base_root(path, meta)}/cells", set(meta["cells_present"]))] + [
         (f"{path}/appends/{a['id']}/cells", set(a["cells_present"]))
         for a in meta.get("appends", [])
     ]
@@ -760,3 +771,98 @@ def topk_ivfpq_indexed(
         vec_col=vec_col,
         _index=(codes_cells, meta["centroids"], np.asarray(meta["codebooks"])),
     )
+
+
+def compact_index(spark: SparkSession, path: str, clean: bool = True) -> dict:
+    """Fold every registered append into ONE fresh base — the LSM
+    maintenance step (``dedup.compact_gram_store``'s contract) the
+    append protocol needs to stay sound per-month, not just per-batch:
+    without it a streaming maintainer lands one ``appends/<uuid>`` root
+    per micro-batch FOREVER, every query reads base + N roots, and every
+    meta swap rewrites a growing registry.
+
+    Pure data movement: the trained structures (codebooks/centroids),
+    corpus fingerprint, and per-row content are untouched, so indexed
+    search after compaction is byte-identical to before (test-pinned).
+    Protocol (snapshot semantics): the merged rows land under a FRESH
+    ``<path>/base-<uuid>/`` — never inside a directory a reader of the
+    current meta could be scanning — and the meta republishes LAST with
+    the new base and an EMPTY append registry; a crash before the swap
+    leaves an orphaned dir and a fully intact index. After a successful
+    swap the superseded base + append dirs are deleted best-effort
+    (``clean=False`` to keep them); single-maintainer contract, run at a
+    quiesce point like ``snapshot_expire`` (an in-flight reader of the
+    PREVIOUS meta may still be scanning the old dirs). Concurrent
+    appends are detected at publish (registry drift ⇒ the new base is
+    orphaned, retry). A no-op (nothing appended) returns the meta
+    unchanged. BM25 indexes compact via
+    ``retrieval.compact_bm25_index`` (same protocol + batch-id
+    high-water mark)."""
+    from .rollup import _marker_fs
+
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} has no vector-index meta file")
+    kind = meta.get("kind")
+    if kind not in ("pq", "ivf", "ivfpq"):
+        raise ValueError(
+            f"{path} holds a {kind!r} index; compact_index handles "
+            "pq/ivf/ivfpq (bm25 compacts via retrieval.compact_bm25_index)"
+        )
+    appends = meta.get("appends", [])
+    if not appends:
+        return meta
+    seen = [a["id"] for a in appends]
+    old_base = _base_root(path, meta)
+    new_base = f"base-{uuid.uuid4().hex}"
+    new_meta = dict(meta)
+    new_meta["base"] = new_base
+    new_meta["appends"] = []
+
+    if kind == "pq":
+        roots = [f"{old_base}/codes"] + [
+            f"{path}/appends/{a['id']}/codes" for a in appends
+        ]
+        spark.read.parquet(*roots).write.mode("errorifexists").parquet(
+            f"{path}/{new_base}/codes"
+        )
+    else:
+        rows = _read_ivf_cells(spark, path, meta, _ivf_cells_present(meta))
+        (
+            rows.repartition("cell")
+            .write.mode("errorifexists")
+            .partitionBy("cell")
+            .parquet(f"{path}/{new_base}/cells")
+        )
+        # the merged registry IS the union of the input registries —
+        # rows are moved, never dropped, so no rescan is needed
+        new_meta["cells_present"] = _ivf_cells_present(meta)
+
+    current = _read_index_meta(spark, path)
+    if (
+        current is None
+        or [a["id"] for a in current.get("appends", [])] != seen
+        or current.get("base") != meta.get("base")
+    ):
+        raise ValueError(
+            f"concurrent maintenance detected on {path}: the registry "
+            f"changed during this compaction; the new base ({new_base}) "
+            "is orphaned and invisible — retry"
+        )
+    _write_index_meta(spark, path, new_meta)
+    if clean:
+        fs, _ = _meta_path(spark, path)
+        _, oldp = _marker_fs(spark, old_base)
+        if old_base != path and fs.exists(oldp):
+            fs.delete(oldp, True)
+        else:
+            # legacy layout: the old base is <path>/codes|cells itself
+            sub = "codes" if kind == "pq" else "cells"
+            _, oldd = _marker_fs(spark, f"{path}/{sub}")
+            if fs.exists(oldd):
+                fs.delete(oldd, True)
+        for a in appends:
+            _, ap = _marker_fs(spark, f"{path}/appends/{a['id']}")
+            if fs.exists(ap):
+                fs.delete(ap, True)
+    return new_meta

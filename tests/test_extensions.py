@@ -3249,3 +3249,80 @@ def test_ivfpq_persisted_index_equals_in_memory(spark, sf_dir, tmp_path):
         topk_pq_indexed(spark, path, queries, corpus=e)
     with pytest.raises(ValueError, match="already holds"):
         build_ivfpq_index(spark, e, path)
+
+
+def test_vector_index_compaction_byte_identical(spark, tmp_path):
+    """compact_index folds the append roots into one fresh base for all
+    three vector kinds: indexed search is byte-identical before/after
+    (pure data movement — frozen structures and fingerprints untouched),
+    the registry empties, superseded dirs are cleaned, a crash before
+    the meta swap is invisible, and appends keep working afterwards."""
+    import os
+
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators import vector_index as vi
+
+    emb = load_table(spark, SF, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    more = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).filter(F.col("vec_id") % 7 == 3)
+    queries = emb.filter(F.col("vec_id") < 4)
+
+    def topk(kind, path):
+        if kind == "pq":
+            return sorted(map(tuple, vi.topk_pq_indexed(
+                spark, path, queries, corpus=emb, k=10).collect()))
+        if kind == "ivf":
+            return sorted(map(tuple, vi.topk_ivf_indexed(
+                spark, path, queries, k=10, nprobe=3).collect()))
+        return sorted(map(tuple, vi.topk_ivfpq_indexed(
+            spark, path, queries, corpus=emb, k=10, nprobe=3).collect()))
+
+    for kind in ("pq", "ivf", "ivfpq"):
+        path = str(tmp_path / kind)
+        if kind == "pq":
+            vi.build_pq_index(spark, first, path)
+        elif kind == "ivf":
+            vi.build_ivf_index(spark, first, path, n_cells=8)
+        else:
+            vi.build_ivfpq_index(spark, first, path, n_cells=8)
+        vi.append_to_index(spark, path, rest)
+        before = topk(kind, path)
+        assert len(before) > 0
+
+        # crash before the swap: intact index, orphaned new base
+        real_write = vi._write_index_meta
+
+        def boom(spark_, path_, meta_):
+            raise RuntimeError("simulated crash before meta publish")
+
+        vi._write_index_meta = boom
+        try:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                vi.compact_index(spark, path)
+        finally:
+            vi._write_index_meta = real_write
+        assert topk(kind, path) == before
+        assert len(vi._read_index_meta(spark, path)["appends"]) == 1
+
+        meta = vi.compact_index(spark, path)
+        assert meta["appends"] == [] and meta["base"].startswith("base-")
+        assert topk(kind, path) == before
+        sub = "codes" if kind == "pq" else "cells"
+        assert not os.path.exists(f"{path}/{sub}")  # legacy base cleaned
+        assert not os.path.exists(f"{path}/appends") or not os.listdir(
+            f"{path}/appends")
+        vi.check_index_fresh(spark, path, emb)  # fingerprint untouched
+
+        # appends keep working against the new base; a second compaction
+        # folds them again
+        vi.append_to_index(spark, path, more)
+        grown = topk(kind, path)
+        meta2 = vi.compact_index(spark, path)
+        assert meta2["base"] != meta["base"]
+        assert topk(kind, path) == grown
+        # idempotent no-op when nothing is appended
+        assert vi.compact_index(spark, path)["base"] == meta2["base"]

@@ -448,3 +448,81 @@ def test_bm25_index_stream_crash_after_fold_replays_nothing(
         spark, idx, X32_QUERY_TERMS, k=10).collect()))
     want = sorted(map(tuple, bm25_topk(docs, X32_QUERY_TERMS, k=10).collect()))
     assert got == want and len(got) == 10
+
+def test_bm25_index_compaction(spark, sf_dir, tmp_path):
+    """compact_bm25_index folds the append roots into one fresh bucketed
+    base: (a) indexed search is bit-identical before/after; (b) the
+    registry empties and the superseded dirs are gone; (c) a replayed
+    pre-compaction micro-batch stays a NO-OP (base_batch_id is a
+    high-water mark, exactly-once survives the fold); (d) a crash before
+    the meta swap is invisible; (e) appends keep working afterwards."""
+    from lambda_kafka_to_s3_parquet_spark.operators import vector_index as vi
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(spark, thirds[0], idx, n_buckets=32, batch_id=0)
+    append_to_bm25_index(spark, thirds[1], idx, batch_id=1)
+    append_to_bm25_index(spark, thirds[2], idx, batch_id=2)
+    before = sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    assert before == sorted(map(tuple, bm25_topk(
+        docs, X32_QUERY_TERMS, k=10).collect()))
+
+    # (d) crash before the swap: intact index, orphaned new base
+    real_write = vi._write_index_meta
+    import os
+
+    def boom(spark_, path_, meta_):
+        raise RuntimeError("simulated crash before meta publish")
+
+    vi._write_index_meta = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            compact_bm25_index(spark, idx)
+    finally:
+        vi._write_index_meta = real_write
+    crashed = sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    assert crashed == before
+    assert len(vi._read_index_meta(spark, idx)["appends"]) == 2
+
+    # (a)+(b) the real compaction
+    meta = compact_bm25_index(spark, idx)
+    assert meta["appends"] == [] and meta["base"].startswith("base-")
+    assert meta["base_batch_id"] == 2
+    after = sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    assert after == before
+    assert not os.path.exists(f"{idx}/tf")          # legacy base cleaned
+    assert not os.path.exists(f"{idx}/appends") or not os.listdir(
+        f"{idx}/appends")
+
+    # (c) replaying a folded pre-compaction batch is a no-op
+    replay = append_to_bm25_index(spark, thirds[1], idx, batch_id=1)
+    assert replay["appends"] == [] and replay["n_docs"] == meta["n_docs"]
+
+    # (e) fresh appends keep working against the new base
+    extra = spark.createDataFrame(
+        [(20_000_001, "spark shuffle partition skew bm25")],
+        "doc_id long, text string",
+    )
+    append_to_bm25_index(spark, extra, idx, batch_id=3)
+    got = sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    want = sorted(map(tuple, bm25_topk(
+        docs.unionByName(extra), X32_QUERY_TERMS, k=10).collect()))
+    assert got == want
+
+    # a second compaction folds the post-compaction append too
+    meta2 = compact_bm25_index(spark, idx)
+    assert meta2["base"] != meta["base"] and meta2["base_batch_id"] == 3
+    assert sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect())) == got
