@@ -309,49 +309,110 @@ def interleave_bits(a, b, bits: int = 21):
 # filter, exactly as with `snapshot_read`.
 # ---------------------------------------------------------------------------
 
-ZONE_MAP_FILE = "_zone_maps.json"
+ZONE_MAP_FILE = "_zone_maps.json"  # legacy unversioned name, still readable
+_ZONE_MAP_RE = None  # compiled lazily (module imports stay light)
 
 
-def _zone_maps_io(spark: SparkSession, path: str):
+def _zone_map_versions(spark: SparkSession, path: str):
+    """(fs, jvm-Path factory, {version: filename}) for the table's
+    versioned ``_zone_maps.v<N>.json`` sidecars. The legacy unversioned
+    file reads as version 0 when no versioned sidecar exists."""
+    import re
+
     from .rollup import _marker_fs
 
-    return _marker_fs(spark, f"{path}/{ZONE_MAP_FILE}")
+    global _ZONE_MAP_RE
+    if _ZONE_MAP_RE is None:
+        _ZONE_MAP_RE = re.compile(r"^_zone_maps\.v(\d+)\.json$")
+    fs, root = _marker_fs(spark, path)
+    versions: dict[int, str] = {}
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            m = _ZONE_MAP_RE.match(name)
+            if m:
+                versions[int(m.group(1))] = name
+    return fs, versions
 
 
-def read_zone_maps(spark: SparkSession, path: str) -> dict:
-    """The table's zone-map sidecar, or {} when none was ever published."""
+def _read_zone_maps_versioned(spark: SparkSession, path: str) -> tuple[dict, int]:
+    """(sidecar dict, version) — the MAX versioned sidecar, falling back
+    to the legacy unversioned file as version 0; ({}, 0) when none."""
     import json
 
-    fs, p = _zone_maps_io(spark, path)
-    if not fs.exists(p):
-        return {}
+    from .rollup import _marker_fs
+
+    fs, versions = _zone_map_versions(spark, path)
+    if versions:
+        v = max(versions)
+        _, p = _marker_fs(spark, f"{path}/{versions[v]}")
+    else:
+        v = 0
+        _, p = _marker_fs(spark, f"{path}/{ZONE_MAP_FILE}")
+        if not fs.exists(p):
+            return {}, 0
     stream = fs.open(p)
     try:
         raw = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    return json.loads(raw.decode("utf-8"))
+    return json.loads(raw.decode("utf-8")), v
 
 
-def _write_zone_maps(spark: SparkSession, path: str, maps: dict) -> None:
-    """Atomic tmp+rename publish (the gram-store meta protocol): readers
-    see the previous sidecar or the new one, never a torn file."""
+def read_zone_maps(spark: SparkSession, path: str) -> dict:
+    """The table's zone-map sidecar, or {} when none was ever published."""
+    return _read_zone_maps_versioned(spark, path)[0]
+
+
+def _publish_zone_maps_cas(
+    spark: SparkSession, path: str, maps: dict, base_version: int
+) -> bool:
+    """Compare-and-swap publish: land ``maps`` as version
+    ``base_version + 1`` via tmp + rename to a FRESH name (atomic on
+    every Hadoop filesystem; rename-to-existing fails). Returns False
+    when another writer already published that version — the caller
+    re-reads THEIR state and re-merges, so no widening is ever lost
+    (the round-10 advice: the old read-compare-replace narrowed but
+    never closed the lost-update window; a fresh-name rename closes
+    it the same way the snapshot markers do). Older versions and the
+    legacy unversioned file are best-effort deleted after a win."""
     import json
     import uuid
 
     from .rollup import _marker_fs
 
-    fs, p = _zone_maps_io(spark, path)
-    _, tmp = _marker_fs(spark, f"{path}/{ZONE_MAP_FILE}.tmp-{uuid.uuid4().hex}")
+    target = f"{path}/_zone_maps.v{base_version + 1:05d}.json"
+    fs, final = _marker_fs(spark, target)
+    if fs.exists(final):
+        return False  # fast-path loss
+    _, tmp = _marker_fs(spark, f"{target}.tmp-{uuid.uuid4().hex}")
     stream = fs.create(tmp, True)
     try:
         stream.write(json.dumps(maps).encode("utf-8"))
     finally:
         stream.close()
-    fs.delete(p, False)
-    if not fs.rename(tmp, p):
+    if not fs.rename(tmp, final):
         fs.delete(tmp, False)
-        raise OSError(f"zone-map publish failed for {path}")
+        return False  # lost the CAS to a concurrent writer
+    _, versions = _zone_map_versions(spark, path)
+    for v, name in versions.items():
+        if v <= base_version:
+            _, old = _marker_fs(spark, f"{path}/{name}")
+            fs.delete(old, False)
+    _, legacy = _marker_fs(spark, f"{path}/{ZONE_MAP_FILE}")
+    fs.delete(legacy, False)
+    return True
+
+
+def _write_zone_maps(spark: SparkSession, path: str, maps: dict) -> None:
+    """Unconditional publish (single-writer overwrite paths — the
+    clustered-layout writers, whose data write itself isn't concurrent-
+    safe): retries the CAS from the latest version until it lands."""
+    for _ in range(25):
+        _, v = _read_zone_maps_versioned(spark, path)
+        if _publish_zone_maps_cas(spark, path, maps, v):
+            return
+    raise OSError(f"zone-map publish failed for {path}")
 
 
 def _norm_stat(v):
@@ -379,14 +440,17 @@ def _merge_partition_stats(
     Append mode widens existing bounds; bounds only ever grow, so the
     sidecar stays a superset of all stats-aware writes.
 
-    Concurrent writers: the publish re-reads the sidecar and retries the
-    merge when another writer landed in between (lost-widening was the
-    round-9 advice finding — each writer's read-modify-write could drop
-    the other's bounds). The re-read-then-rename window is best-effort
-    (the sidecar store has no CAS primitive); because every retry merges
-    FROM the latest published sidecar and bounds only widen, two racing
-    writers converge on the union in practice. Tables needing a hard
-    guarantee should route writes through one process."""
+    Concurrent writers: the publish is a real COMPARE-AND-SWAP — each
+    attempt lands as a FRESH versioned sidecar name (rename-to-existing
+    fails atomically, the snapshot-marker primitive), so a racing
+    writer's widening can never be silently clobbered: the loser
+    re-reads the winner's published state and re-merges from it
+    (round-10 advice — the old read-compare-replace narrowed but never
+    closed the lost-update window). Every CAS loss means some OTHER
+    writer made progress, so the retry bound is a storm diagnostic,
+    not a livelock risk; exhausting it fails BEFORE the data lands,
+    which is the safe side (bounds pre-widen before data — see
+    write_partitioned)."""
     spark = df.sparkSession
     aggs = []
     for c in stats_cols:
@@ -395,14 +459,13 @@ def _merge_partition_stats(
 
     import json
 
-    for _attempt in range(5):
-        maps = read_zone_maps(spark, path)
+    for _attempt in range(25):
+        maps, ver = _read_zone_maps_versioned(spark, path)
         if maps and maps.get("kind") != "partitions":
             raise ValueError(
                 f"{path} carries {maps.get('kind')!r} zone maps; cannot "
                 "merge partition-tuple stats into a file-granularity sidecar"
             )
-        base = json.dumps(maps, sort_keys=True)
         entries = {k: dict(v) for k, v in maps.get("entries", {}).items()}
         for r in rows:
             key = json.dumps([_norm_stat(r[c]) for c in pcols])
@@ -417,21 +480,18 @@ def _merge_partition_stats(
                 else:
                     cur[c] = [lo, hi]
             entries[key] = cur
-        # seen-entries compare just before publish (gram-store registry
-        # pattern): if another writer widened the sidecar since we read
-        # it, re-merge from THEIR published state instead of clobbering
-        if json.dumps(read_zone_maps(spark, path), sort_keys=True) != base:
-            continue
-        _write_zone_maps(
+        if _publish_zone_maps_cas(
             spark,
             path,
             {"kind": "partitions", "pcols": pcols,
              "granularity": granularity, "entries": entries},
-        )
-        return
+            ver,
+        ):
+            return
     raise OSError(
-        f"zone-map merge for {path} lost the publish race 5 times — "
-        "concurrent writer storm; retry or serialize writers"
+        f"zone-map merge for {path} lost the CAS 25 times — concurrent "
+        "writer storm; serialize writers (each loss means another writer "
+        "published, so no widening was lost)"
     )
 
 

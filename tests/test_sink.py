@@ -468,3 +468,54 @@ def test_sink_zone_maps_clustered_files(spark, tmp_path):
     with pytest.raises(ValueError, match="overwrite"):
         write_clustered(events, path, ["event_id"], mode="append",
                         stats_cols=["event_id"])
+
+
+def test_sink_zone_maps_cas_never_loses_rival_widening(spark, tmp_path, monkeypatch):
+    """A rival writer publishing BETWEEN this writer's sidecar read and
+    its publish must not be clobbered: the versioned-name CAS makes the
+    first publish attempt fail, and the retry re-merges from the rival's
+    state — the final sidecar carries BOTH widenings (round-10 advice:
+    the old read-compare-replace still had a lost-update window)."""
+    import lambda_kafka_to_s3_parquet_spark.operators.sink as sink_mod
+    from lambda_kafka_to_s3_parquet_spark.operators.sink import (
+        _merge_partition_stats,
+        _publish_zone_maps_cas,
+        partition_cols,
+        read_zone_maps,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    schema = "event_id long, topic string, y int, m int, d int, key string"
+    base = spark.createDataFrame(
+        [(i, "t1", 2021, 7, 1, f"k{i}") for i in range(10)], schema
+    )
+    write_partitioned(
+        base, path, key_col="key", granularity="day", stats_cols=["event_id"]
+    )
+
+    real_cas = sink_mod._publish_zone_maps_cas
+    fired = {"n": 0}
+
+    def racing_cas(spark_, path_, maps_, base_version):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # rival lands v(base+1) first, widening the hi bound to 9999
+            rival, rv = sink_mod._read_zone_maps_versioned(spark_, path_)
+            key = next(iter(rival["entries"]))
+            rival["entries"][key]["event_id"][1] = 9_999
+            assert real_cas(spark_, path_, rival, rv)
+        return real_cas(spark_, path_, maps_, base_version)
+
+    monkeypatch.setattr(sink_mod, "_publish_zone_maps_cas", racing_cas)
+    lo_batch = spark.createDataFrame(
+        [(-50, "t1", 2021, 7, 1, "neg")], schema
+    )
+    _merge_partition_stats(
+        lo_batch, path, list(partition_cols("day")), ["event_id"], "day"
+    )
+    assert fired["n"] == 1  # the race actually happened (first CAS lost)
+
+    entry = next(iter(read_zone_maps(spark, path)["entries"].values()))
+    assert entry["event_id"][0] <= -50      # this writer's widening kept
+    assert entry["event_id"][1] == 9_999    # rival's widening kept too
