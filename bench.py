@@ -369,6 +369,23 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
     }
     line = json.dumps(out, separators=(",", ":"))
+    # Guard the tail-window budget AT BENCH TIME: the queries dict grows
+    # every round (r10 added w15+x54), and an oversized line reproduces
+    # the rounds-5-9 silent "parsed": null failures. 1900 bytes leaves
+    # ~100 B of slack inside the ~2 kB tail. Degrade loudly + parseably:
+    # drop per-query keys from the PRINTED line (totals survive; the full
+    # dict always lives in BENCH_local.json) and say so on stderr.
+    _TAIL_BUDGET = 1900
+    if len(line) > _TAIL_BUDGET:
+        slim = {k: v for k, v in out.items() if k != "queries"}
+        slim["queries_truncated_to_fit_tail"] = len(out["queries"])
+        line = json.dumps(slim, separators=(",", ":"))
+        print(
+            f"WARNING: bench line exceeded the {_TAIL_BUDGET} B tail budget; "
+            "per-query timings dropped from stdout (see BENCH_local.json)",
+            file=sys.stderr, flush=True,
+        )
+        assert len(line) <= _TAIL_BUDGET, "even the slim bench line overflows"
     full = dict(out)
     if small:
         full |= {

@@ -1346,7 +1346,7 @@ _X30_THRESH = " ".join(
 # sorted-key python loop) — verified equal thresholds on the fixtures.
 @register(
     "x30_stratified_mix",
-    oracle=f"""
+    oracle=rf"""
     WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
     s AS (SELECT list_sum(list(sqrt(n) ORDER BY lang)) AS S,
                  sum(n) * 0.5 AS T
