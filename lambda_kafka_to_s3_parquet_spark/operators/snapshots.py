@@ -358,6 +358,18 @@ def _merged_commit_schema(
     return {**prior, **mine}
 
 
+def _frame_cschema(df: DataFrame, partition_by: list[str] | None) -> list:
+    """This commit's OWN ordered data-column schema, as recorded in the
+    manifest's ``cschemas``: the read path groups commits with identical
+    entries into one multi-path scan (see :func:`_read_dirs`)."""
+    pset = set(partition_by or [])
+    return [
+        [f.name, f.dataType.simpleString()]
+        for f in df.schema.fields
+        if f.name not in pset
+    ]
+
+
 def _commit(
     spark: SparkSession,
     table: str,
@@ -367,6 +379,7 @@ def _commit(
     meta: dict | None = None,
     stats: dict[str, dict[str, list]] | None = None,
     dschema: dict[str, str] | None = None,
+    cschema: list | None = None,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -377,7 +390,11 @@ def _commit(
     must not erase the stream's high-water mark. ``dschema`` is the
     recorded data-column schema union (see
     :func:`_merged_commit_schema`); ``None`` inherits the previous
-    snapshot's, so maintenance commits never erase it."""
+    snapshot's, so maintenance commits never erase it. ``cschema`` is
+    THIS commit's own ordered data-column schema (``[[name, type],…]``),
+    recorded per commit uuid under ``cschemas`` so the read path can
+    group same-schema commits into one multi-path scan without touching
+    footers; entries for dropped commits fall out with their dirs."""
     base = current_version(spark, table)
     manifest = _load_manifest(spark, table, base, committed=base)
     parts = {
@@ -406,6 +423,19 @@ def _commit(
     kept_stats.update(stats or {})
     if kept_stats:
         new_manifest["stats"] = kept_stats
+    # per-commit schemas: carry live commits' entries, add this commit's
+    live_commits = {d.split("/")[1] for d in live}
+    kept_cs = {
+        c: s
+        for c, s in manifest.get("cschemas", {}).items()
+        if c in live_commits
+    }
+    if cschema is not None:
+        for dirs in new_partitions.values():
+            for d in dirs:
+                kept_cs[d.split("/")[1]] = cschema
+    if kept_cs:
+        new_manifest["cschemas"] = kept_cs
     serialized = json.dumps(new_manifest)
     _replace_text(spark, _manifest_path(table, version), serialized)
     _swap_pointer(spark, table, version)
@@ -461,6 +491,7 @@ def snapshot_append(
     return _commit(
         spark, table, "append", _group_rels(rels, partition_by), meta=meta,
         stats=stats, dschema=dschema,
+        cschema=_frame_cschema(df, partition_by),
     )
 
 
@@ -489,6 +520,7 @@ def snapshot_overwrite_partitions(
     return _commit(
         spark, table, "overwrite", grouped, replaced=set(grouped), meta=meta,
         stats=stats, dschema=dschema,
+        cschema=_frame_cschema(df, partition_by),
     )
 
 
@@ -630,13 +662,42 @@ def _read_dirs(
     by_commit: dict[str, list[str]] = {}
     for d in all_dirs:
         by_commit.setdefault(d.split("/")[1], []).append(d)  # data/<uuid>/...
-    frames = []
+    # Bound the plan for long histories: UNPARTITIONED commits whose
+    # manifest-recorded schemas (cschemas, written per commit) are
+    # identical collapse into ONE multi-path FileScan — a maintained
+    # unpartitioned table with hundreds of small commits reads with a
+    # handful of scans instead of one per commit (plan-asserted in
+    # tests). Partitioned commits keep one scan each: their partition
+    # columns reconstruct against a per-commit basePath, and Spark
+    # rejects a shared basePath across the uuid level ("conflicting
+    # directory structures" — verified empirically); their escape valve
+    # is the rewrite cadence (snapshot_rewrite folds all live commits
+    # into one, so the steady-state scan count is the commits since the
+    # last rewrite — documented maintenance contract). Commits without
+    # a recorded schema (pre-upgrade tables) also scan individually.
+    groups: list[tuple[str, object]] = []  # (first commit id, frame spec)
+    flat_groups: dict[str, list[str]] = {}
+    flat_first: dict[str, str] = {}
+    cschemas = manifest.get("cschemas", {})
     for commit_id, dirs in sorted(by_commit.items()):
-        frames.append(
-            spark.read.option("basePath", f"{table}/data/{commit_id}").parquet(
-                *[f"{table}/{d}" for d in sorted(dirs)]
+        flat = dirs == [f"data/{commit_id}"]
+        sch = cschemas.get(commit_id)
+        if flat and sch is not None:
+            key = json.dumps(sch)
+            flat_first.setdefault(key, commit_id)
+            flat_groups.setdefault(key, []).append(f"{table}/data/{commit_id}")
+        else:
+            groups.append(
+                (
+                    commit_id,
+                    spark.read.option(
+                        "basePath", f"{table}/data/{commit_id}"
+                    ).parquet(*[f"{table}/{d}" for d in sorted(dirs)]),
+                )
             )
-        )
+    for key, paths in flat_groups.items():
+        groups.append((flat_first[key], spark.read.parquet(*sorted(paths))))
+    frames = [f for _, f in sorted(groups, key=lambda g: g[0])]
     pcols: list[str] = []
     for key in manifest["partitions"]:
         for part in key.split("/") if key else []:
@@ -1179,7 +1240,14 @@ def snapshot_overwrite_all(
     full-table maintenance op — tombstone purges and rewrites that may
     legitimately empty a partition commit through this. ``stats_cols``
     as in :func:`snapshot_append` — a rewrite is exactly when zone maps
-    should be (re)collected, since the whole table passes through."""
+    should be (re)collected, since the whole table passes through.
+
+    Because the ENTIRE live content is replaced, the recorded schema
+    union RESETS to this frame's own schema instead of merging with the
+    prior union: no old commit survives, so nothing constrains the new
+    types — and inheriting the stale union would wrongly reject the
+    very next append of the new shape (a full overwrite is the
+    documented 'rebuild the table' escape hatch for type changes)."""
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         raise ValueError(
@@ -1190,6 +1258,7 @@ def snapshot_overwrite_all(
     stats = (
         _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
     )
+    pset = set(partition_by or [])
     return _commit(
         spark,
         table,
@@ -1198,4 +1267,10 @@ def snapshot_overwrite_all(
         replaced=set(current["partitions"]),
         meta=meta,
         stats=stats,
+        dschema={
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if f.name not in pset
+        },
+        cschema=_frame_cschema(df, partition_by),
     )

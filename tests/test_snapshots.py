@@ -1679,3 +1679,96 @@ def test_mixed_layout_partition_type_family_gate(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mixes incompatible types"):
         snapshot_read(spark, t2).collect()
+
+
+def test_long_history_read_plan_bounded(spark, tmp_path):
+    """50 small unpartitioned commits read with a HANDFUL of FileScans,
+    not one per commit: same-schema commits collapse into one multi-path
+    scan via the manifest's per-commit schemas. An additive-evolution
+    commit opens one more group (its own scan), never per-commit plans.
+    Partitioned tables bound their scan count via the rewrite cadence
+    instead (snapshot_rewrite folds all live commits into one) —
+    asserted here too."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_rewrite,
+    )
+
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Scan parquet")
+
+    table = str(tmp_path / "t")
+    for i in range(50):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(i, i * 10)], "k long, v long"),
+        )
+    df = snapshot_read(spark, table)
+    assert df.count() == 50
+    assert sorted(r["k"] for r in df.collect()) == list(range(50))
+    assert n_scans(df) == 1  # 50 same-schema commits, ONE scan
+
+    # additive evolution: the new-schema commits form ONE more group
+    for i in range(50, 55):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(i, i * 10, "en")],
+                                  "k long, v long, lang string"),
+        )
+    df2 = snapshot_read(spark, table)
+    assert df2.count() == 55 and "lang" in df2.columns
+    assert n_scans(df2) == 2
+    # old commits NULL-fill the evolved column through the grouped scan
+    assert df2.filter("k < 50 and lang is not null").count() == 0
+    assert df2.filter("k >= 50 and lang = 'en'").count() == 5
+
+    # partitioned histories: per-commit scans by design; the rewrite
+    # cadence is the bound — one commit (= #partitions dirs, 1 scan
+    # group per commit) afterwards
+    pt = str(tmp_path / "pt")
+    for i in range(10):
+        snapshot_append(
+            spark, pt,
+            spark.createDataFrame([(i, "a" if i % 2 else "b", i)],
+                                  "k long, p string, v long"), ["p"],
+        )
+    assert n_scans(snapshot_read(spark, pt)) == 10
+    snapshot_rewrite(spark, pt, ["p"])
+    dfp = snapshot_read(spark, pt)
+    assert n_scans(dfp) == 1 and dfp.count() == 10
+
+
+def test_overwrite_all_resets_schema_union(spark, tmp_path):
+    """snapshot_overwrite_all replaces the ENTIRE live content, so the
+    recorded schema union resets to the new frame's schema: a later
+    append of the NEW shape works, and the OLD type is now the rejected
+    one — inheriting the stale union would have wrongly rejected every
+    post-rebuild append."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_overwrite_all,
+    )
+
+    table = str(tmp_path / "t")
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, 10)], "k long, v long"),
+    )
+    # full rebuild with v re-typed as string (the documented escape
+    # hatch for type changes)
+    snapshot_overwrite_all(
+        spark, table,
+        spark.createDataFrame([(1, "ten", "x")], "k long, v string, w string"),
+        [],
+    )
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(2, "twenty", "y")],
+                              "k long, v string, w string"),
+    )  # new shape appends fine
+    with pytest.raises(ValueError, match="change type"):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(3, 30)], "k long, v long"),
+        )  # the OLD type is now the rejected one
+    got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, table).collect())
+    assert got == [(1, "ten"), (2, "twenty")]
