@@ -65,6 +65,12 @@ HEADLINE = [
     "q30_subqueries",
     # LLM-pipeline extensions
     "x01_exact_dedup_docs",
+    # round 11: x02 absorbs former w10 as its union-tagged 'stream'
+    # branch (the maintained CDC current-state replay now runs INSIDE
+    # x02's fn) — x02 moves to SINGLE_RUN and its timing is the old
+    # w10's streaming cost plus the cheap batch branch; not comparable
+    # to rounds <= 10 on either name. The freed oracle slot promoted
+    # w14, which joins the headline below.
     "x02_cdc_latest_event",
     # round 9: x03 union-tagged (absorbs x33's bigram heavy hitters) —
     # timing not comparable to rounds <= 8
@@ -178,10 +184,9 @@ HEADLINE = [
     # not comparable to rounds <= 5 (which rescanned and re-banded the
     # whole store every batch -- cheap only while the store is tiny).
     "w09_incremental_neardup",
-    # round 5: streaming CDC upsert (bucket-partitioned current-state
-    # maintenance; single-run like the other streaming entries)
-    "w10_cdc_current_state",
     # round 5: per-batch stream enrichment from the maintained CDC state
+    # (w10's slot: the CDC upsert replay itself now runs inside x02's
+    # 'stream' branch — see the x02 note above)
     "w11_stream_enrichment",
     # round 7: streaming semantic decontamination vs persisted test index
     "w12_semantic_decontam_stream",
@@ -190,6 +195,9 @@ HEADLINE = [
     # fixture capped at 300 docs + twins, so the entry measures the
     # per-batch machinery, not corpus scale)
     "w13_span_scrub_stream",
+    # round 11: streaming per-domain token quota (oracle-promoted this
+    # round; two-batch stateful replay — fixed micro-batch machinery)
+    "w14_token_quota_stream",
     # round 10: streaming BM25 index maintenance (build + two exactly-
     # once appends + an indexed query; fixed micro-batch machinery)
     "w15_bm25_index_stream",
@@ -230,10 +238,12 @@ SINGLE_RUN = {
     "x45_bpe_vocab",
     "w05_stateful_user_profiles",
     "w09_incremental_neardup",
-    "w10_cdc_current_state",
+    # round 11: x02 carries the former w10 streaming replay inside
+    "x02_cdc_latest_event",
     "w11_stream_enrichment",
     "w12_semantic_decontam_stream",
     "w13_span_scrub_stream",
+    "w14_token_quota_stream",
     "w15_bm25_index_stream",
     "x54_change_feed",
     "w06_stream_dedup",

@@ -90,30 +90,53 @@ def x01_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # x02 — CDC latest-version dedup: newest event per user (the reference's
 # SRC_KEY_VAL / SRC_COMMIT_DT_UTC compaction, on the events fixture).
+# Round 11: union-tagged 'batch'/'stream' — the former w10 (streaming CDC
+# upsert continuously maintaining the bucket-partitioned current-state
+# table) folded in as the 'stream' branch, since its answer is
+# DEFINITIONALLY the same latest-per-user state: one oracle query now
+# proves window-dedup == the whole maintenance loop (micro-batch merge,
+# bucket overwrite, marker) == DuckDB. The freed slot oracle-promoted
+# w14. w10_cdc_current_state stays an unregistered function in
+# plans/streaming_queries.py (bench imports it via this branch).
 # --------------------------------------------------------------------------
 @register(
     "x02_cdc_latest_event",
     oracle="""
-    SELECT user_id, event_id, event_type,
-           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
-           round(value, 2) AS value
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY user_id
-                                   ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
-    WHERE rn = 1
-    ORDER BY user_id
+    WITH latest AS (
+      SELECT user_id, event_id, event_type,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+             round(value, 2) AS value
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1)
+    SELECT 'batch' AS branch, * FROM latest
+    UNION ALL
+    SELECT 'stream' AS branch, * FROM latest
+    ORDER BY branch, user_id
     """,
-    doc="CDC latest-row dedup: window + row_number over (key, ts desc)",
+    doc="CDC latest-row dedup, union-tagged: 'batch' = window + row_number "
+    "over (key, ts desc); 'stream' = the maintained current-state table "
+    "after a full micro-batch replay (former w10) — both must equal the "
+    "same latest-per-user oracle",
 )
 def x02_cdc_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming_queries import w10_cdc_current_state
+
     e = _t(spark, sf_dir, "events")
-    return latest_by_key(e, ["user_id"], "ts", "event_id").select(
+    batch = latest_by_key(e, ["user_id"], "ts", "event_id").select(
         "user_id",
         "event_id",
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
         F.round("value", 2).alias("value"),
+    )
+    stream = w10_cdc_current_state(spark, sf_dir)
+    return (
+        batch.select(F.lit("batch").alias("branch"), "*")
+        .unionByName(stream.select(F.lit("stream").alias("branch"), "*"))
+        .orderBy("branch", "user_id")
     )
 
 

@@ -654,29 +654,14 @@ def w09_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # micro-batches continuously maintains the bucket-partitioned
 # current-state table (latest row per user), i.e. the MERGE half of a
 # lakehouse over the reference's CDC topics. The returned frame is the
-# maintained table itself, compacted. ORACLE-CHECKED since round 6: the
-# maintained table must equal latest-per-key over every change row ever
-# streamed, so the oracle is definitionally x02's SQL — the driver now
-# proves the whole maintenance loop (micro-batch merge, bucket overwrite,
-# marker) lands exactly the batch answer (also pinned in tests across
-# out-of-order arrival and checkpoint restart).
+# maintained table itself, compacted. Oracle-checked r6-r10 under its
+# own name; round 11 CONSOLIDATED it into x02's 'stream' branch (its
+# answer is definitionally x02's latest-per-user state, so one oracle
+# query proves batch window-dedup == the whole maintenance loop ==
+# DuckDB) — the freed slot oracle-promoted w14. UNREGISTERED function
+# since then (x02's branch and the restart/out-of-order pytests call it
+# directly, the x22 precedent).
 # --------------------------------------------------------------------------
-@register(
-    "w10_cdc_current_state",
-    oracle="""
-    SELECT user_id, event_id, event_type,
-           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
-           round(value, 2) AS value
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY user_id
-                                   ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
-    WHERE rn = 1
-    ORDER BY user_id
-    """,
-    doc="streaming CDC upsert: bucket-partitioned current-state table "
-    "maintained per micro-batch == batch latest-per-key (x02's oracle)",
-)
 def w10_cdc_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
@@ -960,17 +945,37 @@ def w13_span_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token-budget branch (cap_domain_tokens). Two replay batches; each
 # domain's running token total is one LONG of state, consumed in doc_id
 # order within a batch and arrival order across batches — docs after a
-# domain's budget exhausts drop. Rows-only (order-dependent stateful
-# semantics aren't SQL over the union of batches); equality with the
-# batch window-cumsum operator under an id-ordered replay is pinned in
-# pytest (test_streaming.py).
+# domain's budget exhausts drop. ORACLE-CHECKED since round 11 (slot
+# freed by the w10->x02 'stream'-branch fold): the registered replay
+# splits batches ON doc_id, so cross-batch arrival order IS id order
+# and the stream's kept set equals the batch cumsum — which DuckDB
+# replays exactly as an id-ordered window running sum with the same
+# inclusive running <= budget keep rule as x39's token_quota oracle.
+# The == batch-operator == python-replay equalities (and the
+# cross-chunk Arrow ordering test) stay pinned in test_streaming.py.
 # --------------------------------------------------------------------------
 @register(
     "w14_token_quota_stream",
-    oracle=None,
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source AS host, CAST(n_chars AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id < 2000),
+    c AS (
+      SELECT host, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY host ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM d)
+    SELECT host,
+           CAST(count(*) AS BIGINT)      AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           max(doc_id)                   AS last_kept_doc
+    FROM c WHERE running <= 30000
+    GROUP BY host ORDER BY host
+    """,
     doc="streaming per-domain token quota (stateful running total, one "
     "LONG per domain): per-domain kept-doc/token census after a two-batch "
-    "replay; equals the batch cumsum operator under id-ordered replay",
+    "id-ordered replay == the batch cumsum == DuckDB's id-ordered window "
+    "running sum (oracle-checked since r11)",
 )
 def w14_token_quota_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -1001,17 +1001,17 @@ def test_cdc_merge_foreign_checkpoint_rejected(spark, sf_dir, tmp_path):
     assert "checkpoint" in str(exc.value)
 
 
-def test_w10_registered_equals_x02(spark, sf_dir):
-    """The registered streaming current-state answer must row-for-row
-    equal the oracle-checked batch CDC query (x02)."""
+def test_x02_stream_branch_equals_batch_branch(spark, sf_dir):
+    """x02's union-tagged branches (round 11 — former w10 folded in as
+    'stream'): the maintained current-state answer must row-for-row
+    equal the batch window-dedup branch."""
     from lambda_kafka_to_s3_parquet_spark.plans import all_specs
 
-    specs = all_specs()
-    got = [tuple(r) for r in specs["w10_cdc_current_state"].fn(spark, sf_dir).collect()]
-    want = [
-        tuple(r)
-        for r in specs["x02_cdc_latest_event"].fn(spark, sf_dir).orderBy("user_id").collect()
-    ]
+    out = all_specs()["x02_cdc_latest_event"].fn(spark, sf_dir)
+    got = [tuple(r)[1:] for r in out.filter("branch = 'stream'")
+           .orderBy("user_id").collect()]
+    want = [tuple(r)[1:] for r in out.filter("branch = 'batch'")
+            .orderBy("user_id").collect()]
     assert got == want and len(got) > 0
 
 
