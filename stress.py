@@ -322,6 +322,56 @@ def w13_gram_store_growth(spark, base_dir: str, scratch: str, scale: int) -> dic
     return out
 
 
+def bm25_append_compaction(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """Round-11 compaction row: indexed-query wall as the APPEND COUNT
+    grows 1 -> scale, then after compact_bm25_index folds them into one
+    base. Every append is one more root the query's bucket-pruned read
+    spans (plus a longer meta registry), so tN creeps up with N roots;
+    t_compacted should fall back to ~t1 — flat query wall is the
+    maintenance step doing its job (w15 lands one append per micro-batch
+    forever without it). Appended ids are fresh per batch (the
+    no-re-append contract); batch content is fixed so the row measures
+    root-count cost, not corpus growth."""
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk_indexed,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+    from lambda_kafka_to_s3_parquet_spark.plans.extensions import X32_QUERY_TERMS
+
+    docs = load_table(spark, base_dir, "documents").select("doc_id", "text")
+    idx = os.path.join(scratch, "bm25_cidx")
+    build_bm25_index(spark, docs, idx, n_buckets=64)
+    batch = docs.filter(F.col("doc_id") % 37 == 0).localCheckpoint()
+
+    def q() -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            bm25_topk_indexed(spark, idx, X32_QUERY_TERMS, k=10).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    def shifted(k: int):
+        return batch.select(
+            (F.col("doc_id") + 100_000_000 * k).alias("doc_id"), "text"
+        )
+
+    append_to_bm25_index(spark, shifted(1), idx)
+    t1 = q()
+    for k in range(2, scale + 1):
+        append_to_bm25_index(spark, shifted(k), idx)
+    tn = q()
+    compact_bm25_index(spark, idx)
+    tc = q()
+    return {
+        "t1": t1, "tN": tn, "ratio": round(tn / t1, 1),
+        "t_compacted": tc, "ratio_compacted": round(tc / t1, 1),
+    }
+
+
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "10"))
@@ -427,6 +477,9 @@ def main() -> None:
             tn = time_query(spark, fn, baseNx)
             out[name] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
         out["w09_batch_vs_store"] = w09_store_growth(spark, base, scratch, scale)
+        out["bm25_appends_vs_compaction"] = bm25_append_compaction(
+            spark, base, scratch, scale
+        )
         out["w13_batch_vs_store"] = w13_gram_store_growth(spark, base, scratch, scale)
         out["w12_batch_vs_index"] = w12_index_growth(spark, base, scratch, scale)
         print(
