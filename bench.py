@@ -215,6 +215,15 @@ HEADLINE = [
 ]
 
 
+#: Round-11 re-measure (idle host, 3 back-to-back reps, clearCache
+#: between runs — the round-9 protocol): x45 1.5-1.7 s, w08 5.9-6.5 s.
+#: Verdict-r10 watch items resolved: x45's r10 reading of 3.02 s (vs
+#: r9's 1.25) was HOST DRIFT — bpe.py is untouched since r9 and the
+#: same code measures 1.5-1.7 s tonight; no refactor warranted. w08's
+#: 4.58 -> 5.72 r9->r10 delta is the absorbed x22 'batch' branch (a
+#: second bounded rollup write/read inside the query) plus streaming
+#: noise — tonight's 5.9-6.5 s bracket confirms r10's number was real
+#: for the folded shape, not a regression of the stream path.
 #: Round-9 artifact notes (idle host, per the bench-protocol rule; the
 #: round-8 artifact was committed from a noisy night and every SINGLE_RUN
 #: streaming entry read +9-38% vs r7): this run puts w05-w12 back within

@@ -1274,3 +1274,42 @@ def snapshot_overwrite_all(
         },
         cschema=_frame_cschema(df, partition_by),
     )
+
+
+def snapshot_maintain(
+    spark: SparkSession,
+    table: str,
+    partition_by: list[str],
+    max_live_commits: int = 8,
+    keep_last: int = 2,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """The REWRITE CADENCE as one policy call — the documented contract
+    that bounds read plans and manifests for PARTITIONED tables (whose
+    per-commit partition reconstruction forbids the multi-path scan
+    grouping unpartitioned commits get in :func:`_read_dirs`): when the
+    live snapshot references more than ``max_live_commits`` distinct
+    commit directories, compact via :func:`snapshot_rewrite` (one fresh
+    commit, so the next read plans ONE scan group) and reclaim
+    superseded history via :func:`snapshot_expire` (``keep_last``).
+    Below the threshold it is a manifest-read no-op, so it is safe —
+    and intended — to call after every N appends or on every
+    maintenance tick; steady-state scan count is then
+    ≤ max_live_commits. Single-maintenance-writer at a quiesce point
+    (the rewrite + expire contracts). Returns
+    ``{"live_commits", "rewritten", "expired"}``.
+    """
+    committed = current_version(spark, table)
+    if committed == 0:
+        return {"live_commits": 0, "rewritten": False, "expired": {}}
+    manifest = _load_manifest(spark, table, committed, committed=committed)
+    live = {
+        d.split("/")[1]
+        for dirs in manifest["partitions"].values()
+        for d in dirs
+    }
+    if len(live) <= max_live_commits:
+        return {"live_commits": len(live), "rewritten": False, "expired": {}}
+    snapshot_rewrite(spark, table, partition_by, stats_cols=stats_cols)
+    expired = snapshot_expire(spark, table, keep_last=keep_last)
+    return {"live_commits": len(live), "rewritten": True, "expired": expired}

@@ -866,3 +866,49 @@ def compact_index(spark: SparkSession, path: str, clean: bool = True) -> dict:
             if fs.exists(ap):
                 fs.delete(ap, True)
     return new_meta
+
+
+def vacuum_index(spark: SparkSession, path: str) -> dict:
+    """Delete UNREFERENCED data dirs under an index root — the orphan
+    sweep completing the maintenance story (``snapshot_expire``'s GC
+    role, for index stores): crashed appends leave ``appends/<uuid>``
+    dirs no meta references (invisible to readers by construction, but
+    they accumulate storage), and :func:`compact_index` /
+    ``retrieval.compact_bm25_index`` best-effort-delete their
+    superseded dirs, so a crash right after the meta swap can leave the
+    old base behind. Referenced = the meta's current base root plus
+    every registered append id. Works for all four kinds (pq / ivf /
+    ivfpq / bm25 — the registry shape is shared). Single-maintainer,
+    run at a quiesce point: an in-flight append's not-yet-registered
+    dir is indistinguishable from an orphan (the snapshot_expire
+    contract). Returns ``{"appends_deleted": n, "bases_deleted": m}``.
+    """
+    from .rollup import _marker_fs
+
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} has no index meta file")
+    live_appends = {a["id"] for a in meta.get("appends", [])}
+    live_base = meta.get("base")  # None = legacy layout (codes/cells/tf)
+    fs, root = _marker_fs(spark, path)
+    n_app = n_base = 0
+    _, appends_root = _marker_fs(spark, f"{path}/appends")
+    if fs.exists(appends_root):
+        for st in fs.listStatus(appends_root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name not in live_appends:
+                fs.delete(st.getPath(), True)
+                n_app += 1
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory():
+            continue
+        if name.startswith("base-") and name != live_base:
+            fs.delete(st.getPath(), True)
+            n_base += 1
+        elif live_base is not None and name in ("codes", "cells", "tf"):
+            # legacy base superseded by a compacted one — a crash
+            # between compaction's swap and its cleanup left it behind
+            fs.delete(st.getPath(), True)
+            n_base += 1
+    return {"appends_deleted": n_app, "bases_deleted": n_base}

@@ -526,3 +526,58 @@ def test_bm25_index_compaction(spark, sf_dir, tmp_path):
     assert meta2["base"] != meta["base"] and meta2["base_batch_id"] == 3
     assert sorted(map(tuple, bm25_topk_indexed(
         spark, idx, X32_QUERY_TERMS, k=10).collect())) == got
+
+
+def test_vacuum_index_sweeps_orphans_only(spark, sf_dir, tmp_path):
+    """vacuum_index deletes crashed-append orphans and superseded bases
+    while leaving every referenced dir (and query results) untouched."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators import vector_index as vi
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk_indexed,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(spark, docs.filter("doc_id % 2 = 0"), idx, n_buckets=32)
+    append_to_bm25_index(spark, docs.filter("doc_id % 2 = 1"), idx)
+
+    # crashed append: data written, meta never republished -> orphan
+    real_write = vi._write_index_meta
+    vi._write_index_meta = lambda *a: (_ for _ in ()).throw(
+        RuntimeError("crash"))
+    try:
+        with pytest.raises(RuntimeError):
+            append_to_bm25_index(
+                spark,
+                spark.createDataFrame([(9_000_001, "orphan doc")],
+                                      "doc_id long, text string"),
+                idx,
+            )
+    finally:
+        vi._write_index_meta = real_write
+    assert len(os.listdir(f"{idx}/appends")) == 2  # 1 live + 1 orphan
+
+    before = sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    swept = vi.vacuum_index(spark, idx)
+    assert swept == {"appends_deleted": 1, "bases_deleted": 0}
+    assert sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect())) == before
+
+    # superseded base left by a compaction whose cleanup "crashed":
+    # simulate by compacting with clean=False, then vacuuming
+    meta = compact_bm25_index(spark, idx, clean=False)
+    assert os.path.exists(f"{idx}/tf")  # legacy base still on disk
+    after_compact = sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    swept2 = vi.vacuum_index(spark, idx)
+    assert swept2["bases_deleted"] >= 1 and swept2["appends_deleted"] == 1
+    assert not os.path.exists(f"{idx}/tf")
+    assert os.path.exists(f"{idx}/{meta['base']}/tf")  # live base kept
+    assert sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect())) == after_compact

@@ -1772,3 +1772,41 @@ def test_overwrite_all_resets_schema_union(spark, tmp_path):
         )  # the OLD type is now the rejected one
     got = sorted((r["k"], r["v"]) for r in snapshot_read(spark, table).collect())
     assert got == [(1, "ten"), (2, "twenty")]
+
+
+def test_snapshot_maintain_rewrite_cadence(spark, tmp_path):
+    """snapshot_maintain is the documented rewrite cadence: below the
+    live-commit threshold it is a manifest-read no-op; above it, one
+    rewrite + expire leaves a single live commit (next read = ONE scan
+    group), identical content, and history bounded to keep_last."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_history,
+        snapshot_maintain,
+    )
+
+    table = str(tmp_path / "t")
+
+    def frame(i):
+        return spark.createDataFrame([(i, "a" if i % 2 else "b", i * 10)],
+                                     "k long, p string, v long")
+
+    for i in range(6):
+        snapshot_append(spark, table, frame(i), ["p"])
+    r = snapshot_maintain(spark, table, ["p"], max_live_commits=8)
+    assert r == {"live_commits": 6, "rewritten": False, "expired": {}}
+
+    for i in range(6, 12):
+        snapshot_append(spark, table, frame(i), ["p"])
+    before = sorted(tuple(x) for x in snapshot_read(spark, table).collect())
+    r = snapshot_maintain(spark, table, ["p"], max_live_commits=8, keep_last=2)
+    assert r["live_commits"] == 12 and r["rewritten"] is True
+    assert r["expired"]["manifests_deleted"] > 0
+    after = sorted(tuple(x) for x in snapshot_read(spark, table).collect())
+    assert after == before
+    df = snapshot_read(spark, table)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert len(snapshot_history(spark, table)) == 2
+    # steady state: the very next call is a no-op again
+    r2 = snapshot_maintain(spark, table, ["p"], max_live_commits=8)
+    assert r2["rewritten"] is False and r2["live_commits"] == 1
