@@ -132,6 +132,7 @@ def run_cdc_merge_stream(
     n_buckets: int = 16,
     max_files_per_trigger: int | None = 1,
     commit_protocol: str = "inplace",
+    maintain_live_commits: int | None = None,
 ) -> StreamingQuery:
     """Continuously maintain the CDC current-state table from a stream.
 
@@ -147,8 +148,24 @@ def run_cdc_merge_stream(
     mark are one atomic pointer swap (see ``run_rollup_stream`` for the
     full contract; in-place mode keeps the documented one-batch
     crash-replay residual of its two-step marker).
+
+    ``maintain_live_commits=N`` (snapshot mode only) is the same
+    in-stream rewrite cadence as ``run_rollup_stream``'s: each touched
+    bucket gains a commit-dir entry per micro-batch, so a long-running
+    merge stream otherwise accumulates per-commit scans without bound;
+    :func:`.snapshots.snapshot_maintain` no-ops below N live commits
+    and folds + expires above it, with the high-water mark inherited
+    through the maintenance commits (replay across the fold stays
+    skipped — test-pinned). Expire bounds ``read_state_as_of`` /
+    ``snapshot_row_changes`` retention to ``keep_last`` — size N and
+    consumer lag together.
     """
     marker = os.path.join(table_path, "_last_merged_batch.json")
+    if maintain_live_commits is not None and commit_protocol != "snapshot":
+        raise ValueError(
+            "maintain_live_commits is the snapshot-table rewrite cadence; "
+            "the in-place layout has no commit history to bound"
+        )
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         from .snapshots import is_snapshot_table
@@ -205,6 +222,13 @@ def run_cdc_merge_stream(
                 batch_id,
                 checkpoint,
                 extra={"n_buckets": n_buckets, "commit_protocol": commit_protocol},
+            )
+        elif maintain_live_commits is not None:
+            from .snapshots import snapshot_maintain
+
+            snapshot_maintain(
+                spark, table_path, ["bucket"],
+                max_live_commits=maintain_live_commits,
             )
 
     reader = spark.readStream.schema(schema)

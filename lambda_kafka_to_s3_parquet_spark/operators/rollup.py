@@ -369,6 +369,7 @@ def run_rollup_stream(
     max_files_per_trigger: int | None = 1,
     distinct_col: str | None = None,
     commit_protocol: str = "inplace",
+    maintain_live_commits: int | None = None,
 ) -> StreamingQuery:
     """Continuously maintain the hourly rollup from an event stream.
 
@@ -400,8 +401,29 @@ def run_rollup_stream(
     test pins this). Pre-upgrade snapshot tables with a side-car marker
     migrate transparently: the first new commit moves the state into the
     manifest (see :func:`_maintenance_state`).
+
+    ``maintain_live_commits=N`` (snapshot mode only) wires the rewrite
+    cadence INTO the stream: after each merge the handler calls
+    :func:`.snapshots.snapshot_maintain`, a manifest-read no-op until
+    the live snapshot references > N commit directories, then one
+    rewrite + expire. Without it, every micro-batch adds a commit to
+    each touched date partition and a week-old maintained table pays a
+    week of per-commit scans on every read. Safe mid-stream by
+    construction: the rewrite/expire maintenance commits INHERIT the
+    manifest meta, so the batch-id high-water mark rides through the
+    fold and a batch replayed across the rewrite is still skipped
+    (test-pinned); a crash between merge and maintenance just defers
+    the fold to the next batch. Note expire bounds time travel to
+    ``snapshot_maintain``'s ``keep_last`` — an incremental consumer of
+    this table must keep its lag inside that retention (the standard
+    CDC-retention contract).
     """
     marker = os.path.join(rollup_path, "_last_merged_batch.json")
+    if maintain_live_commits is not None and commit_protocol != "snapshot":
+        raise ValueError(
+            "maintain_live_commits is the snapshot-table rewrite cadence; "
+            "the in-place layout has no commit history to bound"
+        )
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         from .snapshots import is_snapshot_table
@@ -440,6 +462,13 @@ def run_rollup_stream(
             _write_last_batch_id(
                 spark, marker, batch_id, checkpoint,
                 extra={"commit_protocol": commit_protocol},
+            )
+        elif maintain_live_commits is not None:
+            from .snapshots import snapshot_maintain
+
+            snapshot_maintain(
+                spark, rollup_path, ["d"],
+                max_live_commits=maintain_live_commits,
             )
 
     reader = spark.readStream.schema(events_schema)

@@ -504,6 +504,7 @@ def run_bm25_index_stream(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Continuously maintain a persisted BM25 postings index from a
     document stream: the first micro-batch builds the index
@@ -521,13 +522,29 @@ def run_bm25_index_stream(
     and skipped — double-counted postings are impossible at any crash
     point. Same single-maintainer contract as every index writer.
 
+    ``compact_every=N`` wires the maintenance cadence INTO the stream:
+    once the append registry holds ≥ N entries, the handler folds them
+    via :func:`..operators.retrieval.compact_bm25_index` and sweeps
+    superseded/orphaned dirs via :func:`..operators.vector_index.
+    vacuum_index` — inside ``foreachBatch`` the handler IS the single
+    maintainer at a quiesce point, so both contracts hold by
+    construction. Compaction advances ``base_batch_id`` to the max
+    folded id (a ``<=`` high-water mark), so a pre-compaction batch
+    replayed after any crash stays a no-op; steady state is then
+    ≤ N+1 roots per query and a bounded registry, forever — without it
+    a week of micro-batches means a week of append dirs per query.
+
     At 100 TB this is how the retrieval index tracks an ingest stream
     without rebuild storms: per batch the tokenize+explode cost is
     ∝ batch, the write is one bucketed append dir, and queries keep
     paying only their terms' buckets across base + appends.
     """
-    from ..operators.retrieval import append_to_bm25_index, build_bm25_index
-    from ..operators.vector_index import _read_index_meta
+    from ..operators.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+    from ..operators.vector_index import _read_index_meta, vacuum_index
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -552,6 +569,11 @@ def run_bm25_index_stream(
             spark, batch_df, index_path, id_col=id_col, text_col=text_col,
             batch_id=batch_id,
         )
+        if compact_every is not None:
+            meta = _read_index_meta(spark, index_path)
+            if len(meta.get("appends", [])) >= compact_every:
+                compact_bm25_index(spark, index_path)
+                vacuum_index(spark, index_path)
 
     return (
         spark.readStream.schema(schema)

@@ -581,3 +581,73 @@ def test_vacuum_index_sweeps_orphans_only(spark, sf_dir, tmp_path):
     assert os.path.exists(f"{idx}/{meta['base']}/tf")  # live base kept
     assert sorted(map(tuple, bm25_topk_indexed(
         spark, idx, X32_QUERY_TERMS, k=10).collect())) == after_compact
+
+
+def test_bm25_index_stream_in_stream_compaction(spark, sf_dir, tmp_path):
+    """run_bm25_index_stream(compact_every=2) keeps the store bounded
+    FOREVER: whenever the registry reaches 2 appends the handler folds
+    them into a fresh base and vacuums superseded dirs — search still
+    equals one-shot over everything streamed, the registry and on-disk
+    append dirs stay under the cadence, and a full checkpoint-less
+    replay after the folds changes nothing (the high-water mark rode
+    through every compaction)."""
+    import os
+    import shutil
+
+    from lambda_kafka_to_s3_parquet_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.vector_index import (
+        _read_index_meta,
+    )
+    from lambda_kafka_to_s3_parquet_spark.streaming.pipeline import (
+        run_bm25_index_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(6):
+        staged = tmp_path / f"stage{i}"
+        docs.filter(F.col("doc_id") % 6 == i).coalesce(1).write.parquet(
+            str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{i}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+
+    idx, ckpt = str(tmp_path / "bm25"), str(tmp_path / "ckpt")
+    q = run_bm25_index_stream(
+        spark, str(src), "doc_id long, text string", idx, ckpt,
+        n_buckets=32, compact_every=2,
+    )
+    assert q.awaitTermination(300)
+
+    # batches 0..5: build at 0; appends at 1,2 -> fold; 3,4 -> fold; 5
+    meta = _read_index_meta(spark, idx)
+    assert [a["batch_id"] for a in meta["appends"]] == [5]
+    assert meta["base_batch_id"] == 4 and meta["base"].startswith("base-")
+    assert len(os.listdir(f"{idx}/appends")) == 1  # vacuum swept the rest
+    bases = [d for d in os.listdir(idx) if d.startswith("base-")]
+    assert len(bases) == 1 and not os.path.exists(f"{idx}/tf")
+
+    got = sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect()))
+    want = sorted(map(tuple, bm25_topk(docs, X32_QUERY_TERMS, k=10).collect()))
+    assert got == want and len(got) == 10
+
+    # checkpoint-less replay: every batch re-fires; build-batch 0 and
+    # appends 1-4 are <= base_batch_id (the mark SURVIVED two folds),
+    # append 5 is on the registry -- all no-ops, nothing double-counts
+    shutil.rmtree(ckpt)
+    q2 = run_bm25_index_stream(
+        spark, str(src), "doc_id long, text string", idx, str(tmp_path / "ck2"),
+        n_buckets=32, compact_every=2,
+    )
+    assert q2.awaitTermination(300)
+    meta2 = _read_index_meta(spark, idx)
+    assert meta2["n_docs"] == meta["n_docs"]
+    assert [a["batch_id"] for a in meta2["appends"]] == [5]
+    assert sorted(map(tuple, bm25_topk_indexed(
+        spark, idx, X32_QUERY_TERMS, k=10).collect())) == got

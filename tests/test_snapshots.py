@@ -1810,3 +1810,161 @@ def test_snapshot_maintain_rewrite_cadence(spark, tmp_path):
     # steady state: the very next call is a no-op again
     r2 = snapshot_maintain(spark, table, ["p"], max_live_commits=8)
     assert r2["rewritten"] is False and r2["live_commits"] == 1
+
+
+def _single_date_event_batches(spark, tmp_path, n_days=8):
+    """One parquet file per calendar date (disjoint-date micro-batches:
+    each merge touches only its own ``d`` partition, so live commits
+    grow by one per batch — the layout that needs the rewrite cadence)."""
+    import os
+
+    rows = []
+    for i in range(n_days):
+        for h in (9, 17):
+            rows.append((f"2024-03-{i + 1:02d} {h:02d}:30:00",
+                         "click" if h == 9 else "view", float(i * h), i))
+    ev = spark.createDataFrame(
+        rows, "ts_s string, event_type string, value double, user_id long"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "value", "user_id")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(n_days):
+        staged = tmp_path / f"stage{i}"
+        ev.filter(F.dayofmonth("ts") == i + 1).coalesce(1).write.parquet(
+            str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{i}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+    return ev, str(src)
+
+
+def test_rollup_stream_maintain_cadence(spark, tmp_path):
+    """run_rollup_stream(maintain_live_commits=3): the in-stream rewrite
+    cadence keeps the maintained table's live commit count bounded over
+    disjoint-date batches (which otherwise add one commit dir per batch
+    forever), the result still equals the one-shot rollup, and a
+    checkpoint-less full replay is skipped batch-for-batch — the
+    batch-id high-water mark survived every rewrite+expire fold."""
+    import shutil
+
+    from lambda_kafka_to_s3_parquet_spark.operators.rollup import (
+        hourly_rollup,
+        run_rollup_stream,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        current_version,
+        snapshot_history,
+        snapshot_meta,
+        snapshot_read,
+    )
+
+    ev, src = _single_date_event_batches(spark, tmp_path)
+    schema = "ts timestamp, event_type string, value double, user_id long"
+    table, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+
+    with pytest.raises(ValueError, match="rewrite cadence"):
+        run_rollup_stream(spark, src, schema, table, ckpt,
+                          commit_protocol="inplace", maintain_live_commits=3)
+
+    q = run_rollup_stream(spark, src, schema, table, ckpt,
+                          max_files_per_trigger=1,
+                          commit_protocol="snapshot",
+                          maintain_live_commits=3)
+    assert q.awaitTermination(300)
+
+    def rows(df):
+        return sorted(
+            (str(r["hour"]), r["event_type"], r["n_events"],
+             round(r["sum_value"], 6))
+            for r in df.collect()
+        )
+
+    want = rows(hourly_rollup(ev))
+    assert rows(snapshot_read(spark, table).drop("d")) == want
+    committed = current_version(spark, table)
+    live = {
+        d.split("/")[1]
+        for dirs in _load_manifest(spark, table, committed)["partitions"].values()
+        for d in dirs
+    }
+    assert len(live) <= 3  # the cadence held: 8 batches, bounded commits
+    assert len(snapshot_history(spark, table)) < 8  # expire pruned history
+    assert snapshot_meta(spark, table)["batch_id"] == 7  # HWM survived folds
+
+    # checkpoint-less replay: batch ids restart at 0 under the SAME
+    # checkpoint path; every batch is <= the manifest-meta HWM -> all
+    # skipped, zero new commits (exactly-once across the rewrites)
+    shutil.rmtree(ckpt)
+    q2 = run_rollup_stream(spark, src, schema, table, ckpt,
+                           max_files_per_trigger=1,
+                           commit_protocol="snapshot",
+                           maintain_live_commits=3)
+    assert q2.awaitTermination(300)
+    assert current_version(spark, table) == committed
+    assert rows(snapshot_read(spark, table).drop("d")) == want
+
+
+def test_cdc_stream_maintain_cadence(spark, tmp_path):
+    """run_cdc_merge_stream(maintain_live_commits=3): same cadence
+    contract for the CDC current-state table — per-batch disjoint keys
+    land in fresh bucket commits, the fold bounds them, and the state
+    still equals batch latest-per-key."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        run_cdc_merge_stream,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import latest_by_key
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        current_version,
+        snapshot_read,
+    )
+
+    rows = [(u, f"2024-03-01 0{v}:00:00", f"state-{u}-{v}", float(v))
+            for u in range(8) for v in range(3)]
+    changes = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    src = tmp_path / "src"
+    src.mkdir()
+    for u in range(8):  # one user per batch -> mostly-distinct buckets
+        staged = tmp_path / f"stage{u}"
+        changes.filter(F.col("user_id") == u).coalesce(1).write.parquet(
+            str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{u}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + u * 10, 1_000_000_000 + u * 10))
+
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    table, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    with pytest.raises(ValueError, match="rewrite cadence"):
+        run_cdc_merge_stream(spark, str(src), schema, table, ckpt,
+                             keys=["user_id"], ts_col="ts", tiebreak="value",
+                             commit_protocol="inplace",
+                             maintain_live_commits=3)
+
+    q = run_cdc_merge_stream(spark, str(src), schema, table, ckpt,
+                             keys=["user_id"], ts_col="ts", tiebreak="value",
+                             max_files_per_trigger=1,
+                             commit_protocol="snapshot",
+                             maintain_live_commits=3)
+    assert q.awaitTermination(300)
+
+    got = {r["user_id"]: (str(r["ts"]), r["event_type"], r["value"])
+           for r in snapshot_read(spark, table).drop("bucket").collect()}
+    want = {r["user_id"]: (str(r["ts"]), r["event_type"], r["value"])
+            for r in latest_by_key(changes, ["user_id"], "ts", "value")
+            .drop("n_copies").collect()}
+    assert got == want
+    committed = current_version(spark, table)
+    live = {
+        d.split("/")[1]
+        for dirs in _load_manifest(spark, table, committed)["partitions"].values()
+        for d in dirs
+    }
+    assert len(live) <= 3
