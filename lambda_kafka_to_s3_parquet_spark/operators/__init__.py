@@ -49,6 +49,7 @@ from .vector_index import (  # noqa: F401
     topk_pq_indexed,
 )
 from .curate import curate_corpus, curate_with_audit  # noqa: F401
+from .ivm import incremental_view_refresh, read_view  # noqa: F401
 from .sink import (  # noqa: F401
     read_partition,
     read_pruned,

@@ -502,24 +502,50 @@ def snapshot_overwrite_partitions(
     partition_by: list[str],
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    drop_partitions: list[str] | None = None,
 ) -> int:
     """Replace exactly the partitions present in ``df`` (dynamic-overwrite
     semantics) — but via fresh files + manifest/marker publish, so a
     concurrent reader of the PREVIOUS snapshot keeps its files and a
     crash before the marker changes nothing. Empty input is a no-op.
     ``stats_cols`` as in :func:`snapshot_append`, and the same write-time
-    additive-evolution gate applies."""
+    additive-evolution gate applies.
+
+    ``drop_partitions`` names manifest partition keys (``"p=x"`` /
+    ``"p=x/q=y"`` tails) to replace EVEN IF ``df`` holds no rows for
+    them — the dynamic-overwrite blind spot a retraction-capable writer
+    hits: a partition whose merged content became EMPTY (every group
+    fully retracted) must be dropped in the same atomic commit, not
+    kept because absence-from-``df`` reads as keep. Keys listed here
+    and also present in ``df`` are simply replaced; keys absent from
+    both the manifest and ``df`` are a no-op. With an empty ``df`` and
+    non-empty ``drop_partitions`` the commit is a pure partition drop."""
     dschema = _merged_commit_schema(spark, table, df, partition_by)
     rels = _write_commit_data(df, table, partition_by)
-    if not rels:
+    drops = set(drop_partitions or ())
+    if not rels and not drops:
         return current_version(spark, table)
     grouped = _group_rels(rels, partition_by)
+    if drops:
+        committed = current_version(spark, table)
+        live = (
+            set(_load_manifest(spark, table, committed)["partitions"])
+            if committed
+            else set()
+        )
+        if not ((live - drops) | set(grouped)):
+            raise ValueError(
+                "snapshot_overwrite_partitions(drop_partitions=...) would "
+                "commit an unreadable EMPTY snapshot (every live partition "
+                "dropped, nothing written) — drop or rebuild the table "
+                "instead (the snapshot_overwrite_all rule)"
+            )
     stats = (
         _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
     )
     return _commit(
-        spark, table, "overwrite", grouped, replaced=set(grouped), meta=meta,
-        stats=stats, dschema=dschema,
+        spark, table, "overwrite", grouped, replaced=set(grouped) | drops,
+        meta=meta, stats=stats, dschema=dschema,
         cschema=_frame_cschema(df, partition_by),
     )
 

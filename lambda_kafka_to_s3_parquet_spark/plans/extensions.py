@@ -3070,9 +3070,14 @@ def x53_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x54 — snapshot CHANGE-FEED surface (round 10): (a) the row-level keyed
 # diff between two versions of a maintained CDC table ACROSS a
 # compaction commit — exactly the range where file-level incremental
-# reads (snapshot_changes) fail-stop by design — and (b) the
+# reads (snapshot_changes) fail-stop by design — (b) the
 # exactly-once incremental consumer whose high-water mark rides the
-# sink manifest. ORACLE-CHECKED (late r10): the diff branch is a pure
+# sink manifest, and (c) since round 11 the INCREMENTAL VIEW branch:
+# an aggregate view bootstrapped at v1 and refreshed ONCE by applying
+# the change feed with signed multiplicity (operators/ivm.py) across
+# the compaction — it must land exactly on the direct aggregate of the
+# final state (the oracle re-aggregates s2; cross-group moves exercise
+# retraction from the old group's row). ORACLE-CHECKED: the diff branch is a pure
 # function of the events table — state@v = latest-per-user over the
 # batches merged so far, so DuckDB rebuilds both states with window
 # functions and re-derives the Delta-CDF census (update fires iff the
@@ -3123,6 +3128,16 @@ def x53_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT user_id) AS n_keys,
            CAST(sum(event_id) AS BIGINT) AS id_sum
     FROM ev WHERE event_id % 3 IN (0, 1) GROUP BY event_type
+    UNION ALL
+    -- 'view': the maintained aggregate view AFTER applying the change
+    -- feed (bootstrap at state v1, one delta refresh across the
+    -- compaction + second merge) must equal a direct aggregate of the
+    -- FINAL state — one state row per user, so n_rows doubles as the
+    -- distinct-user count
+    SELECT 'view' AS branch, event_type AS tag, count(*) AS n_rows,
+           count(*) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM s2 GROUP BY event_type
     ORDER BY branch, tag
     """,
     doc="snapshot change-data surface, union-tagged: 'diff' = row-level "
@@ -3130,7 +3145,10 @@ def x53_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "update pre+post images; oracle rebuilds both states via window "
     "functions); 'consume' = exactly-once incremental consumer census "
     "(HWM rides the sink manifest; oracle = union of the appended "
-    "filters). Exact image/crash twins in pytest",
+    "filters); 'view' = incremental view maintenance — bootstrap + one "
+    "retraction-applied refresh across the compaction must equal the "
+    "direct aggregate of the final state (oracle re-aggregates s2). "
+    "Exact image/crash twins in pytest",
 )
 def x54_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -3144,6 +3162,8 @@ def x54_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_rewrite,
         snapshot_row_changes,
     )
+
+    from ..operators.ivm import incremental_view_refresh, read_view
 
     base = tempfile.mkdtemp(prefix="x54_")
     ev = _t(spark, sf_dir, "events").select(
@@ -3162,10 +3182,27 @@ def x54_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"], "ts", "event_id", commit_protocol="snapshot",
     )
     v1 = current_version(spark, state)
+    # --- 'view' branch bootstrap: aggregate view over state@v1, then ONE
+    # retraction-applied refresh after the compaction + second merge —
+    # the maintained view must land on the direct aggregate of the final
+    # state (cross-group moves retract from the old event_type's row)
+    vw = f"{base}/view"
+    incremental_view_refresh(
+        spark, state, vw, ["user_id"], ["event_type"], ["event_id"]
+    )
     snapshot_rewrite(spark, state, ["bucket"])  # replacement commit
     merge_cdc_batch(
         spark, ev.filter(F.col("event_id") % 2 == 1), state,
         ["user_id"], "ts", "event_id", commit_protocol="snapshot",
+    )
+    incremental_view_refresh(
+        spark, state, vw, ["user_id"], ["event_type"], ["event_id"]
+    )
+    view = read_view(spark, vw).select(
+        F.col("event_type").alias("tag"),
+        F.col("n_rows"),
+        F.col("n_rows").alias("n_keys"),  # state keys are unique per user
+        F.col("sum_event_id").alias("id_sum"),
     )
     chg = snapshot_row_changes(spark, state, ["user_id"], v1)
     diff = chg.groupBy(F.col("_change_type").alias("tag")).agg(
@@ -3189,5 +3226,6 @@ def x54_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         diff.select(F.lit("diff").alias("branch"), "*")
         .unionByName(consume.select(F.lit("consume").alias("branch"), "*"))
+        .unionByName(view.select(F.lit("view").alias("branch"), "*"))
         .orderBy("branch", "tag")
     )
