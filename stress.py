@@ -372,6 +372,76 @@ def bm25_append_compaction(spark, base_dir: str, scratch: str, scale: int) -> di
     }
 
 
+def ivm_fixed_delta(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """Round-11 IVM row: incremental_view_refresh wall for a FIXED
+    5-user delta against a 1x vs scale-x CDC source state, with the
+    source bucket count sized to the data (32 vs 32*scale — the
+    deployment contract: per-bucket bytes stay constant as the table
+    grows). The refresh's diff prunes to the delta's touched bucket
+    dirs, so its wall should stay ~flat while the state grows scale-x —
+    ∝ delta, never ∝ source size. (build_scaled shifts event_id only;
+    this row shifts user_id too, so the STATE itself grows scale-x.)
+    Each measurement is min-of-2 over two successive 5-user deltas
+    (a refresh is a one-shot side effect; re-running it is a no-op)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import merge_cdc_batch
+    from lambda_kafka_to_s3_parquet_spark.operators.ivm import (
+        incremental_view_refresh,
+    )
+
+    ev = load_table(spark, base_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+    def moved_delta(seq: int) -> "object":
+        # one later event for each of 5 fixed users, moved to a fresh
+        # group: the refresh retracts from the old event_type's row and
+        # adds to the new one
+        return (
+            ev.filter(F.col("user_id").isin(list(range(5))))
+            .groupBy("user_id")
+            .agg(F.max("ts").alias("ts"), F.max("event_id").alias("event_id"))
+            .select(
+                (F.col("event_id") + F.lit(10**15 + seq)).alias("event_id"),
+                "user_id",
+                F.lit(f"ivm_moved_{seq}").alias("event_type"),
+                (F.col("ts") + F.expr(f"INTERVAL {3650 + seq} DAYS")).alias("ts"),
+                F.lit(0.0).alias("value"),
+            )
+        )
+
+    def run(tag: str, mult: int) -> float:
+        state = os.path.join(scratch, f"ivm_state_{tag}")
+        view = os.path.join(scratch, f"ivm_view_{tag}")
+        big = ev
+        for k in range(1, mult):
+            big = big.unionByName(
+                ev.select(
+                    (F.col("event_id") + F.lit(10**9) * k).alias("event_id"),
+                    (F.col("user_id") + F.lit(10**9) * k).alias("user_id"),
+                    "event_type", "ts", "value",
+                )
+            )
+        merge_cdc_batch(spark, big, state, ["user_id"], "ts", "event_id",
+                        n_buckets=32 * mult, commit_protocol="snapshot")
+        incremental_view_refresh(spark, state, view, ["user_id"],
+                                 ["event_type"], ["event_id"], n_buckets=8)
+        best = None
+        for seq in (1, 2):
+            merge_cdc_batch(spark, moved_delta(seq), state,
+                            ["user_id"], "ts", "event_id",
+                            n_buckets=32 * mult, commit_protocol="snapshot")
+            t0 = time.perf_counter()
+            incremental_view_refresh(spark, state, view, ["user_id"],
+                                     ["event_type"], ["event_id"], n_buckets=8)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    t1 = run("1x", 1)
+    tn = run("Nx", scale)
+    return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+
+
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "10"))
@@ -480,6 +550,7 @@ def main() -> None:
         out["bm25_appends_vs_compaction"] = bm25_append_compaction(
             spark, base, scratch, scale
         )
+        out["ivm_fixed_delta"] = ivm_fixed_delta(spark, base, scratch, scale)
         out["w13_batch_vs_store"] = w13_gram_store_growth(spark, base, scratch, scale)
         out["w12_batch_vs_index"] = w12_index_growth(spark, base, scratch, scale)
         print(
