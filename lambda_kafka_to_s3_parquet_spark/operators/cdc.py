@@ -133,6 +133,7 @@ def run_cdc_merge_stream(
     max_files_per_trigger: int | None = 1,
     commit_protocol: str = "inplace",
     maintain_live_commits: int | None = None,
+    views: list[dict] | None = None,
 ) -> StreamingQuery:
     """Continuously maintain the CDC current-state table from a stream.
 
@@ -159,12 +160,35 @@ def run_cdc_merge_stream(
     skipped — test-pinned). Expire bounds ``read_state_as_of`` /
     ``snapshot_row_changes`` retention to ``keep_last`` — size N and
     consumer lag together.
+
+    ``views`` (snapshot mode only) maintains DERIVED aggregate tables
+    from the same stream: after each merge, every spec
+    (``{"path", "group_by", "sums"?, "n_buckets"?,
+    "maintain_live_commits"?}``) gets one
+    :func:`.ivm.incremental_view_refresh` poll — the retraction-applied
+    refresh whose cost is ∝ the batch's changed rows, never ∝ state
+    size. Each view's exactly-once is INDEPENDENT of the stream's: its
+    consumed-version mark rides its own manifest, so refreshes run on
+    EVERY handler invocation — including replayed batches the merge
+    itself skips — making a crash between the merge commit and the view
+    refresh self-healing (the replay's refresh catches the view up; a
+    current view is a no-op version check). Refreshing in-stream also
+    keeps each view's lag at zero polls, safely inside the
+    ``maintain_live_commits`` expire retention; an EXTERNAL view poller
+    on an expiring table must manage that lag itself. Views see the
+    state table raw — tombstone rows count until purged (the
+    maintained-table contract).
     """
     marker = os.path.join(table_path, "_last_merged_batch.json")
     if maintain_live_commits is not None and commit_protocol != "snapshot":
         raise ValueError(
             "maintain_live_commits is the snapshot-table rewrite cadence; "
             "the in-place layout has no commit history to bound"
+        )
+    if views and commit_protocol != "snapshot":
+        raise ValueError(
+            "views are maintained from the snapshot change feed; the "
+            "in-place layout has no versions to diff"
         )
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
@@ -195,7 +219,24 @@ def run_cdc_merge_stream(
                 f"stream runs {commit_protocol!r}; the physical layouts "
                 "are incompatible — migrate the table explicitly"
             )
+        def _refresh_views() -> None:
+            if not views:
+                return
+            from .ivm import incremental_view_refresh
+
+            for v in views:
+                incremental_view_refresh(
+                    spark, table_path, v["path"], keys, v["group_by"],
+                    v.get("sums"), n_buckets=v.get("n_buckets", 16),
+                    maintain_live_commits=v.get("maintain_live_commits"),
+                )
+
         if (state is not None and batch_id <= int(state["batch_id"])) or batch_df.isEmpty():
+            # a replayed batch skips the merge, but its views may still
+            # lag (crash landed between the merge commit and the view
+            # refresh) — refreshing here is what makes that window
+            # self-healing; current views no-op on a version check
+            _refresh_views()
             return
         merge_cdc_batch(
             spark,
@@ -223,7 +264,14 @@ def run_cdc_merge_stream(
                 checkpoint,
                 extra={"n_buckets": n_buckets, "commit_protocol": commit_protocol},
             )
-        elif maintain_live_commits is not None:
+            return
+        # views refresh BEFORE the maintenance fold: the fold's expire
+        # keeps only keep_last versions, and a view whose mark still
+        # points at the pre-merge version would find it expired and
+        # wedge — refreshing first advances every mark to the post-merge
+        # version, which expire always retains
+        _refresh_views()
+        if maintain_live_commits is not None:
             from .snapshots import snapshot_maintain
 
             snapshot_maintain(

@@ -74,6 +74,7 @@ def incremental_view_refresh(
     group_by: list[str],
     sums: list[str] | None = None,
     n_buckets: int = 16,
+    maintain_live_commits: int | None = None,
 ) -> dict:
     """ONE refresh poll of an aggregate view over a maintained snapshot
     table. First poll bootstraps: full aggregate of the source state,
@@ -99,6 +100,13 @@ def incremental_view_refresh(
     and a later poll with a different spec fails fast: bucket
     assignment and column meaning are part of the table layout, exactly
     like the CDC stream's ``n_buckets`` guard.
+
+    ``maintain_live_commits=N`` bounds the VIEW's own commit history:
+    every refresh adds a commit to the view table (one per micro-batch
+    when wired into a stream — the same unbounded-manifest disease the
+    state tables' rewrite cadence cures), so above N live commit dirs
+    the refresh runs ``snapshot_maintain`` on the view after its
+    overwrite; the consumed-version mark inherits through the fold.
 
     A range that yields zero change rows (pure compaction / consume
     marks) advances the mark with a meta-only commit, so it is never
@@ -187,6 +195,13 @@ def incremental_view_refresh(
         spark, view, merged, ["vbucket"], meta=new_meta,
         drop_partitions=[f"vbucket={b}" for b in affected],
     )
+    if maintain_live_commits is not None:
+        from .snapshots import snapshot_maintain
+
+        snapshot_maintain(
+            spark, view, ["vbucket"], max_live_commits=maintain_live_commits
+        )
+        v = current_version(spark, view)
     return {"from": last, "to": cur, "mode": "delta", "view_version": v}
 
 

@@ -285,3 +285,98 @@ def test_pure_drop_overwrite_guard(spark, tmp_path):
     assert v == 2
     assert [(r["id"], r["v"], r["p"]) for r in
             snapshot_read(spark, table).collect()] == [(2, 2, "b")]
+
+
+def test_cdc_stream_maintains_views(spark, tmp_path, monkeypatch):
+    """run_cdc_merge_stream(views=[...]): derived aggregate views track
+    the stream; a crash BETWEEN the merge commit and the view refresh
+    self-heals on replay (the skipped batch still refreshes views); the
+    in-stream refresh keeps view lag at zero so the maintain cadence's
+    expire can never strand a view mark; in-place mode rejects views."""
+    import os
+
+    import lambda_kafka_to_s3_parquet_spark.operators.ivm as ivm_mod
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        run_cdc_merge_stream,
+    )
+
+    rows = [(u, _ts(f"2024-03-0{v + 1} 00:00:00"), "c",
+             f"g{(u + v) % 3}", (u + 1) * 10 + v)
+            for u in range(6) for v in range(3)]
+    changes = spark.createDataFrame(
+        rows, "k long, ts_s string, op string, g string, val long"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "op", "g", "val")
+    src = tmp_path / "src"
+    src.mkdir()
+    for u in range(6):  # one user per batch: every batch moves groups
+        staged = tmp_path / f"stage{u}"
+        changes.filter(F.col("k") == u).coalesce(1).write.parquet(str(staged))
+        part = next(f for f in os.listdir(staged) if f.startswith("part-"))
+        dst = src / f"batch-{u}.parquet"
+        os.rename(staged / part, dst)
+        os.utime(dst, (1_000_000_000 + u * 10, 1_000_000_000 + u * 10))
+
+    schema = "k long, ts timestamp, op string, g string, val long"
+    table, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    vw = str(tmp_path / "vw")
+    vspec = [{"path": vw, "group_by": ["g"], "sums": ["val"], "n_buckets": 4,
+              "maintain_live_commits": 3}]
+
+    with pytest.raises(ValueError, match="snapshot change feed"):
+        run_cdc_merge_stream(spark, str(src), schema, table, ckpt,
+                             keys=["k"], ts_col="ts", tiebreak="val",
+                             commit_protocol="inplace", views=vspec)
+
+    # crash the FIRST delta refresh (after the merge already committed)
+    real = ivm_mod.incremental_view_refresh
+    state = {"armed": True}
+
+    def crashing(*a, **k):
+        r = real(*a, **k)
+        if state["armed"] and r["mode"] == "delta":
+            state["armed"] = False
+            raise RuntimeError("injected crash after merge, mid-refresh")
+        return r
+
+    monkeypatch.setattr(ivm_mod, "incremental_view_refresh", crashing)
+    q = run_cdc_merge_stream(spark, str(src), schema, table, ckpt,
+                             keys=["k"], ts_col="ts", tiebreak="val",
+                             max_files_per_trigger=1,
+                             commit_protocol="snapshot",
+                             maintain_live_commits=3, views=vspec)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(300)
+        raise RuntimeError(q.exception() or "stream did not fail")
+
+    monkeypatch.setattr(ivm_mod, "incremental_view_refresh", real)
+    q2 = run_cdc_merge_stream(spark, str(src), schema, table, ckpt,
+                              keys=["k"], ts_col="ts", tiebreak="val",
+                              max_files_per_trigger=1,
+                              commit_protocol="snapshot",
+                              maintain_live_commits=3, views=vspec)
+    assert q2.awaitTermination(300)
+
+    got = {(r["g"],): (r["n_rows"], r["sum_val"])
+           for r in read_view(spark, vw).collect()}
+    want = {
+        (r["g"],): (r["n_rows"], r["sum_val"])
+        for r in snapshot_read(spark, table)
+        .groupBy("g")
+        .agg(F.count("*").alias("n_rows"), F.sum("val").alias("sum_val"))
+        .collect()
+    }
+    assert got == want
+    assert sum(n for n, _ in got.values()) == 6  # one state row per user
+    # the view's OWN commit history is bounded by its maintain cadence
+    # (one refresh commit per micro-batch would otherwise grow forever)
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        _load_manifest,
+    )
+
+    m = _load_manifest(spark, vw, current_version(spark, vw))
+    live = {
+        d.split("/")[1]
+        for dirs in m["partitions"].values()
+        for d in dirs
+    }
+    assert len(live) <= 3
