@@ -80,8 +80,11 @@ HEADLINE = [
     # the new substring-granular dedup (positioned-gram census + island
     # merge — a heavier, more representative near-dup workload)
     "x51_duplicated_spans",
+    # round 11: x10 absorbs former x12_embedding_neardup_blocked as its
+    # union-tagged 'neardup' branch — x10 timing is the sum of both GEMM
+    # passes, not comparable to rounds <= 10 on either name. The freed
+    # oracle slot promoted x49.
     "x10_embedding_topk",
-    "x12_embedding_neardup_blocked",
     # round 9: x17_frame_sample consolidated into x13 (union-tagged
     # 'frames' branch) — x13 timing not comparable to rounds <= 8; the
     # freed oracle slot went to x50's appended-index census

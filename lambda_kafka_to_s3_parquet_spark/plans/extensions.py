@@ -451,8 +451,23 @@ def x07_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x10 — exact embedding similarity top-k (brute force baseline): corpus
-# scanned once against a broadcast probe set, per-query top-k window.
+# x10 — exact embedding similarity, union-tagged (round 11: former
+# x12_embedding_neardup_blocked consolidated into the 'neardup' branch to
+# free its oracle slot for x49 — x10 timing not comparable to rounds
+# <= 10):
+#   'topk'   : brute-force cosine top-k baseline — corpus scanned once
+#              against a broadcast probe set, per-query top-k window;
+#              key = query_id, id_a = candidate id, rank populated.
+#   'neardup': embedding near-dup pairs blocked by the label column (the
+#              IVF-cell / blocking pattern: pairs only within a bucket);
+#              key = label, (id_a, id_b) = the pair, rank NULL.
+#              Threshold 0.35: the fixture embeddings are isotropic
+#              gaussians, so a production-style 0.5+ cut yields ZERO
+#              pairs at sf0.01 and the driver check proves nothing about
+#              the GEMM kernel; 0.35 sits ~4 sigma above the null cosine
+#              spread (sd ~ 1/sqrt(dim)) and produces a small,
+#              discriminating pair set that exercises scoring, rounding,
+#              and the threshold boundary.
 # --------------------------------------------------------------------------
 @register(
     "x10_embedding_topk",
@@ -463,20 +478,49 @@ def x07_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           c.embedding::DOUBLE[]), 6) AS score
       FROM embeddings q, embeddings c
       WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
-    SELECT query_id, cand_id, score, rank
+    SELECT 'topk' AS branch, query_id AS key, cand_id AS id_a,
+           CAST(NULL AS BIGINT) AS id_b, score, rank
     FROM (SELECT *, CAST(row_number() OVER (
                      PARTITION BY query_id
                      ORDER BY score DESC, cand_id) AS BIGINT) AS rank
           FROM s)
     WHERE rank <= 10
-    ORDER BY query_id, rank
+    UNION ALL
+    SELECT 'neardup' AS branch, CAST(a.label AS BIGINT) AS key,
+           a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS score,
+           CAST(NULL AS BIGINT) AS rank
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.35
+    ORDER BY branch, key, rank, id_a, id_b
     """,
-    doc="embedding cosine top-k, exact (broadcast probe set, no NxN)",
+    doc="exact embedding similarity, union-tagged: brute-force cosine "
+    "top-k over a broadcast probe set ('topk') + label-blocked cosine "
+    "near-dup pair generation ('neardup')",
 )
 def x10_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    return topk_bruteforce(e, queries, k=10)
+    topk = topk_bruteforce(e, queries, k=10).select(
+        F.lit("topk").alias("branch"),
+        F.col("query_id").alias("key"),
+        F.col("cand_id").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        "score",
+        "rank",
+    )
+    nd = near_dup_within_label(e, threshold=0.35).select(
+        F.lit("neardup").alias("branch"),
+        F.col("label").cast("bigint").alias("key"),
+        "id_a",
+        "id_b",
+        F.col("cos_sim").alias("score"),
+        F.lit(None).cast("bigint").alias("rank"),
+    )
+    return topk.unionByName(nd)
 
 
 # --------------------------------------------------------------------------
@@ -511,29 +555,11 @@ def x16_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(e, queries, k=10)
 
 
-# --------------------------------------------------------------------------
-# x12 — embedding near-dup pairs, blocked by the label column (the
-# IVF-cell / blocking pattern: pairs only within a bucket). Threshold 0.35:
-# the fixture embeddings are isotropic gaussians, so a production-style
-# 0.5+ cut yields ZERO pairs at sf0.01 and the driver check proves nothing
-# about the GEMM kernel; 0.35 sits ~4 sigma above the null cosine spread
-# (sd ~ 1/sqrt(dim)) and produces a small, discriminating pair set (26 at
-# sf0.01) that exercises scoring, rounding, and the threshold boundary.
-# --------------------------------------------------------------------------
-@register(
-    "x12_embedding_neardup_blocked",
-    oracle="""
-    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                        b.embedding::DOUBLE[]), 6) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                       b.embedding::DOUBLE[]), 6) >= 0.35
-    ORDER BY id_a, id_b
-    """,
-    doc="embedding-cosine near-dup, label-blocked pair generation",
-)
+# (x12_embedding_neardup_blocked was consolidated into x10's union-tagged
+# 'neardup' branch in round 11 — same near_dup_within_label call, same
+# list_cosine_similarity oracle construction. The standalone function
+# stays for stress.py's scale rows; the freed driver-window slot
+# oracle-checks x49_semantic_decontaminate.)
 def x12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return near_dup_within_label(e, threshold=0.35).select("label", "id_a", "id_b", "cos_sim")
@@ -2706,15 +2732,47 @@ def x48_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x49 — SEMANTIC decontamination: the embedding-space twin of x25 (n-gram
 # decontamination) — train-split vectors too close in cosine to any
 # test-split vector, blocked by the embeddings' cluster id exactly like
-# x12. Arrow/BLAS boundary => rows-only; an exact numpy replay (same
-# blocking, same argmax tie-break) pins every flagged row in pytest.
+# x10's 'neardup' branch. ORACLE-CHECKED since round 11 (slot freed by
+# x12→x10): every stage is deterministic — the split assignment is the
+# md5 hash bucket DuckDB already replays bit-exactly for x30
+# (('0x' || substr(md5(id),1,8))::UBIGINT % 100; <80 train, <90 val,
+# else test), the blocked TRAIN×TEST GEMM rounds to 6 dp exactly like
+# x10/x12's proven list_cosine_similarity twin, and the argmax
+# tie-break (best test neighbor, ties to the smallest test id over the
+# ROUNDED sims) is row_number() ORDER BY cos_sim DESC, test_id. The
+# threshold filters the BEST pair only — rn = 1 before >= 0.35, exactly
+# the Spark kernel's keep = best_sim >= threshold. The independent
+# numpy replay stays in pytest.
 # --------------------------------------------------------------------------
 @register(
     "x49_semantic_decontaminate",
-    oracle=None,
+    oracle="""
+    WITH s AS (
+      SELECT label, vec_id, embedding,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT *, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                      ::UBIGINT % 100 AS b
+            FROM embeddings)),
+    pairs AS (
+      SELECT tr.label AS block, tr.vec_id AS train_id, te.vec_id AS test_id,
+             round(list_cosine_similarity(tr.embedding::DOUBLE[],
+                                          te.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM s tr
+      JOIN s te ON tr.label = te.label
+       AND tr.split = 'train' AND te.split = 'test')
+    SELECT block, train_id, test_id, cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY train_id
+                                       ORDER BY cos_sim DESC, test_id) AS rn
+          FROM pairs)
+    WHERE rn = 1 AND cos_sim >= 0.35
+    ORDER BY train_id
+    """,
     doc="semantic cross-split decontamination: train vectors with a "
-    "cosine >= 0.35 test neighbor in their block (rows-only; exact "
-    "numpy twin in pytest)",
+    "cosine >= 0.35 test neighbor in their block, argmax neighbor "
+    "attribution (oracle replays split hash + blocked cosine + "
+    "tie-break; exact numpy twin in pytest)",
 )
 def x49_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.splits import assign_split
