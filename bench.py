@@ -41,13 +41,16 @@ from lambda_kafka_to_s3_parquet_spark.plans import all_specs
 #: event-time windows, ingest decode) so regressions anywhere are visible.
 HEADLINE = [
     # relational read-back surface
+    # round 11: q01 absorbs former q06_revenue_forecast as its
+    # '_Q6'/'forecast' row — q01 timing includes both scans, not
+    # comparable to rounds <= 10 on either name. The freed oracle slot
+    # promoted w15 (already a headline entry).
     "q01_pricing_summary",
     # round 5 (late): q03 consolidates former q05_nation_revenue (adds the
     # 5-way star-join branch); its timing is not comparable to earlier
     # rounds. Same for q04 (absorbs q18's derived-aggregate joins) and
     # q16 (absorbs q14's date/string scalar families).
     "q03_shipping_priority",
-    "q06_revenue_forecast",
     # round 4: q07 consolidates former q29 (adds the ntile-quartile branch);
     # its timing is not comparable to rounds <= 3.
     "q07_top_customers_per_nation",

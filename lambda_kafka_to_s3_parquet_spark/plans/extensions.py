@@ -1611,10 +1611,12 @@ X32_QUERY_TERMS = ["query", "window", "merge", "vector"]
 
 _X32_TERMS_SQL = ", ".join(f"'{t}'" for t in X32_QUERY_TERMS)
 
-
-@register(
-    "x32_bm25_search",
-    oracle=f"""
+# The full BM25 top-10 recomputation over `documents` for the fixed term
+# bag — shared verbatim by x32 (the in-memory bm25_topk) and w15 (the
+# same math served from the STREAM-MAINTAINED postings index): BM25 has
+# no frozen structures, so the maintained index's answer must equal the
+# from-scratch recomputation bit-for-bit, whatever the append history.
+X32_BM25_SQL = f"""
     WITH tok AS (
         SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
     ),
@@ -1638,7 +1640,12 @@ _X32_TERMS_SQL = ", ".join(f"'{t}'" for t in X32_QUERY_TERMS)
     GROUP BY doc_id
     ORDER BY score DESC, doc_id
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "x32_bm25_search",
+    oracle=X32_BM25_SQL,
     doc="exact BM25 top-10 documents for a fixed query-term bag; oracle "
     "recomputes identical tokenizer + Robertson idf/tf math in DuckDB",
 )

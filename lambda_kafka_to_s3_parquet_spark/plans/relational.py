@@ -50,6 +50,12 @@ def _pad(df: DataFrame, schema: list[tuple[str, "F.Column"]], **given) -> DataFr
 # --------------------------------------------------------------------------
 # q01 — scan → filter → groupBy multi-agg → sort (TPC-H Q1 shape).
 # Flagship: exercises parquet pushdown + partial aggregation + AQE coalesce.
+# Round 11: former q06_revenue_forecast consolidated into the 'forecast'
+# row (l_returnflag = '_Q6', l_linestatus = 'forecast') — the TPC-H Q6
+# tight-filter global agg rides the same output schema: its revenue sum
+# lands in sum_disc_price, its row count in count_order, every other
+# aggregate NULL. Both engines keep all q06 predicates pushed to the
+# scan; the freed driver-window slot oracle-checks w15.
 # --------------------------------------------------------------------------
 @register(
     "q01_pricing_summary",
@@ -66,14 +72,28 @@ def _pad(df: DataFrame, schema: list[tuple[str, "F.Column"]], **given) -> DataFr
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT '_Q6', 'forecast',
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           round(sum(l_extendedprice * l_discount), 2),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           count(*)
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
     ORDER BY l_returnflag, l_linestatus
     """,
-    doc="filter + groupBy + 8 aggregates + sort",
+    doc="filter + groupBy + 8 aggregates + sort ('pricing'), plus the "
+    "pushed-down tight-filter global agg as the '_Q6'/'forecast' row "
+    "(consolidates former q06_revenue_forecast, round 11)",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    pricing = (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -86,8 +106,36 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    dnull = F.lit(None).cast("double")
+    forecast = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            F.lit("_Q6").alias("l_returnflag"),
+            F.lit("forecast").alias("l_linestatus"),
+            dnull.alias("sum_qty"),
+            dnull.alias("sum_base_price"),
+            "sum_disc_price",
+            dnull.alias("sum_charge"),
+            dnull.alias("avg_qty"),
+            dnull.alias("avg_price"),
+            dnull.alias("avg_disc"),
+            "count_order",
+        )
+    )
+    return pricing.unionByName(forecast).orderBy("l_returnflag", "l_linestatus")
 
 
 # --------------------------------------------------------------------------
@@ -313,23 +361,10 @@ def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionByName(anti).unionByName(above).unionByName(big)
 
 
-# --------------------------------------------------------------------------
-# q06 — tight filter → single-row agg (TPC-H Q6 shape). All predicates
-# push down to the parquet scan.
-# --------------------------------------------------------------------------
-@register(
-    "q06_revenue_forecast",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-           count(*)                                    AS n_rows
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.03 AND 0.07
-      AND l_quantity < 24
-    """,
-    doc="pushed-down range filters + global agg",
-)
+# (q06_revenue_forecast was consolidated into q01's '_Q6'/'forecast' row
+# in round 11 — same pushed-down tight-filter global agg, one slot. The
+# standalone function stays for plan-contract tests; the freed
+# driver-window slot oracle-checks w15_bm25_index_stream.)
 def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return (

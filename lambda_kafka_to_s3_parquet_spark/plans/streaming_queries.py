@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..session import load_table
 from . import register
+from .extensions import X32_BM25_SQL
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -1035,20 +1036,23 @@ def w14_token_quota_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w15 — streaming BM25 index maintenance (round 10): the persisted
 # postings index tracks a document stream — first batch builds, later
 # batches append, each fold exactly-once via the batch id riding the
-# index meta swap. The returned top-10 comes from the MAINTAINED index;
-# bm25_topk_indexed == from-scratch bm25_topk over the union corpus is
-# bit-exact by construction (nothing in bm25 is frozen) and pinned in
-# tests/test_retrieval.py along with the crash-replay no-op. Rows-only
-# (the BM25 arithmetic itself is driver-oracle-checked as x32 over the
-# same corpus and terms).
+# index meta swap. The returned top-10 comes from the MAINTAINED index.
+# ORACLE-CHECKED since round 11 (slot freed by q06→q01): BM25 has no
+# frozen structures, so the maintained index's answer must be
+# bit-identical to the from-scratch recomputation over the full corpus
+# whatever the append history — the oracle IS x32's BM25 SQL
+# (extensions.X32_BM25_SQL, shared verbatim). A lost/duplicated posting,
+# doc length, or corpus stat (df/avgdl/n_docs) from any stream batch
+# shifts a score and goes red. The == one-shot equality and the
+# crash-replay no-op stay pinned in tests/test_retrieval.py.
 # --------------------------------------------------------------------------
 @register(
     "w15_bm25_index_stream",
-    oracle=None,
+    oracle=X32_BM25_SQL,
     doc="streaming BM25 postings-index maintenance: build + exactly-once "
     "appends (batch id on the meta swap); top-10 from the maintained "
-    "index (rows-only; == one-shot pinned in pytest, math oracle-checked "
-    "as x32)",
+    "index == DuckDB's from-scratch BM25 over the full corpus (x32's "
+    "SQL, shared)",
 )
 def w15_bm25_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -26,8 +26,13 @@ def _optimized(df) -> str:
 
 def test_filters_push_to_parquet_scan(spark):
     """q06's range predicates must reach the parquet reader, not run
-    post-scan only."""
-    plan = _executed(SPECS["q06_revenue_forecast"].fn(spark, SF))
+    post-scan only (q06 is unregistered since the round-11 q06→q01
+    fold; the standalone function carries this contract)."""
+    from lambda_kafka_to_s3_parquet_spark.plans.relational import (
+        q06_revenue_forecast,
+    )
+
+    plan = _executed(q06_revenue_forecast(spark, SF))
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
@@ -35,11 +40,26 @@ def test_filters_push_to_parquet_scan(spark):
 
 def test_column_pruning_in_read_schema(spark):
     """q06 projects 3 columns; the scan must not read all 11 lineitem cols."""
-    plan = _executed(SPECS["q06_revenue_forecast"].fn(spark, SF))
+    from lambda_kafka_to_s3_parquet_spark.plans.relational import (
+        q06_revenue_forecast,
+    )
+
+    plan = _executed(q06_revenue_forecast(spark, SF))
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "l_extendedprice" in read_schema
     assert "l_returnflag" not in read_schema
     assert "l_orderkey" not in read_schema
+
+
+def test_q01_forecast_branch_filters_push_to_scan(spark):
+    """The folded q01 must keep the forecast branch's predicates at the
+    parquet reader — the union-tag fold may not cost q06 its pushdown."""
+    plan = _executed(SPECS["q01_pricing_summary"].fn(spark, SF))
+    pushed_sets = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any(
+        "l_discount" in p and "l_quantity" in p and "l_shipdate" in p
+        for p in pushed_sets
+    ), pushed_sets
 
 
 def test_no_static_broadcast_of_fact_tables(spark):
