@@ -63,7 +63,10 @@ HEADLINE = [
     # round 7: q16 also absorbs former q21_percentiles (pct branch) —
     # q16 timing is not comparable to rounds <= 6. (q21's round-3
     # "regression" was shared-host load; runs_per_query=3 guards that.)
-    "q24_salted_join",  # round 4: salted-join timing tracked per-round
+    # round 11: q26 absorbs former q24_salted_join as its
+    # 'salted_segments' branch — q26 timing includes the salted shuffle
+    # join, not comparable to rounds <= 10 on either name. The freed
+    # oracle slot promoted x44, which joins the headline below.
     "q26_outer_joins",
     "q30_subqueries",
     # LLM-pipeline extensions
@@ -211,6 +214,10 @@ HEADLINE = [
     # compaction + the exactly-once incremental consumer (scratch
     # snapshot tables; side-effecting, so single-run like the streams)
     "x54_change_feed",
+    # round 11 (late): the snapshot-protocol census joined the headline
+    # when q24→q26 freed its oracle slot (append/overwrite/time-travel/
+    # rollback + zone-map dir pruning; scratch tables — single-run)
+    "x44_snapshot_table",
     # ingest decode (golden fixture replay; constant size)
     "i01_replay_decode",
     # synthesized 20k-record Confluent batch through the full decode stage
@@ -261,6 +268,7 @@ SINGLE_RUN = {
     "w14_token_quota_stream",
     "w15_bm25_index_stream",
     "x54_change_feed",
+    "x44_snapshot_table",
     "w06_stream_dedup",
     "w07_stream_stream_join",
     "w08_incremental_rollup",

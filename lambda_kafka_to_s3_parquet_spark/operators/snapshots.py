@@ -380,6 +380,7 @@ def _commit(
     stats: dict[str, dict[str, list]] | None = None,
     dschema: dict[str, str] | None = None,
     cschema: list | None = None,
+    restore: dict | None = None,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -394,7 +395,14 @@ def _commit(
     THIS commit's own ordered data-column schema (``[[name, type],…]``),
     recorded per commit uuid under ``cschemas`` so the read path can
     group same-schema commits into one multi-path scan without touching
-    footers; entries for dropped commits fall out with their dirs."""
+    footers; entries for dropped commits fall out with their dirs.
+    ``restore`` is an OLD manifest whose per-dir stats and per-commit
+    schemas re-merge for any of its dirs this commit brings back
+    (rollback): stats/cschemas normally carry forward from the LATEST
+    manifest only, so a dir that was replaced and later restored would
+    silently lose its zone maps (skip_where stops pruning it) and its
+    commit's scan-grouping schema — committed dirs are immutable, so the
+    old manifest's entries are exact for the restored dirs."""
     base = current_version(spark, table)
     manifest = _load_manifest(spark, table, base, committed=base)
     parts = {
@@ -421,8 +429,6 @@ def _commit(
         d: s for d, s in manifest.get("stats", {}).items() if d in live
     }
     kept_stats.update(stats or {})
-    if kept_stats:
-        new_manifest["stats"] = kept_stats
     # per-commit schemas: carry live commits' entries, add this commit's
     live_commits = {d.split("/")[1] for d in live}
     kept_cs = {
@@ -434,6 +440,15 @@ def _commit(
         for dirs in new_partitions.values():
             for d in dirs:
                 kept_cs[d.split("/")[1]] = cschema
+    if restore:
+        for d, s in restore.get("stats", {}).items():
+            if d in live:
+                kept_stats.setdefault(d, s)
+        for c, s in restore.get("cschemas", {}).items():
+            if c in live_commits:
+                kept_cs.setdefault(c, s)
+    if kept_stats:
+        new_manifest["stats"] = kept_stats
     if kept_cs:
         new_manifest["cschemas"] = kept_cs
     serialized = json.dumps(new_manifest)
@@ -1171,6 +1186,11 @@ def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
         f"rollback(v{version})",
         manifest["partitions"],
         replaced=set(latest["partitions"]),
+        # restored dirs re-enter with the stats + per-commit schemas the
+        # target version recorded for them — without this, a dir that a
+        # later overwrite replaced comes back zone-map-blind (skip_where
+        # reads it forever) and its commit loses multi-path scan grouping
+        restore=manifest,
     )
 
 

@@ -2474,16 +2474,65 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x44 — snapshot-committed table: append → dynamic-partition overwrite →
 # read latest + time-travel the pre-overwrite version + rollback, all
 # through the manifest/atomic-pointer protocol (operators/snapshots.py).
-# Side-effecting scratch pipeline like i07 => rows-only; the protocol's
-# semantics (atomicity crash window, overwrite-never-races-readers,
-# pruning-through-manifest, rollup-merge equivalence) are pinned in
-# tests/test_snapshots.py.
+# ORACLE-CHECKED since round 11 (slot freed by q24→q26): every census
+# row is a pure function of the events table + the protocol contract —
+# DuckDB rebuilds each version's state arithmetically (v1 = the
+# first-half dates, v2 = everything, v3 = lo-date values patched ×2,
+# rollback = v2 again), re-derives the incremental delta, and counts
+# the COMMIT×PARTITION DIRECTORIES each scan must touch (immutable-dir
+# protocol: one dir per partition per commit; dir counts are
+# deterministic where physical part-FILE counts depend on writer task
+# parallelism — the old rows-only census counted files). The skipped
+# scan's dir census proves zone-map pruning physically: the extra
+# commit's shifted event_id range is disjoint, so a [10M, 99.99M]
+# skip_where must prune every dir of the first two commits. The
+# atomicity crash window, overwrite-never-races-readers, and physical
+# file-skipping equalities stay pinned in tests/test_snapshots.py.
 # --------------------------------------------------------------------------
 @register(
     "x44_snapshot_table",
-    oracle=None,
-    doc="snapshot commits: append/overwrite/time-travel/rollback census "
-    "(rows-only; protocol semantics pinned in test_snapshots.py)",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type, CAST(ts AS DATE) AS d, value FROM events),
+    m AS (SELECT min(d) AS lo,
+                 min(d) + CAST((max(d) - min(d)) // 2 AS INTEGER) AS mid
+          FROM ev)
+    SELECT 'latest' AS label, count(*) AS n,
+           round(sum(CASE WHEN d = (SELECT lo FROM m)
+                          THEN round(value * 2, 6) ELSE value END), 2) AS sum_value
+    FROM ev
+    UNION ALL
+    SELECT 'pre_patch', count(*), round(sum(value), 2) FROM ev
+    UNION ALL
+    SELECT 'v1', count(*), round(sum(value), 2)
+    FROM ev WHERE d <= (SELECT mid FROM m)
+    UNION ALL
+    SELECT 'rolled_back', count(*), round(sum(value), 2) FROM ev
+    UNION ALL
+    SELECT 'n_snapshots', 4, 0.0
+    UNION ALL
+    SELECT 'zonemap_dirs_full',
+           (SELECT count(DISTINCT d) FROM ev)
+           + (SELECT count(DISTINCT d) FROM ev WHERE event_id < 100),
+           0.0
+    UNION ALL
+    SELECT 'zonemap_dirs_skipped',
+           (SELECT count(DISTINCT d) FROM ev WHERE event_id < 100), 0.0
+    UNION ALL
+    SELECT 'zonemap_rows',
+           (SELECT count(*) FROM ev WHERE event_id < 100), 0.0
+    UNION ALL
+    SELECT 'changes_v1_v2', count(*), round(sum(value), 2)
+    FROM ev WHERE d > (SELECT mid FROM m)
+    UNION ALL
+    SELECT 'diff_v1_v2_added',
+           (SELECT count(DISTINCT d) FROM ev WHERE d > (SELECT mid FROM m)),
+           0.0
+    ORDER BY label
+    """,
+    doc="snapshot commits: append/overwrite/time-travel/rollback census + "
+    "zone-map dir pruning + incremental delta, oracle-rebuilt from "
+    "events (protocol crash/race semantics pinned in test_snapshots.py)",
 )
 def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -2506,7 +2555,10 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", F.to_date("ts").alias("d"), "value"
         )
         lo, hi = ev.agg(F.min("d"), F.max("d")).first()
-        half = ev.filter(F.col("d") <= F.lit(lo) + ((F.lit(hi) - F.lit(lo)) / 2))
+        # the midpoint is computed driver-side so the oracle can restate
+        # it arithmetically: mid = lo + floor((hi - lo) / 2) days
+        mid = lo + (hi - lo) // 2
+        half = ev.filter(F.col("d") <= F.lit(mid))
         snapshot_append(spark, t, half, ["d"], stats_cols=["event_id"])
         snapshot_append(
             spark, t, ev.exceptAll(half), ["d"], stats_cols=["event_id"]
@@ -2532,25 +2584,26 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append(("rolled_back", agg["n"], float(agg["sv"])))
         rows.append(("n_snapshots", len(snapshot_history(spark, t)), 0.0))
-        # round 8: zone-map branch — a stats-carrying commit with a
-        # disjoint event_id range, then a skip_where read: the census
-        # reports files touched with vs without skipping plus the row
-        # count the skipped scan returns (equality with the filtered
-        # full scan is pinned in test_snapshots.py)
+        # round 8 (dir-census form since round 11): zone-map branch — a
+        # stats-carrying commit with a disjoint event_id range, then a
+        # skip_where read. The census counts the DISTINCT COMMIT×PARTITION
+        # DIRECTORIES each scan touches (deterministic under the
+        # immutable-dir protocol; part-file counts within a dir depend on
+        # writer task parallelism and belong to pytest, not an oracle).
         extra = ev.filter(F.col("event_id") < 100).withColumn(
             "event_id", F.col("event_id") + 10_000_000
         )
         snapshot_append(spark, t, extra, ["d"], stats_cols=["event_id"])
-        full_files = (
-            snapshot_read(spark, t)
-            .select(F.input_file_name()).distinct().count()
+        dir_of = F.regexp_replace(F.input_file_name(), "/[^/]+$", "")
+        full_dirs = (
+            snapshot_read(spark, t).select(dir_of).distinct().count()
         )
         zm = snapshot_read(
             spark, t, skip_where=[("event_id", 10_000_000, 99_999_999)]
         )
-        zm_files = zm.select(F.input_file_name()).distinct().count()
-        rows.append(("zonemap_files_full", full_files, 0.0))
-        rows.append(("zonemap_files_skipped", zm_files, 0.0))
+        zm_dirs = zm.select(dir_of).distinct().count()
+        rows.append(("zonemap_dirs_full", full_dirs, 0.0))
+        rows.append(("zonemap_dirs_skipped", zm_dirs, 0.0))
         rows.append(
             ("zonemap_rows", zm.filter(F.col("event_id") >= 10_000_000).count(), 0.0)
         )

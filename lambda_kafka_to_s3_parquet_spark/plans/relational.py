@@ -934,22 +934,11 @@ def q16_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# q24 — salted join: hot-key-proof shuffle join, provably identical output
-# to the plain join (the oracle IS the plain join). See operators/skew.py.
-# --------------------------------------------------------------------------
-@register(
-    "q24_salted_join",
-    oracle="""
-    SELECT c.c_mktsegment,
-           count(*)                    AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_mktsegment
-    ORDER BY c_mktsegment
-    """,
-    doc="salted shuffle join (skew mitigation) == plain join results",
-)
+# (q24_salted_join was consolidated into q26's union-tagged
+# 'salted_segments' branch in round 11 — the oracle stays the PLAIN
+# join, so the salt/unsalt round trip remains provably identity. The
+# standalone function stays for plan/identity tests; the freed
+# driver-window slot oracle-checks x44_snapshot_table.)
 def q24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_join
 
@@ -975,12 +964,15 @@ def q24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q26 — outer joins, union-tagged (consolidates former q26 + q27 into one
-# registry slot). LEFT OUTER: customers per nation incl. those with no
-# orders — nation broadcasts (true dim), the customer-orders outer join is
-# AQE-decided. FULL OUTER: two derived daily series aligned by date, gaps
-# coalesced to zero — both sides pre-aggregate before the join so the
-# shuffle carries ~2.5k rows, not the fact tables.
+# q26 — join strategies, union-tagged (consolidates former q26 + q27, and
+# — round 11 — former q24_salted_join as the 'salted_segments' branch).
+# LEFT OUTER: customers per nation incl. those with no orders — nation
+# broadcasts (true dim), the customer-orders outer join is AQE-decided.
+# FULL OUTER: two derived daily series aligned by date, gaps coalesced to
+# zero — both sides pre-aggregate before the join so the shuffle carries
+# ~2.5k rows, not the fact tables. SALTED: the hot-key-proof shuffle join
+# whose oracle is the PLAIN join — the salt/unsalt round trip must be
+# identity (total rides the v1 double column, NULL on other branches).
 # --------------------------------------------------------------------------
 @register(
     "q26_outer_joins",
@@ -990,7 +982,8 @@ def q24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT c.c_custkey) AS BIGINT)  AS n1,
            CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
                                     THEN c.c_custkey END) AS BIGINT) AS n2,
-           CAST(count(o.o_orderkey) AS BIGINT)          AS n3
+           CAST(count(o.o_orderkey) AS BIGINT)          AS n3,
+           CAST(NULL AS DOUBLE)                         AS v1
     FROM nation n
     JOIN customer c ON c.c_nationkey = n.n_nationkey
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -1000,20 +993,34 @@ def q24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(od.d, sd.d) AS VARCHAR)        AS k,
            CAST(coalesce(od.n_orders, 0) AS BIGINT)     AS n1,
            CAST(coalesce(sd.n_ships, 0) AS BIGINT)      AS n2,
-           CAST(NULL AS BIGINT)                         AS n3
+           CAST(NULL AS BIGINT)                         AS n3,
+           CAST(NULL AS DOUBLE)                         AS v1
     FROM (SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1) od
     FULL OUTER JOIN
          (SELECT l_shipdate  AS d, count(*) AS n_ships  FROM lineitem GROUP BY 1) sd
       ON od.d = sd.d
+    UNION ALL
+    SELECT 'salted_segments' AS src,
+           c.c_mktsegment                               AS k,
+           count(*)                                     AS n1,
+           CAST(NULL AS BIGINT)                         AS n2,
+           CAST(NULL AS BIGINT)                         AS n3,
+           round(sum(o.o_totalprice), 2)                AS v1
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
     ORDER BY src, k
     """,
-    doc="left-outer (order-less customers per nation) + full-outer "
-    "(pre-aggregated daily series, coalesced gaps), union-tagged",
+    doc="join strategies, union-tagged: left-outer (order-less customers "
+    "per nation), full-outer (pre-aggregated daily series, coalesced "
+    "gaps), and the salted shuffle join == plain join identity",
 )
 def q26_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    dnull = F.lit(None).cast("double")
     left = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(o, c.c_custkey == o.o_custkey, "left")
@@ -1031,6 +1038,7 @@ def q26_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
             "n2",
             "n3",
+            dnull.alias("v1"),
         )
     )
     od = (
@@ -1049,8 +1057,28 @@ def q26_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n1"),
         F.coalesce("n_ships", F.lit(0)).alias("n2"),
         F.lit(None).cast("bigint").alias("n3"),
+        dnull.alias("v1"),
     )
-    return left.unionByName(full).orderBy("src", "k")
+    o2 = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c2 = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    salted = (
+        # o_orderkey is unique per row: retry-deterministic salt derivation
+        salted_join(o2, c2, "custkey", n_salts=8, ordinal_col="o_orderkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n1"),
+            F.round(F.sum("o_totalprice"), 2).alias("v1"),
+        )
+        .select(
+            F.lit("salted_segments").alias("src"),
+            F.col("c_mktsegment").alias("k"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+            F.lit(None).cast("bigint").alias("n3"),
+            "v1",
+        )
+    )
+    return left.unionByName(full).unionByName(salted).orderBy("src", "k")
 
 
 # --------------------------------------------------------------------------

@@ -64,6 +64,35 @@ def test_rollback_moves_history_forward(spark, table):
     assert ops == ["append", "overwrite", "rollback(v1)"]
 
 
+def test_rollback_restores_zone_maps_and_commit_schemas(spark, table):
+    """A dir that an overwrite replaced and a rollback later restored must
+    come back WITH the zone-map stats and per-commit schema the target
+    version recorded for it — committed dirs are immutable, so those
+    entries are exact. Without the restore-merge, the rolled-back dir is
+    zone-map-blind: every skip_where read scans it forever (found via
+    x44's dir census — the pruned scan touched 2 dirs where the manifest
+    delta proves 1)."""
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+    )
+    snapshot_append(spark, table, df1, ["p"], stats_cols=["id"])
+    patched = spark.createDataFrame([(9, "a", 99)], "id long, p string, v long")
+    snapshot_overwrite_partitions(spark, table, patched, ["p"], stats_cols=["id"])
+    snapshot_rollback(spark, table, 1)
+    m = _load_manifest(spark, table, current_version(spark, table))
+    live = {d for dirs in m["partitions"].values() for d in dirs}
+    assert live, "rollback restored nothing"
+    missing = [d for d in live if d not in m.get("stats", {})]
+    assert missing == [], f"restored dirs lost their zone maps: {missing}"
+    live_commits = {d.split("/")[1] for d in live}
+    cs_missing = [c for c in live_commits if c not in m.get("cschemas", {})]
+    assert cs_missing == [], f"restored commits lost their schemas: {cs_missing}"
+    # and the stats are the REAL v1 bounds, not placeholders: a
+    # disjoint-range skip_where prunes the restored dirs end-to-end
+    pruned = snapshot_read(spark, table, skip_where=[("id", 1_000, 2_000)])
+    assert pruned.count() == 0
+
+
 def test_crash_before_pointer_swap_is_invisible(spark, table):
     """A manifest written without its marker (the crash window) must leave
     readers on the previous snapshot — the marker IS the commit: default
