@@ -607,24 +607,7 @@ def snapshot_read(
     if not all_dirs:
         raise ValueError(f"snapshot v{v} of {table} is empty")
     if skip_where:
-        zone = manifest.get("stats", {})
-
-        def norm(x):
-            return x if isinstance(x, (int, float)) and not isinstance(x, bool) else str(x)
-
-        def may_match(d: str) -> bool:
-            stats = zone.get(d)
-            if not stats:
-                return True  # unknown dir: must read
-            for col, lo, hi in skip_where:
-                if col not in stats:
-                    continue
-                dlo, dhi = stats[col]
-                if norm(lo) > dhi or norm(hi) < dlo:
-                    return False
-            return True
-
-        kept = [d for d in all_dirs if may_match(d)]
+        kept = _zone_prune(manifest, all_dirs, skip_where)
         if not kept:
             # provably-empty result with the right schema: scan one dir
             # PER COMMIT but keep no rows (cheap — limit(0) prunes at
@@ -643,6 +626,32 @@ def snapshot_read(
     if skip_where and empty:
         out = out.limit(0)
     return out
+
+
+def _zone_prune(
+    manifest: dict, dirs: list[str], skip_where: list[tuple]
+) -> list[str]:
+    """Dirs from ``dirs`` that MAY hold rows intersecting every
+    ``(col, lo, hi)`` range — manifest zone-map skipping, conservative:
+    a dir without recorded stats for a column is always kept."""
+    zone = manifest.get("stats", {})
+
+    def norm(x):
+        return x if isinstance(x, (int, float)) and not isinstance(x, bool) else str(x)
+
+    def may_match(d: str) -> bool:
+        stats = zone.get(d)
+        if not stats:
+            return True  # unknown dir: must read
+        for col, lo, hi in skip_where:
+            if col not in stats:
+                continue
+            dlo, dhi = stats[col]
+            if norm(lo) > dhi or norm(hi) < dlo:
+                return False
+        return True
+
+    return [d for d in dirs if may_match(d)]
 
 
 def _read_dirs(
@@ -1319,6 +1328,117 @@ def snapshot_overwrite_all(
             if f.name not in pset
         },
         cschema=_frame_cschema(df, partition_by),
+    )
+
+
+def snapshot_delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    prune: list[tuple] | None = None,
+    stats_cols: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Delete every row matching ``predicate`` from the live snapshot as
+    ONE atomic commit (op ``delete``) — the GDPR / retention / bad-batch
+    primitive. SQL DELETE semantics: rows where the predicate is TRUE
+    go; FALSE and NULL rows stay.
+
+    Cost model (the 100 TB contract): only directories that MAY contain
+    matching rows are read and rewritten; every other live dir is
+    carried by reference, untouched. ``prune=[(col, lo, hi), ...]``
+    names manifest zone-map ranges that BOUND the predicate's matches —
+    e.g. ``predicate="user_id = 42", prune=[("user_id", 42, 42)]`` — so
+    a keyed delete touches only the dirs whose recorded [min, max]
+    intersects, exactly :func:`snapshot_read`'s ``skip_where``
+    machinery. UNLIKE skip_where (where the caller re-applies the real
+    filter, so a loose hint only costs I/O), a prune range that does
+    NOT bound the predicate silently leaves matching rows alive in the
+    skipped dirs — the caller owns that implication; omit ``prune`` to
+    rewrite every candidate dir. Two cheap guards keep honest commits:
+    a predicate matching nothing in the candidate dirs is a NO-OP
+    returning the current version (no empty rewrite commit), and a
+    delete that would empty the whole table is refused (the
+    empty-snapshot rule shared with overwrite_all).
+
+    Rewritten dirs land with the read path's column UNION (additive
+    evolution NULL-backfill, like :func:`snapshot_rewrite`); untouched
+    dirs keep their zone maps via the manifest carry, and the new dirs
+    re-collect stats when ``stats_cols`` is given. Time travel keeps
+    the pre-delete version readable until expire, and
+    :func:`snapshot_row_changes` across the delete commit emits exact
+    ``delete`` images for the removed rows — so incremental consumers
+    and IVM views retract them without a rescan."""
+    committed = current_version(spark, table)
+    if not committed:
+        raise ValueError(f"snapshot table {table} is empty/uninitialized")
+    manifest = _load_manifest(spark, table, committed, committed=committed)
+    parts = manifest["partitions"]
+    all_dirs = sorted(d for dirs in parts.values() for d in dirs)
+    cand = set(
+        _zone_prune(manifest, all_dirs, prune) if prune else all_dirs
+    )
+    if not cand:
+        return committed  # zone maps prove no dir can hold a match
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    cand_df = _read_dirs(spark, table, sorted(cand), manifest)
+    if cand_df.filter(pred).limit(1).isEmpty():
+        return committed  # nothing to delete: no-op, no commit
+    # partition columns reconstruct from the manifest keys in key order
+    pcols: list[str] = []
+    for key in parts:
+        for part in key.split("/") if key else []:
+            c = part.split("=", 1)[0]
+            if c and c not in pcols:
+                pcols.append(c)
+    survivors = cand_df.filter(~F.coalesce(pred, F.lit(False)))
+    # an all-rows-deleted rewrite must write NOTHING: an empty
+    # unpartitioned commit dir would be referenced by the manifest and
+    # poison reads (parquet can't infer a schema from _SUCCESS alone)
+    surv_empty = survivors.limit(1).isEmpty()
+    untouched_exists = any(
+        d not in cand for dirs in parts.values() for d in dirs
+    )
+    if surv_empty and not untouched_exists:
+        raise ValueError(
+            "snapshot_delete_where would commit an unreadable EMPTY "
+            "snapshot (every live row deleted) — drop or rebuild the "
+            "table instead (the snapshot_overwrite_all rule)"
+        )
+    rels = (
+        [] if surv_empty else _write_commit_data(survivors, table, pcols or None)
+    )
+    grouped = _group_rels(rels, pcols or None) if rels else {}
+    affected = {k for k, dirs in parts.items() if any(d in cand for d in dirs)}
+    new_partitions: dict[str, list[str]] = {}
+    for k in affected:
+        untouched = [d for d in parts[k] if d not in cand]
+        rewritten = grouped.pop(k, [])
+        if untouched or rewritten:
+            new_partitions[k] = untouched + rewritten
+    # survivors can only land in partitions their source dirs came from;
+    # anything left in `grouped` means the partition-column derivation
+    # and the data disagree — fail loudly rather than duplicate rows
+    if grouped:
+        raise RuntimeError(
+            f"delete rewrite of {table} produced rows for partitions it "
+            f"never read: {sorted(grouped)} — manifest and data layouts "
+            "disagree; rewrite the table with one consistent layout"
+        )
+    stats = (
+        _collect_dir_stats(spark, table, rels, stats_cols)
+        if stats_cols and rels
+        else None
+    )
+    return _commit(
+        spark,
+        table,
+        "delete",
+        new_partitions,
+        replaced=affected,
+        meta=meta,
+        stats=stats,
+        cschema=_frame_cschema(survivors, pcols),
     )
 
 

@@ -2528,6 +2528,13 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'diff_v1_v2_added',
            (SELECT count(DISTINCT d) FROM ev WHERE d > (SELECT mid FROM m)),
            0.0
+    UNION ALL
+    SELECT 'delete_n_after', count(*), round(sum(value), 2) FROM ev
+    UNION ALL
+    SELECT 'delete_dirs_after', (SELECT count(DISTINCT d) FROM ev), 0.0
+    UNION ALL
+    SELECT 'delete_images',
+           (SELECT count(*) FROM ev WHERE event_id < 100), 0.0
     ORDER BY label
     """,
     doc="snapshot commits: append/overwrite/time-travel/rollback census + "
@@ -2620,6 +2627,39 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             ("diff_v1_v2_added",
              len(snapshot_diff(spark, t, 1, 2)["added"]), 0.0)
+        )
+        # round 11: predicate-DELETE branch — snapshot_delete_where
+        # removes the shifted extras with a prune bound, which drops the
+        # extra commit's dirs wholesale (no survivors) while every other
+        # dir is carried by reference; the census pins the post-delete
+        # state (back to the rolled-back content), the dir count, and
+        # the exact delete images the change feed emits across the
+        # delete commit (the retraction path IVM consumes).
+        from ..operators.snapshots import (
+            current_version,
+            snapshot_delete_where,
+            snapshot_row_changes,
+        )
+
+        v_pre = current_version(spark, t)
+        v_post = snapshot_delete_where(
+            spark, t, "event_id >= 10000000",
+            prune=[("event_id", 10_000_000, 10**15)],
+        )
+        post = snapshot_read(spark, t)
+        pagg = post.agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
+        ).first()
+        rows.append(("delete_n_after", pagg["n"], float(pagg["sv"])))
+        rows.append(
+            ("delete_dirs_after", post.select(dir_of).distinct().count(), 0.0)
+        )
+        images = snapshot_row_changes(
+            spark, t, ["event_id"], v_pre, to_version=v_post
+        )
+        rows.append(
+            ("delete_images",
+             images.filter(F.col("_change_type") == "delete").count(), 0.0)
         )
         # rows are already driver-local python tuples: the frame never
         # references the scratch table deleted in finally

@@ -442,6 +442,47 @@ def ivm_fixed_delta(spark, base_dir: str, scratch: str, scale: int) -> dict:
     return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
 
 
+def delete_pruned_vs_table(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """Round-11 delete row: snapshot_delete_where wall for a FIXED
+    one-commit-sized predicate against a table of 4 vs 4*scale commits
+    (disjoint event_id ranges, zone maps recorded). The prune bounds
+    shrink the rewrite to the one matching commit dir, so the wall
+    should stay ~flat while the table grows scale-x — cost ∝ matched
+    dirs, never ∝ table size. Min-of-2 over two successive disjoint
+    target ranges (a delete is a one-shot side effect)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_delete_where,
+    )
+
+    ev = load_table(spark, base_dir, "events").select("event_id", "value")
+
+    def run(tag: str, mult: int) -> float:
+        table = os.path.join(scratch, f"del_{tag}")
+        for k in range(4 * mult):
+            batch = ev.select(
+                (F.col("event_id") + F.lit(10**9).cast("long") * F.lit(k))
+                .alias("event_id"),
+                "value",
+            )
+            snapshot_append(spark, table, batch, stats_cols=["event_id"])
+        best = None
+        for seq in (1, 2):
+            lo, hi = 10**9 * seq, 10**9 * seq + 10**8
+            t0 = time.perf_counter()
+            snapshot_delete_where(
+                spark, table, f"event_id >= {lo} AND event_id < {hi}",
+                prune=[("event_id", lo, hi - 1)], stats_cols=["event_id"],
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    t1 = run("1x", 1)
+    tn = run("Nx", scale)
+    return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+
+
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "10"))
@@ -551,6 +592,9 @@ def main() -> None:
             spark, base, scratch, scale
         )
         out["ivm_fixed_delta"] = ivm_fixed_delta(spark, base, scratch, scale)
+        out["delete_pruned_vs_table"] = delete_pruned_vs_table(
+            spark, base, scratch, scale
+        )
         out["w13_batch_vs_store"] = w13_gram_store_growth(spark, base, scratch, scale)
         out["w12_batch_vs_index"] = w12_index_growth(spark, base, scratch, scale)
         print(

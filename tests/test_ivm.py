@@ -380,3 +380,28 @@ def test_cdc_stream_maintains_views(spark, tmp_path, monkeypatch):
         for d in dirs
     }
     assert len(live) <= 3
+
+
+def test_view_retracts_across_delete_where_commit(spark, tmp_path):
+    """snapshot_delete_where on the maintained source emits exact delete
+    images in the change feed, so the next poll retracts the deleted
+    rows from the view — no rescan, equal to the direct aggregate
+    (round-11 predicate-delete integration)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_delete_where,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    _merge(spark, src, [
+        (1, _ts("2024-01-01 00:00:00"), "c", "a", 10),
+        (2, _ts("2024-01-01 00:00:00"), "c", "a", 20),
+        (3, _ts("2024-01-01 00:00:00"), "c", "b", 30),
+        (4, _ts("2024-01-01 00:00:00"), "c", "b", 40),
+    ])
+    incremental_view_refresh(spark, src, view, ["k"], ["g"], ["val"])
+    # GDPR-style predicate delete straight on the snapshot source
+    snapshot_delete_where(spark, src, "k = 2 OR val >= 40")
+    r = incremental_view_refresh(spark, src, view, ["k"], ["g"], ["val"])
+    assert r["mode"] == "delta"
+    got = _got(spark, view)
+    assert got == _direct(spark, src) == {("a",): (1, 10), ("b",): (1, 30)}

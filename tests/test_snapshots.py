@@ -1997,3 +1997,171 @@ def test_cdc_stream_maintain_cadence(spark, tmp_path):
         for d in dirs
     }
     assert len(live) <= 3
+
+
+# ---------------------------------------------------------------------------
+# snapshot_delete_where — predicate deletes (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _delete_imports():
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_delete_where,
+        snapshot_row_changes,
+    )
+
+    return snapshot_delete_where, snapshot_row_changes
+
+
+def test_delete_where_basic_and_time_travel(spark, table):
+    delete_where, _ = _delete_imports()
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "id long, p string, v long",
+    )
+    snapshot_append(spark, table, df, ["p"])
+    v2 = delete_where(spark, table, "v >= 20 AND p = 'b'")
+    assert v2 == 2
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"), (2, 20, "a")
+    ]
+    # pre-delete version stays readable (time travel)
+    assert len(_rows(snapshot_read(spark, table, 1))) == 4
+    assert snapshot_history(spark, table)[-1]["op"] == "delete"
+
+
+def test_delete_where_null_predicate_rows_stay(spark, table):
+    """SQL DELETE semantics: only TRUE deletes; NULL evaluations keep."""
+    delete_where, _ = _delete_imports()
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    )
+    snapshot_append(spark, table, df)
+    delete_where(spark, table, "v > 20")
+    assert _rows(snapshot_read(spark, table)) == [(1, 10), (2, None)]
+
+
+def test_delete_where_no_match_is_noop(spark, table):
+    delete_where, _ = _delete_imports()
+    df = spark.createDataFrame([(1, 10)], "id long, v long")
+    v1 = snapshot_append(spark, table, df)
+    assert delete_where(spark, table, "v > 999") == v1
+    assert len(snapshot_history(spark, table)) == 1  # no empty commit
+
+
+def test_delete_where_refuses_emptying_the_table(spark, table):
+    delete_where, _ = _delete_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    with pytest.raises(ValueError, match="EMPTY"):
+        delete_where(spark, table, "v = 10")
+
+
+def test_delete_where_drops_fully_deleted_partitions(spark, table):
+    delete_where, _ = _delete_imports()
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+    )
+    snapshot_append(spark, table, df, ["p"])
+    delete_where(spark, table, "p = 'b'")
+    m = _load_manifest(spark, table, current_version(spark, table))
+    assert set(m["partitions"]) == {"p=a"}
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a")]
+
+
+def test_delete_where_prune_rewrites_only_matching_dirs(spark, table):
+    """With prune bounds, dirs whose zone maps are disjoint must be
+    CARRIED BY REFERENCE (same dir strings in the manifest), and only
+    the candidate dirs rewritten — the 100 TB cost contract."""
+    delete_where, _ = _delete_imports()
+    lo = spark.createDataFrame(
+        [(i, "a", i) for i in range(10)], "id long, p string, v long"
+    )
+    hi = spark.createDataFrame(
+        [(i, "a", i) for i in range(1000, 1010)], "id long, p string, v long"
+    )
+    snapshot_append(spark, table, lo, ["p"], stats_cols=["id"])
+    snapshot_append(spark, table, hi, ["p"], stats_cols=["id"])
+    before = _load_manifest(spark, table, current_version(spark, table))
+    lo_dirs = {
+        d for d in before["partitions"]["p=a"]
+        if before["stats"][d]["id"][1] < 1000
+    }
+    hi_dirs = set(before["partitions"]["p=a"]) - lo_dirs
+    delete_where(
+        spark, table, "id >= 1005", prune=[("id", 1005, 10**12)],
+        stats_cols=["id"],
+    )
+    after = _load_manifest(spark, table, current_version(spark, table))
+    after_dirs = set(after["partitions"]["p=a"])
+    assert lo_dirs <= after_dirs, "untouched dirs must carry by reference"
+    assert not (hi_dirs & after_dirs), "candidate dirs must be replaced"
+    # rewritten dir re-collected stats; untouched dirs kept theirs
+    assert all(d in after.get("stats", {}) for d in after_dirs)
+    assert _rows(snapshot_read(spark, table)) == sorted(
+        [(i, i, "a") for i in range(10)]
+        + [(i, i, "a") for i in range(1000, 1005)]
+    )
+
+
+def test_delete_where_emits_delete_images_in_change_feed(spark, table):
+    """snapshot_row_changes across a delete commit = exact delete images
+    for the removed rows, nothing else — the retraction path IVM and
+    incremental consumers rely on."""
+    delete_where, row_changes = _delete_imports()
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "z", 30)], "k long, s string, v long"
+    )
+    v1 = snapshot_append(spark, table, df)
+    v2 = delete_where(spark, table, "v = 20")
+    got = {
+        (r["k"], r["_change_type"]): (r["s"], r["v"])
+        for r in row_changes(spark, table, ["k"], v1, to_version=v2).collect()
+    }
+    assert got == {(2, "delete"): ("y", 20)}
+
+
+def test_delete_where_across_additive_evolution(spark, table):
+    """Deleting from a table whose commits have different column sets
+    rewrites with the NULL-backfilled union — reads keep working and
+    old rows keep NULL for the new column."""
+    delete_where, _ = _delete_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(2, 20, "new")], "id long, v long, tag string"),
+    )
+    delete_where(spark, table, "id = 2")
+    rows = _rows(snapshot_read(spark, table))
+    assert rows == [(1, 10, None)]
+
+
+def test_delete_where_empties_one_commit_dir_of_unpartitioned_table(spark, table):
+    """All rows of ONE pruned commit dir deleted (other commits
+    untouched): the dead dir drops, nothing empty is written or
+    referenced, reads keep working."""
+    delete_where, _ = _delete_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(i, i) for i in range(5)], "id long, v long"),
+        stats_cols=["id"],
+    )
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(i, i) for i in range(1000, 1005)], "id long, v long"
+        ),
+        stats_cols=["id"],
+    )
+    before = _load_manifest(spark, table, current_version(spark, table))
+    delete_where(
+        spark, table, "id >= 1000", prune=[("id", 1000, 10**12)],
+        stats_cols=["id"],
+    )
+    after = _load_manifest(spark, table, current_version(spark, table))
+    assert len(after["partitions"][""]) == 1  # only the untouched dir
+    assert set(after["partitions"][""]) < set(before["partitions"][""])
+    assert _rows(snapshot_read(spark, table)) == [(i, i) for i in range(5)]
