@@ -140,9 +140,10 @@ HEADLINE = [
     "x31_semantic_dedup",
     # one-pass per-column profile (round 5)
     "x36_data_profile",
-    # round 5 (late): token-window chunking, URL/domain cap, unigram-LM
-    # cross-entropy scoring — all oracle-checked
-    "x38_doc_chunking",
+    # round 11: x21 absorbs former x38_doc_chunking as its 'chunk'
+    # branch (x21 timing adds the chunk census — not comparable to
+    # rounds <= 10); the freed oracle slot promoted w13. URL/domain cap
+    # and unigram-LM scoring stay below.
     # round 9: x39 union-tagged (doc_cap + token_quota cumsum branch) —
     # timing not comparable to rounds <= 8
     "x39_domain_cap",

@@ -840,13 +840,41 @@ def x19_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS BIGINT) AS pack_id
           FROM t)
     GROUP BY pack_id
+    UNION ALL
+    SELECT 'chunk' AS src, chunks_md5 AS bucket, n_chunks AS n_docs,
+           total_chunk_tokens AS total_units, n_doc_tokens AS min_doc,
+           doc_id AS max_doc
+    FROM (
+      WITH ctok AS (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text),
+                                       '[^a-z0-9]+'), t -> t <> '') AS tok
+                    FROM documents),
+      nz AS (SELECT doc_id, tok FROM ctok WHERE len(tok) > 0),
+      st AS (SELECT doc_id, len(tok) AS n_doc_tokens, tok,
+                    unnest(range(0, len(tok), 12)) AS s
+             FROM nz),
+      ch AS (SELECT doc_id, n_doc_tokens,
+                    CAST(s // 12 AS BIGINT)        AS chunk_id,
+                    list_slice(tok, s + 1, s + 16) AS ctoks
+             FROM st)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT)          AS n_chunks,
+             max(n_doc_tokens)                 AS n_doc_tokens,
+             CAST(sum(len(ctoks)) AS BIGINT)   AS total_chunk_tokens,
+             md5(string_agg(array_to_string(ctoks, ' '), '|' ORDER BY chunk_id))
+                                               AS chunks_md5
+      FROM ch GROUP BY doc_id)
     ORDER BY src, bucket
     """,
     doc="corpus organization, union-tagged: md5-bucket train/val/test split "
     "(former x21_hash_split) + fixed-2048-token sequence packing via the "
     "two-level distributed prefix sum (operators/packing.py) — the oracle "
     "recomputes packs with a plain global window, proving the scalable scan "
-    "exactly matches the single-task formulation",
+    "exactly matches the single-task formulation — + (round 11, former "
+    "x38_doc_chunking) the sliding token-window chunk census: one row per "
+    "doc, exact chunk boundaries pinned by the ordered md5 riding `bucket` "
+    "(n_docs := n_chunks, total_units := chunk tokens, min_doc := doc "
+    "tokens, max_doc := doc_id)",
 )
 def x21_split_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.splits import assign_split
@@ -893,7 +921,32 @@ def x21_split_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_doc",
         )
     )
-    return splits.unionByName(packs).orderBy("src", "bucket")
+    from ..operators.chunking import chunk_documents
+
+    ordered = F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+    chunks = (
+        chunk_documents(d, chunk_tokens=16, overlap=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chunk_tokens").alias("total_units"),
+            F.max("n_doc_tokens").alias("min_doc"),
+            F.md5(
+                F.concat_ws("|", F.transform(ordered, lambda r: r.chunk_text))
+            ).alias("bucket"),
+        )
+        .select(
+            F.lit("chunk").alias("src"),
+            "bucket",
+            "n_docs",
+            "total_units",
+            "min_doc",
+            F.col("doc_id").alias("max_doc"),
+        )
+    )
+    return (
+        splits.unionByName(packs).unionByName(chunks).orderBy("src", "bucket")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1977,29 +2030,11 @@ def x37_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pins the exact chunk boundaries via an order-aware md5 over the chunk
 # texts.
 # --------------------------------------------------------------------------
-@register(
-    "x38_doc_chunking",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS tok FROM documents),
-    nz AS (SELECT doc_id, tok FROM tok WHERE len(tok) > 0),
-    st AS (SELECT doc_id, len(tok) AS n_doc_tokens, tok,
-                  unnest(range(0, len(tok), 12)) AS s
-           FROM nz),
-    ch AS (SELECT doc_id, n_doc_tokens,
-                  CAST(s // 12 AS BIGINT)        AS chunk_id,
-                  list_slice(tok, s + 1, s + 16) AS ctoks
-           FROM st)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT)          AS n_chunks,
-           max(n_doc_tokens)                 AS n_doc_tokens,
-           CAST(sum(len(ctoks)) AS BIGINT)   AS total_chunk_tokens,
-           md5(string_agg(array_to_string(ctoks, ' '), '|' ORDER BY chunk_id))
-                                             AS chunks_md5
-    FROM ch GROUP BY doc_id ORDER BY doc_id
-    """,
-    doc="sliding token-window chunking (16-token windows, stride 12); "
-    "per-doc census pins exact chunk boundaries via ordered md5",
-)
+# (x38_doc_chunking was consolidated into x21's union-tagged 'chunk'
+# branch in round 11 — same chunk_documents call, same ordered-md5
+# boundary pinning, the hash riding x21's `bucket` column. The
+# standalone function stays for local use; the freed driver-window
+# slot oracle-checks w13_span_scrub_stream.)
 def x38_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chunking import chunk_documents
 

@@ -872,16 +872,80 @@ def w12_semantic_decontam_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus; batch 2 replays twins that each PREPEND a unique marker to a
 # verbatim copy of their original's text — so every twin's copied region
 # is a historical repeat that only the store can flag (its grams appear
-# once within the batch). Rows-only (iterative store maintenance isn't
-# SQL); prefix-replay equality (== one-shot duplicated_spans over the
-# docs seen so far, restricted to the batch) is pinned in pytest.
+# once within the batch). ORACLE-CHECKED since round 11 (slot freed by
+# x38→x21): the per-batch operator is PREFIX-REPLAY-EXACT by contract
+# (== one-shot duplicated_spans over every doc seen so far, restricted
+# to the batch; pinned in pytest), so the stream's landed flags are a
+# pure function of the two replay corpora — DuckDB runs x51's
+# positioned-gram + island pipeline TWICE (suffix-0 over the originals
+# = batch-1 flags, suffix-1 over originals ∪ prefixed twins restricted
+# to twin ids = batch-2 flags vs history) and re-derives the cohort
+# census. HAVING count(*) > 0 mirrors groupBy emitting no row for an
+# unflagged cohort. Gram keys: Spark xxhash64 vs the oracle's gram
+# string — identical spans barring a 2^-64 collision (x51's contract).
 # --------------------------------------------------------------------------
+def _w13_span_ctes(sfx: str, corpus: str, k: int = 5) -> str:
+    """x51's positioned-gram census + island-merge pipeline as suffixed
+    CTE blocks (min_docs = 2, no df cap — w13's operator parameters),
+    reusable twice in one WITH clause over different corpora."""
+    tokens = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "t -> t <> '')"
+    )
+    return f"""
+    tok{sfx} AS (SELECT doc_id, {tokens} AS tok FROM {corpus}),
+    g{sfx} AS (SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(len(tok) - {k} + 1, 0) + 1),
+                     i -> array_to_string(list_slice(tok, i, i + {k - 1}), ' '))) AS gram,
+                 unnest(range(0, greatest(len(tok) - {k} + 1, 0))) AS pos
+          FROM tok{sfx}),
+    census{sfx} AS (SELECT gram FROM g{sfx} GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+    hits{sfx} AS (SELECT doc_id, pos FROM g{sfx}
+                  SEMI JOIN census{sfx} USING (gram)),
+    isl{sfx} AS (SELECT doc_id, pos,
+                   sum(CASE WHEN prev IS NULL OR pos - prev > {k}
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM (SELECT doc_id, pos,
+                         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                  FROM hits{sfx})),
+    spans{sfx} AS (SELECT doc_id,
+                          max(pos) + {k} - min(pos) AS n_tokens
+                   FROM isl{sfx} GROUP BY doc_id, island)"""
+
+
 @register(
     "w13_span_scrub_stream",
-    oracle=None,
+    oracle=f"""
+    WITH orig AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    uni AS (SELECT doc_id, text FROM orig
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   'zzuniq' || CAST(doc_id + 1000000 AS VARCHAR)
+                   || ' ' || text
+            FROM documents WHERE doc_id < 300),
+    {_w13_span_ctes('0', 'orig')},
+    {_w13_span_ctes('1', 'uni')}
+    SELECT 'original' AS cohort,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_flagged,
+           CAST(count(*) AS BIGINT)               AS n_spans,
+           CAST(sum(n_tokens) AS BIGINT)          AS tokens_flagged
+    FROM spans0 HAVING count(*) > 0
+    UNION ALL
+    SELECT 'twin',
+           CAST(count(DISTINCT doc_id) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(sum(n_tokens) AS BIGINT)
+    FROM spans1 WHERE doc_id >= 1000000 HAVING count(*) > 0
+    ORDER BY cohort
+    """,
     doc="incremental streaming duplicated-span scrub against a persisted "
     "gram-census store: per-cohort flagged-span census after a "
-    "verbatim-copy replay (history must flag every twin's copied region)",
+    "verbatim-copy replay == DuckDB's dual one-shot span pipeline "
+    "(prefix-replay-exact contract; history must flag every twin's "
+    "copied region)",
 )
 def w13_span_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -223,8 +223,14 @@ def test_x28_chain_persists_cleaning_boundary(spark):
 
 def test_x38_chunking_single_exchange(spark):
     """Chunk generation is narrow (sequence → slice → posexplode in-row):
-    the only Exchange in x38's plan is the final per-doc census groupBy."""
-    df = SPECS["x38_doc_chunking"].fn(spark, SF)
+    the only Exchange in x38's plan is the final per-doc census groupBy
+    (x38 is unregistered since the round-11 x38→x21 fold; the standalone
+    function carries this contract)."""
+    from lambda_kafka_to_s3_parquet_spark.plans.extensions import (
+        x38_doc_chunking,
+    )
+
+    df = x38_doc_chunking(spark, SF)
     df.write.mode("overwrite").format("noop").save()
     plan = _executed(df)
     final = plan.split("== Initial Plan ==")[0]
