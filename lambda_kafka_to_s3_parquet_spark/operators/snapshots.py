@@ -582,11 +582,14 @@ def snapshot_meta(
 def snapshot_read(
     spark: SparkSession,
     table: str,
-    version: int | None = None,
+    version: int | str | None = None,
     skip_where: list[tuple] | None = None,
 ) -> DataFrame:
     """Scan a snapshot (default: latest committed). Historical versions
-    stay readable until expired — time travel by version.
+    stay readable until expired — time travel by version, or by TAG
+    name (a ``str`` version resolves through :func:`snapshot_tags`; the
+    write-audit-publish consumer reads ``version="published"`` and never
+    sees unaudited commits).
 
     ``skip_where=[(col, lo, hi), ...]`` applies manifest ZONE-MAP
     skipping: directories whose recorded [min, max] for ``col`` cannot
@@ -601,6 +604,13 @@ def snapshot_read(
     (ISO for timestamps/dates) otherwise — pass bounds of that shape.
     """
     committed = current_version(spark, table)
+    if isinstance(version, str):
+        tags = snapshot_tags(spark, table)
+        if version not in tags:
+            raise KeyError(
+                f"unknown tag {version!r} on {table}; tags: {sorted(tags)}"
+            )
+        version = tags[version]
     v = committed if version is None else version
     manifest = _load_manifest(spark, table, v, committed=committed)
     all_dirs = sorted(d for dirs in manifest["partitions"].values() for d in dirs)
@@ -1203,12 +1213,71 @@ def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
     )
 
 
+_TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def _tag_path(table: str, name: str) -> str:
+    return f"{table}/{_SNAP_DIR}/tags/{name}.json"
+
+
+def snapshot_tag(
+    spark: SparkSession, table: str, name: str, version: int | None = None
+) -> int:
+    """Name a COMMITTED snapshot version (Iceberg tag shape): a tag is a
+    durable named ref — ``snapshot_read(version="name")`` resolves it,
+    and :func:`snapshot_expire` RETAINS tagged versions (manifest + data
+    dirs) however old they get, so a tag is also the audit/publish pin
+    of the write-audit-publish pattern: land commits, validate the
+    result, then move the consumer-facing tag (one atomic file replace)
+    — consumers reading by tag never see unaudited versions. Re-tagging
+    an existing name moves it. Tagging an uncommitted/expired version
+    raises (a tag must always resolve). Returns the pinned version."""
+    if not _TAG_RE.match(name):
+        raise ValueError(
+            f"invalid tag name {name!r}: letters/digits/._- only (max 64, "
+            "must start alphanumeric)"
+        )
+    committed = current_version(spark, table)
+    v = committed if version is None else version
+    if v < 1:
+        raise ValueError(f"snapshot table {table} has no committed version")
+    _load_manifest(spark, table, v, committed=committed)  # raises if gone
+    _replace_text(spark, _tag_path(table, name), json.dumps({"version": v}))
+    return v
+
+
+def snapshot_tags(spark: SparkSession, table: str) -> dict[str, int]:
+    """All tags: ``{name: version}`` (empty when none)."""
+    fs, jvm = _fs(spark, table)
+    tags_dir = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}/tags")
+    if not fs.exists(tags_dir):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(tags_dir):
+        fname = st.getPath().getName()
+        if not fname.endswith(".json"):
+            continue  # tmp files from an in-flight replace
+        txt = _read_text(spark, st.getPath().toString())
+        if txt is None:
+            continue
+        out[fname[: -len(".json")]] = json.loads(txt)["version"]
+    return out
+
+
+def snapshot_drop_tag(spark: SparkSession, table: str, name: str) -> bool:
+    """Remove a tag; returns whether it existed. The next
+    :func:`snapshot_expire` can then reclaim the version it pinned."""
+    fs, jvm = _fs(spark, table)
+    return fs.delete(jvm.org.apache.hadoop.fs.Path(_tag_path(table, name)), False)
+
+
 def snapshot_expire(
     spark: SparkSession, table: str, keep_last: int = 2
 ) -> dict[str, int]:
-    """Expire history: keep the last ``keep_last`` committed snapshots,
-    delete older manifests and every data directory no retained snapshot
-    references (Iceberg's expire_snapshots + orphan cleanup, minimally).
+    """Expire history: keep the last ``keep_last`` committed snapshots
+    PLUS every tagged version, delete older manifests and every data
+    directory no retained snapshot references (Iceberg's
+    expire_snapshots + orphan cleanup, minimally).
 
     Returns ``{"manifests_deleted": n, "data_dirs_deleted": m}``. Time
     travel reaches only retained versions afterwards. Run from the single
@@ -1217,14 +1286,18 @@ def snapshot_expire(
     directory is indistinguishable from an orphan. Retention is computed
     from the snapshots that ACTUALLY exist (re-running with a larger
     ``keep_last`` after an aggressive expire keeps what's left, never
-    chases already-deleted versions).
-    """
+    chases already-deleted versions). A tag pins its version's manifest
+    AND data dirs for as long as the tag lives — drop the tag to let the
+    next expire reclaim them."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     history = snapshot_history(spark, table)
     if not history:
         return {"manifests_deleted": 0, "data_dirs_deleted": 0}
-    keep_versions = {s["version"] for s in history[-keep_last:]}
+    existing = {s["version"] for s in history}
+    keep_versions = {s["version"] for s in history[-keep_last:]} | {
+        v for v in snapshot_tags(spark, table).values() if v in existing
+    }
     committed = max(keep_versions)
     live_commits: set[str] = set()
     for v in keep_versions:

@@ -2165,3 +2165,76 @@ def test_delete_where_empties_one_commit_dir_of_unpartitioned_table(spark, table
     assert len(after["partitions"][""]) == 1  # only the untouched dir
     assert set(after["partitions"][""]) < set(before["partitions"][""])
     assert _rows(snapshot_read(spark, table)) == [(i, i) for i in range(5)]
+
+
+# ---------------------------------------------------------------------------
+# snapshot tags — named refs + write-audit-publish (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _tag_imports():
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_drop_tag,
+        snapshot_expire,
+        snapshot_tag,
+        snapshot_tags,
+    )
+
+    return snapshot_tag, snapshot_tags, snapshot_drop_tag, snapshot_expire
+
+
+def test_tag_read_and_move(spark, table):
+    tag, tags, _, _ = _tag_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    assert tag(spark, table, "published") == 1
+    snapshot_append(
+        spark, table, spark.createDataFrame([(2, 20)], "id long, v long")
+    )
+    # consumers pinned to the tag see the audited version only
+    assert _rows(snapshot_read(spark, table, "published")) == [(1, 10)]
+    assert len(_rows(snapshot_read(spark, table))) == 2
+    # publish: one atomic ref move
+    assert tag(spark, table, "published") == 2
+    assert _rows(snapshot_read(spark, table, "published")) == [
+        (1, 10), (2, 20),
+    ]
+    assert tags(spark, table) == {"published": 2}
+
+
+def test_tag_pins_version_through_expire(spark, table):
+    tag, _, drop, expire = _tag_imports()
+    for i in range(4):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+        )
+    tag(spark, table, "audit-v1", 1)
+    res = expire(spark, table, keep_last=1)
+    # v1 survives because the tag pins it; v2/v3 expire
+    assert res["manifests_deleted"] == 2
+    assert _rows(snapshot_read(spark, table, "audit-v1")) == [(0, 0)]
+    assert _rows(snapshot_read(spark, table, 1)) == [(0, 0)]
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, table, 2)
+    # dropping the tag lets the next expire reclaim it
+    assert drop(spark, table, "audit-v1")
+    res = expire(spark, table, keep_last=1)
+    assert res["manifests_deleted"] == 1
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, table, 1)
+
+
+def test_tag_validation_and_unknown(spark, table):
+    tag, _, drop, _ = _tag_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    with pytest.raises(ValueError, match="invalid tag name"):
+        tag(spark, table, "../escape")
+    with pytest.raises(FileNotFoundError):
+        tag(spark, table, "ghost", 99)  # uncommitted version
+    with pytest.raises(KeyError, match="unknown tag"):
+        snapshot_read(spark, table, "nope")
+    assert not drop(spark, table, "never-existed")
