@@ -2238,3 +2238,41 @@ def test_tag_validation_and_unknown(spark, table):
     with pytest.raises(KeyError, match="unknown tag"):
         snapshot_read(spark, table, "nope")
     assert not drop(spark, table, "never-existed")
+
+
+def test_consume_row_changes_across_delete_commit(spark, tmp_path):
+    """The combined Delta-CDF consumer over a history that includes a
+    snapshot_delete_where commit: the append-only prefix consumes at
+    file granularity, the delete commit falls back to the keyed row
+    diff and delivers exact delete images — end-to-end exactly-once
+    (replayed poll is a no-op)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_consume_row_changes,
+        snapshot_delete_where,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    snapshot_append(
+        spark, src,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+    )
+    r = snapshot_consume_row_changes(spark, src, sink, ["k"])
+    assert r["mode"] == "files" and r["consumed"] == 1
+    snapshot_append(
+        spark, src, spark.createDataFrame([(3, 30)], "k long, v long")
+    )
+    snapshot_delete_where(spark, src, "v = 20")
+    r = snapshot_consume_row_changes(spark, src, sink, ["k"])
+    assert r["mode"] == "rows"
+    feed = {
+        (x["k"], x["_change_type"]): x["v"]
+        for x in snapshot_read(spark, sink).collect()
+    }
+    assert feed == {
+        (1, "insert"): 10, (2, "insert"): 20,  # file-granularity prefix
+        (3, "insert"): 30, (2, "delete"): 20,  # keyed diff across delete
+    }
+    # replayed poll: no new source commits -> nothing consumed
+    r = snapshot_consume_row_changes(spark, src, sink, ["k"])
+    assert r["mode"] == "none" and r["consumed"] == 0
