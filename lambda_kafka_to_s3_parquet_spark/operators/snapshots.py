@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,6 +124,12 @@ def _replace_text(spark, path: str, content: str) -> None:
     if not fs.rename(tmp, final):
         fs.delete(tmp, False)
         raise IOError(f"replace failed for {path}")
+
+
+def _now() -> float:
+    """Commit wall clock — a seam so tests can pin deterministic
+    instants (monkeypatch this, not time.time)."""
+    return time.time()
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -204,6 +211,8 @@ def snapshot_history(spark: SparkSession, table: str) -> list[dict]:
                         "version": m["version"],
                         "op": m.get("op", "?"),
                         "n_partition_groups": len(m["partitions"]),
+                        # None for pre-upgrade manifests (round < 11)
+                        "committed_at": m.get("committed_at"),
                     }
                 )
     return sorted(out, key=lambda s: s["version"])
@@ -413,7 +422,16 @@ def _commit(
     for pval, dirs in new_partitions.items():
         parts.setdefault(pval, []).extend(dirs)
     version = base + 1
-    new_manifest = {"version": version, "op": op, "partitions": parts}
+    new_manifest = {
+        "version": version,
+        "op": op,
+        # wall-clock commit instant (epoch seconds): powers AS-OF-
+        # timestamp time travel and retention reasoning; informational
+        # only — correctness never depends on clock monotonicity, and
+        # snapshot_read(as_of=...) fail-stops on out-of-order instants
+        "committed_at": _now(),
+        "partitions": parts,
+    }
     carried = manifest.get("meta") if meta is None else meta
     if carried:
         new_manifest["meta"] = carried
@@ -579,17 +597,56 @@ def snapshot_meta(
     return _load_manifest(spark, table, v, committed=committed).get("meta", {})
 
 
+def resolve_as_of(spark: SparkSession, table: str, as_of) -> int:
+    """The snapshot version live AT instant ``as_of`` (epoch seconds,
+    ``datetime``, or ISO string): the latest version whose recorded
+    ``committed_at`` is ``<= as_of`` — Iceberg's timestamp travel.
+    Fail-stops instead of guessing when the instant precedes every
+    recorded commit, or when commit instants are OUT OF ORDER around
+    the answer (wall clocks are informational; a skewed clock must
+    surface, not silently pick a version)."""
+    import datetime as _dt
+
+    if isinstance(as_of, str):
+        as_of = _dt.datetime.fromisoformat(as_of)
+    if isinstance(as_of, _dt.datetime):
+        as_of = as_of.timestamp()
+    history = snapshot_history(spark, table)
+    stamped = [s for s in history if s["committed_at"] is not None]
+    eligible = [s for s in stamped if s["committed_at"] <= as_of]
+    if not eligible:
+        raise ValueError(
+            f"no snapshot of {table} committed at or before {as_of} "
+            f"(earliest recorded instant: "
+            f"{stamped[0]['committed_at'] if stamped else 'none — pre-upgrade table'})"
+        )
+    v = max(s["version"] for s in eligible)
+    disorder = [
+        s["version"] for s in stamped
+        if s["version"] < v and s["committed_at"] > as_of
+    ]
+    if disorder:
+        raise ValueError(
+            f"commit instants of {table} are out of order around {as_of} "
+            f"(versions {disorder} are older than v{v} but stamped later) "
+            "— resolve by version or tag instead"
+        )
+    return v
+
+
 def snapshot_read(
     spark: SparkSession,
     table: str,
     version: int | str | None = None,
     skip_where: list[tuple] | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Scan a snapshot (default: latest committed). Historical versions
-    stay readable until expired — time travel by version, or by TAG
-    name (a ``str`` version resolves through :func:`snapshot_tags`; the
+    stay readable until expired — time travel by version, by TAG name
+    (a ``str`` version resolves through :func:`snapshot_tags`; the
     write-audit-publish consumer reads ``version="published"`` and never
-    sees unaudited commits).
+    sees unaudited commits), or by TIMESTAMP (``as_of`` — epoch seconds
+    / datetime / ISO string, resolved via :func:`resolve_as_of`).
 
     ``skip_where=[(col, lo, hi), ...]`` applies manifest ZONE-MAP
     skipping: directories whose recorded [min, max] for ``col`` cannot
@@ -604,6 +661,10 @@ def snapshot_read(
     (ISO for timestamps/dates) otherwise — pass bounds of that shape.
     """
     committed = current_version(spark, table)
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = resolve_as_of(spark, table, as_of)
     if isinstance(version, str):
         tags = snapshot_tags(spark, table)
         if version not in tags:

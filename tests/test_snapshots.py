@@ -2276,3 +2276,56 @@ def test_consume_row_changes_across_delete_commit(spark, tmp_path):
     # replayed poll: no new source commits -> nothing consumed
     r = snapshot_consume_row_changes(spark, src, sink, ["k"])
     assert r["mode"] == "none" and r["consumed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# AS-OF-timestamp time travel (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_as_of_timestamp_travel(spark, table, monkeypatch):
+    """Manifests record committed_at; snapshot_read(as_of=...) resolves
+    the version live at that instant — before-first fail-stops, and an
+    out-of-order clock around the answer fail-stops instead of
+    guessing."""
+    import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap
+
+    instants = iter([1000.0, 2000.0, 3000.0])
+    monkeypatch.setattr(snap, "_now", lambda: next(instants))
+    for i in range(3):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+        )
+    hist = snapshot_history(spark, table)
+    assert [s["committed_at"] for s in hist] == [1000.0, 2000.0, 3000.0]
+    assert len(_rows(snapshot_read(spark, table, as_of=2500.0))) == 2
+    assert len(_rows(snapshot_read(spark, table, as_of=1000.0))) == 1
+    # datetime / ISO forms resolve too
+    import datetime as _dt
+
+    t2 = _dt.datetime.fromtimestamp(2000.0)
+    assert len(_rows(snapshot_read(spark, table, as_of=t2))) == 2
+    assert len(_rows(snapshot_read(spark, table, as_of=t2.isoformat()))) == 2
+    with pytest.raises(ValueError, match="at or before"):
+        snapshot_read(spark, table, as_of=500.0)
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_read(spark, table, version=1, as_of=1500.0)
+
+
+def test_as_of_rejects_out_of_order_clock(spark, table, monkeypatch):
+    import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap
+
+    instants = iter([1000.0, 5000.0, 3000.0])  # v2 stamped AFTER v3
+    monkeypatch.setattr(snap, "_now", lambda: next(instants))
+    for i in range(3):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+        )
+    # as_of=4000 -> v3 (3000) eligible, but v2 (5000) is older-yet-later
+    with pytest.raises(ValueError, match="out of order"):
+        snapshot_read(spark, table, as_of=4000.0)
+    # instants clear of the disorder still resolve
+    assert len(_rows(snapshot_read(spark, table, as_of=1500.0))) == 1
+    assert len(_rows(snapshot_read(spark, table, as_of=6000.0))) == 3
