@@ -455,9 +455,23 @@ def _commit(
         if c in live_commits
     }
     if cschema is not None:
+        # stamp ONLY commits this write created: delete/rollback-style
+        # commits carry PRIOR commits' untouched dirs inside
+        # new_partitions (a partition can mix rewritten and carried
+        # dirs), and relabeling a carried commit with this write's
+        # schema would group a narrow pre-evolution commit into a
+        # union-schema multi-path scan — which silently drops the
+        # evolved column for every file in the group
+        prior_commits = {
+            d.split("/")[1]
+            for dirs in manifest["partitions"].values()
+            for d in dirs
+        }
         for dirs in new_partitions.values():
             for d in dirs:
-                kept_cs[d.split("/")[1]] = cschema
+                c = d.split("/")[1]
+                if c not in prior_commits:
+                    kept_cs[c] = cschema
     if restore:
         for d, s in restore.get("stats", {}).items():
             if d in live:

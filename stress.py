@@ -414,10 +414,11 @@ def ivm_fixed_delta(spark, base_dir: str, scratch: str, scale: int) -> dict:
         view = os.path.join(scratch, f"ivm_view_{tag}")
         big = ev
         for k in range(1, mult):
+            shift = F.lit(10**9).cast("long") * F.lit(k)
             big = big.unionByName(
                 ev.select(
-                    (F.col("event_id") + F.lit(10**9) * k).alias("event_id"),
-                    (F.col("user_id") + F.lit(10**9) * k).alias("user_id"),
+                    (F.col("event_id") + shift).alias("event_id"),
+                    (F.col("user_id") + shift).alias("user_id"),
                     "event_type", "ts", "value",
                 )
             )

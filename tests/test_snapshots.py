@@ -2329,3 +2329,45 @@ def test_as_of_rejects_out_of_order_clock(spark, table, monkeypatch):
     # instants clear of the disorder still resolve
     assert len(_rows(snapshot_read(spark, table, as_of=1500.0))) == 1
     assert len(_rows(snapshot_read(spark, table, as_of=6000.0))) == 3
+
+
+def test_delete_where_keeps_untouched_dirs_commit_schemas(spark, table):
+    """An untouched dir CARRIED through a delete commit must keep its
+    OWN recorded per-commit schema: mislabeling it with the rewrite's
+    union schema would group a narrow pre-evolution commit into the
+    same multi-path scan as union-schema commits, silently dropping
+    the evolved column for the whole group."""
+    delete_where, _ = _delete_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(i, i) for i in range(5)], "id long, v long"),
+        stats_cols=["id"],
+    )
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(i, i, "t") for i in range(1000, 1005)],
+            "id long, v long, tag string",
+        ),
+        stats_cols=["id"],
+    )
+    # prune so the narrow v1 commit dir is untouched and carried
+    delete_where(
+        spark, table, "id = 1004", prune=[("id", 1004, 1004)],
+        stats_cols=["id"],
+    )
+    m = _load_manifest(spark, table, current_version(spark, table))
+    cs = m.get("cschemas", {})
+    by_schema = {}
+    for dirs in m["partitions"].values():
+        for d in dirs:
+            cols = [c for c, _ in cs.get(d.split("/")[1], [])]
+            by_schema.setdefault(tuple(cols), []).append(d)
+    # the narrow commit keeps its 2-column schema; the rewrite records 3
+    assert ("id", "v") in by_schema, by_schema
+    assert ("id", "v", "tag") in by_schema, by_schema
+    rows = _rows(snapshot_read(spark, table))
+    assert rows == sorted(
+        [(i, i, None) for i in range(5)]
+        + [(i, i, "t") for i in range(1000, 1004)]
+    )
