@@ -612,18 +612,27 @@ def snapshot_meta(
 
 
 def resolve_as_of(spark: SparkSession, table: str, as_of) -> int:
-    """The snapshot version live AT instant ``as_of`` (epoch seconds,
-    ``datetime``, or ISO string): the latest version whose recorded
-    ``committed_at`` is ``<= as_of`` — Iceberg's timestamp travel.
-    Fail-stops instead of guessing when the instant precedes every
-    recorded commit, or when commit instants are OUT OF ORDER around
-    the answer (wall clocks are informational; a skewed clock must
-    surface, not silently pick a version)."""
+    """The snapshot version live AT instant ``as_of`` (epoch seconds, a
+    ``datetime``, or an ISO string — NAIVE datetimes/strings are read
+    as UTC, so the same call resolves the same version on every host;
+    pass a zone-aware value for anything else): the latest version
+    whose recorded ``committed_at`` is ``<= as_of`` — Iceberg's
+    timestamp travel. Fail-stops instead of guessing when (a) the
+    instant precedes every recorded commit, (b) commit instants are
+    OUT OF ORDER around the answer (wall clocks are informational; a
+    skewed clock must surface, not silently pick a version), or (c)
+    the version immediately after the answer has been EXPIRED — the
+    expired manifest's instant is gone, so whether IT was live at
+    ``as_of`` is unknowable and returning the older survivor would be
+    a silent guess (a tag retains everything its version needs exactly
+    so its reads never hit this)."""
     import datetime as _dt
 
     if isinstance(as_of, str):
         as_of = _dt.datetime.fromisoformat(as_of)
     if isinstance(as_of, _dt.datetime):
+        if as_of.tzinfo is None:
+            as_of = as_of.replace(tzinfo=_dt.timezone.utc)
         as_of = as_of.timestamp()
     history = snapshot_history(spark, table)
     stamped = [s for s in history if s["committed_at"] is not None]
@@ -635,6 +644,14 @@ def resolve_as_of(spark: SparkSession, table: str, as_of) -> int:
             f"{stamped[0]['committed_at'] if stamped else 'none — pre-upgrade table'})"
         )
     v = max(s["version"] for s in eligible)
+    later = [s["version"] for s in history if s["version"] > v]
+    if later and min(later) != v + 1:
+        raise ValueError(
+            f"cannot resolve {table} AS OF {as_of}: versions "
+            f"{list(range(v + 1, min(later)))} after v{v} were expired, "
+            "so the version actually live at that instant is unknowable "
+            "— resolve by version or tag instead (tags survive expire)"
+        )
     disorder = [
         s["version"] for s in stamped
         if s["version"] < v and s["committed_at"] > as_of
@@ -680,12 +697,13 @@ def snapshot_read(
             raise ValueError("pass version OR as_of, not both")
         version = resolve_as_of(spark, table, as_of)
     if isinstance(version, str):
-        tags = snapshot_tags(spark, table)
-        if version not in tags:
+        resolved = _resolve_tag(spark, table, version)
+        if resolved is None:
             raise KeyError(
-                f"unknown tag {version!r} on {table}; tags: {sorted(tags)}"
+                f"unknown tag {version!r} on {table}; tags: "
+                f"{sorted(snapshot_tags(spark, table))}"
             )
-        version = tags[version]
+        version = resolved
     v = committed if version is None else version
     manifest = _load_manifest(spark, table, v, committed=committed)
     all_dirs = sorted(d for dirs in manifest["partitions"].values() for d in dirs)
@@ -711,6 +729,20 @@ def snapshot_read(
     if skip_where and empty:
         out = out.limit(0)
     return out
+
+
+def _manifest_pcols(partitions: dict) -> list[str]:
+    """Partition-column names in manifest-key order (``a=1/b=2`` keys →
+    ``[a, b]``; ``''`` contributes none) — the one parser shared by the
+    read path and the delete rewrite, so hive-name handling can never
+    diverge between them."""
+    pcols: list[str] = []
+    for key in partitions:
+        for part in key.split("/") if key else []:
+            c = part.split("=", 1)[0]
+            if c and c not in pcols:
+                pcols.append(c)
+    return pcols
 
 
 def _zone_prune(
@@ -833,12 +865,7 @@ def _read_dirs(
     for key, paths in flat_groups.items():
         groups.append((flat_first[key], spark.read.parquet(*sorted(paths))))
     frames = [f for _, f in sorted(groups, key=lambda g: g[0])]
-    pcols: list[str] = []
-    for key in manifest["partitions"]:
-        for part in key.split("/") if key else []:
-            c = part.split("=", 1)[0]
-            if c and c not in pcols:
-                pcols.append(c)
+    pcols = _manifest_pcols(manifest["partitions"])
     seen_types: dict[str, str] = {}
     seen_fams: dict[str, str] = {}
     for f in frames:
@@ -1285,14 +1312,45 @@ def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
         # later overwrite replaced comes back zone-map-blind (skip_where
         # reads it forever) and its commit loses multi-path scan grouping
         restore=manifest,
+        # the schema UNION likewise reverts to the target's: the live
+        # content IS the target's, and inheriting the latest union wedges
+        # writes after rolling back across an overwrite_all type change
+        # (the reset union would reject every append of the restored
+        # type). None (pre-upgrade target) keeps inheriting — the
+        # read-time gate backstops those tables.
+        dschema=manifest.get("dschema"),
     )
 
 
 _TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+_TAG_REF_RE = re.compile(r"^r(\d{5})\.json$")
 
 
-def _tag_path(table: str, name: str) -> str:
-    return f"{table}/{_SNAP_DIR}/tags/{name}.json"
+def _tag_dir(table: str, name: str) -> str:
+    return f"{table}/{_SNAP_DIR}/tags/{name}"
+
+
+def _resolve_tag(spark: SparkSession, table: str, name: str) -> int | None:
+    """The version a tag points at, or None — ONE directory listing of
+    the tag's own ref dir (the WAP consumer's per-poll hot path must
+    not pay a read of every tag). Highest ref wins, exactly like the
+    snapshot markers: a re-tag WRITES a fresh ``r<K+1>.json`` (atomic
+    create — a reader never observes a missing-file window, unlike
+    delete-then-rename) and then best-effort prunes older refs."""
+    fs, jvm = _fs(spark, table)
+    d = jvm.org.apache.hadoop.fs.Path(_tag_dir(table, name))
+    if not fs.exists(d):
+        return None
+    best = None
+    for st in fs.listStatus(d):
+        m = _TAG_REF_RE.match(st.getPath().getName())
+        if not m:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            txt = _read_text(spark, st.getPath().toString())
+            if txt is not None:
+                best = (int(m.group(1)), json.loads(txt)["version"])
+    return None if best is None else best[1]
 
 
 def snapshot_tag(
@@ -1303,10 +1361,13 @@ def snapshot_tag(
     and :func:`snapshot_expire` RETAINS tagged versions (manifest + data
     dirs) however old they get, so a tag is also the audit/publish pin
     of the write-audit-publish pattern: land commits, validate the
-    result, then move the consumer-facing tag (one atomic file replace)
-    — consumers reading by tag never see unaudited versions. Re-tagging
-    an existing name moves it. Tagging an uncommitted/expired version
-    raises (a tag must always resolve). Returns the pinned version."""
+    result, then move the consumer-facing tag — consumers reading by
+    tag never see unaudited versions. A re-tag is an ATOMIC CREATE of
+    the next numbered ref file (highest wins, the marker protocol), so
+    a concurrent reader always resolves either the old or the new
+    version, never a missing tag. Tagging an uncommitted/expired
+    version raises (a tag must always resolve). Returns the pinned
+    version."""
     if not _TAG_RE.match(name):
         raise ValueError(
             f"invalid tag name {name!r}: letters/digits/._- only (max 64, "
@@ -1317,7 +1378,25 @@ def snapshot_tag(
     if v < 1:
         raise ValueError(f"snapshot table {table} has no committed version")
     _load_manifest(spark, table, v, committed=committed)  # raises if gone
-    _replace_text(spark, _tag_path(table, name), json.dumps({"version": v}))
+    fs, jvm = _fs(spark, table)
+    d = jvm.org.apache.hadoop.fs.Path(_tag_dir(table, name))
+    ref = 0
+    if fs.exists(d):
+        for st in fs.listStatus(d):
+            m = _TAG_REF_RE.match(st.getPath().getName())
+            if m:
+                ref = max(ref, int(m.group(1)))
+    _create_atomic(
+        spark,
+        f"{_tag_dir(table, name)}/r{ref + 1:05d}.json",
+        json.dumps({"version": v}),
+    )
+    # best-effort prune of superseded refs (a crash here leaves extras —
+    # harmless, highest wins)
+    for st in fs.listStatus(d):
+        m = _TAG_REF_RE.match(st.getPath().getName())
+        if m and int(m.group(1)) <= ref:
+            fs.delete(st.getPath(), False)
     return v
 
 
@@ -1329,13 +1408,12 @@ def snapshot_tags(spark: SparkSession, table: str) -> dict[str, int]:
         return {}
     out: dict[str, int] = {}
     for st in fs.listStatus(tags_dir):
-        fname = st.getPath().getName()
-        if not fname.endswith(".json"):
-            continue  # tmp files from an in-flight replace
-        txt = _read_text(spark, st.getPath().toString())
-        if txt is None:
+        if not st.isDirectory():
             continue
-        out[fname[: -len(".json")]] = json.loads(txt)["version"]
+        name = st.getPath().getName()
+        v = _resolve_tag(spark, table, name)
+        if v is not None:
+            out[name] = v
     return out
 
 
@@ -1343,7 +1421,7 @@ def snapshot_drop_tag(spark: SparkSession, table: str, name: str) -> bool:
     """Remove a tag; returns whether it existed. The next
     :func:`snapshot_expire` can then reclaim the version it pinned."""
     fs, jvm = _fs(spark, table)
-    return fs.delete(jvm.org.apache.hadoop.fs.Path(_tag_path(table, name)), False)
+    return fs.delete(jvm.org.apache.hadoop.fs.Path(_tag_dir(table, name)), True)
 
 
 def snapshot_expire(
@@ -1530,15 +1608,22 @@ def snapshot_delete_where(
         return committed  # zone maps prove no dir can hold a match
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     cand_df = _read_dirs(spark, table, sorted(cand), manifest)
+    # the candidate union may LACK evolved columns every candidate dir
+    # predates (prune can exclude the commits that introduced them) — a
+    # predicate naming such a column must see the table's NULL
+    # back-fill, not an unresolved-column error (the rows genuinely
+    # have NULL there, so delete semantics keep them)
+    missing = {
+        c: t
+        for c, t in manifest.get("dschema", {}).items()
+        if c not in cand_df.columns
+    }
+    for c, t in missing.items():
+        cand_df = cand_df.withColumn(c, F.lit(None).cast(t))
     if cand_df.filter(pred).limit(1).isEmpty():
         return committed  # nothing to delete: no-op, no commit
     # partition columns reconstruct from the manifest keys in key order
-    pcols: list[str] = []
-    for key in parts:
-        for part in key.split("/") if key else []:
-            c = part.split("=", 1)[0]
-            if c and c not in pcols:
-                pcols.append(c)
+    pcols = _manifest_pcols(parts)
     survivors = cand_df.filter(~F.coalesce(pred, F.lit(False)))
     # an all-rows-deleted rewrite must write NOTHING: an empty
     # unpartitioned commit dir would be referenced by the manifest and

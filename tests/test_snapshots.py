@@ -2301,12 +2301,15 @@ def test_as_of_timestamp_travel(spark, table, monkeypatch):
     assert [s["committed_at"] for s in hist] == [1000.0, 2000.0, 3000.0]
     assert len(_rows(snapshot_read(spark, table, as_of=2500.0))) == 2
     assert len(_rows(snapshot_read(spark, table, as_of=1000.0))) == 1
-    # datetime / ISO forms resolve too
+    # datetime / ISO forms resolve too (naive values read as UTC, so
+    # the tz-aware UTC instant and its naive twin agree on every host)
     import datetime as _dt
 
-    t2 = _dt.datetime.fromtimestamp(2000.0)
+    t2 = _dt.datetime.fromtimestamp(2000.0, tz=_dt.timezone.utc)
     assert len(_rows(snapshot_read(spark, table, as_of=t2))) == 2
     assert len(_rows(snapshot_read(spark, table, as_of=t2.isoformat()))) == 2
+    naive = t2.replace(tzinfo=None)
+    assert len(_rows(snapshot_read(spark, table, as_of=naive))) == 2
     with pytest.raises(ValueError, match="at or before"):
         snapshot_read(spark, table, as_of=500.0)
     with pytest.raises(ValueError, match="not both"):
@@ -2371,3 +2374,110 @@ def test_delete_where_keeps_untouched_dirs_commit_schemas(spark, table):
         [(i, i, None) for i in range(5)]
         + [(i, i, "t") for i in range(1000, 1004)]
     )
+
+
+def test_as_of_fail_stops_across_expired_gap(spark, table, monkeypatch):
+    """An instant whose true resolution was expired must FAIL-STOP: the
+    expired manifest's commit instant is gone, so returning the older
+    survivor would be a silent guess."""
+    import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap
+
+    instants = iter([1000.0, 2000.0, 3000.0, 4000.0])
+    monkeypatch.setattr(snap, "_now", lambda: next(instants))
+    for i in range(4):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+        )
+    snap.snapshot_tag(spark, table, "pin-v1", 1)
+    snap.snapshot_expire(spark, table, keep_last=1)  # keeps v1 (tag) + v4
+    # as_of=2500 truly resolved to v2, which is expired -> unknowable;
+    # and STRICTLY, any instant >= v1's is unknowable too (v2's instant
+    # is gone, so "was v2 already live?" can't be answered) — both
+    # fail-stop rather than guess the older survivor
+    for t in (2500.0, 1000.0):
+        with pytest.raises(ValueError, match="expired"):
+            snapshot_read(spark, table, as_of=t)
+    # instants bracketed by retained versions still resolve
+    assert len(_rows(snapshot_read(spark, table, as_of=4000.0))) == 4
+    assert len(_rows(snapshot_read(spark, table, as_of=5000.0))) == 4
+    # the tag remains the durable way to address the pinned old state
+    assert len(_rows(snapshot_read(spark, table, "pin-v1"))) == 1
+
+
+def test_rollback_restores_schema_union(spark, table):
+    """Rolling back across an overwrite_all type change must restore the
+    TARGET version's schema union — inheriting the reset union would
+    reject every subsequent append of the restored (live!) type."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_overwrite_all,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, 10)], "id long, v long"),
+    )
+    snapshot_overwrite_all(
+        spark, table,
+        spark.createDataFrame([("x", 99)], "id string, v long"), [],
+    )
+    snapshot_rollback(spark, table, 1)
+    # live data is long-typed again; a long append must be accepted
+    snapshot_append(
+        spark, table, spark.createDataFrame([(2, 20)], "id long, v long")
+    )
+    assert _rows(snapshot_read(spark, table)) == [(1, 10), (2, 20)]
+
+
+def test_delete_where_predicate_on_evolved_column_absent_from_candidates(
+    spark, table
+):
+    """A predicate naming an evolved column the pruned candidates all
+    predate must see the NULL back-fill (clean no-op), not an
+    unresolved-column error."""
+    delete_where, _ = _delete_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(i, i) for i in range(5)], "id long, v long"),
+        stats_cols=["id"],
+    )
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1000, 1, "x")], "id long, v long, tag string"
+        ),
+        stats_cols=["id"],
+    )
+    v = current_version(spark, table)
+    # prune to the v1 commit only — its dirs predate `tag`
+    assert delete_where(
+        spark, table, "tag = 'x'", prune=[("id", 0, 4)]
+    ) == v  # NULL tag never matches: no-op
+    assert snapshot_read(spark, table).count() == 6
+
+
+def test_tag_repoint_highest_ref_wins(spark, table):
+    """Tag refs follow the marker protocol: atomic create of the next
+    numbered ref, highest wins — crash leftovers (older refs that were
+    not pruned) are harmless."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        _create_atomic,
+        _tag_dir,
+        snapshot_tag,
+    )
+    import json as _json
+
+    for i in range(2):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(i, i)], "id long, v long"),
+        )
+    snapshot_tag(spark, table, "published", 1)
+    snapshot_tag(spark, table, "published", 2)
+    assert _rows(snapshot_read(spark, table, "published")) == [(0, 0), (1, 1)]
+    # simulate a crash that left a STALE lower ref behind the current one
+    _create_atomic(
+        spark, f"{_tag_dir(table, 'published')}/r00001.json",
+        _json.dumps({"version": 1}),
+    )
+    assert _rows(snapshot_read(spark, table, "published")) == [(0, 0), (1, 1)]
