@@ -201,3 +201,77 @@ def pack_token_ids(
         )
         .withColumn("n_filled", F.size("token_ids"))
     )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    weight_col: str,
+    max_per_shard: int,
+    bucket_size: int = 100_000,
+) -> dict:
+    """Materialize the corpus as deterministic, size-bounded training
+    SHARDS — the delivery endpoint a pretraining loader mounts (cf. the
+    reference's one-object-per-invocation landing,
+    ``lambda_function.py:59-66``, which bounds neither size nor order).
+
+    Rows are laid out in ``order_col`` order and greedily cut every
+    ``max_per_shard`` ``weight_col`` units (the :func:`pack_sequences`
+    rule, shared kernel — a row belongs to the shard containing its
+    first unit, so one oversized row never splits). Each shard lands as
+    EXACTLY ONE parquet file under ``path/shard_id=N/`` — rows hash to
+    one task per shard via ``repartition(shard_id)``, so a 100 TB
+    export fans out across the cluster while every shard stays one
+    sequential read for the loader. A ``_shards.json`` manifest records
+    per-shard row counts and unit totals plus the order contract, and
+    is written LAST (manifest-present ⇒ data complete — the loader's
+    crash boundary).
+
+    Deterministic on any input partitioning: same corpus → same shard
+    boundaries, same file contents. Returns the manifest dict.
+    """
+    import json as _json
+
+    assigned = pack_sequences(
+        df, order_col, weight_col, max_per_shard, bucket_size
+    ).withColumnRenamed("pack_id", "shard_id")
+    n_shards = assigned.agg(F.max("shard_id")).first()[0]
+    if n_shards is None:
+        raise ValueError("export_shards: empty input")
+    (
+        assigned.repartition(int(n_shards) + 1, "shard_id")
+        .sortWithinPartitions(order_col)
+        .write.mode("errorifexists")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    stats = [
+        {
+            "shard_id": r["shard_id"],
+            "n_rows": r["n"],
+            "units": r["units"],
+        }
+        for r in assigned.groupBy("shard_id")
+        .agg(F.count("*").alias("n"), F.sum(weight_col).alias("units"))
+        .orderBy("shard_id")
+        .collect()
+    ]
+    manifest = {
+        "order_col": order_col,
+        "weight_col": weight_col,
+        "max_per_shard": max_per_shard,
+        "n_shards": len(stats),
+        "shards": stats,
+    }
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{path}/_shards.json"), True)
+    try:
+        out.write(bytearray(_json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    return manifest

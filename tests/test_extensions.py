@@ -3326,3 +3326,66 @@ def test_vector_index_compaction_byte_identical(spark, tmp_path):
         assert topk(kind, path) == grown
         # idempotent no-op when nothing is appended
         assert vi.compact_index(spark, path)["base"] == meta2["base"]
+
+
+# ---------------------------------------------------------------------------
+# export_shards — deterministic size-bounded training-shard delivery (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_export_shards_layout_manifest_and_determinism(spark, sf_dir, tmp_path):
+    """One parquet file per shard dir; unit totals <= max (single
+    oversized rows excepted); manifest == read-back census; identical
+    shard assignment whatever the input partitioning; global order
+    reconstructs from (shard_id, order_col)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.packing import export_shards
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("units")
+    )
+    out = str(tmp_path / "shards")
+    man = export_shards(
+        docs.repartition(16), out, "doc_id", "units", max_per_shard=20_000
+    )
+    # one file per shard dir
+    for entry in man["shards"]:
+        d = f"{out}/shard_id={entry['shard_id']}"
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    # manifest == read-back census; sizes bounded unless a single row
+    back = spark.read.parquet(out)
+    census = {
+        r["shard_id"]: (r["n"], r["u"], r["m"])
+        for r in back.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("units").alias("u"),
+            F.max("units").alias("m"),
+        )
+        .collect()
+    }
+    assert {k: v[:2] for k, v in census.items()} == {
+        e["shard_id"]: (e["n_rows"], e["units"]) for e in man["shards"]
+    }
+    # concat-then-chunk bound: every row STARTS inside the shard's
+    # window, so a shard exceeds max only by part of its LAST row
+    for n, u, m in census.values():
+        assert u - m < 20_000, (n, u, m)
+    # the file on disk IS doc_id-ordered (the loader's sequential-read
+    # contract): per-shard min/max ranges must not overlap and each
+    # shard's parquet row order is ascending
+    one = json.loads(json.dumps(man))  # deep copy for clarity
+    ids = [r["doc_id"] for r in back.orderBy("shard_id", "doc_id").collect()]
+    assert ids == sorted(ids)
+    # determinism: a 1-partition input produces the same manifest
+    man2 = export_shards(
+        docs.repartition(1), str(tmp_path / "shards2"), "doc_id", "units",
+        max_per_shard=20_000,
+    )
+    assert man2["shards"] == one["shards"]
