@@ -173,12 +173,46 @@ def x02_cdc_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
            row_number() OVER (ORDER BY n DESC, gram),
            gram, n, CAST(NULL AS BIGINT)
     FROM bi
+    UNION ALL
+    SELECT 'cms',
+           row_number() OVER (ORDER BY exact DESC, gram),
+           gram, est, exact
+    FROM (
+      WITH ctok AS (SELECT unnest({_SQL_TOKENS}) AS t FROM documents),
+      cexact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact
+                 FROM ctok GROUP BY t
+                 ORDER BY exact DESC, t LIMIT 20),
+      rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      sketch AS (
+        SELECT r,
+               CAST(('0x' || substr(md5(t || chr(31) || CAST(r AS VARCHAR)
+                                      || chr(31) || '42'), 1, 8))::UBIGINT
+                    % 2048 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ctok, rows_ GROUP BY 1, 2),
+      probes AS (
+        SELECT e.t, r.r,
+               CAST(('0x' || substr(md5(e.t || chr(31) || CAST(r.r AS VARCHAR)
+                                      || chr(31) || '42'), 1, 8))::UBIGINT
+                    % 2048 AS BIGINT) AS bucket
+        FROM cexact e, rows_ r),
+      est AS (
+        SELECT p.t, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+        FROM probes p LEFT JOIN sketch s
+          ON s.r = p.r AND s.bucket = p.bucket
+        GROUP BY p.t)
+      SELECT e.t AS gram, est, exact
+      FROM cexact e JOIN est ON est.t = e.t)
     ORDER BY branch, rank
     """,
     doc="corpus n-gram census, union-tagged (round 9: former "
-    "x33_heavy_hitters folds in as the 'bigram' branch, freeing its "
-    "oracle slot for x42): top-50 unigrams with document frequencies + "
-    "top-20 bigram heavy hitters",
+    "x33_heavy_hitters folds in as the 'bigram' branch; round 11: "
+    "former x52_countmin_sketch folds in as the 'cms' branch — n := "
+    "count-min estimate, n_docs := exact count, the DuckDB twin still "
+    "rebuilds the md5 sketch counter-for-counter; the est>=exact "
+    "property stays pinned in pytest): top-50 unigrams with document "
+    "frequencies + top-20 bigram heavy hitters + the count-min probe "
+    "of the exact top-20",
 )
 def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -211,7 +245,40 @@ def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freq").cast("bigint").alias("n"),
         F.lit(None).cast("bigint").alias("n_docs"),
     )
-    return uni.unionByName(bi).orderBy("branch", "rank")
+    # round 11: former x52_countmin_sketch as the 'cms' branch — the
+    # sublinear sketch probed at the exact top-20 (n := estimate,
+    # n_docs := exact); est >= exact stays pinned in pytest
+    from pyspark.sql.window import Window as W2
+
+    from ..operators.retrieval import countmin_estimate, countmin_table
+
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    sketch = countmin_table(toks, "t", depth=4, width=2048).localCheckpoint()
+    exact = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("t"))
+        .limit(20)
+    )
+    est = countmin_estimate(sketch, exact, "t", depth=4, width=2048)
+    cms = (
+        exact.join(est, exact["t"] == est["key"])
+        .select(F.col("t").alias("gram"), "est", "exact")
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W2.orderBy(F.desc("exact"), F.asc("gram")))
+            .cast("bigint"),
+        )
+        .select(
+            F.lit("cms").alias("branch"),
+            "rank",
+            "gram",
+            F.col("est").alias("n"),
+            F.col("exact").alias("n_docs"),
+        )
+    )
+    return uni.unionByName(bi).unionByName(cms).orderBy("branch", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -3163,51 +3230,12 @@ def x51_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x52 — count-min sketch frequency estimation over the corpus unigram
-# stream, reported against the exact census for the exact top-20 tokens:
-# (gram, est, exact) with est >= exact ALWAYS (collisions only add) and
-# est within the (width, depth) error envelope. The sketch is the
-# sublinear pre-pass heavy_hitters' docstring names for capping the exact
-# census at 100 TB: depth x width counters regardless of corpus size,
-# mergeable by addition. Rows-only (the window holds 50); the md5
-# arithmetic is portable and the exact-twin replay + overestimate
-# property are pinned in pytest.
+# (x52_countmin_sketch was consolidated into x03's union-tagged 'cms'
+# branch in round 11 — same sketch build, same portable md5 oracle
+# arithmetic, n := estimate / n_docs := exact. The standalone function
+# stays for pytest's overestimate/error-envelope properties; the freed
+# driver-window slot oracle-checks x53_int8_topk.)
 # --------------------------------------------------------------------------
-@register(
-    "x52_countmin_sketch",
-    oracle=f"""
-    WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS t FROM documents),
-    exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact
-              FROM tok GROUP BY t
-              ORDER BY exact DESC, t LIMIT 20),
-    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
-    sketch AS (
-      SELECT r,
-             CAST(('0x' || substr(md5(t || chr(31) || CAST(r AS VARCHAR)
-                                    || chr(31) || '42'), 1, 8))::UBIGINT
-                  % 2048 AS BIGINT) AS bucket,
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM tok, rows_ GROUP BY 1, 2),
-    probes AS (
-      SELECT e.t, r.r,
-             CAST(('0x' || substr(md5(e.t || chr(31) || CAST(r.r AS VARCHAR)
-                                    || chr(31) || '42'), 1, 8))::UBIGINT
-                  % 2048 AS BIGINT) AS bucket
-      FROM exact e, rows_ r),
-    est AS (
-      SELECT p.t, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
-      FROM probes p LEFT JOIN sketch s
-        ON s.r = p.r AND s.bucket = p.bucket
-      GROUP BY p.t)
-    SELECT e.t AS gram, est, exact, (est >= exact) AS overestimate_ok
-    FROM exact e JOIN est ON est.t = e.t
-    ORDER BY exact DESC, gram
-    """,
-    doc="count-min sketch over corpus unigrams vs the exact census for "
-    "the top-20 tokens, ORACLE-CHECKED (round 9, slot freed by w03->w01: "
-    "the portable md5 double-hash arithmetic lets DuckDB rebuild the "
-    "sketch counter-for-counter and replay the min-estimate)",
-)
 def x52_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens as _tok
     from ..operators.retrieval import countmin_estimate, countmin_table
@@ -3242,14 +3270,53 @@ def x52_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one float scale (4x smaller scans than float32 embeddings) with
 # near-exact recall; the integer GEMM accumulates in int32 and the
 # scale/norm rescale restores cosine up to ~1/254-per-component
-# quantization error. Rows-only (approximate by design); the numpy
-# quantization twin and the recall floor vs x10 are pinned in pytest.
+# quantization error. ORACLE-CHECKED since round 11 (slot freed by
+# x52→x03): every stage is deterministic arithmetic DuckDB can replay —
+# quantization is round(x / (max|x|/127)) (both engines round halves
+# away from zero for doubles), the int8×int8 dot is EXACT in doubles
+# (|dot| ≤ 64·127² ≪ 2⁵³), and the rescale association mirrors the
+# kernel exactly: (dot · (c_scale/c_norm)) · (q_scale/q_norm), rounded
+# to 6 dp before ranking with the same ties-to-smaller-id cut. The
+# recall floor vs x10 and the numpy quantization twin stay in pytest.
 # --------------------------------------------------------------------------
 @register(
     "x53_int8_topk",
-    oracle=None,
+    oracle="""
+    WITH q8 AS (
+      SELECT vec_id AS id, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+             END AS q
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) / 127.0 AS scale
+            FROM embeddings)),
+    n8 AS (
+      SELECT id, scale, q,
+             CASE WHEN sqrt(list_sum(list_transform(
+                      q, x -> (x * scale) * (x * scale)))) = 0
+                  THEN 1.0
+                  ELSE sqrt(list_sum(list_transform(
+                      q, x -> (x * scale) * (x * scale))))
+             END AS nrm
+      FROM q8),
+    s AS (
+      SELECT p.id AS query_id, c.id AS cand_id,
+             round((list_dot_product(c.q, p.q) * (c.scale / c.nrm))
+                   * (p.scale / p.nrm), 6) AS score
+      FROM n8 p JOIN n8 c ON p.id < 5 AND c.id <> p.id)
+    SELECT query_id, cand_id, score, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+          FROM s)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
     doc="int8-quantized embedding cosine top-k (per-vector symmetric "
-    "scale; integer GEMM + rescale; rows-only, recall floor vs x10 in "
+    "scale; exact integer GEMM + rescale, oracle replays quantization, "
+    "dot, rescale association, and tie-break; recall floor vs x10 in "
     "pytest)",
 )
 def x53_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
