@@ -79,7 +79,10 @@ HEADLINE = [
     # w14, which joins the headline below.
     "x02_cdc_latest_event",
     # round 9: x03 union-tagged (absorbs x33's bigram heavy hitters) —
-    # timing not comparable to rounds <= 8
+    # timing not comparable to rounds <= 8. Round 11: also absorbs
+    # x52's count-min 'cms' branch (sketch build + probe inside the
+    # query) — not comparable to rounds <= 10. The freed oracle slot
+    # promoted x53, which joins the headline below.
     "x03_token_stats",
     "x07_minhash_neardup",
     # round 8: x08_simhash consolidated into x06; its bench slot goes to
@@ -153,6 +156,9 @@ HEADLINE = [
     # IVF-PQ composition trains cells AND codebooks inside fn()) — not
     # comparable to rounds <= 8.
     "x41_pq_ann",
+    # round 11: int8-quantized serving path (oracle-promoted; quantize +
+    # localCheckpoint run inside fn() — EAGER_FN)
+    "x53_int8_topk",
     # round 5 (late): hybrid BM25 + PRF-dense RRF fusion (EAGER_FN: the
     # PRF centroid collect runs inside fn())
     "x42_hybrid_rrf",
@@ -308,6 +314,10 @@ EAGER_FN = {
     "x40_lm_perplexity",
     "x41_pq_ann",
     "x42_hybrid_rrf",
+    "x53_int8_topk",
+    # round 11: x03's absorbed cms branch builds + localCheckpoints the
+    # count-min sketch inside fn() — clock must start before it
+    "x03_token_stats",
 }
 
 

@@ -226,22 +226,35 @@ def export_shards(
     sequential read for the loader. A ``_shards.json`` manifest records
     per-shard row counts and unit totals plus the order contract, and
     is written LAST (manifest-present ⇒ data complete — the loader's
-    crash boundary).
+    crash boundary). Shard ids may be SPARSE (an oversized row spans
+    windows that then hold no shard of their own): the manifest's
+    ``shards`` list is authoritative — mount those dirs, never
+    ``range(n_shards)``.
 
     Deterministic on any input partitioning: same corpus → same shard
     boundaries, same file contents. Returns the manifest dict.
     """
     import json as _json
 
-    assigned = pack_sequences(
-        df, order_col, weight_col, max_per_shard, bucket_size
-    ).withColumnRenamed("pack_id", "shard_id")
-    n_shards = assigned.agg(F.max("shard_id")).first()[0]
-    if n_shards is None:
+    # one lineage materialization for the three consumers below (max-id
+    # action, write, stats collect) — without it the prefix-sum pipeline
+    # (full scan + two shuffles) would execute three times end-to-end
+    assigned = (
+        pack_sequences(df, order_col, weight_col, max_per_shard, bucket_size)
+        .withColumnRenamed("pack_id", "shard_id")
+        .localCheckpoint()
+    )
+    max_id = assigned.agg(F.max("shard_id")).first()[0]
+    if max_id is None:
         raise ValueError("export_shards: empty input")
     (
-        assigned.repartition(int(n_shards) + 1, "shard_id")
-        .sortWithinPartitions(order_col)
+        # sort by (shard_id, order_col): this IS the ordering the dynamic-
+        # partition writer requires, so Spark inserts no sort of its own —
+        # a writer-inserted Sort(shard_id) would not be stable on
+        # order_col across spill-run merges, silently breaking the
+        # loader's sequential-read contract inside large shards
+        assigned.repartition(int(max_id) + 1, "shard_id")
+        .sortWithinPartitions("shard_id", order_col)
         .write.mode("errorifexists")
         .partitionBy("shard_id")
         .parquet(path)
@@ -261,7 +274,12 @@ def export_shards(
         "order_col": order_col,
         "weight_col": weight_col,
         "max_per_shard": max_per_shard,
+        # shard ids can be SPARSE: a row heavier than max_per_shard spans
+        # several windows, and the windows it covers get no shard of
+        # their own — `shards` is the authoritative list of the dirs
+        # that exist; never iterate range(n_shards)
         "n_shards": len(stats),
+        "max_shard_id": int(max_id),
         "shards": stats,
     }
     spark = df.sparkSession

@@ -248,8 +248,6 @@ def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 11: former x52_countmin_sketch as the 'cms' branch — the
     # sublinear sketch probed at the exact top-20 (n := estimate,
     # n_docs := exact); est >= exact stays pinned in pytest
-    from pyspark.sql.window import Window as W2
-
     from ..operators.retrieval import countmin_estimate, countmin_table
 
     toks = d.select(F.explode(tokens(F.col("text"))).alias("t"))
@@ -267,7 +265,7 @@ def x03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rank",
             F.row_number()
-            .over(W2.orderBy(F.desc("exact"), F.asc("gram")))
+            .over(W.orderBy(F.desc("exact"), F.asc("gram")))
             .cast("bigint"),
         )
         .select(
@@ -3232,36 +3230,12 @@ def x51_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # (x52_countmin_sketch was consolidated into x03's union-tagged 'cms'
 # branch in round 11 — same sketch build, same portable md5 oracle
-# arithmetic, n := estimate / n_docs := exact. The standalone function
-# stays for pytest's overestimate/error-envelope properties; the freed
-# driver-window slot oracle-checks x53_int8_topk.)
+# arithmetic, n := estimate / n_docs := exact. No standalone function
+# remains: the countmin_table/countmin_estimate operators keep their
+# direct exact-twin + overestimate/error-envelope tests in
+# tests/test_retrieval.py, and the driver checks the fold through x03
+# every round. Freed the window slot that oracle-checks x53_int8_topk.)
 # --------------------------------------------------------------------------
-def x52_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokens as _tok
-    from ..operators.retrieval import countmin_estimate, countmin_table
-
-    toks = (
-        _t(spark, sf_dir, "documents")
-        .select(F.explode(_tok(F.col("text"))).alias("t"))
-    )
-    sketch = countmin_table(toks, "t", depth=4, width=2048).localCheckpoint()
-    exact = (
-        toks.groupBy("t")
-        .agg(F.count("*").alias("exact"))
-        .orderBy(F.desc("exact"), F.asc("t"))
-        .limit(20)
-    )
-    est = countmin_estimate(sketch, exact, "t", depth=4, width=2048)
-    return (
-        exact.join(est, exact["t"] == est["key"])
-        .select(
-            F.col("t").alias("gram"),
-            "est",
-            "exact",
-            (F.col("est") >= F.col("exact")).alias("overestimate_ok"),
-        )
-        .orderBy(F.desc("exact"), F.asc("gram"))
-    )
 
 
 # --------------------------------------------------------------------------
@@ -3276,8 +3250,15 @@ def x52_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # away from zero for doubles), the int8×int8 dot is EXACT in doubles
 # (|dot| ≤ 64·127² ≪ 2⁵³), and the rescale association mirrors the
 # kernel exactly: (dot · (c_scale/c_norm)) · (q_scale/q_norm), rounded
-# to 6 dp before ranking with the same ties-to-smaller-id cut. The
-# recall floor vs x10 and the numpy quantization twin stay in pytest.
+# to 6 dp before ranking with the same ties-to-smaller-id cut. Known
+# tie-boundary caveat (x51's 2^-64-class disclaimer): the kernel's
+# SCORE rounding is np.round (half-to-even) while DuckDB rounds half
+# away, and numpy's pairwise-summed norms can differ from list_sum by
+# ulps — a score landing within an ulp of an exact x.xxxxx5 boundary
+# could round apart. Measure-zero on real data (verified green at
+# sf0.01 AND sf0.1); the quantization stage itself has no such gap
+# (Spark F.round is HALF_UP, matching DuckDB exactly). Recall floor vs
+# x10 and the numpy quantization twin stay in pytest.
 # --------------------------------------------------------------------------
 @register(
     "x53_int8_topk",
@@ -3291,7 +3272,8 @@ def x52_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
                    list_max(list_transform(embedding::DOUBLE[],
                                            x -> abs(x))) / 127.0 AS scale
-            FROM embeddings)),
+            FROM embeddings
+            WHERE embedding IS NOT NULL)),
     n8 AS (
       SELECT id, scale, q,
              CASE WHEN sqrt(list_sum(list_transform(

@@ -3378,11 +3378,20 @@ def test_export_shards_layout_manifest_and_determinism(spark, sf_dir, tmp_path):
     for n, u, m in census.values():
         assert u - m < 20_000, (n, u, m)
     # the file on disk IS doc_id-ordered (the loader's sequential-read
-    # contract): per-shard min/max ranges must not overlap and each
-    # shard's parquet row order is ascending
+    # contract): read each shard's single parquet file directly, WITHOUT
+    # any sort, and assert its physical row order is ascending — an
+    # orderBy before the assert would re-sort and prove nothing
     one = json.loads(json.dumps(man))  # deep copy for clarity
-    ids = [r["doc_id"] for r in back.orderBy("shard_id", "doc_id").collect()]
-    assert ids == sorted(ids)
+    import pyarrow.parquet as pq
+
+    for entry in man["shards"]:
+        d = f"{out}/shard_id={entry['shard_id']}"
+        fname = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        file_ids = pq.read_table(f"{d}/{fname}", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        assert file_ids == sorted(file_ids), entry["shard_id"]
+        assert len(file_ids) == entry["n_rows"]
     # determinism: a 1-partition input produces the same manifest
     man2 = export_shards(
         docs.repartition(1), str(tmp_path / "shards2"), "doc_id", "units",
