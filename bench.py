@@ -235,15 +235,20 @@ HEADLINE = [
 ]
 
 
-#: Round-11 final (idle host, 2 back-to-back full runs): total
-#: 118.0 -> 112.5 s. The +13 s vs round 10's 99.7 is NEW SURFACE, not
-#: regression: x44 joined the headline (5.9 s, snapshot census incl.
-#: the round-11 delete branch), w14 joined (2.3 s), x02 absorbed w10's
-#: full streaming replay (0.14 -> 5.7 s; the standalone w10 key is
-#: gone), and x54 grew its IVM 'view' branch (3.9 -> 5.7 s); four
-#: standalone keys (q06/q24/x12/x38) folded into their hosts
-#: (q01/q26/x10/x21 each grew by roughly the folded query's cost).
-#: Like-for-like batch total 41.9 s ~= r10's 41.45. x45 1.4-1.5 s
+#: Round-11 final (idle host, warm run of 2; the first run directly
+#: after the 22-min suite read 139 s — cold-JVM inflation, the
+#: round-9 lesson): total 115.0 s (batch 44.0, fixed 71.0). The
+#: +15 s vs round 10's 99.7 is NEW SURFACE, not regression: x44
+#: joined the headline (5.9 s snapshot census incl. the delete
+#: branch), w14 joined (2.3 s), x53 joined (0.4 s), x02 absorbed
+#: w10's full streaming replay (0.14 -> 5.7 s; the standalone w10 key
+#: is gone), x54 grew its IVM 'view' branch (3.9 -> 5.7 s), and FIVE
+#: standalone keys (q06/q24/x12/x38/x52) folded into their hosts
+#: (q01/q26/x10/x21/x03 each grew by roughly the folded query's
+#: cost — x03 additionally moved to EAGER_FN because the cms branch's
+#: sketch build runs inside fn(): its ~1.9 s is the first HONEST
+#: number for that shape, not comparable to the 0.4-0.5 s
+#: clock-after-fn readings of rounds <= 10). x45 1.4-1.5 s
 #: re-confirms the r10 3.02 s was host drift (bpe.py untouched).
 #:
 #: Round-11 re-measure (idle host, 3 back-to-back reps, clearCache
