@@ -771,6 +771,23 @@ def _zone_prune(
     return [d for d in dirs if may_match(d)]
 
 
+def _type_family(t: str) -> str:
+    """Coarse type family for partition-column compatibility: partition
+    types re-infer from path strings per commit, so exact types
+    legitimately differ within a family (``p=3`` infers ``int`` beside a
+    ``bigint`` data column — Spark's union upcast is deterministic
+    there), while a CROSS-family mix has value-dependent cast semantics
+    and must be rejected. Shared by the read gate and the merge gate so
+    the two can never diverge."""
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "integral"
+    if t in ("float", "double") or t.startswith("decimal"):
+        return "fractional"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return t
+
+
 def _read_dirs(
     spark: SparkSession, table: str, all_dirs: list[str], manifest: dict
 ) -> DataFrame:
@@ -816,15 +833,7 @@ def _read_dirs(
     the write-time gate can't see, because partition VALUES aren't in
     the frame it checks. Families: integral / fractional / timestamp /
     everything else exact."""
-
-    def _family(t: str) -> str:
-        if t in ("tinyint", "smallint", "int", "bigint"):
-            return "integral"
-        if t in ("float", "double") or t.startswith("decimal"):
-            return "fractional"
-        if t.startswith("timestamp"):
-            return "timestamp"
-        return t
+    _family = _type_family
 
     by_commit: dict[str, list[str]] = {}
     for d in all_dirs:
@@ -1712,3 +1721,285 @@ def snapshot_maintain(
     snapshot_rewrite(spark, table, partition_by, stats_cols=stats_cols)
     expired = snapshot_expire(spark, table, keep_last=keep_last)
     return {"live_commits": len(live), "rewritten": True, "expired": expired}
+
+
+def snapshot_merge_into(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    prune="auto",
+    stats_cols: list[str] | None = None,
+    meta: dict | None = None,
+) -> int:
+    """MERGE a batch-sized ``source`` into the live snapshot as ONE
+    atomic ``merge`` commit — the last DML verb the snapshot protocol
+    was missing (append / overwrite / delete / rollback exist), the
+    Delta ``MERGE INTO`` / Iceberg copy-on-write merge shape. The
+    reference's CDC landing (SURVEY §2.9: latest-per-key compaction of
+    the 11 CDC topics) is exactly an upsert; this is that upsert as a
+    first-class table operation instead of a maintenance-stream
+    internal.
+
+    Row semantics per ``on``-keys tuple:
+
+    * in both            -> ``when_matched``: ``"update"`` replaces the
+      target row with the SOURCE image, ``"delete"`` removes it,
+      ``None`` keeps the target row untouched;
+    * only in ``source`` -> ``when_not_matched``: ``"insert"`` appends
+      the source row, ``None`` drops it;
+    * only in the target -> always kept (survivor).
+
+    NULL join keys never match (SQL equality — same as Delta): a NULL-
+    keyed target row is a survivor, a NULL-keyed source row is a
+    not-matched insert.
+
+    Cost model (the 100 TB contract): only CANDIDATE directories — those
+    whose manifest zone maps say they MAY hold a source key — are read
+    and rewritten; every other live dir is carried by reference. With
+    ``prune="auto"`` (default) the candidate set derives from the
+    source's own key range: one source-sized min/max agg per key column,
+    matched against the stats recorded by ``stats_cols`` at write time.
+    Auto-pruning is EXACT, not a caller contract: zone-map skipping is
+    conservative (dirs without stats stay candidates), and any target
+    row matching a source key must live in a dir whose [min, max]
+    intersects the source's key range — so a keyed upsert against a
+    key-clustered table rewrites one dir, never the table. An explicit
+    ``prune=[(col, lo, hi), ...]`` list skips the agg but puts the
+    bound's correctness on the caller (a range that does not cover the
+    source keys silently re-INSERTS matched rows — same caveat as
+    ``snapshot_delete_where``); ``prune=None`` reads every live dir.
+
+    Plan shape: ONE full-outer shuffle join between the candidate scan
+    and ``source`` classifies every row in a single CASE (the
+    ``snapshot_row_changes`` kernel) — survivors, updates, and inserts
+    come out of one pass over the candidate dirs, never a per-verb
+    branch union re-reading them.
+
+    Contracts: ``source`` keys must be UNIQUE (checked with one
+    source-sized agg; two source images for one target row is a
+    nondeterministic merge) and ``source`` must be deterministic under
+    re-evaluation (it feeds the probe and the write). ``source`` must
+    carry EVERY target column — missing columns would silently NULL-out
+    updated rows; extra source columns are additive evolution, gated by
+    the same write-time type check as ``snapshot_append`` (survivors
+    NULL-backfill). Shared columns must match the target's type exactly
+    (partition columns at type-FAMILY level, since their read types
+    re-infer from path strings). Updates may MOVE a row across
+    partitions: the old image's dir is rewritten without it and the new
+    image lands in its new partition's dir in the same commit.
+
+    A merge that matches nothing and inserts nothing is a NO-OP
+    returning the current version; a delete-mode merge that would empty
+    the table is refused (the empty-snapshot rule). Time travel keeps
+    the pre-merge version readable, and ``snapshot_row_changes`` across
+    the merge commit emits exact insert/delete/update images — IVM
+    views and incremental consumers apply a merge with no rescan."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(
+            f"when_matched must be 'update', 'delete' or None, got "
+            f"{when_matched!r}"
+        )
+    if when_not_matched not in ("insert", None):
+        raise ValueError(
+            f"when_not_matched must be 'insert' or None, got "
+            f"{when_not_matched!r}"
+        )
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("merge with no matched AND no not-matched clause "
+                         "is a no-op by construction")
+    committed = current_version(spark, table)
+    if not committed:
+        raise ValueError(
+            f"snapshot table {table} is empty/uninitialized — bootstrap "
+            "with snapshot_append, then merge"
+        )
+    missing_keys = [k for k in on if k not in source.columns]
+    if missing_keys:
+        raise ValueError(f"key column(s) {missing_keys} not in source")
+    manifest = _load_manifest(spark, table, committed, committed=committed)
+    parts = manifest["partitions"]
+    all_dirs = sorted(d for dirs in parts.values() for d in dirs)
+    pcols = _manifest_pcols(parts)
+
+    # source key uniqueness: one source-sized agg (merge is a batch op,
+    # never a hot row path) — a duplicate key means two source images
+    # compete for one target row, a nondeterministic merge
+    dup = (
+        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+    )
+    if not dup.isEmpty():
+        raise ValueError(
+            f"source has duplicate rows for merge key(s) {on} — a merge "
+            "source must be unique per key (pre-compact with "
+            "latest_by_key)"
+        )
+
+    if prune == "auto":
+        stats_known = {
+            c for st in manifest.get("stats", {}).values() for c in st
+        }
+        probe_cols = [k for k in on if k in stats_known]
+        skip_where = []
+        if probe_cols:
+            aggs = []
+            for c in probe_cols:
+                aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+            bounds = source.agg(*aggs).first()
+            for c in probe_cols:
+                lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+                if lo is not None and hi is not None:
+                    skip_where.append((c, lo, hi))
+        cand = set(_zone_prune(manifest, all_dirs, skip_where)
+                   if skip_where else all_dirs)
+    elif prune is not None:
+        cand = set(_zone_prune(manifest, all_dirs, prune))
+    else:
+        cand = set(all_dirs)
+
+    if cand:
+        cand_df = _read_dirs(spark, table, sorted(cand), manifest)
+    else:
+        # zone maps prove no dir can hold a source key: nothing matches,
+        # the merge degenerates to pure inserts (schema from the table)
+        cand_df = _read_state_side(spark, table, [], manifest)
+    # candidate dirs may predate evolved columns — NULL back-fill from
+    # the recorded union so images and comparisons see the table schema
+    for c, t in manifest.get("dschema", {}).items():
+        if c not in cand_df.columns:
+            cand_df = cand_df.withColumn(c, F.lit(None).cast(t))
+
+    all_cols = list(cand_df.columns)
+    absent = [c for c in all_cols if c not in source.columns]
+    if absent:
+        raise ValueError(
+            f"source lacks target column(s) {absent}: a merge source "
+            "must carry every target column (missing ones would "
+            "silently NULL updated rows) — select them from the target "
+            "or pass explicit NULL casts"
+        )
+    ttypes = {f.name: f.dataType for f in cand_df.schema.fields}
+    stypes = {f.name: f.dataType for f in source.schema.fields}
+    aligned = source
+    for c in all_cols:
+        st, tt = stypes[c].simpleString(), ttypes[c].simpleString()
+        if st == tt:
+            continue
+        if c in pcols and _type_family(st) == _type_family(tt):
+            # partition types re-infer from path strings (int for p=3
+            # beside a bigint source column) — same-family casts are
+            # deterministic, exactly the read gate's rule
+            aligned = aligned.withColumn(c, F.col(c).cast(ttypes[c]))
+        else:
+            raise ValueError(
+                f"source column {c!r} type {st} does not match the "
+                f"table's {tt}; merge never casts data columns — cast "
+                "the source explicitly"
+            )
+    extra_cols = [c for c in aligned.columns if c not in all_cols]
+    out_cols = all_cols + extra_cols
+
+    if when_matched is None:
+        # insert-only merge: matched target rows stay BY REFERENCE — no
+        # candidate dir is rewritten, the commit is a pure append of the
+        # not-matched source rows (the cheapest verb wins)
+        inserts = aligned.join(
+            cand_df.select(*on), on, "left_anti"
+        ).select(*out_cols)
+        if inserts.limit(1).isEmpty():
+            return committed
+        return snapshot_append(
+            spark, table, inserts, pcols or None, meta=meta,
+            stats_cols=stats_cols,
+        )
+
+    tgt = cand_df.select(
+        *on, F.struct(*[F.col(c) for c in all_cols]).alias("_tgt")
+    )
+    src = aligned.select(
+        *on, F.struct(*[F.col(c) for c in out_cols]).alias("_src")
+    )
+    j = tgt.join(src, on, "full_outer")
+
+    # one probe decides no-op BEFORE any data lands (delete_where's
+    # guard shape): does any row actually change?
+    change_pred = F.col("_tgt").isNotNull() & F.col("_src").isNotNull()
+    if when_not_matched == "insert":
+        change_pred = change_pred | F.col("_tgt").isNull()
+    if j.filter(change_pred).limit(1).isEmpty():
+        return committed
+
+    matched_img = (
+        F.col("_src") if when_matched == "update" else F.lit(None)
+    )
+    survivor_img = F.struct(
+        *[F.col(f"_tgt.{c}").alias(c) for c in all_cols],
+        *[F.lit(None).cast(stypes[c]).alias(c) for c in extra_cols],
+    )
+    insert_img = (
+        F.col("_src") if when_not_matched == "insert" else F.lit(None)
+    )
+    img = (
+        F.when(F.col("_src").isNull(), survivor_img)
+        .when(F.col("_tgt").isNull(), insert_img)
+        .otherwise(matched_img)
+    )
+    combined = (
+        j.select(img.alias("_img"))
+        .filter(F.col("_img").isNotNull())
+        .select(*[F.col(f"_img.{c}").alias(c) for c in out_cols])
+    )
+    # column order convention: data columns first, partition keys last
+    if pcols:
+        combined = combined.select(
+            *[c for c in out_cols if c not in pcols],
+            *[c for c in pcols if c in out_cols],
+        )
+
+    untouched_exists = any(
+        d not in cand for dirs in parts.values() for d in dirs
+    )
+    dschema = None
+    if combined.limit(1).isEmpty():
+        if not untouched_exists:
+            raise ValueError(
+                "snapshot_merge_into would commit an unreadable EMPTY "
+                "snapshot (every live row deleted, nothing inserted) — "
+                "drop or rebuild the table instead (the "
+                "snapshot_overwrite_all rule)"
+            )
+        rels = []
+    else:
+        dschema = _merged_commit_schema(spark, table, combined, pcols or None)
+        rels = _write_commit_data(combined, table, pcols or None)
+    grouped = _group_rels(rels, pcols or None) if rels else {}
+    affected = {k for k, dirs in parts.items() if any(d in cand for d in dirs)}
+    new_partitions: dict[str, list[str]] = {}
+    for k in affected:
+        untouched = [d for d in parts[k] if d not in cand]
+        rewritten = grouped.pop(k, [])
+        if untouched or rewritten:
+            new_partitions[k] = untouched + rewritten
+    # leftovers are legal here (unlike delete_where): inserts and
+    # partition-moving updates land in partitions the merge never read —
+    # they APPEND to untouched partitions / create new ones
+    for k, dirs in grouped.items():
+        new_partitions.setdefault(k, []).extend(dirs)
+    stats = (
+        _collect_dir_stats(spark, table, rels, stats_cols)
+        if stats_cols and rels
+        else None
+    )
+    return _commit(
+        spark,
+        table,
+        "merge",
+        new_partitions,
+        replaced=affected,
+        meta=meta,
+        stats=stats,
+        dschema=dschema,
+        cschema=_frame_cschema(combined, pcols or None),
+    )

@@ -2635,11 +2635,25 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'delete_images',
            (SELECT count(*) FROM ev WHERE event_id < 100), 0.0
+    UNION ALL
+    SELECT 'merge_n_after',
+           count(*) + (SELECT count(*) FROM ev WHERE event_id < 20),
+           round(sum(CASE WHEN event_id < 50
+                          THEN round(value * 3, 6) ELSE value END)
+                 + (SELECT sum(value) FROM ev WHERE event_id < 20), 2)
+    FROM ev
+    UNION ALL
+    SELECT 'merge_images',
+           (SELECT count(*) FROM ev WHERE event_id < 20)
+           + 2 * (SELECT count(*) FROM ev WHERE event_id < 50
+                  AND round(value * 3, 6) IS DISTINCT FROM value),
+           0.0
     ORDER BY label
     """,
     doc="snapshot commits: append/overwrite/time-travel/rollback census + "
-    "zone-map dir pruning + incremental delta, oracle-rebuilt from "
-    "events (protocol crash/race semantics pinned in test_snapshots.py)",
+    "zone-map dir pruning + incremental delta + MERGE INTO upsert images, "
+    "oracle-rebuilt from events (protocol crash/race semantics pinned in "
+    "test_snapshots.py)",
 )
 def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -2761,6 +2775,39 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("delete_images",
              images.filter(F.col("_change_type") == "delete").count(), 0.0)
         )
+        # round 11 (this session): MERGE-INTO branch — the last DML verb.
+        # Matched source rows (event_id < 50, all inside the FIRST date
+        # dir because event ids are monotone with ts) update value to
+        # round(value*3, 6); not-matched rows (the same first-20 events
+        # shifted to negative keys) insert. The source key range
+        # [-100, 49] auto-prunes the rewrite to the one intersecting dir
+        # (zone-map stats recorded at append time) — pruning is physical
+        # here and plan/manifest-asserted in test_snapshots.py; the
+        # oracle pins the post-merge census and the exact change-feed
+        # image count (inserts + 2 per value-changing update, null-safe).
+        from ..operators.snapshots import snapshot_merge_into
+
+        upd_src = ev.filter(F.col("event_id") < 50).withColumn(
+            "value", F.round(F.col("value") * 3, 6)
+        )
+        ins_src = ev.filter(F.col("event_id") < 20).withColumn(
+            "event_id", F.col("event_id") - 100
+        )
+        v_m_pre = current_version(spark, t)
+        v_m = snapshot_merge_into(
+            spark, t, upd_src.unionByName(ins_src), ["event_id"],
+            stats_cols=["event_id"],
+        )
+        magg = (
+            snapshot_read(spark, t)
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+            .first()
+        )
+        rows.append(("merge_n_after", magg["n"], float(magg["sv"])))
+        imgs = snapshot_row_changes(
+            spark, t, ["event_id"], v_m_pre, to_version=v_m
+        )
+        rows.append(("merge_images", imgs.count(), 0.0))
         # rows are already driver-local python tuples: the frame never
         # references the scratch table deleted in finally
         return spark.createDataFrame(rows, "label string, n long, sum_value double")

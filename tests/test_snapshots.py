@@ -2481,3 +2481,231 @@ def test_tag_repoint_highest_ref_wins(spark, table):
         _json.dumps({"version": 1}),
     )
     assert _rows(snapshot_read(spark, table, "published")) == [(0, 0), (1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# snapshot_merge_into — the MERGE DML verb (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _merge_imports():
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_merge_into,
+        snapshot_row_changes,
+    )
+
+    return snapshot_merge_into, snapshot_row_changes
+
+
+def test_merge_update_and_insert(spark, table):
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "id long, p string, v long",
+        ),
+        ["p"],
+    )
+    src = spark.createDataFrame(
+        [(2, "a", 200), (4, "b", 40)], "id long, p string, v long"
+    )
+    v = merge(spark, table, src, ["id"])
+    assert v == 2
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"), (2, 200, "a"), (3, 30, "b"), (4, 40, "b")
+    ]
+    # pre-merge version stays readable (time travel)
+    assert _rows(snapshot_read(spark, table, 1)) == [
+        (1, 10, "a"), (2, 20, "a"), (3, 30, "b")
+    ]
+    assert snapshot_history(spark, table)[-1]["op"] == "merge"
+
+
+def test_merge_delete_mode(spark, table):
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark,
+        table,
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, v long"),
+    )
+    src = spark.createDataFrame([(2, 0), (9, 0)], "id long, v long")
+    merge(spark, table, src, ["id"], when_matched="delete",
+          when_not_matched=None)
+    assert _rows(snapshot_read(spark, table)) == [(1, 10), (3, 30)]
+
+
+def test_merge_insert_only_appends_without_rewriting(spark, table):
+    """when_matched=None must not rewrite ANY candidate dir: matched rows
+    stay by reference and the commit is a pure append of the new keys."""
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 10)], "id long, p string, v long"),
+        ["p"],
+    )
+    before = set(
+        _load_manifest(spark, table, 1)["partitions"]["p=a"]
+    )
+    src = spark.createDataFrame(
+        [(1, "a", 999), (2, "a", 20)], "id long, p string, v long"
+    )
+    merge(spark, table, src, ["id"], when_matched=None)
+    after = _load_manifest(spark, table, current_version(spark, table))
+    assert before <= set(after["partitions"]["p=a"]), "v1 dirs carried"
+    assert snapshot_history(spark, table)[-1]["op"] == "append"
+    # matched row 1 kept its ORIGINAL value (no update)
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a"), (2, 20, "a")]
+
+
+def test_merge_noop_returns_current_version(spark, table):
+    merge, _ = _merge_imports()
+    v1 = snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    # nothing matches + nothing to insert
+    src = spark.createDataFrame([(9, 90)], "id long, v long")
+    assert merge(spark, table, src, ["id"], when_matched="update",
+                 when_not_matched=None) == v1
+    assert len(snapshot_history(spark, table)) == 1
+
+
+def test_merge_duplicate_source_keys_raise(spark, table):
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    src = spark.createDataFrame([(1, 11), (1, 12)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge(spark, table, src, ["id"])
+
+
+def test_merge_source_missing_target_column_raises(spark, table):
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="lacks target column"):
+        merge(spark, table, src, ["id"])
+
+
+def test_merge_refuses_emptying_the_table(spark, table):
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    src = spark.createDataFrame([(1, 0)], "id long, v long")
+    with pytest.raises(ValueError, match="EMPTY"):
+        merge(spark, table, src, ["id"], when_matched="delete",
+              when_not_matched=None)
+
+
+def test_merge_auto_prune_rewrites_only_intersecting_dirs(spark, table):
+    """The 100 TB cost contract: with key zone maps recorded, a merge
+    whose source keys bound away from a dir's [min, max] must carry that
+    dir BY REFERENCE and rewrite only intersecting dirs — no prune hint
+    from the caller, the bound derives from the source itself."""
+    merge, _ = _merge_imports()
+    lo = spark.createDataFrame(
+        [(i, "a", i) for i in range(10)], "id long, p string, v long"
+    )
+    hi = spark.createDataFrame(
+        [(i, "a", i) for i in range(1000, 1010)], "id long, p string, v long"
+    )
+    snapshot_append(spark, table, lo, ["p"], stats_cols=["id"])
+    snapshot_append(spark, table, hi, ["p"], stats_cols=["id"])
+    before = _load_manifest(spark, table, 2)
+    lo_dirs = {
+        d for d in before["partitions"]["p=a"]
+        if before["stats"][d]["id"][1] < 1000
+    }
+    hi_dirs = set(before["partitions"]["p=a"]) - lo_dirs
+    src = spark.createDataFrame(
+        [(1005, "a", -1), (1020, "a", -2)], "id long, p string, v long"
+    )
+    merge(spark, table, src, ["id"], stats_cols=["id"])
+    after = _load_manifest(spark, table, current_version(spark, table))
+    after_dirs = set(after["partitions"]["p=a"])
+    assert lo_dirs <= after_dirs, "disjoint dirs must carry by reference"
+    assert not (hi_dirs & after_dirs), "intersecting dirs must be rewritten"
+    assert _rows(snapshot_read(spark, table)) == sorted(
+        [(i, i, "a") for i in range(10)]
+        + [(i, i, "a") for i in range(1000, 1010) if i != 1005]
+        + [(1005, -1, "a"), (1020, -2, "a")]
+    )
+
+
+def test_merge_update_moves_row_across_partitions(spark, table):
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+        ),
+        ["p"],
+    )
+    # row 1 moves partition a -> c in the same atomic commit
+    src = spark.createDataFrame([(1, "c", 11)], "id long, p string, v long")
+    merge(spark, table, src, ["id"])
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 11, "c"), (2, 20, "b")
+    ]
+    m = _load_manifest(spark, table, current_version(spark, table))
+    assert "p=c" in m["partitions"]
+    assert "p=a" not in m["partitions"], "emptied partition drops"
+
+
+def test_merge_emits_exact_change_images(spark, table):
+    """snapshot_row_changes across a merge commit = the exact CDF images
+    of what the merge did — IVM and incremental consumers apply a merge
+    without any rescan."""
+    merge, row_changes = _merge_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, v long"),
+    )
+    src = spark.createDataFrame([(2, 200), (4, 40)], "id long, v long")
+    v2 = merge(spark, table, src, ["id"])
+    got = sorted(
+        tuple(r) for r in row_changes(spark, table, ["id"], 1, to_version=v2)
+        .collect()
+    )
+    assert got == [
+        (2, 20, "update_preimage"),
+        (2, 200, "update_postimage"),
+        (4, 40, "insert"),
+    ]
+
+
+def test_merge_additive_evolution_extra_source_column(spark, table):
+    """Extra source columns are additive evolution: survivors NULL-fill,
+    updated/inserted rows carry the new value, the union lands in the
+    recorded schema."""
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+    )
+    src = spark.createDataFrame(
+        [(2, 200, "en"), (3, 30, "fr")], "id long, v long, lang string"
+    )
+    merge(spark, table, src, ["id"])
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, None), (2, 200, "en"), (3, 30, "fr")
+    ]
+    m = _load_manifest(spark, table, current_version(spark, table))
+    assert m["dschema"]["lang"] == "string"
+
+
+def test_merge_type_mismatch_and_uninitialized_raise(spark, table):
+    merge, _ = _merge_imports()
+    src = spark.createDataFrame([(1, "x")], "id long, v string")
+    with pytest.raises(ValueError, match="uninitialized"):
+        merge(spark, table, src, ["id"])
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        merge(spark, table, src, ["id"])
