@@ -84,6 +84,11 @@ HEADLINE = [
     # query) — not comparable to rounds <= 10. The freed oracle slot
     # promoted x53, which joins the headline below.
     "x03_token_stats",
+    # round 11 (late): x07 absorbs former x06_fingerprints as its three
+    # union-tagged fingerprint branches (md5_norm/rabin_karp/simhash run
+    # INSIDE x07's fn) — x07 timing is the pair pipeline plus the
+    # fingerprint censuses, not comparable to rounds <= 10 on either
+    # name. The freed oracle slot promoted x55 (below).
     "x07_minhash_neardup",
     # round 8: x08_simhash consolidated into x06; its bench slot goes to
     # the new substring-granular dedup (positioned-gram census + island
@@ -151,6 +156,9 @@ HEADLINE = [
     # timing not comparable to rounds <= 8
     "x39_domain_cap",
     "x40_lm_perplexity",
+    # round 11 (late): DSIR importance resampling — target/raw unigram
+    # LMs (Dirichlet target smoothing) -> Gumbel-top-k selection census
+    "x55_dsir_select",
     # round 5 (late): PQ ANN — trains codebooks + encodes inside fn()
     # (EAGER_FN). Round 9: union-tagged 'pq' + 'ivfpq' branches (the
     # IVF-PQ composition trains cells AND codebooks inside fn()) — not

@@ -415,39 +415,10 @@ def _sql_simhash(bits: int) -> str:
     """
 
 
-@register(
-    "x06_fingerprints",
-    oracle=f"""
-    SELECT 'md5_norm' AS algo,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-           count(*)    AS n_docs,
-           min(doc_id) AS first_doc,
-           max(doc_id) AS last_doc
-    FROM documents
-    GROUP BY 2
-    UNION ALL
-    SELECT 'rabin_karp' AS algo, CAST(fp AS VARCHAR) AS fp,
-           count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM (
-      SELECT doc_id,
-             list_reduce(
-               [CAST(0 AS BIGINT)] ||
-               list_transform(list_filter(regexp_split_to_array(text, ''),
-                                          c -> c <> ''),
-                              c -> CAST(ascii(c) AS BIGINT)),
-               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-      FROM documents)
-    GROUP BY 2
-    UNION ALL
-    SELECT 'simhash' AS algo, CAST(simhash AS VARCHAR) AS fp,
-           count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM ({_sql_simhash(_SIMHASH_BITS)})
-    GROUP BY 2
-    ORDER BY algo, fp
-    """,
-    doc="document fingerprints: md5(normalized) + Rabin-Karp rolling hash "
-    "+ portable-hash SimHash, union-tagged",
-)
+# (UNREGISTERED since round 11 — consolidated into x07's union-tagged
+# fingerprint branches, freeing its oracle slot for x55_dsir_select.
+# The function stays: x07's registered form and the pytest fingerprint
+# tests call it, the x22/w10 precedent.)
 def x06_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
 
@@ -476,10 +447,15 @@ def x06_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x07 — MinHash-LSH near-dup pairs, exact-Jaccard verified. The oracle
-# computes exact Jaccard over pairs sharing >= 1 shingle (feasible at
-# sf0.01 oracle scale); the Spark side uses banded LSH candidates — results
-# agree because verification filters both down to true >= threshold pairs.
+# x07 — near-dup dedup family, union-tagged since round 11 (absorbs former
+# x06_fingerprints, freeing its oracle slot for x55_dsir_select):
+# 'pairs' = MinHash-LSH candidates + exact-Jaccard verify (the oracle
+# computes exact Jaccard over pairs sharing >= 1 shingle — feasible at
+# sf0.01 oracle scale; results agree because verification filters both
+# down to true >= threshold pairs), and the three fingerprint branches
+# (md5_norm / rabin_karp / simhash) grouped as dup classes. Shared
+# schema: branch, fp (NULL on pairs), a/b = (doc_a, doc_b) or
+# (first_doc, last_doc), v = jaccard or n_docs.
 # --------------------------------------------------------------------------
 @register(
     "x07_minhash_neardup",
@@ -489,21 +465,62 @@ def x06_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
+    SELECT 'pairs' AS branch, CAST(NULL AS VARCHAR) AS fp,
+           doc_a AS a, doc_b AS b,
            round(len(list_intersect(x.sh, y.sh))::DOUBLE
-                 / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+                 / len(list_distinct(x.sh || y.sh)), 6) AS v
     FROM cand
     JOIN sh x ON x.doc_id = doc_a
     JOIN sh y ON y.doc_id = doc_b
     WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE
           / len(list_distinct(x.sh || y.sh)), 6) >= 0.8
-    ORDER BY doc_a, doc_b
+    UNION ALL
+    SELECT 'md5_norm' AS branch,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS a, max(doc_id) AS b, CAST(count(*) AS DOUBLE) AS v
+    FROM documents
+    GROUP BY 2
+    UNION ALL
+    SELECT 'rabin_karp' AS branch, CAST(fp AS VARCHAR) AS fp,
+           min(doc_id) AS a, max(doc_id) AS b, CAST(count(*) AS DOUBLE) AS v
+    FROM (
+      SELECT doc_id,
+             list_reduce(
+               [CAST(0 AS BIGINT)] ||
+               list_transform(list_filter(regexp_split_to_array(text, ''),
+                                          c -> c <> ''),
+                              c -> CAST(ascii(c) AS BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      FROM documents)
+    GROUP BY 2
+    UNION ALL
+    SELECT 'simhash' AS branch, CAST(simhash AS VARCHAR) AS fp,
+           min(doc_id) AS a, max(doc_id) AS b, CAST(count(*) AS DOUBLE) AS v
+    FROM ({_sql_simhash(_SIMHASH_BITS)})
+    GROUP BY 2
+    ORDER BY branch, fp, a, b
     """,
-    doc="near-dup text dedup: MinHash-LSH banded candidates + exact verify",
+    doc="near-dup dedup family, union-tagged: MinHash-LSH banded candidates "
+    "+ exact-Jaccard verify ('pairs') and md5-norm/Rabin-Karp/SimHash "
+    "fingerprint dup classes (former x06, folded round 11)",
 )
 def x07_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return near_dup_pairs(d, threshold=0.8)
+    pairs = near_dup_pairs(d, threshold=0.8).select(
+        F.lit("pairs").alias("branch"),
+        F.lit(None).cast("string").alias("fp"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("jaccard").alias("v"),
+    )
+    fps = x06_fingerprints(spark, sf_dir).select(
+        F.col("algo").alias("branch"),
+        "fp",
+        F.col("first_doc").alias("a"),
+        F.col("last_doc").alias("b"),
+        F.col("n_docs").cast("double").alias("v"),
+    )
+    return pairs.unionByName(fps)
 
 
 # (x08_simhash was consolidated into x06_fingerprints' union-tagged
@@ -3517,4 +3534,94 @@ def x54_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(consume.select(F.lit("consume").alias("branch"), "*"))
         .unionByName(view.select(F.lit("view").alias("branch"), "*"))
         .orderBy("branch", "tag")
+    )
+
+
+# --------------------------------------------------------------------------
+# x55 — DSIR data selection (Xie et al. 2023): select training documents
+# by IMPORTANCE RESAMPLING toward a target distribution — the published
+# method behind "make the web corpus look like Wikipedia". Per-doc log
+# importance weight Σ[ln p_tgt − ln p_raw] with raw-side Laplace and
+# target-side DIRICHLET-prior smoothing over the raw model (Zhai &
+# Lafferty 2001; naive two-sided Laplace makes never-seen junk WIN when
+# the target is small — see importance_weights' docstring); selection
+# is Gumbel-top-k (key = logw − ln(−ln u), u from 48 md5 bits of
+# (id, seed)) — a true without-replacement sample ∝ exp(logw), not a
+# mode-seeking hard threshold, yet a pure function of (row, seed) any
+# md5-capable engine replays. The oracle rebuilds the split, both LMs,
+# the Dirichlet log-ratio sums, the Gumbel keys (6 dp rounded, the
+# x49/x53 boundary convention), the top-150 cut with id tie-break, and
+# the per-lang census of the SELECTED set — membership itself is the
+# check. Registered on the slot freed by x06→x07 (fingerprints ride
+# x07's union since round 11). Scale shape: one vocab-sized full-outer
+# LM merge (broadcast), one explode + broadcast join + doc-id shuffle,
+# one distributed top-k (TakeOrderedAndProject) — no global sort, no
+# second corpus pass.
+# --------------------------------------------------------------------------
+@register(
+    "x55_dsir_select",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, text, {_SQL_TOKENS} AS tok FROM documents),
+    sp AS (SELECT *, CASE
+             WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 80 THEN 'train'
+             WHEN ('0x' || substr(md5(text), 1, 8))::UBIGINT % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+           FROM tok),
+    tlm AS (SELECT token, count(*) AS c
+            FROM (SELECT unnest(tok) AS token FROM sp WHERE split = 'val')
+            GROUP BY token),
+    rlm AS (SELECT token, count(*) AS c
+            FROM (SELECT unnest(tok) AS token FROM sp WHERE split = 'train')
+            GROUP BY token),
+    tden AS (SELECT sum(c)::DOUBLE + 1000.0 AS d FROM tlm),
+    rden AS (SELECT sum(c)::DOUBLE + count(*)::DOUBLE AS d FROM rlm),
+    dt AS (SELECT doc_id, lang, unnest(tok) AS token FROM sp
+           WHERE split = 'train'),
+    sc AS (SELECT dt.doc_id, dt.lang,
+                  ln((coalesce(t.c, 0)
+                      + 1000.0 * ((coalesce(r.c, 0) + 1) / (SELECT d FROM rden)))
+                     / (SELECT d FROM tden))
+                  - ln((coalesce(r.c, 0) + 1) / (SELECT d FROM rden)) AS lw
+           FROM dt LEFT JOIN tlm t USING (token) LEFT JOIN rlm r USING (token)),
+    doc AS (SELECT doc_id, lang, count(*) AS n_tokens, sum(lw) AS logw
+            FROM sc GROUP BY doc_id, lang),
+    keyed AS (SELECT *,
+              round(logw - ln(-ln(
+                (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '7'),
+                                 1, 12))::UBIGINT + 0.5)
+                / 281474976710656.0)), 6) AS key
+              FROM doc),
+    sel AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 150)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sel,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round(avg(key), 6) AS avg_key,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM sel GROUP BY lang ORDER BY lang
+    """,
+    doc="DSIR importance resampling: target/raw unigram LMs -> per-doc "
+    "log weight -> deterministic Gumbel-top-k selection; per-lang census "
+    "of the selected set (membership = the check)",
+)
+def x55_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.splits import assign_split
+    from ..operators.lm import dsir_select, unigram_counts
+
+    d = _t(spark, sf_dir, "documents").withColumn("split", assign_split("text"))
+    target_lm = unigram_counts(d.filter(F.col("split") == "val"))
+    raw = d.filter(F.col("split") == "train")
+    raw_lm = unigram_counts(raw)
+    sel = dsir_select(raw, target_lm, raw_lm, k=150, seed=7)
+    return (
+        sel.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sel"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.avg("key"), 6).alias("avg_key"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
     )

@@ -3398,3 +3398,116 @@ def test_export_shards_layout_manifest_and_determinism(spark, sf_dir, tmp_path):
         max_per_shard=20_000,
     )
     assert man2["shards"] == one["shards"]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_select_matches_python_replay(spark):
+    """Exact python twin of the whole DSIR chain: tokenization, both
+    Laplace LMs, per-doc log-ratio sums, the md5-seeded Gumbel keys, and
+    the top-k cut with id tie-break — membership AND key values."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from lambda_kafka_to_s3_parquet_spark.operators.lm import (
+        dsir_select,
+        unigram_counts,
+    )
+
+    target_rows = [(100 + i, "alpha beta gamma alpha") for i in range(3)]
+    raw_rows = [
+        (1, "alpha beta gamma"),          # target-like
+        (2, "delta epsilon zeta"),        # off-target
+        (3, "alpha alpha beta"),          # target-like
+        (4, "eta theta iota kappa"),      # off-target
+        (5, "gamma beta alpha beta"),     # target-like
+        (6, "zeta zeta zeta"),            # off-target
+    ]
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_select(
+            raw, unigram_counts(target), unigram_counts(raw), k=3, seed=7
+        ).collect()
+    }
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    tlm = Counter(w for _, t in target_rows for w in toks(t))
+    rlm = Counter(w for _, t in raw_rows for w in toks(t))
+    mu = 1000.0
+    td = sum(tlm.values()) + mu
+    rd = sum(rlm.values()) + len(rlm)
+    keys = {}
+    for doc_id, t in raw_rows:
+        logw = sum(
+            math.log((tlm.get(w, 0) + mu * ((rlm.get(w, 0) + 1) / rd)) / td)
+            - math.log((rlm.get(w, 0) + 1) / rd)
+            for w in toks(t)
+        )
+        h = hashlib.md5(f"{doc_id}\x1f7".encode()).hexdigest()
+        u = (int(h[:12], 16) + 0.5) / float(1 << 48)
+        keys[doc_id] = round(logw - math.log(-math.log(u)), 6)
+    want = sorted(keys, key=lambda d: (-keys[d], d))[:3]
+    assert sorted(got) == sorted(want)
+    for d in want:
+        assert abs(got[d]["key"] - keys[d]) < 1e-9
+
+
+def test_dsir_weights_separate_target_like_docs(spark, sf_dir):
+    """Documents drawn from the target's own vocabulary must out-weigh
+    vocabulary-noise docs — the selection contract (DSIR's filtering
+    direction), on real corpus data."""
+    from lambda_kafka_to_s3_parquet_spark.operators.lm import (
+        importance_weights,
+        unigram_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.limit(50)
+    junk = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(8)]
+        ).alias("text"),
+    )
+    cand = docs.unionByName(junk)
+    w = importance_weights(
+        cand, unigram_counts(target), unigram_counts(cand)
+    ).withColumn("is_junk", F.col("doc_id") >= 1_000_000)
+    per_tok = (
+        w.groupBy("is_junk")
+        .agg(F.avg(F.col("logw") / F.col("n_tokens")).alias("m"))
+        .collect()
+    )
+    m = {r["is_junk"]: r["m"] for r in per_tok}
+    assert m[False] > m[True], f"real docs must out-weigh junk: {m}"
+
+
+def test_dsir_select_is_partitioning_invariant_and_distributed(spark):
+    """Same k docs on any input partitioning; the top-k lowers to
+    TakeOrderedAndProject (distributed partial top-k), never a global
+    sort."""
+    from lambda_kafka_to_s3_parquet_spark.operators.lm import (
+        dsir_select,
+        unigram_counts,
+    )
+
+    rows = [(i, f"tok{i % 13} tok{i % 7} tok{i % 3}") for i in range(200)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string")
+    df8 = df1.repartition(8)
+    tgt = df1.filter(F.col("doc_id") % 10 == 0)
+    sel1 = dsir_select(df1, unigram_counts(tgt), unigram_counts(df1), k=20)
+    sel8 = dsir_select(df8, unigram_counts(tgt), unigram_counts(df8), k=20)
+    assert sorted(r["doc_id"] for r in sel1.collect()) == sorted(
+        r["doc_id"] for r in sel8.collect()
+    )
+    plan = sel1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
