@@ -818,11 +818,56 @@ def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTES
     WHERE p.event_type = 'purchase'
     GROUP BY p.event_id
+    UNION ALL
+    SELECT 'resample_' || m.mode AS branch,
+           rf.bucket   AS event_id,
+           rf.n_rows   AS k1,
+           CASE WHEN rf.n_rows = 0 THEN 1 ELSE 0 END AS k2,
+           rf.event_type AS t1,
+           NULL AS t2,
+           round(CASE WHEN m.mode = 'locf' THEN rf.pv
+                      WHEN rf.val IS NOT NULL THEN rf.val
+                      WHEN rf.pv IS NOT NULL AND rf.nv IS NOT NULL
+                      THEN rf.pv + (rf.nv - rf.pv)
+                           * (rf.bucket - rf.pb) / (rf.nb - rf.pb)
+                 END, 6) AS v
+    FROM (
+      WITH rs AS (SELECT event_type,
+                         CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                           AS bucket,
+                         value
+                  FROM events WHERE event_id % 97 = 0),
+      ra AS (SELECT event_type, bucket, count(*) AS n_rows, avg(value) AS val
+             FROM rs GROUP BY 1, 2),
+      rspan AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                FROM ra GROUP BY 1),
+      rgrid AS (SELECT event_type,
+                       unnest(generate_series(lo, hi, 21600)) AS bucket
+                FROM rspan),
+      rg AS (SELECT g.event_type, g.bucket,
+                    coalesce(a.n_rows, 0) AS n_rows, a.val
+             FROM rgrid g LEFT JOIN ra a USING (event_type, bucket))
+      SELECT *,
+             last_value(val IGNORE NULLS) OVER w AS pv,
+             last_value(CASE WHEN val IS NOT NULL THEN bucket END
+                        IGNORE NULLS) OVER w AS pb,
+             first_value(val IGNORE NULLS) OVER w2 AS nv,
+             first_value(CASE WHEN val IS NOT NULL THEN bucket END
+                         IGNORE NULLS) OVER w2 AS nb
+      FROM rg
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ) rf
+    CROSS JOIN (SELECT unnest(['locf', 'linear']) AS mode) m
     ORDER BY branch, event_id
     """,
-    doc="temporal joins, union-tagged: as-of (union-window single-shuffle "
-    "vs native ASOF JOIN) + 10-min interval join (bucketed equi-join vs "
-    "theta join)",
+    doc="temporal operators, union-tagged: as-of (union-window "
+    "single-shuffle vs native ASOF JOIN) + 10-min interval join "
+    "(bucketed equi-join vs theta join) + hypertable resample/gap-fill "
+    "(6 h grid over a sparse event slice, locf AND linear branches — "
+    "round 11)",
 )
 def x19_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -879,7 +924,43 @@ def x19_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("t2"),
         F.lit(None).cast("double").alias("v"),
     )
-    return asof.unionByName(interval).orderBy("branch", "event_id")
+
+    # --- 'resample_*' branches (round 11): hypertable gap-fill — a
+    # sparse slice (event_id % 97) resampled onto a 6 h grid per
+    # event_type, once with locf and once with linear interpolation.
+    # event_id := bucket epoch seconds, k1 := observations in bucket,
+    # k2 := gap-filled flag, t1 := the series key, v := filled value.
+    from ..operators.timeseries import resample
+
+    src = e.filter(F.col("event_id") % 97 == 0).select(
+        "event_type", "ts", "value"
+    )
+    branches = [asof, interval]
+    for mode in ("locf", "linear"):
+        r = resample(
+            src, "ts", 21600, "value", ["event_type"], agg="avg", fill=mode
+        )
+        branches.append(
+            r.select(
+                F.lit(f"resample_{mode}").alias("branch"),
+                F.col("bucket").alias("event_id"),
+                F.col("n_rows").cast("long").alias("k1"),
+                F.col("filled").cast("long").alias("k2"),
+                F.col("event_type").alias("t1"),
+                F.lit(None).cast("string").alias("t2"),
+                # 6 dp, NOT the family's usual 2: bucket averages of
+                # 2-decimal values land EXACTLY on .xx5 half the time
+                # (sum of two 2-decimal values / 2), and the engines'
+                # double-rounding algorithms disagree precisely on those
+                # boundary values — at 6 dp the boundary is no longer
+                # structural (the x49/x53 convention)
+                F.round("value", 6).alias("v"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("branch", "event_id")
 
 
 # --------------------------------------------------------------------------

@@ -3511,3 +3511,122 @@ def test_dsir_select_is_partitioning_invariant_and_distributed(spark):
     )
     plan = sel1._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# time-series resample / gap-fill (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _ts_rows(spark):
+    import datetime as dt
+
+    rows = [
+        # series 'a': observations at buckets 0, 30, 40 (10 s buckets)
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 1), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 2), 20.0),   # same bucket 0
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 31), 60.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 44), 100.0),
+        # series 'b': single observation
+        ("b", dt.datetime(2024, 1, 1, 0, 0, 15), 5.0),
+    ]
+    return spark.createDataFrame(rows, "g string, ts timestamp, v double")
+
+
+def test_resample_locf_and_linear_hand_computed(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.timeseries import resample
+
+    df = _ts_rows(spark)
+    base = 1704067200  # 2024-01-01 00:00:00 UTC epoch seconds
+
+    locf = {
+        (r["g"], r["bucket"]): (r["n_rows"], r["value"], r["filled"])
+        for r in resample(df, "ts", 10, "v", ["g"], fill="locf").collect()
+    }
+    # series a: buckets 0,10,20,30,40 — avg(10,20)=15 at 0, gaps carry
+    assert locf[("a", base + 0)] == (2, 15.0, 0)
+    assert locf[("a", base + 10)] == (0, 15.0, 1)
+    assert locf[("a", base + 20)] == (0, 15.0, 1)
+    assert locf[("a", base + 30)] == (1, 60.0, 0)
+    assert locf[("a", base + 40)] == (1, 100.0, 0)
+    assert locf[("b", base + 10)] == (1, 5.0, 0)
+    assert len(locf) == 6
+
+    lin = {
+        (r["g"], r["bucket"]): (r["n_rows"], r["value"], r["filled"])
+        for r in resample(df, "ts", 10, "v", ["g"], fill="linear").collect()
+    }
+    # linear between (0, 15) and (30, 60): 10 -> 30, 20 -> 45
+    assert lin[("a", base + 10)] == (0, 30.0, 1)
+    assert lin[("a", base + 20)] == (0, 45.0, 1)
+    assert lin[("a", base + 30)] == (1, 60.0, 0)
+
+
+def test_resample_no_fill_and_edge_gaps_stay_null(spark):
+    import datetime as dt
+
+    from lambda_kafka_to_s3_parquet_spark.operators.timeseries import resample
+
+    # leading gap for linear: first bucket has no left neighbor
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 5), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 0, 25), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    nofill = {
+        r["bucket"] % 100: r["value"]
+        for r in resample(df, "ts", 10, "v", ["g"], fill=None).collect()
+    }
+    assert nofill[10] is None  # gap stays NULL without a fill mode
+
+    # linear edge semantics: a trailing gap would need extrapolation.
+    # Build one by observing only at the first bucket of a two-bucket
+    # grid via min/max span — impossible (grid ends at the last
+    # observation), so instead check the interpolation NULL on a
+    # leading gap of an aggregate-empty mid-grid with no left bracket:
+    # series where the FIRST grid bucket is observed by construction —
+    # the TimescaleDB no-extrapolation rule is then about fill=None
+    # already covered; assert interpolated midpoint instead.
+    lin = {
+        r["bucket"] % 100: r["value"]
+        for r in resample(df, "ts", 10, "v", ["g"], fill="linear").collect()
+    }
+    assert lin[10] == 2.0
+
+
+def test_resample_grid_is_complete_and_counts_preserved(spark, sf_dir):
+    from lambda_kafka_to_s3_parquet_spark.operators.timeseries import resample
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    r = resample(
+        e.select("event_type", "ts", "value"),
+        "ts", 21600, "value", ["event_type"], fill="locf",
+    ).localCheckpoint()
+    # counts preserved: sum(n_rows) == input rows
+    assert r.agg(F.sum("n_rows")).first()[0] == e.count()
+    # grid complete: per series, buckets are exactly lo..hi step every
+    spans = (
+        r.groupBy("event_type")
+        .agg(
+            F.min("bucket").alias("lo"),
+            F.max("bucket").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    for row in spans:
+        assert row["n"] == (row["hi"] - row["lo"]) // 21600 + 1
+    # observed rows are never flagged filled; locf leaves no NULL after
+    # the first observation (grid starts AT an observation)
+    assert r.filter((F.col("n_rows") > 0) & (F.col("filled") == 1)).count() == 0
+    assert r.filter(F.col("value").isNull()).count() == 0
+
+
+def test_resample_validates_args(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.timeseries import resample
+
+    df = _ts_rows(spark)
+    with pytest.raises(ValueError, match="fill"):
+        resample(df, "ts", 10, "v", ["g"], fill="cubic")
+    with pytest.raises(ValueError, match="agg"):
+        resample(df, "ts", 10, "v", ["g"], agg="median")
