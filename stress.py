@@ -484,6 +484,58 @@ def delete_pruned_vs_table(spark, base_dir: str, scratch: str, scale: int) -> di
     return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
 
 
+def merge_pruned_vs_table(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """Round-11 merge row: snapshot_merge_into wall for a FIXED
+    batch-sized upsert (10k updates + 1k inserts inside ONE commit's key
+    range) against a table of 4 vs 4*scale commits with disjoint
+    event_id ranges and key zone maps. AUTO pruning derives candidate
+    dirs from the source's own key min/max, so the wall should stay
+    ~flat while the table grows scale-x — the Delta-MERGE cost contract
+    (∝ matched dirs + source, never ∝ table size). Min-of-2 over two
+    successive disjoint key ranges (a merge is a one-shot side effect)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_merge_into,
+    )
+
+    ev = load_table(spark, base_dir, "events").select("event_id", "value")
+
+    def run(tag: str, mult: int) -> float:
+        table = os.path.join(scratch, f"mrg_{tag}")
+        for k in range(4 * mult):
+            batch = ev.select(
+                (F.col("event_id") + F.lit(10**9).cast("long") * F.lit(k))
+                .alias("event_id"),
+                "value",
+            )
+            snapshot_append(spark, table, batch, stats_cols=["event_id"])
+        best = None
+        for seq in (1, 2):
+            base_key = 10**9 * seq
+            upd = ev.filter(F.col("event_id") < 10_000).select(
+                (F.col("event_id") + F.lit(base_key).cast("long"))
+                .alias("event_id"),
+                (F.col("value") * 2).alias("value"),
+            )
+            ins = ev.filter(F.col("event_id") < 1_000).select(
+                (F.col("event_id") + F.lit(base_key + 5 * 10**8).cast("long"))
+                .alias("event_id"),
+                "value",
+            )
+            t0 = time.perf_counter()
+            snapshot_merge_into(
+                spark, table, upd.unionByName(ins), ["event_id"],
+                stats_cols=["event_id"],
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    t1 = run("1x", 1)
+    tn = run("Nx", scale)
+    return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+
+
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "10"))
@@ -594,6 +646,9 @@ def main() -> None:
         )
         out["ivm_fixed_delta"] = ivm_fixed_delta(spark, base, scratch, scale)
         out["delete_pruned_vs_table"] = delete_pruned_vs_table(
+            spark, base, scratch, scale
+        )
+        out["merge_pruned_vs_table"] = merge_pruned_vs_table(
             spark, base, scratch, scale
         )
         out["w13_batch_vs_store"] = w13_gram_store_growth(spark, base, scratch, scale)

@@ -405,3 +405,48 @@ def test_view_retracts_across_delete_where_commit(spark, tmp_path):
     assert r["mode"] == "delta"
     got = _got(spark, view)
     assert got == _direct(spark, src) == {("a",): (1, 10), ("b",): (1, 30)}
+
+
+def test_view_refreshes_across_merge_commit(spark, tmp_path):
+    """snapshot_merge_into emits exact insert/delete/update images in
+    the change feed, so an IVM view applies a MERGE with signed
+    multiplicity and no rescan — update-mode and delete-mode merges both
+    land, equal to the direct aggregate (round-11 MERGE integration)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_merge_into,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snapshot_append(
+        spark, src,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "k long, g string, val long",
+        ),
+    )
+    incremental_view_refresh(spark, src, view, ["k"], ["g"], ["val"])
+    # update-mode merge: update k=2 (a: 20 -> 200), insert k=4 into b
+    snapshot_merge_into(
+        spark, src,
+        spark.createDataFrame(
+            [(2, "a", 200), (4, "b", 40)], "k long, g string, val long"
+        ),
+        ["k"],
+    )
+    r = incremental_view_refresh(spark, src, view, ["k"], ["g"], ["val"])
+    assert r["mode"] == "delta"
+    assert _got(spark, view) == _direct(spark, src) == {
+        ("a",): (2, 210), ("b",): (2, 70)
+    }
+    # delete-mode merge: retract k=1 (a loses a row) via the same feed
+    snapshot_merge_into(
+        spark, src,
+        spark.createDataFrame([(1, "a", 0)], "k long, g string, val long"),
+        ["k"], when_matched="delete", when_not_matched=None,
+    )
+    r = incremental_view_refresh(spark, src, view, ["k"], ["g"], ["val"])
+    assert r["mode"] == "delta"
+    assert _got(spark, view) == _direct(spark, src) == {
+        ("a",): (1, 200), ("b",): (2, 70)
+    }
