@@ -324,6 +324,121 @@ def _collect_dir_stats(
     return out
 
 
+#: Per-dir bloom sizing: 8192 bits (1 KiB -> 2048 hex chars in the
+#: manifest) × 6 hashes ≈ 1% false positives at ~850 distinct keys/dir,
+#: saturating gracefully (a full bloom prunes nothing but stays correct).
+_BLOOM_M = 8192
+_BLOOM_K = 6
+
+
+def _bloom_py_positions(value, m: int, k: int) -> list[int]:
+    """Kirsch-Mitzenmacher bit positions for one key — PYTHON twin of the
+    JVM expression in :func:`_collect_dir_blooms`: 60 bits of
+    md5(str(value)), split into (h1, h2|1), positions (h1 + i·h2) mod m.
+    md5-over-the-string rather than xxhash64 so the prune side can probe
+    WITHOUT a Spark job and the construction stays engine-portable."""
+    import hashlib
+
+    h = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+    h1, h2 = h % (1 << 30), (h >> 30) | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _collect_dir_blooms(
+    spark: SparkSession,
+    table: str,
+    rels: list[str],
+    bloom_cols: list[str],
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> dict[str, dict[str, dict]]:
+    """Per-directory BLOOM FILTERS over point-lookup key columns — the
+    membership complement of :func:`_collect_dir_stats`' range zone
+    maps: min/max prunes key-CLUSTERED tables, but a GDPR-style delete
+    by user id on a time-partitioned table intersects every dir's key
+    range — a per-dir bloom answers "could this key live here?" per
+    directory regardless of clustering. Collected like the zone maps
+    (read back the commit's own files grouped on the physical dir), bits
+    set by a JVM md5 expression whose python twin
+    (:func:`_bloom_py_positions`) probes with no Spark job. NULLs set no
+    bits (a point probe ``col = NULL`` matches nothing). Float/double
+    key columns are rejected — their string forms are not a stable
+    equality domain."""
+    commit_id = rels[0].split("/")[1]
+    base = f"{table}/data/{commit_id}"
+    df = spark.read.option("basePath", base).parquet(
+        *[f"{table}/{r}" for r in rels]
+    )
+    for c in bloom_cols:
+        t = df.schema[c].dataType.simpleString()
+        if t in ("float", "double"):
+            raise ValueError(
+                f"bloom_cols column {c!r} is {t}: floating-point values "
+                "are not a stable point-lookup domain — cast to a "
+                "decimal/string key first"
+            )
+    df = df.withColumn(
+        "_dir", F.expr("regexp_replace(_metadata.file_path, '/[^/]+$', '')")
+    )
+    out: dict[str, dict[str, dict]] = {}
+    for c in bloom_cols:
+        h = F.conv(
+            F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        h1 = F.pmod(h, F.lit(1 << 30))
+        h2 = F.shiftright(h, 30).bitwiseOR(F.lit(1))
+        pos = F.array(
+            *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+        )
+        rows = (
+            df.select("_dir", F.explode(pos).alias("_p"))
+            .groupBy("_dir")
+            .agg(F.collect_set("_p").alias("_ps"))
+            .collect()
+        )
+        for r in rows:
+            rel = next((x for x in rels if r["_dir"].endswith(x)), None)
+            if rel is None:
+                continue
+            bits = bytearray(m // 8)
+            for p in r["_ps"]:
+                bits[p // 8] |= 1 << (p % 8)
+            out.setdefault(rel, {})[c] = {"m": m, "k": k, "bits": bits.hex()}
+    return out
+
+
+def _bloom_prune(
+    manifest: dict, dirs: list[str], skip_keys: list[tuple]
+) -> list[str]:
+    """Dirs from ``dirs`` that MAY hold a row matching
+    ``col IN (values)`` for every ``(col, values)`` probe — conservative
+    like the zone maps: a dir without a bloom for a column is always
+    kept; a dir is skipped only when EVERY probe value has at least one
+    unset bit (provably absent, no false negatives by construction)."""
+    blooms = manifest.get("blooms", {})
+
+    def value_may(bl: dict, value) -> bool:
+        bits = bytes.fromhex(bl["bits"])
+        return all(
+            bits[p // 8] & (1 << (p % 8))
+            for p in _bloom_py_positions(value, bl["m"], bl["k"])
+        )
+
+    def may_match(d: str) -> bool:
+        dbl = blooms.get(d)
+        if not dbl:
+            return True
+        for col, values in skip_keys:
+            bl = dbl.get(col)
+            if bl is None:
+                continue
+            if not any(value_may(bl, v) for v in values):
+                return False
+        return True
+
+    return [d for d in dirs if may_match(d)]
+
+
 def _merged_commit_schema(
     spark: SparkSession,
     table: str,
@@ -390,6 +505,7 @@ def _commit(
     dschema: dict[str, str] | None = None,
     cschema: list | None = None,
     restore: dict | None = None,
+    blooms: dict[str, dict[str, dict]] | None = None,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -447,6 +563,13 @@ def _commit(
         d: s for d, s in manifest.get("stats", {}).items() if d in live
     }
     kept_stats.update(stats or {})
+    # per-dir bloom filters carry exactly like the zone maps: surviving
+    # dirs keep theirs (immutable dirs, immutable blooms), replaced ones
+    # drop out, this commit's merge in
+    kept_blooms = {
+        d: b for d, b in manifest.get("blooms", {}).items() if d in live
+    }
+    kept_blooms.update(blooms or {})
     # per-commit schemas: carry live commits' entries, add this commit's
     live_commits = {d.split("/")[1] for d in live}
     kept_cs = {
@@ -476,11 +599,16 @@ def _commit(
         for d, s in restore.get("stats", {}).items():
             if d in live:
                 kept_stats.setdefault(d, s)
+        for d, b in restore.get("blooms", {}).items():
+            if d in live:
+                kept_blooms.setdefault(d, b)
         for c, s in restore.get("cschemas", {}).items():
             if c in live_commits:
                 kept_cs.setdefault(c, s)
     if kept_stats:
         new_manifest["stats"] = kept_stats
+    if kept_blooms:
+        new_manifest["blooms"] = kept_blooms
     if kept_cs:
         new_manifest["cschemas"] = kept_cs
     serialized = json.dumps(new_manifest)
@@ -515,6 +643,7 @@ def snapshot_append(
     partition_by: list[str] | None = None,
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append a commit; returns the new snapshot version. A partitioned
     frame that writes no partitions (empty input) is a NO-OP returning
@@ -524,7 +653,12 @@ def snapshot_append(
     snapshot's — see :func:`_commit`). ``stats_cols`` records per-dir
     zone maps (min/max) for those columns in the manifest, enabling
     ``snapshot_read(skip_where=...)`` file skipping BEYOND partition
-    pruning (one commit-sized read-back pass at write time). Additive
+    pruning (one commit-sized read-back pass at write time);
+    ``bloom_cols`` records per-dir BLOOM filters for point-lookup keys,
+    enabling ``snapshot_read(skip_keys=...)`` /
+    ``snapshot_delete_where(prune_keys=...)`` membership pruning even
+    where the table is NOT clustered on the key (the GDPR-delete shape —
+    see :func:`_collect_dir_blooms`). Additive
     schema evolution is validated BEFORE the data write
     (:func:`_merged_commit_schema`): new columns are fine, a type
     change fails fast with nothing landed."""
@@ -535,10 +669,16 @@ def snapshot_append(
     stats = (
         _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
     )
+    blooms = (
+        _collect_dir_blooms(spark, table, rels, bloom_cols)
+        if bloom_cols
+        else None
+    )
     return _commit(
         spark, table, "append", _group_rels(rels, partition_by), meta=meta,
         stats=stats, dschema=dschema,
         cschema=_frame_cschema(df, partition_by),
+        blooms=blooms,
     )
 
 
@@ -550,6 +690,7 @@ def snapshot_overwrite_partitions(
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
     drop_partitions: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Replace exactly the partitions present in ``df`` (dynamic-overwrite
     semantics) — but via fresh files + manifest/marker publish, so a
@@ -569,6 +710,11 @@ def snapshot_overwrite_partitions(
     non-empty ``drop_partitions`` the commit is a pure partition drop."""
     dschema = _merged_commit_schema(spark, table, df, partition_by)
     rels = _write_commit_data(df, table, partition_by)
+    blooms = (
+        _collect_dir_blooms(spark, table, rels, bloom_cols)
+        if bloom_cols and rels
+        else None
+    )
     drops = set(drop_partitions or ())
     if not rels and not drops:
         return current_version(spark, table)
@@ -594,6 +740,7 @@ def snapshot_overwrite_partitions(
         spark, table, "overwrite", grouped, replaced=set(grouped) | drops,
         meta=meta, stats=stats, dschema=dschema,
         cschema=_frame_cschema(df, partition_by),
+        blooms=blooms,
     )
 
 
@@ -671,6 +818,7 @@ def snapshot_read(
     version: int | str | None = None,
     skip_where: list[tuple] | None = None,
     as_of=None,
+    skip_keys: list[tuple] | None = None,
 ) -> DataFrame:
     """Scan a snapshot (default: latest committed). Historical versions
     stay readable until expired — time travel by version, by TAG name
@@ -690,6 +838,15 @@ def snapshot_read(
     ignore nulls, and a NULL row fails ``col BETWEEN lo AND hi`` anyway.
     Bounds compare as JSON numbers for numeric columns and as strings
     (ISO for timestamps/dates) otherwise — pass bounds of that shape.
+
+    ``skip_keys=[(col, [v1, v2, ...]), ...]`` applies per-dir BLOOM
+    skipping for point lookups (``col IN (values)``): dirs whose
+    recorded bloom (written with ``bloom_cols``) proves every probe
+    value absent are dropped — membership pruning that works even where
+    the table is NOT clustered on the key, exactly where zone maps
+    can't help. Same conservative contract: no bloom → always read,
+    the caller still applies the real filter, false positives only
+    cost I/O. Composes with ``skip_where`` (a dir must pass both).
     """
     committed = current_version(spark, table)
     if as_of is not None:
@@ -709,8 +866,12 @@ def snapshot_read(
     all_dirs = sorted(d for dirs in manifest["partitions"].values() for d in dirs)
     if not all_dirs:
         raise ValueError(f"snapshot v{v} of {table} is empty")
-    if skip_where:
-        kept = _zone_prune(manifest, all_dirs, skip_where)
+    if skip_where or skip_keys:
+        kept = all_dirs
+        if skip_where:
+            kept = _zone_prune(manifest, kept, skip_where)
+        if skip_keys:
+            kept = _bloom_prune(manifest, kept, skip_keys)
         if not kept:
             # provably-empty result with the right schema: scan one dir
             # PER COMMIT but keep no rows (cheap — limit(0) prunes at
@@ -726,7 +887,7 @@ def snapshot_read(
             empty = False
         all_dirs = kept
     out = _read_dirs(spark, table, all_dirs, manifest)
-    if skip_where and empty:
+    if (skip_where or skip_keys) and empty:
         out = out.limit(0)
     return out
 
@@ -1492,6 +1653,7 @@ def snapshot_rewrite(
     table: str,
     partition_by: list[str],
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Compaction: rewrite the live snapshot into ONE fresh commit — every
     live partition ends up with a single commit-directory entry, shrinking
@@ -1506,7 +1668,8 @@ def snapshot_rewrite(
     duplicating them in the new snapshot."""
     df = snapshot_read(spark, table)
     return snapshot_overwrite_all(
-        spark, table, df, partition_by, stats_cols=stats_cols
+        spark, table, df, partition_by, stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
     )
 
 
@@ -1523,6 +1686,7 @@ def snapshot_overwrite_all(
     partition_by: list[str],
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Replace the ENTIRE live partition set with ``df``'s content:
     partitions absent from ``df`` are dropped from the manifest (unlike
@@ -1548,6 +1712,11 @@ def snapshot_overwrite_all(
     stats = (
         _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
     )
+    blooms = (
+        _collect_dir_blooms(spark, table, rels, bloom_cols)
+        if bloom_cols
+        else None
+    )
     pset = set(partition_by or [])
     return _commit(
         spark,
@@ -1563,6 +1732,7 @@ def snapshot_overwrite_all(
             if f.name not in pset
         },
         cschema=_frame_cschema(df, partition_by),
+        blooms=blooms,
     )
 
 
@@ -1573,6 +1743,8 @@ def snapshot_delete_where(
     prune: list[tuple] | None = None,
     stats_cols: list[str] | None = None,
     meta: dict | None = None,
+    prune_keys: list[tuple] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Delete every row matching ``predicate`` from the live snapshot as
     ONE atomic commit (op ``delete``) — the GDPR / retention / bad-batch
@@ -1610,11 +1782,18 @@ def snapshot_delete_where(
     manifest = _load_manifest(spark, table, committed, committed=committed)
     parts = manifest["partitions"]
     all_dirs = sorted(d for dirs in parts.values() for d in dirs)
-    cand = set(
-        _zone_prune(manifest, all_dirs, prune) if prune else all_dirs
-    )
+    cand_list = _zone_prune(manifest, all_dirs, prune) if prune else all_dirs
+    if prune_keys:
+        # per-dir bloom pruning for keyed deletes (``user_id IN (...)``,
+        # the GDPR shape): a dir whose bloom proves EVERY probe key
+        # absent cannot hold a match — works even when the table is not
+        # clustered on the key, where the zone-map prune can't help.
+        # Same caller contract as ``prune``: the probes must cover the
+        # predicate's matches, or skipped dirs keep their rows.
+        cand_list = _bloom_prune(manifest, cand_list, prune_keys)
+    cand = set(cand_list)
     if not cand:
-        return committed  # zone maps prove no dir can hold a match
+        return committed  # stats prove no dir can hold a match
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     cand_df = _read_dirs(spark, table, sorted(cand), manifest)
     # the candidate union may LACK evolved columns every candidate dir
@@ -1672,6 +1851,11 @@ def snapshot_delete_where(
         if stats_cols and rels
         else None
     )
+    blooms = (
+        _collect_dir_blooms(spark, table, rels, bloom_cols)
+        if bloom_cols and rels
+        else None
+    )
     return _commit(
         spark,
         table,
@@ -1681,6 +1865,7 @@ def snapshot_delete_where(
         meta=meta,
         stats=stats,
         cschema=_frame_cschema(survivors, pcols),
+        blooms=blooms,
     )
 
 
@@ -1733,6 +1918,7 @@ def snapshot_merge_into(
     prune="auto",
     stats_cols: list[str] | None = None,
     meta: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """MERGE a batch-sized ``source`` into the live snapshot as ONE
     atomic ``merge`` commit — the last DML verb the snapshot protocol
@@ -1912,7 +2098,7 @@ def snapshot_merge_into(
             return committed
         return snapshot_append(
             spark, table, inserts, pcols or None, meta=meta,
-            stats_cols=stats_cols,
+            stats_cols=stats_cols, bloom_cols=bloom_cols,
         )
 
     tgt = cand_df.select(
@@ -1992,6 +2178,11 @@ def snapshot_merge_into(
         if stats_cols and rels
         else None
     )
+    blooms = (
+        _collect_dir_blooms(spark, table, rels, bloom_cols)
+        if bloom_cols and rels
+        else None
+    )
     return _commit(
         spark,
         table,
@@ -2002,4 +2193,5 @@ def snapshot_merge_into(
         stats=stats,
         dschema=dschema,
         cschema=_frame_cschema(combined, pcols or None),
+        blooms=blooms,
     )

@@ -2709,3 +2709,108 @@ def test_merge_type_mismatch_and_uninitialized_raise(spark, table):
     )
     with pytest.raises(ValueError, match="does not match"):
         merge(spark, table, src, ["id"])
+
+
+# ---------------------------------------------------------------------------
+# per-dir bloom filters — point-lookup pruning (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_imports():
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_delete_where,
+        snapshot_merge_into,
+    )
+
+    return snapshot_delete_where, snapshot_merge_into
+
+
+def test_bloom_skip_keys_prunes_unclustered_dirs(spark, table):
+    """The case zone maps can't prune: two commits with OVERLAPPING id
+    ranges but disjoint id SETS (even/odd — an unclustered key). skip_keys
+    must scan only the dir whose bloom may hold the probe key, and the
+    result is still exactly the matching rows."""
+    evens = spark.createDataFrame(
+        [(i, i * 10) for i in range(0, 100, 2)], "id long, v long"
+    )
+    odds = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 100, 2)], "id long, v long"
+    )
+    snapshot_append(spark, table, evens, bloom_cols=["id"])
+    snapshot_append(spark, table, odds, bloom_cols=["id"])
+    m = _load_manifest(spark, table, 2)
+    assert len(m["blooms"]) == 2
+    # zone maps would NOT prune here (ranges overlap) — blooms do
+    pruned = snapshot_read(spark, table, skip_keys=[("id", [42])])
+    dirs = {
+        r[0].rsplit("/", 2)[-2]
+        for r in pruned.select(
+            F.regexp_replace(F.input_file_name(), "/[^/]+$", "")
+        ).distinct().collect()
+    }
+    assert len(dirs) == 1, f"one dir must be scanned, got {dirs}"
+    assert [tuple(r) for r in pruned.filter("id = 42").collect()] == [(42, 420)]
+    # provably-absent key: zero dirs scanned, empty frame, right schema
+    none = snapshot_read(spark, table, skip_keys=[("id", [100_000])])
+    assert none.count() == 0 and none.columns == ["id", "v"]
+
+
+def test_bloom_delete_prune_keys_carries_untouched_dirs(spark, table):
+    """GDPR-shape keyed delete on an unclustered key: prune_keys rewrites
+    only the dir whose bloom may hold the keys; the other dir is carried
+    BY REFERENCE with its bloom intact."""
+    delete_where, _ = _bloom_imports()
+    evens = spark.createDataFrame(
+        [(i, i) for i in range(0, 100, 2)], "id long, v long"
+    )
+    odds = spark.createDataFrame(
+        [(i, i) for i in range(1, 100, 2)], "id long, v long"
+    )
+    snapshot_append(spark, table, evens, bloom_cols=["id"])
+    snapshot_append(spark, table, odds, bloom_cols=["id"])
+    before = _load_manifest(spark, table, 2)["partitions"][""]
+    delete_where(
+        spark, table, "id IN (41, 43)",
+        prune_keys=[("id", [41, 43])], bloom_cols=["id"],
+    )
+    after = _load_manifest(spark, table, current_version(spark, table))
+    kept = set(after["partitions"][""])
+    carried = set(before) & kept
+    assert len(carried) == 1, "the evens dir must carry by reference"
+    assert all(d in after["blooms"] for d in kept), "blooms survive"
+    got = sorted(r["id"] for r in snapshot_read(spark, table).collect())
+    assert got == sorted(set(range(100)) - {41, 43})
+
+
+def test_bloom_false_positive_is_only_io(spark, table):
+    """A saturated/false-positive bloom keeps the dir in the scan — the
+    caller's filter still decides; correctness never rides the bloom."""
+    df = spark.createDataFrame([(i, i) for i in range(500)], "id long, v long")
+    snapshot_append(spark, table, df, bloom_cols=["id"])
+    out = snapshot_read(spark, table, skip_keys=[("id", [123, 999_999])])
+    assert [tuple(r) for r in out.filter("id = 123").collect()] == [(123, 123)]
+
+
+def test_bloom_survives_rollback_and_float_rejected(spark, table):
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_overwrite_all,
+        snapshot_rollback,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    snapshot_append(spark, table, df, bloom_cols=["id", "s"])
+    snapshot_overwrite_all(
+        spark, table,
+        spark.createDataFrame([(9, "z")], "id long, s string"), [],
+    )
+    snapshot_rollback(spark, table, 1)
+    m = _load_manifest(spark, table, current_version(spark, table))
+    assert m["blooms"], "restored dirs re-enter with their blooms"
+    # string keys probe too
+    one = snapshot_read(spark, table, skip_keys=[("s", ["b"])])
+    assert sorted(tuple(r) for r in one.collect()) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="floating-point"):
+        snapshot_append(
+            spark, str(table) + "_f",
+            spark.createDataFrame([(1.5,)], "x double"), bloom_cols=["x"],
+        )
