@@ -90,6 +90,11 @@ def resample(
         df.select(*gcols, b, F.col(value_col).alias("_v"))
         .groupBy(*gcols, "bucket")
         .agg(F.count("*").alias("n_rows"), agg_fns[agg]("_v").alias("_val"))
+        # materialize ONCE: both the grid span and the grid join consume
+        # this subtree — lazy, each would re-run the full input scan +
+        # aggregate (plan-audited: two FileScans). The checkpoint is
+        # grid-sized (series × buckets), tiny next to the input.
+        .localCheckpoint()
     )
     # per-series grid: sequence over the series' own [min, max] span —
     # buckets are multiples of every_s, so the step lands exactly on them
@@ -109,35 +114,44 @@ def resample(
     if fill is None:
         filled_val = F.col("_val")
     else:
+        # each window expression lands as ONE named column so the single
+        # Window node carries exactly the aggregates needed (reusing the
+        # Column object in several expressions re-instantiates the
+        # windowexpr — plan-audited at 8 where 4 suffice)
         w_prev = (
             Window.partitionBy(*gcols)
             .orderBy("bucket")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        prev_v = F.last("_val", ignorenulls=True).over(w_prev)
+        out = out.withColumn(
+            "_pv", F.last("_val", ignorenulls=True).over(w_prev)
+        )
         if fill == "locf":
-            filled_val = prev_v
+            filled_val = F.col("_pv")
         else:  # linear
             w_next = (
                 Window.partitionBy(*gcols)
                 .orderBy("bucket")
                 .rowsBetween(Window.currentRow, Window.unboundedFollowing)
             )
-            prev_b = F.last(
-                F.when(F.col("_val").isNotNull(), F.col("bucket")),
-                ignorenulls=True,
-            ).over(w_prev)
-            next_v = F.first("_val", ignorenulls=True).over(w_next)
-            next_b = F.first(
-                F.when(F.col("_val").isNotNull(), F.col("bucket")),
-                ignorenulls=True,
-            ).over(w_next)
+            ob = F.when(F.col("_val").isNotNull(), F.col("bucket"))
+            out = (
+                out.withColumn(
+                    "_pb", F.last(ob, ignorenulls=True).over(w_prev)
+                )
+                .withColumn(
+                    "_nv", F.first("_val", ignorenulls=True).over(w_next)
+                )
+                .withColumn(
+                    "_nb", F.first(ob, ignorenulls=True).over(w_next)
+                )
+            )
             filled_val = F.when(F.col("_val").isNotNull(), F.col("_val")).when(
-                prev_v.isNotNull() & next_v.isNotNull(),
-                prev_v
-                + (next_v - prev_v)
-                * (F.col("bucket") - prev_b)
-                / (next_b - prev_b),
+                F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+                F.col("_pv")
+                + (F.col("_nv") - F.col("_pv"))
+                * (F.col("bucket") - F.col("_pb"))
+                / (F.col("_nb") - F.col("_pb")),
             )
     return out.select(
         *gcols,
