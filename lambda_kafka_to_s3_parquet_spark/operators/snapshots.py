@@ -330,6 +330,12 @@ def _collect_dir_stats(
 _BLOOM_M = 8192
 _BLOOM_K = 6
 
+#: snapshot_merge_into's auto bloom tier collects the source's distinct
+#: keys only up to this many (one tiny job); beyond it the merge falls
+#: back to range pruning — bounding both the collect and the per-dir
+#: python probe cost.
+_MERGE_BLOOM_PROBE_CAP = 1024
+
 
 def _bloom_py_positions(value, m: int, k: int) -> list[int]:
     """Kirsch-Mitzenmacher bit positions for one key — PYTHON twin of the
@@ -2038,8 +2044,37 @@ def snapshot_merge_into(
                 lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
                 if lo is not None and hi is not None:
                     skip_where.append((c, lo, hi))
-        cand = set(_zone_prune(manifest, all_dirs, skip_where)
-                   if skip_where else all_dirs)
+        cand_list = (
+            _zone_prune(manifest, all_dirs, skip_where)
+            if skip_where
+            else all_dirs
+        )
+        # bloom tier: when the table carries blooms for a key column and
+        # the source's key set is SMALL, probe membership too — this is
+        # what prunes an UNCLUSTERED key (every dir's range intersects,
+        # but only the dirs actually holding the keys can match). The
+        # cap bounds the driver probe cost; a larger source just falls
+        # back to range pruning (still exact, just coarser).
+        bloom_known = {
+            c for bl in manifest.get("blooms", {}).values() for c in bl
+        }
+        for c in on:
+            if len(cand_list) <= 1:
+                break
+            if c not in bloom_known:
+                continue
+            vals = [
+                r[0]
+                for r in source.select(c)
+                .distinct()
+                .limit(_MERGE_BLOOM_PROBE_CAP + 1)
+                .collect()
+            ]
+            if len(vals) <= _MERGE_BLOOM_PROBE_CAP:
+                cand_list = _bloom_prune(
+                    manifest, cand_list, [(c, [v for v in vals if v is not None])]
+                )
+        cand = set(cand_list)
     elif prune is not None:
         cand = set(_zone_prune(manifest, all_dirs, prune))
     else:

@@ -2814,3 +2814,27 @@ def test_bloom_survives_rollback_and_float_rejected(spark, table):
             spark, str(table) + "_f",
             spark.createDataFrame([(1.5,)], "x double"), bloom_cols=["x"],
         )
+
+
+def test_merge_auto_bloom_prunes_unclustered_dirs(spark, table):
+    """A keyed upsert against an UNCLUSTERED key (overlapping ranges,
+    disjoint sets): the auto-prune's bloom tier must rewrite only the
+    dir that can hold the source keys — the range tier alone cannot
+    prune here."""
+    _, merge = _bloom_imports()
+    evens = spark.createDataFrame(
+        [(i, i) for i in range(0, 100, 2)], "id long, v long"
+    )
+    odds = spark.createDataFrame(
+        [(i, i) for i in range(1, 100, 2)], "id long, v long"
+    )
+    snapshot_append(spark, table, evens, stats_cols=["id"], bloom_cols=["id"])
+    snapshot_append(spark, table, odds, stats_cols=["id"], bloom_cols=["id"])
+    before = set(_load_manifest(spark, table, 2)["partitions"][""])
+    src = spark.createDataFrame([(41, -1), (43, -2)], "id long, v long")
+    merge(spark, table, src, ["id"], stats_cols=["id"], bloom_cols=["id"])
+    after = _load_manifest(spark, table, current_version(spark, table))
+    kept = set(after["partitions"][""])
+    assert len(before & kept) == 1, "the evens dir must carry by reference"
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert got[41] == -1 and got[43] == -2 and got[40] == 40 and got[45] == 45
