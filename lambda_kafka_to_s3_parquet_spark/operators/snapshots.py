@@ -370,6 +370,8 @@ def _collect_dir_blooms(
     bits (a point probe ``col = NULL`` matches nothing). Float/double
     key columns are rejected — their string forms are not a stable
     equality domain."""
+    if m < 64 or m % 8:
+        raise ValueError(f"bloom_bits must be a multiple of 8 >= 64, got {m}")
     commit_id = rels[0].split("/")[1]
     base = f"{table}/data/{commit_id}"
     df = spark.read.option("basePath", base).parquet(
@@ -650,6 +652,7 @@ def snapshot_append(
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_M,
 ) -> int:
     """Append a commit; returns the new snapshot version. A partitioned
     frame that writes no partitions (empty input) is a NO-OP returning
@@ -676,7 +679,7 @@ def snapshot_append(
         _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
     )
     blooms = (
-        _collect_dir_blooms(spark, table, rels, bloom_cols)
+        _collect_dir_blooms(spark, table, rels, bloom_cols, m=bloom_bits)
         if bloom_cols
         else None
     )
@@ -697,6 +700,7 @@ def snapshot_overwrite_partitions(
     stats_cols: list[str] | None = None,
     drop_partitions: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_M,
 ) -> int:
     """Replace exactly the partitions present in ``df`` (dynamic-overwrite
     semantics) — but via fresh files + manifest/marker publish, so a
@@ -717,7 +721,7 @@ def snapshot_overwrite_partitions(
     dschema = _merged_commit_schema(spark, table, df, partition_by)
     rels = _write_commit_data(df, table, partition_by)
     blooms = (
-        _collect_dir_blooms(spark, table, rels, bloom_cols)
+        _collect_dir_blooms(spark, table, rels, bloom_cols, m=bloom_bits)
         if bloom_cols and rels
         else None
     )
@@ -1660,6 +1664,7 @@ def snapshot_rewrite(
     partition_by: list[str],
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_M,
 ) -> int:
     """Compaction: rewrite the live snapshot into ONE fresh commit — every
     live partition ends up with a single commit-directory entry, shrinking
@@ -1675,7 +1680,7 @@ def snapshot_rewrite(
     df = snapshot_read(spark, table)
     return snapshot_overwrite_all(
         spark, table, df, partition_by, stats_cols=stats_cols,
-        bloom_cols=bloom_cols,
+        bloom_cols=bloom_cols, bloom_bits=bloom_bits,
     )
 
 
@@ -1693,6 +1698,7 @@ def snapshot_overwrite_all(
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_M,
 ) -> int:
     """Replace the ENTIRE live partition set with ``df``'s content:
     partitions absent from ``df`` are dropped from the manifest (unlike
@@ -1719,7 +1725,7 @@ def snapshot_overwrite_all(
         _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
     )
     blooms = (
-        _collect_dir_blooms(spark, table, rels, bloom_cols)
+        _collect_dir_blooms(spark, table, rels, bloom_cols, m=bloom_bits)
         if bloom_cols
         else None
     )
@@ -1751,6 +1757,7 @@ def snapshot_delete_where(
     meta: dict | None = None,
     prune_keys: list[tuple] | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_M,
 ) -> int:
     """Delete every row matching ``predicate`` from the live snapshot as
     ONE atomic commit (op ``delete``) — the GDPR / retention / bad-batch
@@ -1858,7 +1865,7 @@ def snapshot_delete_where(
         else None
     )
     blooms = (
-        _collect_dir_blooms(spark, table, rels, bloom_cols)
+        _collect_dir_blooms(spark, table, rels, bloom_cols, m=bloom_bits)
         if bloom_cols and rels
         else None
     )
@@ -1925,6 +1932,7 @@ def snapshot_merge_into(
     stats_cols: list[str] | None = None,
     meta: dict | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_M,
 ) -> int:
     """MERGE a batch-sized ``source`` into the live snapshot as ONE
     atomic ``merge`` commit — the last DML verb the snapshot protocol
@@ -2134,6 +2142,7 @@ def snapshot_merge_into(
         return snapshot_append(
             spark, table, inserts, pcols or None, meta=meta,
             stats_cols=stats_cols, bloom_cols=bloom_cols,
+            bloom_bits=bloom_bits,
         )
 
     tgt = cand_df.select(
@@ -2214,7 +2223,7 @@ def snapshot_merge_into(
         else None
     )
     blooms = (
-        _collect_dir_blooms(spark, table, rels, bloom_cols)
+        _collect_dir_blooms(spark, table, rels, bloom_cols, m=bloom_bits)
         if bloom_cols and rels
         else None
     )

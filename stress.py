@@ -484,6 +484,56 @@ def delete_pruned_vs_table(spark, base_dir: str, scratch: str, scale: int) -> di
     return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
 
 
+def bloom_delete_vs_table(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """Round-11 bloom row: keyed delete wall on an UNCLUSTERED key — the
+    commits hold INTERLEAVED id residues (id*stride + k), so every dir's
+    [min, max] overlaps every other and range zone maps prune NOTHING;
+    only the per-dir blooms can. A fixed two-key delete with
+    ``prune_keys`` should stay ~flat as the table grows scale-x (one
+    bloom-matching dir rewritten), where a range-pruned delete would
+    degrade to a full rewrite. Min-of-2 over two key pairs."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_delete_where,
+    )
+
+    # ~1k distinct keys per commit dir: inside the default 8192-bit
+    # bloom's working range (~2% fp) — bloom_bits is the knob for denser
+    # dirs; the row measures PRUNING, not saturation behavior
+    ev = (
+        load_table(spark, base_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .select("event_id", "value")
+    )
+
+    def run(tag: str, mult: int) -> float:
+        table = os.path.join(scratch, f"bld_{tag}")
+        stride = 4 * mult
+        for k in range(stride):
+            batch = ev.select(
+                (F.col("event_id") * stride + k).alias("event_id"), "value"
+            )
+            snapshot_append(spark, table, batch, bloom_cols=["event_id"])
+        best = None
+        for seq in (1, 2):
+            # both keys live in residue class 0 -> exactly one dir
+            # (ids in ev are multiples of 97, so pick 97-multiples)
+            keys = [stride * 97 * (10 + seq), stride * 97 * (20 + seq)]
+            t0 = time.perf_counter()
+            snapshot_delete_where(
+                spark, table,
+                f"event_id IN ({keys[0]}, {keys[1]})",
+                prune_keys=[("event_id", keys)], bloom_cols=["event_id"],
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    t1 = run("1x", 1)
+    tn = run("Nx", scale)
+    return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+
+
 def merge_pruned_vs_table(spark, base_dir: str, scratch: str, scale: int) -> dict:
     """Round-11 merge row: snapshot_merge_into wall for a FIXED
     batch-sized upsert (10k updates + 1k inserts inside ONE commit's key
@@ -649,6 +699,9 @@ def main() -> None:
             spark, base, scratch, scale
         )
         out["merge_pruned_vs_table"] = merge_pruned_vs_table(
+            spark, base, scratch, scale
+        )
+        out["bloom_delete_vs_table"] = bloom_delete_vs_table(
             spark, base, scratch, scale
         )
         out["w13_batch_vs_store"] = w13_gram_store_growth(spark, base, scratch, scale)
