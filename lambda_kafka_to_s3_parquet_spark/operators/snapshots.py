@@ -385,6 +385,18 @@ def _collect_dir_blooms(
                 "are not a stable point-lookup domain — cast to a "
                 "decimal/string key first"
             )
+        if t == "boolean":
+            # python str(True) = "True" but Spark CAST(bool AS STRING) =
+            # "true": the probe would md5 a DIFFERENT string than the
+            # bits were set from and wrongly prove present keys absent —
+            # the one bloom failure mode that breaks correctness, so the
+            # type is rejected outright (a 2-value key can't prune
+            # anyway)
+            raise ValueError(
+                f"bloom_cols column {c!r} is boolean: not a useful "
+                "point-lookup domain (and python/JVM stringification "
+                "disagrees) — cast to int or string if really needed"
+            )
     df = df.withColumn(
         "_dir", F.expr("regexp_replace(_metadata.file_path, '/[^/]+$', '')")
     )
@@ -425,8 +437,12 @@ def _bloom_prune(
     unset bit (provably absent, no false negatives by construction)."""
     blooms = manifest.get("blooms", {})
 
+    decoded: dict[int, bytes] = {}  # per-bloom bitmap, decoded once
+
     def value_may(bl: dict, value) -> bool:
-        bits = bytes.fromhex(bl["bits"])
+        bits = decoded.get(id(bl))
+        if bits is None:
+            bits = decoded[id(bl)] = bytes.fromhex(bl["bits"])
         return all(
             bits[p // 8] & (1 << (p % 8))
             for p in _bloom_py_positions(value, bl["m"], bl["k"])
