@@ -1,0 +1,120 @@
+"""Funnel analysis: ordered event-sequence matching per entity.
+
+The classic event-analytics question over the reference's event tables
+("of the users who viewed, how many then clicked, then purchased —
+each step within T of the previous?") — the first-conversion funnel:
+step i is reached at the EARLIEST step-i event that follows the step-
+(i-1) reach time (within the window), a sequential per-user recurrence.
+
+Spark-first shape: ONE shuffle. Events filtered to the funnel's types,
+grouped per user, time-sorted as an array, and the recurrence runs as a
+Catalyst ``aggregate`` (fold) over that array — whole-stage-codegen'd
+JVM execution, no Python, no per-step join round (the naive k-step form
+is k-1 self-joins re-shuffling the fact table). Per-user arrays are
+bounded by that user's funnel-type events; a pathological hot entity is
+the usual salting candidate upstream.
+
+Timestamps fold as epoch MICROSECONDS (``timestampdiff`` from the NTZ
+origin — the ranges.py lesson: ``unix_micros`` rejects TIMESTAMP_NTZ),
+so the within-window check is integer arithmetic any engine replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_reach(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_s: int | None = None,
+) -> DataFrame:
+    """Per-user funnel depth: ``(user, depth)`` where ``depth`` is how
+    many of ``steps`` the user completed IN ORDER (first-conversion
+    semantics: each step binds to its earliest qualifying event; with
+    ``within_s``, a step only counts within that many seconds of the
+    previous step's reach time). Step i > 1 must be STRICTLY later in
+    time than step i-1's reach — the sequential-min recurrence
+    ``t_i = min{us of step-i events | us > t_{i-1} (and us − t_{i-1} ≤
+    within)}`` — so microsecond ties across steps never count and the
+    result is independent of how the sort breaks them.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("user"),
+        F.struct(us.alias("us"), F.col(type_col).alias("t")).alias("e"),
+    )
+    per_user = ev.groupBy("user").agg(
+        F.sort_array(F.collect_list("e")).alias("evs")
+    )
+    lit_steps = F.array(*[F.lit(s) for s in steps])
+    win = F.lit(int(within_s) * 1_000_000) if within_s is not None else None
+    init = F.struct(
+        F.lit(0).alias("d"), F.lit(None).cast("long").alias("last")
+    )
+
+    def fold(acc, e):
+        # index clamped: SQL AND does not short-circuit, and ANSI
+        # element_at past the array end raises — at full depth the
+        # clamped lookup is never a match (d < len gate below)
+        wanted = F.element_at(
+            lit_steps, F.least(acc["d"] + 1, F.lit(len(steps)))
+        )
+        ok = (
+            (acc["d"] < len(steps))
+            & (e["t"] == wanted)
+            & ((acc["d"] == 0) | (e["us"] > acc["last"]))
+        )
+        if win is not None:
+            ok = ok & (
+                (acc["d"] == 0) | ((e["us"] - acc["last"]) <= win)
+            )
+        return F.when(
+            ok,
+            F.struct(
+                (acc["d"] + 1).alias("d"), e["us"].alias("last")
+            ),
+        ).otherwise(acc)
+
+    return per_user.select(
+        "user", F.aggregate("evs", init, fold).getField("d").alias("depth")
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_s: int | None = None,
+) -> DataFrame:
+    """Step-level funnel report: ``(step, step_name, n_users)`` — users
+    whose in-order depth reached step i (monotone non-increasing by
+    construction). One shuffle + one k-row aggregate."""
+    depth = funnel_reach(df, steps, user_col, ts_col, type_col, within_s)
+    counts = (
+        depth.groupBy("depth")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    by_depth = {r["depth"]: r["n"] for r in counts}
+    spark = df.sparkSession
+    rows = []
+    cum = 0
+    for i in range(len(steps), 0, -1):
+        cum += by_depth.get(i, 0)
+        rows.append((i, steps[i - 1], cum))
+    return spark.createDataFrame(
+        sorted(rows), "step int, step_name string, n_users long"
+    )

@@ -861,13 +861,35 @@ def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     ) rf
     CROSS JOIN (SELECT unnest(['locf', 'linear']) AS mode) m
+    UNION ALL
+    SELECT 'funnel' AS branch, f.step AS event_id, f.n AS k1,
+           NULL AS k2, f.nm AS t1, NULL AS t2, NULL AS v
+    FROM (
+      WITH fev AS (SELECT user_id, epoch_us(ts) AS us, event_type AS t
+                   FROM events
+                   WHERE event_type IN ('view', 'click', 'purchase')),
+      f1 AS (SELECT user_id, min(us) AS t1 FROM fev WHERE t = 'view'
+             GROUP BY 1),
+      f2 AS (SELECT e.user_id, min(e.us) AS t2 FROM fev e
+             JOIN f1 USING (user_id)
+             WHERE e.t = 'click' AND e.us > f1.t1
+               AND e.us - f1.t1 <= 3600000000 GROUP BY 1),
+      f3 AS (SELECT e.user_id, min(e.us) AS t3 FROM fev e
+             JOIN f2 USING (user_id)
+             WHERE e.t = 'purchase' AND e.us > f2.t2
+               AND e.us - f2.t2 <= 3600000000 GROUP BY 1)
+      SELECT 1 AS step, 'view' AS nm, (SELECT count(*) FROM f1) AS n
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)
+    ) f
     ORDER BY branch, event_id
     """,
     doc="temporal operators, union-tagged: as-of (union-window "
     "single-shuffle vs native ASOF JOIN) + 10-min interval join "
     "(bucketed equi-join vs theta join) + hypertable resample/gap-fill "
     "(6 h grid over a sparse event slice, locf AND linear branches — "
-    "round 11)",
+    "round 11) + first-conversion funnel (view->click->purchase within "
+    "1 h, one-shuffle Catalyst fold vs sequential-min SQL recurrence)",
 )
 def x19_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -957,6 +979,26 @@ def x19_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("value", 6).alias("v"),
             )
         )
+    # --- 'funnel' branch (round 11): first-conversion funnel
+    # view -> click -> purchase, each step within 1 h of the previous —
+    # one shuffle + a Catalyst aggregate() fold per user; the oracle
+    # restates it as the sequential-min SQL recurrence.
+    from ..operators.funnel import funnel_counts
+
+    fc = funnel_counts(
+        e, ["view", "click", "purchase"], within_s=3600
+    )
+    branches.append(
+        fc.select(
+            F.lit("funnel").alias("branch"),
+            F.col("step").cast("long").alias("event_id"),
+            F.col("n_users").alias("k1"),
+            F.lit(None).cast("long").alias("k2"),
+            F.col("step_name").alias("t1"),
+            F.lit(None).cast("string").alias("t2"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)

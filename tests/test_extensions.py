@@ -3630,3 +3630,84 @@ def test_resample_validates_args(spark):
         resample(df, "ts", 10, "v", ["g"], fill="cubic")
     with pytest.raises(ValueError, match="agg"):
         resample(df, "ts", 10, "v", ["g"], agg="median")
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _funnel_events(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # u1: full funnel in order, inside the window
+        (1, s(0), "view"), (1, s(10), "click"), (1, s(20), "purchase"),
+        # u2: purchase BEFORE click -> depth 2 only
+        (2, s(0), "view"), (2, s(5), "purchase"), (2, s(10), "click"),
+        # u3: click too late for the 60 s window -> depth 1
+        (3, s(0), "view"), (3, s(100), "click"),
+        # u4: greedy first-conversion miss — the FIRST view binds, its
+        # click is in-window but the purchase is not; the later complete
+        # chain does not rebind (first-touch semantics)
+        (4, s(0), "view"), (4, s(10), "click"), (4, s(500), "purchase"),
+        (4, s(1000), "view"), (4, s(1010), "click"), (4, s(1020), "purchase"),
+        # u5: simultaneous view+click — strict-later rule: click ties
+        # the view's microsecond, must not count; later click does
+        (5, s(0), "view"), (5, s(0), "click"), (5, s(30), "click"),
+        # u6: never views
+        (6, s(0), "click"), (6, s(10), "purchase"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_reach_hand_computed(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.funnel import funnel_reach
+
+    df = _funnel_events(spark)
+    got = {
+        r["user"]: r["depth"]
+        for r in funnel_reach(
+            df, ["view", "click", "purchase"], within_s=60
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 4: 2, 5: 2, 6: 0}
+
+
+def test_funnel_counts_cumulative_and_monotone(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.funnel import funnel_counts
+
+    df = _funnel_events(spark)
+    rows = funnel_counts(
+        df, ["view", "click", "purchase"], within_s=60
+    ).collect()
+    by_step = {r["step"]: (r["step_name"], r["n_users"]) for r in rows}
+    # reached >= step i: depth counts {1:3,2:2,3:1,4:2,5:2,6:0}
+    assert by_step == {
+        1: ("view", 5), 2: ("click", 4), 3: ("purchase", 1)
+    }
+    ns = [by_step[i][1] for i in (1, 2, 3)]
+    assert ns == sorted(ns, reverse=True), "funnel must be monotone"
+
+
+def test_funnel_no_window_and_validation(spark):
+    from lambda_kafka_to_s3_parquet_spark.operators.funnel import funnel_reach
+
+    df = _funnel_events(spark)
+    got = {
+        r["user"]: r["depth"]
+        for r in funnel_reach(df, ["view", "click", "purchase"]).collect()
+    }
+    # without a window, u3's late click counts (depth 2)
+    assert got[3] == 2
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_reach(df, ["view"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_reach(df, ["view", "view"])
