@@ -882,6 +882,18 @@ def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
       UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)
     ) f
+    UNION ALL
+    SELECT 'retention' AS branch, r.cohort_p AS event_id, r.n AS k1,
+           r.off AS k2, NULL AS t1, NULL AS t2, NULL AS v
+    FROM (
+      WITH ract AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 604800000000 AS p
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      rc AS (SELECT user_id, min(p) AS cohort_p FROM ract GROUP BY 1)
+      SELECT rc.cohort_p, ract.p - rc.cohort_p AS off, count(*) AS n
+      FROM ract JOIN rc USING (user_id) GROUP BY 1, 2
+    ) r
     ORDER BY branch, event_id
     """,
     doc="temporal operators, union-tagged: as-of (union-window "
@@ -889,7 +901,9 @@ def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(bucketed equi-join vs theta join) + hypertable resample/gap-fill "
     "(6 h grid over a sparse event slice, locf AND linear branches — "
     "round 11) + first-conversion funnel (view->click->purchase within "
-    "1 h, one-shuffle Catalyst fold vs sequential-min SQL recurrence)",
+    "1 h, one-shuffle Catalyst fold vs sequential-min SQL recurrence) + "
+    "weekly cohort retention matrix (two key-shuffles, epoch-aligned "
+    "periods)",
 )
 def x19_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -995,6 +1009,22 @@ def x19_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users").alias("k1"),
             F.lit(None).cast("long").alias("k2"),
             F.col("step_name").alias("t1"),
+            F.lit(None).cast("string").alias("t2"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    # --- 'retention' branch (round 11): weekly cohort retention matrix
+    # (users grouped by first-seen period, activity counted per offset)
+    from ..operators.retention import cohort_retention
+
+    rt = cohort_retention(e, "user_id", "ts", period_s=7 * 86400)
+    branches.append(
+        rt.select(
+            F.lit("retention").alias("branch"),
+            F.col("cohort_period").alias("event_id"),
+            F.col("n_users").alias("k1"),
+            F.col("offset").alias("k2"),
+            F.lit(None).cast("string").alias("t1"),
             F.lit(None).cast("string").alias("t2"),
             F.lit(None).cast("double").alias("v"),
         )

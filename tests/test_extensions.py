@@ -3711,3 +3711,45 @@ def test_funnel_no_window_and_validation(spark):
         funnel_reach(df, ["view"])
     with pytest.raises(ValueError, match="distinct"):
         funnel_reach(df, ["view", "view"])
+
+
+def test_cohort_retention_hand_computed(spark):
+    import datetime as dt
+
+    from lambda_kafka_to_s3_parquet_spark.operators.retention import (
+        cohort_retention,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)  # period boundary alignment irrelevant:
+    # periods are epoch-aligned, offsets are differences
+
+    def day(n):
+        return d0 + dt.timedelta(days=n)
+
+    rows = [
+        # u1: first week + back in weeks +1 and +3
+        (1, day(0)), (1, day(2)), (1, day(8)), (1, day(22)),
+        # u2: first week only
+        (2, day(1)),
+        # u3: joins in week +1, back in +2 (its offset 1)
+        (3, day(8)), (3, day(15)),
+        # NULL user excluded
+        (None, day(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_period"], r["offset"]): r["n_users"]
+        for r in cohort_retention(df, period_s=7 * 86400).collect()
+    }
+    periods = sorted({c for c, _ in got})
+    p0 = periods[0]
+    rel = {(c - p0, o): n for (c, o), n in got.items()}
+    assert rel == {
+        (0, 0): 2,   # u1, u2 in cohort week 0
+        (0, 1): 1,   # u1 back next week
+        (0, 3): 1,   # u1 back week +3
+        (1, 0): 1,   # u3's cohort
+        (1, 1): 1,   # u3 back
+    }
+    with pytest.raises(ValueError, match="positive"):
+        cohort_retention(df, period_s=0)
