@@ -2255,3 +2255,46 @@ def snapshot_merge_into(
         cschema=_frame_cschema(combined, pcols or None),
         blooms=blooms,
     )
+
+
+def snapshot_describe(spark: SparkSession, table: str) -> dict:
+    """One-call table inspection (the DESCRIBE TABLE / DESCRIBE DETAIL
+    shape): current version + commit instant, op history length, live
+    partition/dir/commit counts, the recorded schema union, tags, meta,
+    and which columns carry zone maps / blooms over how many live dirs —
+    the operational numbers a maintenance decision needs (is the rewrite
+    cadence due? are the skip structures actually covering the table?).
+    Costs two metadata listings + one manifest read; never touches data.
+    Returns ``{"version": 0, "exists": False}`` for an uninitialized
+    path."""
+    committed = current_version(spark, table)
+    if committed == 0:
+        return {"version": 0, "exists": False}
+    manifest = _load_manifest(spark, table, committed, committed=committed)
+    parts = manifest["partitions"]
+    dirs = [d for ds in parts.values() for d in ds]
+    history = snapshot_history(spark, table)
+    stats_cov: dict[str, int] = {}
+    for st in manifest.get("stats", {}).values():
+        for c in st:
+            stats_cov[c] = stats_cov.get(c, 0) + 1
+    bloom_cov: dict[str, int] = {}
+    for bl in manifest.get("blooms", {}).values():
+        for c in bl:
+            bloom_cov[c] = bloom_cov.get(c, 0) + 1
+    return {
+        "version": committed,
+        "exists": True,
+        "committed_at": manifest.get("committed_at"),
+        "op": manifest.get("op"),
+        "n_snapshots": len(history),
+        "n_partitions": len(parts),
+        "n_live_dirs": len(dirs),
+        "n_live_commits": len({d.split("/")[1] for d in dirs}),
+        "partition_columns": _manifest_pcols(parts),
+        "schema": dict(manifest.get("dschema", {})),
+        "meta": dict(manifest.get("meta", {})),
+        "tags": snapshot_tags(spark, table),
+        "zone_map_cols": stats_cov,
+        "bloom_cols": bloom_cov,
+    }

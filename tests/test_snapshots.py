@@ -2838,3 +2838,34 @@ def test_merge_auto_bloom_prunes_unclustered_dirs(spark, table):
     assert len(before & kept) == 1, "the evens dir must carry by reference"
     got = {r["id"]: r["v"] for r in snapshot_read(spark, table).collect()}
     assert got[41] == -1 and got[43] == -2 and got[40] == 40 and got[45] == 45
+
+
+def test_snapshot_describe(spark, table):
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_describe,
+        snapshot_tag,
+    )
+
+    assert snapshot_describe(spark, table) == {"version": 0, "exists": False}
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+    )
+    snapshot_append(spark, table, df, ["p"], stats_cols=["id"],
+                    bloom_cols=["id"])
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"),
+        ["p"],
+    )
+    snapshot_tag(spark, table, "published", 1)
+    d = snapshot_describe(spark, table)
+    assert d["version"] == 2 and d["exists"] and d["op"] == "append"
+    assert d["n_snapshots"] == 2 and d["n_partitions"] == 2
+    assert d["n_live_dirs"] == 3 and d["n_live_commits"] == 2
+    assert d["partition_columns"] == ["p"]
+    assert d["schema"] == {"id": "bigint", "v": "bigint"}
+    assert d["tags"] == {"published": 1}
+    # coverage counts: v1's two dirs carry stats+blooms, v2's dir none
+    assert d["zone_map_cols"] == {"id": 2}
+    assert d["bloom_cols"] == {"id": 2}
+    assert d["committed_at"] is not None
