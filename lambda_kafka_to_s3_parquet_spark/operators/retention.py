@@ -5,14 +5,17 @@ users by the period they FIRST appeared (their cohort), then count how
 many of each cohort were active again N periods later — the retention
 matrix every growth dashboard draws.
 
-Spark-first shape, two key-shuffles total: one groupBy(user) for the
-cohort assignment, one join back on the same user key (Catalyst reuses
-the hash partitioning — no third exchange), one final (cohort, offset)
-aggregate over the DISTINCT (user, period) activity pairs. Periods are
-epoch-aligned integer buckets (``timestampdiff`` microseconds — the
-NTZ-safe construction shared with ``timeseries.time_bucket``), so the
-same event lands in the same period in any session timezone and any
-engine.
+Spark-first shape, ONE input scan and one user-key shuffle: the per-user
+distinct period set aggregates as a ``collect_set`` (bounded by the
+calendar — a year of weekly periods is 52 longs per user, never the
+user's event count; map-side partial combine applies), the cohort is its
+``array_min``, and the matrix falls out of one explode + one small
+(cohort, offset) aggregate. The naive join-back form re-scans the input
+for the cohort side (plan-audited: two FileScans) — at 100 TB the scan
+is the cost, so the set-aggregate form wins. Periods are epoch-aligned
+integer buckets (``timestampdiff`` microseconds — the NTZ-safe
+construction shared with ``timeseries.time_bucket``), so the same event
+lands in the same period in any session timezone and any engine.
 """
 
 from __future__ import annotations
@@ -40,17 +43,20 @@ def cohort_retention(
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
     )
     p = F.floor(us / F.lit(int(period_s) * 1_000_000)).cast("long")
-    act = (
+    per_user = (
         df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(F.col(user_col).alias("user"), p.alias("p"))
-        .distinct()
+        .groupBy("user")
+        .agg(F.collect_set("p").alias("ps"))
     )
-    cohort = act.groupBy("user").agg(F.min("p").alias("cohort_p"))
     return (
-        act.join(cohort, "user")
+        per_user.select(
+            F.array_min("ps").alias("cohort_period"),
+            F.explode("ps").alias("p"),
+        )
         .groupBy(
-            F.col("cohort_p").alias("cohort_period"),
-            (F.col("p") - F.col("cohort_p")).alias("offset"),
+            "cohort_period",
+            (F.col("p") - F.col("cohort_period")).alias("offset"),
         )
         .agg(F.count("*").alias("n_users"))
     )
