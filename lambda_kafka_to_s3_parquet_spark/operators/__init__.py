@@ -58,3 +58,15 @@ from .sink import (  # noqa: F401
     write_clustered,
     write_partitioned,
 )
+from .timeseries import resample, time_bucket  # noqa: F401
+from .funnel import funnel_counts, funnel_reach  # noqa: F401
+from .retention import cohort_retention  # noqa: F401
+from .cdc import lookup_current_state, read_current_state  # noqa: F401
+from .lm import dsir_select, importance_weights  # noqa: F401
+from .snapshots import (  # noqa: F401
+    snapshot_append,
+    snapshot_delete_where,
+    snapshot_describe,
+    snapshot_merge_into,
+    snapshot_read,
+)
