@@ -331,6 +331,11 @@ EAGER_FN = {
     # round 11: x03's absorbed cms branch builds + localCheckpoints the
     # count-min sketch inside fn() — clock must start before it
     "x03_token_stats",
+    # round 11 (late): x19's absorbed funnel branch collects its k-row
+    # step counts and the resample branches localCheckpoint the bucket
+    # aggregate inside fn() — clock before fn() or that work is
+    # invisible. Not comparable to earlier rounds (also grew 4 branches).
+    "x19_temporal_joins",
 }
 
 
