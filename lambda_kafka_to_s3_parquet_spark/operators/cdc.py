@@ -29,6 +29,7 @@ batches instead of re-reading table buckets per replayed batch.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -365,14 +366,27 @@ def lookup_current_state(
             f"every probe must carry {len(keys)} value(s) for keys {keys}"
         )
     snap = is_snapshot_table(spark, path)
+    recorded = None
     if snap:
         recorded = snapshot_meta(spark, path).get("n_buckets")
-        if recorded is not None and int(recorded) != int(n_buckets):
-            raise ValueError(
-                f"{path} is maintained with n_buckets={recorded} but the "
-                f"lookup assumed {n_buckets}; bucket assignment is part "
-                "of the table contract — pass the recorded value"
-            )
+    if recorded is None:
+        # inplace-protocol tables (and pre-meta snapshot tables) record
+        # n_buckets in the side-car marker's extra fields — read it raw
+        # (no checkpoint-identity guard: the lookup only needs the
+        # bucket contract, not the batch high-water mark)
+        from .snapshots import _read_text
+
+        txt = _read_text(
+            spark, os.path.join(path, "_last_merged_batch.json")
+        )
+        if txt is not None:
+            recorded = json.loads(txt).get("n_buckets")
+    if recorded is not None and int(recorded) != int(n_buckets):
+        raise ValueError(
+            f"{path} is maintained with n_buckets={recorded} but the "
+            f"lookup assumed {n_buckets}; bucket assignment is part "
+            "of the table contract — pass the recorded value"
+        )
     raw = snapshot_read(spark, path) if snap else spark.read.parquet(path)
     # probe literals MUST hash with the stored key columns' exact types:
     # xxhash64 is physical-type-sensitive (int 42 and bigint 42 hash

@@ -50,7 +50,16 @@ def funnel_reach(
     us = F.expr(
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
     )
-    ev = df.filter(F.col(type_col).isin(steps)).select(
+    # NULL identities are excluded (no identity — no funnel): grouping
+    # them would pool every anonymous event into ONE pseudo-user whose
+    # fold 'converts' across unrelated visitors, and it would diverge
+    # from SQL join semantics (the oracle's USING(user) drops NULLs).
+    # Same rule as cohort_retention.
+    ev = df.filter(
+        F.col(type_col).isin(steps)
+        & F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col).alias("user"),
         F.struct(us.alias("us"), F.col(type_col).alias("t")).alias("e"),
     )

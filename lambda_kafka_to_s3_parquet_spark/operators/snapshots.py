@@ -377,53 +377,66 @@ def _collect_dir_blooms(
     df = spark.read.option("basePath", base).parquet(
         *[f"{table}/{r}" for r in rels]
     )
+    # WHITELIST, not blacklist: bits are set from the JVM
+    # CAST(col AS STRING) but probed with python str(value), and the two
+    # only provably agree for integral/string/date keys. Everything else
+    # is rejected — a divergence (python str(True)='True' vs JVM 'true';
+    # a timestamp's '.500000' vs the JVM's '.5'; binary reprs) makes the
+    # probe hash a DIFFERENT string than the bits were set from and
+    # wrongly proves present keys absent: the one bloom failure mode
+    # that breaks correctness instead of costing I/O.
+    _BLOOM_OK = ("tinyint", "smallint", "int", "bigint", "string", "date")
     for c in bloom_cols:
         t = df.schema[c].dataType.simpleString()
-        if t in ("float", "double"):
+        if t not in _BLOOM_OK:
             raise ValueError(
-                f"bloom_cols column {c!r} is {t}: floating-point values "
-                "are not a stable point-lookup domain — cast to a "
-                "decimal/string key first"
-            )
-        if t == "boolean":
-            # python str(True) = "True" but Spark CAST(bool AS STRING) =
-            # "true": the probe would md5 a DIFFERENT string than the
-            # bits were set from and wrongly prove present keys absent —
-            # the one bloom failure mode that breaks correctness, so the
-            # type is rejected outright (a 2-value key can't prune
-            # anyway)
-            raise ValueError(
-                f"bloom_cols column {c!r} is boolean: not a useful "
-                "point-lookup domain (and python/JVM stringification "
-                "disagrees) — cast to int or string if really needed"
+                f"bloom_cols column {c!r} is {t}: only "
+                f"{'/'.join(_BLOOM_OK)} keys have identical python/JVM "
+                "string forms (the probe must hash exactly what the "
+                "writer hashed) — cast the key to one of those first"
             )
     df = df.withColumn(
         "_dir", F.expr("regexp_replace(_metadata.file_path, '/[^/]+$', '')")
     )
-    out: dict[str, dict[str, dict]] = {}
-    for c in bloom_cols:
+    # ONE read-back job for every bloom column (the zone-map collector's
+    # one-pass shape): each row contributes k positions per column as
+    # (column index, position) pairs, flattened and exploded once, then
+    # a single (_dir, column) collect_set. NULLs contribute no pairs
+    # (md5(NULL) is NULL -> the struct's pos is NULL -> filtered).
+    pairs = []
+    for ci, c in enumerate(bloom_cols):
         h = F.conv(
             F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10
         ).cast("long")
         h1 = F.pmod(h, F.lit(1 << 30))
         h2 = F.shiftright(h, 30).bitwiseOR(F.lit(1))
-        pos = F.array(
-            *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
-        )
-        rows = (
-            df.select("_dir", F.explode(pos).alias("_p"))
-            .groupBy("_dir")
-            .agg(F.collect_set("_p").alias("_ps"))
-            .collect()
-        )
-        for r in rows:
-            rel = next((x for x in rels if r["_dir"].endswith(x)), None)
-            if rel is None:
-                continue
-            bits = bytearray(m // 8)
-            for p in r["_ps"]:
-                bits[p // 8] |= 1 << (p % 8)
-            out.setdefault(rel, {})[c] = {"m": m, "k": k, "bits": bits.hex()}
+        pairs += [
+            F.struct(
+                F.lit(ci).alias("ci"),
+                F.pmod(h1 + F.lit(i) * h2, F.lit(m)).alias("pos"),
+            )
+            for i in range(k)
+        ]
+    rows = (
+        df.select("_dir", F.explode(F.array(*pairs)).alias("_cp"))
+        .filter(F.col("_cp.pos").isNotNull())
+        .groupBy("_dir", F.col("_cp.ci").alias("_ci"))
+        .agg(F.collect_set(F.col("_cp.pos")).alias("_ps"))
+        .collect()
+    )
+    out: dict[str, dict[str, dict]] = {}
+    acc: dict[tuple[str, int], bytearray] = {}
+    for r in rows:
+        rel = next((x for x in rels if r["_dir"].endswith(x)), None)
+        if rel is None:
+            continue
+        bits = acc.setdefault((rel, r["_ci"]), bytearray(m // 8))
+        for p in r["_ps"]:
+            bits[p // 8] |= 1 << (p % 8)
+    for (rel, ci), bits in acc.items():
+        out.setdefault(rel, {})[bloom_cols[ci]] = {
+            "m": m, "k": k, "bits": bits.hex()
+        }
     return out
 
 
@@ -2042,9 +2055,20 @@ def snapshot_merge_into(
 
     # source key uniqueness: one source-sized agg (merge is a batch op,
     # never a hot row path) — a duplicate key means two source images
-    # compete for one target row, a nondeterministic merge
+    # compete for one target row, a nondeterministic merge. NULL-keyed
+    # rows are EXEMPT: they never match anything (SQL equality), each is
+    # its own not-matched insert, so several of them are well-defined —
+    # counting them as duplicates would wrongly refuse the merge.
+    nonnull_keys = None
+    for k in on:
+        c = F.col(k).isNotNull()
+        nonnull_keys = c if nonnull_keys is None else nonnull_keys & c
     dup = (
-        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+        source.filter(nonnull_keys)
+        .groupBy(*on)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
     )
     if not dup.isEmpty():
         raise ValueError(
@@ -2161,6 +2185,21 @@ def snapshot_merge_into(
             bloom_bits=bloom_bits,
         )
 
+    # no-op and emptiness probes run on KEY-ONLY projections — narrow
+    # column-pruned scans, never the full-width classify join (which
+    # therefore executes exactly once, for the write)
+    tgt_keys = cand_df.select(*on)
+    src_keys = aligned.select(*on)
+    matched_exists = not tgt_keys.join(
+        src_keys, on, "left_semi"
+    ).limit(1).isEmpty()
+    inserts_exist = (
+        when_not_matched == "insert"
+        and not src_keys.join(tgt_keys, on, "left_anti").limit(1).isEmpty()
+    )
+    if not (matched_exists or inserts_exist):
+        return committed
+
     tgt = cand_df.select(
         *on, F.struct(*[F.col(c) for c in all_cols]).alias("_tgt")
     )
@@ -2168,14 +2207,6 @@ def snapshot_merge_into(
         *on, F.struct(*[F.col(c) for c in out_cols]).alias("_src")
     )
     j = tgt.join(src, on, "full_outer")
-
-    # one probe decides no-op BEFORE any data lands (delete_where's
-    # guard shape): does any row actually change?
-    change_pred = F.col("_tgt").isNotNull() & F.col("_src").isNotNull()
-    if when_not_matched == "insert":
-        change_pred = change_pred | F.col("_tgt").isNull()
-    if j.filter(change_pred).limit(1).isEmpty():
-        return committed
 
     matched_img = (
         F.col("_src") if when_matched == "update" else F.lit(None)
@@ -2207,8 +2238,20 @@ def snapshot_merge_into(
     untouched_exists = any(
         d not in cand for dirs in parts.values() for d in dirs
     )
+    # combined emptiness derives from the narrow probes: update-mode
+    # output is non-empty whenever the no-op probe passed (matched rows
+    # stay as updates, or inserts exist); delete-mode output is empty
+    # iff no candidate row survives AND nothing inserts — a key-only
+    # anti join, not a full-width execution
+    if when_matched == "update":
+        combined_empty = False
+    else:
+        surv_exists = not tgt_keys.join(
+            src_keys, on, "left_anti"
+        ).limit(1).isEmpty()
+        combined_empty = (not surv_exists) and (not inserts_exist)
     dschema = None
-    if combined.limit(1).isEmpty():
+    if combined_empty:
         if not untouched_exists:
             raise ValueError(
                 "snapshot_merge_into would commit an unreadable EMPTY "

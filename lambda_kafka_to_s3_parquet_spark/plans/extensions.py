@@ -867,7 +867,8 @@ def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       WITH fev AS (SELECT user_id, epoch_us(ts) AS us, event_type AS t
                    FROM events
-                   WHERE event_type IN ('view', 'click', 'purchase')),
+                   WHERE event_type IN ('view', 'click', 'purchase')
+                     AND user_id IS NOT NULL AND ts IS NOT NULL),
       f1 AS (SELECT user_id, min(us) AS t1 FROM fev WHERE t = 'view'
              GROUP BY 1),
       f2 AS (SELECT e.user_id, min(e.us) AS t2 FROM fev e

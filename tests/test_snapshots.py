@@ -2809,10 +2809,21 @@ def test_bloom_survives_rollback_and_float_rejected(spark, table):
     # string keys probe too
     one = snapshot_read(spark, table, skip_keys=[("s", ["b"])])
     assert sorted(tuple(r) for r in one.collect()) == [(1, "a"), (2, "b")]
-    with pytest.raises(ValueError, match="floating-point"):
+    with pytest.raises(ValueError, match="identical python/JVM"):
         snapshot_append(
             spark, str(table) + "_f",
             spark.createDataFrame([(1.5,)], "x double"), bloom_cols=["x"],
+        )
+    # timestamps diverge too (JVM '.5' vs python '.500000') — rejected
+    import datetime as dt
+
+    with pytest.raises(ValueError, match="identical python/JVM"):
+        snapshot_append(
+            spark, str(table) + "_t",
+            spark.createDataFrame(
+                [(dt.datetime(2024, 1, 1, 0, 0, 0, 500000),)], "x timestamp"
+            ),
+            bloom_cols=["x"],
         )
 
 
