@@ -3753,3 +3753,43 @@ def test_cohort_retention_hand_computed(spark):
     }
     with pytest.raises(ValueError, match="positive"):
         cohort_retention(df, period_s=0)
+
+
+def test_dsir_to_shards_end_to_end(spark, sf_dir, tmp_path):
+    """The full data-selection-to-delivery chain: DSIR-select documents
+    toward a target split, put them in deterministic training order,
+    and export size-bounded shards — selection weights, order, and shard
+    layout all survive composition (every selected doc lands exactly
+    once, in key order, within the per-shard token budget)."""
+    from lambda_kafka_to_s3_parquet_spark.functions.splits import assign_split
+    from lambda_kafka_to_s3_parquet_spark.operators.lm import (
+        dsir_select,
+        unigram_counts,
+    )
+    from lambda_kafka_to_s3_parquet_spark.operators.packing import export_shards
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "split", assign_split("text")
+    )
+    target_lm = unigram_counts(d.filter(F.col("split") == "val"))
+    raw = d.filter(F.col("split") == "train")
+    sel = dsir_select(raw, target_lm, unigram_counts(raw), k=60, seed=3)
+    path = str(tmp_path / "shards")
+    manifest = export_shards(
+        sel.select("doc_id", "n_tokens", "key"),
+        path,
+        order_col="doc_id",
+        weight_col="n_tokens",
+        max_per_shard=2_000,
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in sel.collect()
+    ), "every selected doc lands exactly once"
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 60
+    # every shard respects the budget up to one overshooting row (the
+    # greedy first-unit cut rule)
+    biggest = max(r["n_tokens"] for r in sel.collect())
+    for s in manifest["shards"]:
+        assert s["units"] <= 2_000 + biggest
