@@ -534,6 +534,47 @@ def bloom_delete_vs_table(spark, base_dir: str, scratch: str, scale: int) -> dic
     return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
 
 
+def analytics_vs_scale(spark, base1x: str, baseNx: str) -> dict:
+    """Round-11 analytics rows: funnel + cohort retention wall at 1x vs
+    scale-x events. The scaled corpus shifts EVENT ids with a FIXED user
+    set, so per-user density grows scale-x — the adversarial direction
+    for per-user array aggregates. Funnel's collect_list fold is O(events)
+    total (arrays grow linearly, the fold is linear), so its slope should
+    track the scan; retention's collect_set is CALENDAR-bounded (duplicate
+    periods dedupe in the partial aggregate), so its slope should be even
+    flatter — neither may blow up super-linearly."""
+    from lambda_kafka_to_s3_parquet_spark.operators.funnel import funnel_counts
+    from lambda_kafka_to_s3_parquet_spark.operators.retention import (
+        cohort_retention,
+    )
+
+    out = {}
+    for name, fn in (
+        (
+            "funnel",
+            lambda df: funnel_counts(
+                df, ["view", "click", "purchase"], within_s=3600
+            ).collect(),
+        ),
+        (
+            "retention",
+            lambda df: cohort_retention(df).collect(),
+        ),
+    ):
+        walls = []
+        for base in (base1x, baseNx):
+            ev = load_table(spark, base, "events")
+            t0 = time.perf_counter()
+            fn(ev)
+            walls.append(time.perf_counter() - t0)
+        out[name] = {
+            "t1": round(walls[0], 3),
+            "tN": round(walls[1], 3),
+            "ratio": round(walls[1] / walls[0], 1),
+        }
+    return out
+
+
 def merge_pruned_vs_table(spark, base_dir: str, scratch: str, scale: int) -> dict:
     """Round-11 merge row: snapshot_merge_into wall for a FIXED
     batch-sized upsert (10k updates + 1k inserts inside ONE commit's key
@@ -704,6 +745,8 @@ def main() -> None:
         out["bloom_delete_vs_table"] = bloom_delete_vs_table(
             spark, base, scratch, scale
         )
+        for k, v in analytics_vs_scale(spark, base1x, baseNx).items():
+            out[f"{k}_vs_scale"] = v
         out["w13_batch_vs_store"] = w13_gram_store_growth(spark, base, scratch, scale)
         out["w12_batch_vs_index"] = w12_index_growth(spark, base, scratch, scale)
         print(

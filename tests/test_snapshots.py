@@ -2950,3 +2950,33 @@ def test_lookup_current_state_guards(spark, table):
     assert lookup_current_state(
         spark, table, ["user_id"], [999], n_buckets=4
     ).count() == 0
+
+
+def test_lookup_current_state_reads_inplace_marker_n_buckets(
+    spark, table, tmp_path
+):
+    """Inplace-protocol tables record n_buckets in the side-car marker,
+    not a manifest — the lookup must consult it and fail fast on a
+    mismatched assumption (silently scanning the wrong bucket is the
+    failure this guard exists for)."""
+    import datetime as dt
+    import json as _json
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        lookup_current_state,
+        merge_cdc_batch,
+    )
+
+    ev = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    merge_cdc_batch(spark, ev, table, ["user_id"], "ts", "value", n_buckets=8)
+    # the side-car marker an inplace maintenance stream would leave
+    (tmp_path / "tbl" / "_last_merged_batch.json").write_text(
+        _json.dumps({"batch_id": 0, "checkpoint": "x", "n_buckets": 8})
+    )
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        lookup_current_state(spark, table, ["user_id"], [7], n_buckets=16)
+    got = lookup_current_state(spark, table, ["user_id"], [7], n_buckets=8)
+    assert [r["user_id"] for r in got.collect()] == [7]
