@@ -62,6 +62,7 @@ def resample(
     group_by: list[str] | None = None,
     agg: str = "avg",
     fill: str | None = None,
+    max_grid_per_series: int = 10_000_000,
 ) -> DataFrame:
     """Resample ``df`` onto a regular ``every_s``-second grid per series.
 
@@ -101,6 +102,21 @@ def resample(
     span = agged.groupBy(*gcols).agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
     )
+    # grid-size guard: sequence() materializes each series' grid as ONE
+    # array in one row — a mis-parameterized call (1 s buckets over a
+    # ten-year series) would build a multi-hundred-million-element array
+    # and OOM the task. The check is one tiny agg over the checkpointed
+    # span frame; raise with the offending size instead of dying deep in
+    # an executor.
+    worst = span.agg(
+        F.max((F.col("_hi") - F.col("_lo")) / F.lit(int(every_s))).alias("g")
+    ).first()["g"]
+    if worst is not None and worst + 1 > max_grid_per_series:
+        raise ValueError(
+            f"resample grid would need {int(worst) + 1} buckets for one "
+            f"series (span / every_s); above max_grid_per_series="
+            f"{max_grid_per_series} — coarsen every_s or split the series"
+        )
     grid = span.select(
         *gcols,
         F.explode(

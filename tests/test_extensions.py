@@ -3793,3 +3793,19 @@ def test_dsir_to_shards_end_to_end(spark, sf_dir, tmp_path):
     biggest = max(r["n_tokens"] for r in sel.collect())
     for s in manifest["shards"]:
         assert s["units"] <= 2_000 + biggest
+
+
+def test_resample_grid_size_guard(spark):
+    import datetime as dt
+
+    from lambda_kafka_to_s3_parquet_spark.operators.timeseries import resample
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1), 1.0),
+        ("a", dt.datetime(2024, 3, 1), 2.0),  # ~60-day span
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    with pytest.raises(ValueError, match="max_grid_per_series"):
+        resample(df, "ts", 1, "v", ["g"], max_grid_per_series=1000)
+    # same call with a sane bucket passes
+    assert resample(df, "ts", 86400, "v", ["g"]).count() >= 60
