@@ -344,13 +344,21 @@ def _sf_of(sf_dir: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
-def _time_set(spark, specs, sf_dir: str, runs_per_query: int) -> dict[str, float]:
+def _time_set(
+    spark, specs, sf_dir: str, runs_per_query: int, single_runs: int = 1
+) -> dict[str, float]:
+    """``single_runs`` > 1 re-executes the SINGLE_RUN queries (streaming
+    replays, the snapshot protocol exercise) and takes the min — their
+    first execution at a scale factor pays JIT/state-store/class-load
+    warm-up that the round-11 artifact showed is ~20% of the reading
+    (BENCH_r11 cold 139.5 s vs same-host warm 115.0 s). The batch
+    queries already get this from min-of-N."""
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in specs:
             continue
         best = None
-        for _ in range(1 if name in SINGLE_RUN else runs_per_query):
+        for _ in range(single_runs if name in SINGLE_RUN else runs_per_query):
             # Streaming replays (SINGLE_RUN) and eager plan-builders
             # (EAGER_FN) execute work inside fn() — the clock must start
             # before fn() or most of their cost is invisible. LAZY batch
@@ -404,7 +412,13 @@ def main() -> None:
     small: dict[str, float] = {}
     if os.path.isdir(sf_small_dir) and sf_small_dir != sf_dir:
         small = _time_set(spark, specs, sf_small_dir, runs_per_query)
-    timings = _time_set(spark, specs, sf_dir, runs_per_query)
+    # SINGLE_RUN queries take min-of-2 at the TARGET sf: the first run is
+    # the discarded warm-up (VERDICT r11: the committed cold reading sat
+    # 21% above the same-host warm number purely from JVM thermal state,
+    # polluting round-over-round comparison). The small pass keeps 1 —
+    # it is itself warm-up and its numbers only feed scale_ratio.
+    single_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SINGLE_RUNS", "2"))
+    timings = _time_set(spark, specs, sf_dir, runs_per_query, single_runs)
 
     ratios = {
         n: round(timings[n] / small[n], 1) for n in timings if small.get(n)
@@ -433,6 +447,11 @@ def main() -> None:
         "unit": "sec",
         "sf": _sf_of(sf_dir),
         "runs_per_query": runs_per_query,
+        "runs_single": single_runs,
+        # self-describing thermal state: every timed number had at least
+        # one discarded same-process warm-up execution before it (the
+        # small-sf pass for batch, min-of-runs_single for SINGLE_RUN)
+        "warmup": single_runs > 1,
         "agg": "min",
         "queries": timings,
         "value_batch": batch_total,

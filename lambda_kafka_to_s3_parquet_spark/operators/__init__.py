@@ -64,6 +64,7 @@ from .retention import cohort_retention  # noqa: F401
 from .cdc import lookup_current_state, read_current_state  # noqa: F401
 from .lm import dsir_select, importance_weights  # noqa: F401
 from .snapshots import (  # noqa: F401
+    SnapshotConflictError,
     snapshot_append,
     snapshot_delete_where,
     snapshot_describe,

@@ -13,31 +13,39 @@ atomic-pointer protocol), with no new file format:
 * a manifest (JSON) lists, per live partition, which commit directories
   (TABLE-RELATIVE paths, so the table can move and its own path may
   itself contain a ``/data/`` segment) hold its data;
-* visibility is a ``_snapshots/latest-<version>`` marker file created by
-  a rename to a FRESH path — atomic on every Hadoop filesystem without
-  needing overwrite-rename semantics. ``current_version`` is the max
-  marker present: the previous marker stays until the new one lands, so
-  there is NO window where the pointer is missing, and stale markers
-  (cleaned best-effort after the swap) can never win against max. A
-  manifest without its marker (crash between the two writes) is an
-  uncommitted phantom: history hides it and time travel refuses it.
+* each commit ATTEMPT writes its manifest to a unique token path
+  (``v<version>-<token>.json``) — never a path another writer could
+  contend for — then publishes by atomically creating the version's
+  ``_snapshots/latest-<version>`` marker whose CONTENT names the
+  manifest file. The marker create is a rename to a FRESH path — atomic
+  on every Hadoop filesystem without overwrite-rename semantics — so it
+  is a real compare-and-swap: exactly one of N racing writers creates
+  it. ``current_version`` is the max marker present; markers are
+  RETAINED per version (they are the version→manifest-file map that
+  time travel resolves through) until :func:`snapshot_expire` reclaims
+  them with their manifests. A manifest without its version's marker
+  (a crash before publish, or a CAS loser) is an uncommitted phantom:
+  history hides it, time travel refuses it, expire vacuums it.
 
 Readers resolve a committed manifest and scan exactly the referenced
 directories — so "overwrite" never races a concurrent read of the same
 files (the race ADVICE flagged in the in-place dynamic-overwrite rollup
 merge), and every prior snapshot stays readable until expired.
 
-Single-maintenance-writer contract, like the rollup/CDC markers: marker
-creation is atomic but not compare-and-swap. Concurrent committers are
-detected BEST-EFFORT, not guaranteed: the marker loser errors at the
-fresh-path create, and a winner whose manifest was clobbered usually
-catches it by re-reading after publish (see :func:`_commit`) — but a
-loser that replaces the manifest after the winner's re-read and before
-its own marker failure goes unnoticed (the table stays consistent; the
-winner just reported success for the loser's content). The single-writer
-contract remains the real guarantee. The engine's streaming maintenance
-is already single-writer (checkpoint-serialized); true multi-writer
-needs a real catalog (the named Delta/Iceberg upgrade).
+Optimistic concurrency (Iceberg-shaped, see :func:`_commit`): a writer
+that loses the marker CAS classifies its commit. APPEND-class commits
+(``replaced`` empty and no ``restore`` — plain appends, insert-only
+merges, the consumers' meta-only marks) REBASE onto the winner's
+manifest and retry: the data directories are already on disk under
+fresh commit ids and need no rewrite, only the manifest merge re-runs
+against the new base (schema union revalidated, meta key-merged so
+neither writer's high-water mark is lost). REPLACEMENT-class commits
+(overwrite, delete, merge touching live rows, rewrite, rollback)
+fail-stop with :class:`SnapshotConflictError` naming the conflict —
+their read-set was the old base, so retrying silently could undo the
+winner (snapshot isolation, not serializability; same default as
+Iceberg's concurrent-append validation). A failed replacement's
+orphaned data dirs are reclaimed by :func:`snapshot_expire`.
 
 Commits may carry a small ``meta`` dict inside the manifest (e.g. the
 maintenance streams' batch-id high-water mark): because the manifest IS
@@ -68,6 +76,19 @@ from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
 _MARKER_RE = re.compile(r"^latest-(\d+)$")
+#: legacy fixed-name manifests (pre-CAS layout) + CAS token manifests
+_MANIFEST_FILE_RE = re.compile(r"^v(\d+)(?:-[0-9a-f]+)?\.json$")
+#: CAS losers rebase-and-retry this many times before giving up — each
+#: retry re-reads the new base, so exhausting it means sustained
+#: contention, not a protocol failure
+_COMMIT_MAX_RETRIES = 10
+
+
+class SnapshotConflictError(RuntimeError):
+    """A concurrent committer won the version CAS and this commit's
+    class cannot rebase (replacement commits read the old base; blindly
+    retrying could silently undo the winner). The loser's data dirs are
+    unreferenced orphans — :func:`snapshot_expire` reclaims them."""
 
 
 def _fs(spark: SparkSession, path: str):
@@ -132,8 +153,42 @@ def _now() -> float:
     return time.time()
 
 
-def _manifest_path(table: str, version: int) -> str:
+def _manifest_path(table: str, version: int, token: str | None = None) -> str:
+    """Token manifests (CAS layout) live at ``v<version>-<token>.json``;
+    the token-less form is the legacy pre-CAS fixed name, kept readable
+    for tables written before the upgrade."""
+    if token:
+        return f"{table}/{_SNAP_DIR}/v{version:05d}-{token}.json"
     return f"{table}/{_SNAP_DIR}/v{version:05d}.json"
+
+
+def _marker_path(table: str, version: int) -> str:
+    return f"{table}/{_SNAP_DIR}/latest-{version:05d}"
+
+
+#: (table, version) -> committed manifest basename. Safe to cache: a
+#: version's marker content never changes after the CAS create (expire
+#: deletes the pair together, and the read-miss path below re-resolves).
+_RESOLVE_CACHE: dict[tuple[str, int], str] = {}
+
+
+def _resolve_manifest_file(spark: SparkSession, table: str, version: int) -> str:
+    """Full path of the COMMITTED manifest for ``version``: the marker's
+    content names the file (CAS layout); a bare version number or a
+    missing marker (pre-upgrade history, whose old markers were deleted
+    at swap time) falls back to the legacy fixed name."""
+    key = (table, version)
+    basename = _RESOLVE_CACHE.get(key)
+    if basename is None:
+        content = _read_text(spark, _marker_path(table, version))
+        if content is not None and _MANIFEST_FILE_RE.match(content.strip()):
+            basename = content.strip()
+        else:
+            basename = f"v{version:05d}.json"
+        if len(_RESOLVE_CACHE) > 4096:
+            _RESOLVE_CACHE.clear()
+        _RESOLVE_CACHE[key] = basename
+    return f"{table}/{_SNAP_DIR}/{basename}"
 
 
 def current_version(spark: SparkSession, table: str) -> int:
@@ -151,17 +206,24 @@ def current_version(spark: SparkSession, table: str) -> int:
     return best
 
 
-def _swap_pointer(spark: SparkSession, table: str, version: int) -> None:
-    """Publish ``version``: create its marker (atomic, fresh path), then
-    best-effort delete older markers. A crash after creation leaves extra
-    old markers — harmless, max wins."""
-    _create_atomic(spark, f"{table}/{_SNAP_DIR}/latest-{version:05d}", str(version))
-    fs, jvm = _fs(spark, table)
-    snap = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
-    for st in fs.listStatus(snap):
-        m = _MARKER_RE.match(st.getPath().getName())
-        if m and int(m.group(1)) < version:
-            fs.delete(st.getPath(), False)
+def _publish_cas(spark: SparkSession, table: str, version: int, basename: str) -> bool:
+    """The commit CAS: atomically create ``version``'s marker naming the
+    manifest file. Exactly one of N racing writers succeeds (fresh-path
+    rename fails on an existing destination on every Hadoop FS — the
+    same primitive the zone-map sidecar's versioned publish uses).
+    Returns False when the marker already exists (this writer LOST);
+    re-raises real I/O failures. Markers are retained per version — they
+    are the version→file map time travel resolves through — until
+    :func:`snapshot_expire` reclaims them with their manifests."""
+    marker = _marker_path(table, version)
+    try:
+        _create_atomic(spark, marker, basename)
+        return True
+    except IOError:
+        fs, jvm = _fs(spark, table)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(marker)):
+            return False
+        raise
 
 
 def _load_manifest(
@@ -180,7 +242,12 @@ def _load_manifest(
             f"v{committed}; a manifest without its marker is a crash "
             "leftover, not a snapshot)"
         )
-    txt = _read_text(spark, _manifest_path(table, version))
+    txt = _read_text(spark, _resolve_manifest_file(spark, table, version))
+    if txt is None:
+        # a cached resolution can go stale when a table is dropped and
+        # recreated at the same path — re-resolve once before concluding
+        _RESOLVE_CACHE.pop((table, version), None)
+        txt = _read_text(spark, _resolve_manifest_file(spark, table, version))
     if txt is None:
         raise FileNotFoundError(
             f"snapshot v{version} of {table} does not exist (expired?); "
@@ -196,25 +263,48 @@ def snapshot_history(spark: SparkSession, table: str) -> list[dict]:
     snap = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
     if not fs.exists(snap):
         return []
-    committed = current_version(spark, table)
-    out = []
+    # one listing yields both the marker set (version → committed
+    # manifest basename: the ONLY files that are commits — a CAS loser's
+    # token manifest at the same version is a phantom) and the legacy
+    # fixed-name manifests of pre-CAS history, whose per-version markers
+    # were deleted at swap time
+    committed = 0
+    marked: dict[int, str] = {}
+    legacy: dict[int, str] = {}
     for st in fs.listStatus(snap):
         name = st.getPath().getName()
-        if name.startswith("v") and name.endswith(".json"):
-            txt = _read_text(spark, st.getPath().toString())
-            if txt is None:
-                continue  # expired by the maintenance writer mid-listing
-            m = json.loads(txt)
-            if m["version"] <= committed:
-                out.append(
-                    {
-                        "version": m["version"],
-                        "op": m.get("op", "?"),
-                        "n_partition_groups": len(m["partitions"]),
-                        # None for pre-upgrade manifests (round < 11)
-                        "committed_at": m.get("committed_at"),
-                    }
-                )
+        mm = _MARKER_RE.match(name)
+        if mm:
+            v = int(mm.group(1))
+            committed = max(committed, v)
+            content = _read_text(spark, st.getPath().toString())
+            if content is not None and _MANIFEST_FILE_RE.match(content.strip()):
+                marked[v] = content.strip()
+            else:
+                marked[v] = f"v{v:05d}.json"
+            continue
+        mf = re.match(r"^v(\d+)\.json$", name)
+        if mf:
+            legacy[int(mf.group(1))] = name
+    for v, name in legacy.items():
+        marked.setdefault(v, name)
+    out = []
+    for v, basename in marked.items():
+        if v > committed:
+            continue
+        txt = _read_text(spark, f"{table}/{_SNAP_DIR}/{basename}")
+        if txt is None:
+            continue  # expired by the maintenance writer mid-listing
+        m = json.loads(txt)
+        out.append(
+            {
+                "version": m["version"],
+                "op": m.get("op", "?"),
+                "n_partition_groups": len(m["partitions"]),
+                # None for pre-upgrade manifests (round < 11)
+                "committed_at": m.get("committed_at"),
+            }
+        )
     return sorted(out, key=lambda s: s["version"])
 
 
@@ -564,113 +654,161 @@ def _commit(
     manifest only, so a dir that was replaced and later restored would
     silently lose its zone maps (skip_where stops pruning it) and its
     commit's scan-grouping schema — committed dirs are immutable, so the
-    old manifest's entries are exact for the restored dirs."""
-    base = current_version(spark, table)
-    manifest = _load_manifest(spark, table, base, committed=base)
-    parts = {
-        k: list(v)
-        for k, v in manifest["partitions"].items()
-        if replaced is None or k not in replaced
-    }
-    for pval, dirs in new_partitions.items():
-        parts.setdefault(pval, []).extend(dirs)
-    version = base + 1
-    new_manifest = {
-        "version": version,
-        "op": op,
-        # wall-clock commit instant (epoch seconds): powers AS-OF-
-        # timestamp time travel and retention reasoning; informational
-        # only — correctness never depends on clock monotonicity, and
-        # snapshot_read(as_of=...) fail-stops on out-of-order instants
-        "committed_at": _now(),
-        "partitions": parts,
-    }
-    carried = manifest.get("meta") if meta is None else meta
-    if carried:
-        new_manifest["meta"] = carried
-    sch = manifest.get("dschema") if dschema is None else dschema
-    if sch:
-        new_manifest["dschema"] = sch
-    # zone maps ride the manifest per dir: carry forward every surviving
-    # dir's stats (replaced/expired dirs drop out with their entries),
-    # then merge this commit's. Dirs without stats are simply always
-    # read — skipping is an optimization, never a correctness input.
-    live = {d for dirs in parts.values() for d in dirs}
-    kept_stats = {
-        d: s for d, s in manifest.get("stats", {}).items() if d in live
-    }
-    kept_stats.update(stats or {})
-    # per-dir bloom filters carry exactly like the zone maps: surviving
-    # dirs keep theirs (immutable dirs, immutable blooms), replaced ones
-    # drop out, this commit's merge in
-    kept_blooms = {
-        d: b for d, b in manifest.get("blooms", {}).items() if d in live
-    }
-    kept_blooms.update(blooms or {})
-    # per-commit schemas: carry live commits' entries, add this commit's
-    live_commits = {d.split("/")[1] for d in live}
-    kept_cs = {
-        c: s
-        for c, s in manifest.get("cschemas", {}).items()
-        if c in live_commits
-    }
-    if cschema is not None:
-        # stamp ONLY commits this write created: delete/rollback-style
-        # commits carry PRIOR commits' untouched dirs inside
-        # new_partitions (a partition can mix rewritten and carried
-        # dirs), and relabeling a carried commit with this write's
-        # schema would group a narrow pre-evolution commit into a
-        # union-schema multi-path scan — which silently drops the
-        # evolved column for every file in the group
-        prior_commits = {
-            d.split("/")[1]
-            for dirs in manifest["partitions"].values()
-            for d in dirs
+    old manifest's entries are exact for the restored dirs.
+
+    Optimistic concurrency: the manifest lands at a unique token path,
+    then the version marker's atomic fresh-path create is the CAS. On
+    loss, APPEND-class commits (``replaced`` empty, no ``restore``)
+    rebase onto the winner's manifest and retry — the data dirs are
+    already on disk and fresh-by-construction, so only this manifest
+    merge re-runs: the schema union is revalidated against the winner's
+    (``cschema`` is this commit's own columns), and a non-None ``meta``
+    KEY-MERGES over the winner's so neither writer's high-water mark is
+    lost. REPLACEMENT-class commits fail-stop with
+    :class:`SnapshotConflictError` — their read-set was the old base."""
+    rebaseable = not replaced and restore is None
+    mine_cols = dict(cschema) if cschema else None
+    attempt = 0
+    while True:
+        base = current_version(spark, table)
+        manifest = _load_manifest(spark, table, base, committed=base)
+        eff_dschema = dschema
+        eff_meta = meta
+        if attempt > 0:
+            # rebase: the winner's manifest is the new base — re-derive
+            # the schema union from OUR OWN columns (the dschema the
+            # caller computed merged against the old base), failing fast
+            # on a type conflict the winner introduced, and key-merge
+            # meta so a racing stream's HWM and ours both survive
+            if dschema is not None:
+                if mine_cols is None:
+                    raise SnapshotConflictError(
+                        f"concurrent commit on {table}: cannot rebase a "
+                        "schema-bearing commit without its own column "
+                        "list; retry the operation"
+                    )
+                prior = dict(manifest.get("dschema", {}))
+                for c, t in mine_cols.items():
+                    if c in prior and prior[c] != t:
+                        raise SnapshotConflictError(
+                            f"concurrent commit on {table}: rebasing "
+                            f"would change column {c!r} type "
+                            f"({prior[c]} -> {t}); snapshot evolution "
+                            "is additive-only"
+                        )
+                eff_dschema = {**prior, **mine_cols}
+            if meta is not None:
+                eff_meta = {**(manifest.get("meta") or {}), **meta}
+        parts = {
+            k: list(v)
+            for k, v in manifest["partitions"].items()
+            if replaced is None or k not in replaced
         }
-        for dirs in new_partitions.values():
-            for d in dirs:
-                c = d.split("/")[1]
-                if c not in prior_commits:
-                    kept_cs[c] = cschema
-    if restore:
-        for d, s in restore.get("stats", {}).items():
-            if d in live:
-                kept_stats.setdefault(d, s)
-        for d, b in restore.get("blooms", {}).items():
-            if d in live:
-                kept_blooms.setdefault(d, b)
-        for c, s in restore.get("cschemas", {}).items():
-            if c in live_commits:
-                kept_cs.setdefault(c, s)
-    if kept_stats:
-        new_manifest["stats"] = kept_stats
-    if kept_blooms:
-        new_manifest["blooms"] = kept_blooms
-    if kept_cs:
-        new_manifest["cschemas"] = kept_cs
-    serialized = json.dumps(new_manifest)
-    _replace_text(spark, _manifest_path(table, version), serialized)
-    _swap_pointer(spark, table, version)
-    # Concurrent-committer detection (BEST-EFFORT, see module docstring):
-    # two writers racing the same base both target version N+1 — the
-    # marker loser already errors in _create_atomic (fresh-path create),
-    # but it may have REPLACED the winner's manifest before losing,
-    # leaving the winner's marker pointing at the loser's content.
-    # Re-reading our manifest after the swap catches that clobber when it
-    # lands before this read; a replace racing in AFTER it goes unseen
-    # (the table stays consistent — the surviving manifest + its data are
-    # a real commit — but this writer would wrongly report success). The
-    # single-writer contract is the actual guarantee.
-    check = _read_text(spark, _manifest_path(table, version))
-    if check != serialized:
-        raise RuntimeError(
-            f"concurrent commit detected on {table} v{version}: this "
-            "writer's manifest was replaced by another committer before "
-            "publish — the table holds the OTHER commit; this one must be "
-            "retried (snapshot tables are single-writer; use a real "
-            "catalog for multi-writer commits)"
-        )
-    return version
+        for pval, dirs in new_partitions.items():
+            parts.setdefault(pval, []).extend(dirs)
+        version = base + 1
+        new_manifest = {
+            "version": version,
+            "op": op,
+            # wall-clock commit instant (epoch seconds): powers AS-OF-
+            # timestamp time travel and retention reasoning;
+            # informational only — correctness never depends on clock
+            # monotonicity, and snapshot_read(as_of=...) fail-stops on
+            # out-of-order instants
+            "committed_at": _now(),
+            "partitions": parts,
+        }
+        carried = manifest.get("meta") if eff_meta is None else eff_meta
+        if carried:
+            new_manifest["meta"] = carried
+        sch = manifest.get("dschema") if eff_dschema is None else eff_dschema
+        if sch:
+            new_manifest["dschema"] = sch
+        # zone maps ride the manifest per dir: carry forward every
+        # surviving dir's stats (replaced/expired dirs drop out with
+        # their entries), then merge this commit's. Dirs without stats
+        # are simply always read — skipping is an optimization, never a
+        # correctness input.
+        live = {d for dirs in parts.values() for d in dirs}
+        kept_stats = {
+            d: s for d, s in manifest.get("stats", {}).items() if d in live
+        }
+        kept_stats.update(stats or {})
+        # per-dir bloom filters carry exactly like the zone maps:
+        # surviving dirs keep theirs (immutable dirs, immutable blooms),
+        # replaced ones drop out, this commit's merge in
+        kept_blooms = {
+            d: b for d, b in manifest.get("blooms", {}).items() if d in live
+        }
+        kept_blooms.update(blooms or {})
+        # per-commit schemas: carry live commits', add this commit's
+        live_commits = {d.split("/")[1] for d in live}
+        kept_cs = {
+            c: s
+            for c, s in manifest.get("cschemas", {}).items()
+            if c in live_commits
+        }
+        if cschema is not None:
+            # stamp ONLY commits this write created: delete/rollback-
+            # style commits carry PRIOR commits' untouched dirs inside
+            # new_partitions (a partition can mix rewritten and carried
+            # dirs), and relabeling a carried commit with this write's
+            # schema would group a narrow pre-evolution commit into a
+            # union-schema multi-path scan — which silently drops the
+            # evolved column for every file in the group
+            prior_commits = {
+                d.split("/")[1]
+                for dirs in manifest["partitions"].values()
+                for d in dirs
+            }
+            for dirs in new_partitions.values():
+                for d in dirs:
+                    c = d.split("/")[1]
+                    if c not in prior_commits:
+                        kept_cs[c] = cschema
+        if restore:
+            for d, s in restore.get("stats", {}).items():
+                if d in live:
+                    kept_stats.setdefault(d, s)
+            for d, b in restore.get("blooms", {}).items():
+                if d in live:
+                    kept_blooms.setdefault(d, b)
+            for c, s in restore.get("cschemas", {}).items():
+                if c in live_commits:
+                    kept_cs.setdefault(c, s)
+        if kept_stats:
+            new_manifest["stats"] = kept_stats
+        if kept_blooms:
+            new_manifest["blooms"] = kept_blooms
+        if kept_cs:
+            new_manifest["cschemas"] = kept_cs
+        # the manifest lands at a UNIQUE token path (no writer can
+        # contend for it), then the marker create is the CAS
+        token = uuid.uuid4().hex[:12]
+        mpath = _manifest_path(table, version, token)
+        _create_atomic(spark, mpath, json.dumps(new_manifest))
+        if _publish_cas(spark, table, version, f"v{version:05d}-{token}.json"):
+            return version
+        # lost the CAS: our token manifest is a phantom — drop it
+        # best-effort (expire vacuums stragglers), then rebase or stop
+        fs, jvm = _fs(spark, table)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
+        attempt += 1
+        if not rebaseable:
+            raise SnapshotConflictError(
+                f"concurrent commit on {table}: another writer committed "
+                f"v{version} first and this {op!r} commit replaces live "
+                "data read from the OLD base — retrying blindly could "
+                "undo the winner. Re-run the operation against the new "
+                "snapshot (its data dirs are unreferenced orphans; "
+                "snapshot_expire reclaims them)."
+            )
+        if attempt > _COMMIT_MAX_RETRIES:
+            raise SnapshotConflictError(
+                f"concurrent commit on {table}: lost the version CAS "
+                f"{attempt} times in a row (sustained contention); "
+                "re-run the append"
+            )
 
 
 def snapshot_append(
@@ -1669,13 +1807,41 @@ def snapshot_expire(
                 live_commits.add(d.split("/")[1])
     fs, jvm = _fs(spark, table)
     n_manifests = 0
+    latest = max(existing)
     for s in history:
         if s["version"] not in keep_versions:
+            v = s["version"]
             fs.delete(
-                jvm.org.apache.hadoop.fs.Path(_manifest_path(table, s["version"])),
+                jvm.org.apache.hadoop.fs.Path(
+                    _resolve_manifest_file(spark, table, v)
+                ),
                 False,
             )
+            # the version's marker goes with its manifest (it is the
+            # version→file map entry); the LATEST marker is the live
+            # pointer and is always retained
+            if v != latest:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(_marker_path(table, v)), False)
+            _RESOLVE_CACHE.pop((table, v), None)
             n_manifests += 1
+    # vacuum phantom token manifests: a committed version's manifest is
+    # exactly the file its marker names — any OTHER v<version>-<token>
+    # file at a committed version is a CAS loser's leftover (an
+    # in-flight attempt targets version > committed and is never touched)
+    snap_dir = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
+    committed_names = {
+        _resolve_manifest_file(spark, table, v).rsplit("/", 1)[1]
+        for v in keep_versions
+    }
+    for st in fs.listStatus(snap_dir):
+        name = st.getPath().getName()
+        mf = _MANIFEST_FILE_RE.match(name)
+        if (
+            mf
+            and int(mf.group(1)) <= latest
+            and name not in committed_names
+        ):
+            fs.delete(st.getPath(), False)
     n_dirs = 0
     data_root = jvm.org.apache.hadoop.fs.Path(f"{table}/data")
     if fs.exists(data_root):
@@ -1981,6 +2147,20 @@ def snapshot_merge_into(
       the source row, ``None`` drops it;
     * only in the target -> always kept (survivor).
 
+    CONDITIONAL clauses (the Delta/Iceberg ``WHEN MATCHED AND <cond>``
+    guard — the standard defense against out-of-order CDC upserts):
+    ``when_matched`` also accepts ``("update", "s.ts > t.ts")``, or a
+    LIST of such ``(verb, cond)`` clauses evaluated first-match-wins —
+    ``[("delete", "s.deleted"), ("update", "s.ts > t.ts")]``. ``cond``
+    is a SQL expression over ``s.<col>`` (source image) and ``t.<col>``
+    (target image); a matched pair for which NO clause fires keeps the
+    TARGET row untouched (never deleted). ``cond=None`` in a tuple is
+    the unconditional clause (shadows any later ones).
+    ``when_not_matched`` likewise accepts ``("insert", "s.score > 0")``
+    — ``cond`` sees only ``s.<col>`` (there is no target image); a
+    source row failing it is dropped. All conditions compile into the
+    ONE single-CASE classify plan — no extra pass over the candidates.
+
     NULL join keys never match (SQL equality — same as Delta): a NULL-
     keyed target row is a survivor, a NULL-keyed source row is a
     not-matched insert.
@@ -2009,8 +2189,11 @@ def snapshot_merge_into(
 
     Contracts: ``source`` keys must be UNIQUE (checked with one
     source-sized agg; two source images for one target row is a
-    nondeterministic merge) and ``source`` must be deterministic under
-    re-evaluation (it feeds the probe and the write). ``source`` must
+    nondeterministic merge). ``source`` is localCheckpoint-ed ONCE at
+    entry: the dup check, prune aggs, bloom probes, key probes,
+    classify join and data write all read that single materialization —
+    an expensive source pipeline computes once, and a non-deterministic
+    one cannot write rows its probes never saw. ``source`` must
     carry EVERY target column — missing columns would silently NULL-out
     updated rows; extra source columns are additive evolution, gated by
     the same write-time type check as ``snapshot_append`` (survivors
@@ -2026,19 +2209,52 @@ def snapshot_merge_into(
     the pre-merge version readable, and ``snapshot_row_changes`` across
     the merge commit emits exact insert/delete/update images — IVM
     views and incremental consumers apply a merge with no rescan."""
-    if when_matched not in ("update", "delete", None):
-        raise ValueError(
-            f"when_matched must be 'update', 'delete' or None, got "
-            f"{when_matched!r}"
-        )
-    if when_not_matched not in ("insert", None):
-        raise ValueError(
-            f"when_not_matched must be 'insert' or None, got "
-            f"{when_not_matched!r}"
-        )
-    if when_matched is None and when_not_matched is None:
+    def _norm_clauses(spec, verbs, what):
+        """Normalize a clause spec to ``[(verb, cond_sql|None), ...]``."""
+        if spec is None:
+            return []
+        if isinstance(spec, str):
+            spec = [(spec, None)]
+        elif isinstance(spec, tuple):
+            spec = [spec]
+        out = []
+        for cl in spec:
+            if isinstance(cl, str):
+                cl = (cl, None)
+            if (
+                not isinstance(cl, tuple)
+                or len(cl) != 2
+                or cl[0] not in verbs
+                or not (cl[1] is None or isinstance(cl[1], str))
+            ):
+                raise ValueError(
+                    f"{what} clause must be one of {sorted(verbs)}, a "
+                    f"(verb, cond_sql) tuple, or a list of such tuples; "
+                    f"got {cl!r}"
+                )
+            out.append(cl)
+        return out
+
+    matched_clauses = _norm_clauses(
+        when_matched, {"update", "delete"}, "when_matched"
+    )
+    insert_clauses = _norm_clauses(
+        when_not_matched, {"insert"}, "when_not_matched"
+    )
+    if len(insert_clauses) > 1:
+        raise ValueError("when_not_matched takes at most one insert clause")
+    if not matched_clauses and not insert_clauses:
         raise ValueError("merge with no matched AND no not-matched clause "
                          "is a no-op by construction")
+    has_conds = any(c is not None for _, c in matched_clauses) or any(
+        c is not None for _, c in insert_clauses
+    )
+    if has_conds and ({"s", "t"} & set(on)):
+        raise ValueError(
+            "conditional merge clauses reference images as s.<col> / "
+            "t.<col>; key columns named 's' or 't' would shadow them — "
+            "rename the key columns"
+        )
     committed = current_version(spark, table)
     if not committed:
         raise ValueError(
@@ -2048,6 +2264,11 @@ def snapshot_merge_into(
     missing_keys = [k for k in on if k not in source.columns]
     if missing_keys:
         raise ValueError(f"key column(s) {missing_keys} not in source")
+    # ONE materialization feeds every downstream read of the source
+    # (≈6 evaluations otherwise: dup check, prune agg, bloom collect,
+    # key probes, classify join, data write) — the importance_weights
+    # pattern; also removes the determinism burden from the caller
+    source = source.localCheckpoint(eager=True)
     manifest = _load_manifest(spark, table, committed, committed=committed)
     parts = manifest["partitions"]
     all_dirs = sorted(d for dirs in parts.values() for d in dirs)
@@ -2170,13 +2391,23 @@ def snapshot_merge_into(
     extra_cols = [c for c in aligned.columns if c not in all_cols]
     out_cols = all_cols + extra_cols
 
-    if when_matched is None:
+    insert_cond = insert_clauses[0][1] if insert_clauses else None
+    if not matched_clauses:
         # insert-only merge: matched target rows stay BY REFERENCE — no
         # candidate dir is rewritten, the commit is a pure append of the
-        # not-matched source rows (the cheapest verb wins)
+        # not-matched source rows (the cheapest verb wins; and an
+        # append-class commit, so it REBASES under a concurrent writer)
         inserts = aligned.join(
             cand_df.select(*on), on, "left_anti"
         ).select(*out_cols)
+        if insert_cond is not None:
+            inserts = (
+                inserts.withColumn(
+                    "s", F.struct(*[F.col(c) for c in out_cols])
+                )
+                .filter(F.coalesce(F.expr(insert_cond), F.lit(False)))
+                .drop("s")
+            )
         if inserts.limit(1).isEmpty():
             return committed
         return snapshot_append(
@@ -2185,21 +2416,17 @@ def snapshot_merge_into(
             bloom_bits=bloom_bits,
         )
 
-    # no-op and emptiness probes run on KEY-ONLY projections — narrow
-    # column-pruned scans, never the full-width classify join (which
-    # therefore executes exactly once, for the write)
+    def _cond_expr(cond):
+        # NULL condition results keep SQL semantics: a clause whose
+        # guard evaluates to NULL does NOT fire (coalesce to FALSE)
+        return (
+            F.lit(True)
+            if cond is None
+            else F.coalesce(F.expr(cond), F.lit(False))
+        )
+
     tgt_keys = cand_df.select(*on)
     src_keys = aligned.select(*on)
-    matched_exists = not tgt_keys.join(
-        src_keys, on, "left_semi"
-    ).limit(1).isEmpty()
-    inserts_exist = (
-        when_not_matched == "insert"
-        and not src_keys.join(tgt_keys, on, "left_anti").limit(1).isEmpty()
-    )
-    if not (matched_exists or inserts_exist):
-        return committed
-
     tgt = cand_df.select(
         *on, F.struct(*[F.col(c) for c in all_cols]).alias("_tgt")
     )
@@ -2207,17 +2434,63 @@ def snapshot_merge_into(
         *on, F.struct(*[F.col(c) for c in out_cols]).alias("_src")
     )
     j = tgt.join(src, on, "full_outer")
+    if has_conds:
+        # clause conditions reference the images as s.<col> / t.<col>
+        j = j.withColumn("t", F.col("_tgt")).withColumn("s", F.col("_src"))
 
-    matched_img = (
-        F.col("_src") if when_matched == "update" else F.lit(None)
-    )
+    # no-op probes: without conditions they run on KEY-ONLY projections
+    # (narrow column-pruned scans). With conditions, a matched pair no
+    # clause fires for is a plain survivor, so the probe must ask "does
+    # any clause FIRE anywhere" — a limit-1 filter over the same
+    # classify join (executed until first hit, not materialized).
+    any_clause = None
+    for _, cond in matched_clauses:
+        e = _cond_expr(cond)
+        any_clause = e if any_clause is None else (any_clause | e)
+    if has_conds and matched_clauses:
+        matched_exists = not (
+            j.filter(F.col("_tgt").isNotNull() & F.col("_src").isNotNull())
+            .filter(any_clause)
+            .limit(1)
+            .isEmpty()
+        )
+    else:
+        matched_exists = bool(matched_clauses) and not tgt_keys.join(
+            src_keys, on, "left_semi"
+        ).limit(1).isEmpty()
+    inserts_exist = False
+    if insert_clauses:
+        if insert_cond is not None:
+            ins_probe = (
+                aligned.join(tgt_keys, on, "left_anti")
+                .withColumn("s", F.struct(*[F.col(c) for c in out_cols]))
+                .filter(_cond_expr(insert_cond))
+            )
+        else:
+            ins_probe = src_keys.join(tgt_keys, on, "left_anti")
+        inserts_exist = not ins_probe.limit(1).isEmpty()
+    if not (matched_exists or inserts_exist):
+        return committed
+
     survivor_img = F.struct(
         *[F.col(f"_tgt.{c}").alias(c) for c in all_cols],
         *[F.lit(None).cast(stypes[c]).alias(c) for c in extra_cols],
     )
-    insert_img = (
-        F.col("_src") if when_not_matched == "insert" else F.lit(None)
-    )
+    # matched branch: clauses first-match-wins; none firing keeps the
+    # TARGET image (never an implicit delete). The unconditional single
+    # verb degenerates to exactly the old expression.
+    matched_img = survivor_img if matched_clauses else F.lit(None)
+    for verb, cond in reversed(matched_clauses):
+        action = F.col("_src") if verb == "update" else F.lit(None)
+        matched_img = F.when(_cond_expr(cond), action).otherwise(matched_img)
+    if insert_clauses:
+        insert_img = (
+            F.when(_cond_expr(insert_cond), F.col("_src"))
+            if insert_cond is not None
+            else F.col("_src")
+        )
+    else:
+        insert_img = F.lit(None)
     img = (
         F.when(F.col("_src").isNull(), survivor_img)
         .when(F.col("_tgt").isNull(), insert_img)
@@ -2242,8 +2515,12 @@ def snapshot_merge_into(
     # output is non-empty whenever the no-op probe passed (matched rows
     # stay as updates, or inserts exist); delete-mode output is empty
     # iff no candidate row survives AND nothing inserts — a key-only
-    # anti join, not a full-width execution
-    if when_matched == "update":
+    # anti join, not a full-width execution. Conditional clauses break
+    # both derivations (an un-fired clause keeps its row), so they pay
+    # one limit-1 execution of the classify plan instead.
+    if has_conds:
+        combined_empty = combined.limit(1).isEmpty()
+    elif matched_clauses and matched_clauses[0][0] == "update":
         combined_empty = False
     else:
         surv_exists = not tgt_keys.join(

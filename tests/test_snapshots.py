@@ -780,14 +780,34 @@ def test_ingest_stream_snapshot_landing_equals_inplace(spark, tmp_path):
     assert snapshot_meta(spark, snap_out) == before
 
 
-def test_concurrent_committer_detected_not_silent(spark, table, monkeypatch):
-    """Two writers racing the same base version: the marker loser errors
-    at the fresh-path create, and a winner whose manifest was clobbered
-    between its manifest write and its pointer swap detects the clobber
-    and raises — no commit is ever lost SILENTLY (the single-writer
-    contract made fail-stop)."""
-    import json as _json
+def _race_first_publish(monkeypatch, winner_commit):
+    """Monkeypatch `_publish_cas` so the FIRST publish attempt loses: a
+    competing writer (``winner_commit``, run with the real protocol)
+    lands its commit in the window between the victim's base read and
+    its marker CAS — the canonical two-writers-race-one-version
+    interleave, made deterministic."""
+    import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap
 
+    orig = snap._publish_cas
+    state = {"fired": False}
+
+    def interleaved(spark_, table_, version, basename):
+        if not state["fired"]:
+            state["fired"] = True
+            monkeypatch.setattr(snap, "_publish_cas", orig)
+            winner_commit()  # the winner commits this very version
+            monkeypatch.setattr(snap, "_publish_cas", interleaved)
+        return orig(spark_, table_, version, basename)
+
+    monkeypatch.setattr(snap, "_publish_cas", interleaved)
+    return state
+
+
+def test_racing_appenders_both_commit(spark, table, monkeypatch):
+    """Optimistic concurrency, append class: two writers race base v1 —
+    the CAS loser REBASES onto the winner's manifest and retries, so
+    BOTH appends land (winner v2, loser v3), both data dirs are live,
+    and the loser's phantom manifest is cleaned up."""
     import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap
 
     base = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
@@ -795,35 +815,141 @@ def test_concurrent_committer_detected_not_silent(spark, table, monkeypatch):
 
     df_a = spark.createDataFrame([(2, "a", 20)], "id long, p string, v long")
     df_b = spark.createDataFrame([(9, "b", 90)], "id long, p string, v long")
-    orig_swap = snap._swap_pointer
-    fired = {"done": False}
+    _race_first_publish(
+        monkeypatch, lambda: snapshot_append(spark, table, df_b, ["p"])
+    )
+    v = snapshot_append(spark, table, df_a, ["p"])  # loses v2, rebases to v3
+    assert v == 3
+    assert current_version(spark, table) == 3
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"),
+        (2, 20, "a"),
+        (9, 90, "b"),
+    ]
+    # both intermediate versions stay time-travelable, each one append
+    assert [s["op"] for s in snapshot_history(spark, table)] == [
+        "append",
+        "append",
+        "append",
+    ]
+    assert _rows(snapshot_read(spark, table, version=2)) == [
+        (1, 10, "a"),
+        (9, 90, "b"),
+    ]
+    # the loser's losing-attempt manifest was deleted: exactly one
+    # committed manifest per version remains
+    fs, jvm = snap._fs(spark, table)
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{table}/_snapshots")
+        )
+    ]
+    manifests = [n for n in names if snap._MANIFEST_FILE_RE.match(n)]
+    assert len(manifests) == 3
 
-    def interleaved_swap(spark_, table_, version):
-        # writer B (same base) replaces A's manifest just before A's swap
-        if not fired["done"]:
-            fired["done"] = True
-            rels = snap._write_commit_data(df_b, table_, ["p"])
-            parts = dict(
-                snap._load_manifest(spark_, table_, version - 1)["partitions"]
-            )
-            for pval, dirs in snap._group_rels(rels, ["p"]).items():
-                parts.setdefault(pval, []).extend(dirs)
-            manifest_b = {"version": version, "op": "append", "partitions": parts}
-            snap._replace_text(
-                spark_, snap._manifest_path(table_, version), _json.dumps(manifest_b)
-            )
-        orig_swap(spark_, table_, version)
 
-    monkeypatch.setattr(snap, "_swap_pointer", interleaved_swap)
-    with pytest.raises(RuntimeError, match="concurrent commit"):
-        snapshot_append(spark, table, df_a, ["p"])
-    monkeypatch.undo()
-    # the table is consistent: B's commit is the live v2
+def test_append_vs_replacement_exactly_one_wins(spark, table, monkeypatch):
+    """A replacement-class commit (overwrite_all / rewrite) that loses
+    the CAS to a racing append FAIL-STOPS with SnapshotConflictError
+    naming the conflict — its read-set was the old base, so a blind
+    retry could undo the winner. The table holds the winner's commit and
+    the loser's orphaned data dirs are reclaimed by expire."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_expire,
+        snapshot_overwrite_all,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+    )
+    snapshot_append(spark, table, base, ["p"])  # v1
+
+    df_append = spark.createDataFrame([(3, "a", 30)], "id long, p string, v long")
+    compacted = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+    )
+    _race_first_publish(
+        monkeypatch, lambda: snapshot_append(spark, table, df_append, ["p"])
+    )
+    with pytest.raises(SnapshotConflictError, match="replaces live data"):
+        snapshot_overwrite_all(spark, table, compacted, ["p"])
+    # the winner's append is the live v2 — nothing lost, nothing undone
     assert current_version(spark, table) == 2
-    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a"), (9, 90, "b")]
-    # and the marker loser (B retrying its own swap) errors, never clobbers
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"),
+        (2, 20, "b"),
+        (3, 30, "a"),
+    ]
+    # the loser's data dirs are unreferenced orphans; expire reclaims
+    # them (keep_last=1 also expires v1 — 1 manifest + 1+ orphan dirs)
+    rep = snapshot_expire(spark, table, keep_last=1)
+    assert rep["data_dirs_deleted"] >= 1
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"),
+        (2, 20, "b"),
+        (3, 30, "a"),
+    ]
+
+
+def test_racing_meta_commits_key_merge(spark, table, monkeypatch):
+    """Two maintenance streams racing meta-bearing commits on one table:
+    the rebased loser KEY-MERGES its meta over the winner's, so neither
+    stream's high-water mark is lost (the exactly-once contract under
+    concurrency)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import snapshot_meta
+
+    base = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
+    snapshot_append(spark, table, base, ["p"], meta={"stream_a": 0, "stream_b": 0})
+
+    df_a = spark.createDataFrame([(2, "a", 20)], "id long, p string, v long")
+    df_b = spark.createDataFrame([(9, "b", 90)], "id long, p string, v long")
+    _race_first_publish(
+        monkeypatch,
+        lambda: snapshot_append(spark, table, df_b, ["p"], meta={"stream_b": 7}),
+    )
+    snapshot_append(spark, table, df_a, ["p"], meta={"stream_a": 3})
+    assert snapshot_meta(spark, table) == {"stream_a": 3, "stream_b": 7}
+
+
+def test_cas_loser_marker_create_refused(spark, table):
+    """The CAS primitive itself: a second create of an existing version
+    marker errors, never clobbers (fresh-path rename semantics)."""
+    base = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
+    snapshot_append(spark, table, base, ["p"])  # v1
     with pytest.raises(Exception, match="already exists"):
-        _create_atomic(spark, f"{table}/_snapshots/latest-00002", "2")
+        _create_atomic(spark, f"{table}/_snapshots/latest-00001", "v00001.json")
+
+
+def test_crash_between_manifest_and_marker_is_phantom(spark, table, monkeypatch):
+    """Kill-anywhere exactly-once: a commit that crashed AFTER writing
+    its token manifest but BEFORE the marker CAS left an uncommitted
+    phantom — invisible to reads/history/time-travel — and the retried
+    commit lands cleanly at the same version."""
+    import lambda_kafka_to_s3_parquet_spark.operators.snapshots as snap
+
+    base = spark.createDataFrame([(1, "a", 10)], "id long, p string, v long")
+    snapshot_append(spark, table, base, ["p"])  # v1
+
+    df = spark.createDataFrame([(2, "a", 20)], "id long, p string, v long")
+
+    def crash(spark_, table_, version, basename):
+        raise RuntimeError("injected crash before publish")
+
+    monkeypatch.setattr(snap, "_publish_cas", crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        snapshot_append(spark, table, df, ["p"])
+    monkeypatch.undo()
+    # the phantom is invisible everywhere
+    assert current_version(spark, table) == 1
+    assert len(snapshot_history(spark, table)) == 1
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a")]
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        snapshot_read(spark, table, version=2)
+    # the retry commits v2 cleanly over the phantom
+    assert snapshot_append(spark, table, df, ["p"]) == 2
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a"), (2, 20, "a")]
 
 
 def test_rewrite_handles_mixed_unpartitioned_and_partitioned_commits(spark, table):
@@ -1311,9 +1437,9 @@ def test_type_change_read_gate_catches_pre_upgrade_tables(spark, table):
     import json as _json
 
     from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
-        _manifest_path,
         _read_text,
         _replace_text,
+        _resolve_manifest_file,
         current_version,
         snapshot_read,
     )
@@ -1322,9 +1448,10 @@ def test_type_change_read_gate_catches_pre_upgrade_tables(spark, table):
     snapshot_append(spark, table, df1, ["p"])
     # simulate a pre-upgrade manifest: strip the recorded schema union
     v = current_version(spark, table)
-    m = _json.loads(_read_text(spark, _manifest_path(table, v)))
+    mpath = _resolve_manifest_file(spark, table, v)
+    m = _json.loads(_read_text(spark, mpath))
     del m["dschema"]
-    _replace_text(spark, _manifest_path(table, v), _json.dumps(m))
+    _replace_text(spark, mpath, _json.dumps(m))
 
     df2 = spark.createDataFrame([("x", "a", 40)], "id string, p string, v long")
     snapshot_append(spark, table, df2, ["p"])  # no prior schema: lands
@@ -1549,11 +1676,13 @@ def test_row_changes_across_additive_evolution(spark, tmp_path):
     u1 = current_version(spark, t2)
     # bypass the write-time gate the way a pre-upgrade table would:
     # strip the recorded dschema from the manifest before appending
-    mpath = _manifest_path(t2, u1)
     from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
         _read_text,
         _replace_text,
+        _resolve_manifest_file,
     )
+
+    mpath = _resolve_manifest_file(spark, t2, u1)
     m = json.loads(_read_text(spark, mpath))
     m.pop("dschema", None)
     _replace_text(spark, mpath, json.dumps(m))
@@ -2980,3 +3109,182 @@ def test_lookup_current_state_reads_inplace_marker_n_buckets(
         lookup_current_state(spark, table, ["user_id"], [7], n_buckets=16)
     got = lookup_current_state(spark, table, ["user_id"], [7], n_buckets=8)
     assert [r["user_id"] for r in got.collect()] == [7]
+
+
+# ---------------------------------------------------------------------------
+# conditional MERGE clauses (round 12) — the WHEN MATCHED AND <cond> guard
+# ---------------------------------------------------------------------------
+
+
+def _cond_merge_table(spark, table):
+    snapshot_append(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(1, 100, 10), (2, 200, 20), (3, 300, 30)],
+            "id long, ts long, v long",
+        ),
+    )
+
+
+def test_merge_update_only_when_newer(spark, table):
+    """The out-of-order-CDC guard: ('update', 's.ts > t.ts') applies the
+    source image only when strictly newer; a stale source row leaves the
+    target untouched (NOT deleted, NOT re-inserted)."""
+    merge, _ = _merge_imports()
+    _cond_merge_table(spark, table)
+    src = spark.createDataFrame(
+        # id=1 newer (wins), id=2 STALE (ignored), id=4 new (insert)
+        [(1, 150, 11), (2, 50, 99), (4, 400, 40)],
+        "id long, ts long, v long",
+    )
+    merge(spark, table, src, ["id"], when_matched=("update", "s.ts > t.ts"))
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 150, 11), (2, 200, 20), (3, 300, 30), (4, 400, 40)
+    ]
+
+
+def test_merge_conditional_delete(spark, table):
+    merge, _ = _merge_imports()
+    _cond_merge_table(spark, table)
+    src = spark.createDataFrame(
+        # delete fires only where s.v < 0
+        [(1, 999, -1), (2, 999, 5)], "id long, ts long, v long"
+    )
+    merge(
+        spark, table, src, ["id"],
+        when_matched=("delete", "s.v < 0"), when_not_matched=None,
+    )
+    # id=1 deleted, id=2 kept untouched (clause did not fire)
+    assert _rows(snapshot_read(spark, table)) == [(2, 200, 20), (3, 300, 30)]
+
+
+def test_merge_clause_list_first_match_wins(spark, table):
+    """[('delete', cond1), ('update', cond2)]: a row matching BOTH takes
+    the first clause; matching only the second updates; matching none
+    survives untouched."""
+    merge, _ = _merge_imports()
+    _cond_merge_table(spark, table)
+    src = spark.createDataFrame(
+        [
+            (1, 150, -1),   # deleted (cond1 fires first, ts also newer)
+            (2, 250, 25),   # updated (only cond2)
+            (3, 50, -5),    # cond1 fires on v<0 even though stale
+        ],
+        "id long, ts long, v long",
+    )
+    merge(
+        spark, table, src, ["id"],
+        when_matched=[("delete", "s.v < 0"), ("update", "s.ts > t.ts")],
+        when_not_matched=None,
+    )
+    assert _rows(snapshot_read(spark, table)) == [(2, 250, 25)]
+
+
+def test_merge_no_clause_fires_is_noop_without_commit(spark, table):
+    """Matched keys exist but NO clause fires and nothing inserts: the
+    merge must be a true no-op — no new snapshot version, no rewrite."""
+    merge, _ = _merge_imports()
+    _cond_merge_table(spark, table)
+    src = spark.createDataFrame([(1, 50, 99)], "id long, ts long, v long")
+    v = merge(
+        spark, table, src, ["id"],
+        when_matched=("update", "s.ts > t.ts"), when_not_matched=None,
+    )
+    assert v == 1
+    assert len(snapshot_history(spark, table)) == 1
+
+
+def test_merge_conditional_insert(spark, table):
+    """when_not_matched=('insert', cond): cond sees only s.<col>; a new
+    key failing it is dropped, passing one appends. Matched keys follow
+    their own clause independently."""
+    merge, _ = _merge_imports()
+    _cond_merge_table(spark, table)
+    src = spark.createDataFrame(
+        [(4, 400, 40), (5, 500, -9)], "id long, ts long, v long"
+    )
+    merge(
+        spark, table, src, ["id"],
+        when_matched=None, when_not_matched=("insert", "s.v > 0"),
+    )
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 100, 10), (2, 200, 20), (3, 300, 30), (4, 400, 40)
+    ]
+    # insert-only conditional merge is still an APPEND-class commit
+    assert snapshot_history(spark, table)[-1]["op"] == "append"
+
+
+def test_merge_null_condition_does_not_fire(spark, table):
+    """SQL semantics: a clause guard evaluating to NULL does not fire —
+    the matched row survives untouched."""
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, None, 10)], "id long, ts long, v long"),
+    )
+    src = spark.createDataFrame([(1, 150, 11)], "id long, ts long, v long")
+    merge(
+        spark, table, src, ["id"],
+        # t.ts is NULL -> s.ts > t.ts is NULL -> clause must not fire
+        when_matched=("update", "s.ts > t.ts"), when_not_matched=None,
+    )
+    assert _rows(snapshot_read(spark, table)) == [(1, None, 10)]
+
+
+def test_merge_clause_validation(spark, table):
+    merge, _ = _merge_imports()
+    _cond_merge_table(spark, table)
+    src = spark.createDataFrame([(1, 1, 1)], "id long, ts long, v long")
+    with pytest.raises(ValueError, match="when_matched clause"):
+        merge(spark, table, src, ["id"], when_matched=("upsert", "1=1"))
+    with pytest.raises(ValueError, match="when_matched clause"):
+        merge(spark, table, src, ["id"], when_matched=("update", 42))
+    with pytest.raises(ValueError, match="at most one insert"):
+        merge(
+            spark, table, src, ["id"],
+            when_not_matched=[("insert", "1=1"), ("insert", None)],
+        )
+
+
+def test_merge_cond_refuses_shadowing_key_names(spark, tmp_path):
+    merge, _ = _merge_imports()
+    t = str(tmp_path / "tbl_s")
+    snapshot_append(
+        spark, t, spark.createDataFrame([(1, 10)], "s long, v long")
+    )
+    src = spark.createDataFrame([(1, 11)], "s long, v long")
+    with pytest.raises(ValueError, match="named 's' or 't'"):
+        merge(spark, t, src, ["s"], when_matched=("update", "s.v > t.v"))
+
+
+def test_merge_conditional_across_partitions_and_change_feed(spark, table):
+    """A conditional merge on a partitioned table emits exact change
+    images: only the rows whose clause fired appear in the feed."""
+    merge, row_changes = _merge_imports()
+    snapshot_append(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(1, "a", 100, 10), (2, "a", 200, 20), (3, "b", 300, 30)],
+            "id long, p string, ts long, v long",
+        ),
+        ["p"],
+    )
+    src = spark.createDataFrame(
+        [(1, "a", 150, 11), (2, "a", 50, 99)],
+        "id long, p string, ts long, v long",
+    )
+    v2 = merge(
+        spark, table, src, ["id"],
+        when_matched=("update", "s.ts > t.ts"), when_not_matched=None,
+    )
+    changes = row_changes(spark, table, ["id"], 1, v2)
+    imgs = sorted(
+        (r["_change_type"], r["id"], r["v"]) for r in changes.collect()
+    )
+    # exactly one update pair (id=1); the un-fired id=2 emits NOTHING
+    assert imgs == [
+        ("update_postimage", 1, 11),
+        ("update_preimage", 1, 10),
+    ]
