@@ -87,10 +87,23 @@ def merge_cdc_batch(
         from .snapshots import (
             current_version,
             snapshot_append,
+            snapshot_meta,
             snapshot_overwrite_partitions,
             snapshot_read,
         )
 
+        # every snapshot-mode commit records the bucketing CONTRACT —
+        # key list (exact order: xxhash64(k1, k2) != xxhash64(k2, k1))
+        # and n_buckets — so lookup_current_state can fail fast on a
+        # probe that would compute wrong buckets and silently miss.
+        # Explicit key-merge over the prior meta preserves the
+        # inheritance a bare commit_meta=None would have had.
+        commit_meta = {
+            **snapshot_meta(spark, path),
+            **(commit_meta or {}),
+            "merge_keys": list(keys),
+            "n_buckets": n_buckets,
+        }
         if current_version(spark, path) == 0:
             # Refuse to bootstrap OVER an existing in-place table: its
             # bucket=N data would silently vanish from snapshot_read.
@@ -263,7 +276,11 @@ def run_cdc_merge_stream(
                 marker,
                 batch_id,
                 checkpoint,
-                extra={"n_buckets": n_buckets, "commit_protocol": commit_protocol},
+                extra={
+                    "n_buckets": n_buckets,
+                    "merge_keys": list(keys),
+                    "commit_protocol": commit_protocol,
+                },
             )
             return
         # views refresh BEFORE the maintenance fold: the fold's expire
@@ -367,8 +384,11 @@ def lookup_current_state(
         )
     snap = is_snapshot_table(spark, path)
     recorded = None
+    recorded_keys = None
     if snap:
-        recorded = snapshot_meta(spark, path).get("n_buckets")
+        m = snapshot_meta(spark, path)
+        recorded = m.get("n_buckets")
+        recorded_keys = m.get("merge_keys")
     if recorded is None:
         # inplace-protocol tables (and pre-meta snapshot tables) record
         # n_buckets in the side-car marker's extra fields — read it raw
@@ -380,12 +400,26 @@ def lookup_current_state(
             spark, os.path.join(path, "_last_merged_batch.json")
         )
         if txt is not None:
-            recorded = json.loads(txt).get("n_buckets")
+            marker = json.loads(txt)
+            recorded = marker.get("n_buckets")
+            recorded_keys = marker.get("merge_keys")
     if recorded is not None and int(recorded) != int(n_buckets):
         raise ValueError(
             f"{path} is maintained with n_buckets={recorded} but the "
             f"lookup assumed {n_buckets}; bucket assignment is part "
             "of the table contract — pass the recorded value"
+        )
+    # key IDENTITY and ORDER are part of the same contract: the bucket
+    # is pmod(xxhash64(*keys), n) over the maintainer's exact column
+    # sequence — a lookup probing the same keys in another order (or a
+    # subset/superset) computes wrong buckets and silently returns
+    # empty/missing rows, the precise failure the n_buckets guard
+    # exists to prevent
+    if recorded_keys is not None and list(recorded_keys) != list(keys):
+        raise ValueError(
+            f"{path} is maintained with merge keys {list(recorded_keys)} "
+            f"but the lookup probed {list(keys)}; the bucket hash is "
+            "order-sensitive — pass the recorded key list verbatim"
         )
     raw = snapshot_read(spark, path) if snap else spark.read.parquet(path)
     # probe literals MUST hash with the stored key columns' exact types:

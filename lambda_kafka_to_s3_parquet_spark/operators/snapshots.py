@@ -530,6 +530,38 @@ def _collect_dir_blooms(
     return out
 
 
+def _bloom_probe_canonical(col: str, value) -> str:
+    """The canonical string form the WRITER hashed (JVM
+    ``CAST(col AS STRING)`` over the ``_BLOOM_OK`` whitelist) for a
+    python probe value — the probe-side mirror of the writer's type
+    gate. A probe whose python string differs from the JVM cast string
+    (float ``42.0`` vs int ``42``, bool ``True`` vs ``'true'``, a
+    datetime vs a date) would silently prove PRESENT keys absent —
+    reads would drop matching rows and keyed deletes would keep rows
+    they should delete — so those types are rejected, not guessed."""
+    import datetime as _dt
+
+    if isinstance(value, bool) or not isinstance(
+        value, (int, str, _dt.date)
+    ):
+        raise TypeError(
+            f"bloom probe value {value!r} for column {col!r} has type "
+            f"{type(value).__name__}: only int, str and datetime.date "
+            "probes have the same string form python-side and JVM-side "
+            "(the writer whitelists tinyint/smallint/int/bigint/string/"
+            "date keys) — cast the probe to the stored key type"
+        )
+    if isinstance(value, _dt.datetime):
+        # datetime.date accepts datetime instances (subclass) but
+        # str(datetime) carries a time part the JVM date cast never had
+        raise TypeError(
+            f"bloom probe value {value!r} for column {col!r} is a "
+            "datetime: bloom keys are date-typed (the writer whitelist "
+            "excludes timestamps) — probe with the .date()"
+        )
+    return value.isoformat() if isinstance(value, _dt.date) else str(value)
+
+
 def _bloom_prune(
     manifest: dict, dirs: list[str], skip_keys: list[tuple]
 ) -> list[str]:
@@ -537,7 +569,14 @@ def _bloom_prune(
     ``col IN (values)`` for every ``(col, values)`` probe — conservative
     like the zone maps: a dir without a bloom for a column is always
     kept; a dir is skipped only when EVERY probe value has at least one
-    unset bit (provably absent, no false negatives by construction)."""
+    unset bit (provably absent, no false negatives by construction).
+    Probe values are validated/canonicalized up front
+    (:func:`_bloom_probe_canonical`): a mistyped probe raises instead of
+    silently pruning dirs that DO hold the key."""
+    skip_keys = [
+        (col, [_bloom_probe_canonical(col, v) for v in values])
+        for col, values in skip_keys
+    ]
     blooms = manifest.get("blooms", {})
 
     decoded: dict[int, bytes] = {}  # per-bloom bitmap, decoded once

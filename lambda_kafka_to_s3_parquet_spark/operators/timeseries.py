@@ -71,8 +71,10 @@ def resample(
     (bigint epoch seconds), ``n_rows`` (observations in the bucket, 0 on
     gap rows), ``value`` (the ``agg`` of ``value_col`` over the bucket's
     rows, gap-filled per ``fill``), ``filled`` (1 on rows whose value
-    came from filling, 0 on observed rows — gap rows a fill mode could
-    not reach keep NULL value with filled=1).
+    did NOT come from the bucket's own aggregate: gap rows, and
+    observed buckets whose rows were all NULL that a fill mode papered
+    over; 0 on rows whose value is the bucket's own — gap rows a fill
+    mode could not reach keep NULL value with filled=1).
 
     ``agg``: any of avg/sum/min/max (one aggregate expression — the
     mergeable single-pass kind). ``fill``: ``None`` (gaps keep NULL),
@@ -169,10 +171,20 @@ def resample(
                 * (F.col("bucket") - F.col("_pb"))
                 / (F.col("_nb") - F.col("_pb")),
             )
+    # filled=1 exactly when the emitted value did NOT come from the
+    # bucket's own aggregate: gap rows, AND observed buckets whose rows
+    # were all NULL (n_rows > 0, aggregate NULL) that a fill mode then
+    # papered over — without the second term those carried a previous
+    # bucket's value while flagged 0. filled_val here is plain column
+    # arithmetic over already-materialized window columns, so reusing
+    # it does not re-instantiate any windowexpr.
+    filled_flag = (~observed) | (
+        F.col("_val").isNull() & filled_val.isNotNull()
+    )
     return out.select(
         *gcols,
         "bucket",
         "n_rows",
         filled_val.alias("value"),
-        (~observed).cast("int").alias("filled"),
+        filled_flag.cast("int").alias("filled"),
     )

@@ -3632,6 +3632,41 @@ def test_resample_validates_args(spark):
         resample(df, "ts", 10, "v", ["g"], agg="median")
 
 
+def test_resample_all_null_observed_bucket_flags_filled(spark):
+    """An OBSERVED bucket whose values are all NULL (n_rows > 0,
+    aggregate NULL) that a fill mode papers over must flag filled=1 —
+    its emitted value is the previous bucket's, not its own."""
+    import datetime as dt
+
+    from lambda_kafka_to_s3_parquet_spark.operators.timeseries import resample
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("a", base, 10.0),
+            ("a", base + dt.timedelta(seconds=12), None),  # all-NULL bucket
+            ("a", base + dt.timedelta(seconds=25), 40.0),
+        ],
+        "g string, ts timestamp, v double",
+    )
+    got = {
+        r["bucket"]: (r["n_rows"], r["value"], r["filled"])
+        for r in resample(df, "ts", 10, "v", ["g"], fill="locf").collect()
+    }
+    b0 = 1704067200
+    assert got[b0] == (1, 10.0, 0)
+    # observed (n_rows=1) but value carried from the previous bucket
+    assert got[b0 + 10] == (1, 10.0, 1)
+    assert got[b0 + 20] == (1, 40.0, 0)
+    # without fill, the all-NULL bucket keeps its own NULL aggregate:
+    # the value IS the bucket's own -> filled stays 0
+    nf = {
+        r["bucket"]: (r["value"], r["filled"])
+        for r in resample(df, "ts", 10, "v", ["g"]).collect()
+    }
+    assert nf[b0 + 10] == (None, 0)
+
+
 # ---------------------------------------------------------------------------
 # funnel analysis (round 11)
 # ---------------------------------------------------------------------------

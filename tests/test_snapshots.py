@@ -3073,7 +3073,9 @@ def test_lookup_current_state_guards(spark, table):
         lookup_current_state(spark, table, ["user_id"], [1], n_buckets=16)
     with pytest.raises(ValueError, match="at least one probe"):
         lookup_current_state(spark, table, ["user_id"], [], n_buckets=4)
-    with pytest.raises(ValueError, match="not in"):
+    # a wrong key list now trips the recorded-keys contract FIRST
+    # (round 12: key identity/order guard)
+    with pytest.raises(ValueError, match="order-sensitive"):
         lookup_current_state(spark, table, ["nope"], [1], n_buckets=4)
     # matching n_buckets works and a missing key returns zero rows
     assert lookup_current_state(
@@ -3288,3 +3290,91 @@ def test_merge_conditional_across_partitions_and_change_feed(spark, table):
         ("update_postimage", 1, 11),
         ("update_preimage", 1, 10),
     ]
+
+
+def test_lookup_current_state_key_order_guard(spark, table, tmp_path):
+    """The bucket hash is order-sensitive: the maintainer's key list is
+    recorded next to n_buckets (meta and marker) and a lookup probing a
+    different order/subset fails fast instead of silently missing."""
+    import datetime as dt
+    import json as _json
+
+    from lambda_kafka_to_s3_parquet_spark.operators.cdc import (
+        lookup_current_state,
+        merge_cdc_batch,
+    )
+
+    ev = spark.createDataFrame(
+        [(7, "x", dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, region string, ts timestamp, value double",
+    )
+    merge_cdc_batch(
+        spark, ev, table, ["user_id", "region"], "ts", "value",
+        n_buckets=8, commit_protocol="snapshot",
+    )
+    with pytest.raises(ValueError, match="order-sensitive"):
+        lookup_current_state(
+            spark, table, ["region", "user_id"], [("x", 7)], n_buckets=8
+        )
+    with pytest.raises(ValueError, match="order-sensitive"):
+        lookup_current_state(spark, table, ["user_id"], [7], n_buckets=8)
+    got = lookup_current_state(
+        spark, table, ["user_id", "region"], [(7, "x")], n_buckets=8
+    )
+    assert [(r["user_id"], r["region"]) for r in got.collect()] == [(7, "x")]
+
+    # the inplace-marker path records the same contract
+    t2 = str(tmp_path / "tbl_inplace")
+    merge_cdc_batch(
+        spark, ev, t2, ["user_id", "region"], "ts", "value", n_buckets=8
+    )
+    import os as _os
+    with open(_os.path.join(t2, "_last_merged_batch.json"), "w") as f:
+        _json.dump(
+            {"batch_id": 0, "checkpoint": "c", "n_buckets": 8,
+             "merge_keys": ["user_id", "region"]}, f,
+        )
+    with pytest.raises(ValueError, match="order-sensitive"):
+        lookup_current_state(
+            spark, t2, ["region", "user_id"], [("x", 7)], n_buckets=8
+        )
+
+
+def test_bloom_probe_type_validation(spark, table):
+    """A probe whose python string differs from the JVM cast string the
+    bits were set from must RAISE, not silently prove present keys
+    absent (float 42.0, bool True, datetime-for-date)."""
+    import datetime as dt
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_delete_where,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(42, dt.date(2024, 1, 2), 10)], "id long, d date, v long"
+        ),
+        bloom_cols=["id", "d"],
+    )
+    for bad in (42.0, True):
+        with pytest.raises(TypeError, match="string form"):
+            snapshot_read(spark, table, skip_keys=[("id", [bad])]).collect()
+    with pytest.raises(TypeError, match="datetime"):
+        snapshot_read(
+            spark, table,
+            skip_keys=[("d", [dt.datetime(2024, 1, 2, 0, 0)])],
+        ).collect()
+    # valid probes of the stored types still hit
+    assert (
+        snapshot_read(
+            spark, table,
+            skip_keys=[("id", [42]), ("d", [dt.date(2024, 1, 2)])],
+        ).count()
+        == 1
+    )
+    # and a keyed delete with a mistyped prune probe fails fast too
+    with pytest.raises(TypeError, match="string form"):
+        snapshot_delete_where(
+            spark, table, F.col("id") == 42, prune_keys=[("id", [42.0])]
+        )
