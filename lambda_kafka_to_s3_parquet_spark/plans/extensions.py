@@ -2819,6 +2819,28 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            + 2 * (SELECT count(*) FROM ev WHERE event_id < 50
                   AND round(value * 3, 6) IS DISTINCT FROM value),
            0.0
+    UNION ALL
+    SELECT 'cond_merge_n_after',
+           (SELECT count(*) FROM ev)
+           - (SELECT count(*) FROM ev
+              WHERE event_id < 10 AND event_id % 2 = 0)
+           + (SELECT count(*) FROM ev WHERE event_id < 20),
+           round(
+             (SELECT sum(CASE
+                 WHEN event_id % 2 = 0 AND event_id >= 10
+                      AND event_id < 40 THEN round(value * 5, 6)
+                 WHEN event_id < 50 THEN round(value * 3, 6)
+                 ELSE value END)
+              FROM ev WHERE NOT (event_id < 10 AND event_id % 2 = 0))
+             + (SELECT sum(value) FROM ev WHERE event_id < 20), 2)
+    UNION ALL
+    SELECT 'cond_merge_images',
+           (SELECT count(*) FROM ev
+            WHERE event_id < 10 AND event_id % 2 = 0)
+           + 2 * (SELECT count(*) FROM ev
+                  WHERE event_id % 2 = 0 AND event_id >= 10
+                        AND event_id < 40),
+           0.0
     ORDER BY label
     """,
     doc="snapshot commits: append/overwrite/time-travel/rollback census + "
@@ -2979,6 +3001,44 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, t, ["event_id"], v_m_pre, to_version=v_m
         )
         rows.append(("merge_images", imgs.count(), 0.0))
+        # round 12: CONDITIONAL-merge branch — the out-of-order-CDC
+        # guard as a first-match-wins clause list over s./t. images.
+        # Source: events < 40 with value*5 and the DATE shifted +1 day
+        # on even ids (newer) / -1 day on odd ids (stale). Clauses:
+        # delete where "s.event_id < 10 AND s.d > t.d", else update
+        # where "s.d > t.d" — so even ids < 10 delete, even ids 10..39
+        # update (MOVING partitions: d is the partition column), odd
+        # ids are stale and survive untouched (the guard's whole
+        # point). The census pins the post-state and the image count
+        # (1 per delete + 2 per update: the moved d always differs).
+        cond_src = ev.filter(F.col("event_id") < 40).select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("event_id") % 2 == 0, F.date_add("d", 1)
+            ).otherwise(F.date_sub("d", 1)).alias("d"),
+            F.round(F.col("value") * 5, 6).alias("value"),
+        )
+        v_c_pre = current_version(spark, t)
+        v_c = snapshot_merge_into(
+            spark, t, cond_src, ["event_id"],
+            when_matched=[
+                ("delete", "s.event_id < 10 AND s.d > t.d"),
+                ("update", "s.d > t.d"),
+            ],
+            when_not_matched=None,
+            stats_cols=["event_id"],
+        )
+        cagg = (
+            snapshot_read(spark, t)
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+            .first()
+        )
+        rows.append(("cond_merge_n_after", cagg["n"], float(cagg["sv"])))
+        cimgs = snapshot_row_changes(
+            spark, t, ["event_id"], v_c_pre, to_version=v_c
+        )
+        rows.append(("cond_merge_images", cimgs.count(), 0.0))
         # rows are already driver-local python tuples: the frame never
         # references the scratch table deleted in finally
         return spark.createDataFrame(rows, "label string, n long, sum_value double")
