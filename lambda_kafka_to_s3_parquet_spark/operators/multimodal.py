@@ -339,11 +339,193 @@ def decode_bmp(payload: bytes) -> dict:
     return {"width": w, "height": h, "pixels": px.copy()}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels, width: int, height: int, filter_type: int = 0) -> bytes:
+    """A real PNG (8-bit RGB or RGBA, non-interlaced) from a pixel
+    array, per the public PNG spec with stdlib ``zlib`` only — the
+    fourth offline codec next to PCM WAV / binary PPM / 24-bit BMP.
+    ``pixels`` is ``(h, w, 3)`` RGB or ``(h, w, 4)`` RGBA uint8-ranged.
+    ``filter_type`` applies ONE scanline filter (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) to every row — any choice round-trips
+    value-exactly through :func:`decode_png` (the filters are lossless
+    predictions; tests exercise each)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    if arr.ndim != 3 or arr.shape[:2] != (height, width) or arr.shape[2] not in (3, 4):
+        raise ValueError(
+            f"pixels shape {arr.shape} != ({height}, {width}, 3|4)"
+        )
+    if arr.min() < 0 or arr.max() > 255:
+        raise ValueError("PNG samples must be in 0..255")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    arr = arr.astype(np.uint8)
+    bpp = arr.shape[2]
+    color_type = 2 if bpp == 3 else 6
+    raw = arr.reshape(height, width * bpp).astype(np.int16)
+    prior = np.zeros_like(raw)
+    prior[1:] = raw[:-1]
+    left = np.zeros_like(raw)
+    left[:, bpp:] = raw[:, :-bpp]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - prior
+    elif filter_type == 3:
+        filt = raw - (left + prior) // 2
+    else:  # Paeth
+        ul = np.zeros_like(raw)
+        ul[1:, bpp:] = raw[:-1, :-bpp]
+        p = left + prior - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+        )
+        filt = raw - pred
+    filt = (filt % 256).astype(np.uint8)
+    stream = b"".join(
+        bytes([filter_type]) + filt[r].tobytes() for r in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(stream))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Dependency-free PNG decode per the public spec: stdlib ``zlib``
+    inflate + per-scanline filter reconstruction (None/Sub/Up/Average/
+    Paeth). 8-bit RGB (color type 2) and RGBA (6), non-interlaced only;
+    palette/gray/16-bit/interlaced variants raise ValueError — the same
+    honest codec boundary jpeg/mp4 still hit. Chunk CRCs are verified
+    (a corrupt stream fails loudly, never decodes garbage). Returns
+    width / height / ``channels`` / ``pixels`` (``(h, w, c)`` uint8)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"PNG chunk {tag!r} truncated")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_iend or not idat:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color_type not in (2, 6) or comp or filt_m or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type}, "
+            f"interlace={interlace}); 8-bit RGB/RGBA non-interlaced is "
+            "the offline codec"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    bpp = 3 if color_type == 2 else 4
+    stride = w * bpp
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
+    if len(stream) != h * (stride + 1):
+        raise ValueError(
+            f"PNG stream is {len(stream)} bytes, expected {h * (stride + 1)}"
+        )
+    rows = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, data = rows[:, 0], rows[:, 1:].astype(np.int16)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft = int(ftypes[r])
+        line = data[r]
+        up = recon[r - 1].astype(np.int16) if r else np.zeros(stride, np.int16)
+        if ft == 0:
+            out = line
+        elif ft == 1:
+            # Sub is a per-byte-lane prefix sum (stride bpp) mod 256 —
+            # widened to int64 first: an int16 cumsum overflows after
+            # ~128 saturated pixels
+            out = (
+                line.reshape(-1, bpp).astype(np.int64).cumsum(axis=0).reshape(-1)
+            )
+        elif ft == 2:
+            out = line + up
+        elif ft in (3, 4):
+            # Average/Paeth need the RECONSTRUCTED left neighbor —
+            # inherently sequential along the row (per-byte loop; rows
+            # are short and this is the cold path of a test codec)
+            out = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                a = int(out[x - bpp]) if x >= bpp else 0
+                b = int(up[x])
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(recon[r - 1, x - bpp]) if (r and x >= bpp) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                # reduce mod 256 NOW: the next byte's left neighbor is
+                # read from `out` before the row-level % 256
+                out[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft} on row {r}")
+        recon[r] = (out % 256).astype(np.uint8)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": bpp,
+        "pixels": recon.reshape(h, w, bpp).copy(),
+    }
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Format-dispatching REAL resize: P6 payloads through
-    :func:`resize_ppm`, BMP payloads through decode → the same
-    center-of-cell nearest-neighbor gather → re-encode BMP. Output stays
-    in the input's own format."""
+    :func:`resize_ppm`, BMP/PNG payloads through decode → the same
+    center-of-cell nearest-neighbor gather → re-encode. Output stays
+    in the input's own format (PNG keeps its alpha channel)."""
     import numpy as np
 
     if payload[:2] == b"BM":
@@ -351,18 +533,25 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         rows = ((np.arange(height) + 0.5) * img["height"] / height).astype(int)
         cols = ((np.arange(width) + 0.5) * img["width"] / width).astype(int)
         return encode_bmp(img["pixels"][rows][:, cols], width, height)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        img = decode_png(payload)
+        rows = ((np.arange(height) + 0.5) * img["height"] / height).astype(int)
+        cols = ((np.arange(width) + 0.5) * img["width"] / width).astype(int)
+        return encode_png(img["pixels"][rows][:, cols], width, height)
     return resize_ppm(payload, width, height)
 
 
 def decode_real_features(media_type: str, payload: bytes) -> dict:
-    """The real-codec boundary. Two formats are executable offline: PCM
-    WAV audio (sample-domain features: rate, channels, sample count,
-    duration, peak, RMS) and binary PPM images (pixel-domain features:
-    dimensions, per-channel means, Rec.601 luma). Every compressed format
-    (jpeg/png images, mp4 video) still raises ``NotImplementedError`` at
-    exactly this boundary, where a PIL/ffmpeg-class codec would plug in;
-    the Spark plumbing around the boundary is exercised through
-    :func:`decode_stub_features` for those.
+    """The real-codec boundary. Executable offline: PCM WAV audio
+    (sample-domain features: rate, channels, sample count, duration,
+    peak, RMS) and PPM / 24-bit BMP / 8-bit PNG images (pixel-domain
+    features: dimensions, per-channel means, Rec.601 luma — identical
+    across the three image containers for the same pixels). The
+    remaining compressed formats (jpeg images, mp4 video) still raise
+    ``NotImplementedError`` at exactly this boundary, where a
+    PIL/ffmpeg-class codec would plug in; the Spark plumbing around the
+    boundary is exercised through :func:`decode_stub_features` for
+    those.
     """
     if media_type == "audio" and payload[:4] == b"RIFF":
         wav = decode_wav(bytes(payload))
@@ -379,11 +568,21 @@ def decode_real_features(media_type: str, payload: bytes) -> dict:
             "peak_abs": max((abs(v) for v in s), default=0),
             "rms": round(rms, 6),
         }
-    if media_type == "image" and payload[:2] in (b"P6", b"BM"):
+    if media_type == "image" and (
+        payload[:2] in (b"P6", b"BM")
+        or payload[: len(_PNG_SIG)] == bytes(_PNG_SIG)
+    ):
         if payload[:2] == b"BM":
             img = {**decode_bmp(bytes(payload)), "maxval": 255}
-        else:
+        elif payload[:2] == b"P6":
             img = decode_ppm(bytes(payload))
+        else:
+            # PNG: features over the RGB channels (alpha, if present, is
+            # not a color sample) — a PNG of the same pixels yields
+            # IDENTICAL features to the BMP/PPM of those pixels (the
+            # BMP==PPM precedent, test-pinned)
+            img = {**decode_png(bytes(payload)), "maxval": 255}
+            img["pixels"] = img["pixels"][:, :, :3]
         px = img["pixels"].astype("float64")
         mr, mg, mb = (round(float(px[:, :, c].mean()), 6) for c in range(3))
         return {
@@ -399,8 +598,9 @@ def decode_real_features(media_type: str, payload: bytes) -> dict:
         }
     raise NotImplementedError(
         f"no offline codec for media_type={media_type!r} with this payload; "
-        "PCM WAV audio and binary PPM images are the real codecs available "
-        "here — use decode_stub_features for the deterministic test double"
+        "PCM WAV audio and PPM/BMP/PNG images are the real codecs available "
+        "here (jpeg and mp4 remain the compressed boundary) — use "
+        "decode_stub_features for the deterministic test double"
     )
 
 
@@ -545,6 +745,54 @@ def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFr
             )
 
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def transcode_images(media: DataFrame, fmt: str = "mixed") -> DataFrame:
+    """Container TRANSCODE over the Arrow batch path: decode each
+    supported image payload (PPM/BMP/PNG) and re-encode it as ``fmt``
+    ("ppm" / "bmp" / "png"), or — with ``fmt="mixed"`` — as
+    ``media_id % 3`` cycling the three containers, so one frame
+    exercises every codec's encode AND decode distributed. Pixel values
+    are preserved exactly (all three containers are lossless 8-bit RGB),
+    so downstream features are container-invariant (test-pinned).
+    Undecodable payloads pass through unchanged."""
+    if fmt not in ("ppm", "bmp", "png", "mixed"):
+        raise ValueError(f"fmt must be ppm/bmp/png/mixed, got {fmt!r}")
+
+    def _decode_any(p: bytes):
+        if p[:2] == b"BM":
+            i = decode_bmp(p)
+            return i["pixels"], i["width"], i["height"]
+        if p[: len(_PNG_SIG)] == _PNG_SIG:
+            i = decode_png(p)
+            return i["pixels"][:, :, :3], i["width"], i["height"]
+        i = decode_ppm(p)
+        return i["pixels"], i["width"], i["height"]
+
+    encoders = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
+    order = ("ppm", "bmp", "png")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    px, w, h = _decode_any(bytes(p))
+                    f = order[int(mid) % 3] if fmt == "mixed" else fmt
+                    out.append(encoders[f](px, w, h))
+                except ValueError:
+                    out.append(bytes(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                }
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run, schema="media_id long, media_type string, payload binary"
+    )
 
 
 def synthesize_ppm_payloads(

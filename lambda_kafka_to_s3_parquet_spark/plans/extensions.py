@@ -3114,12 +3114,20 @@ def x46_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
         resize_images,
         synthesize_ppm_payloads,
+        transcode_images,
     )
 
     m = media_frame(_t(spark, sf_dir, "documents")).filter(
         F.col("media_type") == "image"
     )
-    ppm = synthesize_ppm_payloads(m, width=8, height=8)
+    # round 12: the synthesized PPMs are transcoded to media_id%3-cycled
+    # PPM/BMP/PNG containers before the resize, so all FOUR offline
+    # codecs (incl. the new stdlib-zlib PNG) run distributed in the
+    # registered pipeline; features are container-invariant, so the
+    # output values are identical to the all-PPM form (test-pinned)
+    ppm = transcode_images(
+        synthesize_ppm_payloads(m, width=8, height=8), fmt="mixed"
+    )
     thumbs = resize_images(ppm, width=4, height=4).select(
         "media_id",
         F.lit("image").alias("media_type"),

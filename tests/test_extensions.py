@@ -3096,6 +3096,101 @@ def test_bmp_codec_roundtrip_and_dispatch(spark):
     assert rows_out[3]["corrupt"] is not None and rows_out[3]["width"] is None
 
 
+def test_png_codec_roundtrip_filters_and_dispatch(spark):
+    """Fourth real offline codec (stdlib zlib + filter reconstruction):
+    (a) decode(encode(px, filter_type=f)) == px for EVERY scanline
+    filter (None/Sub/Up/Average/Paeth), RGB and RGBA; (b) a PNG of the
+    same pixels yields features identical to the BMP/PPM of those
+    pixels (the established parity precedent); (c) corrupt streams —
+    bad CRC, truncated IDAT, unsupported variants — fail loudly at the
+    boundary; (d) resize dispatch keeps the PNG format and matches the
+    PPM resample pixel-for-pixel."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import (
+        decode_png,
+        decode_real_features,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        decode_ppm,
+        extract_image_features,
+        resize_image,
+    )
+
+    rng = np.random.RandomState(12)
+    for channels in (3, 4):
+        for w, h in ((5, 3), (1, 1), (4, 4), (130, 2)):  # 130: cumsum width
+            px = rng.randint(0, 256, size=(h, w, channels))
+            for ft in range(5):
+                got = decode_png(encode_png(px, w, h, filter_type=ft))
+                assert got["width"] == w and got["height"] == h
+                assert got["channels"] == channels
+                assert (got["pixels"] == px).all(), (w, h, channels, ft)
+
+    # feature parity across all three containers of the same pixels
+    px = rng.randint(0, 256, size=(3, 5, 3))
+    fpng = decode_real_features("image", encode_png(px, 5, 3))
+    fbmp = decode_real_features("image", encode_bmp(px, 5, 3))
+    fppm = decode_real_features("image", encode_ppm(px, 5, 3))
+    assert fpng == fbmp == fppm
+    # RGBA features equal the RGB features of the color planes
+    rgba = np.concatenate(
+        [px, rng.randint(0, 256, size=(3, 5, 1))], axis=2
+    )
+    assert decode_real_features("image", encode_png(rgba, 5, 3)) == fpng
+
+    # corruption fails loudly, never decodes garbage
+    good = bytearray(encode_png(px, 5, 3))
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # IEND CRC... flip inside IDAT crc instead
+    idat_at = bytes(good).index(b"IDAT")
+    bad_crc = bytearray(good)
+    bad_crc[idat_at + 6] ^= 0xFF  # corrupt IDAT body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad_crc))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNK")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bytes(good[:20]))
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_png(bytes(good[:8]))
+    # unsupported variant: patch IHDR to 16-bit depth (re-CRC so the
+    # variant gate, not the CRC gate, rejects it)
+    hacked = bytearray(good)
+    ihdr_body = bytearray(good[16:29])
+    ihdr_body[8] = 16
+    crc = zlib.crc32(b"IHDR" + bytes(ihdr_body)) & 0xFFFFFFFF
+    hacked[16:29] = ihdr_body
+    struct.pack_into(">I", hacked, 29, crc)
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(bytes(hacked))
+
+    # resize dispatch: PNG in -> PNG out, pixels match the PPM resample
+    rp = decode_ppm(resize_image(encode_ppm(px, 5, 3), 2, 2))["pixels"]
+    rg = decode_png(resize_image(encode_png(px, 5, 3), 2, 2))["pixels"]
+    assert (rg == rp).all()
+    # RGBA resize keeps the alpha channel
+    ra = decode_png(resize_image(encode_png(rgba, 5, 3), 2, 2))
+    assert ra["channels"] == 4
+
+    # Spark stage: PNG rides the same Arrow image path as PPM/BMP
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(encode_ppm(px, 5, 3))),
+            (2, "image", bytearray(encode_png(px, 5, 3))),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    rows_out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert rows_out[1]["mean_luma"] == rows_out[2]["mean_luma"]
+    assert rows_out[2]["corrupt"] is None
+
+
 def test_ivfpq_degrades_to_pq_and_recall_floor(spark, sf_dir):
     """IVF-PQ: (a) probing EVERY cell must equal plain PQ-with-rerank
     row-for-row (the composition adds cell bounding, never different
@@ -3844,3 +3939,51 @@ def test_resample_grid_size_guard(spark):
         resample(df, "ts", 1, "v", ["g"], max_grid_per_series=1000)
     # same call with a sane bucket passes
     assert resample(df, "ts", 86400, "v", ["g"]).count() >= 60
+
+
+def test_transcode_images_container_invariance(spark):
+    """transcode_images re-encodes losslessly: features of the mixed
+    PPM/BMP/PNG frame equal the all-PPM frame row-for-row, and each
+    media_id lands in its media_id%3 container."""
+    import numpy as np
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import (
+        _PNG_SIG,
+        encode_ppm,
+        extract_image_features,
+        transcode_images,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, "image", bytearray(encode_ppm(rng.randint(0, 256, (4, 6, 3)), 6, 4)))
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    mixed = transcode_images(media, fmt="mixed")
+    got = {r["media_id"]: bytes(r["payload"]) for r in mixed.collect()}
+    for i, p in got.items():
+        kind = ("ppm", "bmp", "png")[i % 3]
+        assert (
+            (kind == "ppm" and p[:2] == b"P6")
+            or (kind == "bmp" and p[:2] == b"BM")
+            or (kind == "png" and p[: len(_PNG_SIG)] == _PNG_SIG)
+        ), (i, kind, p[:8])
+    base = {
+        r["media_id"]: (r["mean_r"], r["mean_g"], r["mean_b"], r["mean_luma"])
+        for r in extract_image_features(media).collect()
+    }
+    trans = {
+        r["media_id"]: (r["mean_r"], r["mean_g"], r["mean_b"], r["mean_luma"])
+        for r in extract_image_features(mixed).collect()
+    }
+    assert base == trans
+    # junk payloads pass through untouched
+    junk = spark.createDataFrame(
+        [(9, "image", bytearray(b"JUNKJUNK"))],
+        "media_id long, media_type string, payload binary",
+    )
+    out = transcode_images(junk).collect()[0]
+    assert bytes(out["payload"]) == b"JUNKJUNK"
