@@ -43,6 +43,25 @@ def funnel_reach(
     within)}`` — so microsecond ties across steps never count and the
     result is independent of how the sort breaks them.
     """
+    return _funnel_fold(
+        df, steps, user_col, ts_col, type_col, within_s, with_times=False
+    )
+
+
+def _funnel_fold(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    within_s: int | None,
+    with_times: bool,
+) -> DataFrame:
+    """The shared fold. ``with_times`` additionally returns ``reach_us``
+    — the epoch-microsecond reach instant of each completed step (array
+    of length ``depth``) — which :func:`funnel_counts` consumes for
+    time-to-convert percentiles; the depth-only fold carries a 2-field
+    accumulator and skips the array concat."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     if len(set(steps)) != len(steps):
@@ -68,9 +87,13 @@ def funnel_reach(
     )
     lit_steps = F.array(*[F.lit(s) for s in steps])
     win = F.lit(int(within_s) * 1_000_000) if within_s is not None else None
-    init = F.struct(
-        F.lit(0).alias("d"), F.lit(None).cast("long").alias("last")
-    )
+    init_fields = [
+        F.lit(0).alias("d"),
+        F.lit(None).cast("long").alias("last"),
+    ]
+    if with_times:
+        init_fields.append(F.array().cast("array<long>").alias("ts"))
+    init = F.struct(*init_fields)
 
     def fold(acc, e):
         # index clamped: SQL AND does not short-circuit, and ANSI
@@ -88,16 +111,21 @@ def funnel_reach(
             ok = ok & (
                 (acc["d"] == 0) | ((e["us"] - acc["last"]) <= win)
             )
-        return F.when(
-            ok,
-            F.struct(
-                (acc["d"] + 1).alias("d"), e["us"].alias("last")
-            ),
-        ).otherwise(acc)
+        adv = [(acc["d"] + 1).alias("d"), e["us"].alias("last")]
+        if with_times:
+            adv.append(
+                F.concat(acc["ts"], F.array(e["us"])).alias("ts")
+            )
+        return F.when(ok, F.struct(*adv)).otherwise(acc)
 
-    return per_user.select(
-        "user", F.aggregate("evs", init, fold).getField("d").alias("depth")
-    )
+    # project the fold ONCE, then split fields — reusing the aggregate
+    # Column in two select expressions would instantiate the whole fold
+    # twice in the plan (the resample window-expr lesson)
+    base = per_user.select("user", F.aggregate("evs", init, fold).alias("_f"))
+    cols = ["user", F.col("_f.d").alias("depth")]
+    if with_times:
+        cols.append(F.col("_f.ts").alias("reach_us"))
+    return base.select(*cols)
 
 
 def funnel_counts(
@@ -108,22 +136,54 @@ def funnel_counts(
     type_col: str = "event_type",
     within_s: int | None = None,
 ) -> DataFrame:
-    """Step-level funnel report: ``(step, step_name, n_users)`` — users
-    whose in-order depth reached step i (monotone non-increasing by
-    construction). One shuffle + one k-row aggregate."""
-    depth = funnel_reach(df, steps, user_col, ts_col, type_col, within_s)
-    counts = (
-        depth.groupBy("depth")
-        .agg(F.count("*").alias("n"))
-        .collect()
+    """Step-level funnel report: ``(step, step_name, n_users,
+    median_s, p90_s)`` — users whose in-order depth reached step i
+    (monotone non-increasing by construction), plus the exact
+    median/p90 TIME-TO-CONVERT from the previous step's reach instant
+    (seconds, 6 dp; NULL on step 1 — it has no previous step — and on
+    steps nobody reached). Fully JVM-side: the fold's per-step reach
+    instants explode to one row per (user, reached step) — n_users per
+    step IS that frame's count, no histogram/cumsum round-trip — and
+    ``percentile`` (exact linear interpolation, the engine-portable
+    definition) aggregates the deltas. One fact-table shuffle + one
+    (users × depth)-row aggregate."""
+    reach = _funnel_fold(
+        df, steps, user_col, ts_col, type_col, within_s, with_times=True
     )
-    by_depth = {r["depth"]: r["n"] for r in counts}
-    spark = df.sparkSession
-    rows = []
-    cum = 0
-    for i in range(len(steps), 0, -1):
-        cum += by_depth.get(i, 0)
-        rows.append((i, steps[i - 1], cum))
-    return spark.createDataFrame(
-        sorted(rows), "step int, step_name string, n_users long"
+    ex = reach.select(
+        "reach_us", F.posexplode("reach_us").alias("idx", "us")
+    ).select(
+        (F.col("idx") + 1).alias("step"),
+        # previous step's reach instant: element_at is 1-based, so
+        # element_at(reach_us, idx) IS element idx-1; the greatest()
+        # clamp keeps the argument legal under ANSI for idx=0 (the
+        # when() branch discards it)
+        F.when(
+            F.col("idx") >= 1,
+            (
+                F.col("us")
+                - F.element_at("reach_us", F.greatest(F.col("idx"), F.lit(1)))
+            )
+            / F.lit(1_000_000.0),
+        ).alias("dt_s"),
+    )
+    per_step = ex.groupBy("step").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.percentile("dt_s", F.lit(0.5)), 6).alias("median_s"),
+        F.round(F.percentile("dt_s", F.lit(0.9)), 6).alias("p90_s"),
+    )
+    steps_df = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, step_name string",
+    )
+    return (
+        steps_df.join(F.broadcast(per_step), "step", "left")
+        .select(
+            "step",
+            "step_name",
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            "median_s",
+            "p90_s",
+        )
+        .orderBy("step")
     )

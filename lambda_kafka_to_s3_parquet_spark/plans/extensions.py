@@ -863,7 +863,8 @@ def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN (SELECT unnest(['locf', 'linear']) AS mode) m
     UNION ALL
     SELECT 'funnel' AS branch, f.step AS event_id, f.n AS k1,
-           NULL AS k2, f.nm AS t1, NULL AS t2, NULL AS v
+           CAST(round(f.p90 * 1000000) AS BIGINT) AS k2,
+           f.nm AS t1, NULL AS t2, f.med AS v
     FROM (
       WITH fev AS (SELECT user_id, epoch_us(ts) AS us, event_type AS t
                    FROM events
@@ -878,10 +879,19 @@ def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       f3 AS (SELECT e.user_id, min(e.us) AS t3 FROM fev e
              JOIN f2 USING (user_id)
              WHERE e.t = 'purchase' AND e.us > f2.t2
-               AND e.us - f2.t2 <= 3600000000 GROUP BY 1)
-      SELECT 1 AS step, 'view' AS nm, (SELECT count(*) FROM f1) AS n
-      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
-      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)
+               AND e.us - f2.t2 <= 3600000000 GROUP BY 1),
+      d2 AS (SELECT (f2.t2 - f1.t1) / 1000000.0 AS dt
+             FROM f2 JOIN f1 USING (user_id)),
+      d3 AS (SELECT (f3.t3 - f2.t2) / 1000000.0 AS dt
+             FROM f3 JOIN f2 USING (user_id))
+      SELECT 1 AS step, 'view' AS nm, (SELECT count(*) FROM f1) AS n,
+             NULL AS med, NULL AS p90
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2),
+        (SELECT round(quantile_cont(dt, 0.5), 6) FROM d2),
+        (SELECT round(quantile_cont(dt, 0.9), 6) FROM d2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3),
+        (SELECT round(quantile_cont(dt, 0.5), 6) FROM d3),
+        (SELECT round(quantile_cont(dt, 0.9), 6) FROM d3)
     ) f
     UNION ALL
     SELECT 'retention' AS branch, r.cohort_p AS event_id, r.n AS k1,
@@ -1004,14 +1014,17 @@ def x19_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, ["view", "click", "purchase"], within_s=3600
     )
     branches.append(
+        # round 12: time-to-convert rides the same fold — v := exact
+        # median seconds since the previous step, k2 := p90 as integer
+        # micros (both NULL on step 1, which has no previous step)
         fc.select(
             F.lit("funnel").alias("branch"),
             F.col("step").cast("long").alias("event_id"),
             F.col("n_users").alias("k1"),
-            F.lit(None).cast("long").alias("k2"),
+            F.round(F.col("p90_s") * 1_000_000).cast("long").alias("k2"),
             F.col("step_name").alias("t1"),
             F.lit(None).cast("string").alias("t2"),
-            F.lit(None).cast("double").alias("v"),
+            F.col("median_s").alias("v"),
         )
     )
     # --- 'retention' branch (round 11): weekly cohort retention matrix
