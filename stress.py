@@ -49,6 +49,10 @@ QUERIES = [
     "x07_minhash_neardup",   # shingle explode -> banded join -> verify
     # x22_rollup_daily is UNREGISTERED since round 10 (folded into w08's
     # 'batch' branch); its slope row survives via the direct import below
+    # r12 attribution of STRESS_r11's 2.2x: same-host back-to-back
+    # re-run (the x45 protocol) read t1=0.712 tN=1.095 -> 1.54x for 10x
+    # corpus — sublinear (fixed probe-broadcast + window machinery
+    # dominates at this size); the r11 cell was drift, not the plan
     "x10_embedding_topk",    # per-partition GEMM partial top-k
     "x21_split_and_pack",    # two-level distributed prefix sum
     "x25_decontaminate",     # cross-split shingle equi-join (df-CAPPED since r6)
