@@ -68,6 +68,8 @@ from .snapshots import (  # noqa: F401
     snapshot_append,
     snapshot_delete_where,
     snapshot_describe,
+    snapshot_drop_column,
     snapshot_merge_into,
     snapshot_read,
+    snapshot_rename_column,
 )

@@ -594,8 +594,9 @@ def _bloom_prune(
         dbl = blooms.get(d)
         if not dbl:
             return True
+        commit = d.split("/")[1]
         for col, values in skip_keys:
-            bl = dbl.get(col)
+            bl = dbl.get(_phys_col(manifest, commit, col))
             if bl is None:
                 continue
             if not any(value_may(bl, v) for v in values):
@@ -672,6 +673,10 @@ def _commit(
     cschema: list | None = None,
     restore: dict | None = None,
     blooms: dict[str, dict[str, dict]] | None = None,
+    colmaps: dict[str, dict[str, str]] | None = None,
+    dropcols: dict[str, list[str]] | None = None,
+    rename_entry: tuple[str, str] | None = None,
+    drop_entry: str | None = None,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -805,6 +810,36 @@ def _commit(
                     c = d.split("/")[1]
                     if c not in prior_commits:
                         kept_cs[c] = cschema
+        # per-commit column maps / drops (rename & drop evolution): carry
+        # live commits' entries exactly like cschemas; an explicit
+        # ``colmaps``/``dropcols`` argument (the rename/drop commits
+        # themselves) replaces the carry wholesale
+        if colmaps is not None:
+            kept_cm = {c: m for c, m in colmaps.items() if c in live_commits}
+        else:
+            kept_cm = {
+                c: m
+                for c, m in manifest.get("colmaps", {}).items()
+                if c in live_commits
+            }
+        if dropcols is not None:
+            kept_dc = {c: l for c, l in dropcols.items() if c in live_commits}
+        else:
+            kept_dc = {
+                c: l
+                for c, l in manifest.get("dropcols", {}).items()
+                if c in live_commits
+            }
+        # the rename/drop LOGS (version, names) power cross-version
+        # alignment in the row-level change feed; they carry forward on
+        # every commit and this commit's own entry stamps the REAL
+        # version (which a CAS rebase may have bumped)
+        rlog = list(manifest.get("renames_log", []))
+        dlog = list(manifest.get("drops_log", []))
+        if rename_entry is not None:
+            rlog.append([version, rename_entry[0], rename_entry[1]])
+        if drop_entry is not None:
+            dlog.append([version, drop_entry])
         if restore:
             for d, s in restore.get("stats", {}).items():
                 if d in live:
@@ -815,12 +850,45 @@ def _commit(
             for c, s in restore.get("cschemas", {}).items():
                 if c in live_commits:
                     kept_cs.setdefault(c, s)
+            # rollback REVERTS names: restored commits take the TARGET
+            # manifest's maps/drops exactly (the carried entries reflect
+            # renames/drops committed AFTER the target), and renames the
+            # rollback undoes are logged in REVERSE so the change feed
+            # can align a diff that crosses the rollback
+            restore_commits = {
+                d.split("/")[1]
+                for dirs in restore["partitions"].values()
+                for d in dirs
+            }
+            rcm = restore.get("colmaps", {})
+            rdc = restore.get("dropcols", {})
+            for c in restore_commits & live_commits:
+                if c in rcm:
+                    kept_cm[c] = rcm[c]
+                else:
+                    kept_cm.pop(c, None)
+                if c in rdc:
+                    kept_dc[c] = rdc[c]
+                else:
+                    kept_dc.pop(c, None)
+            target_v = restore.get("version", 0)
+            undone = [e for e in rlog if e[0] > target_v]
+            for v_, a_, b_ in reversed(undone):
+                rlog.append([version, b_, a_])
         if kept_stats:
             new_manifest["stats"] = kept_stats
         if kept_blooms:
             new_manifest["blooms"] = kept_blooms
         if kept_cs:
             new_manifest["cschemas"] = kept_cs
+        if kept_cm:
+            new_manifest["colmaps"] = kept_cm
+        if kept_dc:
+            new_manifest["dropcols"] = kept_dc
+        if rlog:
+            new_manifest["renames_log"] = rlog
+        if dlog:
+            new_manifest["drops_log"] = dlog
         # the manifest lands at a UNIQUE token path (no writer can
         # contend for it), then the marker create is the CAS
         token = uuid.uuid4().hex[:12]
@@ -1122,12 +1190,37 @@ def _manifest_pcols(partitions: dict) -> list[str]:
     return pcols
 
 
+def _phys_col(manifest: dict, commit_id: str, logical: str) -> str | None:
+    """The PHYSICAL column name a commit's files store ``logical``
+    under, or ``None`` when the commit has no physical column for it:
+    stats/blooms are recorded from the frame at write time, so a commit
+    written before a rename keys them by the old name — pruning on the
+    current logical name must resolve through the commit's column map
+    (identity when unmapped). ``None`` (treated as "no stats" — always
+    read, conservative) covers two stale-identity traps: a physical
+    name RE-CLAIMED by a later column of the same name (rename a->b
+    then add a fresh ``a`` — the old commit's ``a`` stats describe
+    what is now ``b``), and a DROPPED physical column."""
+    m = manifest.get("colmaps", {}).get(commit_id)
+    if m:
+        for phys, log in m.items():
+            if log == logical:
+                return phys
+        if logical in m:
+            return None
+    if logical in manifest.get("dropcols", {}).get(commit_id, ()):
+        return None
+    return logical
+
+
 def _zone_prune(
     manifest: dict, dirs: list[str], skip_where: list[tuple]
 ) -> list[str]:
     """Dirs from ``dirs`` that MAY hold rows intersecting every
     ``(col, lo, hi)`` range — manifest zone-map skipping, conservative:
-    a dir without recorded stats for a column is always kept."""
+    a dir without recorded stats for a column is always kept. Probe
+    columns are LOGICAL names; per-dir stats resolve through the
+    commit's column map (:func:`_phys_col`)."""
     zone = manifest.get("stats", {})
 
     def norm(x):
@@ -1137,10 +1230,12 @@ def _zone_prune(
         stats = zone.get(d)
         if not stats:
             return True  # unknown dir: must read
+        commit = d.split("/")[1]
         for col, lo, hi in skip_where:
-            if col not in stats:
+            pc = _phys_col(manifest, commit, col)
+            if pc not in stats:
                 continue
-            dlo, dhi = stats[col]
+            dlo, dhi = stats[pc]
             if norm(lo) > dhi or norm(hi) < dlo:
                 return False
         return True
@@ -1228,6 +1323,27 @@ def _read_dirs(
     # into one, so the steady-state scan count is the commits since the
     # last rewrite — documented maintenance contract). Commits without
     # a recorded schema (pre-upgrade tables) also scan individually.
+    # rename/drop evolution (round 12): physical file columns map to the
+    # manifest's CURRENT logical names per commit (``colmaps``), and
+    # per-commit dropped physical columns are projected away — a rename
+    # or drop is a metadata commit, never a rewrite; time travel applies
+    # each version's OWN maps, so every version shows its own names
+    colmaps = manifest.get("colmaps", {})
+    dropm = manifest.get("dropcols", {})
+
+    def apply_map(commit_id: str, f: DataFrame) -> DataFrame:
+        m = colmaps.get(commit_id, {})
+        drop = set(dropm.get(commit_id, ()))
+        if not m and not drop:
+            return f
+        return f.select(
+            *[
+                F.col(c).alias(m.get(c, c))
+                for c in f.columns
+                if c not in drop
+            ]
+        )
+
     groups: list[tuple[str, object]] = []  # (first commit id, frame spec)
     flat_groups: dict[str, list[str]] = {}
     flat_first: dict[str, str] = {}
@@ -1236,20 +1352,37 @@ def _read_dirs(
         flat = dirs == [f"data/{commit_id}"]
         sch = cschemas.get(commit_id)
         if flat and sch is not None:
-            key = json.dumps(sch)
+            # the scan-group key includes the commit's column map and
+            # drop list: commits with identical physical schemas but
+            # DIFFERENT logical mappings must not share one scan
+            key = json.dumps(
+                [
+                    sch,
+                    sorted(colmaps.get(commit_id, {}).items()),
+                    sorted(dropm.get(commit_id, ())),
+                ]
+            )
             flat_first.setdefault(key, commit_id)
             flat_groups.setdefault(key, []).append(f"{table}/data/{commit_id}")
         else:
             groups.append(
                 (
                     commit_id,
-                    spark.read.option(
-                        "basePath", f"{table}/data/{commit_id}"
-                    ).parquet(*[f"{table}/{d}" for d in sorted(dirs)]),
+                    apply_map(
+                        commit_id,
+                        spark.read.option(
+                            "basePath", f"{table}/data/{commit_id}"
+                        ).parquet(*[f"{table}/{d}" for d in sorted(dirs)]),
+                    ),
                 )
             )
     for key, paths in flat_groups.items():
-        groups.append((flat_first[key], spark.read.parquet(*sorted(paths))))
+        groups.append(
+            (
+                flat_first[key],
+                apply_map(flat_first[key], spark.read.parquet(*sorted(paths))),
+            )
+        )
     frames = [f for _, f in sorted(groups, key=lambda g: g[0])]
     pcols = _manifest_pcols(manifest["partitions"])
     seen_types: dict[str, str] = {}
@@ -1597,6 +1730,21 @@ def snapshot_row_changes(
     new = _read_state_side(spark, table, d["added"], mt)
     if old is None and new is None:  # pragma: no cover — delta is never
         raise AssertionError("empty delta over non-empty snapshots")
+    # RENAME/DROP evolution inside the range: the old side read under
+    # the FROM version's maps carries that version's names — replay the
+    # TO manifest's rename log entries in (from, to] so both sides diff
+    # under the TO version's naming (log order matters: renames chain),
+    # and project away columns the range DROPPED (a drop is a schema
+    # change, not a row change — emitting old-value->NULL updates for
+    # every surviving row would be noise, and the column is gone from
+    # the table the consumer maintains).
+    if old is not None:
+        for v_, a_, b_ in mt.get("renames_log", []):
+            if from_version < v_ <= to_v and a_ in old.columns:
+                old = old.withColumnRenamed(a_, b_)
+        for v_, name_ in mt.get("drops_log", []):
+            if from_version < v_ <= to_v and name_ in old.columns:
+                old = old.drop(name_)
     # Align the two sides across additive evolution (NULL-fill missing
     # columns, allowMissingColumns semantics); reject type changes.
     if old is None:
@@ -1705,6 +1853,155 @@ def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
         # type). None (pre-upgrade target) keeps inheriting — the
         # read-time gate backstops those tables.
         dschema=manifest.get("dschema"),
+    )
+
+
+def _evolution_preamble(
+    spark: SparkSession, table: str, col: str, op: str
+) -> tuple[dict, dict, set]:
+    """Shared validation for rename/drop: a committed table with a
+    recorded schema union holding ``col`` as a DATA column (partition
+    columns are path-encoded — renaming them is a physical layout
+    change, the documented overwrite_all escape hatch)."""
+    committed = current_version(spark, table)
+    if not committed:
+        raise ValueError(f"snapshot table {table} is empty/uninitialized")
+    manifest = _load_manifest(spark, table, committed, committed=committed)
+    dschema = dict(manifest.get("dschema", {}))
+    if not dschema:
+        raise ValueError(
+            f"{table} predates the recorded schema union (no dschema in "
+            f"the manifest) — {op} needs the authoritative column list; "
+            "append once with current code to record it, then retry"
+        )
+    if col in _manifest_pcols(manifest["partitions"]):
+        raise ValueError(
+            f"column {col!r} of {table} is a PARTITION column — its "
+            f"values are path-encoded, so {op} is a physical relayout: "
+            "use snapshot_overwrite_all/snapshot_rewrite with the new "
+            "layout"
+        )
+    if col not in dschema:
+        raise ValueError(
+            f"column {col!r} not in {table}'s schema "
+            f"({sorted(dschema)})"
+        )
+    live_commits = {
+        d.split("/")[1]
+        for dirs in manifest["partitions"].values()
+        for d in dirs
+    }
+    return manifest, dschema, live_commits
+
+
+def snapshot_rename_column(
+    spark: SparkSession, table: str, old: str, new: str
+) -> int:
+    """RENAME a data column as a METADATA-ONLY commit — no rewrite, the
+    Iceberg field-mapping shape: the manifest's per-commit column maps
+    (``colmaps``) record which PHYSICAL file column carries the logical
+    name, the read path aliases through them, and commits written AFTER
+    the rename store the new name physically (their map entry is
+    identity). Works at any table size for the cost of one manifest
+    write — a 100 TB table pays nothing.
+
+    Time travel shows each version's own names (maps ride the
+    manifest); appends after the rename use the new name (the old one
+    is gone from the schema union and may later be re-added as a fresh
+    column); the row-level change feed aligns across the rename via the
+    manifest's rename log; zone-map/bloom pruning on the new name
+    resolves per commit to the recorded physical name. Chained renames
+    compose (a -> b -> c keeps one map entry per commit). Rolling back
+    across a rename restores the old names and logs the reversal so
+    diffs crossing the rollback still align."""
+    manifest, dschema, live_commits = _evolution_preamble(
+        spark, table, old, "rename"
+    )
+    if new == old:
+        raise ValueError("rename to the same name is a no-op")
+    if not new or not isinstance(new, str):
+        raise ValueError(f"bad new column name {new!r}")
+    if new in dschema:
+        raise ValueError(
+            f"column {new!r} already exists in {table}; rename cannot "
+            "merge two columns"
+        )
+    if new in _manifest_pcols(manifest["partitions"]):
+        raise ValueError(
+            f"column {new!r} is {table}'s partition column — a data "
+            "column cannot shadow it"
+        )
+    cm = manifest.get("colmaps", {})
+    new_cm = {}
+    for c in live_commits:
+        m = dict(cm.get(c, {}))
+        hit = False
+        for p, log in list(m.items()):
+            if log == old:
+                m[p] = new
+                hit = True
+        if not hit:
+            # this commit (if it physically carries the column at all)
+            # wrote it under the then-current logical name
+            m[old] = new
+        new_cm[c] = m
+    new_dschema = {
+        (new if k == old else k): v for k, v in dschema.items()
+    }
+    return _commit(
+        spark,
+        table,
+        f"rename({old}->{new})",
+        {},
+        dschema=new_dschema,
+        colmaps=new_cm,
+        rename_entry=(old, new),
+    )
+
+
+def snapshot_drop_column(spark: SparkSession, table: str, col: str) -> int:
+    """DROP a data column as a METADATA-ONLY commit — no rewrite: the
+    column leaves the schema union, every live commit's physical column
+    is recorded in ``dropcols`` and projected away at read time (the
+    bytes stay on disk until those commits expire — the Iceberg drop
+    semantics). Prior versions still show the column (time travel
+    applies each version's own maps); a LATER append may re-add the
+    name as a fresh column (old commits' values stay hidden — never
+    resurrected). Refuses to drop the last data column (an all-
+    partition-column table is unreadable)."""
+    manifest, dschema, live_commits = _evolution_preamble(
+        spark, table, col, "drop"
+    )
+    if len(dschema) == 1:
+        raise ValueError(
+            f"refusing to drop {col!r}: it is the LAST data column of "
+            f"{table} — drop or rebuild the table instead"
+        )
+    cm = manifest.get("colmaps", {})
+    dc = manifest.get("dropcols", {})
+    new_cm = {}
+    new_dc = {}
+    for c in live_commits:
+        m = dict(cm.get(c, {}))
+        drops = list(dc.get(c, []))
+        phys = None
+        for p, log in list(m.items()):
+            if log == col:
+                phys = p
+                del m[p]
+        drops.append(phys if phys is not None else col)
+        new_cm[c] = m
+        new_dc[c] = drops
+    new_dschema = {k: v for k, v in dschema.items() if k != col}
+    return _commit(
+        spark,
+        table,
+        f"drop({col})",
+        {},
+        dschema=new_dschema,
+        colmaps=new_cm,
+        dropcols=new_dc,
+        drop_entry=col,
     )
 
 

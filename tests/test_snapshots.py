@@ -3378,3 +3378,210 @@ def test_bloom_probe_type_validation(spark, table):
         snapshot_delete_where(
             spark, table, F.col("id") == 42, prune_keys=[("id", [42.0])]
         )
+
+
+# ---------------------------------------------------------------------------
+# column rename/drop evolution (round 12) — metadata-only, field-map reads
+# ---------------------------------------------------------------------------
+
+
+def _evo_imports():
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_drop_column,
+        snapshot_rename_column,
+        snapshot_row_changes,
+    )
+
+    return snapshot_rename_column, snapshot_drop_column, snapshot_row_changes
+
+
+def test_rename_is_metadata_only_and_versions_keep_own_names(spark, table):
+    """Rename: no data rewrite (same dirs live), old commits read under
+    the NEW name, time travel shows each version's own names, and an
+    append after the rename lands under the new name."""
+    rename, _, _ = _evo_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 10)], "id long, p string, v long"),
+        ["p"],
+    )
+    dirs_before = dict(_load_manifest(spark, table, 1)["partitions"])
+    v2 = rename(spark, table, "v", "amount")
+    assert v2 == 2
+    m2 = _load_manifest(spark, table, 2)
+    assert m2["partitions"] == dirs_before, "metadata-only: same dirs"
+    got = snapshot_read(spark, table)
+    assert got.columns == ["id", "amount", "p"]
+    assert _rows(got) == [(1, 10, "a")]
+    # time travel: v1 under its own (old) name
+    assert snapshot_read(spark, table, 1).columns == ["id", "v", "p"]
+    # append after the rename uses the new name; both commits read as one
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(2, "a", 20)], "id long, p string, amount long"),
+        ["p"],
+    )
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a"), (2, 20, "a")]
+    # the OLD name is free again: appending it is a fresh additive column
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(3, "a", 30, 7)], "id long, p string, amount long, v long"
+        ),
+        ["p"],
+    )
+    out = {r["id"]: (r["amount"], r["v"]) for r in
+           snapshot_read(spark, table).collect()}
+    assert out == {1: (10, None), 2: (20, None), 3: (30, 7)}
+
+
+def test_rename_chains_and_validations(spark, table):
+    rename, drop, _ = _evo_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 10)], "id long, p string, v long"),
+        ["p"],
+    )
+    rename(spark, table, "v", "w")
+    rename(spark, table, "w", "x")  # chained: one map hop, not two
+    assert snapshot_read(spark, table).columns == ["id", "x", "p"]
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a")]
+    with pytest.raises(ValueError, match="not in"):
+        rename(spark, table, "nope", "y")
+    with pytest.raises(ValueError, match="already exists"):
+        rename(spark, table, "x", "id")
+    with pytest.raises(ValueError, match="PARTITION column"):
+        rename(spark, table, "p", "q")
+    with pytest.raises(ValueError, match="partition column"):
+        rename(spark, table, "x", "p")
+    with pytest.raises(ValueError, match="no-op"):
+        rename(spark, table, "x", "x")
+
+
+def test_drop_hides_without_rewrite_and_readd_is_fresh(spark, table):
+    """Drop: column leaves reads at every later version without a
+    rewrite; prior versions still show it; re-adding the name is a
+    FRESH column — old values stay hidden, and zone-map pruning on the
+    re-added name never consults the old column's stale stats."""
+    rename, drop, _ = _evo_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10, 5)], "id long, p string, v long, score long"
+        ),
+        ["p"],
+        stats_cols=["score"],
+    )
+    dirs_before = dict(_load_manifest(spark, table, 1)["partitions"])
+    drop(spark, table, "score")
+    m2 = _load_manifest(spark, table, 2)
+    assert m2["partitions"] == dirs_before
+    assert snapshot_read(spark, table).columns == ["id", "v", "p"]
+    assert snapshot_read(spark, table, 1).columns == ["id", "v", "score", "p"]
+    # re-add: fresh column, old values never resurrected; the old
+    # commit's stale score stats (min=max=5) must NOT prune a probe for
+    # the re-added column
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(2, "a", 20, 900)], "id long, p string, v long, score long"
+        ),
+        ["p"],
+        stats_cols=["score"],
+    )
+    out = {r["id"]: r["score"] for r in snapshot_read(spark, table).collect()}
+    assert out == {1: None, 2: 900}
+    pruned = snapshot_read(spark, table, skip_where=[("score", 800, 1000)])
+    # the OLD dir (stale stats 5..5) is kept, not skipped: row id=1
+    # must appear (score NULL after the drop), plus the real hit id=2
+    assert {r["id"] for r in pruned.collect()} == {1, 2}
+    # validations
+    t2 = table + "_one"
+    snapshot_append(
+        spark, t2, spark.createDataFrame([(1,)], "only long")
+    )
+    with pytest.raises(ValueError, match="LAST data column"):
+        drop(spark, t2, "only")
+
+
+def test_rename_pruning_resolves_physical_stats(spark, table):
+    """skip_where on the NEW name must keep using the stats the commit
+    recorded under the OLD physical name — pruning stays effective
+    across a rename."""
+    rename, _, _ = _evo_imports()
+    lo = spark.createDataFrame([(i, i) for i in range(10)], "id long, v long")
+    hi = spark.createDataFrame(
+        [(i, i) for i in range(1000, 1010)], "id long, v long"
+    )
+    snapshot_append(spark, table, lo, stats_cols=["v"])
+    snapshot_append(spark, table, hi, stats_cols=["v"])
+    rename(spark, table, "v", "val")
+    out = snapshot_read(spark, table, skip_where=[("val", 1000, 2000)])
+    dir_of = F.regexp_replace(F.input_file_name(), "/[^/]+$", "")
+    assert out.select(dir_of).distinct().count() == 1, "old-name stats prune"
+    assert out.count() == 10
+
+
+def test_change_feed_crosses_rename_and_drop(spark, table):
+    """Row-level diff whose range contains a rename: both sides align
+    under the TO version's names. A drop inside the range emits NO
+    per-row noise for untouched keys."""
+    rename, drop, row_changes = _evo_imports()
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_merge_into,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, 10, 5), (2, 20, 6)], "id long, v long, junk long"
+        ),
+    )  # v1
+    rename(spark, table, "v", "amount")  # v2
+    drop(spark, table, "junk")  # v3
+    # upsert under the new schema -> v4
+    src = spark.createDataFrame([(2, 99), (3, 30)], "id long, amount long")
+    v4 = snapshot_merge_into(spark, table, src, ["id"])
+    chg = row_changes(spark, table, ["id"], 1, v4)
+    got = {
+        (r["id"], r["_change_type"]): r["amount"] for r in chg.collect()
+    }
+    # id=1 untouched by rows: the rename/drop alone emit NOTHING for it
+    assert got == {
+        (2, "update_preimage"): 20,
+        (2, "update_postimage"): 99,
+        (3, "insert"): 30,
+    }
+    assert "junk" not in chg.columns
+
+
+def test_rollback_across_rename_restores_names(spark, table):
+    rename, _, row_changes = _evo_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, 10)], "id long, v long"),
+    )  # v1
+    rename(spark, table, "v", "amount")  # v2
+    snapshot_rollback(spark, table, 1)  # v3: old names back
+    assert snapshot_read(spark, table).columns == ["id", "v"]
+    assert _rows(snapshot_read(spark, table)) == [(1, 10)]
+    # and a diff crossing the rollback still aligns (reverse log entry)
+    snapshot_append(
+        spark, table, spark.createDataFrame([(2, 20)], "id long, v long")
+    )  # v4
+    chg = row_changes(spark, table, ["id"], 2, 4)
+    got = {(r["id"], r["_change_type"]): r["v"] for r in chg.collect()}
+    assert got == {(2, "insert"): 20}
+
+
+def test_rename_then_type_change_still_refused(spark, table):
+    rename, _, _ = _evo_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    rename(spark, table, "v", "amount")
+    with pytest.raises(ValueError, match="change type"):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(2, "x")], "id long, amount string"),
+        )
