@@ -1945,12 +1945,12 @@ X32_BM25_SQL = f"""
     """
 
 
-@register(
-    "x32_bm25_search",
-    oracle=X32_BM25_SQL,
-    doc="exact BM25 top-10 documents for a fixed query-term bag; oracle "
-    "recomputes identical tokenizer + Robertson idf/tf math in DuckDB",
-)
+# x32 — consolidated into x42 round 12 (its 'bm25' branch carries the
+# exact top-10 with scores, same ranking prefix x42's lexical leg
+# already computes; the math also stays oracle-checked via w15, which
+# runs X32_BM25_SQL verbatim against the stream-maintained index). The
+# function stays for bench/stress/tests; the freed slot oracle-promoted
+# x46_image_pipeline.
 def x32_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import bm25_topk
 
@@ -2540,7 +2540,9 @@ def x41_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     bm AS (
       SELECT row_number() OVER (ORDER BY sum(contrib) DESC, doc_id) AS rank,
-             doc_id
+             doc_id,
+             round(sum(contrib), 6) AS score,
+             CAST(count(*) AS BIGINT) AS n_hit
       FROM (
           SELECT tf.doc_id, ln(1 + (n_docs - df + 0.5) / (df + 0.5))
                  * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
@@ -2568,7 +2570,11 @@ def x41_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                            c2.embedding::DOUBLE[]), 6) AS score
               FROM embeddings c2, cent))
       WHERE rank <= 20)
-    SELECT rank, doc_id, rrf_score, n_lists FROM (
+    SELECT 'bm25' AS branch, CAST(rank AS BIGINT) AS rank, doc_id,
+           score AS v, n_hit AS n_lists
+    FROM bm WHERE rank <= 10
+    UNION ALL
+    SELECT 'rrf', rank, doc_id, rrf_score, n_lists FROM (
       SELECT CAST(row_number() OVER (
                ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
              doc_id, rrf_score, n_lists
@@ -2579,10 +2585,11 @@ def x41_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
               UNION ALL SELECT cand_id, rank FROM dense)
         GROUP BY doc_id))
     WHERE rank <= 10
-    ORDER BY rank
+    ORDER BY branch, rank
     """,
-    doc="hybrid retrieval, fully oracle-checked (round 9, slot freed by "
-    "x33->x03): BM25 top-20 + PRF-centroid (mean of the best 3 "
+    doc="hybrid retrieval, union-tagged (round 12: former x32 folded in "
+    "as the 'bm25' branch — exact top-10 with scores from the same "
+    "lexical leg): BM25 top-20 + PRF-centroid (mean of the best 3 "
     "embedding-covered lexical hits) dense top-20, fused via "
     "reciprocal-rank fusion; DuckDB replays the whole chain — BM25 "
     "math, seed selection, per-dimension centroid mean, cosine ranks, "
@@ -2624,10 +2631,28 @@ def x42_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dense = topk_bruteforce(emb, qdf, k=20).withColumnRenamed("cand_id", "doc_id")
 
-    return rrf_fuse(
+    fused = rrf_fuse(
         [lexical.select("doc_id", "rank"), dense.select("doc_id", "rank")],
         top_k=10,
     )
+    # 'bm25' branch (former x32, folded round 12): the exact top-10 WITH
+    # scores is a rank<=10 prefix of the lexical leg already computed —
+    # zero extra work, and the BM25 math stays oracle-checked here
+    bm_rows = lexical.filter(F.col("rank") <= 10).select(
+        F.lit("bm25").alias("branch"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "doc_id",
+        F.col("score").alias("v"),
+        F.col("n_terms_hit").cast("bigint").alias("n_lists"),
+    )
+    rrf_rows = fused.select(
+        F.lit("rrf").alias("branch"),
+        "rank",
+        "doc_id",
+        F.col("rrf_score").alias("v"),
+        "n_lists",
+    )
+    return bm_rows.unionByName(rrf_rows).orderBy("branch", "rank")
 
 
 # --------------------------------------------------------------------------
@@ -3118,9 +3143,51 @@ def x45_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "x46_image_pipeline",
-    oracle=None,
-    doc="real PPM codec pipeline: encode -> 4x4 thumbnail -> feature "
-    "extraction of the thumbnail (rows-only; exact numpy twin in pytest)",
+    # ORACLE-CHECKED since round 12 (slot freed by x32->x42): the whole
+    # codec chain replays in DuckDB because every stage is deterministic
+    # byte arithmetic — synthesized 8x8 pixels are the doc's utf-8 bytes
+    # CYCLED (byte idx mod L), the container transcode is lossless, the
+    # 4x4 nearest-neighbor thumbnail samples source pixel (2r+1, 2c+1),
+    # and channel means over 16 pixels divide by a power of two (exact
+    # in binary). DuckDB extracts each sampled byte from hex(encode(
+    # text)) via strpos arithmetic — a codec/resize regression flips
+    # this driver-red with no image library anywhere.
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, upper(hex(encode(text))) AS h,
+             octet_length(encode(text)) AS L
+      FROM documents WHERE doc_id % 3 = 0),
+    pos AS (SELECT k.k AS k,
+                   ((2*r.r+1)*8 + (2*c.c+1))*3 + k.k AS idx
+            FROM (SELECT unnest(generate_series(0,3)) AS r) r,
+                 (SELECT unnest(generate_series(0,3)) AS c) c,
+                 (SELECT unnest(generate_series(0,2)) AS k) k),
+    vals AS (
+      SELECT i.doc_id, p.k,
+             CASE WHEN i.L = 0 THEN 0
+                  ELSE (strpos('0123456789ABCDEF',
+                               substr(i.h, 2*(p.idx % i.L) + 1, 1)) - 1)
+                       * 16
+                       + (strpos('0123456789ABCDEF',
+                                 substr(i.h, 2*(p.idx % i.L) + 2, 1)) - 1)
+             END AS v
+      FROM img i CROSS JOIN pos p),
+    m AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN k = 0 THEN v END) AS BIGINT) AS sr,
+             CAST(sum(CASE WHEN k = 1 THEN v END) AS BIGINT) AS sg,
+             CAST(sum(CASE WHEN k = 2 THEN v END) AS BIGINT) AS sb
+      FROM vals GROUP BY doc_id)
+    SELECT doc_id AS media_id,
+           CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+           sr / 16.0 AS mean_r, sg / 16.0 AS mean_g, sb / 16.0 AS mean_b,
+           (299 * sr + 587 * sg + 114 * sb) / 16000.0 AS mean_luma
+    FROM m ORDER BY media_id
+    """,
+    doc="real image codec pipeline, oracle-checked: synthesize 8x8 "
+    "payloads from doc bytes -> transcode across PPM/BMP/PNG -> 4x4 "
+    "nearest-neighbor thumbnail -> pixel features; DuckDB replays the "
+    "sampled bytes from hex(encode(text)) arithmetic",
 )
 def x46_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
@@ -3146,9 +3213,26 @@ def x46_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.col("resized").alias("payload"),
     )
+    # mean_luma is re-derived as the EXACT integer ratio
+    # (299*sum_r + 587*sum_g + 114*sum_b) / 16000: channel means are
+    # exact sixteenths, so mean*16 reconstructs the integer channel sum
+    # losslessly and both engines produce the identical double with NO
+    # decimal rounding anywhere — the rounded form lands exactly on
+    # .xx5 boundaries half the time (means are 1/16-multiples) and
+    # python/DuckDB disagree exactly there (the established 2dp trap at
+    # 6dp). decode_real_features keeps its documented rounded luma for
+    # feature consumers; the oracle-checked census uses the exact form.
+    feats = extract_image_features(thumbs)
+    luma = (
+        F.col("mean_r") * 16 * 299
+        + F.col("mean_g") * 16 * 587
+        + F.col("mean_b") * 16 * 114
+    ) / F.lit(16000.0)
     return (
-        extract_image_features(thumbs)
-        .select("media_id", "width", "height", "mean_r", "mean_g", "mean_b", "mean_luma")
+        feats.select(
+            "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+            luma.alias("mean_luma"),
+        )
         .orderBy("media_id")
     )
 

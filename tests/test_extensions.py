@@ -1927,10 +1927,13 @@ def test_x46_image_pipeline_matches_numpy_twin(spark):
         for c, k in enumerate(("mean_r", "mean_g", "mean_b")):
             assert abs(r[k] - round(float(thumb[:, :, c].mean()), 6)) < 1e-9, (
                 doc_id, k)
-        want_luma = round(
-            0.299 * r["mean_r"] + 0.587 * r["mean_g"] + 0.114 * r["mean_b"], 6
-        )
-        assert abs(r["mean_luma"] - want_luma) < 1e-9
+        # round 12 (oracle promotion): luma is the EXACT integer ratio
+        # (299*sum_r + 587*sum_g + 114*sum_b) / 16000 — no decimal
+        # rounding anywhere (1/16-multiple means land exactly on .xx5
+        # boundaries where python/DuckDB rounding disagrees)
+        sums = [int(thumb[:, :, c].sum()) for c in range(3)]
+        want_luma = (299 * sums[0] + 587 * sums[1] + 114 * sums[2]) / 16000.0
+        assert r["mean_luma"] == want_luma
 
 
 def test_x47_bpe_encode_matches_python_twin(spark):

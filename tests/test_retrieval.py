@@ -26,7 +26,13 @@ def test_bm25_matches_duckdb_twin(spark, sf_dir):
     identical tokenizer and Robertson idf/tf math; ranks and doc ids are
     exact, scores agree to the shared 6-decimal rounding (1e-6 tolerance
     covers the one cross-engine float-sum-order ulp)."""
-    got = all_specs()["x32_bm25_search"].fn(spark, sf_dir).collect()
+    # x32 is an unregistered function since round 12 (folded into x42's
+    # 'bm25' branch); its DuckDB twin stays pinned here
+    from lambda_kafka_to_s3_parquet_spark.plans.extensions import (
+        x32_bm25_search,
+    )
+
+    got = x32_bm25_search(spark, sf_dir).collect()
     terms = ", ".join(f"'{t}'" for t in X32_QUERY_TERMS)
     want = duckdb.sql(f"""
         WITH tok AS (
@@ -158,11 +164,25 @@ def test_hybrid_rrf_mixes_modalities(spark, sf_dir):
     (n_lists=2 for at least the PRF seed docs), and every rank is unique."""
     from lambda_kafka_to_s3_parquet_spark.plans import all_specs
 
-    out = all_specs()["x42_hybrid_rrf"].fn(spark, sf_dir).collect()
-    assert len(out) == 10
+    rows = all_specs()["x42_hybrid_rrf"].fn(spark, sf_dir).collect()
+    # round 12: union-tagged — 'rrf' carries the fused ranking, 'bm25'
+    # the former x32 exact top-10 (same lexical leg, with scores)
+    out = [r for r in rows if r["branch"] == "rrf"]
+    bm = [r for r in rows if r["branch"] == "bm25"]
+    assert len(out) == 10 and len(bm) == 10
     assert len({r["rank"] for r in out}) == 10
     assert any(r["n_lists"] == 2 for r in out)
-    assert all(r["rrf_score"] > 0 for r in out)
+    assert all(r["v"] > 0 for r in rows)
+    # the bm25 branch is rank-for-rank the standalone function's top-10
+    from lambda_kafka_to_s3_parquet_spark.plans.extensions import (
+        x32_bm25_search,
+    )
+
+    standalone = {
+        r["rank"]: (r["doc_id"], r["score"])
+        for r in x32_bm25_search(spark, sf_dir).collect()
+    }
+    assert {r["rank"]: (r["doc_id"], r["v"]) for r in bm} == standalone
 
 
 def test_bm25_index_persisted_equals_from_scratch(spark, sf_dir, tmp_path):
