@@ -2464,6 +2464,7 @@ def snapshot_merge_into(
     meta: dict | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_M,
+    when_not_matched_by_source: tuple | list | None = None,
 ) -> int:
     """MERGE a batch-sized ``source`` into the live snapshot as ONE
     atomic ``merge`` commit — the last DML verb the snapshot protocol
@@ -2496,6 +2497,16 @@ def snapshot_merge_into(
     — ``cond`` sees only ``s.<col>`` (there is no target image); a
     source row failing it is dropped. All conditions compile into the
     ONE single-CASE classify plan — no extra pass over the candidates.
+
+    ``when_not_matched_by_source`` (the third Delta clause family —
+    TARGET rows whose key has NO source match): ``("delete", cond)`` or
+    ``"delete"`` — the full-sync shape ("the source is the complete
+    current state; delete everything it no longer contains"). ``cond``
+    sees only ``t.<col>``. Because every target row must be CLASSIFIED
+    (not just the source keys' candidates), a by-source clause disables
+    dir pruning and reads the whole live snapshot — inherently a
+    full-table merge, same as Delta; don't reach for it on a keyed
+    upsert path.
 
     NULL join keys never match (SQL equality — same as Delta): a NULL-
     keyed target row is a survivor, a NULL-keyed source row is a
@@ -2579,12 +2590,22 @@ def snapshot_merge_into(
     )
     if len(insert_clauses) > 1:
         raise ValueError("when_not_matched takes at most one insert clause")
-    if not matched_clauses and not insert_clauses:
+    bysrc_clauses = _norm_clauses(
+        when_not_matched_by_source, {"delete"}, "when_not_matched_by_source"
+    )
+    if not matched_clauses and not insert_clauses and not bysrc_clauses:
         raise ValueError("merge with no matched AND no not-matched clause "
                          "is a no-op by construction")
-    has_conds = any(c is not None for _, c in matched_clauses) or any(
-        c is not None for _, c in insert_clauses
+    has_conds = (
+        any(c is not None for _, c in matched_clauses)
+        or any(c is not None for _, c in insert_clauses)
+        or bool(bysrc_clauses)
     )
+    if bysrc_clauses:
+        # every target row must be classified: a by-source clause fires
+        # on rows the source does NOT touch, so the candidate set is the
+        # whole live snapshot (the Delta semantics; documented)
+        prune = None
     if has_conds and ({"s", "t"} & set(on)):
         raise ValueError(
             "conditional merge clauses reference images as s.<col> / "
@@ -2728,7 +2749,7 @@ def snapshot_merge_into(
     out_cols = all_cols + extra_cols
 
     insert_cond = insert_clauses[0][1] if insert_clauses else None
-    if not matched_clauses:
+    if not matched_clauses and not bysrc_clauses:
         # insert-only merge: matched target rows stay BY REFERENCE — no
         # candidate dir is rewritten, the commit is a pure append of the
         # not-matched source rows (the cheapest verb wins; and an
@@ -2805,17 +2826,39 @@ def snapshot_merge_into(
         else:
             ins_probe = src_keys.join(tgt_keys, on, "left_anti")
         inserts_exist = not ins_probe.limit(1).isEmpty()
-    if not (matched_exists or inserts_exist):
+    # by-source actionability: any unmatched TARGET row a clause fires
+    # on (same limit-1 classify-plan probe as the conditional matched one)
+    bysrc_exists = False
+    if bysrc_clauses:
+        any_bysrc = None
+        for _, cond in bysrc_clauses:
+            e = _cond_expr(cond)
+            any_bysrc = e if any_bysrc is None else (any_bysrc | e)
+        bysrc_exists = not (
+            j.filter(F.col("_tgt").isNotNull() & F.col("_src").isNull())
+            .filter(any_bysrc)
+            .limit(1)
+            .isEmpty()
+        )
+    if not (matched_exists or inserts_exist or bysrc_exists):
         return committed
 
     survivor_img = F.struct(
         *[F.col(f"_tgt.{c}").alias(c) for c in all_cols],
         *[F.lit(None).cast(stypes[c]).alias(c) for c in extra_cols],
     )
-    # matched branch: clauses first-match-wins; none firing keeps the
-    # TARGET image (never an implicit delete). The unconditional single
-    # verb degenerates to exactly the old expression.
-    matched_img = survivor_img if matched_clauses else F.lit(None)
+    # by-source branch: unmatched target rows run THEIR clause chain
+    # (first-match-wins, delete verb only); none firing keeps the row
+    unmatched_tgt_img = survivor_img
+    for verb, cond in reversed(bysrc_clauses):
+        unmatched_tgt_img = F.when(_cond_expr(cond), F.lit(None)).otherwise(
+            unmatched_tgt_img
+        )
+    # matched branch: clauses first-match-wins; none firing — or no
+    # matched clause at all (reachable when only a by-source clause ran
+    # the kernel) — keeps the TARGET image, never an implicit delete.
+    # The unconditional single verb degenerates to the old expression.
+    matched_img = survivor_img
     for verb, cond in reversed(matched_clauses):
         action = F.col("_src") if verb == "update" else F.lit(None)
         matched_img = F.when(_cond_expr(cond), action).otherwise(matched_img)
@@ -2828,7 +2871,7 @@ def snapshot_merge_into(
     else:
         insert_img = F.lit(None)
     img = (
-        F.when(F.col("_src").isNull(), survivor_img)
+        F.when(F.col("_src").isNull(), unmatched_tgt_img)
         .when(F.col("_tgt").isNull(), insert_img)
         .otherwise(matched_img)
     )

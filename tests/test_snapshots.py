@@ -3585,3 +3585,72 @@ def test_rename_then_type_change_still_refused(spark, table):
             spark, table,
             spark.createDataFrame([(2, "x")], "id long, amount string"),
         )
+
+
+def test_merge_not_matched_by_source_delete(spark, table):
+    """The third Delta clause family: target rows whose key the source
+    no longer contains are deleted (full-sync shape); matched rows
+    update; source-only rows insert — one commit, one kernel."""
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id long, v long"
+        ),
+    )
+    src = spark.createDataFrame([(2, 99), (4, 40)], "id long, v long")
+    merge(
+        spark, table, src, ["id"],
+        when_not_matched_by_source="delete",
+    )
+    assert _rows(snapshot_read(spark, table)) == [(2, 99), (4, 40)]
+
+
+def test_merge_by_source_conditional_and_keep_matched(spark, table):
+    """Conditional by-source delete sees only t.<col>; with
+    when_matched=None the matched rows are KEPT untouched (never an
+    implicit delete)."""
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id long, v long"
+        ),
+    )
+    src = spark.createDataFrame([(1, 999)], "id long, v long")
+    merge(
+        spark, table, src, ["id"],
+        when_matched=None, when_not_matched=None,
+        when_not_matched_by_source=("delete", "t.v >= 30"),
+    )
+    # id=1 matched -> kept ORIGINAL (no matched clause); id=2 unmatched
+    # but t.v < 30 -> survives; id=3 unmatched and t.v >= 30 -> deleted
+    assert _rows(snapshot_read(spark, table)) == [(1, 10), (2, 20)]
+
+
+def test_merge_by_source_noop_and_empty_guard(spark, table):
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    # clause fires nowhere: true no-op, no commit
+    src = spark.createDataFrame([(1, 11)], "id long, v long")
+    v = merge(
+        spark, table, src, ["id"],
+        when_matched=None, when_not_matched=None,
+        when_not_matched_by_source=("delete", "t.v > 100"),
+    )
+    assert v == 1 and len(snapshot_history(spark, table)) == 1
+    # deleting EVERY row is refused (the empty-snapshot rule)
+    src2 = spark.createDataFrame([(9, 0)], "id long, v long")
+    with pytest.raises(ValueError, match="EMPTY"):
+        merge(
+            spark, table, src2, ["id"],
+            when_matched=None, when_not_matched=None,
+            when_not_matched_by_source="delete",
+        )
+    with pytest.raises(ValueError, match="when_not_matched_by_source"):
+        merge(
+            spark, table, src, ["id"],
+            when_not_matched_by_source=("update", None),
+        )
