@@ -606,6 +606,27 @@ def _bloom_prune(
     return [d for d in dirs if may_match(d)]
 
 
+#: safe type-promotion chains (the Iceberg v2 set): widening within a
+#: chain is a VALUE-INDEPENDENT union upcast (every int fits a bigint,
+#: every float widens to the same double), unlike the string<->numeric
+#: mixes the gates reject
+_PROMOTION_CHAINS = (
+    ["tinyint", "smallint", "int", "bigint"],
+    ["float", "double"],
+)
+
+
+def _promoted(a: str, b: str) -> str | None:
+    """The wider of two simpleString types when both sit on one
+    promotion chain; ``None`` when the pair is not safely promotable."""
+    if a == b:
+        return a
+    for chain in _PROMOTION_CHAINS:
+        if a in chain and b in chain:
+            return chain[max(chain.index(a), chain.index(b))]
+    return None
+
+
 def _merged_commit_schema(
     spark: SparkSession,
     table: str,
@@ -638,14 +659,22 @@ def _merged_commit_schema(
         for f in df.schema.fields
         if f.name not in pset
     }
-    for c, t in mine.items():
+    for c, t in list(mine.items()):
         if c in prior and prior[c] != t:
-            raise ValueError(
-                f"column {c!r} of {table} would change type "
-                f"({prior[c]} -> {t}); snapshot evolution is "
-                "additive-only — cast the frame to the table's type, or "
-                "write to a new table"
-            )
+            # safe WIDENING within a promotion chain is allowed (the
+            # Iceberg int->long / float->double rule): the union upcast
+            # is value-independent either way, and the recorded union
+            # keeps the WIDEST type ever seen; anything else fails fast
+            p = _promoted(prior[c], t)
+            if p is None:
+                raise ValueError(
+                    f"column {c!r} of {table} would change type "
+                    f"({prior[c]} -> {t}); snapshot evolution is "
+                    "additive-only (plus safe int/float widening) — "
+                    "cast the frame to the table's type, or write to a "
+                    "new table"
+                )
+            mine[c] = p
     return {**prior, **mine}
 
 
@@ -732,15 +761,19 @@ def _commit(
                         "list; retry the operation"
                     )
                 prior = dict(manifest.get("dschema", {}))
-                for c, t in mine_cols.items():
+                merged_cols = dict(mine_cols)
+                for c, t in merged_cols.items():
                     if c in prior and prior[c] != t:
-                        raise SnapshotConflictError(
-                            f"concurrent commit on {table}: rebasing "
-                            f"would change column {c!r} type "
-                            f"({prior[c]} -> {t}); snapshot evolution "
-                            "is additive-only"
-                        )
-                eff_dschema = {**prior, **mine_cols}
+                        p = _promoted(prior[c], t)
+                        if p is None:
+                            raise SnapshotConflictError(
+                                f"concurrent commit on {table}: rebasing "
+                                f"would change column {c!r} type "
+                                f"({prior[c]} -> {t}); snapshot evolution "
+                                "is additive-only (plus safe widening)"
+                            )
+                        merged_cols[c] = p
+                eff_dschema = {**prior, **merged_cols}
             if meta is not None:
                 eff_meta = {**(manifest.get("meta") or {}), **meta}
         parts = {
@@ -1405,13 +1438,20 @@ def _read_dirs(
                 continue
             prev = seen_types.setdefault(fld.name, t)
             if prev != t:
-                raise ValueError(
-                    f"column {fld.name!r} of {table} changed type across "
-                    f"commits ({prev} vs {t}); snapshot evolution is "
-                    "additive-only — roll back to a pre-change version "
-                    "(snapshot_rollback) or rebuild the table from cast "
-                    "frames"
-                )
+                # in-chain widening unions deterministically (Spark
+                # upcasts int+bigint -> bigint, float+double -> double);
+                # everything else stays rejected
+                p = _promoted(prev, t)
+                if p is None:
+                    raise ValueError(
+                        f"column {fld.name!r} of {table} changed type "
+                        f"across commits ({prev} vs {t}); snapshot "
+                        "evolution is additive-only (plus safe int/float "
+                        "widening) — roll back to a pre-change version "
+                        "(snapshot_rollback) or rebuild the table from "
+                        "cast frames"
+                    )
+                seen_types[fld.name] = p
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
@@ -1753,15 +1793,25 @@ def snapshot_row_changes(
         new = old.limit(0)
     otypes = {f.name: f.dataType for f in old.schema.fields}
     ntypes = {f.name: f.dataType for f in new.schema.fields}
-    for c in set(otypes) & set(ntypes):
-        if otypes[c].simpleString() != ntypes[c].simpleString():
-            raise ValueError(
-                f"column {c!r} of {table} changed type between "
-                f"v{from_version} and v{to_v} "
-                f"({otypes[c].simpleString()} vs {ntypes[c].simpleString()}); "
-                "row-level diff over a type change is ambiguous — "
-                "snapshot evolution is additive-only"
-            )
+    for c in sorted(set(otypes) & set(ntypes)):
+        ot, nt = otypes[c].simpleString(), ntypes[c].simpleString()
+        if ot != nt:
+            # an in-range WIDENING (int->bigint, float->double) diffs
+            # under the wider type — the cast is value-independent, so
+            # an untouched row still compares equal across it
+            p = _promoted(ot, nt)
+            if p is None:
+                raise ValueError(
+                    f"column {c!r} of {table} changed type between "
+                    f"v{from_version} and v{to_v} ({ot} vs {nt}); "
+                    "row-level diff over a type change is ambiguous — "
+                    "snapshot evolution is additive-only (plus safe "
+                    "widening)"
+                )
+            old = old.withColumn(c, F.col(c).cast(p))
+            new = new.withColumn(c, F.col(c).cast(p))
+    otypes = {f.name: f.dataType for f in old.schema.fields}
+    ntypes = {f.name: f.dataType for f in new.schema.fields}
     all_cols = list(old.columns) + [c for c in new.columns if c not in otypes]
     old = old.select(
         *[F.col(c) if c in otypes else F.lit(None).cast(ntypes[c]).alias(c)

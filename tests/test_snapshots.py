@@ -3654,3 +3654,58 @@ def test_merge_by_source_noop_and_empty_guard(spark, table):
             spark, table, src, ["id"],
             when_not_matched_by_source=("update", None),
         )
+
+
+def test_type_widening_promotion(spark, table):
+    """Iceberg-style safe widening: appending bigint to an int column
+    (or double to float) is allowed — the union upcast is value-
+    independent — and the recorded union keeps the widest type; narrow
+    appends after a widen are fine too; cross-family stays refused, the
+    change feed diffs across a widen without noise."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_describe,
+        snapshot_row_changes,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, 10)], "id int, v int"),
+    )  # v1: int column
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(2, 2**40)], "id bigint, v bigint"),
+    )  # v2: widened
+    out = snapshot_read(spark, table)
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in out.schema.fields
+    ) == {"id": "bigint", "v": "bigint"}
+    assert _rows(out) == [(1, 10), (2, 2**40)]
+    # union records the WIDEST type
+    m = _load_manifest(spark, table, 2)
+    assert m["dschema"] == {"id": "bigint", "v": "bigint"}
+    # narrow append AFTER the widen still lands (upcast on read)
+    snapshot_append(
+        spark, table, spark.createDataFrame([(3, 30)], "id int, v int")
+    )
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10), (2, 2**40), (3, 30)
+    ]
+    # the change feed crosses the widen: untouched keys emit nothing
+    chg = snapshot_row_changes(spark, table, ["id"], 1, 3)
+    got = {(r["id"], r["_change_type"]): r["v"] for r in chg.collect()}
+    assert got == {(2, "insert"): 2**40, (3, "insert"): 30}
+    # cross-family still refused
+    with pytest.raises(ValueError, match="would change type"):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(4, "x")], "id bigint, v string"),
+        )
+    # float -> double widen on a fresh table
+    t2 = table + "_f"
+    snapshot_append(
+        spark, t2, spark.createDataFrame([(1, 1.5)], "id long, x float")
+    )
+    snapshot_append(
+        spark, t2, spark.createDataFrame([(2, 2.5)], "id long, x double")
+    )
+    assert snapshot_read(spark, t2).schema["x"].dataType.simpleString() == "double"
