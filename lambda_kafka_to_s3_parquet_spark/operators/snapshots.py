@@ -2246,12 +2246,19 @@ def snapshot_rewrite(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_M,
+    order_by: list[str] | None = None,
+    n_cluster_files: int = 8,
 ) -> int:
     """Compaction: rewrite the live snapshot into ONE fresh commit — every
     live partition ends up with a single commit-directory entry, shrinking
     manifests that accumulated one entry per touching commit and bounding
     small files (run on the maintenance cadence, then
     :func:`snapshot_expire` reclaims the superseded directories).
+    ``order_by`` additionally CLUSTERS the rewrite (range-disjoint,
+    sorted files — see :func:`snapshot_overwrite_all`): compaction is
+    exactly when sort-order maintenance is cheapest, since the whole
+    table passes through anyway (the Iceberg rewrite-with-sort-order /
+    Delta OPTIMIZE ZORDER maintenance shape).
 
     Routes through :func:`snapshot_overwrite_all`: the rewrite reads the
     WHOLE live snapshot, so every live manifest key must be replaced —
@@ -2262,6 +2269,7 @@ def snapshot_rewrite(
     return snapshot_overwrite_all(
         spark, table, df, partition_by, stats_cols=stats_cols,
         bloom_cols=bloom_cols, bloom_bits=bloom_bits,
+        order_by=order_by, n_cluster_files=n_cluster_files,
     )
 
 
@@ -2280,6 +2288,8 @@ def snapshot_overwrite_all(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_M,
+    order_by: list[str] | None = None,
+    n_cluster_files: int = 8,
 ) -> int:
     """Replace the ENTIRE live partition set with ``df``'s content:
     partitions absent from ``df`` are dropped from the manifest (unlike
@@ -2289,12 +2299,26 @@ def snapshot_overwrite_all(
     as in :func:`snapshot_append` — a rewrite is exactly when zone maps
     should be (re)collected, since the whole table passes through.
 
+    ``order_by`` CLUSTERS the rewrite (Iceberg sort orders / Delta
+    OPTIMIZE ZORDER via a precomputed interleave column, the
+    write_clustered tactic): range-repartition into ``n_cluster_files``
+    slices + sort within, so each written FILE covers a narrow value
+    range and every row group's parquet min/max is tight — predicate
+    pushdown then skips row groups/files INSIDE a dir, the granularity
+    below the manifest's per-dir zone maps. Pass a Morton key
+    (``sink.interleave_bits``) as a materialized column for
+    multi-dimension probes.
+
     Because the ENTIRE live content is replaced, the recorded schema
     union RESETS to this frame's own schema instead of merging with the
     prior union: no old commit survives, so nothing constrains the new
     types — and inheriting the stale union would wrongly reject the
     very next append of the new shape (a full overwrite is the
     documented 'rebuild the table' escape hatch for type changes)."""
+    if order_by:
+        df = df.repartitionByRange(
+            n_cluster_files, *[F.col(c) for c in order_by]
+        ).sortWithinPartitions(*order_by)
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         raise ValueError(

@@ -3709,3 +3709,33 @@ def test_type_widening_promotion(spark, table):
         spark, t2, spark.createDataFrame([(2, 2.5)], "id long, x double")
     )
     assert snapshot_read(spark, t2).schema["x"].dataType.simpleString() == "double"
+
+
+def test_rewrite_with_sort_order_clusters_files(spark, table):
+    """snapshot_rewrite(order_by=...) must produce range-DISJOINT sorted
+    files: per-file [min, max] of the sort column never overlap, so
+    parquet row-group/file min-max skipping works inside the dir (the
+    granularity below the manifest's per-dir zone maps). Content is
+    unchanged."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_rewrite,
+    )
+
+    rows = [(i * 37 % 1000, i) for i in range(1000)]  # scattered order
+    snapshot_append(
+        spark, table, spark.createDataFrame(rows, "k long, v long")
+    )
+    snapshot_rewrite(spark, table, [], order_by=["k"], n_cluster_files=4)
+    out = snapshot_read(spark, table)
+    assert out.count() == 1000
+    spans = (
+        out.groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(spans) >= 2, "clustered rewrite must produce several files"
+    ordered = sorted((r["lo"], r["hi"]) for r in spans)
+    for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
+    # content identical to the pre-rewrite table
+    assert _rows(out) == sorted((k, v) for k, v in rows)
