@@ -631,6 +631,41 @@ def merge_pruned_vs_table(spark, base_dir: str, scratch: str, scale: int) -> dic
     return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
 
 
+def rename_metadata_vs_table(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """Round-12 row: snapshot_rename_column against 4 vs 4*scale-commit
+    tables (scale-x rows). Rename is a METADATA-ONLY commit — one
+    manifest read + write, per-commit colmap entries but no data I/O —
+    so the wall should track the manifest's commit count (tiny), never
+    the data volume. Min-of-2 via a rename chain (a->b, b->c)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_rename_column,
+    )
+
+    ev = load_table(spark, base_dir, "events").select("event_id", "value")
+
+    def run(tag: str, mult: int) -> float:
+        table = os.path.join(scratch, f"ren_{tag}")
+        for k in range(4 * mult):
+            batch = ev.select(
+                (F.col("event_id") + F.lit(10**9).cast("long") * F.lit(k))
+                .alias("event_id"),
+                "value",
+            )
+            snapshot_append(spark, table, batch, stats_cols=["event_id"])
+        best = None
+        for old, new in (("value", "v2"), ("v2", "v3")):
+            t0 = time.perf_counter()
+            snapshot_rename_column(spark, table, old, new)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    t1 = run("1x", 1)
+    tn = run("Nx", scale)
+    return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+
+
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "10"))
@@ -747,6 +782,9 @@ def main() -> None:
             spark, base, scratch, scale
         )
         out["bloom_delete_vs_table"] = bloom_delete_vs_table(
+            spark, base, scratch, scale
+        )
+        out["rename_metadata_vs_table"] = rename_metadata_vs_table(
             spark, base, scratch, scale
         )
         for k, v in analytics_vs_scale(spark, base1x, baseNx).items():
