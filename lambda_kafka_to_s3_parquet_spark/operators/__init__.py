@@ -22,8 +22,12 @@ from .bpe import (  # noqa: F401
     word_counts,
 )
 from .multimodal import (  # noqa: F401
+    decode_bmp,
+    decode_png,
     decode_ppm,
     decode_wav,
+    encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     extract_audio_features,
@@ -32,6 +36,7 @@ from .multimodal import (  # noqa: F401
     media_frame,
     resize_images,
     resize_ppm,
+    transcode_images,
 )
 from .packing import pack_sequences, pack_token_ids  # noqa: F401
 from .similarity import (  # noqa: F401
@@ -69,7 +74,16 @@ from .snapshots import (  # noqa: F401
     snapshot_delete_where,
     snapshot_describe,
     snapshot_drop_column,
+    snapshot_expire,
+    snapshot_history,
     snapshot_merge_into,
+    snapshot_overwrite_all,
+    snapshot_overwrite_partitions,
     snapshot_read,
     snapshot_rename_column,
+    snapshot_rewrite,
+    snapshot_rollback,
+    snapshot_row_changes,
+    snapshot_tag,
+    snapshot_tags,
 )
