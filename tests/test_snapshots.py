@@ -3739,3 +3739,41 @@ def test_rewrite_with_sort_order_clusters_files(spark, table):
         assert hi1 < lo2, f"file ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
     # content identical to the pre-rewrite table
     assert _rows(out) == sorted((k, v) for k, v in rows)
+
+
+def test_concurrent_appenders_real_threads(spark, table):
+    """TRUE parallel writers (not a staged interleave): 2 threads x 4
+    appends race the CAS; every append must land exactly once (rebase
+    absorbs every loss), history is strictly linear, and the final
+    content is the union of all 8 batches."""
+    import threading
+
+    base = spark.createDataFrame([(0, 0)], "id long, v long")
+    snapshot_append(spark, table, base)  # v1
+    errors = []
+
+    def writer(tag: int):
+        try:
+            for k in range(4):
+                df = spark.createDataFrame(
+                    [(tag * 100 + k, tag)], "id long, v long"
+                )
+                snapshot_append(spark, table, df)
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert current_version(spark, table) == 9  # 1 + 8 appends, no gaps
+    hist = snapshot_history(spark, table)
+    assert [s["version"] for s in hist] == list(range(1, 10))
+    got = _rows(snapshot_read(spark, table))
+    want = sorted(
+        [(0, 0)]
+        + [(t * 100 + k, t) for t in (1, 2) for k in range(4)]
+    )
+    assert got == want
