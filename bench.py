@@ -243,6 +243,18 @@ HEADLINE = [
 ]
 
 
+#: Round-12 (warm-up protocol ACTIVE — SINGLE_RUN min-of-2, VERDICT
+#: r11 Next #2): total 131.57 s, and the immediate same-host repeat
+#: read 132.04 s — 0.4% apart, the "within ~10% of a repeated run"
+#: done-criterion met with margin; BENCH_r12 should finally be
+#: thermally comparable round-over-round. The +16 s vs r11's WARM
+#: 115.0 is new surface: x44 grew its conditional-merge branch
+#: (+~1 s), x19 its funnel time-to-convert percentiles, x46 its
+#: container transcode (all four codecs now run in the pipeline),
+#: x42 absorbed x32's branch; like-for-like streaming keys IMPROVED
+#: vs the committed r11 artifact (w07 5.2 -> 3.9, x02 7.1 -> 5.2,
+#: w06 4.6 -> 3.8 — the warm-up eating the cold-JVM inflation).
+#:
 #: Round-11 final (idle host, warm run of 2; the first run directly
 #: after the 22-min suite read 139 s — cold-JVM inflation, the
 #: round-9 lesson): total 115.0 s (batch 44.0, fixed 71.0). The
