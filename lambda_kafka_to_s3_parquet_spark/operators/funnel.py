@@ -21,7 +21,7 @@ so the within-window check is integer arithmetic any engine replays.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -137,16 +137,24 @@ def funnel_counts(
     within_s: int | None = None,
 ) -> DataFrame:
     """Step-level funnel report: ``(step, step_name, n_users,
-    median_s, p90_s)`` — users whose in-order depth reached step i
+    median_us, p90_us)`` — users whose in-order depth reached step i
     (monotone non-increasing by construction), plus the exact
     median/p90 TIME-TO-CONVERT from the previous step's reach instant
-    (seconds, 6 dp; NULL on step 1 — it has no previous step — and on
-    steps nobody reached). Fully JVM-side: the fold's per-step reach
-    instants explode to one row per (user, reached step) — n_users per
-    step IS that frame's count, no histogram/cumsum round-trip — and
-    ``percentile`` (exact linear interpolation, the engine-portable
-    definition) aggregates the deltas. One fact-table shuffle + one
-    (users × depth)-row aggregate."""
+    in integer MICROSECONDS (NULL on step 1 — it has no previous step —
+    and on steps nobody reached). Fully JVM-side: the fold's per-step
+    reach instants explode to one row per (user, reached step) —
+    n_users per step IS that frame's count, no histogram/cumsum
+    round-trip.
+
+    The percentiles are ORDER STATISTICS, not interpolation: median =
+    the mean of the two middle elements (an exact dyadic double of
+    integer micros), p90 = the ceil(0.9·N)-th smallest delta (an
+    integer — the ``quantile_disc`` definition). Interpolated
+    percentiles of micro-second deltas are multiples of 5e-7 that land
+    EXACTLY on decimal rounding boundaries where engines' tie rules
+    diverge (the repo's established .xx5 trap) — integer selection has
+    no such boundary and replays bit-for-bit in any engine. One
+    fact-table shuffle + one (users × depth)-row aggregate."""
     reach = _funnel_fold(
         df, steps, user_col, ts_col, type_col, within_s, with_times=True
     )
@@ -160,30 +168,44 @@ def funnel_counts(
         # when() branch discards it)
         F.when(
             F.col("idx") >= 1,
-            (
-                F.col("us")
-                - F.element_at("reach_us", F.greatest(F.col("idx"), F.lit(1)))
-            )
-            / F.lit(1_000_000.0),
-        ).alias("dt_s"),
+            F.col("us")
+            - F.element_at("reach_us", F.greatest(F.col("idx"), F.lit(1))),
+        ).alias("dt_us"),
     )
-    per_step = ex.groupBy("step").agg(
-        F.count("*").alias("n_users"),
-        F.round(F.percentile("dt_s", F.lit(0.5)), 6).alias("median_s"),
-        F.round(F.percentile("dt_s", F.lit(0.9)), 6).alias("p90_s"),
+    counts = ex.groupBy("step").agg(F.count("*").alias("n_users"))
+    d = (
+        ex.filter(F.col("dt_us").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("step").orderBy("dt_us")),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("step")))
+    )
+    per_step = d.groupBy("step").agg(
+        (
+            (
+                F.sum(F.when(F.expr("rn = (n + 1) div 2"), F.col("dt_us")))
+                + F.sum(F.when(F.expr("rn = n div 2 + 1"), F.col("dt_us")))
+            )
+            / F.lit(2.0)
+        ).alias("median_us"),
+        F.sum(
+            F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("dt_us"))
+        ).alias("p90_us"),
     )
     steps_df = df.sparkSession.createDataFrame(
         [(i + 1, s) for i, s in enumerate(steps)],
         "step int, step_name string",
     )
     return (
-        steps_df.join(F.broadcast(per_step), "step", "left")
+        steps_df.join(F.broadcast(counts), "step", "left")
+        .join(F.broadcast(per_step), "step", "left")
         .select(
             "step",
             "step_name",
             F.coalesce("n_users", F.lit(0)).alias("n_users"),
-            "median_s",
-            "p90_s",
+            "median_us",
+            "p90_us",
         )
         .orderBy("step")
     )

@@ -437,9 +437,12 @@ def decode_png(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        # the WHOLE chunk (len + tag + body + 4-byte CRC) must fit: a
+        # payload cut inside the CRC would otherwise leak struct.error
+        # past the ValueError boundary the permissive stages catch
+        if pos + 12 + length > len(payload):
             raise ValueError(f"PNG chunk {tag!r} truncated")
+        body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
@@ -453,6 +456,8 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + length
     if ihdr is None or not seen_iend or not idat:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
+    if len(ihdr) != 13:
+        raise ValueError(f"PNG IHDR is {len(ihdr)} bytes, expected 13")
     w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )

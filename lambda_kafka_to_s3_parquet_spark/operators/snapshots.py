@@ -1779,12 +1779,21 @@ def snapshot_row_changes(
     # every surviving row would be noise, and the column is gone from
     # the table the consumer maintains).
     if old is not None:
-        for v_, a_, b_ in mt.get("renames_log", []):
-            if from_version < v_ <= to_v and a_ in old.columns:
+        # replay in STRICT VERSION ORDER across BOTH logs: a drop and a
+        # rename interleaving on related names (drop a at v2, rename
+        # c->a at v3) are order-sensitive — renaming first would create
+        # a duplicate 'a' the drop then removes wholesale
+        events = [
+            (v_, "rename", a_, b_)
+            for v_, a_, b_ in mt.get("renames_log", [])
+        ] + [(v_, "drop", n_, None) for v_, n_ in mt.get("drops_log", [])]
+        for v_, kind, a_, b_ in sorted(events, key=lambda e: e[0]):
+            if not (from_version < v_ <= to_v):
+                continue
+            if kind == "rename" and a_ in old.columns:
                 old = old.withColumnRenamed(a_, b_)
-        for v_, name_ in mt.get("drops_log", []):
-            if from_version < v_ <= to_v and name_ in old.columns:
-                old = old.drop(name_)
+            elif kind == "drop" and a_ in old.columns:
+                old = old.drop(a_)
     # Align the two sides across additive evolution (NULL-fill missing
     # columns, allowMissingColumns semantics); reject type changes.
     if old is None:
@@ -1982,6 +1991,7 @@ def snapshot_rename_column(
             "column cannot shadow it"
         )
     cm = manifest.get("colmaps", {})
+    dc = manifest.get("dropcols", {})
     new_cm = {}
     for c in live_commits:
         m = dict(cm.get(c, {}))
@@ -1990,9 +2000,14 @@ def snapshot_rename_column(
             if log == old:
                 m[p] = new
                 hit = True
-        if not hit:
-            # this commit (if it physically carries the column at all)
-            # wrote it under the then-current logical name
+        # identity fallback: the commit (if it physically carries the
+        # column at all) wrote it under the then-current logical name —
+        # UNLESS that physical name is already claimed by an earlier
+        # rename or drop in this commit (the re-added-name case: the
+        # commit predates the re-add and has NO physical carrier of the
+        # current `old`; clobbering the claim would silently relabel
+        # the OTHER column's bytes)
+        if not hit and old not in m and old not in dc.get(c, ()):
             m[old] = new
         new_cm[c] = m
     new_dschema = {
@@ -2039,7 +2054,16 @@ def snapshot_drop_column(spark: SparkSession, table: str, col: str) -> int:
             if log == col:
                 phys = p
                 del m[p]
-        drops.append(phys if phys is not None else col)
+        if phys is None:
+            # identity candidate — valid only when the physical name is
+            # not already claimed by a rename (it would be ANOTHER
+            # column's bytes) or an earlier drop (the re-added-name
+            # case: this commit has no physical carrier of the current
+            # `col` and needs no entry)
+            if col not in m and col not in drops:
+                phys = col
+        if phys is not None:
+            drops.append(phys)
         new_cm[c] = m
         new_dc[c] = drops
     new_dschema = {k: v for k, v in dschema.items() if k != col}
@@ -2832,12 +2856,15 @@ def snapshot_merge_into(
             cand_df.select(*on), on, "left_anti"
         ).select(*out_cols)
         if insert_cond is not None:
+            # pack the row away FIRST so the `s` alias the condition
+            # reads can never shadow (or be shadowed by) a data column
+            # that is itself named 's'
             inserts = (
-                inserts.withColumn(
-                    "s", F.struct(*[F.col(c) for c in out_cols])
+                inserts.select(
+                    F.struct(*[F.col(c) for c in out_cols]).alias("s")
                 )
                 .filter(F.coalesce(F.expr(insert_cond), F.lit(False)))
-                .drop("s")
+                .select(*[F.col(f"s.{c}").alias(c) for c in out_cols])
             )
         if inserts.limit(1).isEmpty():
             return committed
@@ -2892,9 +2919,11 @@ def snapshot_merge_into(
     inserts_exist = False
     if insert_clauses:
         if insert_cond is not None:
+            # pack-then-filter (not withColumn): a data column named 's'
+            # must not collide with the condition's image alias
             ins_probe = (
                 aligned.join(tgt_keys, on, "left_anti")
-                .withColumn("s", F.struct(*[F.col(c) for c in out_cols]))
+                .select(F.struct(*[F.col(c) for c in out_cols]).alias("s"))
                 .filter(_cond_expr(insert_cond))
             )
         else:

@@ -863,7 +863,7 @@ def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN (SELECT unnest(['locf', 'linear']) AS mode) m
     UNION ALL
     SELECT 'funnel' AS branch, f.step AS event_id, f.n AS k1,
-           CAST(round(f.p90 * 1000000) AS BIGINT) AS k2,
+           CAST(f.p90 AS BIGINT) AS k2,
            f.nm AS t1, NULL AS t2, f.med AS v
     FROM (
       WITH fev AS (SELECT user_id, epoch_us(ts) AS us, event_type AS t
@@ -880,18 +880,29 @@ def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              JOIN f2 USING (user_id)
              WHERE e.t = 'purchase' AND e.us > f2.t2
                AND e.us - f2.t2 <= 3600000000 GROUP BY 1),
-      d2 AS (SELECT (f2.t2 - f1.t1) / 1000000.0 AS dt
+      -- integer-micro order statistics (no interpolation, no decimal
+      -- rounding): median = mean of the two middle elements (dyadic),
+      -- p90 = the ceil(0.9*N)-th smallest (quantile_disc definition)
+      d2 AS (SELECT (f2.t2 - f1.t1) AS dt,
+                    row_number() OVER (ORDER BY (f2.t2 - f1.t1)) AS rn,
+                    count(*) OVER () AS n
              FROM f2 JOIN f1 USING (user_id)),
-      d3 AS (SELECT (f3.t3 - f2.t2) / 1000000.0 AS dt
+      d3 AS (SELECT (f3.t3 - f2.t2) AS dt,
+                    row_number() OVER (ORDER BY (f3.t3 - f2.t2)) AS rn,
+                    count(*) OVER () AS n
              FROM f3 JOIN f2 USING (user_id))
       SELECT 1 AS step, 'view' AS nm, (SELECT count(*) FROM f1) AS n,
              NULL AS med, NULL AS p90
       UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2),
-        (SELECT round(quantile_cont(dt, 0.5), 6) FROM d2),
-        (SELECT round(quantile_cont(dt, 0.9), 6) FROM d2)
+        (SELECT (sum(CASE WHEN rn = (n + 1) // 2 THEN dt END)
+                 + sum(CASE WHEN rn = n // 2 + 1 THEN dt END)) / 2.0
+         FROM d2),
+        (SELECT sum(CASE WHEN rn = (9 * n + 9) // 10 THEN dt END) FROM d2)
       UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3),
-        (SELECT round(quantile_cont(dt, 0.5), 6) FROM d3),
-        (SELECT round(quantile_cont(dt, 0.9), 6) FROM d3)
+        (SELECT (sum(CASE WHEN rn = (n + 1) // 2 THEN dt END)
+                 + sum(CASE WHEN rn = n // 2 + 1 THEN dt END)) / 2.0
+         FROM d3),
+        (SELECT sum(CASE WHEN rn = (9 * n + 9) // 10 THEN dt END) FROM d3)
     ) f
     UNION ALL
     SELECT 'retention' AS branch, r.cohort_p AS event_id, r.n AS k1,
@@ -1015,16 +1026,17 @@ def x19_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     branches.append(
         # round 12: time-to-convert rides the same fold — v := exact
-        # median seconds since the previous step, k2 := p90 as integer
-        # micros (both NULL on step 1, which has no previous step)
+        # median MICROS since the previous step (order statistics, a
+        # dyadic double), k2 := the discrete p90 in integer micros
+        # (both NULL on step 1, which has no previous step)
         fc.select(
             F.lit("funnel").alias("branch"),
             F.col("step").cast("long").alias("event_id"),
             F.col("n_users").alias("k1"),
-            F.round(F.col("p90_s") * 1_000_000).cast("long").alias("k2"),
+            F.col("p90_us").cast("long").alias("k2"),
             F.col("step_name").alias("t1"),
             F.lit(None).cast("string").alias("t2"),
-            F.col("median_s").alias("v"),
+            F.col("median_us").alias("v"),
         )
     )
     # --- 'retention' branch (round 11): weekly cohort retention matrix

@@ -3831,24 +3831,27 @@ def test_funnel_counts_cumulative_and_monotone(spark):
 
 
 def test_funnel_time_to_convert_hand_computed(spark):
-    """median_s/p90_s are the exact interpolated percentiles of each
-    step's time since the PREVIOUS step's reach instant — u1 converts
-    view->click in 10 s and click->purchase in 10 s; u2/u4/u5 reach
-    click in 10/10/30 s. Step 1 has no previous step: NULLs."""
+    """median_us/p90_us are ORDER STATISTICS of each step's time since
+    the PREVIOUS step's reach instant in integer micros (median = mean
+    of the two middle elements, p90 = the ceil(0.9N)-th smallest — no
+    interpolation, no decimal rounding: engine-portable by
+    construction). u1 converts view->click in 10 s and click->purchase
+    in 10 s; u2/u4/u5 reach click in 10/10/30 s. Step 1 has no previous
+    step: NULLs."""
     from lambda_kafka_to_s3_parquet_spark.operators.funnel import funnel_counts
 
     df = _funnel_events(spark)
     rows = {
-        r["step"]: (r["n_users"], r["median_s"], r["p90_s"])
+        r["step"]: (r["n_users"], r["median_us"], r["p90_us"])
         for r in funnel_counts(
             df, ["view", "click", "purchase"], within_s=60
         ).collect()
     }
     assert rows[1] == (5, None, None)
-    # click deltas: u1=10, u2=10, u4=10, u5=30 -> median 10,
-    # p90 = 10 + 0.7*(30-10) = 24.0 (linear interpolation at 0.9*(4-1))
-    assert rows[2] == (4, 10.0, 24.0)
-    assert rows[3] == (1, 10.0, 10.0)
+    # click deltas (us): [1e7, 1e7, 1e7, 3e7] -> median (rn 2+3)/2 = 1e7,
+    # p90 = element ceil(0.9*4) = 4th = 3e7
+    assert rows[2] == (4, 10_000_000.0, 30_000_000)
+    assert rows[3] == (1, 10_000_000.0, 10_000_000)
 
 
 def test_funnel_no_window_and_validation(spark):

@@ -3777,3 +3777,121 @@ def test_concurrent_appenders_real_threads(spark, table):
         + [(t * 100 + k, t) for t in (1, 2) for k in range(4)]
     )
     assert got == want
+
+
+def test_rename_readd_rename_does_not_relabel_old_bytes(spark, table):
+    """Reclaimed-name regression (round-12 review): rename v->amount,
+    re-add a fresh v, then rename v->z — the pre-rename commit's map
+    {v: amount} must NOT be clobbered by the identity fallback; its
+    bytes stay 'amount', never leak under 'z'."""
+    rename, drop, _ = _evo_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    rename(spark, table, "v", "amount")
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(2, 20, 7)], "id long, amount long, v long"),
+    )
+    rename(spark, table, "v", "z")
+    got = {
+        r["id"]: (r["amount"], r["z"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert got == {1: (10, None), 2: (20, 7)}
+
+
+def test_rename_readd_drop_does_not_destroy_renamed_column(spark, table):
+    """Same hole on the drop side: rename v->amount, re-add fresh v,
+    drop v — the pre-rename commit's physical v (carrying 'amount')
+    must NOT land in its dropcols."""
+    rename, drop, _ = _evo_imports()
+    snapshot_append(
+        spark, table, spark.createDataFrame([(1, 10)], "id long, v long")
+    )
+    rename(spark, table, "v", "amount")
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(2, 20, 7)], "id long, amount long, v long"),
+    )
+    drop(spark, table, "v")
+    got = {r["id"]: r["amount"] for r in snapshot_read(spark, table).collect()}
+    assert got == {1: 10, 2: 20}
+    assert "v" not in snapshot_read(spark, table).columns
+    # double-drop after another re-add stays sound too
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, 30, 9)], "id long, amount long, v long"),
+    )
+    drop(spark, table, "v")
+    got = {r["id"]: r["amount"] for r in snapshot_read(spark, table).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+
+
+def test_row_changes_interleaved_drop_and_rename(spark, table):
+    """Replay order regression (round-12 review): drop a at v2, rename
+    c->a at v3 — the change feed must replay the logs in VERSION order;
+    rename-first would duplicate 'a' and then drop both. Untouched keys
+    emit nothing."""
+    rename, drop, row_changes = _evo_imports()
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_merge_into,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, 1, 100)], "id long, a long, c long"),
+    )  # v1
+    drop(spark, table, "a")  # v2
+    rename(spark, table, "c", "a")  # v3
+    src = spark.createDataFrame([(2, 200)], "id long, a long")
+    v4 = snapshot_merge_into(spark, table, src, ["id"])
+    chg = row_changes(spark, table, ["id"], 1, v4)
+    got = {(r["id"], r["_change_type"]): r["a"] for r in chg.collect()}
+    assert got == {(2, "insert"): 200}
+
+
+def test_merge_conditional_insert_with_column_named_s(spark, table):
+    """Shadow regression (round-12 review): a DATA column named 's'
+    must survive a conditional insert-only merge — the condition's
+    image alias must not clobber it."""
+    merge, _ = _merge_imports()
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 10)], "id long, s string, v long"),
+    )
+    src = spark.createDataFrame(
+        [(2, "hello", 20), (3, "x", -1)], "id long, s string, v long"
+    )
+    merge(
+        spark, table, src, ["id"],
+        when_matched=None, when_not_matched=("insert", "s.v > 0"),
+    )
+    got = {r["id"]: (r["s"], r["v"]) for r in snapshot_read(spark, table).collect()}
+    assert got == {1: ("a", 10), 2: ("hello", 20)}
+
+
+def test_png_truncated_crc_raises_valueerror(spark):
+    """A PNG cut inside a chunk's CRC must raise ValueError (not
+    struct.error) so the permissive Arrow stages catch it."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        transcode_images,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=int)
+    p = encode_png(px, 2, 2)
+    for cut in (2, 3, 5):  # inside IEND's CRC / header
+        with _pytest.raises(ValueError, match="truncated|missing"):
+            decode_png(p[:-cut])
+    # and the permissive stage passes it through instead of crashing
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(p[:-3]))],
+        "media_id long, media_type string, payload binary",
+    )
+    out = transcode_images(media).collect()
+    assert bytes(out[0]["payload"]) == bytes(p[:-3])
