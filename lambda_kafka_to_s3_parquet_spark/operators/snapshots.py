@@ -627,6 +627,25 @@ def _promoted(a: str, b: str) -> str | None:
     return None
 
 
+def _merge_schema_union(
+    prior: dict[str, str], mine: dict[str, str]
+) -> tuple[dict[str, str], tuple[str, str, str] | None]:
+    """THE schema-union merge rule, shared by the write-time gate and
+    the CAS-rebase revalidation so the two can never diverge: additive
+    columns merge in, same-name columns must match or sit on a
+    promotion chain (the union keeps the WIDEST type seen). Returns
+    ``(merged, None)`` or ``(partial, (col, prior_t, new_t))`` naming
+    the first conflicting column for the caller's error shape."""
+    out = dict(mine)
+    for c, t in out.items():
+        if c in prior and prior[c] != t:
+            p = _promoted(prior[c], t)
+            if p is None:
+                return {}, (c, prior[c], t)
+            out[c] = p
+    return {**prior, **out}, None
+
+
 def _merged_commit_schema(
     spark: SparkSession,
     table: str,
@@ -659,23 +678,22 @@ def _merged_commit_schema(
         for f in df.schema.fields
         if f.name not in pset
     }
-    for c, t in list(mine.items()):
-        if c in prior and prior[c] != t:
-            # safe WIDENING within a promotion chain is allowed (the
-            # Iceberg int->long / float->double rule): the union upcast
-            # is value-independent either way, and the recorded union
-            # keeps the WIDEST type ever seen; anything else fails fast
-            p = _promoted(prior[c], t)
-            if p is None:
-                raise ValueError(
-                    f"column {c!r} of {table} would change type "
-                    f"({prior[c]} -> {t}); snapshot evolution is "
-                    "additive-only (plus safe int/float widening) — "
-                    "cast the frame to the table's type, or write to a "
-                    "new table"
-                )
-            mine[c] = p
-    return {**prior, **mine}
+    # safe WIDENING within a promotion chain is allowed (the Iceberg
+    # int->long / float->double rule): the union upcast is value-
+    # independent either way, and the recorded union keeps the WIDEST
+    # type ever seen; anything else fails fast (_merge_schema_union is
+    # the single shared rule — the CAS-rebase gate uses it too)
+    merged, conflict = _merge_schema_union(prior, mine)
+    if conflict is not None:
+        c, pt, t = conflict
+        raise ValueError(
+            f"column {c!r} of {table} would change type "
+            f"({pt} -> {t}); snapshot evolution is "
+            "additive-only (plus safe int/float widening) — "
+            "cast the frame to the table's type, or write to a "
+            "new table"
+        )
+    return merged
 
 
 def _frame_cschema(df: DataFrame, partition_by: list[str] | None) -> list:
@@ -760,20 +778,18 @@ def _commit(
                         "schema-bearing commit without its own column "
                         "list; retry the operation"
                     )
-                prior = dict(manifest.get("dschema", {}))
-                merged_cols = dict(mine_cols)
-                for c, t in merged_cols.items():
-                    if c in prior and prior[c] != t:
-                        p = _promoted(prior[c], t)
-                        if p is None:
-                            raise SnapshotConflictError(
-                                f"concurrent commit on {table}: rebasing "
-                                f"would change column {c!r} type "
-                                f"({prior[c]} -> {t}); snapshot evolution "
-                                "is additive-only (plus safe widening)"
-                            )
-                        merged_cols[c] = p
-                eff_dschema = {**prior, **merged_cols}
+                merged, conflict = _merge_schema_union(
+                    dict(manifest.get("dschema", {})), mine_cols
+                )
+                if conflict is not None:
+                    c, pt, t = conflict
+                    raise SnapshotConflictError(
+                        f"concurrent commit on {table}: rebasing "
+                        f"would change column {c!r} type "
+                        f"({pt} -> {t}); snapshot evolution "
+                        "is additive-only (plus safe widening)"
+                    )
+                eff_dschema = merged
             if meta is not None:
                 eff_meta = {**(manifest.get("meta") or {}), **meta}
         parts = {
