@@ -724,6 +724,7 @@ def _commit(
     dropcols: dict[str, list[str]] | None = None,
     rename_entry: tuple[str, str] | None = None,
     drop_entry: str | None = None,
+    partition_scoped: bool = False,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -760,9 +761,41 @@ def _commit(
     rebaseable = not replaced and restore is None
     mine_cols = dict(cschema) if cschema else None
     attempt = 0
+    # PARTITION-SCOPED replacements (overwrite_partitions, delete,
+    # merge) capture their read-set on the FIRST attempt: the exact dir
+    # lists of the partitions they replace. On a CAS loss they may
+    # rebase IFF the winner left every one of those partitions
+    # untouched (dir lists identical) — the replacement then still
+    # replaces exactly what it read, and untouched partitions pick up
+    # the winner's commits through the normal carry. Any change to a
+    # replaced partition fails-stop as before. Full-table semantics
+    # (overwrite_all, rollback) never rebase: a concurrent commit in
+    # ANY partition invalidates them.
+    read_set: dict[str, list[str]] | None = None
     while True:
         base = current_version(spark, table)
         manifest = _load_manifest(spark, table, base, committed=base)
+        if partition_scoped and replaced and read_set is None:
+            read_set = {
+                k: sorted(manifest["partitions"].get(k, []))
+                for k in replaced
+            }
+        elif attempt > 0 and not rebaseable and read_set is not None:
+            # validate against the manifest we are about to REBASE ONTO
+            # (not merely the first winner): any commit in the window —
+            # including one landing between our CAS loss and this
+            # retry — that touched a replaced partition stales our
+            # read-set and must fail-stop, or its change would be
+            # silently undone by our stale rewrite
+            for k, dirs in read_set.items():
+                if sorted(manifest["partitions"].get(k, [])) != dirs:
+                    raise SnapshotConflictError(
+                        f"concurrent commit on {table}: a winning commit "
+                        f"touched partition {k!r}, which this {op!r} "
+                        "commit replaces — its read-set is stale; re-run "
+                        "the operation against the new snapshot (orphaned "
+                        "data dirs are reclaimed by snapshot_expire)"
+                    )
         eff_dschema = dschema
         eff_meta = meta
         if attempt > 0:
@@ -950,7 +983,7 @@ def _commit(
         fs, jvm = _fs(spark, table)
         fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
         attempt += 1
-        if not rebaseable:
+        if not rebaseable and not (partition_scoped and restore is None):
             raise SnapshotConflictError(
                 f"concurrent commit on {table}: another writer committed "
                 f"v{version} first and this {op!r} commit replaces live "
@@ -1074,6 +1107,7 @@ def snapshot_overwrite_partitions(
         meta=meta, stats=stats, dschema=dschema,
         cschema=_frame_cschema(df, partition_by),
         blooms=blooms,
+        partition_scoped=True,
     )
 
 
@@ -2524,6 +2558,7 @@ def snapshot_delete_where(
         stats=stats,
         cschema=_frame_cschema(survivors, pcols),
         blooms=blooms,
+        partition_scoped=True,
     )
 
 
@@ -3072,6 +3107,11 @@ def snapshot_merge_into(
         dschema=dschema,
         cschema=_frame_cschema(combined, pcols or None),
         blooms=blooms,
+        # partition-scoped: a by-source merge classified EVERY live row
+        # (prune disabled), so its read-set is the whole table and any
+        # concurrent commit correctly stales it; plain merges rebase
+        # when the winner left their replaced partitions untouched
+        partition_scoped=True,
     )
 
 

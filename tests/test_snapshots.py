@@ -3895,3 +3895,91 @@ def test_png_truncated_crc_raises_valueerror(spark):
     )
     out = transcode_images(media).collect()
     assert bytes(out[0]["payload"]) == bytes(p[:-3])
+
+
+def test_disjoint_partition_overwrites_both_commit(spark, table, monkeypatch):
+    """Partition-scoped replacement rebase: two writers overwriting
+    DISJOINT partitions race one version — the loser's read-set (its
+    own partitions' dir lists) is intact in the winner's manifest, so
+    it rebases and BOTH overwrites land (the IVM disjoint-bucket
+    concurrency shape)."""
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+        ),
+        ["p"],
+    )
+    wa = spark.createDataFrame([(1, "a", 11)], "id long, p string, v long")
+    wb = spark.createDataFrame([(2, "b", 22)], "id long, p string, v long")
+    _race_first_publish(
+        monkeypatch,
+        lambda: snapshot_overwrite_partitions(spark, table, wb, ["p"]),
+    )
+    v = snapshot_overwrite_partitions(spark, table, wa, ["p"])
+    assert v == 3
+    assert _rows(snapshot_read(spark, table)) == [(1, 11, "a"), (2, 22, "b")]
+
+
+def test_replacement_of_touched_partition_fails_stop(spark, table, monkeypatch):
+    """A partition-scoped replacement whose replaced partition the
+    winner TOUCHED (an append into it) must fail-stop: rebasing would
+    silently undo the winner's rows."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+        ),
+        ["p"],
+    )
+    racer = spark.createDataFrame([(3, "a", 30)], "id long, p string, v long")
+    mine = spark.createDataFrame([(1, "a", 11)], "id long, p string, v long")
+    _race_first_publish(
+        monkeypatch, lambda: snapshot_append(spark, table, racer, ["p"])
+    )
+    with pytest.raises(SnapshotConflictError, match="read-set is stale"):
+        snapshot_overwrite_partitions(spark, table, mine, ["p"])
+    # the winner's append survives untouched
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"), (2, 20, "b"), (3, 30, "a")
+    ]
+
+
+def test_replacement_rebases_over_append_to_other_partition(
+    spark, table, monkeypatch
+):
+    """A PRUNED delete whose candidate set is partition 'a' only,
+    racing an append into partition 'b', rebases cleanly: the read-set
+    is intact and the winner's new rows in 'b' are carried into the
+    rebased commit. (An UNPRUNED delete reads every dir — its read-set
+    is the whole table, and the same race correctly fails-stop, covered
+    above.)"""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_delete_where,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (200, "b", 20)], "id long, p string, v long"
+        ),
+        ["p"],
+        stats_cols=["id"],
+    )
+    racer = spark.createDataFrame(
+        [(300, "b", 30)], "id long, p string, v long"
+    )
+    _race_first_publish(
+        monkeypatch, lambda: snapshot_append(spark, table, racer, ["p"])
+    )
+    v = snapshot_delete_where(
+        spark, table, "id = 1", prune=[("id", 1, 1)]
+    )
+    assert v == 3
+    assert _rows(snapshot_read(spark, table)) == [
+        (200, 20, "b"), (300, 30, "b")
+    ]
