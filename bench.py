@@ -247,7 +247,19 @@ HEADLINE = [
 #: r11 Next #2): total 131.57 s, and the immediate same-host repeat
 #: read 132.04 s — 0.4% apart, the "within ~10% of a repeated run"
 #: done-criterion met with margin; BENCH_r12 should finally be
-#: thermally comparable round-over-round. The +16 s vs r11's WARM
+#: thermally comparable round-over-round.
+#:
+#: HOST-STEAL caveat measured the same day: three later runs of
+#: near-identical code read 177.0 / 176.9 / 187.9 s with queries
+#: UNTOUCHED since round 11 (q08, q10) inflating 1.4-1.7x alongside
+#: everything else (median 1.1-1.15x, erratically up to 3x on
+#: driver-roundtrip-heavy streams — different victims each run), while
+#: /proc/stat showed ~9.6k CPU-seconds of cumulative steal and vmstat
+#: st=1 at idle. The warm-up protocol removes THERMAL noise; hypervisor
+#: steal it cannot — when BENCH_rN lands >30% above BENCH_local's
+#: committed numbers with this uniform-inflation signature, read it as
+#: the shared-host weather, not a regression (the r9/r10/r11 precedent,
+#: now with the steal counter attached). The +16 s vs r11's WARM
 #: 115.0 is new surface: x44 grew its conditional-merge branch
 #: (+~1 s), x19 its funnel time-to-convert percentiles, x46 its
 #: container transcode (all four codecs now run in the pipeline),
