@@ -2891,6 +2891,22 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHERE event_id % 2 = 0 AND event_id >= 10
                         AND event_id < 40),
            0.0
+    UNION ALL
+    SELECT 'evolve_n_after',
+           (SELECT count(*) FROM ev)
+           - (SELECT count(*) FROM ev
+              WHERE event_id < 10 AND event_id % 2 = 0)
+           + (SELECT count(*) FROM ev WHERE event_id < 20),
+           round(
+             (SELECT sum(CASE
+                 WHEN event_id % 2 = 0 AND event_id >= 10
+                      AND event_id < 40 THEN round(value * 5, 6)
+                 WHEN event_id < 50 THEN round(value * 3, 6)
+                 ELSE value END)
+              FROM ev WHERE NOT (event_id < 10 AND event_id % 2 = 0))
+             + (SELECT sum(value) FROM ev WHERE event_id < 20), 2)
+    UNION ALL
+    SELECT 'evolve_n_cols', 3, 0.0
     ORDER BY label
     """,
     doc="snapshot commits: append/overwrite/time-travel/rollback census + "
@@ -3089,6 +3105,24 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, t, ["event_id"], v_c_pre, to_version=v_c
         )
         rows.append(("cond_merge_images", cimgs.count(), 0.0))
+        # round 12: SCHEMA-EVOLUTION branch — rename + drop are
+        # METADATA-ONLY commits; the census re-reads the same content
+        # under the new name (value->val, event_type dropped) and pins
+        # the surviving column count. A corrupted map/drop would flip
+        # the sums or the width driver-red.
+        from ..operators.snapshots import (
+            snapshot_drop_column,
+            snapshot_rename_column,
+        )
+
+        snapshot_rename_column(spark, t, "value", "val")
+        snapshot_drop_column(spark, t, "event_type")
+        post_evolve = snapshot_read(spark, t)
+        eagg = post_evolve.agg(
+            F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("sv")
+        ).first()
+        rows.append(("evolve_n_after", eagg["n"], float(eagg["sv"])))
+        rows.append(("evolve_n_cols", len(post_evolve.columns), 0.0))
         # rows are already driver-local python tuples: the frame never
         # references the scratch table deleted in finally
         return spark.createDataFrame(rows, "label string, n long, sum_value double")
