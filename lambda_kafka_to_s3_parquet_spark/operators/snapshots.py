@@ -780,6 +780,15 @@ def _commit(
                 k: sorted(manifest["partitions"].get(k, []))
                 for k in replaced
             }
+            # the evolution state is part of the read-set too: a
+            # metadata-only winner (rename/drop) changes NO dir list,
+            # but rebasing over it would commit files whose physical
+            # names the winner's column maps don't cover — stale schema
+            # metadata corrupting reads of the rewritten rows
+            evo_sig = (
+                len(manifest.get("renames_log", ())),
+                len(manifest.get("drops_log", ())),
+            )
         elif attempt > 0 and not rebaseable and read_set is not None:
             # validate against the manifest we are about to REBASE ONTO
             # (not merely the first winner): any commit in the window —
@@ -796,6 +805,17 @@ def _commit(
                         "the operation against the new snapshot (orphaned "
                         "data dirs are reclaimed by snapshot_expire)"
                     )
+            if evo_sig != (
+                len(manifest.get("renames_log", ())),
+                len(manifest.get("drops_log", ())),
+            ):
+                raise SnapshotConflictError(
+                    f"concurrent commit on {table}: a winning commit "
+                    "renamed or dropped a column — this writer's files "
+                    "carry pre-evolution physical names the winner's "
+                    "column maps do not cover; re-run the operation "
+                    "against the new snapshot"
+                )
         eff_dschema = dschema
         eff_meta = meta
         if attempt > 0:
@@ -832,6 +852,19 @@ def _commit(
         }
         for pval, dirs in new_partitions.items():
             parts.setdefault(pval, []).extend(dirs)
+        if replaced and not any(parts.values()):
+            # replacement backstop (reachable e.g. when two racing
+            # pure-drop overwrites each drop the other's last surviving
+            # partition and one rebases): an empty DATA manifest poisons
+            # every later read — the callers' own guards check their
+            # ORIGINAL base, this one checks the REBASED state.
+            # (Meta-only consume-mark commits on a fresh sink legally
+            # carry empty partitions and pass replaced=None.)
+            raise SnapshotConflictError(
+                f"commit on {table} would publish an EMPTY snapshot "
+                "after rebasing onto concurrent commits — refusing (the "
+                "empty-snapshot rule); re-run against the new snapshot"
+            )
         version = base + 1
         new_manifest = {
             "version": version,
@@ -2558,7 +2591,11 @@ def snapshot_delete_where(
         stats=stats,
         cschema=_frame_cschema(survivors, pcols),
         blooms=blooms,
-        partition_scoped=True,
+        # NOT partition-scoped: a delete's logical read-set includes the
+        # zone-map NEGATIVE proofs over every live dir (a winner's new
+        # dir could hold rows matching the predicate inside the prune
+        # bounds) — rebasing could commit a "deleted" state that still
+        # grows matching rows; fail-stop keeps the GDPR-delete contract
     )
 
 
@@ -3107,11 +3144,12 @@ def snapshot_merge_into(
         dschema=dschema,
         cschema=_frame_cschema(combined, pcols or None),
         blooms=blooms,
-        # partition-scoped: a by-source merge classified EVERY live row
-        # (prune disabled), so its read-set is the whole table and any
-        # concurrent commit correctly stales it; plain merges rebase
-        # when the winner left their replaced partitions untouched
-        partition_scoped=True,
+        # NOT partition-scoped: the merge's logical read-set includes
+        # the auto-prune's negative proofs over every dir (a winner's
+        # append of a matching key to a non-candidate partition would
+        # make a rebased insert a DUPLICATE key) and, for by-source
+        # clauses, partition keys that did not exist at read time —
+        # fail-stop preserves the one-image-per-key upsert contract
     )
 
 

@@ -3952,13 +3952,14 @@ def test_replacement_of_touched_partition_fails_stop(spark, table, monkeypatch):
 def test_replacement_rebases_over_append_to_other_partition(
     spark, table, monkeypatch
 ):
-    """A PRUNED delete whose candidate set is partition 'a' only,
-    racing an append into partition 'b', rebases cleanly: the read-set
-    is intact and the winner's new rows in 'b' are carried into the
-    rebased commit. (An UNPRUNED delete reads every dir — its read-set
-    is the whole table, and the same race correctly fails-stop, covered
-    above.)"""
+    """An overwrite of partition 'a' racing an append into partition
+    'b' rebases cleanly: the read-set is intact and the winner's new
+    rows in 'b' are carried into the rebased commit. A DELETE in the
+    same race FAIL-STOPS: its logical read-set includes the zone-map
+    negative proofs over every dir (the winner's new dir could hold
+    matching rows), so it is not partition-scoped."""
     from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
         snapshot_delete_where,
     )
 
@@ -3976,10 +3977,74 @@ def test_replacement_rebases_over_append_to_other_partition(
     _race_first_publish(
         monkeypatch, lambda: snapshot_append(spark, table, racer, ["p"])
     )
-    v = snapshot_delete_where(
-        spark, table, "id = 1", prune=[("id", 1, 1)]
-    )
+    wa = spark.createDataFrame([(2, "a", 11)], "id long, p string, v long")
+    v = snapshot_overwrite_partitions(spark, table, wa, ["p"])
     assert v == 3
     assert _rows(snapshot_read(spark, table)) == [
-        (200, 20, "b"), (300, 30, "b")
+        (2, 11, "a"), (200, 20, "b"), (300, 30, "b")
     ]
+    # the same race against a pruned DELETE fail-stops (not scoped)
+    racer2 = spark.createDataFrame(
+        [(400, "b", 40)], "id long, p string, v long"
+    )
+    _race_first_publish(
+        monkeypatch, lambda: snapshot_append(spark, table, racer2, ["p"])
+    )
+    with pytest.raises(SnapshotConflictError, match="replaces live data"):
+        snapshot_delete_where(spark, table, "id = 2", prune=[("id", 2, 2)])
+
+
+def test_rebase_over_metadata_evolution_fails_stop(spark, table, monkeypatch):
+    """A partition-scoped overwrite racing a RENAME must fail-stop even
+    though no dir list changed: its files carry pre-evolution physical
+    names the winner's column maps do not cover."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_rename_column,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+        ),
+        ["p"],
+    )
+    mine = spark.createDataFrame([(1, "a", 11)], "id long, p string, v long")
+    _race_first_publish(
+        monkeypatch, lambda: snapshot_rename_column(spark, table, "v", "w")
+    )
+    with pytest.raises(SnapshotConflictError, match="renamed or dropped"):
+        snapshot_overwrite_partitions(spark, table, mine, ["p"])
+    # the rename won and the table reads consistently under the new name
+    assert snapshot_read(spark, table).columns == ["id", "w", "p"]
+
+
+def test_racing_pure_drops_cannot_empty_the_table(spark, table, monkeypatch):
+    """Two pure-drop overwrites each dropping the other's last surviving
+    partition: the rebased loser would publish an EMPTY manifest — the
+    in-commit backstop refuses it."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+        ),
+        ["p"],
+    )
+    empty = spark.createDataFrame([], "id long, p string, v long")
+    _race_first_publish(
+        monkeypatch,
+        lambda: snapshot_overwrite_partitions(
+            spark, table, empty, ["p"], drop_partitions=["p=b"]
+        ),
+    )
+    with pytest.raises(SnapshotConflictError, match="EMPTY snapshot"):
+        snapshot_overwrite_partitions(
+            spark, table, empty, ["p"], drop_partitions=["p=a"]
+        )
+    # the winner's drop holds; partition a is still live
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a")]
