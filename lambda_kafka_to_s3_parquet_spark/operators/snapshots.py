@@ -1098,6 +1098,18 @@ def snapshot_overwrite_partitions(
     ``stats_cols`` as in :func:`snapshot_append`, and the same write-time
     additive-evolution gate applies.
 
+    Concurrency: this is the one REPLACEMENT verb that rebases under
+    the optimistic-commit protocol (see :func:`_commit`) — it is a
+    BLIND replace-by-key (``df``'s content is the caller's, not derived
+    here from other partitions), so its read-set IS the replaced
+    partitions' dir lists plus the schema-evolution state, both
+    validated on every rebase attempt. Callers whose ``df`` derives
+    from reading the table (the IVM refresher reading its own view
+    buckets) must serialize their own read→write window per partition —
+    the IVM stream's per-view exactly-once marks do exactly that; the
+    rebase then only needs to survive winners on OTHER partitions,
+    which the dir-list validation guarantees.
+
     ``drop_partitions`` names manifest partition keys (``"p=x"`` /
     ``"p=x/q=y"`` tails) to replace EVEN IF ``df`` holds no rows for
     them — the dynamic-overwrite blind spot a retraction-capable writer
