@@ -368,21 +368,69 @@ def _sf_of(sf_dir: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
+def _steal_cpu_s() -> float | None:
+    """Cumulative hypervisor STEAL time (CPU-seconds across all cores,
+    /proc/stat field 9 of the aggregate cpu line) — the one counter that
+    distinguishes shared-host weather from a real regression. The
+    round-12 artifact read 245.5 s for 131.6 s of quiet-window work and
+    the adjudication needed git archaeology plus a judge re-run; with
+    per-phase steal deltas IN the artifact, a polluted phase is
+    identifiable from the JSON alone (VERDICT r12 Next #2)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts and parts[0] == "cpu" and len(parts) > 8:
+            return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _load1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
+#: a timed run is POLLUTED when hypervisor steal during it exceeds this
+#: fraction of its wall x core budget (5% of the machine stolen): the
+#: reading measures the neighbor, not the plan — re-run once, keep min
+_STEAL_FRACTION = 0.05
+_NCPU = os.cpu_count() or 1
+
+
 def _time_set(
     spark, specs, sf_dir: str, runs_per_query: int, single_runs: int = 1
-) -> dict[str, float]:
+) -> tuple[dict[str, float], dict]:
     """``single_runs`` > 1 re-executes the SINGLE_RUN queries (streaming
     replays, the snapshot protocol exercise) and takes the min — their
     first execution at a scale factor pays JIT/state-store/class-load
     warm-up that the round-11 artifact showed is ~20% of the reading
     (BENCH_r11 cold 139.5 s vs same-host warm 115.0 s). The batch
-    queries already get this from min-of-N."""
+    queries already get this from min-of-N.
+
+    Weather-aware (round 13): each query's hypervisor-steal delta is
+    recorded, and a query whose EVERY timed run was polluted (steal
+    > ``_STEAL_FRACTION`` of its wall x cores) gets ONE bonus run —
+    min-of-N only removes noise when at least one sample was clean.
+    Returns ``(timings, weather)`` where weather carries the phase's
+    steal/load deltas plus the per-query steal map."""
     timings: dict[str, float] = {}
+    qsteal: dict[str, float] = {}
+    reran: list[str] = []
+    phase_steal0, phase_load0 = _steal_cpu_s(), _load1()
     for name in HEADLINE:
         if name not in specs:
             continue
         best = None
-        for _ in range(single_runs if name in SINGLE_RUN else runs_per_query):
+        steal_q = 0.0
+        all_polluted = True
+        n_runs = single_runs if name in SINGLE_RUN else runs_per_query
+        run = 0
+        while run < n_runs:
+            run += 1
+            s0 = _steal_cpu_s()
             # Streaming replays (SINGLE_RUN) and eager plan-builders
             # (EAGER_FN) execute work inside fn() — the clock must start
             # before fn() or most of their cost is invisible. LAZY batch
@@ -402,14 +450,40 @@ def _time_set(
             df.write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            s1 = _steal_cpu_s()
+            ds = (s1 - s0) if (s0 is not None and s1 is not None) else None
+            if ds is not None:
+                steal_q += ds
+                if ds <= _STEAL_FRACTION * dt * _NCPU:
+                    all_polluted = False
+            else:
+                all_polluted = False  # no counter: nothing to act on
+            if run == n_runs and all_polluted and name not in reran:
+                # every sample was stolen-from; one bonus sample —
+                # bounded (once per query), recorded in the artifact
+                reran.append(name)
+                n_runs += 1
         timings[name] = round(best, 3)
+        if steal_q >= 0.05:
+            qsteal[name] = round(steal_q, 2)
         # Queries that persist an internal stage boundary (x28's cleaning
         # cache) would otherwise accumulate executor memory across the
         # 3-runs × 2-scale-factors of a bench invocation; each timed run
         # rebuilds its plan anyway, so dropping blocks between queries
         # costs nothing and keeps runs independent.
         spark.catalog.clearCache()
-    return timings
+    phase_steal1, phase_load1 = _steal_cpu_s(), _load1()
+    weather = {
+        "steal_cpu_s": (
+            round(phase_steal1 - phase_steal0, 2)
+            if phase_steal0 is not None and phase_steal1 is not None
+            else None
+        ),
+        "load1": [phase_load0, phase_load1],
+        "steal_per_query": qsteal,
+        "polluted_reruns": reran,
+    }
+    return timings, weather
 
 
 def main() -> None:
@@ -434,15 +508,20 @@ def main() -> None:
     # Small scale factor first: it doubles as codegen warmup for the big
     # pass, the same way round <= 4 used the lineitem count alone.
     small: dict[str, float] = {}
+    small_weather: dict = {}
     if os.path.isdir(sf_small_dir) and sf_small_dir != sf_dir:
-        small = _time_set(spark, specs, sf_small_dir, runs_per_query)
+        small, small_weather = _time_set(
+            spark, specs, sf_small_dir, runs_per_query
+        )
     # SINGLE_RUN queries take min-of-2 at the TARGET sf: the first run is
     # the discarded warm-up (VERDICT r11: the committed cold reading sat
     # 21% above the same-host warm number purely from JVM thermal state,
     # polluting round-over-round comparison). The small pass keeps 1 —
     # it is itself warm-up and its numbers only feed scale_ratio.
     single_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SINGLE_RUNS", "2"))
-    timings = _time_set(spark, specs, sf_dir, runs_per_query, single_runs)
+    timings, weather = _time_set(
+        spark, specs, sf_dir, runs_per_query, single_runs
+    )
 
     ratios = {
         n: round(timings[n] / small[n], 1) for n in timings if small.get(n)
@@ -477,6 +556,15 @@ def main() -> None:
         # small-sf pass for batch, min-of-runs_single for SINGLE_RUN)
         "warmup": single_runs > 1,
         "agg": "min",
+        # self-describing WEATHER (r12 Next #2): hypervisor steal during
+        # the big-sf phase in CPU-seconds + 1-min loadavg at its start/
+        # end. A polluted artifact shows steal comparable to value x
+        # cores; a quiet one shows ~0. Queries whose every sample was
+        # polluted were re-run once (n below); per-query steal lives in
+        # BENCH_local.json.
+        "steal_cpu_s": weather["steal_cpu_s"],
+        "load1": weather["load1"],
+        "polluted_reruns": len(weather["polluted_reruns"]),
         "queries": timings,
         "value_batch": batch_total,
         "value_fixed_cost": round(
@@ -503,11 +591,13 @@ def main() -> None:
         )
         assert len(line) <= _TAIL_BUDGET, "even the slim bench line overflows"
     full = dict(out)
+    full["weather"] = weather
     if small:
         full |= {
             "sf_small": _sf_of(sf_small_dir),
             "queries_small": small,
             "scale_ratio": ratios,
+            "weather_small": small_weather,
         }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_local.json"), "w") as f:
