@@ -354,24 +354,48 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels, width: int, height: int, filter_type: int = 0) -> bytes:
-    """A real PNG (8-bit RGB or RGBA, non-interlaced) from a pixel
-    array, per the public PNG spec with stdlib ``zlib`` only — the
-    fourth offline codec next to PCM WAV / binary PPM / 24-bit BMP.
-    ``pixels`` is ``(h, w, 3)`` RGB or ``(h, w, 4)`` RGBA uint8-ranged.
-    ``filter_type`` applies ONE scanline filter (0 None, 1 Sub, 2 Up,
-    3 Average, 4 Paeth) to every row — any choice round-trips
-    value-exactly through :func:`decode_png` (the filters are lossless
-    predictions; tests exercise each)."""
+def encode_png(
+    pixels, width: int, height: int, filter_type: int = 0, palette=None
+) -> bytes:
+    """A real PNG (8-bit, non-interlaced) from a pixel array, per the
+    public PNG spec with stdlib ``zlib`` only — the fourth offline
+    codec next to PCM WAV / binary PPM / 24-bit BMP. ``pixels`` is
+    ``(h, w, c)`` uint8-ranged with c = 1 (grayscale, color type 0),
+    2 (gray+alpha, type 4), 3 (RGB, type 2) or 4 (RGBA, type 6) —
+    round 13 extended the codec below RGB. With ``palette`` (an
+    ``(n<=256, 3)`` RGB array), ``pixels`` is instead an ``(h, w)`` or
+    ``(h, w, 1)`` INDEX plane and the output is a PALETTE PNG (color
+    type 3 + PLTE chunk). ``filter_type`` applies ONE scanline filter
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) to every row — any
+    choice round-trips value-exactly through :func:`decode_png` (the
+    filters are lossless predictions; tests exercise each)."""
     import struct
     import zlib
 
     import numpy as np
 
     arr = np.asarray(pixels)
-    if arr.ndim != 3 or arr.shape[:2] != (height, width) or arr.shape[2] not in (3, 4):
+    plte = None
+    if palette is not None:
+        plte = np.asarray(palette)
+        if plte.ndim != 2 or plte.shape[1] != 3 or not 1 <= plte.shape[0] <= 256:
+            raise ValueError(
+                f"palette shape {plte.shape} != (n<=256, 3)"
+            )
+        if plte.min() < 0 or plte.max() > 255:
+            raise ValueError("palette samples must be in 0..255")
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            arr = arr[:, :, 0]
+        if arr.ndim != 2 or arr.shape != (height, width):
+            raise ValueError(
+                f"palette pixels shape {arr.shape} != ({height}, {width})"
+            )
+        if arr.min() < 0 or arr.max() >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        arr = arr.reshape(height, width, 1)
+    elif arr.ndim != 3 or arr.shape[:2] != (height, width) or arr.shape[2] not in (1, 2, 3, 4):
         raise ValueError(
-            f"pixels shape {arr.shape} != ({height}, {width}, 3|4)"
+            f"pixels shape {arr.shape} != ({height}, {width}, 1|2|3|4)"
         )
     if arr.min() < 0 or arr.max() > 255:
         raise ValueError("PNG samples must be in 0..255")
@@ -379,7 +403,7 @@ def encode_png(pixels, width: int, height: int, filter_type: int = 0) -> bytes:
         raise ValueError(f"filter_type must be 0..4, got {filter_type}")
     arr = arr.astype(np.uint8)
     bpp = arr.shape[2]
-    color_type = 2 if bpp == 3 else 6
+    color_type = 3 if plte is not None else {1: 0, 2: 4, 3: 2, 4: 6}[bpp]
     raw = arr.reshape(height, width * bpp).astype(np.int16)
     prior = np.zeros_like(raw)
     prior[1:] = raw[:-1]
@@ -407,9 +431,11 @@ def encode_png(pixels, width: int, height: int, filter_type: int = 0) -> bytes:
         bytes([filter_type]) + filt[r].tobytes() for r in range(height)
     )
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        chunks += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
     return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
+        chunks
         + _png_chunk(b"IDAT", zlib.compress(stream))
         + _png_chunk(b"IEND", b"")
     )
@@ -418,11 +444,14 @@ def encode_png(pixels, width: int, height: int, filter_type: int = 0) -> bytes:
 def decode_png(payload: bytes) -> dict:
     """Dependency-free PNG decode per the public spec: stdlib ``zlib``
     inflate + per-scanline filter reconstruction (None/Sub/Up/Average/
-    Paeth). 8-bit RGB (color type 2) and RGBA (6), non-interlaced only;
-    palette/gray/16-bit/interlaced variants raise ValueError — the same
-    honest codec boundary jpeg/mp4 still hit. Chunk CRCs are verified
-    (a corrupt stream fails loudly, never decodes garbage). Returns
-    width / height / ``channels`` / ``pixels`` (``(h, w, c)`` uint8)."""
+    Paeth). 8-bit grayscale (color type 0), RGB (2), PALETTE (3, via
+    PLTE lookup — round 13), gray+alpha (4) and RGBA (6),
+    non-interlaced; sub-byte depths / 16-bit / interlaced variants
+    raise ValueError — the honest codec boundary jpeg/mp4 still hit.
+    Chunk CRCs are verified (a corrupt stream fails loudly, never
+    decodes garbage). Returns width / height / ``channels`` /
+    ``pixels`` (``(h, w, c)`` uint8; palette images return their RGB
+    expansion, channels=3)."""
     import struct
     import zlib
 
@@ -432,6 +461,7 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
     ihdr = None
+    plte = None
     idat = bytearray()
     seen_iend = False
     while pos + 8 <= len(payload):
@@ -448,6 +478,8 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = body
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -461,15 +493,21 @@ def decode_png(payload: bytes) -> dict:
     w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or color_type not in (2, 6) or comp or filt_m or interlace:
+    if depth != 8 or color_type not in (0, 2, 3, 4, 6) or comp or filt_m or interlace:
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color_type}, "
-            f"interlace={interlace}); 8-bit RGB/RGBA non-interlaced is "
-            "the offline codec"
+            f"interlace={interlace}); 8-bit gray/RGB/palette/RGBA "
+            "non-interlaced is the offline codec"
         )
+    if color_type == 3:
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError(
+                f"palette PNG with missing/malformed PLTE "
+                f"({0 if plte is None else len(plte)} bytes)"
+            )
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
-    bpp = 3 if color_type == 2 else 4
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     stride = w * bpp
     try:
         stream = zlib.decompress(bytes(idat))
@@ -518,11 +556,27 @@ def decode_png(payload: bytes) -> dict:
         else:
             raise ValueError(f"bad PNG filter type {ft} on row {r}")
         recon[r] = (out % 256).astype(np.uint8)
+    px = recon.reshape(h, w, bpp)
+    if color_type == 3:
+        # PLTE lookup: the index plane expands to its RGB triples —
+        # out-of-range indices are malformed input, not silent black
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError(
+                f"palette index {int(idx.max())} past PLTE size {pal.shape[0]}"
+            )
+        return {
+            "width": int(w),
+            "height": int(h),
+            "channels": 3,
+            "pixels": pal[idx].copy(),
+        }
     return {
         "width": int(w),
         "height": int(h),
         "channels": bpp,
-        "pixels": recon.reshape(h, w, bpp).copy(),
+        "pixels": px.copy(),
     }
 
 
@@ -585,9 +639,19 @@ def decode_real_features(media_type: str, payload: bytes) -> dict:
             # PNG: features over the RGB channels (alpha, if present, is
             # not a color sample) — a PNG of the same pixels yields
             # IDENTICAL features to the BMP/PPM of those pixels (the
-            # BMP==PPM precedent, test-pinned)
+            # BMP==PPM precedent, test-pinned). Grayscale (1-channel)
+            # and gray+alpha decode replicate the gray plane into RGB:
+            # mean_r = mean_g = mean_b = the gray mean, so luma is the
+            # gray mean too — the conventional gray->RGB embedding.
             img = {**decode_png(bytes(payload)), "maxval": 255}
-            img["pixels"] = img["pixels"][:, :, :3]
+            if img["channels"] < 3:
+                import numpy as _np
+
+                img["pixels"] = _np.repeat(
+                    img["pixels"][:, :, :1], 3, axis=2
+                )
+            else:
+                img["pixels"] = img["pixels"][:, :, :3]
         px = img["pixels"].astype("float64")
         mr, mg, mb = (round(float(px[:, :, c].mean()), 6) for c in range(3))
         return {
