@@ -892,6 +892,7 @@ def _commit(
     partition_scoped: bool = False,
     read_version: int | None = None,
     delete_add: dict | None = None,
+    pcol_entry: tuple[str, str] | None = None,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -951,6 +952,9 @@ def _commit(
         # a merge-on-read delete changes the EFFECTIVE content of live
         # dirs it never rewrites: replacement-class by definition
         and delete_add is None
+        # partition-column renames validate name collisions against
+        # their read version — fail-stop like the data-column renames
+        and pcol_entry is None
     )
     mine_cols = dict(cschema) if cschema else None
     attempt = 0
@@ -1238,10 +1242,13 @@ def _commit(
         # version (which a CAS rebase may have bumped)
         rlog = list(root.get("renames_log", []))
         dlog = list(root.get("drops_log", []))
+        plog = list(root.get("pcol_log", []))
         if rename_entry is not None:
             rlog.append([version, rename_entry[0], rename_entry[1]])
         if drop_entry is not None:
             dlog.append([version, drop_entry])
+        if pcol_entry is not None:
+            plog.append([version, pcol_entry[0], pcol_entry[1]])
         if restore:
             # rollback REVERTS names: restored commits take the TARGET
             # manifest's maps/drops exactly (the carried entries reflect
@@ -1268,6 +1275,9 @@ def _commit(
             undone = [e for e in rlog if e[0] > target_v]
             for v_, a_, b_ in reversed(undone):
                 rlog.append([version, b_, a_])
+            p_undone = [e for e in plog if e[0] > target_v]
+            for v_, a_, b_ in reversed(p_undone):
+                plog.append([version, b_, a_])
         if kept_cm:
             new_root["colmaps"] = kept_cm
         if kept_dc:
@@ -1276,6 +1286,8 @@ def _commit(
             new_root["renames_log"] = rlog
         if dlog:
             new_root["drops_log"] = dlog
+        if plog:
+            new_root["pcol_log"] = plog
         # MERGE-ON-READ key-delete entries (round 13) ride the root:
         # {file, cols, dirs} — ``dirs`` pins the delete to the dirs LIVE
         # AT DELETE TIME (later commits are never affected; re-inserted
@@ -1361,6 +1373,11 @@ def snapshot_append(
     (:func:`_merged_commit_schema`): new columns are fine, a type
     change fails fast with nothing landed."""
     read_v = current_version(spark, table)
+    if partition_by and read_v:
+        df, partition_by = _to_physical(
+            df, _load_root(spark, table, read_v, committed=read_v),
+            partition_by,
+        )
     dschema = _merged_commit_schema(
         spark, table, df, partition_by, committed=read_v
     )
@@ -1424,6 +1441,11 @@ def snapshot_overwrite_partitions(
     both the manifest and ``df`` are a no-op. With an empty ``df`` and
     non-empty ``drop_partitions`` the commit is a pure partition drop."""
     read_v = current_version(spark, table)
+    if partition_by and read_v:
+        df, partition_by = _to_physical(
+            df, _load_root(spark, table, read_v, committed=read_v),
+            partition_by,
+        )
     dschema = _merged_commit_schema(
         spark, table, df, partition_by, committed=read_v
     )
@@ -1625,6 +1647,56 @@ def _manifest_pcols(partitions: dict) -> list[str]:
             if c and c not in pcols:
                 pcols.append(c)
     return pcols
+
+
+def _pcol_map(manifest_or_root: dict) -> dict[str, str]:
+    """PHYSICAL partition-column name -> CURRENT logical name at this
+    version (identity when never renamed): partition values are
+    path-encoded, so a partition-column rename (round 13) is a
+    metadata-only fold over the root's ``pcol_log`` — dir names and
+    manifest partition keys keep the PHYSICAL name forever, the read
+    path aliases the reconstructed column, and every write resolves
+    logical -> physical before landing files (:func:`_to_physical`).
+    Works on a root (entry pkeys) or an assembled manifest."""
+    if "manifests" in manifest_or_root:
+        pkeys = {
+            k: [] for e in manifest_or_root["manifests"]
+            for k in e.get("pkeys", ())
+        }
+    else:
+        pkeys = manifest_or_root.get("partitions", {})
+    cur = {p: p for p in _manifest_pcols(pkeys)}
+    for _v, a, b in manifest_or_root.get("pcol_log", ()):
+        for p, name in cur.items():
+            if name == a:
+                cur[p] = b
+    return cur
+
+
+def _to_physical(
+    df: DataFrame, manifest_or_root: dict, partition_by: list[str] | None
+) -> tuple[DataFrame, list[str] | None]:
+    """Resolve a writer's (possibly logical) partition-column names to
+    the PHYSICAL names the table's dir layout uses, renaming the frame's
+    columns to match — so the manifest's partition-key namespace stays
+    uniform across partition-column renames. Identity for tables that
+    never renamed a partition column."""
+    if not partition_by:
+        return df, partition_by
+    logical_to_phys = {
+        log: phys
+        for phys, log in _pcol_map(manifest_or_root).items()
+        if log != phys
+    }
+    out_pb = []
+    for c in partition_by:
+        phys = logical_to_phys.get(c)
+        if phys is not None and c in df.columns:
+            df = df.withColumnRenamed(c, phys)
+            out_pb.append(phys)
+        else:
+            out_pb.append(c)
+    return df, out_pb
 
 
 def _phys_col(manifest: dict, commit_id: str, logical: str) -> str | None:
@@ -1897,6 +1969,14 @@ def _read_dirs_raw(
     if pcols:
         data_cols = [c for c in out.columns if c not in pcols]
         out = out.select(*data_cols, *[c for c in pcols if c in out.columns])
+    # partition-column renames are a metadata fold (pcol_log): the scan
+    # reconstructs the PHYSICAL path name, this alias exposes the
+    # version's logical name — Catalyst pushes logical-name filters
+    # through the alias to the partitioned scan, so pruning survives
+    # the rename (plan-asserted in tests)
+    for phys, logical in _pcol_map(manifest).items():
+        if phys != logical and phys in out.columns:
+            out = out.withColumnRenamed(phys, logical)
     return out
 
 
@@ -2244,10 +2324,19 @@ def snapshot_row_changes(
         # rename interleaving on related names (drop a at v2, rename
         # c->a at v3) are order-sensitive — renaming first would create
         # a duplicate 'a' the drop then removes wholesale
-        events = [
-            (v_, "rename", a_, b_)
-            for v_, a_, b_ in mt.get("renames_log", [])
-        ] + [(v_, "drop", n_, None) for v_, n_ in mt.get("drops_log", [])]
+        events = (
+            [
+                (v_, "rename", a_, b_)
+                for v_, a_, b_ in mt.get("renames_log", [])
+            ]
+            + [(v_, "drop", n_, None) for v_, n_ in mt.get("drops_log", [])]
+            # partition-column renames align the same way: the old side
+            # read under the FROM version's logical name
+            + [
+                (v_, "rename", a_, b_)
+                for v_, a_, b_ in mt.get("pcol_log", [])
+            ]
+        )
         for v_, kind, a_, b_ in sorted(events, key=lambda e: e[0]):
             if not (from_version < v_ <= to_v):
                 continue
@@ -2424,6 +2513,45 @@ def _evolution_preamble(
     return manifest, dschema, live_commits, committed
 
 
+def _rename_partition_column(
+    spark: SparkSession,
+    table: str,
+    manifest: dict,
+    committed: int,
+    old: str,
+    new: str,
+) -> int:
+    """The partition-column branch of :func:`snapshot_rename_column`:
+    validate collisions against this version's full name space (data
+    columns, other partition columns' logical AND physical names), then
+    commit the metadata-only ``pcol_log`` entry."""
+    if new == old:
+        raise ValueError("rename to the same name is a no-op")
+    if not new or not isinstance(new, str):
+        raise ValueError(f"bad new column name {new!r}")
+    pmap = _pcol_map(manifest)
+    (phys,) = [p for p, log in pmap.items() if log == old]
+    if new in manifest.get("dschema", {}):
+        raise ValueError(
+            f"column {new!r} already exists in {table} as a data column; "
+            "rename cannot merge two columns"
+        )
+    others = {p: log for p, log in pmap.items() if p != phys}
+    if new in others or new in others.values():
+        raise ValueError(
+            f"column {new!r} collides with another partition column of "
+            f"{table}"
+        )
+    return _commit(
+        spark,
+        table,
+        f"rename_pcol({old}->{new})",
+        {},
+        pcol_entry=(old, new),
+        read_version=committed,
+    )
+
+
 def snapshot_rename_column(
     spark: SparkSession, table: str, old: str, new: str
 ) -> int:
@@ -2443,7 +2571,25 @@ def snapshot_rename_column(
     resolves per commit to the recorded physical name. Chained renames
     compose (a -> b -> c keeps one map entry per commit). Rolling back
     across a rename restores the old names and logs the reversal so
-    diffs crossing the rollback still align."""
+    diffs crossing the rollback still align.
+
+    PARTITION columns rename too (round 13, spec-evolution groundwork):
+    their values are path-encoded, so the rename is a root-level
+    ``pcol_log`` fold — dir names and manifest partition keys keep the
+    PHYSICAL name forever, reads alias the reconstructed column to the
+    version's logical name (partition pruning pushes through the
+    alias), and every write verb resolves logical -> physical before
+    landing files, so old and new commits share one partition-key
+    namespace. Time travel shows each version's own name; rollback
+    reverses crossed renames."""
+    committed0 = current_version(spark, table)
+    if committed0:
+        m0 = _load_manifest(spark, table, committed0, committed=committed0)
+        pmap = _pcol_map(m0)
+        if old in pmap.values():
+            return _rename_partition_column(
+                spark, table, m0, committed0, old, new
+            )
     manifest, dschema, live_commits, read_v = _evolution_preamble(
         spark, table, old, "rename"
     )
@@ -2456,10 +2602,11 @@ def snapshot_rename_column(
             f"column {new!r} already exists in {table}; rename cannot "
             "merge two columns"
         )
-    if new in _manifest_pcols(manifest["partitions"]):
+    pm = _pcol_map(manifest)
+    if new in pm or new in pm.values():
         raise ValueError(
-            f"column {new!r} is {table}'s partition column — a data "
-            "column cannot shadow it"
+            f"column {new!r} is {table}'s partition column (physical or "
+            "logical name) — a data column cannot shadow it"
         )
     cm = manifest.get("colmaps", {})
     dc = manifest.get("dropcols", {})
@@ -2854,6 +3001,11 @@ def snapshot_overwrite_all(
     read_v = (
         current_version(spark, table) if read_version is None else read_version
     )
+    if partition_by and read_v:
+        df, partition_by = _to_physical(
+            df, _load_root(spark, table, read_v, committed=read_v),
+            partition_by,
+        )
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         raise ValueError(
@@ -2967,6 +3119,11 @@ def snapshot_delete_where(
     # partition columns reconstruct from the manifest keys in key order
     pcols = _manifest_pcols(parts)
     survivors = cand_df.filter(~F.coalesce(pred, F.lit(False)))
+    # rewritten dirs must keep the PHYSICAL partition-key namespace —
+    # the candidate frame exposes the version's LOGICAL names
+    for _phys, _log in _pcol_map(manifest).items():
+        if _phys != _log and _log in survivors.columns:
+            survivors = survivors.withColumnRenamed(_log, _phys)
     # an all-rows-deleted rewrite must write NOTHING: an empty
     # unpartitioned commit dir would be referenced by the manifest and
     # poison reads (parquet can't infer a schema from _SUCCESS alone)
@@ -3374,6 +3531,10 @@ def snapshot_merge_into(
     parts = manifest["partitions"]
     all_dirs = sorted(d for dirs in parts.values() for d in dirs)
     pcols = _manifest_pcols(parts)
+    # reads expose LOGICAL partition-column names; files/dirs keep the
+    # physical ones (_pcol_map) — classify logically, flip before write
+    pmap = _pcol_map(manifest)
+    log_pcols = [pmap.get(p, p) for p in pcols]
 
     # source key uniqueness: one source-sized agg (merge is a batch op,
     # never a hot row path) — a duplicate key means two source images
@@ -3478,7 +3639,7 @@ def snapshot_merge_into(
         st, tt = stypes[c].simpleString(), ttypes[c].simpleString()
         if st == tt:
             continue
-        if c in pcols and _type_family(st) == _type_family(tt):
+        if c in log_pcols and _type_family(st) == _type_family(tt):
             # partition types re-infer from path strings (int for p=3
             # beside a bigint source column) — same-family casts are
             # deterministic, exactly the read gate's rule
@@ -3515,7 +3676,7 @@ def snapshot_merge_into(
         if inserts.limit(1).isEmpty():
             return committed
         return snapshot_append(
-            spark, table, inserts, pcols or None, meta=meta,
+            spark, table, inserts, log_pcols or None, meta=meta,
             stats_cols=stats_cols, bloom_cols=bloom_cols,
             bloom_bits=bloom_bits,
         )
@@ -3632,9 +3793,13 @@ def snapshot_merge_into(
     # column order convention: data columns first, partition keys last
     if pcols:
         combined = combined.select(
-            *[c for c in out_cols if c not in pcols],
-            *[c for c in pcols if c in out_cols],
+            *[c for c in out_cols if c not in log_pcols],
+            *[c for c in log_pcols if c in out_cols],
         )
+        # flip logical -> physical partition names for the dir layout
+        for _phys, _log in pmap.items():
+            if _phys != _log and _log in combined.columns:
+                combined = combined.withColumnRenamed(_log, _phys)
 
     untouched_exists = any(
         d not in cand for dirs in parts.values() for d in dirs
@@ -3746,7 +3911,9 @@ def snapshot_describe(spark: SparkSession, table: str) -> dict:
         "n_partitions": len(parts),
         "n_live_dirs": len(dirs),
         "n_live_commits": len({d.split("/")[1] for d in dirs}),
-        "partition_columns": _manifest_pcols(parts),
+        "partition_columns": [
+            _pcol_map(manifest).get(p, p) for p in _manifest_pcols(parts)
+        ],
         "schema": dict(manifest.get("dschema", {})),
         "meta": dict(manifest.get("meta", {})),
         "tags": snapshot_tags(spark, table),

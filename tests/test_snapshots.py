@@ -341,7 +341,11 @@ def test_expire_is_rerunnable_with_larger_retention(spark, table):
         )
     snapshot_expire(spark, table, keep_last=1)
     stats = snapshot_expire(spark, table, keep_last=3)  # only v4 exists
-    assert stats == {"manifests_deleted": 0, "data_dirs_deleted": 0}
+    assert stats == {
+        "manifests_deleted": 0,
+        "data_dirs_deleted": 0,
+        "delete_files_deleted": 0,
+    }
     assert _rows(snapshot_read(spark, table))
 
 
@@ -3450,8 +3454,8 @@ def test_rename_chains_and_validations(spark, table):
         rename(spark, table, "nope", "y")
     with pytest.raises(ValueError, match="already exists"):
         rename(spark, table, "x", "id")
-    with pytest.raises(ValueError, match="PARTITION column"):
-        rename(spark, table, "p", "q")
+    # round 13: renaming a PARTITION column is SUPPORTED (pcol_log fold;
+    # its own tests above) — a data column shadowing one still refuses
     with pytest.raises(ValueError, match="partition column"):
         rename(spark, table, "x", "p")
     with pytest.raises(ValueError, match="no-op"):
@@ -4610,3 +4614,108 @@ def test_delete_keys_with_cow_delete_interplay(spark, table):
     # time travel still exact at every version
     assert len(_rows(snapshot_read(spark, table, version=1))) == 4
     assert len(_rows(snapshot_read(spark, table, version=2))) == 2
+
+
+# ---------------------------------------------------------------------------
+# round 13: partition-column rename (spec-evolution groundwork,
+# VERDICT r12 Next #5)
+# ---------------------------------------------------------------------------
+
+
+def test_partition_column_rename_reads_writes_and_prunes(spark, table):
+    """Rename a PARTITION column as a metadata-only commit: dirs keep
+    the physical name, commits written before AND after the rename read
+    under the NEW name, appends/overwrites pass the new name (resolved
+    to the physical layout — one partition-key namespace), partition
+    PRUNING still reaches the scan across the rename, and time travel
+    shows each version's own name."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        _load_root,
+        snapshot_describe,
+        snapshot_rename_column,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+        ),
+        ["p"],
+    )
+    v2 = snapshot_rename_column(spark, table, "p", "region")
+    assert v2 == 2
+    out = snapshot_read(spark, table)
+    assert "region" in out.columns and "p" not in out.columns
+    assert _rows(out) == [(1, 10, "a"), (2, 20, "b")]
+    # time travel: v1 shows the old name
+    assert "p" in snapshot_read(spark, table, version=1).columns
+    # metadata-only: no new data dirs, same physical layout
+    root = _load_root(spark, table, 2)
+    assert root["pcol_log"] == [[2, "p", "region"]]
+    # append under the NEW name lands in the SAME pkey namespace
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, "a", 30)], "id long, region string, v long"),
+        ["region"],
+    )
+    m = _load_manifest(spark, table, current_version(spark, table))
+    assert all(k.startswith("p=") for k in m["partitions"])
+    assert len(m["partitions"]) == 2  # a and b — no np= split
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"), (2, 20, "b"), (3, 30, "a"),
+    ]
+    # partition pruning pushes through the rename alias to the scan
+    q = snapshot_read(spark, table).filter(F.col("region") == "a")
+    assert _rows(q) == [(1, 10, "a"), (3, 30, "a")]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "p#" in plan
+    # overwrite by the new name replaces the right physical partition
+    snapshot_overwrite_partitions(
+        spark, table,
+        spark.createDataFrame([(9, "b", 90)], "id long, region string, v long"),
+        ["region"],
+    )
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"), (3, 30, "a"), (9, 90, "b"),
+    ]
+    assert snapshot_describe(spark, table)["partition_columns"] == ["region"]
+
+
+def test_partition_column_rename_validation_and_feed(spark, table):
+    """Collisions refuse (existing data column, other partition
+    column); the change feed aligns across the rename; chained renames
+    compose; rollback across a pcol rename restores the old name."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_rename_column,
+        snapshot_rollback,
+        snapshot_row_changes,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+        ),
+        ["p"],
+    )
+    with pytest.raises(ValueError, match="data column"):
+        snapshot_rename_column(spark, table, "p", "v")
+    snapshot_rename_column(spark, table, "p", "region")     # v2
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, "a", 30)], "id long, region string, v long"),
+        ["region"],
+    )                                                        # v3
+    # keyed diff across the rename: the old side aligns to 'region'
+    chg = {
+        (r["id"], r["_change_type"]): r["region"]
+        for r in snapshot_row_changes(spark, table, ["id"], 1).collect()
+    }
+    assert chg == {(3, "insert"): "a"}
+    # chained rename composes
+    snapshot_rename_column(spark, table, "region", "geo")    # v4
+    assert "geo" in snapshot_read(spark, table).columns
+    # rollback to v1 restores the original logical name
+    snapshot_rollback(spark, table, 1)
+    out = snapshot_read(spark, table)
+    assert "p" in out.columns and _rows(out) == [(1, 10, "a"), (2, 20, "b")]
