@@ -70,6 +70,14 @@ HEADLINE = [
     "q26_outer_joins",
     "q30_subqueries",
     # LLM-pipeline extensions
+    # round 13: x01 absorbs former w06_stream_dedup as its union-tagged
+    # 'stream' branch (the checkpointed duplicated-replay dedup stream
+    # runs INSIDE x01's fn) — x01 moves to SINGLE_RUN and its timing is
+    # the old w06's streaming cost plus the cheap batch branch; not
+    # comparable to rounds <= 12 on either name. The freed oracle slot
+    # promoted w12 (below). x13 likewise absorbs former x14's decode-stub
+    # feature census as its 'features' branch (one more mapInPandas pass
+    # — not comparable to rounds <= 12).
     "x01_exact_dedup_docs",
     # round 11: x02 absorbs former w10 as its union-tagged 'stream'
     # branch (the maintained CDC current-state replay now runs INSIDE
@@ -195,7 +203,7 @@ HEADLINE = [
     # each runs a real checkpointed streaming query (file-source replay),
     # so these carry constant micro-batch machinery on top of data cost.
     # Adding them widens the headline total vs rounds <= 4.
-    "w06_stream_dedup",
+    # (round 13: w06 folded into x01's 'stream' branch — see x01 note)
     "w07_stream_stream_join",
     "w08_incremental_rollup",
     # round 5: incremental near-dup dedup vs the signature store (real
@@ -317,6 +325,8 @@ SINGLE_RUN = {
     "w09_incremental_neardup",
     # round 11: x02 carries the former w10 streaming replay inside
     "x02_cdc_latest_event",
+    # round 13: x01 carries the former w06 streaming replay inside
+    "x01_exact_dedup_docs",
     "w11_stream_enrichment",
     "w12_semantic_decontam_stream",
     "w13_span_scrub_stream",
@@ -324,7 +334,6 @@ SINGLE_RUN = {
     "w15_bm25_index_stream",
     "x54_change_feed",
     "x44_snapshot_table",
-    "w06_stream_dedup",
     "w07_stream_stream_join",
     "w08_incremental_rollup",
 }

@@ -267,15 +267,38 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> dict:
     """K-means cells trained + assignments persisted partitioned-by-cell,
     so a query's ``nprobe`` cells read with listing-level dir pruning.
     The populated-cell list rides the meta (registry — zero listing calls
     to resolve which dirs exist, the band store's bitmap idea at n_cells
-    scale)."""
+    scale).
+
+    ``centroids`` (round 13) skips the k-means fit and partitions by the
+    GIVEN cell centers (``assign_cells``' argmin rule, ties to the
+    lowest cell) — the deterministic-blocking escape hatch an
+    oracle-replayable pipeline needs (e.g. one-hot axis centroids, whose
+    assignment is pure argmax arithmetic any engine reproduces), and the
+    standard shape for sharing one trained cell model across indexes."""
     if _read_index_meta(spark, path) is not None:
         raise ValueError(f"{path} already holds a vector index")
-    assigned, centroids = _kmeans_cells(corpus, n_cells, id_col, vec_col, seed)
+    if centroids is not None:
+        from ..functions.vectors import to_double, unit
+
+        if len(centroids) != n_cells:
+            raise ValueError(
+                f"{len(centroids)} centroids given for n_cells={n_cells}"
+            )
+        uq = corpus.select(
+            F.col(id_col).alias("id"), unit(to_double(vec_col)).alias("_uvec")
+        ).filter(F.col("_uvec").isNotNull())
+        assigned = assign_cells(uq, centroids)
+        centroids = [[float(x) for x in c] for c in centroids]
+    else:
+        assigned, centroids = _kmeans_cells(
+            corpus, n_cells, id_col, vec_col, seed
+        )
     (
         assigned.repartition("cell")
         .write.mode("errorifexists")

@@ -62,29 +62,69 @@ _SQL_SHINGLES3 = (
 
 
 # --------------------------------------------------------------------------
-# x01 — exact dedup with deterministic survivor (min doc_id per text).
-# One shuffle on the dedup key; n_copies carries the reference's
-# total-vs-distinct metric per group.
+# x01 — EXACT DEDUP, union-tagged (round 13: former w06_stream_dedup
+# consolidated as the 'stream' branch — the x02/w10 precedent: batch
+# dedup and the streaming dedup-under-redelivery are the same exactness
+# claim, so one oracle proves both and the freed slot oracle-promoted
+# w12. x01 timing now includes the full checkpointed streaming replay —
+# not comparable to rounds <= 12 on either name; w06 stays an
+# unregistered function in plans/streaming_queries.py).
+#   'batch' : exact dedup with deterministic survivor (min doc_id per
+#             text), one shuffle on the dedup key; key := doc_id,
+#             s1 := lang, s2 := source, n1 := n_chars, n2 := n_copies.
+#   'stream': every event replayed TWICE across micro-batches,
+#             dropDuplicatesWithinWatermark must restore the original
+#             corpus — key := event_type, n1 := n_events,
+#             n2 := n_distinct event ids, v := sum(value).
 # --------------------------------------------------------------------------
 @register(
     "x01_exact_dedup_docs",
     oracle="""
-    SELECT doc_id, lang, source, n_chars, n_copies
+    SELECT 'batch' AS branch, CAST(doc_id AS VARCHAR) AS key,
+           lang AS s1, source AS s2,
+           n_chars AS n1, n_copies AS n2, CAST(NULL AS DOUBLE) AS v
     FROM (
       SELECT doc_id, lang, source, n_chars,
              row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
              count(*)    OVER (PARTITION BY text)                  AS n_copies
       FROM documents)
     WHERE rn = 1
-    ORDER BY doc_id
+    UNION ALL
+    SELECT 'stream', event_type, NULL, NULL,
+           count(*), count(DISTINCT event_id), round(sum(value), 2)
+    FROM events
+    GROUP BY event_type
+    ORDER BY branch, key
     """,
-    doc="exact dedup (hash-groupBy on text), deterministic survivor",
+    doc="exact dedup, union-tagged: deterministic-survivor batch dedup "
+    "('batch') and streaming dedup under duplicated replay ('stream' — "
+    "former w06: dropDuplicatesWithinWatermark == original corpus "
+    "aggregate)",
 )
 def x01_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming_queries import w06_stream_dedup
+
     d = _t(spark, sf_dir, "documents")
-    return exact_dedup(d, ["text"], [F.asc("doc_id")]).select(
-        "doc_id", "lang", "source", "n_chars", "n_copies"
+    nul_s = F.lit(None).cast("string")
+    batch = exact_dedup(d, ["text"], [F.asc("doc_id")]).select(
+        F.lit("batch").alias("branch"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("lang").alias("s1"),
+        F.col("source").alias("s2"),
+        F.col("n_chars").alias("n1"),
+        F.col("n_copies").alias("n2"),
+        F.lit(None).cast("double").alias("v"),
     )
+    stream = w06_stream_dedup(spark, sf_dir).select(
+        F.lit("stream").alias("branch"),
+        F.col("event_type").alias("key"),
+        nul_s.alias("s1"),
+        nul_s.alias("s2"),
+        F.col("n_events").alias("n1"),
+        F.col("n_distinct").alias("n2"),
+        F.col("sum_value").alias("v"),
+    )
+    return batch.unionByName(stream).orderBy("branch", "key")
 
 
 # --------------------------------------------------------------------------
@@ -662,10 +702,34 @@ def x12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
 #             the generic columns remap: n_items := n_frames,
 #             total_bytes := total frame bytes, min_bytes := last (tail)
 #             frame bytes; the resize/checksum columns are NULL.
+#   'features' (round 13 — former x14_media_features folded in, making
+#             the Arrow decode-stub stage oracle-checked; x14 stays an
+#             unregistered function): per-media-type census of the REAL
+#             mapInPandas feature stage — n_distinct_payloads :=
+#             distinct feat_head (first 4 payload bytes, big-endian),
+#             min/max_bytes := min/max feat_head, kept_bytes := the
+#             summed PAYLOAD BYTE VALUES, reconstructed exactly from the
+#             stage's 6-dp feat_mean (|round(mean,6)*len − sum| ≤
+#             5e-7·len < 0.5 — an exact integer round-trip). DuckDB
+#             rebuilds both from hex(encode(text)) strpos arithmetic,
+#             the x46 construction.
 # --------------------------------------------------------------------------
+_HEXB = (
+    "(strpos('0123456789ABCDEF', substr(h, 2*{j} + 1, 1)) - 1) * 16 + "
+    "(strpos('0123456789ABCDEF', substr(h, 2*{j} + 2, 1)) - 1)"
+)
+
 @register(
     "x13_media_stats",
-    oracle="""
+    oracle=f"""
+    WITH m AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END       AS media_type,
+             doc_id,
+             octet_length(encode(text))::BIGINT     AS n_bytes,
+             sha256(text)                           AS checksum,
+             upper(hex(encode(text)))               AS h
+      FROM documents)
     SELECT 'stats' AS branch, media_type AS key,
            count(*)                     AS n_items,
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
@@ -675,30 +739,50 @@ def x12_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(min(256) AS BIGINT)     AS min_resized,
            CAST(max(256) AS BIGINT)     AS max_resized,
            CAST(sum(least(n_bytes, 256)) AS BIGINT) AS kept_bytes
-    FROM (
-      SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                             ELSE 'video' END       AS media_type,
-             octet_length(encode(text))::BIGINT     AS n_bytes,
-             sha256(text)                           AS checksum
-      FROM documents)
+    FROM m
     GROUP BY media_type
     UNION ALL
     SELECT 'frames', CAST(doc_id AS VARCHAR),
-           CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT),
-           octet_length(encode(text))::BIGINT,
+           CAST(ceil(n_bytes / 256.0) AS BIGINT),
+           n_bytes,
            CAST(NULL AS BIGINT),
-           CAST(octet_length(encode(text))
-                - 256 * (ceil(octet_length(encode(text)) / 256.0) - 1)
-                AS BIGINT),
+           CAST(n_bytes - 256 * (ceil(n_bytes / 256.0) - 1) AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT)
-    FROM documents
-    WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+    FROM m
+    WHERE doc_id % 3 = 2 AND n_bytes > 0
+    UNION ALL
+    SELECT 'features', media_type,
+           count(*),
+           CAST(sum(n_bytes) AS BIGINT),
+           count(DISTINCT feat_head),
+           min(feat_head),
+           max(feat_head),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(sum(byte_sum) AS BIGINT)
+    FROM (
+      SELECT media_type,
+             n_bytes,
+             CASE WHEN n_bytes >= 4 THEN
+               ({_HEXB.format(j=0)}) * 16777216 + ({_HEXB.format(j=1)}) * 65536
+               + ({_HEXB.format(j=2)}) * 256 + ({_HEXB.format(j=3)})
+             ELSE 0 END AS feat_head,
+             CASE WHEN n_bytes = 0 THEN 0 ELSE
+               list_sum(list_transform(range(0, n_bytes),
+                 j -> (strpos('0123456789ABCDEF', substr(h, 2*j + 1, 1)) - 1)
+                      * 16
+                      + (strpos('0123456789ABCDEF', substr(h, 2*j + 2, 1)) - 1)
+               ))
+             END AS byte_sum
+      FROM m)
+    GROUP BY media_type
     ORDER BY branch, key
     """,
     doc="multimodal, union-tagged: payload/checksum metadata stats + "
-    "resize-stub size invariants through the Arrow batch path ('stats') "
-    "and the 256B frame-sampling fan-out census ('frames')",
+    "resize-stub size invariants through the Arrow batch path ('stats'), "
+    "the 256B frame-sampling fan-out census ('frames'), and the Arrow "
+    "decode-stub feature census ('features' — former x14, byte sums and "
+    "head ints replayed from hex arithmetic)",
 )
 def x13_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import resize_media, sample_frames
@@ -757,19 +841,53 @@ def x13_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul.alias("kept_bytes"),
         )
     )
-    return stats_rows.unionByName(frame_rows).orderBy("branch", "key")
+    # 'features' (former x14): the REAL mapInPandas stub stage runs;
+    # the per-row byte SUM reconstructs exactly from its 6-dp mean
+    # (error ≤ 5e-7·len < 0.5 — see the oracle note)
+    from ..operators.multimodal import extract_features
+
+    feature_rows = (
+        extract_features(m)
+        .withColumn(
+            "byte_sum",
+            F.round(F.col("feat_mean") * F.col("n_bytes")).cast("long"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("feat_head").alias("n_distinct_payloads"),
+            F.min("feat_head").alias("min_bytes"),
+            F.max("feat_head").alias("max_bytes"),
+            F.sum("byte_sum").alias("kept_bytes"),
+        )
+        .select(
+            F.lit("features").alias("branch"),
+            F.col("media_type").alias("key"),
+            "n_items",
+            "total_bytes",
+            "n_distinct_payloads",
+            "min_bytes",
+            "max_bytes",
+            nul.alias("min_resized"),
+            nul.alias("max_resized"),
+            "kept_bytes",
+        )
+    )
+    return (
+        stats_rows.unionByName(frame_rows)
+        .unionByName(feature_rows)
+        .orderBy("branch", "key")
+    )
 
 
 # --------------------------------------------------------------------------
 # x14 — Arrow-batched media feature extraction (the stubbed decode stage).
-# Python boundary => no SQL oracle; deterministic fake features are pinned
-# exactly in tests/test_extensions.py.
+# Round 13: CONSOLIDATED into x13's 'features' branch (byte-sum/head-int
+# census oracle-replayed from hex arithmetic) — the per-row stage is now
+# oracle-checked through x13; this function stays UNREGISTERED for the
+# exact-value pytest twins.
 # --------------------------------------------------------------------------
-@register(
-    "x14_media_features",
-    oracle=None,
-    doc="mapInPandas media decode stub (rows-only; exact values in pytest)",
-)
 def x14_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_frame(_t(spark, sf_dir, "documents"))
     return extract_features(m)
@@ -2907,10 +3025,32 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              + (SELECT sum(value) FROM ev WHERE event_id < 20), 2)
     UNION ALL
     SELECT 'evolve_n_cols', 3, 0.0
+    UNION ALL
+    SELECT 'mor_delete_n_after',
+           (SELECT count(*) FROM ev)
+           - (SELECT count(*) FROM ev
+              WHERE event_id < 10 AND event_id % 2 = 0)
+           + (SELECT count(*) FROM ev WHERE event_id < 20)
+           - (SELECT count(*) FROM ev
+              WHERE event_id >= 40 AND event_id < 60),
+           round(
+             (SELECT sum(CASE
+                 WHEN event_id % 2 = 0 AND event_id >= 10
+                      AND event_id < 40 THEN round(value * 5, 6)
+                 WHEN event_id < 50 THEN round(value * 3, 6)
+                 ELSE value END)
+              FROM ev WHERE NOT (event_id < 10 AND event_id % 2 = 0)
+                AND NOT (event_id >= 40 AND event_id < 60))
+             + (SELECT sum(value) FROM ev WHERE event_id < 20), 2)
+    UNION ALL
+    SELECT 'mor_delete_images',
+           (SELECT count(*) FROM ev
+            WHERE event_id >= 40 AND event_id < 60), 0.0
     ORDER BY label
     """,
     doc="snapshot commits: append/overwrite/time-travel/rollback census + "
-    "zone-map dir pruning + incremental delta + MERGE INTO upsert images, "
+    "zone-map dir pruning + incremental delta + MERGE INTO upsert images "
+    "+ (round 13) the merge-on-read key-delete branch, "
     "oracle-rebuilt from events (protocol crash/race semantics pinned in "
     "test_snapshots.py)",
 )
@@ -3123,6 +3263,30 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         rows.append(("evolve_n_after", eagg["n"], float(eagg["sv"])))
         rows.append(("evolve_n_cols", len(post_evolve.columns), 0.0))
+        # round 13: MERGE-ON-READ key-delete branch — delete event_ids
+        # 40..59 via a key file + manifest entry, NO data dir rewritten;
+        # the census pins the post-state (runs through the read-side
+        # anti-join) and the exact delete images the change feed emits
+        # across the MoR commit (the retraction path).
+        from ..operators.snapshots import snapshot_delete_keys
+
+        v_k_pre = current_version(spark, t)
+        v_k = snapshot_delete_keys(
+            spark, t, list(range(40, 60)), on=["event_id"]
+        )
+        kagg = (
+            snapshot_read(spark, t)
+            .agg(F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("sv"))
+            .first()
+        )
+        rows.append(("mor_delete_n_after", kagg["n"], float(kagg["sv"])))
+        kimgs = snapshot_row_changes(
+            spark, t, ["event_id"], v_k_pre, to_version=v_k
+        )
+        rows.append(
+            ("mor_delete_images",
+             kimgs.filter(F.col("_change_type") == "delete").count(), 0.0)
+        )
         # rows are already driver-local python tuples: the frame never
         # references the scratch table deleted in finally
         return spark.createDataFrame(rows, "label string, n long, sum_value double")

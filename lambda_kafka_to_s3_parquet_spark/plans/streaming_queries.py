@@ -325,28 +325,14 @@ def w05_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# w06 — streaming exact dedup, driver-registered: every event replayed
-# TWICE (the at-least-once redelivery twin) across 4 micro-batches;
+# w06 — streaming exact dedup: every event replayed TWICE (the
+# at-least-once redelivery twin) across 4 micro-batches;
 # dropDuplicatesWithinWatermark must restore exactly the original corpus.
-# Oracle-checked since round 5 (a consolidation freed the window slot):
-# the per-type aggregate of the deduped stream must hash-equal the plain
-# batch aggregate over `events` — if the stream dropped a real record or
-# let a duplicate through, count/distinct/sum all move.
+# Round 13: CONSOLIDATED into x01_exact_dedup_docs' 'stream' branch (the
+# x02/w10 precedent) — the function stays UNREGISTERED here (x01 runs it
+# inside its fn; direct tests keep calling it), and the freed oracle
+# slot promoted w12.
 # --------------------------------------------------------------------------
-@register(
-    "w06_stream_dedup",
-    oracle="""
-    SELECT event_type,
-           count(*)                 AS n_events,
-           count(DISTINCT event_id) AS n_distinct,
-           round(sum(value), 2)     AS sum_value
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-    doc="streaming dedup under duplicated replay: "
-    "dropDuplicatesWithinWatermark == original corpus aggregate",
-)
 def w06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from pathlib import Path
@@ -813,15 +799,55 @@ def w11_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index (operators/vector_index.py build_ivf_index — cell-partitioned
 # unit vectors + centroids-in-meta), the w09 band-store discipline with
 # the state roles flipped (static test history, streamed train batches).
-# Arrow/BLAS boundary + streaming machinery => rows-only; batch-split
-# invariance and one-shot equality pinned in tests/test_streaming.py.
+# ORACLE-CHECKED since round 13 (slot freed by w06→x01): the registered
+# index is built with DETERMINISTIC one-hot axis centroids (the x31
+# hyperplane-cells precedent), so the cell of a vector is pure argmax
+# arithmetic — assign_cells' score v̂·c − ||c||²/2 degenerates to
+# v̂[i] − 1/2, whose argmax over the first 8 components equals the raw
+# components' argmax (monotone under the positive-norm division), ties
+# to the lowest cell on BOTH sides (np.argmax first-hit ==
+# list_position first-match). The per-batch flags are batch-split
+# invariant given the static index (test-pinned), so the stream's
+# landed census is a pure function of the corpus: DuckDB replays the
+# cell assignment, the within-cell cosine (rounded 6 dp BEFORE the
+# argmax, exactly like the Arrow kernel), the argmax tie-break and the
+# threshold — the x49 oracle construction with the k-means blocking
+# swapped for the replayable one. The default k-means form stays
+# exercised in tests/test_streaming.py (batch-split invariance +
+# one-shot equality).
 # --------------------------------------------------------------------------
 @register(
     "w12_semantic_decontam_stream",
-    oracle=None,
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_position(embedding[1:8],
+                           list_max(embedding[1:8])) - 1 AS cell
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+    pairs AS (
+      SELECT tr.cell AS block, tr.vec_id AS train_id, te.vec_id AS test_id,
+             round(list_cosine_similarity(tr.v, te.v), 6) AS cos_sim
+      FROM e tr JOIN e te ON tr.cell = te.cell
+      WHERE tr.vec_id % 5 <> 0 AND te.vec_id % 5 = 0),
+    flags AS (
+      SELECT block, train_id, test_id, cos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY train_id
+                                         ORDER BY cos_sim DESC, test_id) AS rn
+            FROM pairs)
+      WHERE rn = 1 AND cos_sim >= 0.35)
+    SELECT block,
+           count(*)                 AS n_flagged,
+           count(DISTINCT test_id)  AS n_test_hit,
+           round(max(cos_sim), 6)   AS max_sim,
+           min(train_id)            AS first_train
+    FROM flags GROUP BY block ORDER BY block
+    """,
     doc="streaming semantic decontamination vs a persisted test-set IVF "
-    "index: per-batch cell-pruned TRAIN x TEST GEMM (rows-only; "
-    "batch-split invariance + one-shot equality in pytest)",
+    "index (deterministic one-hot-axis cells): per-batch cell-pruned "
+    "TRAIN x TEST GEMM, flags landed across micro-batches; DuckDB "
+    "replays cells + blocked cosine + argmax + threshold end to end",
 )
 def w12_semantic_decontam_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -834,7 +860,15 @@ def w12_semantic_decontam_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     test = emb.filter(F.col("vec_id") % 5 == 0)
     train = emb.filter(F.col("vec_id") % 5 != 0)
-    build_ivf_index(spark, test, str(base / "test_idx"), n_cells=8)
+    dim = len(
+        emb.select("embedding").filter(F.col("embedding").isNotNull()).first()[0]
+    )
+    one_hot = [
+        [1.0 if j == i else 0.0 for j in range(dim)] for i in range(8)
+    ]
+    build_ivf_index(
+        spark, test, str(base / "test_idx"), n_cells=8, centroids=one_hot
+    )
     train.select("vec_id", "embedding").repartition(3).write.parquet(
         str(base / "train_src")
     )

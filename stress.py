@@ -666,6 +666,95 @@ def rename_metadata_vs_table(spark, base_dir: str, scratch: str, scale: int) -> 
     return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
 
 
+def commit_and_plan_vs_commits(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """Round-13 row (the r12 verdict's stretch): with the two-level
+    metadata plane, a COMMIT writes only its own manifest delta and a
+    READ PLAN re-assembles from cached immutable files — so both walls
+    should stay ~flat as the table's commit count grows scale x (the
+    monolith rewrote every dir's zone maps + 1 KiB blooms per commit:
+    the measured 3.6x rename signature of STRESS_r12). Reuses the
+    rename row's 4 vs 4*scale-commit tables (bloom-bearing commits);
+    measures (a) the wall of ONE tiny append (commit machinery + its
+    own 1-row data write) and (b) a COLD manifest assembly (caches
+    dropped — the worst-case read-plan metadata cost)."""
+    from lambda_kafka_to_s3_parquet_spark.operators import snapshots as snap
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        _load_manifest,
+        current_version,
+        snapshot_append,
+    )
+
+    one = load_table(spark, base_dir, "events").select(
+        "event_id", F.col("value").alias("v3")
+    ).limit(1).localCheckpoint()
+
+    def run(tag: str) -> dict:
+        table = os.path.join(scratch, f"ren_{tag}")
+        best_c = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            snapshot_append(spark, table, one, stats_cols=["event_id"])
+            dt = time.perf_counter() - t0
+            best_c = dt if best_c is None else min(best_c, dt)
+        best_p = None
+        for _ in range(2):
+            snap._CFILE_CACHE.clear()
+            snap._RESOLVE_CACHE.clear()
+            t0 = time.perf_counter()
+            _load_manifest(spark, table, current_version(spark, table))
+            dt = time.perf_counter() - t0
+            best_p = dt if best_p is None else min(best_p, dt)
+        return {"commit": round(best_c, 3), "plan": round(best_p, 3)}
+
+    r1, rn = run("1x"), run("Nx")
+    return {
+        "t1": r1["commit"], "tN": rn["commit"],
+        "ratio": round(rn["commit"] / r1["commit"], 1),
+        "plan_t1": r1["plan"], "plan_tN": rn["plan"],
+        "plan_ratio": round(rn["plan"] / max(r1["plan"], 1e-9), 1),
+    }
+
+
+def mor_delete_vs_table(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """Round-13 row: a FIXED single-key merge-on-read delete
+    (snapshot_delete_keys) against a 1x vs scale-x table with per-dir
+    blooms — the GDPR verb whose cost must be ∝ the deleted keys (key
+    probe + key-file write + manifest entry), never ∝ dirs: the bloom
+    prune pins the entry to the one dir holding the key and NOTHING is
+    rewritten (contrast bloom_delete_vs_table, the copy-on-write form
+    that still rewrites the matched dir)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_delete_keys,
+    )
+
+    ev = load_table(spark, base_dir, "events").select("event_id", "value")
+
+    def run(tag: str, mult: int) -> float:
+        table = os.path.join(scratch, f"mor_{tag}")
+        for k in range(4 * mult):
+            batch = ev.select(
+                (F.col("event_id") + F.lit(10**9).cast("long") * F.lit(k))
+                .alias("event_id"),
+                "value",
+            )
+            snapshot_append(
+                spark, table, batch, stats_cols=["event_id"],
+                bloom_cols=["event_id"],
+            )
+        best = None
+        for key in (11, 12):
+            t0 = time.perf_counter()
+            snapshot_delete_keys(spark, table, [key], on=["event_id"])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    t1 = run("1x", 1)
+    tn = run("Nx", scale)
+    return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+
+
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "10"))

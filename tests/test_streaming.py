@@ -362,12 +362,15 @@ def test_stream_stream_join_uses_symmetric_hash_join(spark, tmp_path):
 
 
 def test_w06_registered_stream_dedup_equals_batch(spark):
-    """The registered w06 query (duplicated replay -> streaming dedup) must
-    reproduce the plain batch per-type aggregate of the ORIGINAL corpus."""
-    from lambda_kafka_to_s3_parquet_spark.plans import all_specs
+    """The w06 function (duplicated replay -> streaming dedup; since
+    round 13 registered through x01's 'stream' branch) must reproduce
+    the plain batch per-type aggregate of the ORIGINAL corpus."""
+    from lambda_kafka_to_s3_parquet_spark.plans.streaming_queries import (
+        w06_stream_dedup,
+    )
     from lambda_kafka_to_s3_parquet_spark.session import load_table
 
-    got = {r["event_type"]: r for r in all_specs()["w06_stream_dedup"].fn(spark, SF).collect()}
+    got = {r["event_type"]: r for r in w06_stream_dedup(spark, SF).collect()}
     ev = load_table(spark, SF, "events")
     want = {
         r["event_type"]: r
