@@ -10,22 +10,34 @@ atomic-pointer protocol), with no new file format:
 
 * every commit writes its files under a fresh ``data/<commit id>/``
   directory — NEVER into a path a reader could already be scanning;
-* a manifest (JSON) lists, per live partition, which commit directories
-  (TABLE-RELATIVE paths, so the table can move and its own path may
-  itself contain a ``/data/`` segment) hold its data;
-* each commit ATTEMPT writes its manifest to a unique token path
+* metadata is TWO-LEVEL (round 13 — Iceberg's manifest-list shape):
+  each commit writes ONE immutable per-commit manifest file
+  (``_snapshots/c-<token>.json``: its own dirs per partition, zone
+  maps, per-dir blooms, per-commit schemas; TABLE-RELATIVE paths, so
+  the table can move and its own path may itself contain a ``/data/``
+  segment) plus a small ROOT manifest whose entries REFERENCE the live
+  commit manifests (carrying a pkey summary and an optional ``live``
+  filter a replacement narrowed) alongside the table-level state (op,
+  meta, schema union, column maps, rename/drop/pcol logs, delete
+  entries). A commit therefore writes O(its own delta), never O(table)
+  — the per-dir blooms/stats of prior commits are referenced, not
+  rewritten — and readers assemble the combined view from cached
+  immutable files (:func:`_load_manifest`);
+* each commit ATTEMPT writes its root to a unique token path
   (``v<version>-<token>.json``) — never a path another writer could
   contend for — then publishes by atomically creating the version's
   ``_snapshots/latest-<version>`` marker whose CONTENT names the
-  manifest file. The marker create is a rename to a FRESH path — atomic
+  root file. The marker create is a rename to a FRESH path — atomic
   on every Hadoop filesystem without overwrite-rename semantics — so it
   is a real compare-and-swap: exactly one of N racing writers creates
   it. ``current_version`` is the max marker present; markers are
   RETAINED per version (they are the version→manifest-file map that
   time travel resolves through) until :func:`snapshot_expire` reclaims
-  them with their manifests. A manifest without its version's marker
+  them with their manifests (commit manifests live as long as ANY
+  retained root references them). A root without its version's marker
   (a crash before publish, or a CAS loser) is an uncommitted phantom:
-  history hides it, time travel refuses it, expire vacuums it.
+  history hides it, time travel refuses it, expire vacuums it — the
+  loser's commit manifest is REUSED by its rebase, or vacuumed too.
 
 Readers resolve a committed manifest and scan exactly the referenced
 directories — so "overwrite" never races a concurrent read of the same
@@ -58,10 +70,16 @@ high-water mark).
 
 Scale notes: manifests list directories, not files — O(live partitions ×
 commits-touching-them) entries, compacted by :func:`snapshot_rewrite`
-(which also bounds small files; :func:`snapshot_expire` then reclaims
-superseded directories). Reads reconstruct partition columns per commit
-directory via ``basePath``, so partition pruning still reaches the scan
-(plan-asserted in tests).
+(which also bounds small files AND folds the manifest-entry list and
+any merge-on-read delete entries; :func:`snapshot_expire` then reclaims
+superseded directories, roots, unreferenced commit manifests and delete
+files). Reads reconstruct partition columns per commit directory via
+``basePath``, so partition pruning still reaches the scan
+(plan-asserted in tests). Row-level deletes have a merge-on-read form
+(:func:`snapshot_delete_keys`: key files anti-joined at read for
+exactly the dirs live at delete time) next to the copy-on-write
+:func:`snapshot_delete_where`; partition columns RENAME as a metadata
+fold (:func:`_pcol_map`).
 """
 
 from __future__ import annotations

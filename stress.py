@@ -876,6 +876,13 @@ def main() -> None:
         out["rename_metadata_vs_table"] = rename_metadata_vs_table(
             spark, base, scratch, scale
         )
+        # reuses the rename row's tables — must run after it
+        out["commit_and_plan_vs_commits"] = commit_and_plan_vs_commits(
+            spark, base, scratch, scale
+        )
+        out["mor_delete_vs_table"] = mor_delete_vs_table(
+            spark, base, scratch, scale
+        )
         for k, v in analytics_vs_scale(spark, base1x, baseNx).items():
             out[f"{k}_vs_scale"] = v
         out["w13_batch_vs_store"] = w13_gram_store_growth(spark, base, scratch, scale)
