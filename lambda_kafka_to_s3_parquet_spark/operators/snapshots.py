@@ -116,11 +116,18 @@ def _fs(spark: SparkSession, path: str):
 
 
 def _read_text(spark, path: str) -> str | None:
+    """Read a small metadata file; ``None`` when absent. Open-and-catch
+    rather than exists()+open: metadata reads are the driver's hot loop
+    and the pre-check doubles the filesystem round-trips (it is also a
+    TOCTOU no-op — the open can still race a delete either way)."""
     fs, jvm = _fs(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(path)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
+    try:
+        stream = fs.open(p)
+    except Exception as e:
+        if "FileNotFoundException" in str(e):
+            return None
+        raise
     try:
         return bytes(stream.readAllBytes()).decode("utf-8")
     finally:
@@ -211,13 +218,18 @@ def _resolve_manifest_file(spark: SparkSession, table: str, version: int) -> str
 
 def current_version(spark: SparkSession, table: str) -> int:
     """Latest COMMITTED snapshot version (0 = empty/uninitialized): the
-    max ``latest-<version>`` marker present."""
+    max ``latest-<version>`` marker present. Globs ONLY the markers —
+    this is the hot metadata call (2-3x per verb), and iterating the
+    whole ``_snapshots`` listing pays per-entry JVM round-trips for the
+    roots/commit-manifests too (measured ~3x the wall on a 40-commit
+    table; the round-13 two-level stress row exposed it)."""
     fs, jvm = _fs(spark, table)
-    snap = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
-    if not fs.exists(snap):
+    pattern = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}/latest-*")
+    statuses = fs.globStatus(pattern)
+    if statuses is None:
         return 0
     best = 0
-    for st in fs.listStatus(snap):
+    for st in statuses:
         m = _MARKER_RE.match(st.getPath().getName())
         if m:
             best = max(best, int(m.group(1)))
