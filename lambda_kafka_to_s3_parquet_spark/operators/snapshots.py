@@ -941,6 +941,7 @@ def _commit(
     read_version: int | None = None,
     delete_add: dict | None = None,
     pcol_entry: tuple[str, str] | None = None,
+    pspec: list | None = None,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -1336,6 +1337,16 @@ def _commit(
             new_root["drops_log"] = dlog
         if plog:
             new_root["pcol_log"] = plog
+        # hidden-partitioning spec: table-level, carried forward; a
+        # spec-bearing write replaces it (the verbs validate equality
+        # against the recorded one first); rollback reverts to the
+        # target's (restore) — the spec travels with the content
+        if restore is not None:
+            kept_ps = restore.get("pspec")
+        else:
+            kept_ps = pspec if pspec is not None else root.get("pspec")
+        if kept_ps:
+            new_root["pspec"] = kept_ps
         # MERGE-ON-READ key-delete entries (round 13) ride the root:
         # {file, cols, dirs} — ``dirs`` pins the delete to the dirs LIVE
         # AT DELETE TIME (later commits are never affected; re-inserted
@@ -1419,13 +1430,22 @@ def snapshot_append(
     see :func:`_collect_dir_blooms`). Additive
     schema evolution is validated BEFORE the data write
     (:func:`_merged_commit_schema`): new columns are fine, a type
-    change fails fast with nothing landed."""
+    change fails fast with nothing landed.
+
+    HIDDEN PARTITIONING (round 13, the Iceberg transform family):
+    ``partition_by`` entries may be transforms — ``days(ts)``,
+    ``months(d)``, ``hours(ts)``, ``truncate(4, col)``,
+    ``bucket(16, col)`` — and the writer materializes the derived
+    column under a reserved physical name, records the spec in the
+    manifest (fixed at first write), and readers NEVER see it:
+    ``snapshot_read`` hides it and prunes dirs from probes on the
+    SOURCE column (``skip_where`` ranges through the monotone
+    transforms, ``skip_keys`` points through any, including bucket)."""
     read_v = current_version(spark, table)
+    root0 = _load_root(spark, table, read_v, committed=read_v)
+    df, partition_by, pspec = _resolve_partitioning(df, root0, partition_by)
     if partition_by and read_v:
-        df, partition_by = _to_physical(
-            df, _load_root(spark, table, read_v, committed=read_v),
-            partition_by,
-        )
+        df, partition_by = _to_physical(df, root0, partition_by)
     dschema = _merged_commit_schema(
         spark, table, df, partition_by, committed=read_v
     )
@@ -1446,6 +1466,7 @@ def snapshot_append(
         cschema=_frame_cschema(df, partition_by),
         blooms=blooms,
         read_version=read_v,
+        pspec=pspec,
     )
 
 
@@ -1489,11 +1510,10 @@ def snapshot_overwrite_partitions(
     both the manifest and ``df`` are a no-op. With an empty ``df`` and
     non-empty ``drop_partitions`` the commit is a pure partition drop."""
     read_v = current_version(spark, table)
+    root0 = _load_root(spark, table, read_v, committed=read_v)
+    df, partition_by, pspec = _resolve_partitioning(df, root0, partition_by)
     if partition_by and read_v:
-        df, partition_by = _to_physical(
-            df, _load_root(spark, table, read_v, committed=read_v),
-            partition_by,
-        )
+        df, partition_by = _to_physical(df, root0, partition_by)
     dschema = _merged_commit_schema(
         spark, table, df, partition_by, committed=read_v
     )
@@ -1530,6 +1550,7 @@ def snapshot_overwrite_partitions(
         blooms=blooms,
         partition_scoped=True,
         read_version=read_v,
+        pspec=pspec,
     )
 
 
@@ -1658,7 +1679,10 @@ def snapshot_read(
     if not all_dirs:
         raise ValueError(f"snapshot v{v} of {table} is empty")
     if skip_where or skip_keys:
-        kept = all_dirs
+        # hidden-partition pruning first (probes on a transform's SOURCE
+        # column map to the derived partition values — dir-list
+        # arithmetic, cheaper than either stats tier)
+        kept = _pspec_prune(spark, manifest, all_dirs, skip_where, skip_keys)
         if skip_where:
             kept = _zone_prune(manifest, kept, skip_where)
         if skip_keys:
@@ -1695,6 +1719,313 @@ def _manifest_pcols(partitions: dict) -> list[str]:
             if c and c not in pcols:
                 pcols.append(c)
     return pcols
+
+
+#: hidden-partitioning transform spec: ``days(ts)``, ``months(d)``,
+#: ``hours(ts)``, ``truncate(4, col)``, ``bucket(16, col)`` — Iceberg's
+#: partition-transform family
+_TRANSFORM_RE = re.compile(
+    r"^(days|months|hours|truncate|bucket)\(\s*(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
+)
+
+
+def _parse_partition_by(partition_by):
+    """Split a ``partition_by`` list into ``(specs, physical_names)``:
+    plain column names stay identity; ``transform(...)`` entries become
+    HIDDEN partition specs ``[physical, transform, arg, source]`` whose
+    derived column the writer materializes under a reserved
+    ``_p_<transform>_<source>`` physical name (Iceberg's hidden
+    partitioning: users partition by an EXPRESSION of a data column,
+    filter on the data column, and never see or maintain the derived
+    value)."""
+    specs = []
+    phys = []
+    for p in partition_by or []:
+        m = _TRANSFORM_RE.match(p.strip()) if "(" in p else None
+        if m is None:
+            phys.append(p)
+            continue
+        tf, arg, src = m.group(1), m.group(2), m.group(3)
+        if tf in ("truncate", "bucket"):
+            if not arg or int(arg) < 1:
+                raise ValueError(
+                    f"{tf}() needs a positive width/count: {p!r}"
+                )
+            arg = int(arg)
+        elif arg:
+            raise ValueError(f"{tf}() takes one column only: {p!r}")
+        else:
+            arg = None
+        name = f"_p_{tf}{arg if arg is not None else ''}_{src}"
+        specs.append([name, tf, arg, src])
+        phys.append(name)
+    return specs, phys
+
+
+def _transform_col(tf: str, arg, src: str, dtype: str):
+    """The JVM expression of a partition transform over the SOURCE
+    column — epoch-anchored integer buckets (Iceberg's definitions):
+    days/months since 1970-01-01, hours since the epoch instant
+    (timestamp-NTZ-safe via timestampdiff — unix_micros rejects NTZ),
+    truncate = floor-to-multiple for integrals (negatives truncate
+    DOWN — exact integer arithmetic, never a double round-trip) /
+    prefix for strings, bucket = pmod(xxhash64(col), N) (the probe
+    side re-evaluates THE SAME expression over the SAME type, so the
+    xxhash64 physical-type sensitivity cannot split writer and
+    prober). ``dtype`` is the source column's ``simpleString`` — the
+    transform/type pairing is validated here, at plan time."""
+    c = F.col(src)
+    if tf == "days":
+        if not (dtype == "date" or dtype.startswith("timestamp")):
+            raise ValueError(f"days() needs a date/timestamp column, got {dtype}")
+        return F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+    if tf == "months":
+        if not (dtype == "date" or dtype.startswith("timestamp")):
+            raise ValueError(f"months() needs a date/timestamp column, got {dtype}")
+        y = F.year(c.cast("date")) - F.lit(1970)
+        return y * 12 + F.month(c.cast("date")) - F.lit(1)
+    if tf == "hours":
+        if not dtype.startswith("timestamp"):
+            raise ValueError(f"hours() needs a timestamp column, got {dtype}")
+        return F.expr(
+            f"timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"CAST({src} AS TIMESTAMP_NTZ))"
+        )
+    if tf == "truncate":
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            return c - F.pmod(c, F.lit(arg))
+        if dtype == "string":
+            return F.substring(c, 1, arg)
+        raise ValueError(
+            f"truncate() supports integral/string columns, got {dtype}"
+        )
+    if tf == "bucket":
+        if dtype not in ("tinyint", "smallint", "int", "bigint", "string", "date"):
+            raise ValueError(
+                f"bucket() supports integral/string/date columns, got {dtype}"
+            )
+        return F.pmod(F.xxhash64(c), F.lit(arg)).cast("int")
+    raise ValueError(f"unknown partition transform {tf!r}")
+
+
+def _materialize_pspec(df: DataFrame, specs: list) -> DataFrame:
+    """Add the hidden transform columns the writer partitions by."""
+    for name, tf, arg, src in specs:
+        if src not in df.columns:
+            raise ValueError(
+                f"partition transform source column {src!r} not in frame"
+            )
+        if name in df.columns:
+            raise ValueError(
+                f"reserved partition column name {name!r} already in frame"
+            )
+        dtype = df.schema[src].dataType.simpleString()
+        df = df.withColumn(name, _transform_col(tf, arg, src, dtype))
+    return df
+
+
+def _resolve_partitioning(
+    df: DataFrame,
+    root: dict,
+    partition_by: list[str] | None,
+    allow_respec: bool = False,
+):
+    """Shared write-verb front half for HIDDEN PARTITIONING: parse
+    transform entries out of ``partition_by``, validate them against
+    the table's recorded spec (fixed at first write — a mismatched
+    spec or an unpartitioned write on a spec table fails fast;
+    ``allow_respec`` is overwrite_all's full-replacement escape
+    hatch), and materialize the hidden columns. Returns
+    ``(df, physical_partition_by, specs_for_commit)`` where the last
+    is ``None`` when the commit should inherit the recorded spec."""
+    recorded = root.get("pspec")
+    if not partition_by:
+        if recorded and not allow_respec:
+            raise ValueError(
+                f"table is hidden-partitioned ({['%s(%s)' % (s[1], s[3]) for s in recorded]}); "
+                "writes must pass the same partition_by (spec evolution "
+                "= snapshot_overwrite_all with the new spec)"
+            )
+        return df, partition_by, ([] if recorded and allow_respec else None)
+    specs, phys = _parse_partition_by(partition_by)
+    norm = [list(s) for s in specs]
+    if (
+        recorded is not None
+        and not allow_respec
+        and [list(s) for s in recorded] != norm
+    ):
+        raise ValueError(
+            f"partition spec mismatch on a hidden-partitioned table: "
+            f"recorded {recorded}, write passed {norm} — the spec is "
+            "fixed at first write (spec evolution = snapshot_overwrite_all)"
+        )
+    if specs:
+        df = _materialize_pspec(df, specs)
+        return df, phys, norm
+    return df, phys, ([] if recorded and allow_respec else None)
+
+
+def _py_transform(tf: str, arg, value):
+    """Driver-side twin of the MONOTONE transforms for probe values —
+    powers dir pruning from python probes with no Spark job. Returns
+    ``None`` when the transform/value pair is out of twin scope (the
+    dir is then conservatively kept); ``bucket`` is NOT monotone and
+    never range-prunes (its point probes evaluate the JVM expression
+    itself — see :func:`_bucket_points`)."""
+    import datetime as _dt
+
+    def as_date(v):
+        if isinstance(v, _dt.datetime):
+            return v.date()
+        if isinstance(v, _dt.date):
+            return v
+        if isinstance(v, str):
+            try:
+                return _dt.date.fromisoformat(v[:10])
+            except ValueError:
+                return None
+        return None
+
+    if tf == "days":
+        d = as_date(value)
+        return None if d is None else (d - _dt.date(1970, 1, 1)).days
+    if tf == "months":
+        d = as_date(value)
+        return None if d is None else (d.year - 1970) * 12 + d.month - 1
+    if tf == "hours":
+        if isinstance(value, _dt.datetime):
+            t = value.replace(tzinfo=None)
+        elif isinstance(value, _dt.date):
+            t = _dt.datetime(value.year, value.month, value.day)
+        elif isinstance(value, str):
+            try:
+                t = _dt.datetime.fromisoformat(value)
+            except ValueError:
+                return None
+        else:
+            return None
+        secs = (t - _dt.datetime(1970, 1, 1)).total_seconds()
+        return int(secs // 3600)
+    if tf == "truncate":
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return value - (value % arg)
+        if isinstance(value, str):
+            return value[:arg]
+    return None
+
+
+def _bucket_points(
+    spark: SparkSession, manifest: dict, src: str, arg: int, values: list
+) -> set | None:
+    """Bucket ids for point-probe values, computed by evaluating the
+    WRITER'S OWN JVM expression over the source column's RECORDED type
+    (one driver-sized job): xxhash64 is physical-type-sensitive, so a
+    python reimplementation is exactly the trap the bloom whitelist
+    documents — re-evaluating the expression cannot drift. ``None``
+    (no pruning) when the source type is unrecorded or values don't
+    fit it."""
+    stype = manifest.get("dschema", {}).get(src)
+    if stype is None:
+        return None
+    try:
+        probe = spark.createDataFrame(
+            [(v,) for v in values if v is not None], f"{src} {stype}"
+        )
+        rows = probe.select(
+            _transform_col("bucket", arg, src, stype).alias("b")
+        ).collect()
+    except Exception:
+        return None
+    return {r["b"] for r in rows}
+
+
+def _dir_pvals(d: str) -> dict[str, str]:
+    """A commit dir's hive partition values (``data/<uuid>/a=1/b=x`` ->
+    ``{a: '1', b: 'x'}``) — raw path strings; callers parse/compare
+    conservatively."""
+    out: dict[str, str] = {}
+    for part in d.split("/")[2:]:
+        if "=" in part:
+            k, v = part.split("=", 1)
+            out[k] = v
+    return out
+
+
+def _pspec_prune(
+    spark: SparkSession,
+    manifest: dict,
+    dirs: list[str],
+    skip_where: list | None,
+    skip_keys: list | None,
+) -> list[str]:
+    """HIDDEN-PARTITION pruning: probes on a transform's SOURCE column
+    prune dirs by their derived partition VALUE — ``skip_where``
+    ranges map through the monotone transforms' python twins
+    (days/months/hours/truncate preserve order, so [lo, hi] maps to
+    [t(lo), t(hi)]), ``skip_keys`` point sets map through any
+    transform (bucket via the JVM expression). Conservative like every
+    prune here: unparsable dir values, NULL partitions
+    (__HIVE_DEFAULT_PARTITION__) and out-of-twin probes keep the
+    dir."""
+    specs = manifest.get("pspec") or []
+    if not specs or not (skip_where or skip_keys):
+        return dirs
+    by_src: dict[str, list] = {}
+    for name, tf, arg, src in specs:
+        by_src.setdefault(src, []).append((name, tf, arg))
+    #: (physical pcol, predicate over the dir's derived value)
+    ranges: list[tuple[str, int | str, int | str]] = []
+    points: list[tuple[str, set]] = []
+    for col, lo, hi in skip_where or ():
+        for name, tf, arg in by_src.get(col, ()):
+            tlo, thi = _py_transform(tf, arg, lo), _py_transform(tf, arg, hi)
+            if tlo is not None and thi is not None:
+                ranges.append((name, tlo, thi))
+    for col, values in skip_keys or ():
+        for name, tf, arg in by_src.get(col, ()):
+            if tf == "bucket":
+                pts = _bucket_points(spark, manifest, col, arg, list(values))
+            else:
+                pts = set()
+                for v in values:
+                    tv = _py_transform(tf, arg, v)
+                    if tv is None:
+                        pts = None
+                        break
+                    pts.add(tv)
+            if pts is not None:
+                points.append((name, pts))
+    if not ranges and not points:
+        return dirs
+
+    def may_match(d: str) -> bool:
+        pv = _dir_pvals(d)
+        for name, tlo, thi in ranges:
+            raw = pv.get(name)
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                continue
+            try:
+                val = int(raw) if isinstance(tlo, int) else raw
+            except ValueError:
+                continue
+            if val < tlo or val > thi:
+                return False
+        for name, pts in points:
+            raw = pv.get(name)
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                continue
+            sample = next(iter(pts)) if pts else None
+            try:
+                val = int(raw) if isinstance(sample, int) else raw
+            except ValueError:
+                continue
+            if val not in pts:
+                return False
+        return True
+
+    return [d for d in dirs if may_match(d)]
 
 
 def _pcol_map(manifest_or_root: dict) -> dict[str, str]:
@@ -2025,6 +2356,14 @@ def _read_dirs_raw(
     for phys, logical in _pcol_map(manifest).items():
         if phys != logical and phys in out.columns:
             out = out.withColumnRenamed(phys, logical)
+    # hidden-partitioning transform columns are the WRITER'S layout
+    # detail, never part of the table: drop them (the source column is
+    # in the data files; rewrites rematerialize the transform)
+    hidden = {s[0] for s in manifest.get("pspec") or ()}
+    if hidden:
+        keep = [c for c in out.columns if c not in hidden]
+        if keep:
+            out = out.select(*keep)
     return out
 
 
@@ -2553,6 +2892,13 @@ def _evolution_preamble(
                 f"key names would go stale under {op}; compact first "
                 "(snapshot_rewrite folds delete files), then retry"
             )
+    for s in manifest.get("pspec", ()) or ():
+        if col == s[3]:
+            raise ValueError(
+                f"column {col!r} of {table} is the SOURCE of partition "
+                f"transform {s[1]}({col}) — hidden partitioning pins it; "
+                "respec via snapshot_overwrite_all first"
+            )
     live_commits = {
         d.split("/")[1]
         for dirs in manifest["partitions"].values()
@@ -2579,6 +2925,12 @@ def _rename_partition_column(
         raise ValueError(f"bad new column name {new!r}")
     pmap = _pcol_map(manifest)
     (phys,) = [p for p, log in pmap.items() if log == old]
+    if any(phys == s[0] for s in manifest.get("pspec", ()) or ()):
+        raise ValueError(
+            f"{old!r} is a HIDDEN partition-transform column of {table} "
+            "— it is the writer's layout detail, not a user column; "
+            "rename its source or respec via snapshot_overwrite_all"
+        )
     if new in manifest.get("dschema", {}):
         raise ValueError(
             f"column {new!r} already exists in {table} as a data column; "
@@ -3049,11 +3401,13 @@ def snapshot_overwrite_all(
     read_v = (
         current_version(spark, table) if read_version is None else read_version
     )
+    root0 = _load_root(spark, table, read_v, committed=read_v)
+    # full replacement = the spec-evolution escape hatch (allow_respec)
+    df, partition_by, pspec = _resolve_partitioning(
+        df, root0, partition_by, allow_respec=True
+    )
     if partition_by and read_v:
-        df, partition_by = _to_physical(
-            df, _load_root(spark, table, read_v, committed=read_v),
-            partition_by,
-        )
+        df, partition_by = _to_physical(df, root0, partition_by)
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
         raise ValueError(
@@ -3077,6 +3431,7 @@ def snapshot_overwrite_all(
         _group_rels(rels, partition_by),
         replaced=set(current["partitions"]),
         read_version=read_v,
+        pspec=pspec,
         meta=meta,
         stats=stats,
         dschema={
@@ -3136,7 +3491,10 @@ def snapshot_delete_where(
     manifest = _load_manifest(spark, table, committed, committed=committed)
     parts = manifest["partitions"]
     all_dirs = sorted(d for dirs in parts.values() for d in dirs)
-    cand_list = _zone_prune(manifest, all_dirs, prune) if prune else all_dirs
+    # hidden-partition pruning first: a prune bound / key probe on a
+    # transform's source column drops whole partition dirs by value
+    cand_list = _pspec_prune(spark, manifest, all_dirs, prune, prune_keys)
+    cand_list = _zone_prune(manifest, cand_list, prune) if prune else cand_list
     if prune_keys:
         # per-dir bloom pruning for keyed deletes (``user_id IN (...)``,
         # the GDPR shape): a dir whose bloom proves EVERY probe key
@@ -3168,10 +3526,13 @@ def snapshot_delete_where(
     pcols = _manifest_pcols(parts)
     survivors = cand_df.filter(~F.coalesce(pred, F.lit(False)))
     # rewritten dirs must keep the PHYSICAL partition-key namespace —
-    # the candidate frame exposes the version's LOGICAL names
+    # the candidate frame exposes the version's LOGICAL names, and
+    # hidden transform columns (dropped at read) rematerialize from
+    # their source columns
     for _phys, _log in _pcol_map(manifest).items():
         if _phys != _log and _log in survivors.columns:
             survivors = survivors.withColumnRenamed(_log, _phys)
+    survivors = _materialize_pspec(survivors, manifest.get("pspec") or [])
     # an all-rows-deleted rewrite must write NOTHING: an empty
     # unpartitioned commit dir would be referenced by the manifest and
     # poison reads (parquet can't infer a schema from _SUCCESS alone)
@@ -3320,14 +3681,18 @@ def snapshot_delete_keys(
             lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
             if lo is not None and hi is not None:
                 skip_where.append((c, lo, hi))
+    cand_list = _pspec_prune(spark, manifest, all_dirs, skip_where, None)
     cand_list = (
-        _zone_prune(manifest, all_dirs, skip_where) if skip_where else all_dirs
+        _zone_prune(manifest, cand_list, skip_where)
+        if skip_where
+        else cand_list
     )
     bloom_known = {c for bl in manifest.get("blooms", {}).values() for c in bl}
+    pspec_srcs = {s[3] for s in manifest.get("pspec", ()) or ()}
     for c in on:
         if len(cand_list) <= 1:
             break
-        if c not in bloom_known:
+        if c not in bloom_known and c not in pspec_srcs:
             continue
         vals = [
             r[0]
@@ -3337,7 +3702,12 @@ def snapshot_delete_keys(
             .collect()
         ]
         if len(vals) <= _MERGE_BLOOM_PROBE_CAP:
-            cand_list = _bloom_prune(manifest, cand_list, [(c, vals)])
+            if c in pspec_srcs:
+                cand_list = _pspec_prune(
+                    spark, manifest, cand_list, None, [(c, vals)]
+                )
+            if c in bloom_known:
+                cand_list = _bloom_prune(manifest, cand_list, [(c, vals)])
     if not cand_list:
         return committed  # no dir can hold any key: provable no-op
     # actionability probe over the EFFECTIVE state (prior MoR deletes
@@ -3580,9 +3950,25 @@ def snapshot_merge_into(
     all_dirs = sorted(d for dirs in parts.values() for d in dirs)
     pcols = _manifest_pcols(parts)
     # reads expose LOGICAL partition-column names; files/dirs keep the
-    # physical ones (_pcol_map) — classify logically, flip before write
+    # physical ones (_pcol_map) — classify logically, flip before write.
+    # Hidden transform columns are not part of the logical surface at
+    # all: exclude them here, rematerialize before the write, and hand
+    # the insert-only append the SPEC strings so it re-derives them.
     pmap = _pcol_map(manifest)
-    log_pcols = [pmap.get(p, p) for p in pcols]
+    pspec_by_name = {s[0]: s for s in manifest.get("pspec") or ()}
+    log_pcols = [
+        pmap.get(p, p) for p in pcols if p not in pspec_by_name
+    ]
+    append_pb = [
+        (
+            f"{pspec_by_name[p][1]}({pspec_by_name[p][2]}, {pspec_by_name[p][3]})"
+            if p in pspec_by_name and pspec_by_name[p][2] is not None
+            else f"{pspec_by_name[p][1]}({pspec_by_name[p][3]})"
+            if p in pspec_by_name
+            else pmap.get(p, p)
+        )
+        for p in pcols
+    ]
 
     # source key uniqueness: one source-sized agg (merge is a batch op,
     # never a hot row path) — a duplicate key means two source images
@@ -3623,24 +4009,29 @@ def snapshot_merge_into(
                 lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
                 if lo is not None and hi is not None:
                     skip_where.append((c, lo, hi))
+        cand_list = _pspec_prune(spark, manifest, all_dirs, skip_where, None)
         cand_list = (
-            _zone_prune(manifest, all_dirs, skip_where)
+            _zone_prune(manifest, cand_list, skip_where)
             if skip_where
-            else all_dirs
+            else cand_list
         )
         # bloom tier: when the table carries blooms for a key column and
         # the source's key set is SMALL, probe membership too — this is
         # what prunes an UNCLUSTERED key (every dir's range intersects,
         # but only the dirs actually holding the keys can match). The
         # cap bounds the driver probe cost; a larger source just falls
-        # back to range pruning (still exact, just coarser).
+        # back to range pruning (still exact, just coarser). The same
+        # capped key set feeds the hidden-partition prune (a table
+        # partitioned by bucket(key) drops every non-matching bucket
+        # dir here).
         bloom_known = {
             c for bl in manifest.get("blooms", {}).values() for c in bl
         }
+        pspec_srcs = {s[3] for s in manifest.get("pspec", ()) or ()}
         for c in on:
             if len(cand_list) <= 1:
                 break
-            if c not in bloom_known:
+            if c not in bloom_known and c not in pspec_srcs:
                 continue
             vals = [
                 r[0]
@@ -3650,9 +4041,13 @@ def snapshot_merge_into(
                 .collect()
             ]
             if len(vals) <= _MERGE_BLOOM_PROBE_CAP:
-                cand_list = _bloom_prune(
-                    manifest, cand_list, [(c, [v for v in vals if v is not None])]
-                )
+                nn = [v for v in vals if v is not None]
+                if c in pspec_srcs:
+                    cand_list = _pspec_prune(
+                        spark, manifest, cand_list, None, [(c, nn)]
+                    )
+                if c in bloom_known:
+                    cand_list = _bloom_prune(manifest, cand_list, [(c, nn)])
         cand = set(cand_list)
     elif prune is not None:
         cand = set(_zone_prune(manifest, all_dirs, prune))
@@ -3724,7 +4119,7 @@ def snapshot_merge_into(
         if inserts.limit(1).isEmpty():
             return committed
         return snapshot_append(
-            spark, table, inserts, log_pcols or None, meta=meta,
+            spark, table, inserts, append_pb or None, meta=meta,
             stats_cols=stats_cols, bloom_cols=bloom_cols,
             bloom_bits=bloom_bits,
         )
@@ -3844,10 +4239,15 @@ def snapshot_merge_into(
             *[c for c in out_cols if c not in log_pcols],
             *[c for c in log_pcols if c in out_cols],
         )
-        # flip logical -> physical partition names for the dir layout
+        # flip logical -> physical partition names for the dir layout,
+        # and rematerialize the hidden transform columns (dropped at
+        # read) from their sources
         for _phys, _log in pmap.items():
             if _phys != _log and _log in combined.columns:
                 combined = combined.withColumnRenamed(_log, _phys)
+        combined = _materialize_pspec(
+            combined, manifest.get("pspec") or []
+        )
 
     untouched_exists = any(
         d not in cand for dirs in parts.values() for d in dirs
@@ -3968,4 +4368,12 @@ def snapshot_describe(spark: SparkSession, table: str) -> dict:
         "zone_map_cols": stats_cov,
         "bloom_cols": bloom_cov,
         "n_delete_files": len(manifest.get("deletes", ()) or ()),
+        "partition_spec": [
+            (
+                f"{s[1]}({s[2]}, {s[3]})"
+                if s[2] is not None
+                else f"{s[1]}({s[3]})"
+            )
+            for s in manifest.get("pspec", ()) or ()
+        ],
     }
