@@ -82,6 +82,7 @@ from .snapshots import (  # noqa: F401
     snapshot_overwrite_partitions,
     snapshot_read,
     snapshot_rename_column,
+    snapshot_respec,
     snapshot_rewrite,
     snapshot_rollback,
     snapshot_row_changes,

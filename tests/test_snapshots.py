@@ -4897,3 +4897,65 @@ def test_hidden_partitioning_prunes_dml_candidates(spark, table):
     # rewritten bucket)
     new_entry = m2["manifests"][-1]
     assert len(new_entry["pkeys"]) == 1
+
+
+def test_partition_spec_evolution(spark, table):
+    """snapshot_respec: changing the partition granularity is ONE
+    metadata commit — old commits keep (and prune under) their recorded
+    spec, new writes land under the new one, reads are seamless across
+    the boundary, the MoR delete works straight across, copy-on-write
+    DML refuses until a rewrite unifies, and the rewrite itself
+    migrates the layout under the current spec."""
+    import datetime as dt
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        _load_manifest,
+        _load_root,
+        snapshot_delete_keys,
+        snapshot_delete_where,
+        snapshot_respec,
+        snapshot_rewrite,
+    )
+
+    ev = _hp_events(spark)
+    snapshot_append(spark, table, ev, ["days(ts)"])          # v1: daily
+    v2 = snapshot_respec(spark, table, ["months(ts)"])       # v2: metadata only
+    assert v2 == 2
+    root = _load_root(spark, table, 2)
+    assert root["pspec"] == [["_p_months_ts", "months", None, "ts"]]
+    # re-spec to the same spec is a no-op
+    assert snapshot_respec(spark, table, ["months(ts)"]) == 2
+    # new write lands under the NEW spec; old dirs keep the old one
+    late = spark.createDataFrame(
+        [(100 + i, dt.datetime(2024, 2, 1 + i), float(i)) for i in range(3)],
+        "event_id long, ts timestamp_ntz, v double",
+    )
+    snapshot_append(spark, table, late, ["months(ts)"])      # v3
+    m = _load_manifest(spark, table, 3)
+    pkeys = set(m["partitions"])
+    assert any(k.startswith("_p_days_ts=") for k in pkeys)
+    assert any(k.startswith("_p_months_ts=") for k in pkeys)
+    out = snapshot_read(spark, table)
+    assert set(out.columns) == {"event_id", "ts", "v"}
+    assert out.count() == 43
+    # pruning: a January range prunes by DAY in old dirs and by MONTH
+    # in new ones — the February dirs drop entirely
+    dir_of = F.regexp_replace(F.input_file_name(), "/[^/]+$", "")
+    pr = snapshot_read(
+        spark, table,
+        skip_where=[("ts", dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 4))],
+    )
+    assert pr.select(dir_of).distinct().count() == 2  # two daily dirs only
+    # MoR delete works ACROSS the mixed-spec boundary
+    snapshot_delete_keys(spark, table, [5, 101], on=["event_id"])
+    got = {r["event_id"] for r in snapshot_read(spark, table).collect()}
+    assert 5 not in got and 101 not in got and len(got) == 41
+    # copy-on-write DML refuses on the mixed layout, with the remedy
+    with pytest.raises(ValueError, match="MIXED partition specs"):
+        snapshot_delete_where(spark, table, "event_id = 1")
+    # rewrite under the current spec unifies; CoW works again
+    snapshot_rewrite(spark, table, ["months(ts)"])
+    m2 = _load_manifest(spark, table, current_version(spark, table))
+    assert all(k.startswith("_p_months_ts=") for k in m2["partitions"])
+    snapshot_delete_where(spark, table, "event_id = 1")
+    assert snapshot_read(spark, table).count() == 40
