@@ -2081,6 +2081,8 @@ def _pspec_prune(
     if not ranges and not points:
         return dirs
 
+    from urllib.parse import unquote
+
     def may_match(d: str) -> bool:
         pv = _dir_pvals(d)
         for name, tlo, thi in ranges:
@@ -2088,7 +2090,10 @@ def _pspec_prune(
             if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
                 continue
             try:
-                val = int(raw) if isinstance(tlo, int) else raw
+                # string values are hive-%XX-escaped in the path ('a/b'
+                # -> 'a%2F'); comparing the RAW form against a python
+                # prefix would wrongly prune the dir holding the key
+                val = int(raw) if isinstance(tlo, int) else unquote(raw)
             except ValueError:
                 continue
             if val < tlo or val > thi:
@@ -2099,7 +2104,7 @@ def _pspec_prune(
                 continue
             sample = next(iter(pts)) if pts else None
             try:
-                val = int(raw) if isinstance(sample, int) else raw
+                val = int(raw) if isinstance(sample, int) else unquote(raw)
             except ValueError:
                 continue
             if val not in pts:

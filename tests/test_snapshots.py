@@ -4959,3 +4959,28 @@ def test_partition_spec_evolution(spark, table):
     assert all(k.startswith("_p_months_ts=") for k in m2["partitions"])
     snapshot_delete_where(spark, table, "event_id = 1")
     assert snapshot_read(spark, table).count() == 40
+
+
+def test_hidden_partitioning_escaped_string_values(spark, table):
+    """truncate() on strings whose partition values need hive %XX
+    escaping in the path ('a/b' -> 'a%2F'): pruning must unescape the
+    dir value before comparing, or the matching dir is WRONGLY pruned."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_delete_keys,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a/b:x", 10), (2, "c d=e", 20), (3, "plain", 30)],
+        "id long, host string, v long",
+    )
+    snapshot_append(spark, table, df, ["truncate(3, host)"])
+    out = snapshot_read(spark, table, skip_keys=[("host", ["a/b:x"])])
+    assert [(r["id"], r["host"]) for r in out.collect() if r["id"] == 1] == [
+        (1, "a/b:x")
+    ]
+    # range prune over the escaped prefix keeps the right dir
+    pr = snapshot_read(spark, table, skip_where=[("host", "a", "b")])
+    assert {r["id"] for r in pr.collect()} >= {1}
+    # and the MoR delete by the full key works through it
+    snapshot_delete_keys(spark, table, ["a/b:x"], on=["host"])
+    assert {r["id"] for r in snapshot_read(spark, table).collect()} == {2, 3}
