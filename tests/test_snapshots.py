@@ -4984,3 +4984,56 @@ def test_hidden_partitioning_escaped_string_values(spark, table):
     # and the MoR delete by the full key works through it
     snapshot_delete_keys(spark, table, ["a/b:x"], on=["host"])
     assert {r["id"] for r in snapshot_read(spark, table).collect()} == {2, 3}
+
+
+def test_rebase_reuses_commit_manifest_file(spark, table, monkeypatch):
+    """A CAS-losing append REUSES its immutable commit-manifest file on
+    the rebase — only the root re-derives. The loser's total write set
+    across both attempts: ONE c-file, TWO roots (the phantom is
+    deleted), ONE marker."""
+    import re as _re
+
+    from lambda_kafka_to_s3_parquet_spark.operators import snapshots as snap
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 10)], "id long, p string, v long"),
+        ["p"],
+    )
+    writes: list[str] = []
+    orig_create = snap._create_atomic
+
+    def spy(spark_, path, content):
+        writes.append(path)
+        return orig_create(spark_, path, content)
+
+    monkeypatch.setattr(snap, "_create_atomic", spy)
+    _race_first_publish(
+        monkeypatch,
+        lambda: snapshot_append(
+            spark, table,
+            spark.createDataFrame([(2, "b", 20)], "id long, p string, v long"),
+            ["p"],
+        ),
+    )
+    v = snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"),
+        ["p"],
+    )
+    assert v == 3
+    # split the spy log: the winner's writes happen between the loser's
+    # first root write and its retry — count the LOSER's by excluding
+    # the winner's (the winner wrote exactly 1 c-file + 1 root + 1
+    # marker for v2)
+    cfiles = [p for p in writes if "/c-" in p]
+    roots = [p for p in writes if _re.search(r"/v\d+-[0-9a-f]+\.json$", p)]
+    markers = [p for p in writes if "/latest-" in p]
+    assert len(cfiles) == 2          # loser 1 + winner 1 — NO cfile rewrite
+    assert len(roots) == 3           # loser attempt + winner + loser retry
+    # 3 marker CREATE ATTEMPTS: the loser's v2 try (the failed CAS — the
+    # spy logs attempts), the winner's v2, the loser's v3
+    assert len(markers) == 3
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"), (2, 20, "b"), (3, 30, "a"),
+    ]
