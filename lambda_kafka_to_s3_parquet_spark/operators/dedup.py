@@ -32,6 +32,29 @@ from pyspark.sql.window import Window
 
 from ..functions.text import tokens, word_shingles
 
+#: Modulus of the PORTABLE MinHash permutation family (Mersenne prime
+#: 2^31 - 1). Chosen so every intermediate of ``(a*h + b) % P`` fits a
+#: 64-bit signed integer with room to spare (a < 2^20, h < 2^31 →
+#: product < 2^51), in BOTH engines' integer arithmetic.
+PORTABLE_MINHASH_P = 2_147_483_647
+
+
+def portable_perm_constants(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (multiplier, addend) pairs for the portable MinHash
+    permutation family — derived from md5 of the position index so the
+    Spark builder and a SQL oracle interpolate IDENTICAL constants with
+    no runtime randomness. Multipliers are odd and nonzero in [1, 2^20);
+    addends in [0, P)."""
+    import hashlib
+
+    mults, adds = [], []
+    for k in range(n_hashes):
+        a = int(hashlib.md5(f"minhash-a-{k}".encode()).hexdigest()[:8], 16)
+        mults.append((a % (1 << 20)) | 1)
+        b = int(hashlib.md5(f"minhash-b-{k}".encode()).hexdigest()[:8], 16)
+        adds.append(b % PORTABLE_MINHASH_P)
+    return mults, adds
+
 
 def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
     """Keep exactly one row per key, chosen by ``order_by`` (deterministic).
@@ -66,6 +89,7 @@ def minhash_signatures(
     n_bands: int = 16,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, band, band_sig) MinHash-LSH banding table.
 
@@ -81,7 +105,9 @@ def minhash_signatures(
     as independent aggregates (one shuffle) → per-row band hashing + one
     explode. No cross joins anywhere.
     """
-    vecs = minhash_vectors(docs, id_col, text_col, n_bands, rows_per_band, shingle_n)
+    vecs = minhash_vectors(
+        docs, id_col, text_col, n_bands, rows_per_band, shingle_n, hash_family
+    )
     return sig_bands(vecs, id_col, n_bands, rows_per_band)
 
 
@@ -92,6 +118,7 @@ def minhash_vectors(
     n_bands: int = 16,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sigs) MinHash signature vectors — K = n_bands·rows_per_band
     longs per document, the fixed-width sketch the banding table and the
@@ -106,25 +133,58 @@ def minhash_vectors(
     hash) pairs with map-side partial ``min`` combine — the codegen'd
     aggregate is the cheaper side of the trade at every scale where CPU,
     not the network, is the near-dup bottleneck.
+
+    ``hash_family`` picks the permutation family:
+
+    * ``"xxhash64"`` (default, production): ``h_k = xxhash64(k,
+      xxhash64(shingle))`` — one string hash per shingle, K cheap long
+      re-hashes, proper independent permutations per k (unlike an affine
+      family, whose near-monotone permutations correlate the argmins
+      across k and weaken band independence).
+    * ``"portable"``: base = the first 60 bits of ``md5(shingle)`` mod
+      P = 2^31-1, then K affine maps ``(a_k·base + b_k) mod P`` with
+      md5-derived constants (:func:`portable_perm_constants`). Every step
+      is replayable in ANSI-SQL engines (md5 + integer arithmetic), which
+      is what lets a DuckDB oracle re-derive the exact survivor set of
+      the incremental near-dup stream (w09). Slightly weaker cross-k
+      independence — the estimator stays unbiased per position, and both
+      engines computing the SAME family is what correctness checks need.
     """
     n_hashes = n_bands * rows_per_band
     sh = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(tokens(text_col), shingle_n)).alias("shingle"),
     )
-    # One string hash per shingle, then K seeded long-hashes over it:
-    # xxhash64(k, base) re-mixes a fixed-width long, far cheaper than
-    # hashing the shingle string K times but still (unlike an affine
-    # (a·h+b) mod p family, whose near-monotone permutations correlate the
-    # argmins across k and break band independence) a proper independent
-    # permutation per k.
-    sh = sh.select("_id", F.xxhash64("shingle").alias("hbase"))
-    mins = sh.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(k), F.col("hbase"))).alias(f"h{k}")
-            for k in range(n_hashes)
-        ]
-    )
+    if hash_family == "portable":
+        mults, adds = portable_perm_constants(n_hashes)
+        p = F.lit(PORTABLE_MINHASH_P)
+        sh = sh.select(
+            "_id",
+            (
+                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % p
+            ).alias("hbase"),
+        )
+        mins = sh.groupBy("_id").agg(
+            *[
+                F.min((F.lit(mults[k]) * F.col("hbase") + F.lit(adds[k])) % p).alias(
+                    f"h{k}"
+                )
+                for k in range(n_hashes)
+            ]
+        )
+    elif hash_family == "xxhash64":
+        sh = sh.select("_id", F.xxhash64("shingle").alias("hbase"))
+        mins = sh.groupBy("_id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(k), F.col("hbase"))).alias(f"h{k}")
+                for k in range(n_hashes)
+            ]
+        )
+    else:
+        raise ValueError(
+            f"unknown minhash hash_family {hash_family!r}; expected "
+            "'xxhash64' or 'portable'"
+        )
     return mins.select(
         F.col("_id").alias(id_col),
         F.array(*[F.col(f"h{k}") for k in range(n_hashes)]).alias("sigs"),
@@ -587,6 +647,7 @@ def incremental_neardup(
     n_bands: int = 16,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
     precomputed_vecs: DataFrame | None = None,
     _hist_dropped: DataFrame | None = None,
 ) -> DataFrame:
@@ -630,7 +691,7 @@ def incremental_neardup(
         precomputed_vecs
         if precomputed_vecs is not None  # caller already checkpointed it
         else minhash_vectors(
-            batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n
+            batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n, hash_family
         ).localCheckpoint()
     )
     vecs, bands_b = all_vecs, sig_bands(all_vecs, id_col, n_bands, rows_per_band)
@@ -780,7 +841,11 @@ def _write_store_meta(spark, store_path: str, meta: dict) -> None:
 
 
 def _check_store_params(
-    meta: dict, store_path: str, n_bands: int, rows_per_band: int
+    meta: dict,
+    store_path: str,
+    n_bands: int,
+    rows_per_band: int,
+    hash_family: str = "xxhash64",
 ) -> None:
     if meta["n_bands"] != n_bands or meta["rows_per_band"] != rows_per_band:
         raise ValueError(
@@ -790,6 +855,19 @@ def _check_store_params(
             "across mismatched parameters never collide, so near-dups of "
             "stored survivors would silently pass — rebuild the store or "
             "match its parameters"
+        )
+    # Same silent-failure class as the K mismatch: signatures from a
+    # different permutation family estimate ~0 agreement against stored
+    # history, so every near-dup of a prior survivor would sail through.
+    # Stores written before the knob existed carry no field — they were
+    # all xxhash64 by construction.
+    store_family = meta.get("hash_family", "xxhash64")
+    if store_family != hash_family:
+        raise ValueError(
+            f"band store {store_path} was built with hash_family="
+            f"{store_family!r} but this caller runs {hash_family!r}; "
+            "agreement estimates across mismatched families are silently "
+            "~0 — rebuild the store or match its family"
         )
 
 
@@ -891,6 +969,7 @@ def append_band_store(
     n_bands: int = 16,
     rows_per_band: int = 4,
     n_pfx: int = DEFAULT_STORE_PFX,
+    hash_family: str = "xxhash64",
 ) -> None:
     """Append survivor signatures to the persisted two-part band store.
 
@@ -927,10 +1006,11 @@ def append_band_store(
             "rows_per_band": rows_per_band,
             "n_pfx": int(n_pfx),
             "layout": "banded-v2",
+            "hash_family": hash_family,
         }
         _write_store_meta(spark, store_path, meta)
     else:
-        _check_store_params(meta, store_path, n_bands, rows_per_band)
+        _check_store_params(meta, store_path, n_bands, rows_per_band, hash_family)
     n_pfx = meta["n_pfx"]
     if "band_dirs" not in meta and _store_has_data(spark, store_path):
         # Pre-registry store (meta without the dir bitmaps) with existing
@@ -1011,7 +1091,11 @@ def read_band_store(
     meta = _store_meta(spark, store_path)
     if meta is None:
         raise ValueError(f"{store_path} has no band-store meta file")
-    _check_store_params(meta, store_path, n_bands, rows_per_band)
+    # geometry only: this reader returns stored band rows as-is, so the
+    # hash family is the CALLER's concern (checked where sigs are built)
+    _check_store_params(
+        meta, store_path, n_bands, rows_per_band, meta.get("hash_family", "xxhash64")
+    )
     n_pfx = meta["n_pfx"]
     root = f"{store_path}/bands"
     if prune_to is None:
@@ -1080,6 +1164,7 @@ def incremental_neardup_banded(
     n_bands: int = 16,
     rows_per_band: int = 4,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """One incremental near-dup batch against the persisted band store.
 
@@ -1098,7 +1183,7 @@ def incremental_neardup_banded(
     # every downstream stage (the materialization-boundary reasoning in
     # incremental_neardup's body).
     vecs = minhash_vectors(
-        batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n
+        batch_docs, id_col, text_col, n_bands, rows_per_band, shingle_n, hash_family
     ).localCheckpoint()
     hist_dropped = None
     if _is_absent_or_empty(spark, store_path):
@@ -1109,6 +1194,8 @@ def incremental_neardup_banded(
         _recover_rebucket(spark, store_path)
     if not _is_absent_or_empty(spark, store_path):
         meta = _store_meta(spark, store_path)
+        if meta is not None:
+            _check_store_params(meta, store_path, n_bands, rows_per_band, hash_family)
         n_pfx = meta["n_pfx"] if meta else DEFAULT_STORE_PFX
         batch_bands = sig_bands(vecs, id_col, n_bands, rows_per_band)
         store_bands = read_band_store(
@@ -1169,6 +1256,7 @@ def incremental_neardup_banded(
         n_bands=n_bands,
         rows_per_band=rows_per_band,
         shingle_n=shingle_n,
+        hash_family=hash_family,
         precomputed_vecs=vecs,
         _hist_dropped=hist_dropped,
     )

@@ -590,6 +590,12 @@ def x07_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #              spread (sd ~ 1/sqrt(dim)) and produces a small,
 #              discriminating pair set that exercises scoring, rounding,
 #              and the threshold boundary.
+#   'int8'   : former x53_int8_topk, folded round 14 to free its oracle
+#              slot for w09 — the int8-quantized serving path over the
+#              SAME two-level top-k plan and tie rule (key = query_id,
+#              id_a = candidate id, rank populated, id_b NULL); the
+#              oracle replays quantization, integer dot, and rescale
+#              (see the x53 block below for the arithmetic notes).
 # --------------------------------------------------------------------------
 @register(
     "x10_embedding_topk",
@@ -599,7 +605,32 @@ def x07_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(list_cosine_similarity(q.embedding::DOUBLE[],
                                           c.embedding::DOUBLE[]), 6) AS score
       FROM embeddings q, embeddings c
-      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    q8 AS (
+      SELECT vec_id AS id, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+             END AS q
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) / 127.0 AS scale
+            FROM embeddings
+            WHERE embedding IS NOT NULL)),
+    n8 AS (
+      SELECT id, scale, q,
+             CASE WHEN sqrt(list_sum(list_transform(
+                      q, x -> (x * scale) * (x * scale)))) = 0
+                  THEN 1.0
+                  ELSE sqrt(list_sum(list_transform(
+                      q, x -> (x * scale) * (x * scale))))
+             END AS nrm
+      FROM q8),
+    s8 AS (
+      SELECT p.id AS query_id, c.id AS cand_id,
+             round((list_dot_product(c.q, p.q) * (c.scale / c.nrm))
+                   * (p.scale / p.nrm), 6) AS score
+      FROM n8 p JOIN n8 c ON p.id < 5 AND c.id <> p.id)
     SELECT 'topk' AS branch, query_id AS key, cand_id AS id_a,
            CAST(NULL AS BIGINT) AS id_b, score, rank
     FROM (SELECT *, CAST(row_number() OVER (
@@ -617,13 +648,24 @@ def x07_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                        b.embedding::DOUBLE[]), 6) >= 0.35
+    UNION ALL
+    SELECT 'int8' AS branch, query_id AS key, cand_id AS id_a,
+           CAST(NULL AS BIGINT) AS id_b, score, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+          FROM s8)
+    WHERE rank <= 10
     ORDER BY branch, key, rank, id_a, id_b
     """,
     doc="exact embedding similarity, union-tagged: brute-force cosine "
     "top-k over a broadcast probe set ('topk') + label-blocked cosine "
-    "near-dup pair generation ('neardup')",
+    "near-dup pair generation ('neardup') + int8-quantized top-k "
+    "('int8', former x53, folded round 14)",
 )
 def x10_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings, topk_bruteforce_int8
+
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     topk = topk_bruteforce(e, queries, k=10).select(
@@ -642,7 +684,16 @@ def x10_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_sim").alias("score"),
         F.lit(None).cast("bigint").alias("rank"),
     )
-    return topk.unionByName(nd)
+    q8 = quantize_embeddings(e).localCheckpoint()
+    int8 = topk_bruteforce_int8(q8, q8.filter(F.col("id") < 5), k=10).select(
+        F.lit("int8").alias("branch"),
+        F.col("query_id").alias("key"),
+        F.col("cand_id").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        "score",
+        "rank",
+    )
+    return topk.unionByName(nd).unionByName(int8)
 
 
 # --------------------------------------------------------------------------
@@ -3837,8 +3888,13 @@ def x51_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one float scale (4x smaller scans than float32 embeddings) with
 # near-exact recall; the integer GEMM accumulates in int32 and the
 # scale/norm rescale restores cosine up to ~1/254-per-component
-# quantization error. ORACLE-CHECKED since round 11 (slot freed by
-# x52→x03): every stage is deterministic arithmetic DuckDB can replay —
+# quantization error. Oracle-checked under its own name rounds 11-13;
+# round 14 CONSOLIDATED it into x10's union-tagged 'int8' branch (same
+# two-level top-k plan and tie rule — the oracle construction carried
+# over verbatim) to free the slot that oracle-promoted w09. UNREGISTERED
+# function since then (x10's branch and the recall pytest call it
+# directly, the x22/w10 precedent). The oracle arithmetic notes:
+# every stage is deterministic arithmetic DuckDB can replay —
 # quantization is round(x / (max|x|/127)) (both engines round halves
 # away from zero for doubles), the int8×int8 dot is EXACT in doubles
 # (|dot| ≤ 64·127² ≪ 2⁵³), and the rescale association mirrors the
@@ -3853,47 +3909,6 @@ def x51_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Spark F.round is HALF_UP, matching DuckDB exactly). Recall floor vs
 # x10 and the numpy quantization twin stay in pytest.
 # --------------------------------------------------------------------------
-@register(
-    "x53_int8_topk",
-    oracle="""
-    WITH q8 AS (
-      SELECT vec_id AS id, scale,
-             CASE WHEN scale = 0
-                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
-                  ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
-             END AS q
-      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
-                   list_max(list_transform(embedding::DOUBLE[],
-                                           x -> abs(x))) / 127.0 AS scale
-            FROM embeddings
-            WHERE embedding IS NOT NULL)),
-    n8 AS (
-      SELECT id, scale, q,
-             CASE WHEN sqrt(list_sum(list_transform(
-                      q, x -> (x * scale) * (x * scale)))) = 0
-                  THEN 1.0
-                  ELSE sqrt(list_sum(list_transform(
-                      q, x -> (x * scale) * (x * scale))))
-             END AS nrm
-      FROM q8),
-    s AS (
-      SELECT p.id AS query_id, c.id AS cand_id,
-             round((list_dot_product(c.q, p.q) * (c.scale / c.nrm))
-                   * (p.scale / p.nrm), 6) AS score
-      FROM n8 p JOIN n8 c ON p.id < 5 AND c.id <> p.id)
-    SELECT query_id, cand_id, score, rank
-    FROM (SELECT *, CAST(row_number() OVER (
-                     PARTITION BY query_id
-                     ORDER BY score DESC, cand_id) AS BIGINT) AS rank
-          FROM s)
-    WHERE rank <= 10
-    ORDER BY query_id, rank
-    """,
-    doc="int8-quantized embedding cosine top-k (per-vector symmetric "
-    "scale; exact integer GEMM + rescale, oracle replays quantization, "
-    "dot, rescale association, and tie-break; recall floor vs x10 in "
-    "pytest)",
-)
 def x53_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import quantize_embeddings, topk_bruteforce_int8
 

@@ -572,21 +572,115 @@ def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w09 — incremental streaming near-dup dedup: the corpus arrives in
 # micro-batches forever and each batch dedups against the signature
 # store of all prior survivors (first arrival wins, greedy within
-# batch) without ever re-reading prior text. Batch 1 replays the
-# documents corpus; batch 2 replays a perturbed twin of every document
-# (one appended token — near-dup, NOT byte-equal, est-Jaccard ≈ 0.95).
-# The maintained output must therefore equal batch 1's own greedy dedup:
-# every twin is suppressed by signature-store history alone. Rows-only
-# (MinHash greedy survivors aren't SQL); the stream == one-shot
-# equivalence, batch-split invariance, first-arrival-wins, and restart
-# idempotence are pinned in tests/test_streaming.py.
+# batch) without ever re-reading prior text. Three id-ordered batches:
+# the documents corpus split at its median id (so cross-batch
+# suppression is exercised INSIDE the original corpus too), then a
+# perturbed twin of every document (one appended token — near-dup, NOT
+# byte-equal, est-Jaccard ≈ 0.95) at doc_id + 1e6. Because batch ids
+# are monotone across batches, the maintained output equals the global
+# first-id-wins greedy over the whole union corpus (batch-split
+# invariance, pinned in tests/test_streaming.py) — which is what the
+# oracle replays. ORACLE-CHECKED since round 14: the stream runs the
+# PORTABLE MinHash family (md5-base + affine permutations,
+# operators.dedup.portable_perm_constants — identical constants
+# interpolated below), so DuckDB re-derives the exact signature
+# vectors, the band-collision + agreement>=τ pair set, and the greedy
+# walk (per-component list_reduce over id-ordered nodes: drop iff a
+# smaller KEPT neighbor exists — byte-for-byte the operator's rule).
+# The production xxhash64 family, restart idempotence, store pruning,
+# and first-arrival-wins stay pinned in tests/test_streaming.py.
 # --------------------------------------------------------------------------
+def _w09_oracle() -> str:
+    from ..operators.dedup import PORTABLE_MINHASH_P, portable_perm_constants
+
+    p = PORTABLE_MINHASH_P
+    n_bands, rows, k = 16, 4, 64
+    mults, adds = portable_perm_constants(k)
+    ab = "[" + ",".join(f"[{a},{b}]" for a, b in zip(mults, adds)) + "]"
+    sql_tokens = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    sql_shingles3 = (
+        "CASE WHEN len(tok) >= 3 THEN "
+        "list_distinct([array_to_string(tok[i:i+2], ' ') "
+        "for i in range(1, len(tok) - 1)]) ELSE [] END"
+    )
+    return f"""
+    WITH RECURSIVE
+    corpus AS (SELECT doc_id, text, lang FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text || ' zzreplaymarker', lang
+               FROM documents),
+    tok AS (SELECT doc_id, {sql_tokens} AS tok FROM corpus),
+    shs AS (SELECT doc_id, {sql_shingles3} AS sh FROM tok),
+    hm AS (SELECT doc_id, list_transform(sh, s ->
+             ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT % {p}) AS hs
+           FROM shs WHERE len(sh) > 0),
+    sigs AS (SELECT doc_id, list_transform({ab}::BIGINT[][], q ->
+               list_min(list_transform(hs, h -> (q[1]*h + q[2]) % {p}))) AS sg
+             FROM hm),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+    prs AS (SELECT doc_a, doc_b FROM cand
+            JOIN sigs x ON x.doc_id = doc_a
+            JOIN sigs y ON y.doc_id = doc_b
+            WHERE len(list_filter(range(1, {k + 1}),
+                                  i -> x.sg[i] = y.sg[i]))::DOUBLE / {k} >= 0.7
+              AND len(list_filter(range(0, {n_bands}), b ->
+                    x.sg[{rows}*b+1:{rows}*b+{rows}]
+                      = y.sg[{rows}*b+1:{rows}*b+{rows}])) > 0),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+              UNION ALL SELECT doc_b, doc_a FROM prs),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    smaller AS (SELECT doc_b AS node, list(doc_a ORDER BY doc_a) AS sm
+                FROM prs GROUP BY doc_b),
+    walk_in AS (SELECT c.component, c.node,
+                       [c.node] || coalesce(s.sm, CAST([] AS BIGINT[])) AS item
+                FROM comp c LEFT JOIN smaller s ON s.node = c.node),
+    grouped AS (SELECT component, list(item ORDER BY node) AS items
+                FROM walk_in GROUP BY component),
+    -- greedy walk: fold the id-ordered items, keeping a node iff no
+    -- already-kept smaller neighbor. The first item is the component's
+    -- min node, whose smaller-neighbor list is empty by construction,
+    -- so it doubles as the initial accumulator [min_node] — deliberately
+    -- NOT a shared [] sentinel prepended to every row: DuckDB 1.0's
+    -- vectorized list_reduce leaks accumulator state ACROSS rows when
+    -- seeded from one constant vector (observed: other components' kept
+    -- ids appearing in a component's fold, nondeterministically).
+    kept AS (SELECT component,
+                    list_reduce(items,
+                      (acc, x) -> CASE WHEN len(list_intersect(acc, x[2:])) > 0
+                                       THEN acc
+                                       ELSE list_append(acc, x[1]) END) AS keep
+             FROM grouped),
+    dropped AS (SELECT w.node AS doc_id
+                FROM walk_in w JOIN kept kp USING (component)
+                WHERE NOT list_contains(kp.keep, w.node))
+    SELECT lang,
+           count(*) AS n_survivors,
+           CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_twin_leaks,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
 @register(
     "w09_incremental_neardup",
-    oracle=None,
+    oracle=_w09_oracle(),
     doc="incremental streaming near-dup dedup against a MinHash signature "
-    "store: per-lang survivor census after a perturbed-twin replay "
-    "(history must suppress every twin)",
+    "store (portable hash family): per-lang survivor census after an "
+    "id-ordered median-split + perturbed-twin replay; oracle replays "
+    "signatures, banding, and the first-id-wins greedy walk",
 )
 def w09_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -599,10 +693,16 @@ def w09_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = base / "src"
     src.mkdir()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    cut = docs.agg(F.max("doc_id")).first()[0] // 2
     twins = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
         "text", F.concat(F.col("text"), F.lit(" zzreplaymarker"))
     )
-    for i, b in enumerate((docs, twins)):
+    batches = (
+        docs.filter(F.col("doc_id") <= cut),
+        docs.filter(F.col("doc_id") > cut),
+        twins,
+    )
+    for i, b in enumerate(batches):
         staged = base / f"stage{i}"
         b.coalesce(1).write.parquet(str(staged))
         part = next(f for f in os.listdir(staged) if f.startswith("part-"))
@@ -620,6 +720,7 @@ def w09_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             str(base / "store"),
             str(base / "ckpt"),
             threshold=0.7,
+            hash_family="portable",
         )
         _drain(q)
     landed = spark.read.parquet(str(base / "out"))

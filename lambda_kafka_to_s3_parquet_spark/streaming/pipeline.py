@@ -264,6 +264,7 @@ def run_neardup_stream(
     threshold: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "xxhash64",
 ) -> StreamingQuery:
     """Continuous near-dup corpus dedup: file-source batches -> survivors.
 
@@ -315,7 +316,13 @@ def run_neardup_stream(
         if batch_df.isEmpty():
             return
         surv = incremental_neardup_banded(
-            spark, batch_df, store_path, threshold, id_col=id_col, text_col=text_col
+            spark,
+            batch_df,
+            store_path,
+            threshold,
+            id_col=id_col,
+            text_col=text_col,
+            hash_family=hash_family,
         )
         # two actions below (land + store append): persist so the
         # candidate joins + greedy walk run once, not twice
@@ -324,7 +331,9 @@ def run_neardup_stream(
             surv.drop("sigs").write.mode("append").parquet(output_path)
             with_sigs = surv.filter(F.col("sigs").isNotNull()).select(id_col, "sigs")
             if not with_sigs.isEmpty():
-                append_band_store(spark, store_path, with_sigs, id_col=id_col)
+                append_band_store(
+                    spark, store_path, with_sigs, id_col=id_col, hash_family=hash_family
+                )
         finally:
             surv.unpersist()
 

@@ -673,6 +673,89 @@ def test_w09_registered_summary(spark, sf_dir):
     assert sum(r["n_survivors"] for r in rows) > 0
 
 
+def test_portable_minhash_matches_duckdb(spark):
+    """Engine parity of the PORTABLE hash family (the w09 oracle's
+    foundation): the signature vectors Spark computes must equal what
+    DuckDB derives from the interpolated md5 + affine arithmetic — any
+    drift in tokenization, base hash, or permutation constants shows
+    here before it shows as a driver red."""
+    import duckdb
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        PORTABLE_MINHASH_P,
+        minhash_vectors,
+        portable_perm_constants,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "Unicode & punctuation—mixed CASE text, with 123 numbers!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["sigs"])
+        for r in minhash_vectors(docs, hash_family="portable").collect()
+    }
+
+    mults, adds = portable_perm_constants(64)
+    ab = "[" + ",".join(f"[{a},{b}]" for a, b in zip(mults, adds)) + "]"
+    p = PORTABLE_MINHASH_P
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"""
+        WITH tok AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS tok FROM documents),
+        sh AS (SELECT doc_id, CASE WHEN len(tok) >= 3 THEN
+                 list_distinct([array_to_string(tok[i:i+2], ' ')
+                                for i in range(1, len(tok) - 1)])
+                 ELSE [] END AS sh FROM tok),
+        hm AS (SELECT doc_id, list_transform(sh, s ->
+                 ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT % {p}) AS hs
+               FROM sh WHERE len(sh) > 0)
+        SELECT doc_id, list_transform({ab}::BIGINT[][], q ->
+                 list_min(list_transform(hs, h -> (q[1]*h + q[2]) % {p})))
+        FROM hm
+        """
+        ).fetchall()
+    )
+    assert got == {k: list(v) for k, v in want.items()}
+
+
+def test_band_store_hash_family_drift_fails_fast(spark, sf_dir, tmp_path):
+    """A store built under one permutation family read by a stream
+    running another must FAIL, not silently estimate ~0 agreement and
+    wave every near-dup of prior survivors through."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        append_band_store,
+        incremental_neardup_banded,
+        minhash_vectors,
+    )
+    from lambda_kafka_to_s3_parquet_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    vecs = minhash_vectors(docs, hash_family="portable").filter(
+        F.col("sigs").isNotNull()
+    )
+    append_band_store(spark, str(tmp_path / "store"), vecs, hash_family="portable")
+    with pytest.raises(ValueError, match="hash_family"):
+        incremental_neardup_banded(
+            spark, docs, str(tmp_path / "store"), 0.7
+        ).count()
+    # matching family proceeds
+    surv = incremental_neardup_banded(
+        spark, docs, str(tmp_path / "store"), 0.7, hash_family="portable"
+    )
+    assert surv.count() == 0  # every doc is already in history
+
+
 def _mk_band_store(spark, sf_dir, path, docs=None, n_pfx=8):
     from pyspark.sql import functions as F
 
