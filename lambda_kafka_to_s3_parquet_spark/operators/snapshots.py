@@ -187,7 +187,13 @@ def _manifest_path(table: str, version: int, token: str | None = None) -> str:
     return f"{table}/{_SNAP_DIR}/v{version:05d}.json"
 
 
-def _marker_path(table: str, version: int) -> str:
+def _marker_path(table: str, version: int, branch: str | None = None) -> str:
+    """Version marker path — the CAS cell. Branches get their own
+    namespace (``ref-<name>-<version>``) so commits to a branch never
+    contend with main's markers (per-branch conflict classes), and
+    ``_MARKER_RE``/``current_version`` never see them."""
+    if branch is not None:
+        return f"{table}/{_SNAP_DIR}/ref-{branch}-{version:05d}"
     return f"{table}/{_SNAP_DIR}/latest-{version:05d}"
 
 
@@ -197,11 +203,40 @@ def _marker_path(table: str, version: int) -> str:
 _RESOLVE_CACHE: dict[tuple[str, int], str] = {}
 
 
-def _resolve_manifest_file(spark: SparkSession, table: str, version: int) -> str:
+def _resolve_manifest_file(
+    spark: SparkSession, table: str, version: int, branch: str | None = None
+) -> str:
     """Full path of the COMMITTED manifest for ``version``: the marker's
     content names the file (CAS layout); a bare version number or a
     missing marker (pre-upgrade history, whose old markers were deleted
-    at swap time) falls back to the legacy fixed name."""
+    at swap time) falls back to the legacy fixed name.
+
+    On a BRANCH, versions past the fork point resolve through the
+    branch's own markers (always CAS-written — a missing one is an
+    error, never a legacy fallback); versions at or before the fork are
+    SHARED HISTORY and resolve through main."""
+    if branch is not None:
+        bmeta = _branch_meta(spark, table, branch)
+        if bmeta is None:
+            raise KeyError(f"unknown branch {branch!r} on {table}")
+        if version > bmeta["from_version"]:
+            key = (table, f"b:{branch}:{version}")
+            basename = _RESOLVE_CACHE.get(key)
+            if basename is None:
+                content = _read_text(
+                    spark, _marker_path(table, version, branch=branch)
+                )
+                if content is None or not _MANIFEST_FILE_RE.match(content.strip()):
+                    raise FileNotFoundError(
+                        f"branch {branch!r} of {table} has no committed "
+                        f"v{version}"
+                    )
+                basename = content.strip()
+                if len(_RESOLVE_CACHE) > 4096:
+                    _RESOLVE_CACHE.clear()
+                _RESOLVE_CACHE[key] = basename
+            return f"{table}/{_SNAP_DIR}/{basename}"
+        # fall through: shared pre-fork history lives on main
     key = (table, version)
     basename = _RESOLVE_CACHE.get(key)
     if basename is None:
@@ -216,14 +251,46 @@ def _resolve_manifest_file(spark: SparkSession, table: str, version: int) -> str
     return f"{table}/{_SNAP_DIR}/{basename}"
 
 
-def current_version(spark: SparkSession, table: str) -> int:
+def _branch_meta_path(table: str, name: str) -> str:
+    return f"{table}/{_SNAP_DIR}/branches/{name}.json"
+
+
+def _branch_meta(spark: SparkSession, table: str, name: str) -> dict | None:
+    """A branch's immutable creation record ``{"from_version": v}`` —
+    the fork point; None when the branch doesn't exist."""
+    txt = _read_text(spark, _branch_meta_path(table, name))
+    return None if txt is None else json.loads(txt)
+
+
+def current_version(
+    spark: SparkSession, table: str, branch: str | None = None
+) -> int:
     """Latest COMMITTED snapshot version (0 = empty/uninitialized): the
     max ``latest-<version>`` marker present. Globs ONLY the markers —
     this is the hot metadata call (2-3x per verb), and iterating the
     whole ``_snapshots`` listing pays per-entry JVM round-trips for the
     roots/commit-manifests too (measured ~3x the wall on a 40-commit
-    table; the round-13 two-level stress row exposed it)."""
+    table; the round-13 two-level stress row exposed it).
+
+    With ``branch``, the branch's HEAD: the max ``ref-<name>-*`` marker,
+    or the fork point when the branch has no commits of its own yet."""
     fs, jvm = _fs(spark, table)
+    if branch is not None:
+        bmeta = _branch_meta(spark, table, branch)
+        if bmeta is None:
+            raise KeyError(f"unknown branch {branch!r} on {table}")
+        pattern = jvm.org.apache.hadoop.fs.Path(
+            f"{table}/{_SNAP_DIR}/ref-{branch}-*"
+        )
+        statuses = fs.globStatus(pattern)
+        best = bmeta["from_version"]
+        prefix = f"ref-{branch}-"
+        for st in statuses or []:
+            name = st.getPath().getName()
+            tail = name[len(prefix):]
+            if tail.isdigit():
+                best = max(best, int(tail))
+        return best
     pattern = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}/latest-*")
     statuses = fs.globStatus(pattern)
     if statuses is None:
@@ -236,7 +303,13 @@ def current_version(spark: SparkSession, table: str) -> int:
     return best
 
 
-def _publish_cas(spark: SparkSession, table: str, version: int, basename: str) -> bool:
+def _publish_cas(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    basename: str,
+    branch: str | None = None,
+) -> bool:
     """The commit CAS: atomically create ``version``'s marker naming the
     manifest file. Exactly one of N racing writers succeeds (fresh-path
     rename fails on an existing destination on every Hadoop FS — the
@@ -245,7 +318,7 @@ def _publish_cas(spark: SparkSession, table: str, version: int, basename: str) -
     re-raises real I/O failures. Markers are retained per version — they
     are the version→file map time travel resolves through — until
     :func:`snapshot_expire` reclaims them with their manifests."""
-    marker = _marker_path(table, version)
+    marker = _marker_path(table, version, branch=branch)
     try:
         _create_atomic(spark, marker, basename)
         return True
@@ -257,7 +330,11 @@ def _publish_cas(spark: SparkSession, table: str, version: int, basename: str) -
 
 
 def _load_root(
-    spark: SparkSession, table: str, version: int, committed: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int,
+    committed: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """The version's ROOT manifest (manifest list), unassembled:
     format-2 roots carry small table-level state (op, meta, dschema,
@@ -265,23 +342,32 @@ def _load_root(
     referencing immutable per-commit manifest files; legacy roots
     (pre-round-13 monoliths) inline everything. ``committed`` lets
     hot-path callers that already resolved ``current_version`` skip
-    re-listing ``_snapshots`` (one LIST per call matters on S3)."""
+    re-listing ``_snapshots`` (one LIST per call matters on S3).
+    ``branch`` resolves post-fork versions through the branch's own
+    markers (pre-fork versions are shared main history)."""
     if version == 0:
         return {"version": 0, "partitions": {}}
     if committed is None:
-        committed = current_version(spark, table)
+        committed = current_version(spark, table, branch=branch)
     if version > committed:
+        where = f"branch {branch!r} of {table}" if branch else table
         raise FileNotFoundError(
-            f"snapshot v{version} of {table} is not committed (latest is "
+            f"snapshot v{version} of {where} is not committed (latest is "
             f"v{committed}; a manifest without its marker is a crash "
             "leftover, not a snapshot)"
         )
-    txt = _read_text(spark, _resolve_manifest_file(spark, table, version))
+    txt = _read_text(
+        spark, _resolve_manifest_file(spark, table, version, branch=branch)
+    )
     if txt is None:
         # a cached resolution can go stale when a table is dropped and
         # recreated at the same path — re-resolve once before concluding
         _RESOLVE_CACHE.pop((table, version), None)
-        txt = _read_text(spark, _resolve_manifest_file(spark, table, version))
+        if branch is not None:
+            _RESOLVE_CACHE.pop((table, f"b:{branch}:{version}"), None)
+        txt = _read_text(
+            spark, _resolve_manifest_file(spark, table, version, branch=branch)
+        )
     if txt is None:
         raise FileNotFoundError(
             f"snapshot v{version} of {table} does not exist (expired?); "
@@ -447,18 +533,72 @@ def _parts_for_keys(
     return {k: sorted(v) for k, v in out.items()}
 
 
+#: (resolved manifest path) -> ASSEMBLED view memo. Keyed by the
+#: token-named file path, not (table, version), so a dropped-and-
+#: recreated table at the same path can never serve a stale view (new
+#: commits always publish token names — the _CFILE_CACHE argument).
+#: The view is immutable once the root is resolved (roots and commit
+#: manifests never change after their CAS), so a long-lived reader's
+#: repeated version resolutions become O(1) dict lookups instead of
+#: O(live commits) re-merges (STRESS_r13's cold plan_ratio 5.0 at 10x
+#: commits was exactly this re-assembly). CONTRACT: callers treat the
+#: returned view as READ-ONLY (all current consumers do — they build
+#: fresh dicts for any derived state); snapshot_expire invalidates the
+#: table's entries when it reclaims manifests.
+_ASSEMBLED_CACHE: dict[str, dict] = {}
+
+
+def _drop_assembled(table: str) -> None:
+    """Invalidate the assembled-view memo for one table (expire path)."""
+    prefix = f"{table}/{_SNAP_DIR}/"
+    for k in [k for k in _ASSEMBLED_CACHE if k.startswith(prefix)]:
+        _ASSEMBLED_CACHE.pop(k, None)
+
+
 def _load_manifest(
-    spark: SparkSession, table: str, version: int, committed: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int,
+    committed: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """The ASSEMBLED manifest view of a snapshot (see :func:`_assemble`)
     — the read-side API every scan/prune/diff path consumes. Since
     round 13 the stored form is two-level (root manifest-list +
     immutable per-commit manifest files, the Iceberg layout) so a
     COMMIT writes only its own delta; this assembly is driver-side dict
-    merging over cached immutable files."""
-    return _assemble(
-        spark, table, _load_root(spark, table, version, committed=committed)
+    merging over cached immutable files, memoized per resolved root
+    (``_ASSEMBLED_CACHE``) because the merge result is immutable once
+    the root version is resolved. Branch reads memoize the same way —
+    the key is the resolved root file, which is lineage-unique."""
+    if version == 0:
+        return _assemble(
+            spark, table, _load_root(spark, table, version, committed=committed)
+        )
+    path = _resolve_manifest_file(spark, table, version, branch=branch)
+    view = _ASSEMBLED_CACHE.get(path)
+    if view is not None:
+        # one existence probe guards the drop-and-recreate-at-same-path
+        # hole _load_root's re-resolve retry covers on the slow path: a
+        # stale _RESOLVE_CACHE entry must never let a memo hit serve the
+        # PREVIOUS table's view. ~1 fs call vs O(commits) re-merging.
+        fs, jvm = _fs(spark, table)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+            return view
+        _ASSEMBLED_CACHE.pop(path, None)
+        _RESOLVE_CACHE.pop((table, version), None)
+        if branch is not None:
+            _RESOLVE_CACHE.pop((table, f"b:{branch}:{version}"), None)
+        path = _resolve_manifest_file(spark, table, version, branch=branch)
+    view = _assemble(
+        spark,
+        table,
+        _load_root(spark, table, version, committed=committed, branch=branch),
     )
+    if len(_ASSEMBLED_CACHE) > 256:
+        _ASSEMBLED_CACHE.clear()
+    _ASSEMBLED_CACHE[path] = view
+    return view
 
 
 def snapshot_history(spark: SparkSession, table: str) -> list[dict]:
@@ -874,6 +1014,7 @@ def _merged_commit_schema(
     df: DataFrame,
     partition_by: list[str] | None,
     committed: int | None = None,
+    branch: str | None = None,
 ) -> dict[str, str]:
     """Validate additive evolution at WRITE time; return the new commit's
     manifest data-column schema (prior union ∪ this frame's columns,
@@ -888,13 +1029,13 @@ def _merged_commit_schema(
     recorded schema skip the check (the read-time gate still applies)
     and start recording from this commit."""
     if committed is None:
-        committed = current_version(spark, table)
+        committed = current_version(spark, table, branch=branch)
     prior: dict[str, str] = {}
     if committed:
         prior = dict(
-            _load_manifest(spark, table, committed, committed=committed).get(
-                "dschema", {}
-            )
+            _load_manifest(
+                spark, table, committed, committed=committed, branch=branch
+            ).get("dschema", {})
         )
     pset = set(partition_by or [])
     mine = {
@@ -953,6 +1094,7 @@ def _commit(
     delete_add: dict | None = None,
     pcol_entry: tuple[str, str] | None = None,
     pspec: list | None = None,
+    branch: str | None = None,
 ) -> int:
     """Write the next manifest, then publish it via the marker swap.
 
@@ -1043,8 +1185,8 @@ def _commit(
     evo_sig: tuple[int, int] | None = None
     cfile_name: str | None = None
     while True:
-        base = current_version(spark, table)
-        root = _load_root(spark, table, base, committed=base)
+        base = current_version(spark, table, branch=branch)
+        root = _load_root(spark, table, base, committed=base, branch=branch)
         rebasing = attempt > 0 or (
             read_version is not None and base != read_version
         )
@@ -1061,7 +1203,7 @@ def _commit(
             src = root
             if read_version is not None and read_version != base:
                 src = _load_root(
-                    spark, table, read_version, committed=base
+                    spark, table, read_version, committed=base, branch=branch
                 )
             if partition_scoped and replaced:
                 read_set = _parts_for_keys(spark, table, src, set(replaced))
@@ -1154,7 +1296,7 @@ def _commit(
                 # reference it as this entry's manifest file instead of
                 # copying its content forward
                 base_basename = _resolve_manifest_file(
-                    spark, table, base
+                    spark, table, base, branch=branch
                 ).rsplit("/", 1)[1]
             fref = e["file"] if e.get("file") else base_basename
             epk = set(e.get("pkeys", ()))
@@ -1426,7 +1568,9 @@ def _commit(
         token = uuid.uuid4().hex[:12]
         mpath = _manifest_path(table, version, token)
         _create_atomic(spark, mpath, json.dumps(new_root))
-        if _publish_cas(spark, table, version, f"v{version:05d}-{token}.json"):
+        if _publish_cas(
+            spark, table, version, f"v{version:05d}-{token}.json", branch=branch
+        ):
             return version
         # lost the CAS: our token root is a phantom — drop it
         # best-effort (expire vacuums stragglers), then rebase or stop.
@@ -1454,6 +1598,7 @@ def snapshot_append(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_M,
+    branch: str | None = None,
 ) -> int:
     """Append a commit; returns the new snapshot version. A partitioned
     frame that writes no partitions (empty input) is a NO-OP returning
@@ -1481,14 +1626,20 @@ def snapshot_append(
     manifest (fixed at first write), and readers NEVER see it:
     ``snapshot_read`` hides it and prunes dirs from probes on the
     SOURCE column (``skip_where`` ranges through the monotone
-    transforms, ``skip_keys`` points through any, including bucket)."""
-    read_v = current_version(spark, table)
-    root0 = _load_root(spark, table, read_v, committed=read_v)
+    transforms, ``skip_keys`` points through any, including bucket).
+
+    ``branch`` targets a named branch (:func:`snapshot_branch`): the
+    commit advances ONLY that branch's ref — main never sees it until
+    :func:`snapshot_fast_forward` publishes the branch (the Iceberg
+    write-audit-publish branch workflow). Validation (schema union,
+    partition spec, evolution state) runs against the BRANCH head."""
+    read_v = current_version(spark, table, branch=branch)
+    root0 = _load_root(spark, table, read_v, committed=read_v, branch=branch)
     df, partition_by, pspec = _resolve_partitioning(df, root0, partition_by)
     if partition_by and read_v:
         df, partition_by = _to_physical(df, root0, partition_by)
     dschema = _merged_commit_schema(
-        spark, table, df, partition_by, committed=read_v
+        spark, table, df, partition_by, committed=read_v, branch=branch
     )
     rels = _write_commit_data(df, table, partition_by)
     if not rels:
@@ -1508,6 +1659,7 @@ def snapshot_append(
         blooms=blooms,
         read_version=read_v,
         pspec=pspec,
+        branch=branch,
     )
 
 
@@ -1672,8 +1824,12 @@ def snapshot_read(
     skip_where: list[tuple] | None = None,
     as_of=None,
     skip_keys: list[tuple] | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
-    """Scan a snapshot (default: latest committed). Historical versions
+    """Scan a snapshot (default: latest committed; with ``branch``, the
+    named branch's lineage — default its HEAD, an explicit ``version``
+    resolving through the branch's markers past the fork and shared
+    main history before it). Historical versions
     stay readable until expired — time travel by version, by TAG name
     (a ``str`` version resolves through :func:`snapshot_tags`; the
     write-audit-publish consumer reads ``version="published"`` and never
@@ -1701,7 +1857,7 @@ def snapshot_read(
     the caller still applies the real filter, false positives only
     cost I/O. Composes with ``skip_where`` (a dir must pass both).
     """
-    committed = current_version(spark, table)
+    committed = current_version(spark, table, branch=branch)
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version OR as_of, not both")
@@ -1715,7 +1871,9 @@ def snapshot_read(
             )
         version = resolved
     v = committed if version is None else version
-    manifest = _load_manifest(spark, table, v, committed=committed)
+    manifest = _load_manifest(
+        spark, table, v, committed=committed, branch=branch
+    )
     all_dirs = sorted(d for dirs in manifest["partitions"].values() for d in dirs)
     if not all_dirs:
         raise ValueError(f"snapshot v{v} of {table} is empty")
@@ -1952,15 +2110,33 @@ def _py_transform(tf: str, arg, value):
     ``None`` when the transform/value pair is out of twin scope (the
     dir is then conservatively kept); ``bucket`` is NOT monotone and
     never range-prunes (its point probes evaluate the JVM expression
-    itself — see :func:`_bucket_points`)."""
+    itself — see :func:`_bucket_points`).
+
+    TZ-AWARE probes (datetimes with tzinfo, ISO strings with an offset
+    or Z) are OUT OF SCOPE by design (round 14, VERDICT r13 #3): the
+    writer's ``cast(ts as date)`` resolves instants through the SESSION
+    timezone, and a naive reinterpretation of an aware probe near a day
+    boundary would map to the WRONG bucket — wrong-but-not-None skips a
+    dir that holds matches, the one failure pruning must never have.
+    Returning None keeps the dir; the actual predicate still filters
+    rows correctly inside Spark under the session zone. Naive probes
+    stay in scope: they mean the same wall-clock instant the writer's
+    NTZ/naive arithmetic used, in any session zone (tz-parameterized
+    tests pin this)."""
     import datetime as _dt
 
     def as_date(v):
         if isinstance(v, _dt.datetime):
-            return v.date()
+            return None if v.tzinfo is not None else v.date()
         if isinstance(v, _dt.date):
             return v
         if isinstance(v, str):
+            try:
+                t = _dt.datetime.fromisoformat(v) if len(v) > 10 else None
+            except ValueError:
+                t = None
+            if t is not None and t.tzinfo is not None:
+                return None
             try:
                 return _dt.date.fromisoformat(v[:10])
             except ValueError:
@@ -1975,13 +2151,17 @@ def _py_transform(tf: str, arg, value):
         return None if d is None else (d.year - 1970) * 12 + d.month - 1
     if tf == "hours":
         if isinstance(value, _dt.datetime):
-            t = value.replace(tzinfo=None)
+            if value.tzinfo is not None:
+                return None
+            t = value
         elif isinstance(value, _dt.date):
             t = _dt.datetime(value.year, value.month, value.day)
         elif isinstance(value, str):
             try:
                 t = _dt.datetime.fromisoformat(value)
             except ValueError:
+                return None
+            if t.tzinfo is not None:
                 return None
         else:
             return None
@@ -3337,6 +3517,139 @@ def snapshot_drop_tag(spark: SparkSession, table: str, name: str) -> bool:
     return fs.delete(jvm.org.apache.hadoop.fs.Path(_tag_dir(table, name)), True)
 
 
+# ---------------------------------------------------------------------------
+# Branches (Iceberg refs): named WRITABLE lineages. A tag pins; a branch
+# RECEIVES commits — the missing half of write-audit-publish: land
+# commits on an audit branch (invisible to main's consumers), validate,
+# then fast-forward main to the branch head in one step.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_branch(
+    spark: SparkSession, table: str, name: str, from_version: int | None = None
+) -> int:
+    """Create a writable branch forked at ``from_version`` (default: the
+    current main head). The branch starts AT the fork — reads of the
+    branch see the fork snapshot until it receives commits of its own
+    (``snapshot_append(..., branch=name)``), which advance ONLY the
+    branch's ``ref-<name>-*`` markers: main's readers never see them
+    until :func:`snapshot_fast_forward`. Pre-fork versions are SHARED
+    history (resolved through main's markers); :func:`snapshot_expire`
+    retains everything any live branch references. Branch commits run
+    the same optimistic-commit protocol against the branch's own marker
+    namespace — two writers on one branch race its CAS; a branch writer
+    and a main writer never contend. Creation is itself an atomic
+    create: of two racing creates, one wins and the other raises.
+    Returns the fork version."""
+    if not _TAG_RE.match(name):
+        raise ValueError(
+            f"invalid branch name {name!r}: letters/digits/._- only "
+            "(max 64, must start alphanumeric)"
+        )
+    committed = current_version(spark, table)
+    v = committed if from_version is None else from_version
+    if v < 1:
+        raise ValueError(f"snapshot table {table} has no committed version")
+    _load_manifest(spark, table, v, committed=committed)  # raises if gone
+    try:
+        _create_atomic(
+            spark, _branch_meta_path(table, name), json.dumps({"from_version": v})
+        )
+    except IOError:
+        fs, jvm = _fs(spark, table)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(_branch_meta_path(table, name))):
+            raise ValueError(f"branch {name!r} already exists on {table}")
+        raise
+    return v
+
+
+def snapshot_branches(spark: SparkSession, table: str) -> dict[str, dict]:
+    """All branches: ``{name: {"from_version": fork, "head": head}}``."""
+    fs, jvm = _fs(spark, table)
+    bdir = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}/branches")
+    if not fs.exists(bdir):
+        return {}
+    out: dict[str, dict] = {}
+    for st in fs.listStatus(bdir):
+        fname = st.getPath().getName()
+        if not fname.endswith(".json"):
+            continue
+        name = fname[: -len(".json")]
+        meta = _branch_meta(spark, table, name)
+        if meta is not None:
+            out[name] = {
+                "from_version": meta["from_version"],
+                "head": current_version(spark, table, branch=name),
+            }
+    return out
+
+
+def snapshot_drop_branch(spark: SparkSession, table: str, name: str) -> bool:
+    """Remove a branch: its meta AND its markers (the branch's own
+    commits become unreferenced; the next :func:`snapshot_expire`
+    reclaims their manifests and data dirs). Returns whether the branch
+    existed. Dropping after a fast-forward is safe — the published
+    versions are owned by main's markers from then on."""
+    fs, jvm = _fs(spark, table)
+    existed = fs.delete(
+        jvm.org.apache.hadoop.fs.Path(_branch_meta_path(table, name)), False
+    )
+    for st in fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}/ref-{name}-*")
+    ) or []:
+        tail = st.getPath().getName()[len(f"ref-{name}-"):]
+        if tail.isdigit():
+            fs.delete(st.getPath(), False)
+            _RESOLVE_CACHE.pop((table, f"b:{name}:{int(tail)}"), None)
+    return existed
+
+
+def snapshot_fast_forward(spark: SparkSession, table: str, name: str) -> int:
+    """Fast-forward MAIN to branch ``name``'s head — the publish step of
+    the branch write-audit-publish workflow. Requires main to still sit
+    at the branch's fork point (the branch is then a strict descendant;
+    if main advanced independently the histories diverged and this
+    raises :class:`SnapshotConflictError` — rebase by re-running the
+    branch's operations on a fresh branch, the Iceberg rule). Publishes
+    each branch version to main's marker namespace IN ORDER via the
+    same CAS commits use, so every intermediate state a concurrent
+    reader can observe is a complete committed snapshot (a crash
+    mid-way leaves main at one of the branch's own versions — re-run to
+    finish). The branch ref itself is left in place, now coincident
+    with main; drop it when the audit cycle is done. Returns main's new
+    head version."""
+    bmeta = _branch_meta(spark, table, name)
+    if bmeta is None:
+        raise KeyError(f"unknown branch {name!r} on {table}")
+    fork = bmeta["from_version"]
+    head = current_version(spark, table, branch=name)
+    main = current_version(spark, table)
+    if main > fork:
+        raise SnapshotConflictError(
+            f"cannot fast-forward {table} to branch {name!r}: main moved "
+            f"to v{main} past the fork point v{fork} — the histories "
+            "diverged; re-run the branch's operations against the new "
+            "main (fresh branch), then fast-forward that"
+        )
+    published = main
+    for v in range(fork + 1, head + 1):
+        basename = _resolve_manifest_file(
+            spark, table, v, branch=name
+        ).rsplit("/", 1)[1]
+        if not _publish_cas(spark, table, v, basename):
+            # an identical marker already present (a crashed earlier
+            # fast-forward) is fine; anything else is a racing writer
+            existing = _read_text(spark, _marker_path(table, v))
+            if existing is None or existing.strip() != basename:
+                raise SnapshotConflictError(
+                    f"concurrent commit on {table}: v{v} was published by "
+                    "another writer during the fast-forward; main and "
+                    f"branch {name!r} have diverged"
+                )
+        published = v
+    return published
+
+
 def snapshot_expire(
     spark: SparkSession, table: str, keep_last: int = 2
 ) -> dict[str, int]:
@@ -3364,6 +3677,17 @@ def snapshot_expire(
     keep_versions = {s["version"] for s in history[-keep_last:]} | {
         v for v in snapshot_tags(spark, table).values() if v in existing
     }
+    # BRANCH retention: a live branch pins (a) its fork version on main
+    # (pre-fork reads are shared history) and (b) every post-fork
+    # version of its own lineage — manifests, referenced commit files,
+    # data dirs, and MoR delete files — until the branch is dropped
+    branches = snapshot_branches(spark, table)
+    branch_versions: list[tuple[str, int]] = []
+    for bname, b in branches.items():
+        if b["from_version"] in existing:
+            keep_versions.add(b["from_version"])
+        for bv in range(b["from_version"] + 1, b["head"] + 1):
+            branch_versions.append((bname, bv))
     committed = max(keep_versions)
     live_commits: set[str] = set()
     #: manifest files (c-*.json AND legacy monoliths referenced as
@@ -3373,8 +3697,7 @@ def snapshot_expire(
     #: merge-on-read delete-file dirs (uuid under {table}/deletes/) any
     #: retained root's delete entries still reference
     live_delete_dirs: set[str] = set()
-    for v in keep_versions:
-        root = _load_root(spark, table, v, committed=committed)
+    def _retain(root: dict) -> None:
         for e in _root_entries(root):
             if e.get("file"):
                 referenced.add(e["file"])
@@ -3384,6 +3707,16 @@ def snapshot_expire(
         for dirs in m["partitions"].values():
             for d in dirs:
                 live_commits.add(d.split("/")[1])
+
+    for v in keep_versions:
+        _retain(_load_root(spark, table, v, committed=committed))
+    #: branch ROOT files: protected from the phantom-manifest vacuum
+    branch_root_names: set[str] = set()
+    for bname, bv in branch_versions:
+        branch_root_names.add(
+            _resolve_manifest_file(spark, table, bv, branch=bname).rsplit("/", 1)[1]
+        )
+        _retain(_load_root(spark, table, bv, committed=bv, branch=bname))
     fs, jvm = _fs(spark, table)
     n_manifests = 0
     latest = max(existing)
@@ -3411,10 +3744,14 @@ def snapshot_expire(
     # writer's quiesce point (the same single-writer contract that
     # makes data-dir orphan cleanup safe below).
     snap_dir = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
-    committed_names = {
-        _resolve_manifest_file(spark, table, v).rsplit("/", 1)[1]
-        for v in keep_versions
-    } | referenced
+    committed_names = (
+        {
+            _resolve_manifest_file(spark, table, v).rsplit("/", 1)[1]
+            for v in keep_versions
+        }
+        | referenced
+        | branch_root_names
+    )
     for st in fs.listStatus(snap_dir):
         name = st.getPath().getName()
         mf = _MANIFEST_FILE_RE.match(name)
@@ -3444,6 +3781,10 @@ def snapshot_expire(
             if st.isDirectory() and name not in live_delete_dirs:
                 fs.delete(st.getPath(), True)
                 n_del += 1
+    # expired versions' roots are gone — drop this table's assembled-view
+    # memo entries so a later read of a reclaimed version fails cleanly
+    # instead of serving a cached view of deleted state
+    _drop_assembled(table)
     return {
         "manifests_deleted": n_manifests,
         "data_dirs_deleted": n_dirs,
@@ -3876,6 +4217,7 @@ def snapshot_maintain(
     max_live_commits: int = 8,
     keep_last: int = 2,
     stats_cols: list[str] | None = None,
+    max_live_deletes: int | None = None,
 ) -> dict:
     """The REWRITE CADENCE as one policy call — the documented contract
     that bounds read plans and manifests for PARTITIONED tables (whose
@@ -3890,22 +4232,50 @@ def snapshot_maintain(
     maintenance tick; steady-state scan count is then
     ≤ max_live_commits. Single-maintenance-writer at a quiesce point
     (the rewrite + expire contracts). Returns
-    ``{"live_commits", "rewritten", "expired"}``.
+    ``{"live_commits", "rewritten", "expired", "live_deletes"}``.
+
+    ``max_live_deletes`` (round 14, VERDICT r13 Next #6) bounds the
+    MERGE-ON-READ delete-entry fan-in the same way ``max_live_commits``
+    bounds scan groups: every :func:`snapshot_delete_keys` commit adds
+    one key-file anti-join to reads of its pruned dirs, and only a
+    rewrite folds them physically. When the live root carries more than
+    ``max_live_deletes`` delete entries, the rewrite fires even if the
+    commit-dir count is under its own bound — so read-side anti-join
+    depth is ∝ cadence, never ∝ GDPR-delete history. ``None`` (default)
+    keeps the pre-round-14 behavior (deletes fold only when the commit
+    bound trips).
     """
     committed = current_version(spark, table)
     if committed == 0:
-        return {"live_commits": 0, "rewritten": False, "expired": {}}
+        return {
+            "live_commits": 0,
+            "rewritten": False,
+            "expired": {},
+            "live_deletes": 0,
+        }
     manifest = _load_manifest(spark, table, committed, committed=committed)
     live = {
         d.split("/")[1]
         for dirs in manifest["partitions"].values()
         for d in dirs
     }
-    if len(live) <= max_live_commits:
-        return {"live_commits": len(live), "rewritten": False, "expired": {}}
+    n_deletes = len(manifest.get("deletes", ()) or ())
+    over_deletes = max_live_deletes is not None and n_deletes > max_live_deletes
+    if len(live) <= max_live_commits and not over_deletes:
+        return {
+            "live_commits": len(live),
+            "rewritten": False,
+            "expired": {},
+            "live_deletes": n_deletes,
+        }
     snapshot_rewrite(spark, table, partition_by, stats_cols=stats_cols)
     expired = snapshot_expire(spark, table, keep_last=keep_last)
-    return {"live_commits": len(live), "rewritten": True, "expired": expired}
+    return {
+        "live_commits": len(live),
+        "rewritten": True,
+        "expired": expired,
+        "live_deletes": n_deletes,
+    }
 
 
 def snapshot_merge_into(

