@@ -700,11 +700,25 @@ def commit_and_plan_vs_commits(spark, base_dir: str, scratch: str, scale: int) -
         for _ in range(2):
             snap._CFILE_CACHE.clear()
             snap._RESOLVE_CACHE.clear()
+            snap._ASSEMBLED_CACHE.clear()
             t0 = time.perf_counter()
             _load_manifest(spark, table, current_version(spark, table))
             dt = time.perf_counter() - t0
             best_p = dt if best_p is None else min(best_p, dt)
-        return {"commit": round(best_c, 3), "plan": round(best_p, 3)}
+        # WARM plan (round 14): the assembled-view memo makes repeated
+        # version resolution O(1) dict lookups + one fs-exists probe —
+        # the cold slope above is now first-read-only
+        best_w = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _load_manifest(spark, table, current_version(spark, table))
+            dt = time.perf_counter() - t0
+            best_w = dt if best_w is None else min(best_w, dt)
+        return {
+            "commit": round(best_c, 3),
+            "plan": round(best_p, 3),
+            "warm": round(best_w, 4),
+        }
 
     r1, rn = run("1x"), run("Nx")
     return {
@@ -712,6 +726,8 @@ def commit_and_plan_vs_commits(spark, base_dir: str, scratch: str, scale: int) -
         "ratio": round(rn["commit"] / r1["commit"], 1),
         "plan_t1": r1["plan"], "plan_tN": rn["plan"],
         "plan_ratio": round(rn["plan"] / max(r1["plan"], 1e-9), 1),
+        "plan_warm_t1": r1["warm"], "plan_warm_tN": rn["warm"],
+        "plan_warm_ratio": round(rn["warm"] / max(r1["warm"], 1e-9), 1),
     }
 
 
@@ -753,6 +769,58 @@ def mor_delete_vs_table(spark, base_dir: str, scratch: str, scale: int) -> dict:
     t1 = run("1x", 1)
     tn = run("Nx", scale)
     return {"t1": t1, "tN": tn, "ratio": round(tn / t1, 1)}
+
+
+def mor_read_vs_live_deletes(spark, base_dir: str, scratch: str, scale: int) -> dict:
+    """Round-14 row (VERDICT r13 Next #6): READ wall as merge-on-read
+    delete entries accumulate — each live entry adds one key-file
+    anti-join to reads of its pruned dirs, so the wall grows with
+    un-folded GDPR deletes; snapshot_maintain(max_live_deletes=) folds
+    them by policy and the post-fold read must drop back to the clean
+    baseline. Columns: read wall with 3 vs 3*scale live entries, the
+    slope, and the post-maintain wall (bounded by cadence)."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_append,
+        snapshot_delete_keys,
+        snapshot_maintain,
+        snapshot_read,
+    )
+
+    ev = load_table(spark, base_dir, "events").select(
+        "event_id", "value", (F.col("event_id") % 4).alias("p")
+    )
+
+    def read_wall(table: str) -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            snapshot_read(spark, table).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    def run(tag: str, n_dels: int) -> dict:
+        table = os.path.join(scratch, f"morr_{tag}")
+        snapshot_append(spark, table, ev, ["p"], stats_cols=["event_id"])
+        for k in range(n_dels):
+            snapshot_delete_keys(spark, table, [100 + k], on=["event_id"])
+        loaded = read_wall(table)
+        r = snapshot_maintain(
+            spark, table, ["p"], max_live_commits=10**6, max_live_deletes=0
+        )
+        assert r["rewritten"] and r["live_deletes"] == n_dels
+        return {"loaded": round(loaded, 3), "folded": round(read_wall(table), 3)}
+
+    r1 = run("1x", 3)
+    rn = run("Nx", 3 * scale)
+    return {
+        "t1": r1["loaded"], "tN": rn["loaded"],
+        "ratio": round(rn["loaded"] / max(r1["loaded"], 1e-9), 1),
+        "folded_t1": r1["folded"], "folded_tN": rn["folded"],
+        "folded_ratio": round(rn["folded"] / max(r1["folded"], 1e-9), 1),
+    }
 
 
 def main() -> None:
@@ -881,6 +949,9 @@ def main() -> None:
             spark, base, scratch, scale
         )
         out["mor_delete_vs_table"] = mor_delete_vs_table(
+            spark, base, scratch, scale
+        )
+        out["mor_read_vs_live_deletes"] = mor_read_vs_live_deletes(
             spark, base, scratch, scale
         )
         for k, v in analytics_vs_scale(spark, base1x, baseNx).items():
