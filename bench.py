@@ -105,7 +105,9 @@ HEADLINE = [
     # round 11: x10 absorbs former x12_embedding_neardup_blocked as its
     # union-tagged 'neardup' branch — x10 timing is the sum of both GEMM
     # passes, not comparable to rounds <= 10 on either name. The freed
-    # oracle slot promoted x49.
+    # oracle slot promoted x49. Round 14: also absorbs former
+    # x53_int8_topk as the 'int8' branch (quantize + localCheckpoint +
+    # int8 GEMM inside fn() — EAGER_FN) — not comparable to <= 13.
     "x10_embedding_topk",
     # round 9: x17_frame_sample consolidated into x13 (union-tagged
     # 'frames' branch) — x13 timing not comparable to rounds <= 8; the
@@ -172,9 +174,9 @@ HEADLINE = [
     # IVF-PQ composition trains cells AND codebooks inside fn()) — not
     # comparable to rounds <= 8.
     "x41_pq_ann",
-    # round 11: int8-quantized serving path (oracle-promoted; quantize +
-    # localCheckpoint run inside fn() — EAGER_FN)
-    "x53_int8_topk",
+    # (round 14: former x53_int8_topk folded into x10's 'int8' branch —
+    # x10 timing now includes the quantize + int8 GEMM; not comparable
+    # to rounds <= 13 on either name)
     # round 5 (late): hybrid BM25 + PRF-dense RRF fusion (EAGER_FN: the
     # PRF centroid collect runs inside fn())
     "x42_hybrid_rrf",
@@ -360,7 +362,9 @@ EAGER_FN = {
     "x40_lm_perplexity",
     "x41_pq_ann",
     "x42_hybrid_rrf",
-    "x53_int8_topk",
+    # round 14: x10's absorbed int8 branch quantizes + localCheckpoints
+    # inside fn() — clock before fn()
+    "x10_embedding_topk",
     # round 11: x03's absorbed cms branch builds + localCheckpoints the
     # count-min sketch inside fn() — clock must start before it
     "x03_token_stats",
@@ -408,9 +412,27 @@ def _load1() -> float | None:
 _STEAL_FRACTION = 0.05
 _NCPU = os.cpu_count() or 1
 
+#: second rerun trigger (round 14, VERDICT r13 What's-wrong #2): a query
+#: reading more than this multiple of its own sf0.01 sibling — while ANY
+#: steal was recorded on it — gets one bonus run too. The all-polluted
+#: rule alone missed r13's x24 (41.3 CPU-s of steal spread over runs
+#: that were each individually under the 5% bar, min 8.03 s vs a 2.36 s
+#: sibling and an untouched plan); the sibling ratio is the artifact's
+#: own cross-check that survives partial pollution. 3x is calibrated to
+#: the committed artifacts: the headline's honest sf0.1/sf0.01 slopes
+#: sit at 1-2.5 (fixed machinery + sublinear scans dominate at these
+#: sizes), so >3 with nonzero steal is weather until proven otherwise —
+#: and the bonus run costs one sample, bounded once per query.
+_SIBLING_RATIO = 3.0
+
 
 def _time_set(
-    spark, specs, sf_dir: str, runs_per_query: int, single_runs: int = 1
+    spark,
+    specs,
+    sf_dir: str,
+    runs_per_query: int,
+    single_runs: int = 1,
+    sibling: dict[str, float] | None = None,
 ) -> tuple[dict[str, float], dict]:
     """``single_runs`` > 1 re-executes the SINGLE_RUN queries (streaming
     replays, the snapshot protocol exercise) and takes the min — their
@@ -472,6 +494,19 @@ def _time_set(
                 # bounded (once per query), recorded in the artifact
                 reran.append(name)
                 n_runs += 1
+            if (
+                run == n_runs
+                and name not in reran
+                and sibling is not None
+                and sibling.get(name)
+                and best > _SIBLING_RATIO * sibling[name]
+                and steal_q > 0
+            ):
+                # partially-polluted case: the min still reads >3x the
+                # sf0.01 sibling with steal on the books — one bonus
+                # sample, same bound and artifact field
+                reran.append(name)
+                n_runs += 1
         timings[name] = round(best, 3)
         if steal_q >= 0.05:
             qsteal[name] = round(steal_q, 2)
@@ -529,7 +564,7 @@ def main() -> None:
     # it is itself warm-up and its numbers only feed scale_ratio.
     single_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SINGLE_RUNS", "2"))
     timings, weather = _time_set(
-        spark, specs, sf_dir, runs_per_query, single_runs
+        spark, specs, sf_dir, runs_per_query, single_runs, sibling=small
     )
 
     ratios = {
