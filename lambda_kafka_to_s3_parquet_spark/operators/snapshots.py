@@ -3931,6 +3931,7 @@ def snapshot_delete_where(
     prune_keys: list[tuple] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_M,
+    branch: str | None = None,
 ) -> int:
     """Delete every row matching ``predicate`` from the live snapshot as
     ONE atomic commit (op ``delete``) — the GDPR / retention / bad-batch
@@ -3961,11 +3962,16 @@ def snapshot_delete_where(
     the pre-delete version readable until expire, and
     :func:`snapshot_row_changes` across the delete commit emits exact
     ``delete`` images for the removed rows — so incremental consumers
-    and IVM views retract them without a rescan."""
-    committed = current_version(spark, table)
+    and IVM views retract them without a rescan.
+
+    ``branch`` targets a named branch (the audit-fixup shape: scrub bad
+    rows on the branch before fast-forwarding main)."""
+    committed = current_version(spark, table, branch=branch)
     if not committed:
         raise ValueError(f"snapshot table {table} is empty/uninitialized")
-    manifest = _load_manifest(spark, table, committed, committed=committed)
+    manifest = _load_manifest(
+        spark, table, committed, committed=committed, branch=branch
+    )
     _refuse_mixed_specs(manifest, table, "snapshot_delete_where")
     parts = manifest["partitions"]
     all_dirs = sorted(d for dirs in parts.values() for d in dirs)
@@ -4070,6 +4076,7 @@ def snapshot_delete_where(
         # dir could hold rows matching the predicate inside the prune
         # bounds) — rebasing could commit a "deleted" state that still
         # grows matching rows; fail-stop keeps the GDPR-delete contract
+        branch=branch,
     )
 
 
@@ -4079,6 +4086,7 @@ def snapshot_delete_keys(
     keys,
     on: list[str],
     meta: dict | None = None,
+    branch: str | None = None,
 ) -> int:
     """MERGE-ON-READ delete by key — the 100 TB form of the GDPR /
     retention verb (VERDICT r12 Next #4; the Iceberg v2 equality-delete
@@ -4111,10 +4119,12 @@ def snapshot_delete_keys(
     Replacement-class under the optimistic protocol (the effective
     content of un-rewritten dirs changes): any concurrent winner
     fail-stops this commit."""
-    committed = current_version(spark, table)
+    committed = current_version(spark, table, branch=branch)
     if not committed:
         raise ValueError(f"snapshot table {table} is empty/uninitialized")
-    manifest = _load_manifest(spark, table, committed, committed=committed)
+    manifest = _load_manifest(
+        spark, table, committed, committed=committed, branch=branch
+    )
     parts = manifest["partitions"]
     all_dirs = sorted(d for dirs in parts.values() for d in dirs)
     if isinstance(keys, DataFrame):
@@ -4207,6 +4217,7 @@ def snapshot_delete_keys(
             "cols": list(on),
             "dirs": sorted(cand_list),
         },
+        branch=branch,
     )
 
 
@@ -4291,6 +4302,7 @@ def snapshot_merge_into(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_M,
     when_not_matched_by_source: tuple | list | None = None,
+    branch: str | None = None,
 ) -> int:
     """MERGE a batch-sized ``source`` into the live snapshot as ONE
     atomic ``merge`` commit — the last DML verb the snapshot protocol
@@ -4438,7 +4450,7 @@ def snapshot_merge_into(
             "t.<col>; key columns named 's' or 't' would shadow them — "
             "rename the key columns"
         )
-    committed = current_version(spark, table)
+    committed = current_version(spark, table, branch=branch)
     if not committed:
         raise ValueError(
             f"snapshot table {table} is empty/uninitialized — bootstrap "
@@ -4452,7 +4464,9 @@ def snapshot_merge_into(
     # key probes, classify join, data write) — the importance_weights
     # pattern; also removes the determinism burden from the caller
     source = source.localCheckpoint(eager=True)
-    manifest = _load_manifest(spark, table, committed, committed=committed)
+    manifest = _load_manifest(
+        spark, table, committed, committed=committed, branch=branch
+    )
     _refuse_mixed_specs(manifest, table, "snapshot_merge_into")
     parts = manifest["partitions"]
     all_dirs = sorted(d for dirs in parts.values() for d in dirs)
@@ -4830,6 +4844,7 @@ def snapshot_merge_into(
         # make a rebased insert a DUPLICATE key) and, for by-source
         # clauses, partition keys that did not exist at read time —
         # fail-stop preserves the one-image-per-key upsert contract
+        branch=branch,
     )
 
 

@@ -5338,3 +5338,51 @@ def test_branch_writers_race_their_own_cas(spark, table):
     assert current_version(spark, table, branch="audit") == 3
     assert len(_rows(snapshot_read(spark, table, branch="audit"))) == 4
     assert len(_rows(snapshot_read(spark, table))) == 3
+
+
+def test_branch_dml_verbs_and_publish(spark, table):
+    """The DML verbs (delete_where, delete_keys, merge_into) target a
+    branch: the audit-fixup shape — scrub and patch on the branch,
+    main untouched, then fast-forward publishes the fixed lineage."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_branch,
+        snapshot_delete_keys,
+        snapshot_delete_where,
+        snapshot_fast_forward,
+        snapshot_merge_into,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+            "id long, p string, v long",
+        ),
+        ["p"], stats_cols=["id"],
+    )
+    snapshot_branch(spark, table, "fix")
+    # CoW delete on the branch
+    snapshot_delete_where(
+        spark, table, "id = 2", prune=[("id", 2, 2)], branch="fix"
+    )
+    # MoR key delete on the branch
+    snapshot_delete_keys(spark, table, [3], on=["id"], branch="fix")
+    # merge (update one, insert one) on the branch
+    snapshot_merge_into(
+        spark, table,
+        spark.createDataFrame([(4, "b", 44), (5, "a", 50)],
+                              "id long, p string, v long"),
+        on=["id"], branch="fix",
+    )
+    assert _rows(snapshot_read(spark, table, branch="fix")) == [
+        (1, 10, "a"), (4, 44, "b"), (5, 50, "a")
+    ]
+    # main still reads the original four rows
+    assert current_version(spark, table) == 1
+    assert len(_rows(snapshot_read(spark, table))) == 4
+    # publish: main takes the branch lineage
+    head = snapshot_fast_forward(spark, table, "fix")
+    assert current_version(spark, table) == head
+    assert _rows(snapshot_read(spark, table)) == [
+        (1, 10, "a"), (4, 44, "b"), (5, 50, "a")
+    ]
