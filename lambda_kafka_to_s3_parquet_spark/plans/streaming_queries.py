@@ -572,15 +572,16 @@ def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w09 — incremental streaming near-dup dedup: the corpus arrives in
 # micro-batches forever and each batch dedups against the signature
 # store of all prior survivors (first arrival wins, greedy within
-# batch) without ever re-reading prior text. Three id-ordered batches:
-# the documents corpus split at its median id (so cross-batch
-# suppression is exercised INSIDE the original corpus too), then a
-# perturbed twin of every document (one appended token — near-dup, NOT
-# byte-equal, est-Jaccard ≈ 0.95) at doc_id + 1e6. Because batch ids
-# are monotone across batches, the maintained output equals the global
-# first-id-wins greedy over the whole union corpus (batch-split
-# invariance, pinned in tests/test_streaming.py) — which is what the
-# oracle replays. ORACLE-CHECKED since round 14: the stream runs the
+# batch) without ever re-reading prior text. Two id-ordered batches:
+# the documents corpus, then a perturbed twin of every document (one
+# appended token — near-dup, NOT byte-equal, est-Jaccard ≈ 0.95) at
+# doc_id + 1e6 (each twin can only be suppressed by STORE history —
+# the machinery under test; finer id-ordered splits are pinned
+# equivalent by the batch-split invariance test, so a third micro-batch
+# here would buy no coverage for ~6 s of fixed machinery). Because
+# batch ids are monotone across batches, the maintained output equals
+# the global first-id-wins greedy over the whole union corpus — which
+# is what the oracle replays. ORACLE-CHECKED since round 14: the stream runs the
 # PORTABLE MinHash family (md5-base + affine permutations,
 # operators.dedup.portable_perm_constants — identical constants
 # interpolated below), so DuckDB re-derives the exact signature
@@ -679,8 +680,8 @@ def _w09_oracle() -> str:
     oracle=_w09_oracle(),
     doc="incremental streaming near-dup dedup against a MinHash signature "
     "store (portable hash family): per-lang survivor census after an "
-    "id-ordered median-split + perturbed-twin replay; oracle replays "
-    "signatures, banding, and the first-id-wins greedy walk",
+    "id-ordered perturbed-twin replay; oracle replays signatures, "
+    "banding, and the first-id-wins greedy walk",
 )
 def w09_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -693,16 +694,10 @@ def w09_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = base / "src"
     src.mkdir()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    cut = docs.agg(F.max("doc_id")).first()[0] // 2
     twins = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
         "text", F.concat(F.col("text"), F.lit(" zzreplaymarker"))
     )
-    batches = (
-        docs.filter(F.col("doc_id") <= cut),
-        docs.filter(F.col("doc_id") > cut),
-        twins,
-    )
-    for i, b in enumerate(batches):
+    for i, b in enumerate((docs, twins)):
         staged = base / f"stage{i}"
         b.coalesce(1).write.parquet(str(staged))
         part = next(f for f in os.listdir(staged) if f.startswith("part-"))
