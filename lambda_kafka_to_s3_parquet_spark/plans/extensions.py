@@ -2986,7 +2986,23 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, event_type, CAST(ts AS DATE) AS d, value FROM events),
     m AS (SELECT min(d) AS lo,
                  min(d) + CAST((max(d) - min(d)) // 2 AS INTEGER) AS mid
-          FROM ev)
+          FROM ev),
+    -- post-MoR effective state pieces (shared by the branch rows):
+    -- surviving originals after cond-merge edits + MoR key delete,
+    -- the first merge's negative-key inserts, and the branch's WAP
+    -- append batch
+    s3 AS (SELECT count(*) AS na,
+                  sum(CASE WHEN event_id % 2 = 0 AND event_id >= 10
+                                AND event_id < 40 THEN round(value * 5, 6)
+                           WHEN event_id < 50 THEN round(value * 3, 6)
+                           ELSE value END) AS a
+           FROM ev
+           WHERE NOT (event_id < 10 AND event_id % 2 = 0)
+             AND NOT (event_id >= 40 AND event_id < 60)),
+    ins AS (SELECT count(*) AS ni, sum(value) AS b FROM ev
+            WHERE event_id < 20),
+    wap AS (SELECT count(*) AS nw, sum(round(value * 7, 6)) AS c FROM ev
+            WHERE event_id < 25)
     SELECT 'latest' AS label, count(*) AS n,
            round(sum(CASE WHEN d = (SELECT lo FROM m)
                           THEN round(value * 2, 6) ELSE value END), 2) AS sum_value
@@ -3097,13 +3113,28 @@ def x43_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'mor_delete_images',
            (SELECT count(*) FROM ev
             WHERE event_id >= 40 AND event_id < 60), 0.0
+    UNION ALL
+    SELECT 'branch_main_n',
+           (SELECT na FROM s3) + (SELECT ni FROM ins),
+           round((SELECT a FROM s3) + (SELECT b FROM ins), 2)
+    UNION ALL
+    SELECT 'branch_n_after',
+           (SELECT na FROM s3) + (SELECT ni FROM ins) + (SELECT nw FROM wap),
+           round((SELECT a FROM s3) + (SELECT b FROM ins)
+                 + (SELECT c FROM wap), 2)
+    UNION ALL
+    SELECT 'branch_published',
+           (SELECT na FROM s3) + (SELECT ni FROM ins) + (SELECT nw FROM wap),
+           round((SELECT a FROM s3) + (SELECT b FROM ins)
+                 + (SELECT c FROM wap), 2)
     ORDER BY label
     """,
     doc="snapshot commits: append/overwrite/time-travel/rollback census + "
     "zone-map dir pruning + incremental delta + MERGE INTO upsert images "
-    "+ (round 13) the merge-on-read key-delete branch, "
-    "oracle-rebuilt from events (protocol crash/race semantics pinned in "
-    "test_snapshots.py)",
+    "+ the merge-on-read key-delete branch + (round 14) the BRANCH "
+    "write-audit-publish stage (branch commit invisible to main, "
+    "fast-forward publish), oracle-rebuilt from events (protocol "
+    "crash/race semantics pinned in test_snapshots.py)",
 )
 def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -3338,6 +3369,40 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("mor_delete_images",
              kimgs.filter(F.col("_change_type") == "delete").count(), 0.0)
         )
+        # round 14: BRANCH (write-audit-publish) stage — commits land on
+        # an audit branch (invisible to main: the main census must still
+        # read the post-MoR state), the branch census sees them, and
+        # fast-forward publishes the branch lineage to main (post-publish
+        # census == branch census). A branch commit leaking to main, a
+        # lost branch commit, or a wrong fast-forward all flip a row.
+        from ..operators.snapshots import (
+            snapshot_branch,
+            snapshot_drop_branch,
+            snapshot_fast_forward,
+        )
+
+        wap = ev.filter(F.col("event_id") < 25).select(
+            (F.col("event_id") + 20_000_000).alias("event_id"),
+            "d",
+            F.round(F.col("value") * 7, 6).alias("val"),
+        )
+        snapshot_branch(spark, t, "wap")
+        snapshot_append(spark, t, wap, ["d"], branch="wap")
+
+        def _census(df, val_col="val"):
+            a = df.agg(
+                F.count("*").alias("n"), F.round(F.sum(val_col), 2).alias("sv")
+            ).first()
+            return a["n"], float(a["sv"])
+
+        mn, msv = _census(snapshot_read(spark, t))
+        rows.append(("branch_main_n", mn, msv))
+        bn, bsv = _census(snapshot_read(spark, t, branch="wap"))
+        rows.append(("branch_n_after", bn, bsv))
+        snapshot_fast_forward(spark, t, "wap")
+        snapshot_drop_branch(spark, t, "wap")
+        pn, psv = _census(snapshot_read(spark, t))
+        rows.append(("branch_published", pn, psv))
         # rows are already driver-local python tuples: the frame never
         # references the scratch table deleted in finally
         return spark.createDataFrame(rows, "label string, n long, sum_value double")
