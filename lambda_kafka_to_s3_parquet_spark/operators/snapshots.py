@@ -601,9 +601,42 @@ def _load_manifest(
     return view
 
 
-def snapshot_history(spark: SparkSession, table: str) -> list[dict]:
+def snapshot_history(
+    spark: SparkSession, table: str, branch: str | None = None
+) -> list[dict]:
     """COMMITTED snapshots, oldest first: version / op / n partition
-    groups. Uncommitted (phantom) and expired manifests are excluded."""
+    groups. Uncommitted (phantom) and expired manifests are excluded.
+    With ``branch``: the branch's lineage — shared main history up to
+    the fork, then the branch's own commits."""
+    if branch is not None:
+        bmeta = _branch_meta(spark, table, branch)
+        if bmeta is None:
+            raise KeyError(f"unknown branch {branch!r} on {table}")
+        fork = bmeta["from_version"]
+        out = [s for s in snapshot_history(spark, table) if s["version"] <= fork]
+        head = current_version(spark, table, branch=branch)
+        for v in range(fork + 1, head + 1):
+            txt = _read_text(
+                spark, _resolve_manifest_file(spark, table, v, branch=branch)
+            )
+            if txt is None:
+                continue
+            m = json.loads(txt)
+            if "manifests" in m:
+                n_groups = len(
+                    {k for e in m["manifests"] for k in e.get("pkeys", ())}
+                )
+            else:
+                n_groups = len(m["partitions"])
+            out.append(
+                {
+                    "version": m["version"],
+                    "op": m.get("op", "?"),
+                    "n_partition_groups": n_groups,
+                    "committed_at": m.get("committed_at"),
+                }
+            )
+        return sorted(out, key=lambda s: s["version"])
     fs, jvm = _fs(spark, table)
     snap = jvm.org.apache.hadoop.fs.Path(f"{table}/{_SNAP_DIR}")
     if not fs.exists(snap):
@@ -3801,6 +3834,7 @@ def snapshot_rewrite(
     bloom_bits: int = _BLOOM_M,
     order_by: list[str] | None = None,
     n_cluster_files: int = 8,
+    branch: str | None = None,
 ) -> int:
     """Compaction: rewrite the live snapshot into ONE fresh commit — every
     live partition ends up with a single commit-directory entry, shrinking
@@ -3818,13 +3852,14 @@ def snapshot_rewrite(
     per-partition overwrite would keep an unpartitioned commit's ``''``
     entry alongside the repartitioned copies of its rows, silently
     duplicating them in the new snapshot."""
-    read_v = current_version(spark, table)
-    df = snapshot_read(spark, table, version=read_v)
+    read_v = current_version(spark, table, branch=branch)
+    df = snapshot_read(spark, table, version=read_v, branch=branch)
     return snapshot_overwrite_all(
         spark, table, df, partition_by, stats_cols=stats_cols,
         bloom_cols=bloom_cols, bloom_bits=bloom_bits,
         order_by=order_by, n_cluster_files=n_cluster_files,
         read_version=read_v,
+        branch=branch,
     )
 
 
@@ -3846,6 +3881,7 @@ def snapshot_overwrite_all(
     order_by: list[str] | None = None,
     n_cluster_files: int = 8,
     read_version: int | None = None,
+    branch: str | None = None,
 ) -> int:
     """Replace the ENTIRE live partition set with ``df``'s content:
     partitions absent from ``df`` are dropped from the manifest (unlike
@@ -3876,9 +3912,11 @@ def snapshot_overwrite_all(
             n_cluster_files, *[F.col(c) for c in order_by]
         ).sortWithinPartitions(*order_by)
     read_v = (
-        current_version(spark, table) if read_version is None else read_version
+        current_version(spark, table, branch=branch)
+        if read_version is None
+        else read_version
     )
-    root0 = _load_root(spark, table, read_v, committed=read_v)
+    root0 = _load_root(spark, table, read_v, committed=read_v, branch=branch)
     # full replacement = the spec-evolution escape hatch (allow_respec)
     df, partition_by, pspec = _resolve_partitioning(
         df, root0, partition_by, allow_respec=True
@@ -3891,7 +3929,7 @@ def snapshot_overwrite_all(
             "snapshot_overwrite_all with an empty frame would commit an "
             "unreadable empty snapshot; drop or rebuild the table instead"
         )
-    current = _load_manifest(spark, table, read_v)
+    current = _load_manifest(spark, table, read_v, branch=branch)
     stats = (
         _collect_dir_stats(spark, table, rels, stats_cols) if stats_cols else None
     )
@@ -3908,6 +3946,7 @@ def snapshot_overwrite_all(
         _group_rels(rels, partition_by),
         replaced=set(current["partitions"]),
         read_version=read_v,
+        branch=branch,
         pspec=pspec,
         meta=meta,
         stats=stats,

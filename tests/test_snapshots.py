@@ -5386,3 +5386,39 @@ def test_branch_dml_verbs_and_publish(spark, table):
     assert _rows(snapshot_read(spark, table)) == [
         (1, 10, "a"), (4, 44, "b"), (5, 50, "a")
     ]
+
+
+def test_branch_rewrite_and_history(spark, table):
+    """Compaction on a branch (snapshot_rewrite(branch=)) folds the
+    branch's commits into one fresh branch commit, main untouched;
+    snapshot_history(branch=) shows the shared prefix + branch lineage."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_branch,
+        snapshot_fast_forward,
+        snapshot_rewrite,
+    )
+
+    _branch_seed(spark, table)
+    snapshot_branch(spark, table, "audit")
+    for i in (3, 4, 5):
+        snapshot_append(
+            spark, table,
+            spark.createDataFrame([(i, "a", i * 10)], "id long, p string, v long"),
+            ["p"], branch="audit",
+        )
+    before = _rows(snapshot_read(spark, table, branch="audit"))
+    snapshot_rewrite(spark, table, ["p"], branch="audit")
+    assert _rows(snapshot_read(spark, table, branch="audit")) == before
+    hist = snapshot_history(spark, table, branch="audit")
+    assert [s["version"] for s in hist] == [1, 2, 3, 4, 5]
+    assert hist[-1]["op"] == "overwrite_all"
+    # one scan group after the branch compaction
+    plan = (
+        snapshot_read(spark, table, branch="audit")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert current_version(spark, table) == 1
+    # publish the compacted lineage
+    snapshot_fast_forward(spark, table, "audit")
+    assert _rows(snapshot_read(spark, table)) == before
