@@ -441,17 +441,112 @@ def encode_png(
     )
 
 
+def _png_reconstruct(stream: bytes, h: int, stride: int, fbpp: int):
+    """Per-scanline filter reconstruction (None/Sub/Up/Average/Paeth)
+    over one filtered sub-image: ``h`` rows of ``stride`` bytes each
+    prefixed by a filter-type byte; ``fbpp`` is the FILTER byte offset
+    (bytes per complete pixel, min 1 — sub-byte depths filter with
+    offset 1 per the spec). Returns the (h, stride) uint8 byte plane.
+    Factored out of :func:`decode_png` so Adam7 passes (each its own
+    independently-filtered sub-image) reuse it verbatim."""
+    import numpy as np
+
+    if len(stream) != h * (stride + 1):
+        raise ValueError(
+            f"PNG stream is {len(stream)} bytes, expected {h * (stride + 1)}"
+        )
+    rows = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, data = rows[:, 0], rows[:, 1:].astype(np.int16)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft = int(ftypes[r])
+        line = data[r]
+        up = recon[r - 1].astype(np.int16) if r else np.zeros(stride, np.int16)
+        if ft == 0:
+            out = line
+        elif ft == 1:
+            # Sub is a per-byte-lane prefix sum (stride fbpp) mod 256 —
+            # widened to int64 first: an int16 cumsum overflows after
+            # ~128 saturated pixels. Stride may not divide evenly when
+            # fbpp > 1 never happens (stride = w*fbpp) but sub-byte
+            # rows (fbpp=1) reshape trivially.
+            out = (
+                line.reshape(-1, fbpp).astype(np.int64).cumsum(axis=0).reshape(-1)
+            )
+        elif ft == 2:
+            out = line + up
+        elif ft in (3, 4):
+            # Average/Paeth need the RECONSTRUCTED left neighbor —
+            # inherently sequential along the row (per-byte loop; rows
+            # are short and this is the cold path of a test codec)
+            out = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                a = int(out[x - fbpp]) if x >= fbpp else 0
+                b = int(up[x])
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(recon[r - 1, x - fbpp]) if (r and x >= fbpp) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                # reduce mod 256 NOW: the next byte's left neighbor is
+                # read from `out` before the row-level % 256
+                out[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft} on row {r}")
+        recon[r] = (out % 256).astype(np.uint8)
+    return recon
+
+
+def _png_samples(recon, w: int, depth: int, channels: int):
+    """Byte plane → (h, w, channels) uint8 samples for one sub-image:
+    8-bit passes through; 16-bit keeps the HIGH byte (the standard
+    16→8 reduction — the low byte is sub-percept noise for features);
+    sub-byte depths (1/2/4) bit-unpack MSB-first and return RAW sample
+    values — the caller scales grayscale to full range and leaves
+    palette indices exact."""
+    import numpy as np
+
+    h = recon.shape[0]
+    if depth == 8:
+        return recon.reshape(h, w, channels)
+    if depth == 16:
+        return recon.reshape(h, w, channels, 2)[:, :, :, 0].copy()
+    # sub-byte: one channel by construction (validated by the caller)
+    bits = np.unpackbits(recon, axis=1)
+    vals = bits.reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    px = (vals * weights).sum(axis=2).astype(np.uint8)[:, :w]
+    return px.reshape(h, w, 1)
+
+
+#: Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
 def decode_png(payload: bytes) -> dict:
     """Dependency-free PNG decode per the public spec: stdlib ``zlib``
     inflate + per-scanline filter reconstruction (None/Sub/Up/Average/
-    Paeth). 8-bit grayscale (color type 0), RGB (2), PALETTE (3, via
-    PLTE lookup — round 13), gray+alpha (4) and RGBA (6),
-    non-interlaced; sub-byte depths / 16-bit / interlaced variants
-    raise ValueError — the honest codec boundary jpeg/mp4 still hit.
-    Chunk CRCs are verified (a corrupt stream fails loudly, never
-    decodes garbage). Returns width / height / ``channels`` /
-    ``pixels`` (``(h, w, c)`` uint8; palette images return their RGB
-    expansion, channels=3)."""
+    Paeth). Round 14 completes the variant matrix: grayscale (color
+    type 0) at depths 1/2/4/8/16, RGB (2) at 8/16, PALETTE (3, PLTE
+    lookup) at 1/2/4/8, gray+alpha (4) and RGBA (6) at 8/16 — each in
+    BOTH non-interlaced and Adam7-interlaced form (each pass is its own
+    independently-filtered sub-image, scattered into place). 16-bit
+    samples reduce to their high byte (the standard 16→8 reduction);
+    sub-byte grayscale scales to full 8-bit range. jpeg/mp4 keep the
+    honest NotImplementedError boundary. Chunk CRCs are verified (a
+    corrupt stream fails loudly, never decodes garbage). Returns
+    width / height / ``channels`` / ``pixels`` (``(h, w, c)`` uint8;
+    palette images return their RGB expansion, channels=3)."""
     import struct
     import zlib
 
@@ -493,11 +588,20 @@ def decode_png(payload: bytes) -> dict:
     w, h, depth, color_type, comp, filt_m, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or color_type not in (0, 2, 3, 4, 6) or comp or filt_m or interlace:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if (
+        channels is None
+        or depth not in valid_depths[color_type]
+        or comp
+        or filt_m
+        or interlace not in (0, 1)
+    ):
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={color_type}, "
-            f"interlace={interlace}); 8-bit gray/RGB/palette/RGBA "
-            "non-interlaced is the offline codec"
+            f"interlace={interlace}); the offline codec covers the spec's "
+            "valid depth/color matrix with interlace 0/1"
         )
     if color_type == 3:
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
@@ -507,56 +611,43 @@ def decode_png(payload: bytes) -> dict:
             )
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    stride = w * bpp
+    bits_pp = depth * channels
+    fbpp = max(1, bits_pp // 8)  # filter byte offset (>=1 per spec)
     try:
         stream = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
-    if len(stream) != h * (stride + 1):
-        raise ValueError(
-            f"PNG stream is {len(stream)} bytes, expected {h * (stride + 1)}"
-        )
-    rows = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes, data = rows[:, 0], rows[:, 1:].astype(np.int16)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    for r in range(h):
-        ft = int(ftypes[r])
-        line = data[r]
-        up = recon[r - 1].astype(np.int16) if r else np.zeros(stride, np.int16)
-        if ft == 0:
-            out = line
-        elif ft == 1:
-            # Sub is a per-byte-lane prefix sum (stride bpp) mod 256 —
-            # widened to int64 first: an int16 cumsum overflows after
-            # ~128 saturated pixels
-            out = (
-                line.reshape(-1, bpp).astype(np.int64).cumsum(axis=0).reshape(-1)
+
+    def sub_stride(sub_w: int) -> int:
+        return (sub_w * bits_pp + 7) // 8
+
+    if interlace == 0:
+        recon = _png_reconstruct(stream, h, sub_stride(w), fbpp)
+        px = _png_samples(recon, w, depth, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images, consumed in
+        # order from ONE inflate stream and scattered into place
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            st = sub_stride(pw)
+            need = ph * (st + 1)
+            recon = _png_reconstruct(stream[off : off + need], ph, st, fbpp)
+            off += need
+            sub = _png_samples(recon, pw, depth, channels)
+            px[y0::dy, x0::dx] = sub
+        if off != len(stream):
+            raise ValueError(
+                f"PNG Adam7 stream is {len(stream)} bytes, expected {off}"
             )
-        elif ft == 2:
-            out = line + up
-        elif ft in (3, 4):
-            # Average/Paeth need the RECONSTRUCTED left neighbor —
-            # inherently sequential along the row (per-byte loop; rows
-            # are short and this is the cold path of a test codec)
-            out = np.zeros(stride, dtype=np.int16)
-            for x in range(stride):
-                a = int(out[x - bpp]) if x >= bpp else 0
-                b = int(up[x])
-                if ft == 3:
-                    pred = (a + b) // 2
-                else:
-                    c = int(recon[r - 1, x - bpp]) if (r and x >= bpp) else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                # reduce mod 256 NOW: the next byte's left neighbor is
-                # read from `out` before the row-level % 256
-                out[x] = (int(line[x]) + pred) % 256
-        else:
-            raise ValueError(f"bad PNG filter type {ft} on row {r}")
-        recon[r] = (out % 256).astype(np.uint8)
-    px = recon.reshape(h, w, bpp)
+    if color_type == 0 and depth < 8:
+        # grayscale sub-byte samples scale to full 8-bit range — the
+        # factors are exact (255/1, 255/3, 255/15 are integers)
+        px = (px.astype(np.int32) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color_type == 3:
         # PLTE lookup: the index plane expands to its RGB triples —
         # out-of-range indices are malformed input, not silent black
@@ -575,7 +666,7 @@ def decode_png(payload: bytes) -> dict:
     return {
         "width": int(w),
         "height": int(h),
-        "channels": bpp,
+        "channels": channels,
         "pixels": px.copy(),
     }
 

@@ -4268,6 +4268,7 @@ def snapshot_maintain(
     keep_last: int = 2,
     stats_cols: list[str] | None = None,
     max_live_deletes: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """The REWRITE CADENCE as one policy call — the documented contract
     that bounds read plans and manifests for PARTITIONED tables (whose
@@ -4295,7 +4296,7 @@ def snapshot_maintain(
     keeps the pre-round-14 behavior (deletes fold only when the commit
     bound trips).
     """
-    committed = current_version(spark, table)
+    committed = current_version(spark, table, branch=branch)
     if committed == 0:
         return {
             "live_commits": 0,
@@ -4303,7 +4304,9 @@ def snapshot_maintain(
             "expired": {},
             "live_deletes": 0,
         }
-    manifest = _load_manifest(spark, table, committed, committed=committed)
+    manifest = _load_manifest(
+        spark, table, committed, committed=committed, branch=branch
+    )
     live = {
         d.split("/")[1]
         for dirs in manifest["partitions"].values()
@@ -4318,7 +4321,9 @@ def snapshot_maintain(
             "expired": {},
             "live_deletes": n_deletes,
         }
-    snapshot_rewrite(spark, table, partition_by, stats_cols=stats_cols)
+    snapshot_rewrite(spark, table, partition_by, stats_cols=stats_cols, branch=branch)
+    # expire is GLOBAL (it retains every live branch's references), so
+    # the same call is correct from a branch-scoped maintain tick
     expired = snapshot_expire(spark, table, keep_last=keep_last)
     return {
         "live_commits": len(live),

