@@ -2694,6 +2694,7 @@ def snapshot_diff(
     table: str,
     from_version: int,
     to_version: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Directory-level delta between two committed snapshots:
     ``{"from", "to", "added": [rel dirs], "removed": [rel dirs]}``.
@@ -2710,10 +2711,12 @@ def snapshot_diff(
     incremental reads refuse the range (correct: it is a replacement)
     and the keyed state diff reads the dir under both versions' delete
     sets, producing exact delete images."""
-    committed = current_version(spark, table)
+    committed = current_version(spark, table, branch=branch)
     to_v = committed if to_version is None else to_version
-    mf = _load_manifest(spark, table, from_version, committed=committed)
-    mt = _load_manifest(spark, table, to_v, committed=committed)
+    mf = _load_manifest(
+        spark, table, from_version, committed=committed, branch=branch
+    )
+    mt = _load_manifest(spark, table, to_v, committed=committed, branch=branch)
     dirs_f = {d for dirs in mf["partitions"].values() for d in dirs}
     dirs_t = {d for dirs in mt["partitions"].values() for d in dirs}
 
@@ -2744,6 +2747,7 @@ def snapshot_changes(
     since_version: int,
     to_version: int | None = None,
     allow_replacements: bool = False,
+    branch: str | None = None,
 ) -> DataFrame:
     """Rows ADDED between two snapshot versions, read from ONLY the new
     directories — the Iceberg incremental-read shape: a downstream
@@ -2759,9 +2763,9 @@ def snapshot_changes(
     as-is and the caller owns dedup/merge semantics; pair with
     :func:`snapshot_diff` to see what was dropped). An empty delta
     returns zero rows with the table's schema."""
-    committed = current_version(spark, table)
+    committed = current_version(spark, table, branch=branch)
     to_v = committed if to_version is None else to_version
-    d = snapshot_diff(spark, table, since_version, to_version=to_v)
+    d = snapshot_diff(spark, table, since_version, to_version=to_v, branch=branch)
     if d["removed"] and not allow_replacements:
         raise ValueError(
             f"snapshot range v{since_version}->v{to_v} of {table} removed "
@@ -2770,7 +2774,9 @@ def snapshot_changes(
             "over replacements — pass allow_replacements=True to consume "
             "the new dirs anyway, or rebuild from snapshot_read"
         )
-    manifest = _load_manifest(spark, table, to_v, committed=committed)
+    manifest = _load_manifest(
+        spark, table, to_v, committed=committed, branch=branch
+    )
     all_dirs = sorted(x for dirs in manifest["partitions"].values() for x in dirs)
     if not all_dirs:
         raise ValueError(
@@ -2926,6 +2932,7 @@ def snapshot_row_changes(
     from_version: int,
     to_version: int | None = None,
     ignore_cols: list[str] | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """ROW-level change feed between two snapshot versions of a
     MAINTAINED table — the answer :func:`snapshot_changes` correctly
@@ -2984,11 +2991,13 @@ def snapshot_row_changes(
     Output: the table's columns plus ``_change_type`` (string). Rows
     with deletes carry the OLD image, inserts/postimages the NEW one.
     """
-    committed = current_version(spark, table)
+    committed = current_version(spark, table, branch=branch)
     to_v = committed if to_version is None else to_version
-    d = snapshot_diff(spark, table, from_version, to_version=to_v)
-    mf = _load_manifest(spark, table, from_version, committed=committed)
-    mt = _load_manifest(spark, table, to_v, committed=committed)
+    d = snapshot_diff(spark, table, from_version, to_version=to_v, branch=branch)
+    mf = _load_manifest(
+        spark, table, from_version, committed=committed, branch=branch
+    )
+    mt = _load_manifest(spark, table, to_v, committed=committed, branch=branch)
     if not any(mt["partitions"].values()) and not any(mf["partitions"].values()):
         raise ValueError(
             f"snapshots v{from_version} and v{to_v} of {table} are both "

@@ -5422,3 +5422,71 @@ def test_branch_rewrite_and_history(spark, table):
     # publish the compacted lineage
     snapshot_fast_forward(spark, table, "audit")
     assert _rows(snapshot_read(spark, table)) == before
+
+
+def test_branch_change_feed_and_true_thread_race(spark, table):
+    """(a) The change-data surface works on a branch lineage:
+    snapshot_diff / snapshot_changes / snapshot_row_changes with
+    branch= read across the fork boundary. (b) TRUE parallel writers on
+    the SAME branch race its own CAS: both land, branch history is
+    linear, main untouched."""
+    import threading
+
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_branch,
+        snapshot_changes,
+        snapshot_diff,
+        snapshot_row_changes,
+    )
+
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+    )
+    snapshot_branch(spark, table, "audit")
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, 30)], "id long, v long"),
+        branch="audit",
+    )
+    # diff/changes across the fork: v1 (shared) -> v2 (branch-only)
+    d = snapshot_diff(spark, table, 1, branch="audit")
+    assert len(d["added"]) == 1 and not d["removed"]
+    delta = snapshot_changes(spark, table, 1, branch="audit")
+    assert _rows(delta) == [(3, 30)]
+    rc = snapshot_row_changes(spark, table, ["id"], 1, branch="audit")
+    assert sorted((r["_change_type"], r["id"]) for r in rc.collect()) == [
+        ("insert", 3)
+    ]
+    # true-thread race on the branch CAS
+    errors = []
+
+    def writer(tag: int):
+        try:
+            for k in range(3):
+                snapshot_append(
+                    spark, table,
+                    spark.createDataFrame(
+                        [(tag * 100 + k, tag)], "id long, v long"
+                    ),
+                    branch="audit",
+                )
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert current_version(spark, table, branch="audit") == 8  # 2 + 6
+    hist = snapshot_history(spark, table, branch="audit")
+    assert [s["version"] for s in hist] == list(range(1, 9))
+    got = _rows(snapshot_read(spark, table, branch="audit"))
+    want = sorted(
+        [(1, 10), (2, 20), (3, 30)]
+        + [(t * 100 + k, t) for t in (1, 2) for k in range(3)]
+    )
+    assert got == want
+    assert current_version(spark, table) == 1
