@@ -795,13 +795,13 @@ def _race_first_publish(monkeypatch, winner_commit):
     orig = snap._publish_cas
     state = {"fired": False}
 
-    def interleaved(spark_, table_, version, basename):
+    def interleaved(spark_, table_, version, basename, branch=None):
         if not state["fired"]:
             state["fired"] = True
             monkeypatch.setattr(snap, "_publish_cas", orig)
             winner_commit()  # the winner commits this very version
             monkeypatch.setattr(snap, "_publish_cas", interleaved)
-        return orig(spark_, table_, version, basename)
+        return orig(spark_, table_, version, basename, branch=branch)
 
     monkeypatch.setattr(snap, "_publish_cas", interleaved)
     return state
@@ -938,7 +938,7 @@ def test_crash_between_manifest_and_marker_is_phantom(spark, table, monkeypatch)
 
     df = spark.createDataFrame([(2, "a", 20)], "id long, p string, v long")
 
-    def crash(spark_, table_, version, basename):
+    def crash(spark_, table_, version, basename, branch=None):
         raise RuntimeError("injected crash before publish")
 
     monkeypatch.setattr(snap, "_publish_cas", crash)
