@@ -298,12 +298,15 @@ def encode_bmp(pixels, width: int, height: int) -> bytes:
 
 def decode_bmp(payload: bytes) -> dict:
     """Dependency-free BMP decode per the public spec: BITMAPINFOHEADER
-    (or larger v4/v5 headers — read their common 40-byte prefix), 24-bit
-    uncompressed BI_RGB only, bottom-up (positive height) or top-down
-    (negative) row order, 4-byte row padding. Returns width / height /
-    ``pixels`` (``(h, w, 3)`` RGB uint8). Palette/compressed/other-depth
-    BMPs raise ValueError — the same honest codec boundary jpeg/png hit.
-    """
+    (or larger v4/v5 headers — read their common 40-byte prefix),
+    uncompressed BI_RGB at 24-bit (BGR), 32-bit (BGRX — the padding
+    byte drops; round 14), or 8-bit PALETTE (BGRA color-table lookup,
+    ``biClrUsed`` honored, 0 = 256; round 14), bottom-up (positive
+    height) or top-down (negative) row order, 4-byte row padding.
+    Returns width / height / ``pixels`` (``(h, w, 3)`` RGB uint8 —
+    palette images return their RGB expansion, matching the PNG PLTE
+    convention). 1/4-bit, 16-bit masks, and RLE compression raise
+    ValueError — the honest codec boundary jpeg/mp4 still hit."""
     import struct
 
     import numpy as np
@@ -317,23 +320,45 @@ def decode_bmp(payload: bytes) -> dict:
     w, h_raw = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if planes != 1 or bpp != 24 or compression != 0:
+    if planes != 1 or bpp not in (8, 24, 32) or compression != 0:
         raise ValueError(
             f"unsupported BMP variant (planes={planes}, bpp={bpp}, "
-            f"compression={compression}); 24-bit BI_RGB is the offline codec"
+            f"compression={compression}); 8-bit-palette/24/32-bit BI_RGB "
+            "is the offline codec"
         )
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
     if w <= 0 or h <= 0:
         raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
-    row_bytes = w * 3
+    nbytes = bpp // 8
+    row_bytes = w * nbytes
     stride = row_bytes + ((-row_bytes) % 4)
     need = stride * h
     data = payload[data_off : data_off + need]
     if len(data) != need:
         raise ValueError(f"BMP data truncated: need {need} bytes, have {len(data)}")
     rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)[:, :row_bytes]
-    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        pal = payload[pal_off : pal_off + 4 * n_colors]
+        if len(pal) != 4 * n_colors:
+            raise ValueError(
+                f"BMP color table truncated: need {4 * n_colors} bytes, "
+                f"have {len(pal)}"
+            )
+        # BGRA quads -> RGB triples
+        pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 4)[:, 2::-1]
+        idx = rows.reshape(h, w)
+        if int(idx.max()) >= n_colors:
+            raise ValueError(
+                f"BMP palette index {int(idx.max())} past color table "
+                f"size {n_colors}"
+            )
+        px = pal_arr[idx]
+    else:
+        # BGR(X) -> RGB; the 32-bit padding/alpha byte drops
+        px = rows.reshape(h, w, nbytes)[:, :, 2::-1]
     if not top_down:
         px = px[::-1]  # bottom-up storage -> top-down array
     return {"width": w, "height": h, "pixels": px.copy()}

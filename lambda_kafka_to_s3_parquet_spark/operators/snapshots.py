@@ -3126,21 +3126,25 @@ def snapshot_row_changes(
     )
 
 
-def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
+def snapshot_rollback(
+    spark: SparkSession, table: str, version: int, branch: str | None = None
+) -> int:
     """Commit a NEW snapshot whose content is an old version's (the
     Iceberg rollback shape: history moves forward, files are reused).
     Rolling back to an EMPTY state (v0) is refused: an empty committed
     snapshot poisons every later read and merge — the same hazard the
-    empty-commit no-ops guard against on the write path."""
-    manifest = _load_manifest(spark, table, version)
+    empty-commit no-ops guard against on the write path. ``branch``
+    rolls the BRANCH back (to one of its own versions or shared
+    pre-fork history) — main is untouched."""
+    manifest = _load_manifest(spark, table, version, branch=branch)
     if not manifest["partitions"]:
         raise ValueError(
             f"refusing rollback to empty snapshot v{version} of {table}: "
             "an empty committed snapshot is unreadable; drop or rebuild "
             "the table instead"
         )
-    read_v = current_version(spark, table)
-    latest = _load_manifest(spark, table, read_v)
+    read_v = current_version(spark, table, branch=branch)
+    latest = _load_manifest(spark, table, read_v, branch=branch)
     return _commit(
         spark,
         table,
@@ -3160,6 +3164,7 @@ def snapshot_rollback(spark: SparkSession, table: str, version: int) -> int:
         # type). None (pre-upgrade target) keeps inheriting — the
         # read-time gate backstops those tables.
         dschema=manifest.get("dschema"),
+        branch=branch,
     )
 
 

@@ -3060,9 +3060,11 @@ def test_bmp_codec_roundtrip_and_dispatch(spark):
     td[data_off:] = b"".join(reversed(rows))
     assert (decode_bmp(bytes(td))["pixels"] == px).all()
 
-    # unsupported variants fail at the boundary
+    # unsupported variants fail at the boundary (16-bit masks; 8-bit
+    # palette and 32-bit BI_RGB decode since round 14 — see
+    # test_bmp_palette_and_32bit)
     bad = bytearray(encode_bmp(px, 5, 3))
-    struct.pack_into("<H", bad, 28, 8)  # 8bpp palette
+    struct.pack_into("<H", bad, 28, 16)
     with pytest.raises(ValueError, match="unsupported BMP variant"):
         decode_bmp(bytes(bad))
     with pytest.raises(ValueError, match="not a BMP"):
@@ -3194,6 +3196,60 @@ def test_png_codec_roundtrip_filters_and_dispatch(spark):
     rows_out = {r["media_id"]: r for r in extract_image_features(media).collect()}
     assert rows_out[1]["mean_luma"] == rows_out[2]["mean_luma"]
     assert rows_out[2]["corrupt"] is None
+
+
+def test_bmp_palette_and_32bit():
+    """Round 14: BMP decode extends to 8-bit PALETTE (BGRA color table,
+    biClrUsed honored) and 32-bit BI_RGB (BGRX padding byte drops) —
+    hand-rolled first-principles payloads, value-checked against the
+    24-bit decode of the same pixels; bad palette indices and truncated
+    color tables stay loud."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import decode_bmp
+
+    def mk_bmp(w, h, bpp, pixel_data, palette=b""):
+        hdr_size = 40
+        data_off = 14 + hdr_size + len(palette)
+        size = data_off + len(pixel_data)
+        fh = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+        n_colors = len(palette) // 4
+        ih = struct.pack(
+            "<IiiHHIIiiII", hdr_size, w, h, 1, bpp, 0, len(pixel_data),
+            2835, 2835, n_colors, 0,
+        )
+        return fh + ih + palette + pixel_data
+
+    # 8-bit palette, 3x2 bottom-up, width 3 -> stride 4 (1 pad byte)
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in
+                   [(10, 20, 30), (200, 100, 50), (0, 255, 0)])
+    rows_bu = bytes([2, 1, 0, 0]) + bytes([0, 0, 1, 0])  # bottom row first
+    img = decode_bmp(mk_bmp(3, 2, 8, rows_bu, pal))
+    want = np.array(
+        [[[10, 20, 30], [10, 20, 30], [200, 100, 50]],
+         [[0, 255, 0], [200, 100, 50], [10, 20, 30]]], np.uint8)
+    assert (img["pixels"] == want).all()
+
+    # 32-bit BGRX, 2x2 bottom-up (no padding at stride 8)
+    px = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], np.uint8)
+    data = b""
+    for r in (1, 0):  # bottom-up
+        for c in range(2):
+            rr, gg, bb = px[r, c]
+            data += bytes([bb, gg, rr, 0xAA])
+    img = decode_bmp(mk_bmp(2, 2, 32, data))
+    assert (img["pixels"] == px).all()
+
+    # bad palette index / truncated color table
+    with pytest.raises(ValueError, match="past color table"):
+        decode_bmp(mk_bmp(3, 2, 8, bytes([9, 0, 0, 0, 0, 0, 0, 0]), pal))
+    trunc = bytearray(mk_bmp(3, 2, 8, rows_bu, pal))
+    struct.pack_into("<I", trunc, 46, 100)  # biClrUsed far past the payload
+    with pytest.raises(ValueError, match="color table truncated"):
+        decode_bmp(bytes(trunc))
 
 
 def test_png_palette_and_grayscale_variants(spark):

@@ -5490,3 +5490,28 @@ def test_branch_change_feed_and_true_thread_race(spark, table):
     )
     assert got == want
     assert current_version(spark, table) == 1
+
+
+def test_branch_rollback(spark, table):
+    """Rollback on a branch restores an earlier branch (or shared
+    pre-fork) state as a NEW branch commit; main never moves."""
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_branch,
+        snapshot_rollback,
+    )
+
+    _branch_seed(spark, table)                      # main v1
+    snapshot_branch(spark, table, "audit")
+    snapshot_append(
+        spark, table,
+        spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"),
+        ["p"], branch="audit",
+    )                                               # branch v2
+    v = snapshot_rollback(spark, table, 1, branch="audit")  # back to fork
+    assert v == 3
+    assert _rows(snapshot_read(spark, table, branch="audit")) == [
+        (1, 10, "a"), (2, 20, "b")
+    ]
+    # branch v2 stays time-travelable; main untouched
+    assert len(_rows(snapshot_read(spark, table, version=2, branch="audit"))) == 3
+    assert current_version(spark, table) == 1
