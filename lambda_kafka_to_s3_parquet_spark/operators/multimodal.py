@@ -129,9 +129,13 @@ def encode_wav(
 def decode_wav(payload: bytes) -> dict:
     """Dependency-free PCM WAV decode (public RIFF/WAVE spec): walk the
     chunk list, parse the ``fmt `` chunk, decode the ``data`` chunk's
-    little-endian PCM samples. Returns sample_rate / n_channels / bits /
-    the decoded per-channel-interleaved samples list. Malformed input
-    raises ValueError (the caller's corrupt-record boundary)."""
+    little-endian PCM samples — integer PCM (format 1) at 8/16 bits and
+    (round 14) 24 bits (3-byte two's complement, no struct code exists)
+    and 32 bits, plus IEEE float32 (format 3). Returns sample_rate /
+    n_channels / bits / the decoded per-channel-interleaved samples
+    list (ints for PCM, floats for format 3). Malformed input raises
+    ValueError (the caller's corrupt-record boundary); ADPCM/µ-law stay
+    the honest compressed boundary."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -149,23 +153,42 @@ def decode_wav(payload: bytes) -> dict:
             audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if audio_format != 1:
-                raise ValueError(f"unsupported WAV format {audio_format} (PCM only)")
-            if bits not in (8, 16):
+            if audio_format not in (1, 3):
+                raise ValueError(
+                    f"unsupported WAV format {audio_format} "
+                    "(integer PCM=1 / IEEE float=3 only)"
+                )
+            if audio_format == 1 and bits not in (8, 16, 24, 32):
                 raise ValueError(f"unsupported bit depth {bits}")
-            fmt_info = (n_channels, sample_rate, bits)
+            if audio_format == 3 and bits != 32:
+                raise ValueError(
+                    f"IEEE-float WAV must be 32-bit, got {bits}"
+                )
+            fmt_info = (n_channels, sample_rate, bits, audio_format)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_info is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    n_channels, sample_rate, bits = fmt_info
-    if bits == 8:
+    n_channels, sample_rate, bits, audio_format = fmt_info
+    width = bits // 8
+    if len(data) % width:
+        raise ValueError(f"data length not a multiple of {width} ({bits}-bit)")
+    if audio_format == 3:
+        samples = list(struct.unpack(f"<{len(data) // 4}f", data))
+    elif bits == 8:
         samples = list(struct.unpack(f"<{len(data)}B", data))
-    else:
-        if len(data) % 2:
-            raise ValueError("odd data length for 16-bit PCM")
+    elif bits == 16:
         samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    elif bits == 24:
+        # 3-byte little-endian two's complement (round 14): no struct
+        # code exists — combine bytes and sign-extend
+        samples = [
+            int.from_bytes(data[i : i + 3], "little", signed=True)
+            for i in range(0, len(data), 3)
+        ]
+    else:  # 32-bit integer PCM
+        samples = list(struct.unpack(f"<{len(data) // 4}i", data))
     return {
         "sample_rate": sample_rate,
         "n_channels": n_channels,

@@ -1712,6 +1712,51 @@ def test_pq_empty_training_sample_raises_clearly(spark):
         train_pq_codebooks(zeros, m=2, n_codes=2)
 
 
+def test_wav_24_32bit_and_float_decode():
+    """Round 14: WAV decode extends past 8/16-bit integer PCM — 24-bit
+    (3-byte two's complement), 32-bit integer, and IEEE float32
+    (format 3) — against hand-rolled first-principles RIFF payloads;
+    ADPCM/µ-law and float64 stay the loud boundary."""
+    import struct
+
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import decode_wav
+
+    def mk_wav(fmt_code, bits, data, n_channels=1, rate=8000):
+        block = n_channels * bits // 8
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, fmt_code, n_channels, rate, rate * block, block,
+            bits, b"data", len(data),
+        )
+        return hdr + data
+
+    # 24-bit PCM incl. negative + extreme values
+    vals = [0, 1, -1, 8_388_607, -8_388_608, 70_000]
+    data = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    got = decode_wav(mk_wav(1, 24, data))
+    assert got["bits"] == 24 and got["samples"] == vals
+
+    # 32-bit integer PCM
+    vals32 = [0, -2_000_000_000, 2_000_000_000, 12345]
+    got = decode_wav(mk_wav(1, 32, struct.pack("<4i", *vals32)))
+    assert got["samples"] == vals32
+
+    # IEEE float32 (format 3): exactly-representable values round-trip
+    fvals = [0.0, -1.0, 0.5, 123.25]
+    got = decode_wav(mk_wav(3, 32, struct.pack("<4f", *fvals)))
+    assert got["samples"] == fvals
+
+    # boundaries stay loud
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        decode_wav(mk_wav(2, 16, b"\x00\x00"))  # ADPCM
+    with pytest.raises(ValueError, match="IEEE-float WAV must be 32-bit"):
+        decode_wav(mk_wav(3, 64, b"\x00" * 8))
+    with pytest.raises(ValueError, match="not a multiple"):
+        decode_wav(mk_wav(1, 24, b"\x00\x00"))
+
+
 def test_wav_codec_roundtrip_and_real_features(spark):
     """The ONE real offline codec: PCM WAV. encode->decode is byte/value
     exact; extract_audio_features decodes a generated real payload to the
