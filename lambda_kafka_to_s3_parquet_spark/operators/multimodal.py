@@ -6,14 +6,19 @@ used by large-scale training-data pipelines: Spark moves/filters/joins the
 bytes, and per-item decode runs as an Arrow-batched Python stage only where
 genuinely needed.
 
-Two formats have REAL dependency-free codecs in this container — PCM WAV
-audio (RIFF/WAVE spec, :func:`decode_wav`) and binary PPM images (netpbm
-P6 spec, :func:`decode_ppm`, including a real nearest-neighbor resize) —
-so the audio- and image-feature stages decode genuine payloads end to
-end. Every compressed format (jpeg/png/mp4) stays STUBBED:
-``decode_stub_features`` computes deterministic fake features from the
-raw bytes (documented, test-covered), and ``decode_real_features``
-raises ``NotImplementedError`` at the exact boundary where a
+FIVE formats have REAL dependency-free codecs in this container — PCM
+WAV audio (RIFF/WAVE spec incl. 24/32-bit and float32,
+:func:`decode_wav`), binary PPM (netpbm P6, :func:`decode_ppm`,
+including a real nearest-neighbor resize), uncompressed BMP
+(8-bit-palette/24/32-bit BI_RGB, :func:`decode_bmp`), PNG (stdlib-zlib
+inflate + full filter/depth/interlace matrix, :func:`decode_png`), and
+GIF (real LZW, palettes, Adam-style 4-pass interlace,
+:func:`decode_gif`) — so the audio- and image-feature stages decode
+genuine payloads end to end. The remaining compressed formats
+(jpeg/mp4) stay STUBBED: ``decode_stub_features`` computes
+deterministic fake features from the raw bytes (documented,
+test-covered), and ``decode_real_features`` raises
+``NotImplementedError`` at the exact boundary where a
 PIL/librosa/ffmpeg-class codec would plug in. Everything around that
 boundary — schema, batch shape, partitioning, UDF signature — is real
 Spark plumbing and is tested.
@@ -387,6 +392,273 @@ def decode_bmp(payload: bytes) -> dict:
     return {"width": w, "height": h, "pixels": px.copy()}
 
 
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """GIF-variant LZW decode: little-endian bit packing, CLEAR = 2^mcs,
+    END = CLEAR+1, code width starts at mcs+1 and grows as the table
+    fills, capped at 12 bits (the table then freezes until a CLEAR).
+    Raises ValueError on out-of-sequence codes or a stream that ends
+    without END — corrupt data fails loudly, never decodes garbage."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out: list[int] = []
+    acc = nbits = pos = 0
+    table: dict[int, tuple] = {}
+    width = mcs + 1
+    prev: tuple | None = None
+    next_code = end + 1
+
+    def reset():
+        nonlocal table, width, prev, next_code
+        table = {i: (i,) for i in range(clear)}
+        width = mcs + 1
+        prev = None
+        next_code = end + 1
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without END code")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"LZW code {code} out of sequence")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(indices, mcs: int) -> bytes:
+    """GIF-variant LZW encode — the exact inverse of :func:`_lzw_decode`
+    (round-trip test-pinned across width-growth and table-reset
+    boundaries). Emits CLEAR up front, resets the table at 4096 codes,
+    and grows the emit width one code later than the table add (the
+    classic GIF off-by-one the decoder mirrors)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bits: list[tuple[int, int]] = []  # (code, width)
+    table: dict[tuple, int] = {}
+    width = mcs + 1
+    next_code = end + 1
+
+    def reset_table():
+        nonlocal table, width, next_code
+        table = {(i,): i for i in range(clear)}
+        width = mcs + 1
+        next_code = end + 1
+
+    bits.append((clear, width))
+    reset_table()
+    buf: tuple = ()
+    for s in indices:
+        s = int(s)
+        if not 0 <= s < clear:
+            raise ValueError(f"LZW symbol {s} out of range for mcs={mcs}")
+        nb = buf + (s,)
+        if nb in table:
+            buf = nb
+            continue
+        bits.append((table[buf], width))
+        if next_code < 4096:
+            table[nb] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            bits.append((clear, width))
+            reset_table()
+        buf = (s,)
+    if buf:
+        bits.append((table[buf], width))
+    bits.append((end, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+#: GIF interlace passes: (first row, step)
+_GIF_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def encode_gif(pixels, width: int, height: int, interlace: bool = False) -> bytes:
+    """A real GIF89a from an RGB pixel array (the FIFTH offline codec,
+    round 14): the distinct colors become the global color table
+    (≤ 256 required — quantization is out of scope for a test codec),
+    pixels LZW-compress per the public GIF spec, optionally
+    interlaced. ``decode_gif(encode_gif(px)) == px`` value-exactly."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(height, width, 3)
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError(
+            f"GIF encode needs <= 256 distinct colors, got {colors.shape[0]}"
+        )
+    gct_bits = max(1, int(colors.shape[0] - 1).bit_length())
+    n_entries = 1 << gct_bits
+    mcs = max(2, gct_bits)
+    idx = inverse.reshape(height, width)
+    if interlace:
+        rows = [r for first, step in _GIF_PASSES for r in range(first, height, step)]
+        idx = idx[rows]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (gct_bits - 1), 0, 0)
+    gct = bytearray()
+    for r, g, b in colors:
+        gct += bytes([r, g, b])
+    gct += b"\x00" * (3 * (n_entries - colors.shape[0]))
+    out += gct
+    flags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, flags)
+    out += bytes([mcs])
+    data = _lzw_encode(idx.reshape(-1).tolist(), mcs)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Dependency-free GIF decode per the public spec (87a and 89a):
+    logical screen descriptor, global/local color tables, extension
+    blocks skipped, the FIRST image frame LZW-decoded (variable-width
+    codes, CLEAR/END handling, 12-bit cap) and de-interlaced when the
+    4-pass flag is set; a sub-canvas frame composes onto a background-
+    color canvas. Returns width / height / ``channels``=3 / ``pixels``
+    (the RGB palette expansion — the PNG-PLTE convention). Malformed
+    streams (bad codes, truncated blocks, missing palette,
+    out-of-range indices) raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated in the logical screen descriptor")
+    w, h, flags, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad GIF dimensions {w}x{h}")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image frame")
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF extension truncated")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block marker 0x{marker:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF image descriptor truncated")
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = payload[pos : pos + 3 * n]
+            if len(pal) != 3 * n:
+                raise ValueError("GIF local color table truncated")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has neither local nor global palette")
+        if iw <= 0 or ih <= 0 or left + iw > w or top + ih > h:
+            raise ValueError(
+                f"bad GIF frame geometry {iw}x{ih}@({left},{top}) on {w}x{h}"
+            )
+        if pos >= len(payload):
+            raise ValueError("GIF image data truncated")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"bad GIF LZW min code size {mcs}")
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF image sub-blocks truncated")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            block = payload[pos : pos + n]
+            if len(block) != n:
+                raise ValueError("GIF image sub-block truncated")
+            data += block
+            pos += n
+        indices = _lzw_decode(bytes(data), mcs)
+        if len(indices) < iw * ih:
+            raise ValueError(
+                f"GIF frame decoded {len(indices)} pixels, needs {iw * ih}"
+            )
+        idx = np.array(indices[: iw * ih], dtype=np.int32).reshape(ih, iw)
+        if iflags & 0x40:  # de-interlace: invert the 4-pass row order
+            order = [r for first, step in _GIF_PASSES for r in range(first, ih, step)]
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        pal_arr = np.frombuffer(bytes(pal), dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max()) >= pal_arr.shape[0]:
+            raise ValueError(
+                f"GIF index {int(idx.max())} past palette size {pal_arr.shape[0]}"
+            )
+        frame = pal_arr[idx]
+        if iw == w and ih == h:
+            px = frame
+        else:
+            if gct is None or bg * 3 + 3 > len(gct):
+                raise ValueError("GIF sub-canvas frame without a background color")
+            px = np.tile(
+                np.frombuffer(bytes(gct[bg * 3 : bg * 3 + 3]), np.uint8), (h, w, 1)
+            )
+            px[top : top + ih, left : left + iw] = frame
+        return {"width": int(w), "height": int(h), "channels": 3,
+                "pixels": px.astype(np.uint8).copy()}
+    raise ValueError("GIF ended without an image frame")
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -736,6 +1008,14 @@ def resize_image(payload: bytes, width: int, height: int) -> bytes:
         rows = ((np.arange(height) + 0.5) * img["height"] / height).astype(int)
         cols = ((np.arange(width) + 0.5) * img["width"] / width).astype(int)
         return encode_png(img["pixels"][rows][:, cols], width, height)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # NN sampling only selects existing pixels, so the resized
+        # frame's colors are a subset of the original palette — the
+        # <=256-color encode precondition holds by construction
+        img = decode_gif(payload)
+        rows = ((np.arange(height) + 0.5) * img["height"] / height).astype(int)
+        cols = ((np.arange(width) + 0.5) * img["width"] / width).astype(int)
+        return encode_gif(img["pixels"][rows][:, cols], width, height)
     return resize_ppm(payload, width, height)
 
 
@@ -768,10 +1048,15 @@ def decode_real_features(media_type: str, payload: bytes) -> dict:
         }
     if media_type == "image" and (
         payload[:2] in (b"P6", b"BM")
+        or payload[:6] in (b"GIF87a", b"GIF89a")
         or payload[: len(_PNG_SIG)] == bytes(_PNG_SIG)
     ):
         if payload[:2] == b"BM":
             img = {**decode_bmp(bytes(payload)), "maxval": 255}
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            # GIF expands to RGB like palette PNG — identical features
+            # for the same pixels (the container-invariance rule)
+            img = {**decode_gif(bytes(payload)), "maxval": 255}
         elif payload[:2] == b"P6":
             img = decode_ppm(bytes(payload))
         else:
@@ -957,15 +1242,17 @@ def resize_images(media: DataFrame, width: int = 16, height: int = 16) -> DataFr
 
 def transcode_images(media: DataFrame, fmt: str = "mixed") -> DataFrame:
     """Container TRANSCODE over the Arrow batch path: decode each
-    supported image payload (PPM/BMP/PNG) and re-encode it as ``fmt``
-    ("ppm" / "bmp" / "png"), or — with ``fmt="mixed"`` — as
-    ``media_id % 3`` cycling the three containers, so one frame
-    exercises every codec's encode AND decode distributed. Pixel values
-    are preserved exactly (all three containers are lossless 8-bit RGB),
-    so downstream features are container-invariant (test-pinned).
-    Undecodable payloads pass through unchanged."""
-    if fmt not in ("ppm", "bmp", "png", "mixed"):
-        raise ValueError(f"fmt must be ppm/bmp/png/mixed, got {fmt!r}")
+    supported image payload (PPM/BMP/PNG/GIF) and re-encode it as
+    ``fmt`` ("ppm" / "bmp" / "png" / "gif"), or — with ``fmt="mixed"``
+    — as ``media_id % 4`` cycling the four containers (GIF joined the
+    rotation in round 14), so one frame exercises every codec's encode
+    AND decode distributed. Pixel values are preserved exactly (every
+    container is lossless for these 8-bit RGB fixtures; the
+    synthesized thumbnails carry far fewer than GIF's 256-color
+    limit), so downstream features are container-invariant
+    (test-pinned). Undecodable payloads pass through unchanged."""
+    if fmt not in ("ppm", "bmp", "png", "gif", "mixed"):
+        raise ValueError(f"fmt must be ppm/bmp/png/gif/mixed, got {fmt!r}")
 
     def _decode_any(p: bytes):
         if p[:2] == b"BM":
@@ -974,11 +1261,15 @@ def transcode_images(media: DataFrame, fmt: str = "mixed") -> DataFrame:
         if p[: len(_PNG_SIG)] == _PNG_SIG:
             i = decode_png(p)
             return i["pixels"][:, :, :3], i["width"], i["height"]
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            i = decode_gif(p)
+            return i["pixels"], i["width"], i["height"]
         i = decode_ppm(p)
         return i["pixels"], i["width"], i["height"]
 
-    encoders = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
-    order = ("ppm", "bmp", "png")
+    encoders = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png,
+                "gif": encode_gif}
+    order = ("ppm", "bmp", "png", "gif")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -986,7 +1277,7 @@ def transcode_images(media: DataFrame, fmt: str = "mixed") -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     px, w, h = _decode_any(bytes(p))
-                    f = order[int(mid) % 3] if fmt == "mixed" else fmt
+                    f = order[int(mid) % 4] if fmt == "mixed" else fmt
                     out.append(encoders[f](px, w, h))
                 except ValueError:
                     out.append(bytes(p))

@@ -3243,6 +3243,101 @@ def test_png_codec_roundtrip_filters_and_dispatch(spark):
     assert rows_out[2]["corrupt"] is None
 
 
+def test_gif_codec_roundtrip_features_and_boundaries():
+    """Round 14: the FIFTH real offline codec — GIF (LZW variable-width
+    codes with CLEAR/END and the 12-bit cap, global/local palettes,
+    4-pass interlace, sub-canvas frames on a background canvas,
+    extension skipping). Round-trips through our encoder, a
+    first-principles hand-rolled frame with a LOCAL palette, feature
+    parity with the other containers, resize dispatch, and loud
+    corrupt-input boundaries."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import (
+        decode_gif,
+        decode_real_features,
+        encode_gif,
+        encode_ppm,
+        resize_image,
+    )
+
+    rng = np.random.RandomState(21)
+    pal = rng.randint(0, 256, size=(9, 3)).astype(np.uint8)
+    px = pal[rng.randint(0, 9, size=(5, 7))]
+
+    # round-trip, plain and interlaced
+    for inter in (False, True):
+        got = decode_gif(encode_gif(px, 7, 5, interlace=inter))
+        assert got["channels"] == 3 and (got["pixels"] == px).all()
+
+    # feature parity with PPM of the same pixels (container invariance)
+    fg = decode_real_features("image", encode_gif(px, 7, 5))
+    fp = decode_real_features("image", encode_ppm(px, 7, 5))
+    assert fg == fp
+
+    # resize dispatch keeps the GIF container and matches the PPM resample
+    from lambda_kafka_to_s3_parquet_spark.operators.multimodal import decode_ppm
+
+    rg = decode_gif(resize_image(encode_gif(px, 7, 5), 3, 2))["pixels"]
+    rp = decode_ppm(resize_image(encode_ppm(px, 7, 5), 3, 2))["pixels"]
+    assert (rg == rp).all()
+
+    # hand-rolled GIF87a: 2x2 frame with a LOCAL palette, an extension
+    # block to skip, and single-pixel codes separated by CLEARs (the
+    # uncompressed-GIF trick) — first principles, not our encoder
+    lct = bytes([10, 20, 30, 200, 100, 50, 0, 0, 0, 255, 255, 255])
+    mcs, clear, end = 2, 4, 5
+    codes = []
+    for c in (0, 1, 3, 2):
+        codes += [(clear, 3), (c, 3)]
+    codes.append((end, 3))
+    acc = nbits = 0
+    lzw = bytearray()
+    for code, wd in codes:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            lzw.append(acc & 0xFF); acc >>= 8; nbits -= 8
+    if nbits:
+        lzw.append(acc & 0xFF)
+    raw = (b"GIF87a" + struct.pack("<HHBBB", 2, 2, 0, 0, 0)
+           + b"\x21\xfe\x03abc\x00"                      # comment ext
+           + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x81)  # local pal, 4 entries
+           + lct + bytes([mcs, len(lzw)]) + bytes(lzw) + b"\x00\x3b")
+    got = decode_gif(raw)
+    want = np.array([[[10, 20, 30], [200, 100, 50]],
+                     [[255, 255, 255], [0, 0, 0]]], np.uint8)
+    assert (got["pixels"] == want).all()
+
+    # sub-canvas frame composes onto the background color
+    sub = encode_gif(px[:2, :3], 3, 2)
+    body = bytearray(sub)
+    # widen the logical screen to 5x4, keep the 3x2 frame at (1,1)
+    struct.pack_into("<HH", body, 6, 5, 4)
+    desc_off = sub.index(b"\x2c")
+    struct.pack_into("<HHHH", body, desc_off + 1, 1, 1, 3, 2)
+    got = decode_gif(bytes(body))
+    assert got["width"] == 5 and got["height"] == 4
+    assert (got["pixels"][1:3, 1:4] == px[:2, :3]).all()
+    # the background fill is the GCT's bg entry (index 0 here)
+    assert (got["pixels"][0, 0] == got["pixels"][3, 4]).all()
+
+    # boundaries: >256 colors, truncated sub-blocks, bad code stream
+    with pytest.raises(ValueError, match="256 distinct colors"):
+        encode_gif(rng.randint(0, 256, size=(18, 18, 3)).astype(np.uint8), 18, 18)
+    with pytest.raises(ValueError, match="truncated|ended"):
+        decode_gif(encode_gif(px, 7, 5)[:-4])
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"JUNK")
+    bad = bytearray(encode_gif(px, 7, 5))
+    bad[-10] ^= 0x5A  # corrupt a data byte inside the LZW stream
+    with pytest.raises(ValueError):
+        decode_gif(bytes(bad))
+
+
 def test_bmp_palette_and_32bit():
     """Round 14: BMP decode extends to 8-bit PALETTE (BGRA color table,
     biClrUsed honored) and 32-bit BI_RGB (BGRX padding byte drops) —
@@ -4315,8 +4410,8 @@ def test_resample_grid_size_guard(spark):
 
 def test_transcode_images_container_invariance(spark):
     """transcode_images re-encodes losslessly: features of the mixed
-    PPM/BMP/PNG frame equal the all-PPM frame row-for-row, and each
-    media_id lands in its media_id%3 container."""
+    PPM/BMP/PNG/GIF frame equal the all-PPM frame row-for-row, and each
+    media_id lands in its media_id%4 container (GIF joined round 14)."""
     import numpy as np
 
     from lambda_kafka_to_s3_parquet_spark.operators.multimodal import (
@@ -4329,7 +4424,7 @@ def test_transcode_images_container_invariance(spark):
     rng = np.random.RandomState(3)
     rows = [
         (i, "image", bytearray(encode_ppm(rng.randint(0, 256, (4, 6, 3)), 6, 4)))
-        for i in range(6)
+        for i in range(8)
     ]
     media = spark.createDataFrame(
         rows, "media_id long, media_type string, payload binary"
@@ -4337,11 +4432,12 @@ def test_transcode_images_container_invariance(spark):
     mixed = transcode_images(media, fmt="mixed")
     got = {r["media_id"]: bytes(r["payload"]) for r in mixed.collect()}
     for i, p in got.items():
-        kind = ("ppm", "bmp", "png")[i % 3]
+        kind = ("ppm", "bmp", "png", "gif")[i % 4]
         assert (
             (kind == "ppm" and p[:2] == b"P6")
             or (kind == "bmp" and p[:2] == b"BM")
             or (kind == "png" and p[: len(_PNG_SIG)] == _PNG_SIG)
+            or (kind == "gif" and p[:6] == b"GIF89a")
         ), (i, kind, p[:8])
     base = {
         r["media_id"]: (r["mean_r"], r["mean_g"], r["mean_b"], r["mean_luma"])
