@@ -101,16 +101,28 @@ def encode_wav(
     """A real RIFF/WAVE PCM file from integer samples (test-fixture
     synthesis, same role as ``encode_avro_record``): canonical 44-byte
     header + interleaved little-endian PCM data, per the public WAVE
-    format spec. ``decode_wav(encode_wav(s)) == s`` byte-exactly."""
+    format spec — 8/16/24/32-bit integer PCM, or IEEE float32 when
+    ``bits="f32"`` (format code 3), mirroring the round-14 decode
+    matrix. ``decode_wav(encode_wav(s)) == s`` value-exactly."""
     import struct
 
-    if bits not in (8, 16):
-        raise ValueError("PCM WAV fixture supports 8- or 16-bit samples")
+    if bits not in (8, 16, 24, 32, "f32"):
+        raise ValueError("PCM WAV fixture supports 8/16/24/32-bit or 'f32'")
     if len(samples) % n_channels:
         raise ValueError("sample count must be a multiple of n_channels")
-    fmt = "<B" if bits == 8 else "<h"
-    data = b"".join(struct.pack(fmt, s) for s in samples)
-    block_align = n_channels * bits // 8
+    if bits == "f32":
+        data = b"".join(struct.pack("<f", s) for s in samples)
+        nbits, fmt_code = 32, 3
+    elif bits == 24:
+        data = b"".join(
+            int(s).to_bytes(3, "little", signed=True) for s in samples
+        )
+        nbits, fmt_code = 24, 1
+    else:
+        fmt = {8: "<B", 16: "<h", 32: "<i"}[bits]
+        data = b"".join(struct.pack(fmt, s) for s in samples)
+        nbits, fmt_code = bits, 1
+    block_align = n_channels * nbits // 8
     byte_rate = sample_rate * block_align
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
@@ -119,12 +131,12 @@ def encode_wav(
         b"WAVE",
         b"fmt ",
         16,
-        1,  # PCM
+        fmt_code,
         n_channels,
         sample_rate,
         byte_rate,
         block_align,
-        bits,
+        nbits,
         b"data",
         len(data),
     )
