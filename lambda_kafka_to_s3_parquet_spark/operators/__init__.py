@@ -71,12 +71,17 @@ from .lm import dsir_select, importance_weights  # noqa: F401
 from .snapshots import (  # noqa: F401
     SnapshotConflictError,
     snapshot_append,
+    snapshot_branch,
+    snapshot_branches,
     snapshot_delete_keys,
     snapshot_delete_where,
     snapshot_describe,
+    snapshot_drop_branch,
     snapshot_drop_column,
     snapshot_expire,
+    snapshot_fast_forward,
     snapshot_history,
+    snapshot_maintain,
     snapshot_merge_into,
     snapshot_overwrite_all,
     snapshot_overwrite_partitions,
