@@ -174,9 +174,12 @@ HEADLINE = [
     # IVF-PQ composition trains cells AND codebooks inside fn()) — not
     # comparable to rounds <= 8.
     "x41_pq_ann",
-    # (round 14: former x53_int8_topk folded into x10's 'int8' branch —
-    # x10 timing now includes the quantize + int8 GEMM; not comparable
-    # to rounds <= 13 on either name)
+    # round 14: x53 folded into x10's 'int8' branch in the REGISTRY (its
+    # oracle slot went to w09), but the bench artifact never removes a
+    # key — the standalone function still exists and is timed here, so
+    # x53's number stays comparable to rounds 11-13 while x10 carries
+    # the folded copy (x10 not comparable to <= 13).
+    "x53_int8_topk",
     # round 5 (late): hybrid BM25 + PRF-dense RRF fusion (EAGER_FN: the
     # PRF centroid collect runs inside fn())
     "x42_hybrid_rrf",
@@ -363,8 +366,12 @@ EAGER_FN = {
     "x41_pq_ann",
     "x42_hybrid_rrf",
     # round 14: x10's absorbed int8 branch quantizes + localCheckpoints
-    # inside fn() — clock before fn()
+    # inside fn() — clock before fn(); same for the retained standalone
+    # x53 key (it always ran the quantize inside fn(), but rounds 11-13
+    # clocked it after — the EAGER_FN clock is the honest protocol and
+    # the visible delta vs r13's 0.42 s is the quantize cost, not drift)
     "x10_embedding_topk",
+    "x53_int8_topk",
     # round 11: x03's absorbed cms branch builds + localCheckpoints the
     # count-min sketch inside fn() — clock must start before it
     "x03_token_stats",
@@ -535,7 +542,18 @@ def main() -> None:
     sf_small_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
 
     spark = get_spark(app_name="lk2sp-bench")
-    specs = all_specs()
+    specs = dict(all_specs())
+    # x53 left the registry in round 14 (folded into x10's 'int8' branch
+    # to free the oracle slot that promoted w09) but bench keys are
+    # append-only: time the surviving standalone function under its own
+    # key so BENCH_rN stays a superset of BENCH_r13.
+    from lambda_kafka_to_s3_parquet_spark.plans import QuerySpec
+    from lambda_kafka_to_s3_parquet_spark.plans.extensions import x53_int8_topk
+
+    specs["x53_int8_topk"] = QuerySpec(
+        "x53_int8_topk", x53_int8_topk, None,
+        "bench-only key (registry fold r14: x10 'int8' branch)",
+    )
 
     # JVM/codegen warmup outside the timed region.
     from lambda_kafka_to_s3_parquet_spark.session import load_table
