@@ -1022,27 +1022,48 @@ def append_band_store(
         # landing forever (the exact silent failure this module forbids).
         meta = {**meta, **_probe_dir_registry(spark, store_path, n_bands, n_pfx)}
     bands = _with_pfx(sig_bands(vecs, id_col, n_bands, rows_per_band), n_pfx)
-    new_band_keys = {
-        r["band"] * n_pfx + r["pfx"]
-        for r in bands.select("band", "pfx").distinct().collect()
-    }
-    # one output file per touched dir per append, not one per task per dir
-    (
-        bands.repartition("band", "pfx")
-        .write.mode("append")
-        .partitionBy("band", "pfx")
-        .parquet(f"{store_path}/bands")
-    )
     sig_rows = vecs.select(
         id_col, "sigs", F.pmod(F.xxhash64(id_col), F.lit(n_pfx)).cast("int").alias("spfx")
     )
-    new_spfx = {r["spfx"] for r in sig_rows.select("spfx").distinct().collect()}
-    (
-        sig_rows.repartition("spfx")
-        .write.mode("append")
-        .partitionBy("spfx")
-        .parquet(f"{store_path}/sigs")
-    )
+
+    # The two store halves are fully independent pipelines over the same
+    # checkpointed vecs (slim band index vs one-sigs-row-per-survivor);
+    # each is a touched-keys collect + a partitioned append. Run them as
+    # two concurrent driver threads (guide §2.6) so the sigs half's jobs
+    # back-fill the band write's commit tail — the registry union below
+    # still happens strictly AFTER both writes, preserving the
+    # registry ⊆ disk crash contract.
+    def _bands_half():
+        keys = {
+            r["band"] * n_pfx + r["pfx"]
+            for r in bands.select("band", "pfx").distinct().collect()
+        }
+        # one output file per touched dir per append, not one per task per dir
+        (
+            bands.repartition("band", "pfx")
+            .write.mode("append")
+            .partitionBy("band", "pfx")
+            .parquet(f"{store_path}/bands")
+        )
+        return keys
+
+    def _sigs_half():
+        keys = {r["spfx"] for r in sig_rows.select("spfx").distinct().collect()}
+        (
+            sig_rows.repartition("spfx")
+            .write.mode("append")
+            .partitionBy("spfx")
+            .parquet(f"{store_path}/sigs")
+        )
+        return keys
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _pool:
+        _f_bands = _pool.submit(_bands_half)
+        _f_sigs = _pool.submit(_sigs_half)
+        new_band_keys = _f_bands.result()
+        new_spfx = _f_sigs.result()
     # Dir REGISTRY: the meta bitmap records which partition dirs exist, so
     # per-batch reads resolve candidate paths with ZERO filesystem calls
     # (measured: glob/exists resolution grew to seconds at 10x store).

@@ -762,9 +762,13 @@ def _collect_dir_stats(
     test applies."""
     commit_id = rels[0].split("/")[1]
     base = f"{table}/data/{commit_id}"
-    df = spark.read.option("basePath", base).parquet(
-        *[f"{table}/{r}" for r in rels]
-    )
+    # ``rels`` is always the COMPLETE dir set of one just-written commit
+    # (every caller passes _write_commit_data's return), so scanning the
+    # commit dir itself is the identical file set — one driver-side
+    # recursive listing instead of len(rels) sequential per-dir listings
+    # (30-dir date-partitioned commits measured ~0.2-0.3 s of pure
+    # listing per stats call; guide §6 small-file/listing cost).
+    df = spark.read.option("basePath", base).parquet(base)
     aggs = []
     for c in stats_cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
@@ -848,9 +852,9 @@ def _collect_dir_blooms(
         raise ValueError(f"bloom_bits must be a multiple of 8 >= 64, got {m}")
     commit_id = rels[0].split("/")[1]
     base = f"{table}/data/{commit_id}"
-    df = spark.read.option("basePath", base).parquet(
-        *[f"{table}/{r}" for r in rels]
-    )
+    # single-path read of the whole commit dir — same file set as rels
+    # (see _collect_dir_stats), one listing instead of len(rels)
+    df = spark.read.option("basePath", base).parquet(base)
     # WHITELIST, not blacklist: bits are set from the JVM
     # CAST(col AS STRING) but probed with python str(value), and the two
     # only provably agree for integral/string/date keys. Everything else
@@ -2566,7 +2570,7 @@ def _read_dirs_raw(
             ]
         )
 
-    groups: list[tuple[str, object]] = []  # (first commit id, frame spec)
+    scan_specs: list[tuple[str, str | None, list[str]]] = []  # (commit, basePath, paths)
     flat_groups: dict[str, list[str]] = {}
     flat_first: dict[str, str] = {}
     cschemas = manifest.get("cschemas", {})
@@ -2587,24 +2591,37 @@ def _read_dirs_raw(
             flat_first.setdefault(key, commit_id)
             flat_groups.setdefault(key, []).append(f"{table}/data/{commit_id}")
         else:
-            groups.append(
+            scan_specs.append(
                 (
                     commit_id,
-                    apply_map(
-                        commit_id,
-                        spark.read.option(
-                            "basePath", f"{table}/data/{commit_id}"
-                        ).parquet(*[f"{table}/{d}" for d in sorted(dirs)]),
-                    ),
+                    f"{table}/data/{commit_id}",
+                    [f"{table}/{d}" for d in sorted(dirs)],
                 )
             )
     for key, paths in flat_groups.items():
-        groups.append(
-            (
-                flat_first[key],
-                apply_map(flat_first[key], spark.read.parquet(*sorted(paths))),
-            )
-        )
+        scan_specs.append((flat_first[key], None, sorted(paths)))
+
+    # Constructing each per-commit scan lists its dirs and reads a footer
+    # DRIVER-side; a partitioned multi-commit table pays len(commits) ×
+    # len(dirs) sequential round-trips per snapshot_read (measured
+    # ~0.7 s of pure construction on a 6-commit × 30-dir table — as much
+    # as the census action itself). The constructions are independent —
+    # build them on a small thread pool (guide §2.6 overlap; pure plan
+    # construction, no jobs) and keep the deterministic commit-id order.
+    def _build(spec):
+        cid, base_path, paths = spec
+        reader = spark.read
+        if base_path is not None:
+            reader = reader.option("basePath", base_path)
+        return cid, apply_map(cid, reader.parquet(*paths))
+
+    if len(scan_specs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, len(scan_specs))) as pool:
+            groups = list(pool.map(_build, scan_specs))
+    else:
+        groups = [_build(s) for s in scan_specs]
     frames = [f for _, f in sorted(groups, key=lambda g: g[0])]
     pcols = _manifest_pcols(manifest["partitions"])
     seen_types: dict[str, str] = {}

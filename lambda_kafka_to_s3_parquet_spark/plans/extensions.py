@@ -3162,8 +3162,14 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         mid = lo + (hi - lo) // 2
         half = ev.filter(F.col("d") <= F.lit(mid))
         snapshot_append(spark, t, half, ["d"], stats_cols=["event_id"])
+        # r14 perf: the complement filter IS exceptAll(half) here — every
+        # row satisfies exactly one of d<=mid / d>mid (d := to_date(ts),
+        # ts never NULL in the fixture; isNull kept for exactness) — and
+        # skips exceptAll's two-sided shuffle (guide §2.4).
         snapshot_append(
-            spark, t, ev.exceptAll(half), ["d"], stats_cols=["event_id"]
+            spark, t,
+            ev.filter((F.col("d") > F.lit(mid)) | F.col("d").isNull()),
+            ["d"], stats_cols=["event_id"],
         )
         patched = ev.filter(F.col("d") == lo).withColumn(
             "value", F.round(F.col("value") * 2, 6)
@@ -3172,12 +3178,28 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, t, patched, ["d"], stats_cols=["event_id"]
         )
         rows = []
-        for label, version in (("latest", None), ("pre_patch", 2), ("v1", 1)):
-            df = snapshot_read(spark, t, version)
-            agg = df.agg(
-                F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
-            ).first()
-            rows.append((label, agg["n"], float(agg["sv"])))
+        # r14 perf (guide §2.6): the three version censuses are
+        # independent read-only jobs over immutable snapshots — run them
+        # concurrently so the later jobs back-fill the first one's tail.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _version_census(version):
+            agg = (
+                snapshot_read(spark, t, version)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.round(F.sum("value"), 2).alias("sv"),
+                )
+                .first()
+            )
+            return agg["n"], float(agg["sv"])
+
+        with ThreadPoolExecutor(3) as pool:
+            censuses = list(pool.map(_version_census, (None, 2, 1)))
+        for (label, _v), (n, sv) in zip(
+            (("latest", None), ("pre_patch", 2), ("v1", 1)), censuses
+        ):
+            rows.append((label, n, sv))
         snapshot_rollback(spark, t, 2)
         agg = (
             snapshot_read(spark, t)
@@ -3203,12 +3225,23 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         zm = snapshot_read(
             spark, t, skip_where=[("event_id", 10_000_000, 99_999_999)]
         )
-        zm_dirs = zm.select(dir_of).distinct().count()
-        rows.append(("zonemap_dirs_full", full_dirs, 0.0))
-        rows.append(("zonemap_dirs_skipped", zm_dirs, 0.0))
-        rows.append(
-            ("zonemap_rows", zm.filter(F.col("event_id") >= 10_000_000).count(), 0.0)
+        # r14 perf: one scan computes both the skipped-read dir census
+        # and the matching-row count (countDistinct == distinct().count();
+        # the nondeterministic input_file_name is projected first, which
+        # Aggregate accepts) — guide §2.4, one job instead of two.
+        zagg = (
+            zm.select(dir_of.alias("_dir"), "event_id")
+            .agg(
+                F.countDistinct("_dir").alias("nd"),
+                F.count(
+                    F.when(F.col("event_id") >= 10_000_000, True)
+                ).alias("nr"),
+            )
+            .first()
         )
+        rows.append(("zonemap_dirs_full", full_dirs, 0.0))
+        rows.append(("zonemap_dirs_skipped", zagg["nd"], 0.0))
+        rows.append(("zonemap_rows", zagg["nr"], 0.0))
         # round 9: incremental-consumption branch — snapshot_changes over
         # the append-only prefix reads ONLY the delta dirs (the Iceberg
         # incremental-read shape); the census reports the delta's rows +
@@ -3242,13 +3275,19 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             prune=[("event_id", 10_000_000, 10**15)],
         )
         post = snapshot_read(spark, t)
-        pagg = post.agg(
-            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv")
-        ).first()
-        rows.append(("delete_n_after", pagg["n"], float(pagg["sv"])))
-        rows.append(
-            ("delete_dirs_after", post.select(dir_of).distinct().count(), 0.0)
+        # r14 perf: state census + dir census fused into one scan (same
+        # projected-_dir shape as the zone-map census above)
+        pagg = (
+            post.select("value", dir_of.alias("_dir"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("sv"),
+                F.countDistinct("_dir").alias("nd"),
+            )
+            .first()
         )
+        rows.append(("delete_n_after", pagg["n"], float(pagg["sv"])))
+        rows.append(("delete_dirs_after", pagg["nd"], 0.0))
         images = snapshot_row_changes(
             spark, t, ["event_id"], v_pre, to_version=v_post
         )
@@ -3395,9 +3434,16 @@ def x44_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).first()
             return a["n"], float(a["sv"])
 
-        mn, msv = _census(snapshot_read(spark, t))
+        # r14 perf: main and branch censuses are independent reads of
+        # immutable states — overlap them (guide §2.6)
+        with ThreadPoolExecutor(2) as pool:
+            f_main = pool.submit(lambda: _census(snapshot_read(spark, t)))
+            f_br = pool.submit(
+                lambda: _census(snapshot_read(spark, t, branch="wap"))
+            )
+            mn, msv = f_main.result()
+            bn, bsv = f_br.result()
         rows.append(("branch_main_n", mn, msv))
-        bn, bsv = _census(snapshot_read(spark, t, branch="wap"))
         rows.append(("branch_n_after", bn, bsv))
         snapshot_fast_forward(spark, t, "wap")
         snapshot_drop_branch(spark, t, "wap")
