@@ -125,6 +125,7 @@ def curate_with_audit(
     dedup_threshold: float = 0.8,
     drop_boilerplate_in: int | None = None,
     scrub_pii: bool = False,
+    boilerplate_table: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`curate_corpus` with a full AUDIT TRAIL: every input
     document comes back exactly once —
@@ -147,11 +148,26 @@ def curate_with_audit(
     same-host min-of-3 at sf0.1 measured the audited census at parity
     with the unaudited one (7.2 vs 7.5 s warm-session; both ~14 s on a
     cold session — the JVM/codegen warm-up dominates the first run, not
-    the audit)."""
+    the audit).
+
+    ``boilerplate_table`` (r14 perf): a caller that ALSO reports the
+    boilerplate census (x28's 'boilerplate' branch) can pass its own
+    :func:`remove_boilerplate_lines` output — computed once, ideally
+    checkpointed — instead of letting this function recompute the same
+    two line-shuffles internally. Must be the output of
+    ``remove_boilerplate_lines(docs, id_col, text_col,
+    min_docs=drop_boilerplate_in)`` for the SAME docs/min_docs;
+    equality with the internal path is test-pinned."""
     if drop_boilerplate_in is not None:
-        cleaned = remove_boilerplate_lines(
-            docs, id_col=id_col, text_col=text_col, min_docs=drop_boilerplate_in
-        ).select(id_col, F.col("cleaned").alias(text_col))
+        bp = (
+            boilerplate_table
+            if boilerplate_table is not None
+            else remove_boilerplate_lines(
+                docs, id_col=id_col, text_col=text_col,
+                min_docs=drop_boilerplate_in,
+            )
+        )
+        cleaned = bp.select(id_col, F.col("cleaned").alias(text_col))
         docs = docs.drop(text_col).join(cleaned, id_col)
     if scrub_pii:
         docs = docs.withColumn(text_col, redact_pii(text_col))

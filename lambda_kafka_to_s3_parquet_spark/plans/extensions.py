@@ -1751,6 +1751,13 @@ def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(tokens("text"), " "), r"(\S+ \S+ \S+) ", "$1\n"
         ).alias("text"),
     )
+    # r14 perf: the boilerplate pass (two corpus-wide line shuffles) was
+    # computed TWICE — once inside curate_with_audit and once for the
+    # 'boilerplate' census branch below. Compute it once, checkpoint it,
+    # and share it with both consumers (guide §1.2: don't compute things
+    # twice). Same rows by construction (boilerplate_table contract is
+    # test-pinned in tests/test_extensions.py).
+    bp = remove_boilerplate_lines(doc2, min_docs=3).localCheckpoint()
     # one evaluation: the census filters the audited frame three ways,
     # and each filter would otherwise re-run the whole chain
     audited = curate_with_audit(
@@ -1759,6 +1766,7 @@ def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_alpha_ratio=0.5,
         dedup_threshold=0.8,
         drop_boilerplate_in=3,
+        boilerplate_table=bp,
     ).localCheckpoint()
     nul_s = F.lit(None).cast("string")
     nul_l = F.lit(None).cast("bigint")
@@ -1786,7 +1794,7 @@ def x28_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_l.alias("n2"),
         nul_s.alias("md5"),
     )
-    boiler = remove_boilerplate_lines(doc2, min_docs=3).select(
+    boiler = bp.select(
         F.lit("boilerplate").alias("src"),
         "doc_id",
         F.lit(None).cast("string").alias("split"),

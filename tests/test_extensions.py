@@ -488,6 +488,27 @@ def test_curate_with_audit_string_ids_keep_exemplar(spark, sf_dir):
         assert r["exemplar"] in kept and r["exemplar"] < r["doc_id"]
 
 
+def test_curate_with_audit_accepts_precomputed_boilerplate(spark, sf_dir):
+    """r14 perf contract: passing a precomputed remove_boilerplate_lines
+    output via ``boilerplate_table`` must yield EXACTLY the rows of the
+    internal path (same docs, same min_docs) — the knob only moves where
+    the two line-shuffles run, never what the audit computes."""
+    from lambda_kafka_to_s3_parquet_spark.operators.curate import curate_with_audit
+    from lambda_kafka_to_s3_parquet_spark.operators.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400).select("doc_id", "text")
+    kwargs = dict(min_tokens=5, min_alpha_ratio=0.5,
+                  dedup_threshold=0.8, drop_boilerplate_in=3)
+    internal = curate_with_audit(docs, **kwargs).collect()
+    bp = remove_boilerplate_lines(docs, min_docs=3)
+    shared = curate_with_audit(docs, boilerplate_table=bp, **kwargs).collect()
+    key = lambda r: (r["doc_id"],)
+    assert sorted(internal, key=key) == sorted(shared, key=key)
+
+
 def test_remove_boilerplate_lines(spark):
     """CCNet-style inter-doc line dedup: lines in >= min_docs distinct
     documents vanish from every doc; survivors keep original order; empty
