@@ -84,6 +84,7 @@ fold (:func:`_pcol_map`).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 import time
@@ -2486,7 +2487,65 @@ def _read_dirs(
     return _read_dirs_raw(spark, table, all_dirs, manifest)
 
 
+#: Constructed-frame memo (r14, guide §1.2/§6): building a per-commit
+#: scan LISTS its dirs and reads a parquet footer driver-side, so a
+#: snapshot_read costs real sequential wall BEFORE any job runs
+#: (~0.1 s per call on a 6-commit × 30-dir table; a protocol exercise
+#: like x44 resolves only 15 distinct dir-sets across 31 reads). Commit
+#: dirs are IMMUTABLE once published (new commits mint new uuids, never
+#: append in place), so a frame keyed on (session, table, exact dir
+#: set, the manifest fields that shape construction) can be handed back
+#: verbatim — this memoizes PLAN CONSTRUCTION only; every action on the
+#: frame still scans parquet. The metadata-plane analog
+#: (_ASSEMBLED_CACHE) carries the same immutability argument.
+_FRAME_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _frame_memo_key(spark: SparkSession, table: str,
+                    all_dirs: list[str], manifest: dict) -> tuple:
+    """Everything :func:`_read_dirs_raw` construction depends on: the
+    dir set plus the manifest's logical-mapping state (colmaps/dropcols/
+    cschemas), the partition-column namespace (pcols + pcol renames) and
+    the hidden-partitioning spec columns. Two manifests agreeing on all
+    of those produce identical frames for the same dirs."""
+    ident = hashlib.md5(
+        json.dumps(
+            [
+                manifest.get("colmaps", {}),
+                manifest.get("dropcols", {}),
+                manifest.get("cschemas", {}),
+                sorted(_manifest_pcols(manifest.get("partitions", {}))),
+                sorted(_pcol_map(manifest).items()),
+                sorted(s[0] for s in _all_pspecs(manifest)),
+            ],
+            sort_keys=True,
+            default=str,
+        ).encode()
+    ).hexdigest()
+    return (
+        spark.sparkContext.applicationId,
+        id(spark),
+        table,
+        tuple(sorted(all_dirs)),
+        ident,
+    )
+
+
 def _read_dirs_raw(
+    spark: SparkSession, table: str, all_dirs: list[str], manifest: dict
+) -> DataFrame:
+    key = _frame_memo_key(spark, table, all_dirs, manifest)
+    hit = _FRAME_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = _read_dirs_raw_build(spark, table, all_dirs, manifest)
+    if len(_FRAME_MEMO) > 256:
+        _FRAME_MEMO.clear()
+    _FRAME_MEMO[key] = out
+    return out
+
+
+def _read_dirs_raw_build(
     spark: SparkSession, table: str, all_dirs: list[str], manifest: dict
 ) -> DataFrame:
     """Union scan of specific table-relative commit dirs.

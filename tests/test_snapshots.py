@@ -5515,3 +5515,47 @@ def test_branch_rollback(spark, table):
     # branch v2 stays time-travelable; main untouched
     assert len(_rows(snapshot_read(spark, table, version=2, branch="audit"))) == 3
     assert current_version(spark, table) == 1
+
+
+def test_read_dirs_frame_memo_reuses_and_invalidates(spark, table, monkeypatch):
+    """r14 frame-construction memo: a second read of the SAME version is a
+    pure memo hit (zero rebuilds), while a new commit (dir-set change) and
+    a metadata-only rename (colmaps change) each force a rebuild — the
+    memo can never serve a stale logical mapping."""
+    from lambda_kafka_to_s3_parquet_spark.operators import snapshots as snap
+    from lambda_kafka_to_s3_parquet_spark.operators.snapshots import (
+        snapshot_rename_column,
+    )
+
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, p string, v long"
+    )
+    snapshot_append(spark, table, df1, ["p"])
+    snap._FRAME_MEMO.clear()
+    calls: list[tuple] = []
+    orig = snap._read_dirs_raw_build
+
+    def spy(spark_, t, dirs, manifest):
+        calls.append(tuple(sorted(dirs)))
+        return orig(spark_, t, dirs, manifest)
+
+    monkeypatch.setattr(snap, "_read_dirs_raw_build", spy)
+    r1 = _rows(snapshot_read(spark, table))
+    n1 = len(calls)
+    assert n1 >= 1
+    r2 = _rows(snapshot_read(spark, table))
+    assert r2 == r1
+    assert len(calls) == n1  # memo hit: no rebuild for the same version
+    snapshot_append(
+        spark,
+        table,
+        spark.createDataFrame([(3, "a", 30)], "id long, p string, v long"),
+        ["p"],
+    )
+    assert len(_rows(snapshot_read(spark, table))) == 3
+    assert len(calls) > n1  # new dir set -> rebuilt
+    n2 = len(calls)
+    snapshot_rename_column(spark, table, "v", "val")
+    cols = snapshot_read(spark, table).columns
+    assert "val" in cols and "v" not in cols  # ident changed -> not stale
+    assert len(calls) > n2
