@@ -2689,7 +2689,13 @@ def x41_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     books = train_pq_codebooks(e)
-    codes = pq_encode(e, books)
+    # localCheckpoint: BOTH branches consume the encoded corpus (flat ADC
+    # scans it, ivfpq joins it to cell assignments) — without the pin the
+    # narrow encode pass re-runs once per branch in the same action
+    # (r14, guide §1.2: measured 8.2 -> 7.0 s warm at sf0.1, rows
+    # verified identical). The codes frame is m bytes/vector — the 16x
+    # compression makes the materialization trivially small at any scale.
+    codes = pq_encode(e, books).localCheckpoint()
     flat = topk_pq_adc(codes, queries, books, corpus=e, k=10, shortlist=50)
     # Share the already-trained codebooks and encoded corpus with the
     # ivfpq branch (same seed/params => identical structures): the round-9
