@@ -176,9 +176,13 @@ HEADLINE = [
     "x41_pq_ann",
     # round 14: x53 folded into x10's 'int8' branch in the REGISTRY (its
     # oracle slot went to w09), but the bench artifact never removes a
-    # key — the standalone function still exists and is timed here, so
-    # x53's number stays comparable to rounds 11-13 while x10 carries
-    # the folded copy (x10 not comparable to <= 13).
+    # key — the standalone function still exists and is timed here.
+    # COMPARABILITY: x53 has been in EAGER_FN since it joined in r11
+    # (the quantize+localCheckpoint always ran inside fn() under the
+    # before-fn clock), so its series is comparable ACROSS ALL ROUNDS
+    # 11+; the r13→r14 0.42→0.60 s delta is host noise on a sub-second
+    # key, not a clock change (r14's contrary note was wrong — the r14
+    # diff shows x53 already in the EAGER_FN set before it).
     "x53_int8_topk",
     # round 5 (late): hybrid BM25 + PRF-dense RRF fusion (EAGER_FN: the
     # PRF centroid collect runs inside fn())
@@ -366,10 +370,10 @@ EAGER_FN = {
     "x41_pq_ann",
     "x42_hybrid_rrf",
     # round 14: x10's absorbed int8 branch quantizes + localCheckpoints
-    # inside fn() — clock before fn(); same for the retained standalone
-    # x53 key (it always ran the quantize inside fn(), but rounds 11-13
-    # clocked it after — the EAGER_FN clock is the honest protocol and
-    # the visible delta vs r13's 0.42 s is the quantize cost, not drift)
+    # inside fn() — clock before fn(). x53 itself has been here since
+    # r11 (verified against the r11 diff — the r14 comment claiming
+    # rounds 11-13 clocked x53 after fn() was wrong); its r13→r14 delta
+    # is plain noise on a 0.4-0.6 s key, not a protocol change.
     "x10_embedding_topk",
     "x53_int8_topk",
     # round 11: x03's absorbed cms branch builds + localCheckpoints the
@@ -627,6 +631,11 @@ def main() -> None:
         "steal_cpu_s": weather["steal_cpu_s"],
         "load1": weather["load1"],
         "polluted_reruns": len(weather["polluted_reruns"]),
+        # per-query steal (big-sf phase, CPU-s; only queries >= 0.05) IN
+        # the printed line (VERDICT r14 Next #8): per-query weather is
+        # adjudicable from the JSON alone. Additions-only; dropped FIRST
+        # if the line outgrows the tail budget (queries survive longer).
+        "steal_per_query": weather["steal_per_query"],
         "queries": timings,
         "value_batch": batch_total,
         "value_fixed_cost": round(
@@ -643,7 +652,24 @@ def main() -> None:
     # dict always lives in BENCH_local.json) and say so on stderr.
     _TAIL_BUDGET = 1900
     if len(line) > _TAIL_BUDGET:
-        slim = {k: v for k, v in out.items() if k != "queries"}
+        # degrade in two stages: steal_per_query is the newest addition
+        # and lives in BENCH_local.json regardless — drop it before
+        # touching the per-query timings the round-over-round comparison
+        # needs (a heavily polluted run is exactly when the map is big).
+        slim1 = {k: v for k, v in out.items() if k != "steal_per_query"}
+        slim1["steal_per_query_truncated_to_fit_tail"] = len(
+            out["steal_per_query"]
+        )
+        line = json.dumps(slim1, separators=(",", ":"))
+        print(
+            f"WARNING: bench line exceeded the {_TAIL_BUDGET} B tail "
+            "budget; steal_per_query dropped from stdout (see "
+            "BENCH_local.json)",
+            file=sys.stderr, flush=True,
+        )
+    if len(line) > _TAIL_BUDGET:
+        slim = {k: v for k, v in out.items()
+                if k not in ("queries", "steal_per_query")}
         slim["queries_truncated_to_fit_tail"] = len(out["queries"])
         line = json.dumps(slim, separators=(",", ":"))
         print(

@@ -1033,6 +1033,19 @@ def append_band_store(
     # back-fill the band write's commit tail — the registry union below
     # still happens strictly AFTER both writes, preserving the
     # registry ⊆ disk crash contract.
+    #
+    # Partial-failure shape (wider than the old bands-then-sigs order,
+    # which could only orphan sigs-less band rows): either half can now
+    # land without the other before the crash. Both orientations are
+    # covered by the SAME at-least-once recovery the registry contract
+    # documents — unregistered dirs are invisible to pruned reads, and
+    # the batch's replay re-appends + re-registers both halves. Even if
+    # a future registry variant registered one half early,
+    # sigs-without-bands is at worst a benign MISS (a candidate pair
+    # not generated — no band row ever points at it), never a false
+    # match; bands-without-sigs is the pre-existing orientation the
+    # verify join drops. Running futures can't be cancelled mid-job, so
+    # the contract is documented rather than racily "cancelled".
     def _bands_half():
         keys = {
             r["band"] * n_pfx + r["pfx"]

@@ -792,7 +792,18 @@ def _collect_dir_stats(
         # absolute file URI -> table-relative dir, by suffix match
         rel = next((x for x in rels if r["_dir"].endswith(x)), None)
         if rel is None:
-            continue
+            # The commit-dir scan above is only the same file set as
+            # ``rels`` when rels is the COMPLETE dir set of the commit
+            # (every current caller passes _write_commit_data's full
+            # return). A future caller passing a SUBSET would silently
+            # compute stats from files outside its rels — fail loudly
+            # instead, making the complete-commit invariant part of the
+            # contract.
+            raise AssertionError(
+                f"_collect_dir_stats scanned dir {r['_dir']!r} not in the "
+                f"caller's rels for commit {commit_id}: rels must be the "
+                "complete dir set of one just-written commit"
+            )
         stats = {}
         for c in stats_cols:
             lo, hi = norm(r[f"_lo_{c}"]), norm(r[f"_hi_{c}"])
@@ -908,7 +919,15 @@ def _collect_dir_blooms(
     for r in rows:
         rel = next((x for x in rels if r["_dir"].endswith(x)), None)
         if rel is None:
-            continue
+            # same complete-commit invariant as _collect_dir_stats: the
+            # whole-commit-dir scan is only equivalent to rels when rels
+            # is the commit's full dir set — a subset caller would get
+            # blooms built from files outside its rels
+            raise AssertionError(
+                f"_collect_dir_blooms scanned dir {r['_dir']!r} not in "
+                f"the caller's rels for commit {commit_id}: rels must be "
+                "the complete dir set of one just-written commit"
+            )
         bits = acc.setdefault((rel, r["_ci"]), bytearray(m // 8))
         for p in r["_ps"]:
             bits[p // 8] |= 1 << (p % 8)
@@ -2514,7 +2533,12 @@ def _frame_memo_key(spark: SparkSession, table: str,
                 manifest.get("colmaps", {}),
                 manifest.get("dropcols", {}),
                 manifest.get("cschemas", {}),
-                sorted(_manifest_pcols(manifest.get("partitions", {}))),
+                # UNSORTED, in manifest-key order: _read_dirs_raw_build
+                # canonicalizes the output column order from this exact
+                # sequence, so the key must capture order as construction
+                # consumes it — two manifests with the same pcol SET but a
+                # different sequence must not share a frame.
+                _manifest_pcols(manifest.get("partitions", {})),
                 sorted(_pcol_map(manifest).items()),
                 sorted(s[0] for s in _all_pspecs(manifest)),
             ],

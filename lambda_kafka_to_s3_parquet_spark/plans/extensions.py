@@ -4145,59 +4145,83 @@ def x54_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts", "value"
     )
 
-    # --- 'diff' branch: maintained CDC table, upsert -> compact -> upsert
-    # (users ≡ 0 mod 10 are withheld from the first batch so the diff
-    # exercises 'insert' rows alongside the update pre/post images;
-    # 'delete' needs a purge and stays pinned in pytest)
-    state = f"{base}/state"
-    merge_cdc_batch(
-        spark,
-        ev.filter((F.col("event_id") % 2 == 0) & (F.col("user_id") % 10 != 0)),
-        state,
-        ["user_id"], "ts", "event_id", commit_protocol="snapshot",
-    )
-    v1 = current_version(spark, state)
-    # --- 'view' branch bootstrap: aggregate view over state@v1, then ONE
-    # retraction-applied refresh after the compaction + second merge —
-    # the maintained view must land on the direct aggregate of the final
-    # state (cross-group moves retract from the old event_type's row)
-    vw = f"{base}/view"
-    incremental_view_refresh(
-        spark, state, vw, ["user_id"], ["event_type"], ["event_id"]
-    )
-    snapshot_rewrite(spark, state, ["bucket"])  # replacement commit
-    merge_cdc_batch(
-        spark, ev.filter(F.col("event_id") % 2 == 1), state,
-        ["user_id"], "ts", "event_id", commit_protocol="snapshot",
-    )
-    incremental_view_refresh(
-        spark, state, vw, ["user_id"], ["event_type"], ["event_id"]
-    )
-    view = read_view(spark, vw).select(
-        F.col("event_type").alias("tag"),
-        F.col("n_rows"),
-        F.col("n_rows").alias("n_keys"),  # state keys are unique per user
-        F.col("sum_event_id").alias("id_sum"),
-    )
-    chg = snapshot_row_changes(spark, state, ["user_id"], v1)
-    diff = chg.groupBy(F.col("_change_type").alias("tag")).agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("user_id").alias("n_keys"),
-        F.sum("event_id").alias("id_sum"),
-    )
+    # r15 perf (guide §2.6): the 'diff'+'view' sub-protocol (tables
+    # state/view) and the 'consume' sub-protocol (tables src/snk) are
+    # fully independent single-writer pipelines over DISJOINT scratch
+    # tables — x44's overlap treatment applied to the change-feed
+    # protocol. Each branch stays sequential internally (real data
+    # dependencies: merge -> refresh -> rewrite -> merge -> refresh,
+    # append -> poll -> append -> poll), but running the two branches on
+    # two driver threads lets each branch's many small jobs back-fill
+    # the other's commit/listing tails. Same rows by construction: no
+    # shared table, no shared high-water mark, thread-local job state.
+    def _diff_view_branch():
+        # --- 'diff': maintained CDC table, upsert -> compact -> upsert
+        # (users ≡ 0 mod 10 are withheld from the first batch so the
+        # diff exercises 'insert' rows alongside the update pre/post
+        # images; 'delete' needs a purge and stays pinned in pytest)
+        state = f"{base}/state"
+        merge_cdc_batch(
+            spark,
+            ev.filter(
+                (F.col("event_id") % 2 == 0) & (F.col("user_id") % 10 != 0)
+            ),
+            state,
+            ["user_id"], "ts", "event_id", commit_protocol="snapshot",
+        )
+        v1 = current_version(spark, state)
+        # --- 'view' bootstrap: aggregate view over state@v1, then ONE
+        # retraction-applied refresh after the compaction + second
+        # merge — the maintained view must land on the direct aggregate
+        # of the final state (cross-group moves retract from the old
+        # event_type's row)
+        vw = f"{base}/view"
+        incremental_view_refresh(
+            spark, state, vw, ["user_id"], ["event_type"], ["event_id"]
+        )
+        snapshot_rewrite(spark, state, ["bucket"])  # replacement commit
+        merge_cdc_batch(
+            spark, ev.filter(F.col("event_id") % 2 == 1), state,
+            ["user_id"], "ts", "event_id", commit_protocol="snapshot",
+        )
+        incremental_view_refresh(
+            spark, state, vw, ["user_id"], ["event_type"], ["event_id"]
+        )
+        view = read_view(spark, vw).select(
+            F.col("event_type").alias("tag"),
+            F.col("n_rows"),
+            F.col("n_rows").alias("n_keys"),  # state keys unique per user
+            F.col("sum_event_id").alias("id_sum"),
+        )
+        chg = snapshot_row_changes(spark, state, ["user_id"], v1)
+        diff = chg.groupBy(F.col("_change_type").alias("tag")).agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        return diff, view
 
-    # --- 'consume' branch: two appends, two exactly-once polls
-    src, snk = f"{base}/src", f"{base}/snk"
-    snapshot_append(spark, src, ev.filter(F.col("event_id") % 3 == 0))
-    snapshot_consume_changes(spark, src, snk)
-    snapshot_append(spark, src, ev.filter(F.col("event_id") % 3 == 1))
-    snapshot_consume_changes(spark, src, snk)
-    landed = snapshot_read(spark, snk)
-    consume = landed.groupBy(F.col("event_type").alias("tag")).agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("user_id").alias("n_keys"),
-        F.sum("event_id").alias("id_sum"),
-    )
+    def _consume_branch():
+        # --- 'consume': two appends, two exactly-once polls
+        src, snk = f"{base}/src", f"{base}/snk"
+        snapshot_append(spark, src, ev.filter(F.col("event_id") % 3 == 0))
+        snapshot_consume_changes(spark, src, snk)
+        snapshot_append(spark, src, ev.filter(F.col("event_id") % 3 == 1))
+        snapshot_consume_changes(spark, src, snk)
+        landed = snapshot_read(spark, snk)
+        return landed.groupBy(F.col("event_type").alias("tag")).agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.sum("event_id").alias("id_sum"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_dv = pool.submit(_diff_view_branch)
+        f_c = pool.submit(_consume_branch)
+        diff, view = f_dv.result()
+        consume = f_c.result()
     return (
         diff.select(F.lit("diff").alias("branch"), "*")
         .unionByName(consume.select(F.lit("consume").alias("branch"), "*"))
