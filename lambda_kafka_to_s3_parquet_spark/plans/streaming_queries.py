@@ -525,20 +525,33 @@ def w08_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     ev.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
 
-    with _state_partitions(spark):
-        q = run_rollup_stream(
-            spark,
-            src,
-            "event_id long, ts timestamp_ntz, event_type string, value double",
-            rollup,
-            ckpt,
-            distinct_col="event_id",
-        )
-        _drain(q)
-    # 'batch' branch: the scheduled-materialization code path over the
-    # same events (former x22_rollup_daily)
+    # r15 perf (guide §2.6): the 'batch' branch (former x22's
+    # materialize_hourly — one aggregate + write to its own dir) is
+    # fully independent of the streaming replay; run it on a second
+    # driver thread so its jobs back-fill the stream's micro-batch
+    # commit tails instead of running strictly after them. Results are
+    # unaffected by the concurrent shuffle-partition scope: the rollup
+    # aggregates are partitioning-independent (sums/counts/HLL merges
+    # are associative-commutative and HLL registers are max-merged).
     batch_rollup = str(base / "batch_rollup")
-    materialize_hourly(ev, batch_rollup, distinct_col="event_id")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as pool:
+        fut = pool.submit(
+            materialize_hourly, ev, batch_rollup, distinct_col="event_id"
+        )
+        with _state_partitions(spark):
+            q = run_rollup_stream(
+                spark,
+                src,
+                "event_id long, ts timestamp_ntz, event_type string, "
+                "value double",
+                rollup,
+                ckpt,
+                distinct_col="event_id",
+            )
+            _drain(q)
+        fut.result()
 
     def daily_of(rollup_path: str, tag: str) -> DataFrame:
         daily = reaggregate(spark.read.parquet(rollup_path), "day")

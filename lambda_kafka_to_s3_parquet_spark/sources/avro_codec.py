@@ -71,6 +71,17 @@ def _read_varint_zigzag(buf: io.BytesIO) -> int:
 
 def _read_string(buf: io.BytesIO) -> str:
     n = _read_varint_zigzag(buf)
+    # Validate the declared length BEFORE reading: a garbage varint can
+    # decode to a negative length (read(-1) would silently slurp to EOF)
+    # or one beyond index range (buf.read raises OverflowError — found
+    # by the never-overreads hypothesis property). Both are the same
+    # corrupt-record condition as a short read: truncation/garbage must
+    # surface as EOFError/ValueError, never as an allocation attempt.
+    if n < 0:
+        raise ValueError(f"negative string length {n}")
+    remaining = buf.getbuffer().nbytes - buf.tell()
+    if n > remaining:
+        raise EOFError("truncated string")
     raw = buf.read(n)
     if len(raw) != n:
         raise EOFError("truncated string")

@@ -108,10 +108,28 @@ def test_aqe_enabled_in_session(spark):
 def test_no_cartesian_anywhere_in_registry(spark):
     """No registered query may contain a shuffle cartesian product.
     (Bounded broadcast nested loops over probe sets are acceptable; an
-    unbounded CartesianProduct is never the right plan at scale.)"""
-    for name, spec in SPECS.items():
-        plan = _executed(spec.fn(spark, SF))
-        assert "CartesianProduct" not in plan, name
+    unbounded CartesianProduct is never the right plan at scale.)
+
+    The frames are BUILT on a small driver thread pool (r15): the
+    protocol queries (snapshot/stream replays) execute real work inside
+    fn() over disjoint mkdtemp scratch, so building them sequentially
+    serialized ~3 minutes of independent jobs (this was the slowest
+    test in the suite, and the verify gate truncates on total wall —
+    VERDICT r14 #1). Assertions are unchanged and still per-query; only
+    the construction overlaps (guide §2.6 applied to the test harness).
+    Concurrency is safe for the same reason x54's branch overlap is:
+    disjoint scratch tables, thread-local job state, and the test
+    session already runs shuffle_partitions=8 so the _state_partitions
+    scopes are no-ops here."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(item):
+        name, spec = item
+        return name, _executed(spec.fn(spark, SF))
+
+    with ThreadPoolExecutor(4) as pool:
+        for name, plan in pool.map(build, SPECS.items()):
+            assert "CartesianProduct" not in plan, name
 
 
 def test_events_scan_prunes_props_when_unused(spark):
